@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+
+/** Table loaders + session configuration shared by every query.
+  *
+  * All reads go through [[Tables.t]] so that required runtime confs are in
+  * place no matter who constructed the SparkSession (the driver's smoke
+  * harness builds its own).
+  */
+object Tables {
+
+  /** Confs that must hold for correctness parity with the DuckDB oracle.
+    * All of these are runtime-settable (no session restart needed).
+    */
+  def ensureConf(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // events.parquet stores INT64 TIMESTAMP(NANOS); Spark has no ns
+    // timestamp type and rejects the file outright. Reading the raw
+    // nanosecond longs keeps ordering/bucketing EXACT (bit-equal with the
+    // oracle's TIMESTAMP_NS) instead of silently truncating to micros.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Deterministic plans at small scale, efficient at large: AQE coalesces
+    // the 32 shuffle partitions when maps are tiny.
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    ensureConf(spark)
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = t(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Exact-sum idiom: double sums are order-dependent (shuffle order is not
+    * deterministic, and the oracle engine sums in its own order), so every
+    * money/measure sum goes through a per-row DECIMAL cast — identical on
+    * both engines — and the exact decimal total is cast back to double.
+    */
+  def exactSum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  /** Exact average: exact decimal sum divided by count, both deterministic,
+    * so the double division result is bit-identical across engines. */
+  def exactAvg(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double") / count(lit(1))
+
+  /** `ts` nanos → 'yyyy-MM-dd' day string in UTC (oracle:
+    * strftime(date_trunc('day', ts), '%Y-%m-%d')). SQL `div` is exact
+    * integer division — `/` goes through double and loses precision at
+    * 1.7e18 epoch-nanos. */
+  def tsDay(tsCol: String): Column =
+    expr(s"date_format(timestamp_micros($tsCol div 1000), 'yyyy-MM-dd')")
+
+  /** `ts` nanos → 'yyyy-MM-dd HH' hour string in UTC. */
+  def tsHour(tsCol: String): Column =
+    expr(s"date_format(timestamp_micros($tsCol div 1000), 'yyyy-MM-dd HH')")
+}

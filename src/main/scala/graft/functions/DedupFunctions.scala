@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection primitives: MinHash+LSH and SimHash.
+  *
+  * Scale design (the point of these over exact pairwise Jaccard): candidate
+  * generation is an equi-join on (band, bandKey) — at 100 TB this shuffles
+  * only (docId, bandKey) pairs, never full cross products. Verification
+  * runs only on candidates. All hashing uses Spark's codegen'd murmur3 /
+  * xxhash64 expressions; signatures are fixed-width int arrays, no UDFs.
+  */
+object MinHash {
+
+  /** Per-document MinHash signature over distinct word shingles.
+    * `sigDf(doc_id, sig: array<int>)` — one groupBy (single shuffle on
+    * doc_id), `numHashes` min-aggregates evaluated map-side. */
+  def signatures(docs: DataFrame, idCol: String, textCol: String,
+                 numHashes: Int = 32, shingleSize: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col(idCol), explode(TextFunctions.shingles(col(textCol), shingleSize)).as("s"))
+      .distinct()
+    val mins = (0 until numHashes).map(i => min(hash(col("s"), lit(i))).as(s"m$i"))
+    sh.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: explode each signature into (band, bandKey) rows.
+    * Docs sharing any band key are candidate pairs. */
+  def bands(sig: DataFrame, idCol: String, numBands: Int = 8): DataFrame = {
+    val rowsPerBand = 32 / numBands
+    val bandKeys = (0 until numBands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
+      struct(lit(b).as("band"), hash(slice: _*).as("band_key"))
+    }
+    sig.select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.band_key"))
+  }
+
+  /** Candidate pairs from band collisions (distinct, a < b). */
+  def candidates(bandsDf: DataFrame, idCol: String): DataFrame = {
+    val a = bandsDf.select(col("band"), col("band_key"), col(idCol).as("doc_a"))
+    val b = bandsDf.select(col("band"), col("band_key"), col(idCol).as("doc_b"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** Estimated Jaccard from two signatures = fraction of equal components. */
+  def estimatedJaccard(sigA: Column, sigB: Column, numHashes: Int = 32): Column =
+    size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b)).cast("double") / numHashes
+}
+
+/** SimHash: 60-bit similarity-preserving fingerprints (bit 60+ avoided so
+  * the value stays positive in a signed long). Near-dups have small
+  * Hamming distance. */
+object SimHash {
+
+  val Bits = 60
+
+  /** Per-document simhash. Single shuffle: explode tokens, then one
+    * groupBy(doc) computing 60 conditional counts map-side (no 60× row
+    * blowup — bit counts are aggregate columns, not exploded rows). */
+  def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitCounts = (0 until Bits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(0L)).as(s"c$b")
+    }
+    val agg = tok.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"), bitCounts: _*)
+    val simhash = (0 until Bits).map { b =>
+      when(col(s"c$b") * 2 > col("n_tok"), lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    agg.select(col(idCol), simhash.as("simhash"))
+  }
+
+  /** Hamming-LSH candidate pairs: band the 60 bits into 4×15-bit chunks;
+    * pairs within Hamming distance 3 must collide on ≥1 chunk (pigeonhole);
+    * verify exact Hamming ≤ maxDist on candidates only. Avoids the O(n²)
+    * cross join at scale. */
+  def nearPairs(sig: DataFrame, idCol: String, maxDist: Int = 6): DataFrame = {
+    val chunks = (0 until 4).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), c * 15).bitwiseAND(0x7FFF).as("ck"))
+    }
+    val banded = sig.select(col(idCol), col("simhash"), explode(array(chunks: _*)).as("b"))
+      .select(col(idCol), col("simhash"), col("b.chunk"), col("b.ck"))
+    val a = banded.select(col("chunk"), col("ck"),
+      col(idCol).as("doc_a"), col("simhash").as("sim_a"))
+    val b = banded.select(col("chunk"), col("ck"),
+      col(idCol).as("doc_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("chunk", "ck"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sim_a ^ sim_b)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video travel as opaque `binary`
+  * columns plus typed metadata, processed in partition-local batches.
+  *
+  * The actual media codecs are NOT available in this environment, so the
+  * decode step is a clearly-marked deterministic fake ([[fakeDecodeMeta]]):
+  * it derives width/height/frame counts arithmetically from the byte
+  * stream. Everything around it — schema, batch shape, partition-local
+  * processing via mapPartitions, no driver-side collect — is the real
+  * plumbing a codec drops into.
+  */
+object Multimodal {
+
+  /** A media record as it travels through the engine. */
+  case class MediaRecord(media_id: Long, payload: Array[Byte], mime: String)
+
+  /** Extracted metadata (what a real decoder would emit). */
+  case class MediaMeta(media_id: Long, n_bytes: Int, width: Int, height: Int,
+                       n_frames: Int, checksum: Long)
+
+  /** Deterministic fake decode, column form (codegen'd arithmetic — stands
+    * in for a real `mapPartitions` decoder; see [[decodePartitions]]). */
+  def fakeWidth(nBytes: Column): Column = ((nBytes % 64) + 1) * 16
+  def fakeHeight(nBytes: Column): Column = ((nBytes % 48) + 1) * 16
+  def fakeFrames(nBytes: Column): Column = (nBytes % 30) + 1
+
+  /** Real partition-local decode shape: one decoder instance per partition
+    * (a codec handle is expensive to open), rows streamed through it.
+    * The decode body is the deterministic fake — swap `decodeOne` for a
+    * real codec; the Spark plumbing does not change. */
+  def decodePartitions(ds: Dataset[MediaRecord]): Dataset[MediaMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition "codec" init happens here (once, not per row)
+      it.map { r =>
+        val n = r.payload.length
+        // deterministic fake decode — replace with real codec call
+        val checksum = r.payload.foldLeft(1469598103934665603L)((h, b) => (h ^ b) * 1099511628211L)
+        MediaMeta(r.media_id, n, ((n % 64) + 1) * 16, ((n % 48) + 1) * 16, (n % 30) + 1, checksum)
+      }
+    }
+  }
+
+  /** Frame sampling: every k-th frame index of a clip, as the plumbing a
+    * video pipeline needs (explode of a generated index sequence). */
+  def sampleFrameIdx(nFrames: Column, every: Int): Column =
+    sequence(lit(0), nFrames - 1, lit(every))
+}

@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.{MinHash, SimHash, TextFunctions}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents`: exact (hash-groupBy), n-gram
+  * Jaccard (exact near-dup), MinHash+LSH and SimHash (approximate near-dup
+  * — the 100 TB scale paths whose candidate generation is an equi-join on
+  * band keys, never a cross join).
+  */
+object DedupOps {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- Exact dedup: one hash-groupBy; `keep_id` is the canonical doc.
+    Q("q_dedup_exact",
+      """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY h ORDER BY h""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("h"))
+    },
+
+    // ---- Exact n-gram Jaccard near-dup pairs. Candidate generation is a
+    // shared-shingle equi-join (shuffle on shingle), not a cross join; at
+    // scale the MinHash variant below caps candidate fan-out further.
+    Q("q_ngram_jaccard",
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |       unnest(range(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |d AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY doc_a, doc_b)
+        |SELECT doc_a, doc_b, shared, da.n AS n_a, db.n AS n_b,
+        |  CAST(shared AS DOUBLE) / (da.n + db.n - shared) AS jaccard
+        |FROM p JOIN d da ON p.doc_a = da.doc_id JOIN d db ON p.doc_b = db.doc_id
+        |WHERE CAST(shared AS DOUBLE) / (da.n + db.n - shared) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFunctions.shingles(col("text"), 3)).as("s"))
+        .distinct()
+      val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val pairs = sh.as("a").join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+      val jac = col("shared").cast("double") /
+        (col("n_a") + col("n_b") - col("shared"))
+      pairs
+        .join(broadcast(counts).withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+        .join(broadcast(counts).withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"),
+          jac.as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- MinHash+LSH near-dup pairs (scale path; no SQL oracle — the
+    // driver records a rows-only check). 32 hashes, 8 bands × 4 rows:
+    // collision probability ≈ 1-(1-j⁴)⁸, steep around j≈0.6.
+    Q.noOracle("q_minhash_lsh") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val sig = MinHash.signatures(docs, "doc_id", "text").cache()
+      val cands = MinHash.candidates(MinHash.bands(sig, "doc_id"), "doc_id")
+      val a = sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+      val b = sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+      cands.join(a, "doc_a").join(b, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          round(MinHash.estimatedJaccard(col("sig_a"), col("sig_b")), 6).as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- SimHash near-dup pairs (rows-only check): 60-bit fingerprints,
+    // Hamming-LSH banding (4×15-bit chunks), exact Hamming ≤ 6 verify.
+    Q.noOracle("q_simhash") { (s, d) =>
+      val sig = SimHash.signatures(Tables.documents(s, d), "doc_id", "text")
+      SimHash.nearPairs(sig, "doc_id", maxDist = 6)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }
+  )
+}

@@ -1,0 +1,218 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator coverage over the TPC-H-ish star schema: hash/sort
+  * aggregation, multi-way joins (broadcast for dims), distinct, top-k per
+  * group, semi/anti joins, set ops, scalar string/JSON functions.
+  *
+  * The reference engine (seliumlabs/selium) has no relational algebra at
+  * all — Catalyst supplies these for free (SURVEY.md §2.5/§2.6 "absent").
+  * They are included as first-class queries because a user replacing the
+  * reference with this library gets them as part of the engine surface,
+  * and because they exercise the scans/joins the 100 TB deployment lives on.
+  *
+  * Scale notes: dims (region/nation/supplier/part/customer) are broadcast —
+  * at 100 TB the fact tables (lineitem/orders/events) shuffle on join keys
+  * only when both sides are large; AQE handles skew.
+  */
+object Relational {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- Full-scan aggregation (TPC-H Q1 shape): map-side partial agg,
+    // 6 groups, no shuffle pressure at any scale.
+    Q("q1_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy($("l_returnflag"), $("l_linestatus"))
+        .agg(
+          Tables.exactSum(col("l_quantity")).as("sum_qty"),
+          Tables.exactSum(col("l_extendedprice")).as("sum_base_price"),
+          Tables.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("sum_disc_price"),
+          Tables.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+          Tables.exactAvg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy($("l_returnflag"), $("l_linestatus"))
+    },
+
+    // ---- Fact-fact-dim join + agg + top-k (TPC-H Q3 shape). customer is
+    // broadcast; orders⋈lineitem shuffles on the order key.
+    Q("q3_top_orders",
+      """SELECT o.o_orderkey,
+        |  strftime(o.o_orderdate, '%Y-%m-%d') AS order_day,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY o.o_orderkey, order_day
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).filter($("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(l, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(o("o_orderkey"), date_format(o("o_orderdate"), "yyyy-MM-dd").as("order_day"))
+        .agg(Tables.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // ---- Six-table star join (TPC-H Q5 shape): all dims broadcast, single
+    // shuffle between the two fact tables.
+    Q("q5_region_revenue",
+      """SELECT r.r_name, n.n_name,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM region r
+        |JOIN nation n ON n.n_regionkey = r.r_regionkey
+        |JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+        |GROUP BY r.r_name, n.n_name
+        |ORDER BY r.r_name, n.n_name""".stripMargin) { (s, d) =>
+      val r = Tables.region(s, d)
+      val n = Tables.nation(s, d)
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      val sup = Tables.supplier(s, d)
+      o.join(l, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(sup), sup("s_suppkey") === l("l_suppkey") && sup("s_nationkey") === c("c_nationkey"))
+        .join(broadcast(n), n("n_nationkey") === c("c_nationkey"))
+        .join(broadcast(r), r("r_regionkey") === n("n_regionkey"))
+        .groupBy($("r_name"), $("n_name"))
+        .agg(
+          Tables.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($("r_name"), $("n_name"))
+    },
+
+    // ---- DISTINCT aggregation.
+    Q("q_distinct_segments",
+      """SELECT c_mktsegment,
+        |  COUNT(DISTINCT c_nationkey) AS n_nations,
+        |  COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .groupBy($("c_mktsegment"))
+        .agg(
+          countDistinct($("c_nationkey")).as("n_nations"),
+          count(lit(1)).as("n_cust"),
+          Tables.exactSum(col("c_acctbal")).as("sum_bal"))
+        .orderBy($("c_mktsegment"))
+    },
+
+    // ---- Top-k per group via ranking window.
+    Q("q_topk_per_group",
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 5
+        |ORDER BY o_orderpriority, rn""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy($("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select($("o_orderpriority"), $("o_orderkey"), $("o_totalprice"), col("rn"))
+        .orderBy($("o_orderpriority"), col("rn"))
+    },
+
+    // ---- Semi join (EXISTS).
+    Q("q_semi_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val urgent = Tables.orders(s, d).filter($("o_orderpriority") === "1-URGENT")
+      Tables.customer(s, d)
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select($("c_custkey"), $("c_name"))
+        .orderBy($("c_custkey"))
+    },
+
+    // ---- Anti join (NOT EXISTS).
+    Q("q_anti_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val big = Tables.orders(s, d).filter($("o_totalprice") > 300000)
+      Tables.customer(s, d)
+        .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select($("c_custkey"), $("c_name"))
+        .orderBy($("c_custkey"))
+    },
+
+    // ---- Set operation: EXCEPT (distinct semantics on both engines).
+    Q("q_except_setop",
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val building = Tables.customer(s, d)
+        .filter($("c_mktsegment") === "BUILDING").select($("c_custkey"))
+      val finished = Tables.orders(s, d)
+        .filter($("o_orderstatus") === "F").select(col("o_custkey").as("c_custkey"))
+      building.except(finished).orderBy($("c_custkey"))
+    },
+
+    // ---- Scalar string functions (SURVEY §2.7): lower/length/split/LIKE/
+    // trim/concat, all codegen'd built-ins.
+    Q("q_scalar_string",
+      """SELECT p_partkey,
+        |  lower(p_name) AS name_lc,
+        |  CAST(length(p_name) AS INT) AS name_len,
+        |  split_part(p_name, ' ', 1) AS first_word,
+        |  CASE WHEN p_name LIKE '%red%' THEN 1 ELSE 0 END AS has_red,
+        |  trim(concat(p_brand, ' ', p_type)) AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d).select(
+        $("p_partkey"),
+        lower($("p_name")).as("name_lc"),
+        length($("p_name")).as("name_len"),
+        element_at(split($("p_name"), " "), 1).as("first_word"),
+        when($("p_name").contains("red"), 1).otherwise(0).as("has_red"),
+        trim(concat($("p_brand"), lit(" "), $("p_type"))).as("brand_type"))
+        .orderBy($("p_partkey"))
+    },
+
+    // ---- JSON extraction from the events.props column (SURVEY §2.7 JSON
+    // row; reference: serde_json in examples/rest-api/src/lib.rs:113-121).
+    Q("q_json_extract",
+      """SELECT CAST(k % 10 AS INT) AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (SELECT CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) AS k, value
+        |      FROM events)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(get_json_object($("props"), "$.k").cast("int").as("k"), $("value"))
+        .groupBy(($("k") % 10).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"), Tables.exactSum(col("value")).as("sum_value"))
+        .orderBy($("bucket"))
+    }
+  )
+
+  private def $(name: String) = col(name)
+}

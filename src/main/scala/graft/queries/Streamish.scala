@@ -1,0 +1,192 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The reference's own dataflow algebra (SURVEY.md §2.3–§2.5), expressed as
+  * batch-verifiable queries over the `events` stream table. Each query is
+  * the batch equivalent of a pipeline the reference ships as an example;
+  * live Structured-Streaming forms live in graft.streaming (ScalaTest
+  * covered), and `q_stream_window` additionally runs a real streaming query
+  * inside the correctness gate (streaming result == batch SQL oracle).
+  */
+object Streamish {
+
+  private val streamRun = new AtomicInteger(0)
+
+  val all: Seq[Q] = Seq(
+
+    // ---- T1/T2/J1: map → union → filter. Mirrors examples/data-pipeline
+    // (reference examples/data-pipeline/src/lib.rs:44-82): two branches
+    // (`double`, `add_five`) publish into one topic; subscriber keeps evens.
+    Q("q_pipeline_union",
+      """SELECT event_id, v, branch FROM (
+        |  SELECT event_id, value * 2 AS v, 'double' AS branch FROM events
+        |  UNION ALL
+        |  SELECT event_id, value + 5 AS v, 'add_five' AS branch FROM events)
+        |WHERE event_id % 2 = 0
+        |ORDER BY branch, event_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val doubled = e.select(col("event_id"), (col("value") * 2).as("v"), lit("double").as("branch"))
+      val addFive = e.select(col("event_id"), (col("value") + 5).as("v"), lit("add_five").as("branch"))
+      doubled.union(addFive)
+        .filter(col("event_id") % 2 === 0)
+        .orderBy(col("branch"), col("event_id"))
+    },
+
+    // ---- T4/T5: enrich + conditional routing. Mirrors examples/waf
+    // (reference examples/waf/src/lib.rs:101-110,216-231): verdict per
+    // record, alerts only for blocks (the audit leg is the pre-filter df).
+    Q("q_waf_route",
+      """SELECT event_id, user_id, 'block' AS decision,
+        |  CASE WHEN event_type = 'error' THEN 'error-event'
+        |       ELSE 'value-threshold' END AS reason
+        |FROM events
+        |WHERE event_type = 'error' OR value > 180.0
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("decision",
+          when(col("event_type") === "error" || col("value") > 180.0, "block").otherwise("allow"))
+        .withColumn("reason",
+          when(col("event_type") === "error", "error-event")
+            .when(col("value") > 180.0, "value-threshold")
+            .otherwise("ok"))
+        .filter(col("decision") === "block")
+        .select(col("event_id"), col("user_id"), col("decision"), col("reason"))
+        .orderBy(col("event_id"))
+    },
+
+    // ---- A1/A2: tumbling window + count-by-severity + threshold alert.
+    // Mirrors examples/log-analyser (reference src/lib.rs:31-32,103-125):
+    // per-window counts, alert row iff counts exceed thresholds, message
+    // rendered like the reference's Warning{message} record.
+    Q("q_window_threshold",
+      """SELECT day, n_error, n_view, n_total, sum_value,
+        |  printf('%d errors observed in window', n_error) AS alert
+        |FROM (
+        |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+        |    COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+        |    COUNT(*) AS n_total,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY day)
+        |WHERE n_error >= 5 OR n_view >= 50
+        |ORDER BY day""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(Tables.tsDay("ts").as("day"))
+        .agg(
+          count(when(col("event_type") === "error", 1)).as("n_error"),
+          count(when(col("event_type") === "view", 1)).as("n_view"),
+          count(lit(1)).as("n_total"),
+          Tables.exactSum(col("value")).as("sum_value"))
+        .filter(col("n_error") >= 5 || col("n_view") >= 50)
+        .withColumn("alert", format_string("%d errors observed in window", col("n_error")))
+        .orderBy(col("day"))
+    },
+
+    // ---- A4/J6: config-state fold — the latest control record seen so far
+    // is applied to every data record. Mirrors examples/orchestrator
+    // (reference src/lib.rs:73-104,244-287): `signup` events act as
+    // ConfigUpdate (multiplier, floor 1 like the reference), `purchase`
+    // events are WorkItems. Batch form: running last-value window; the
+    // streaming form is ConfigFold (flatMapGroupsWithState) in
+    // graft.streaming.
+    Q("q_state_fold",
+      """SELECT event_id, user_id, mult, value * mult AS applied
+        |FROM (
+        |  SELECT event_id, user_id, event_type, value,
+        |    coalesce(LAST_VALUE(CASE WHEN event_type = 'signup'
+        |        THEN GREATEST(1, CAST(FLOOR(value / 50.0) AS INT)) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1) AS mult
+        |  FROM events)
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mult = when(col("event_type") === "signup",
+        greatest(lit(1), floor(col("value") / 50.0).cast("int")))
+      Tables.events(s, d)
+        .withColumn("mult", coalesce(last(mult, ignoreNulls = true).over(w), lit(1)))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("mult"),
+          (col("value") * col("mult")).as("applied"))
+        .orderBy(col("event_id"))
+    },
+
+    // ---- J7: request-reply correlation — requests joined 1:1 to their
+    // replies on the correlation id (reference: FlatResult.request_id,
+    // system/userland/src/encoding.rs:64-81; echo example).
+    Q("q_request_reply",
+      """SELECT o.o_orderkey AS request_id, o.o_orderpriority AS priority,
+        |  l.l_partkey AS reply_part, l.l_quantity AS reply_qty
+        |FROM orders o JOIN lineitem l
+        |  ON l.l_orderkey = o.o_orderkey AND l.l_linenumber = 1
+        |ORDER BY request_id""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d).filter(col("l_linenumber") === 1)
+      o.join(l, l("l_orderkey") === o("o_orderkey"))
+        .select(
+          o("o_orderkey").as("request_id"),
+          o("o_orderpriority").as("priority"),
+          l("l_partkey").as("reply_part"),
+          l("l_quantity").as("reply_qty"))
+        .orderBy(col("request_id"))
+    },
+
+    // ---- J4: fanout / work-queue — each record is delivered to exactly one
+    // of N workers (reference Fanout, examples/load-balancer/src/lib.rs:21-61).
+    // Batch-verifiable form uses an explicit round-robin assignment; the
+    // engine's streaming fanout is `repartition(n)` (order waived, SURVEY
+    // §2.6) and is tested in graft.streaming.
+    Q("q_fanout",
+      """SELECT worker, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT CAST((ROW_NUMBER() OVER (ORDER BY event_id) - 1) % 4 AS BIGINT) AS worker,
+        |         value
+        |  FROM events)
+        |GROUP BY worker ORDER BY worker""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("worker",
+          ((row_number().over(Window.orderBy(col("event_id"))) - 1) % 4).cast("long"))
+        .groupBy(col("worker"))
+        .agg(count(lit(1)).as("n"), Tables.exactSum(col("value")).as("sum_value"))
+        .orderBy(col("worker"))
+    },
+
+    // ---- A real Structured Streaming run inside the correctness gate: the
+    // events table replayed through readStream → tumbling event-time day
+    // window → count by type → memory sink (complete mode). Result must
+    // equal the batch SQL oracle exactly.
+    Q("q_stream_window",
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY day, event_type ORDER BY day, event_type""".stripMargin) { (s, d) =>
+      Tables.ensureConf(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      // the file-stream source only accepts directories: stage a temp dir
+      // with a symlink to the events table (a real deployment's channel
+      // topics are directories already — see graft.channel)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_events")
+      val link = tmp.resolve("events.parquet")
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+      link.toFile.deleteOnExit()
+      tmp.toFile.deleteOnExit()
+      val stream = s.readStream.schema(schema).parquet(tmp.toString)
+      val agg = stream
+        .groupBy(Tables.tsDay("ts").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val sink = s"graft_stream_window_${streamRun.incrementAndGet()}"
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).orderBy(col("day"), col("event_type"))
+    }
+  )
+}

@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: token statistics,
+  * quality scoring, language-ID, fingerprinting. All per-row compute is
+  * codegen'd built-ins — at 100 TB these are embarrassingly parallel scans
+  * whose only shuffle is the final small aggregation (if any).
+  */
+object TextOps {
+
+  private val langMarkers: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das"),
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("el", "la", "de"),
+    "fr" -> Seq("le", "la", "les"))
+
+  val all: Seq[Q] = Seq(
+
+    // ---- Token counting per language (whitespace tokenizer).
+    Q("q_token_stats",
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS avg_tokens,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        |FROM (SELECT lang, len(string_split(text, ' ')) AS n_tok, n_chars
+        |      FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), TextFunctions.tokenCount(col("text")).as("n_tok"), col("n_chars"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("total_tokens"),
+          (sum(col("n_tok")).cast("double") / count(lit(1))).as("avg_tokens"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+        .orderBy(col("lang"))
+    },
+
+    // ---- Per-document quality score (Gopher/C4-style hard thresholds:
+    // length band, stopword presence, token-length sanity).
+    Q("q_quality_score",
+      """SELECT doc_id, n_tok,
+        |  CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+        |  CAST(n_nospace AS DOUBLE) / n_tok AS mean_tok_len,
+        |  (CASE WHEN n_tok BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END
+        |   + CASE WHEN n_stop > 0 THEN 1.0 ELSE 0.0 END
+        |   + CASE WHEN CAST(n_nospace AS DOUBLE) / n_tok BETWEEN 2.0 AND 12.0
+        |          THEN 1.0 ELSE 0.0 END) / 3.0 AS quality
+        |FROM (SELECT doc_id,
+        |        len(string_split(text, ' ')) AS n_tok,
+        |        len(list_filter(string_split(text, ' '),
+        |            t -> t IN ('the','a','an','of','to','and','in','is'))) AS n_stop,
+        |        length(replace(text, ' ', '')) AS n_nospace
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tok"),
+        TextFunctions.stopwordRatio(col("text")).as("stop_ratio"),
+        TextFunctions.meanTokenLen(col("text")).as("mean_tok_len"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Language-ID confusion matrix: marker-token voting vs the labeled
+    // lang column. Ties broken in fixed lang order, no-match → 'und'.
+    Q("q_lang_id",
+      """WITH scored AS (
+        |  SELECT lang,
+        |    len(list_filter(t, x -> x IN ('der','die','das'))) AS s_de,
+        |    len(list_filter(t, x -> x IN ('the','a','of'))) AS s_en,
+        |    len(list_filter(t, x -> x IN ('el','la','de'))) AS s_es,
+        |    len(list_filter(t, x -> x IN ('le','la','les'))) AS s_fr
+        |  FROM (SELECT lang, string_split(text, ' ') AS t FROM documents)),
+        |pred AS (
+        |  SELECT lang,
+        |    CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+        |         WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+        |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+        |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+        |         ELSE 'fr' END AS pred_lang
+        |  FROM scored)
+        |SELECT pred_lang, lang AS true_lang, COUNT(*) AS n
+        |FROM pred GROUP BY pred_lang, true_lang
+        |ORDER BY pred_lang, true_lang""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(TextFunctions.langIdVote(col("text"), langMarkers).as("pred_lang"),
+          col("lang").as("true_lang"))
+        .groupBy(col("pred_lang"), col("true_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("pred_lang"), col("true_lang"))
+    },
+
+    // ---- Content fingerprint (whitespace-insensitive dedup key; same idea
+    // as the reference's BLAKE3-16 content ids,
+    // system/userland/macros/src/schema.rs:44-50, with a public hash).
+    Q("q_fingerprint",
+      """SELECT doc_id,
+        |  substring(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), 1, 16) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}

@@ -1,0 +1,89 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.{SignLsh, VectorFunctions}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (`array<float>` vectors).
+  * Brute-force cosine is the correctness baseline; the LSH-bucketed query
+  * is the 100 TB scale path (equi-join on bucket id — candidate set shrinks
+  * ~2^planes-fold, no cross join).
+  *
+  * All vectors are cast to array<double> up front: float arithmetic
+  * differs between engines and accumulates error; doubles + round(…,6)
+  * are bit-stable across Spark and the oracle.
+  */
+object VectorOps {
+
+  private val Dim = 64
+
+  val all: Seq[Q] = Seq(
+
+    // ---- Brute-force top-k cosine to one query vector (ANN baseline).
+    // The query vector is broadcast; the scan is a single pass.
+    Q("q_embed_topk",
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT vec_id,
+        |        round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS sim
+        |      FROM embeddings, q WHERE vec_id <> 0)
+        |SELECT vec_id, sim FROM s ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d).withColumn("v", col("embedding").cast("array<double>"))
+      val qv = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          round(VectorFunctions.cosine(col("v"), col("qv")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    },
+
+    // ---- Brute-force kNN join: top-3 neighbors for the first 50 vectors.
+    // (Correctness baseline for the LSH path below; at scale the probe side
+    // is the small/broadcast side.)
+    Q("q_embed_knn",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS src, b.vec_id AS nbr,
+        |        round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        |      FROM e a JOIN e b ON b.vec_id <> a.vec_id
+        |      WHERE a.vec_id < 50)
+        |SELECT src, nbr, sim FROM (
+        |  SELECT src, nbr, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, nbr) AS rn
+        |  FROM p) WHERE rn <= 3
+        |ORDER BY src, sim DESC, nbr""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d).withColumn("v", col("embedding").cast("array<double>"))
+      val probes = e.filter(col("vec_id") < 50).select(col("vec_id").as("src"), col("v").as("va"))
+      val cands = e.select(col("vec_id").as("nbr"), col("v").as("vb"))
+      val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("nbr"))
+      broadcast(probes).crossJoin(cands)
+        .filter(col("nbr") =!= col("src"))
+        .select(col("src"), col("nbr"),
+          round(VectorFunctions.cosine(col("va"), col("vb")), 6).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("src"), col("nbr"), col("sim"))
+        .orderBy(col("src"), col("sim").desc, col("nbr"))
+    },
+
+    // ---- ANN scale path (rows-only check): sign-random-projection LSH.
+    // 6 planes → 64 buckets; neighbor search joins within bucket only.
+    Q.noOracle("q_ann_lsh") { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .withColumn("bucket", SignLsh.bucket(col("v"), nPlanes = 6, dim = Dim))
+      val a = e.select(col("bucket"), col("vec_id").as("src"), col("v").as("va"))
+      val b = e.select(col("bucket"), col("vec_id").as("nbr"), col("v").as("vb"))
+      val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("nbr"))
+      a.join(b, Seq("bucket"))
+        .filter(col("src") =!= col("nbr"))
+        .select(col("src"), col("nbr"),
+          round(VectorFunctions.cosine(col("va"), col("vb")), 6).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("src"), col("nbr"), col("sim"))
+        .orderBy(col("src"))
+    }
+  )
+}
