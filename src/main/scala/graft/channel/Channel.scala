@@ -1,0 +1,232 @@
+package graft.channel
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** A named, durable, many-writer many-reader topic — the Spark-native form
+  * of the reference's Channel (ring-buffer MPMC byte channel,
+  * subsystem/messaging/src/lib.rs:69-102). Physical backing is an
+  * append-only directory of parquet micro-batch files; readers are batch
+  * scans or file-stream sources, so Structured Streaming's checkpointing
+  * gives strong-reader (lossless) semantics for free — strictly stronger
+  * than the reference's at-least-once (SURVEY §2.9).
+  *
+  * Reference-semantic features carried over:
+  *  - `_writer_id` stamped on every record (IoFrame.writer_id,
+  *    system/abi/src/io.rs:44-52);
+  *  - capacity + Drop mode: a capacity-bounded channel in Drop mode evicts
+  *    oldest files on overflow and accounts the dropped bytes
+  *    (ChannelError::ReaderBehind parity, messaging/src/lib.rs:106-110);
+  *    Park mode rejects writes while over capacity (writer backpressure);
+  *  - drain()/terminate() lifecycle (messaging/src/lib.rs:559-595):
+  *    drained channels refuse writes but serve reads; terminated channels
+  *    refuse both;
+  *  - schema-hash attach check (SchemaRegistry).
+  *
+  * Order: a single-partition channel preserves total write order via file
+  * sequence numbers (reservation-order parity, lib.rs:555-557). Fanout
+  * channels declare `partitions > 1` and waive order (SURVEY §7.4.3).
+  */
+final class Channel private[channel] (
+    val spark: SparkSession,
+    val name: String,
+    val dir: Path,
+    val schema: StructType,
+    val schemaHash: String,
+    val capacityBytes: Long,
+    val dropMode: Boolean,
+    val partitions: Int) {
+
+  import Channel._
+
+  private val seq = new java.util.concurrent.atomic.AtomicLong(nextSeq(dir))
+  @volatile private var droppedBytesCount: Long = 0L
+
+  def isDrained: Boolean = Files.exists(dir.resolve(DrainMarker))
+  def isTerminated: Boolean = Files.exists(dir.resolve(TerminateMarker))
+
+  /** Total bytes evicted in Drop mode since this handle was opened —
+    * surfaced like the reference's ReaderBehind(n) byte count. */
+  def droppedBytes: Long = droppedBytesCount
+
+  /** Append a batch of rows under a writer id. Park mode: throws
+    * [[ChannelBackpressure]] when the write would exceed capacity (the
+    * caller is "parked" — in streaming use, the trigger retries). Drop
+    * mode: evicts oldest batches to make room and records dropped bytes. */
+  def write(df: DataFrame, writerId: Int): Unit = {
+    if (isTerminated) throw ChannelClosed(name, "terminated")
+    if (isDrained) throw ChannelClosed(name, "drained")
+    SchemaRegistry.check(name, schemaHash, df.schema)
+    val batch = seq.getAndIncrement()
+    val target = dir.resolve(f"batch_$batch%012d").toString
+    df.withColumn(WriterIdCol, lit(writerId))
+      .withColumn(SeqCol, lit(batch))
+      .withColumn(OffsetCol, monotonically_increasing_id())
+      .coalesce(math.max(1, partitions))
+      .write.mode("overwrite").parquet(target)
+    enforceCapacity()
+  }
+
+  private def enforceCapacity(): Unit = synchronized {
+    var batches = listBatches(dir)
+    var total = batches.map(dirSize).sum
+    if (total <= capacityBytes) return
+    if (!dropMode) throw ChannelBackpressure(name, total, capacityBytes)
+    // Drop mode: evict oldest whole batches (frame-pruning parity,
+    // messaging/src/lib.rs:342-359) until under capacity.
+    while (total > capacityBytes && batches.size > 1) {
+      val oldest = batches.head
+      val sz = dirSize(oldest)
+      deleteRecursively(oldest)
+      droppedBytesCount += sz
+      batches = batches.tail
+      total -= sz
+    }
+  }
+
+  /** Batch read of everything currently in the topic, in offset order for
+    * single-partition channels. Weak-reader semantics fall out naturally:
+    * already-evicted batches simply aren't there (skip-ahead parity,
+    * messaging/src/reader.rs:342-396). */
+  def read(): DataFrame = {
+    if (isTerminated) throw ChannelClosed(name, "terminated")
+    val batches = listBatches(dir)
+    if (batches.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        withWriterId(schema))
+    } else {
+      val df = spark.read.schema(withWriterId(schema)).parquet(batches.map(_.toString): _*)
+      // total offset order for ordered channels (reservation-order parity)
+      if (partitions == 1) df.orderBy(col(SeqCol), col(OffsetCol)) else df
+    }
+  }
+
+  /** Strong (lossless) subscription: a file-stream source over the topic
+    * directory. Each StreamingQuery gets the full data (broadcast pub/sub,
+    * J5); checkpointed progress makes it exactly-once. */
+  def readStream(): DataFrame = {
+    if (isTerminated) throw ChannelClosed(name, "terminated")
+    spark.readStream.schema(withWriterId(schema))
+      .option("maxFilesPerTrigger", "64") // bounded ingest per micro-batch
+      .parquet(s"$dir/batch_*")
+  }
+
+  /** Continuous sink: write a streaming DataFrame into this channel.
+    * foreachBatch routes through [[write]] so capacity/lifecycle/writer-id
+    * semantics hold for streaming writers too. */
+  def sink(df: DataFrame, writerId: Int, checkpoint: Path): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint.toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) => write(batch, writerId) }
+      .start()
+
+  /** Stop accepting new frames; readers may consume the tail
+    * (messaging/src/lib.rs:581-595). */
+  def drain(): Unit = Files.createDirectories(dir.resolve(DrainMarker))
+
+  /** Abort: refuse subsequent reads and writes (lib.rs:559-579). */
+  def terminate(): Unit = Files.createDirectories(dir.resolve(TerminateMarker))
+}
+
+object Channel {
+  val WriterIdCol = "_writer_id"
+  val SeqCol = "_seq"
+  val OffsetCol = "_offset"
+  private val DrainMarker = "_DRAINED"
+  private val TerminateMarker = "_TERMINATED"
+
+  final case class ChannelClosed(channel: String, state: String)
+      extends RuntimeException(s"channel '$channel' is $state")
+  final case class ChannelBackpressure(channel: String, size: Long, capacity: Long)
+      extends RuntimeException(
+        s"channel '$channel' over capacity ($size > $capacity bytes); writer parked")
+
+  /** Topic on-disk schema = payload schema + engine metadata columns. */
+  def withWriterId(schema: StructType): StructType = {
+    var s = schema
+    if (!s.fieldNames.contains(WriterIdCol)) s = s.add(WriterIdCol, "int")
+    if (!s.fieldNames.contains(SeqCol)) s = s.add(SeqCol, "long")
+    if (!s.fieldNames.contains(OffsetCol)) s = s.add(OffsetCol, "long")
+    s
+  }
+
+  private[channel] def listBatches(dir: Path): Seq[Path] =
+    if (!Files.exists(dir)) Nil
+    else Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("batch_"))
+      .toSeq.sortBy(_.getFileName.toString)
+
+  private[channel] def nextSeq(dir: Path): Long =
+    listBatches(dir).lastOption
+      .map(p => p.getFileName.toString.stripPrefix("batch_").toLong + 1)
+      .getOrElse(0L)
+
+  private[channel] def dirSize(p: Path): Long =
+    Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_))
+      .map(Files.size).sum
+
+  private[channel] def deleteRecursively(p: Path): Unit = {
+    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+  }
+}
+
+/** The channel catalog: named topics under one root directory, plus the
+  * Atlas-style URI layer in [[graft.catalog.Atlas]]. Mirrors the kernel
+  * Registry + Channel driver (reference system/kernel/src/registry.rs,
+  * drivers/channel.rs:142-175).
+  */
+final class ChannelRegistry(spark: SparkSession, root: Path) {
+
+  Files.createDirectories(root)
+
+  def create(name: String, schema: StructType,
+             capacityBytes: Long = 64L * 1024 * 1024,
+             dropMode: Boolean = false,
+             partitions: Int = 1): Channel = {
+    require(!name.contains('/'), s"channel name must be flat: $name")
+    val dir = root.resolve(name)
+    require(!Files.exists(dir), s"channel '$name' already exists")
+    Files.createDirectories(dir)
+    val h = SchemaRegistry.hash(schema)
+    Files.writeString(dir.resolve("_SCHEMA"), schema.json + "\n" + h + "\n" +
+      s"$capacityBytes\n$dropMode\n$partitions")
+    new Channel(spark, name, dir, schema, h, capacityBytes, dropMode, partitions)
+  }
+
+  /** Attach to an existing channel; schema metadata is reloaded from disk
+    * (share/attach parity, reference drivers/channel.rs:265-329). */
+  def get(name: String): Channel = {
+    val dir = root.resolve(name)
+    require(Files.exists(dir.resolve("_SCHEMA")), s"no such channel: $name")
+    val Array(json, h, cap, drop, parts) =
+      Files.readString(dir.resolve("_SCHEMA")).split("\n")
+    new Channel(spark, name, dir,
+      org.apache.spark.sql.types.DataType.fromJson(json).asInstanceOf[StructType],
+      h, cap.toLong, drop.toBoolean, parts.toInt)
+  }
+
+  def exists(name: String): Boolean = Files.exists(root.resolve(name).resolve("_SCHEMA"))
+
+  /** Glob listing (Atlas lookup(pattern) parity). */
+  def list(glob: String = "*"): Seq[String] = {
+    val matcher = java.nio.file.FileSystems.getDefault.getPathMatcher(s"glob:$glob")
+    if (!Files.exists(root)) Nil
+    else Files.list(root).iterator().asScala
+      .filter(p => Files.exists(p.resolve("_SCHEMA")))
+      .map(_.getFileName.toString)
+      .filter(n => matcher.matches(Paths.get(n)))
+      .toSeq.sorted
+  }
+
+  def delete(name: String): Unit = {
+    val dir = root.resolve(name)
+    if (Files.exists(dir)) Channel.deleteRecursively(dir)
+  }
+}

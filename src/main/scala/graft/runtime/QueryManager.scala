@@ -1,0 +1,86 @@
+package graft.runtime
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Capability names mirror the reference's hostcall-gating capability set
+  * (system/abi/src/lib.rs:114-135); the engine checks them BEFORE building
+  * a plan — parity with link-time PermissionDenied stubs
+  * (subsystem/wasmtime/src/lib.rs:295-380): deny-by-default, monotonic
+  * attenuation on child sessions.
+  */
+object Capability extends Enumeration {
+  val ChannelCreate, ChannelRead, ChannelWrite, ChannelShare,
+      ProcessLifecycle, NetBind, NetConnect, TimeRead, LogWrite = Value
+}
+
+/** A capability session: what a pipeline is entitled to do. Child sessions
+  * can only attenuate (session.rs:18-101 monotonic-attenuation parity). */
+final case class Session(name: String, capabilities: Set[Capability.Value]) {
+  def authorise(c: Capability.Value): Unit =
+    if (!capabilities.contains(c))
+      throw new SecurityException(s"session '$name' lacks capability $c")
+  def child(name: String, wanted: Set[Capability.Value]): Session =
+    Session(name, capabilities intersect wanted)
+}
+
+/** ProcessBuilder/ProcessHandle parity (reference
+  * system/userland/src/process.rs:44-188): named pipelines started and
+  * stopped through one registry; ACL-checked before the plan is built.
+  */
+final class QueryManager(val spark: SparkSession) {
+
+  private val running = new ConcurrentHashMap[String, StreamingQuery]()
+
+  /** Start a named pipeline. `build` constructs and starts the streaming
+    * query only after the ACL check passes. */
+  def start(name: String, session: Session,
+            needs: Set[Capability.Value])(build: SparkSession => StreamingQuery): StreamingQuery = {
+    needs.foreach(session.authorise)
+    require(!running.containsKey(name), s"pipeline '$name' already running")
+    val q = build(spark)
+    running.put(name, q)
+    q
+  }
+
+  /** PROCESS_STOP parity (drivers/process.rs:163-192). */
+  def stop(name: String): Unit =
+    Option(running.remove(name)).foreach(_.stop())
+
+  def get(name: String): Option[StreamingQuery] = Option(running.get(name))
+  def list: Seq[String] = running.keySet().asScala.toSeq.sorted
+  def stopAll(): Unit = running.keySet().asScala.toSeq.foreach(stop)
+}
+
+/** Boot-time module-spec parser: `name=…;capabilities=a,b;arg:k=v` —
+  * the declarative deployment syntax parity (reference
+  * system/runtime/src/modules.rs:153-302 `path=…;capabilities=…;args=…`).
+  */
+object ModuleSpec {
+  final case class Spec(name: String, capabilities: Set[Capability.Value],
+                        args: Map[String, String])
+
+  def parse(spec: String): Spec = {
+    val parts = spec.split(';').map(_.trim).filter(_.nonEmpty)
+    var name = ""
+    var caps = Set.empty[Capability.Value]
+    val args = Map.newBuilder[String, String]
+    parts.foreach {
+      case s if s.startsWith("name=") => name = s.stripPrefix("name=")
+      case s if s.startsWith("capabilities=") =>
+        caps = s.stripPrefix("capabilities=").split(',').filter(_.nonEmpty)
+          .map(c => Capability.withName(c.trim)).toSet
+      case s if s.startsWith("arg:") =>
+        val kv = s.stripPrefix("arg:").split("=", 2)
+        require(kv.length == 2, s"malformed arg in module spec: $s")
+        args += kv(0) -> kv(1)
+      case other => throw new IllegalArgumentException(s"bad module-spec field: $other")
+    }
+    require(name.nonEmpty, s"module spec needs name=…: $spec")
+    Spec(name, caps, args.result())
+  }
+}

