@@ -13,17 +13,23 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Sequential left-fold dot product (deterministic order). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential dot product — native expression ([[VectorExpressions]]);
+    * same accumulation order as a left fold over zip_with. */
+  def dot(a: Column, b: Column): Column = VectorExpressions.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = VectorExpressions.cosine(a, b)
 
   /** Euclidean distance (squared), for IVF-style assignment. */
-  def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+  def sqDist(a: Column, b: Column): Column = VectorExpressions.sqDist(a, b)
+
+  /** The HOF formulations, kept for plans that must stay pure-builtin
+    * (e.g. when shipping SQL text instead of a library call). */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
 }
 
 /** Sign-random-projection LSH for approximate nearest neighbor: `nPlanes`

@@ -41,11 +41,20 @@ object DedupOps {
         |FROM p JOIN d da ON p.doc_a = da.doc_id JOIN d db ON p.doc_b = db.doc_id
         |WHERE CAST(shared AS DOUBLE) / (da.n + db.n - shared) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      // cache the distinct shingle set: it feeds the self-join twice plus
+      // the per-doc counts — without this the explode+distinct subtree (a
+      // shuffle each) runs four times
       val sh = Tables.documents(s, d)
         .select(col("doc_id"), explode(TextFunctions.shingles(col("text"), 3)).as("s"))
         .distinct()
+        .cache()
       val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val pairs = sh.as("a").join(sh.as("b"),
+      // broadcast one side of the shared-shingle join: hot shingles then
+      // stream through map-side pair generation instead of skewing a
+      // shuffle. (Exact pairwise Jaccard is inherently quadratic in hot
+      // shingles — the 100 TB path is q_minhash_lsh below; this operator
+      // is the exact verifier run on candidate subsets.)
+      val pairs = sh.as("a").join(broadcast(sh.as("b")),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("shared"))
