@@ -22,7 +22,8 @@ object SparkEntry {
     qs.TextOps.all ++
     qs.DedupOps.all ++
     qs.VectorOps.all ++
-    qs.MultimodalOps.all
+    qs.MultimodalOps.all ++
+    qs.CodecOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The log-analyser slice (SURVEY §7.2 M2): tumbling day window over the

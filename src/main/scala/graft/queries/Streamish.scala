@@ -100,13 +100,15 @@ object Streamish {
         |  SELECT event_id, user_id, event_type, value,
         |    coalesce(LAST_VALUE(CASE WHEN event_type = 'signup'
         |        THEN GREATEST(1, CAST(FLOOR(value / 50.0) AS INT)) END IGNORE NULLS)
-        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      OVER (PARTITION BY user_id ORDER BY event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1) AS mult
         |  FROM events)
         |WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin) { (s, d) =>
+      // arrival order = event_id (the oracle engine truncates the nano
+      // timestamps to µs, so ordering by ts would differ on sub-µs ties)
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
+        .orderBy(col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val mult = when(col("event_type") === "signup",
         greatest(lit(1), floor(col("value") / 50.0).cast("int")))
@@ -187,6 +189,57 @@ object Streamish {
         .format("memory").queryName(sink).start()
       try q.processAllAvailable() finally q.stop()
       s.table(sink).orderBy(col("day"), col("event_type"))
+    },
+
+    // ---- A4 as a REAL stateful streaming run: ConfigFold
+    // (flatMapGroupsWithState) over the events stream — signups are
+    // ConfigUpdates, purchases are WorkItems (same mapping as
+    // q_state_fold). The SQL oracle recomputes the fold with window
+    // functions: state version = running count of configs, multiplier =
+    // last config's value (floor 1). Streaming result == batch SQL, which
+    // is the whole point of checkpointed deterministic state.
+    Q("q_stream_state_fold",
+      """SELECT seq, key, config_version, mult AS multiplier,
+        |  concat(CAST(seq AS VARCHAR), ' x ', CAST(mult AS VARCHAR)) AS output
+        |FROM (
+        |  SELECT event_id AS seq, CAST(user_id AS VARCHAR) AS key, event_type,
+        |    CAST(coalesce(SUM(CASE WHEN event_type = 'signup' THEN 1 END)
+        |      OVER w, 0) AS INT) AS config_version,
+        |    coalesce(LAST_VALUE(CASE WHEN event_type = 'signup'
+        |        THEN GREATEST(1, CAST(FLOOR(value / 50.0) AS INT)) END IGNORE NULLS)
+        |      OVER w, 1) AS mult
+        |  FROM events
+        |  WHERE event_type IN ('signup', 'purchase')
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |WHERE event_type = 'purchase'
+        |ORDER BY seq""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.streaming.ConfigFold
+      Tables.ensureConf(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_state")
+      java.nio.file.Files.createSymbolicLink(tmp.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+      val tagged = s.readStream.schema(schema).parquet(tmp.toString)
+        .filter(col("event_type").isin("signup", "purchase"))
+        .select(
+          col("user_id").cast("string").as("key"),
+          col("event_id").as("seq"),
+          (col("event_type") === "signup").as("isConfig"),
+          greatest(lit(1), floor(col("value") / 50.0).cast("int")).as("multiplier"),
+          col("event_id").cast("string").as("payload"))
+        .as[ConfigFold.Tagged]
+      val sink = s"graft_stream_state_${streamRun.incrementAndGet()}"
+      val q = ConfigFold(tagged).writeStream.outputMode("append")
+        .format("memory").queryName(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).select(
+        col("seq"), col("key"),
+        col("configVersion").as("config_version"),
+        col("multiplier"),
+        col("output"))
+        .orderBy(col("seq"))
     }
   )
 }

@@ -67,6 +67,35 @@ object VectorOps {
         .orderBy(col("src"), col("sim").desc, col("nbr"))
     },
 
+    // ---- IVF-style ANN (rows-only check): coarse quantizer = 16 fixed
+    // pseudo-random centroids; vectors are assigned to their nearest cell
+    // (argmin over native SqDist exprs) and neighbor search joins within
+    // the cell. At scale this is THE pattern: the assignment is a linear
+    // scan, the join shuffles on a low-cardinality cell id, and recall is
+    // tuned by probing more cells (here: 1) or training real centroids.
+    Q.noOracle("q_ann_ivf") { (s, d) =>
+      val centroids = SignLsh.planes(16, Dim, seed = 7L)
+      val e = Tables.embeddings(s, d)
+        .withColumn("v", col("embedding").cast("array<double>"))
+      val cells = (0 until 16).map { c =>
+        struct(
+          VectorFunctions.sqDist(col("v"), array(centroids(c).map(x => lit(x * 4.0)): _*)).as("d"),
+          lit(c).as("cell"))
+      }
+      val assigned = e.withColumn("cell", array_min(array(cells: _*)).getField("cell"))
+      val a = assigned.select(col("cell"), col("vec_id").as("src"), col("v").as("va"))
+      val b = assigned.select(col("cell"), col("vec_id").as("nbr"), col("v").as("vb"))
+      val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("nbr"))
+      a.join(b, Seq("cell"))
+        .filter(col("src") =!= col("nbr"))
+        .select(col("src"), col("nbr"), col("cell"),
+          round(VectorFunctions.cosine(col("va"), col("vb")), 6).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("src"), col("cell"), col("nbr"), col("sim"))
+        .orderBy(col("src"))
+    },
+
     // ---- ANN scale path (rows-only check): sign-random-projection LSH.
     // 6 planes → 64 buckets; neighbor search joins within bucket only.
     Q.noOracle("q_ann_lsh") { (s, d) =>

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionsSuite extends AnyFunSuite {
+
+  test("graft SQL functions are injectable via SparkSessionExtensions") {
+    // getOrCreate would reuse another suite's session and silently skip
+    // the extensions — force a fresh one
+    SparkSession.getActiveSession.foreach(_ => ())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("ext")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "2")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      spark.sparkContext.setLogLevel("ERROR")
+      val r = spark.sql(
+        """SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
+          |       dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+          |       sq_dist(array(0.0d, 0.0d), array(3.0d, 4.0d)) AS s""".stripMargin)
+        .collect().head
+      assert(r.getDouble(0) == 1.0)
+      assert(r.getDouble(1) == 11.0)
+      assert(r.getDouble(2) == 25.0)
+    } finally {
+      // don't stop(): that would kill the SparkContext shared with the
+      // other suites in this JVM — just hand back the default-session slot
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+}
