@@ -109,11 +109,18 @@ final class Channel private[channel] (
 
   /** Strong (lossless) subscription: a file-stream source over the topic
     * directory. Each StreamingQuery gets the full data (broadcast pub/sub,
-    * J5); checkpointed progress makes it exactly-once. */
-  def readStream(): DataFrame = {
+    * J5); checkpointed progress makes it exactly-once.
+    *
+    * `weak = true` is the weak-reader class (reference
+    * messaging/src/reader.rs:342-396): if Drop-mode eviction prunes
+    * batches out from under the reader, it skips ahead instead of failing
+    * (`ignoreMissingFiles`) — the Kafka `failOnDataLoss=false` analogue;
+    * the data loss itself is accounted by [[droppedBytes]]. */
+  def readStream(weak: Boolean = false): DataFrame = {
     if (isTerminated) throw ChannelClosed(name, "terminated")
     spark.readStream.schema(withWriterId(schema))
       .option("maxFilesPerTrigger", "64") // bounded ingest per micro-batch
+      .option("ignoreMissingFiles", weak.toString)
       .parquet(s"$dir/batch_*")
   }
 

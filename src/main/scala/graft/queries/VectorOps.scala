@@ -67,19 +67,28 @@ object VectorOps {
         .orderBy(col("src"), col("sim").desc, col("nbr"))
     },
 
-    // ---- IVF-style ANN (rows-only check): coarse quantizer = 16 fixed
-    // pseudo-random centroids; vectors are assigned to their nearest cell
-    // (argmin over native SqDist exprs) and neighbor search joins within
-    // the cell. At scale this is THE pattern: the assignment is a linear
-    // scan, the join shuffles on a low-cardinality cell id, and recall is
-    // tuned by probing more cells (here: 1) or training real centroids.
+    // ---- IVF-style ANN (rows-only check): coarse quantizer = 16
+    // centroids SAMPLED from the dataset (evenly spaced ids — matches the
+    // data distribution, so cells stay balanced; random hyperplane
+    // centroids left the hot cell quadratically expensive). Vectors are
+    // assigned to their nearest centroid (argmin over native SqDist
+    // exprs); neighbor search equi-joins within the cell. At scale: the
+    // assignment is a linear scan, the join shuffles on a low-cardinality
+    // cell id, recall is tuned by probing more cells / k-means iterations.
     Q.noOracle("q_ann_ivf") { (s, d) =>
-      val centroids = SignLsh.planes(16, Dim, seed = 7L)
       val e = Tables.embeddings(s, d)
         .withColumn("v", col("embedding").cast("array<double>"))
-      val cells = (0 until 16).map { c =>
+      // two tiny driver-side actions on metadata-scale data (16 rows):
+      // legitimate even at 100 TB — this is centroid training, not a
+      // data collect
+      val n = e.count()
+      val stride = math.max(1L, n / 16L)
+      val centroids = e.filter(col("vec_id") % stride === 0 && col("vec_id") < stride * 16)
+        .orderBy(col("vec_id"))
+        .select(col("v")).collect().map(_.getSeq[Double](0))
+      val cells = centroids.toIndexedSeq.zipWithIndex.map { case (cv, c) =>
         struct(
-          VectorFunctions.sqDist(col("v"), array(centroids(c).map(x => lit(x * 4.0)): _*)).as("d"),
+          VectorFunctions.sqDist(col("v"), array(cv.map(lit): _*)).as("d"),
           lit(c).as("cell"))
       }
       val assigned = e.withColumn("cell", array_min(array(cells: _*)).getField("cell"))
