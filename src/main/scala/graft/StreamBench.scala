@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.channel.ChannelRegistry
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Streaming micro-benchmark (BASELINE.md "streaming micro-bench" row):
+  * events (sf dir from SPARK_GRAFT_SF_DIR) are written into a durable
+  * channel in micro-batches, then a channel-source → tumbling-window-agg →
+  * sink query consumes everything; reports end-to-end rows/s for both
+  * legs. This is the M2 slice under load rather than under test.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.ensureConf(spark)
+
+    val events = Tables.events(spark, sfDir)
+    val n = events.count()
+    val root = Files.createTempDirectory("graft_streambench")
+    val registry = new ChannelRegistry(spark, root)
+    val ch = registry.create("events", events.schema,
+      capacityBytes = 4L * 1024 * 1024 * 1024)
+
+    // ingest leg: 8 writer batches (the many-writer shape)
+    val t0 = System.nanoTime()
+    (0 until 8).foreach { w =>
+      ch.write(events.filter(col("event_id") % 8 === w), writerId = w)
+    }
+    val ingestSec = (System.nanoTime() - t0) / 1e9
+
+    // query leg: strong subscription → day window → counts by type
+    val t1 = System.nanoTime()
+    val q = ch.readStream()
+      .groupBy(Tables.tsDay("ts").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Tables.exactSum(col("value")).as("v"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("streambench").start()
+    try q.processAllAvailable() finally q.stop()
+    val querySec = (System.nanoTime() - t1) / 1e9
+    val outRows = spark.table("streambench").count()
+
+    println(f"""{"metric":"stream_rows_per_sec","ingest_rps":${n / ingestSec}%.0f,"query_rps":${n / querySec}%.0f,"rows":$n,"ingest_sec":$ingestSec%.2f,"query_sec":$querySec%.2f,"window_rows":$outRows,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

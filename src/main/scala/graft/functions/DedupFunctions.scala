@@ -15,16 +15,16 @@ object MinHash {
 
   /** Per-document MinHash signature over distinct word shingles.
     * `sigDf(doc_id, sig: array<int>)` — one groupBy (single shuffle on
-    * doc_id), `numHashes` min-aggregates evaluated map-side. */
+    * doc_id) with ONE custom aggregate ([[MinHashSignature]]): the int[k]
+    * running-minima buffer updates map-side with k seeded murmur3 hashes
+    * per shingle, and merges under partial aggregation. */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 32, shingleSize: Int = 3): DataFrame = {
     val sh = docs
       .select(col(idCol), explode(TextFunctions.shingles(col(textCol), shingleSize)).as("s"))
       .distinct()
-    val mins = (0 until numHashes).map(i => min(hash(col("s"), lit(i))).as(s"m$i"))
     sh.groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+      .agg(MinHashSignature.minhashSig(col("s"), numHashes).as("sig"))
   }
 
   /** LSH banding: explode each signature into (band, bandKey) rows.

@@ -197,6 +197,46 @@ object Relational {
         .orderBy($("p_partkey"))
     },
 
+    // ---- ROLLUP grouping sets (absent in the reference, free from
+    // Catalyst — SURVEY §2.4 "absent" row, exposed as engine surface).
+    // NULL group markers are rendered as 'ALL' so the oracle compare is
+    // well-defined on the sorted string columns.
+    Q("q_rollup",
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .rollup($("o_orderstatus"), $("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), Tables.exactSum(col("o_totalprice")).as("total"))
+        .select(
+          coalesce($("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce($("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy(col("status"), col("priority"))
+    },
+
+    // ---- Running window aggregate (frame-based, not just ranking).
+    Q("q_running_sum",
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY user_id ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS running_value,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS k
+        |FROM events ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy($("user_id")).orderBy($("event_id"))
+      Tables.events(s, d).select(
+        $("user_id"), $("event_id"),
+        sum(col("value").cast("decimal(18,2)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_value"),
+        row_number().over(w).cast("long").as("k"))
+        .orderBy($("user_id"), $("event_id"))
+    },
+
     // ---- JSON extraction from the events.props column (SURVEY §2.7 JSON
     // row; reference: serde_json in examples/rest-api/src/lib.rs:113-121).
     Q("q_json_extract",
