@@ -83,4 +83,33 @@ class ChannelSuite extends SparkSpec {
     try q.processAllAvailable() finally q.stop()
     assert(spark.table("chan_stream").as[Long].collect().head == 2L)
   }
+
+  test("streaming sink leg: a streaming df lands in the channel (K1)") {
+    val reg = new ChannelRegistry(spark, tmpDir("chan"))
+    val src = reg.create("src", schema)
+    val dst = reg.create("dst", schema)
+    src.write(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "msg"), 1)
+    val ck = tmpDir("ck")
+    val q = dst.sink(
+      src.readStream().select(col("id"), col("msg")),
+      writerId = 9, checkpoint = ck)
+    q.awaitTermination(30000)
+    val rows = dst.read().select("id", Channel.WriterIdCol).as[(Int, Int)]
+      .collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3))
+    assert(rows.forall(_._2 == 9))
+  }
+
+  test("weak readStream skips evicted batches (S3)") {
+    val reg = new ChannelRegistry(spark, tmpDir("chan"))
+    val ch = reg.create("t8", schema, capacityBytes = 4 * 1024, dropMode = true)
+    (0 until 6).foreach(i => ch.write(Seq((i, "y" * 100)).toDF("id", "msg"), 0))
+    assert(ch.droppedBytes > 0)
+    val q = ch.readStream(weak = true).groupBy().agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("weak_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val n = spark.table("weak_stream").as[Long].collect().head
+    assert(n > 0 && n < 6) // survivors only, no failure on the pruned ones
+  }
 }

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression tests: the scale posture (pushdown, pruning,
+  * broadcast, partial aggregation) is asserted, not assumed — a refactor
+  * that silently drops a pushed filter fails here, not at 100 TB.
+  */
+class PlanSuite extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def physical(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("q3 pushes the segment filter into the parquet scan") {
+    val plan = physical("q3_top_orders")
+    assert(plan.contains("PushedFilters"), "no pushdown recorded")
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter not pushed:\n${plan.take(2000)}")
+  }
+
+  test("q3 prunes lineitem to the three needed columns") {
+    val plan = physical("q3_top_orders")
+    val lineitemScan = plan.linesIterator.find(l =>
+      l.contains("ReadSchema") && l.contains("l_orderkey")).getOrElse("")
+    assert(lineitemScan.contains("l_extendedprice") && lineitemScan.contains("l_discount"))
+    assert(!lineitemScan.contains("l_shipdate"), "scan reads unused columns")
+  }
+
+  test("q5 broadcasts the dimension tables") {
+    val plan = physical("q5_region_revenue")
+    assert(plan.contains("BroadcastHashJoin"), "dims not broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q1 aggregates partially before the exchange (map-side combine)") {
+    val plan = physical("q1_pricing_summary")
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
+      s"no partial aggregation:\n${plan.take(1500)}")
+  }
+
+  test("scan-only queries stay inside WholeStageCodegen") {
+    // AQE only materializes codegen stages in the FINAL plan — execute
+    // first, then inspect
+    val df = SparkEntry.queries("q_scalar_string")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    // codegen stages render as "*(n)" in the final-plan simple string
+    assert(plan.contains("*("), s"no codegen span:\n${plan.take(1500)}")
+  }
+}
