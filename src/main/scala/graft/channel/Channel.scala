@@ -45,7 +45,6 @@ final class Channel private[channel] (
 
   import Channel._
 
-  private val seq = new java.util.concurrent.atomic.AtomicLong(nextSeq(dir))
   @volatile private var droppedBytesCount: Long = 0L
 
   def isDrained: Boolean = Files.exists(dir.resolve(DrainMarker))
@@ -58,18 +57,27 @@ final class Channel private[channel] (
   /** Append a batch of rows under a writer id. Park mode: throws
     * [[ChannelBackpressure]] when the write would exceed capacity (the
     * caller is "parked" — in streaming use, the trigger retries). Drop
-    * mode: evicts oldest batches to make room and records dropped bytes. */
+    * mode: evicts oldest batches to make room and records dropped bytes.
+    *
+    * Sequence allocation is slice-reservation parity
+    * (messaging/src/lib.rs:491-519) adapted to shared directories: the
+    * sequence number is re-derived from the directory at write time and
+    * the batch directory name carries a per-write unique suffix, so
+    * independent handles on the same topic (other JVMs included) can
+    * never clobber each other — concurrent same-seq writes coexist and
+    * read order breaks the tie on writer id. */
   def write(df: DataFrame, writerId: Int): Unit = {
     if (isTerminated) throw ChannelClosed(name, "terminated")
     if (isDrained) throw ChannelClosed(name, "drained")
     SchemaRegistry.check(name, schemaHash, df.schema)
-    val batch = seq.getAndIncrement()
-    val target = dir.resolve(f"batch_$batch%012d").toString
+    val batch = nextSeq(dir)
+    val unique = java.util.UUID.randomUUID().toString.take(8)
+    val target = dir.resolve(f"batch_$batch%012d" + s"_w${writerId}_$unique").toString
     df.withColumn(WriterIdCol, lit(writerId))
       .withColumn(SeqCol, lit(batch))
       .withColumn(OffsetCol, monotonically_increasing_id())
       .coalesce(math.max(1, partitions))
-      .write.mode("overwrite").parquet(target)
+      .write.mode("errorifexists").parquet(target)
     enforceCapacity()
   }
 
@@ -102,8 +110,9 @@ final class Channel private[channel] (
         withWriterId(schema))
     } else {
       val df = spark.read.schema(withWriterId(schema)).parquet(batches.map(_.toString): _*)
-      // total offset order for ordered channels (reservation-order parity)
-      if (partitions == 1) df.orderBy(col(SeqCol), col(OffsetCol)) else df
+      // total offset order for ordered channels (reservation-order parity;
+      // writer id breaks ties between concurrent same-seq reservations)
+      if (partitions == 1) df.orderBy(col(SeqCol), col(WriterIdCol), col(OffsetCol)) else df
     }
   }
 
@@ -126,13 +135,16 @@ final class Channel private[channel] (
 
   /** Continuous sink: write a streaming DataFrame into this channel.
     * foreachBatch routes through [[write]] so capacity/lifecycle/writer-id
-    * semantics hold for streaming writers too. */
-  def sink(df: DataFrame, writerId: Int, checkpoint: Path): StreamingQuery =
-    df.writeStream
+    * semantics hold for streaming writers too. Long-lived by default
+    * (keeps serving future appends); `availableNow = true` drains what
+    * exists and terminates (run-to-completion pipelines). */
+  def sink(df: DataFrame, writerId: Int, checkpoint: Path,
+           availableNow: Boolean = false): StreamingQuery = {
+    val w = df.writeStream
       .option("checkpointLocation", checkpoint.toString)
-      .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) => write(batch, writerId) }
-      .start()
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
 
   /** Stop accepting new frames; readers may consume the tail
     * (messaging/src/lib.rs:581-595). */
@@ -172,7 +184,7 @@ object Channel {
 
   private[channel] def nextSeq(dir: Path): Long =
     listBatches(dir).lastOption
-      .map(p => p.getFileName.toString.stripPrefix("batch_").toLong + 1)
+      .map(p => p.getFileName.toString.stripPrefix("batch_").takeWhile(_.isDigit).toLong + 1)
       .getOrElse(0L)
 
   private[channel] def dirSize(p: Path): Long =
@@ -206,6 +218,16 @@ final class ChannelRegistry(spark: SparkSession, root: Path) {
       s"$capacityBytes\n$dropMode\n$partitions")
     new Channel(spark, name, dir, schema, h, capacityBytes, dropMode, partitions)
   }
+
+  /** Race-free attach-or-create: concurrent first users of a topic must
+    * not crash on the create/create race — the loser attaches. */
+  def getOrCreate(name: String, schema: StructType,
+                  capacityBytes: Long = 64L * 1024 * 1024,
+                  dropMode: Boolean = false,
+                  partitions: Int = 1): Channel =
+    if (exists(name)) get(name)
+    else try create(name, schema, capacityBytes, dropMode, partitions)
+    catch { case _: IllegalArgumentException if exists(name) => get(name) }
 
   /** Attach to an existing channel; schema metadata is reloaded from disk
     * (share/attach parity, reference drivers/channel.rs:265-329). */

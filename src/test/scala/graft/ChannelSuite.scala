@@ -92,7 +92,7 @@ class ChannelSuite extends SparkSpec {
     val ck = tmpDir("ck")
     val q = dst.sink(
       src.readStream().select(col("id"), col("msg")),
-      writerId = 9, checkpoint = ck)
+      writerId = 9, checkpoint = ck, availableNow = true)
     q.awaitTermination(30000)
     val rows = dst.read().select("id", Channel.WriterIdCol).as[(Int, Int)]
       .collect().sortBy(_._1)

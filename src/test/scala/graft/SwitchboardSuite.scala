@@ -51,4 +51,46 @@ class SwitchboardSuite extends SparkSpec {
     assert(client.reply(id2).contains(EchoRep("hello there", 11)))
     assert(client.reply(999L).isEmpty)
   }
+
+  test("fanout assignment is append-stable (no reshuffle on new batches)") {
+    import spark.implicits._
+    val board = sb()
+    val fo = board.fanout[Tick]("stable", workers = 3)
+    fo.send(spark.createDataset((1 to 20).map(i => Tick(i, s"t$i"))))
+    val before = fo.workerShare(0).collect().map(_.n).toSet
+    fo.send(spark.createDataset((21 to 40).map(i => Tick(i, s"t$i"))))
+    val after = fo.workerShare(0).collect().map(_.n).toSet
+    assert(before.subsetOf(after)) // old records never change worker
+    val all = (0 until 3).flatMap(w => fo.workerShare(w).collect().map(_.n))
+    assert(all.sorted == (1 to 40)) // disjoint + complete
+  }
+
+  test("server can start before any client; client ids unique across instances") {
+    import spark.implicits._
+    val board = sb()
+    val server = board.server[EchoReq, EchoRep]("early")
+    val q = server.serve(tmpDir("ck"))(r => EchoRep(r.msg, r.msg.length))
+    q.processAllAvailable()
+    val c1 = board.client[EchoReq, EchoRep]("early")
+    val c2 = board.client[EchoReq, EchoRep]("early")
+    val id1 = c1.request(EchoReq("a"))
+    val id2 = c2.request(EchoReq("bb"))
+    assert(id1 != id2) // per-client nonce
+    q.processAllAvailable()
+    q.stop()
+    assert(c1.reply(id1).contains(EchoRep("a", 1)))
+    assert(c2.reply(id2).contains(EchoRep("bb", 2)))
+  }
+
+  test("two independent handles on one topic never clobber each other's batches") {
+    import spark.implicits._
+    implicit val s = spark
+    val board = sb()
+    val p1 = board.publisher[Tick]("shared")
+    val p2 = new Switchboard(spark, board.registry).publisher[Tick]("shared")
+    p1.publish(Seq(Tick(1, "a")))
+    p2.publish(Seq(Tick(2, "b"))) // separate handle, same seq reservation
+    val seen = board.subscriber[Tick]("shared").snapshot().collect().map(_.n).sorted
+    assert(seen.toSeq == Seq(1, 2))
+  }
 }
