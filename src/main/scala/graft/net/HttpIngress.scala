@@ -1,0 +1,82 @@
+package graft.net
+
+import java.net.InetSocketAddress
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.jdk.CollectionConverters._
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.channel.Channel
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+
+/** HTTP ingress (S5/K3): the network edge terminates at a driver-side
+  * listener; requests flow into a channel as typed records, exactly the
+  * resolution SURVEY §7.4.5 chose for the reference's connection-handoff
+  * model (live sockets can't cross executor boundaries as data; the WAF
+  * example already models the edge as HttpRequestMeta records,
+  * reference examples/waf/src/lib.rs:26-35).
+  *
+  * Responses go back synchronously (the reference's load-balancer replies
+  * on the same connection); the analytics legs (audit/alert pipelines)
+  * consume the channel downstream. Built on the JDK's HttpServer — no
+  * external dependency; a QUIC driver would slot into the same
+  * record-flow seam.
+  */
+object HttpIngress {
+
+  /** One ingested request (RawHttp shape, FIXTURES.md §6). */
+  case class HttpRequest(request_id: Long, method: String, path: String,
+                         remote_addr: String, body: Array[Byte])
+
+  implicit val enc: Encoder[HttpRequest] = Encoders.product[HttpRequest]
+
+  val schema = enc.schema
+
+  /** Start listening; buffered requests are appended to `channel` on each
+    * `flush()` (micro-batch ingest — the channel IS the streaming source
+    * downstream). Returns the ingress handle. */
+  def start(spark: SparkSession, channel: Channel, port: Int = 0,
+            writerId: Int = 100): Ingress = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 64)
+    val ingress = new Ingress(spark, channel, server, writerId)
+    server.createContext("/", (exchange: HttpExchange) => ingress.handle(exchange))
+    server.setExecutor(null) // serial: preserves arrival order like a channel
+    server.start()
+    ingress
+  }
+
+  final class Ingress(spark: SparkSession, channel: Channel,
+                      server: HttpServer, writerId: Int) {
+    private val pending = new ConcurrentLinkedQueue[HttpRequest]()
+    private val ids = new AtomicLong(0)
+
+    def port: Int = server.getAddress.getPort
+
+    private[net] def handle(exchange: HttpExchange): Unit = {
+      val body = exchange.getRequestBody.readAllBytes()
+      pending.add(HttpRequest(
+        ids.getAndIncrement(),
+        exchange.getRequestMethod,
+        exchange.getRequestURI.getPath,
+        exchange.getRemoteAddress.getAddress.getHostAddress,
+        body))
+      val resp = "accepted".getBytes("UTF-8")
+      exchange.sendResponseHeaders(202, resp.length.toLong)
+      exchange.getResponseBody.write(resp)
+      exchange.close()
+    }
+
+    /** Append everything received so far to the channel (one micro-batch).
+      * Returns the number of records flushed. */
+    def flush(): Int = {
+      val batch = Iterator.continually(pending.poll()).takeWhile(_ != null).toSeq
+      if (batch.nonEmpty) {
+        channel.write(spark.createDataset(batch)(enc).toDF(), writerId)
+      }
+      batch.size
+    }
+
+    def stop(): Unit = server.stop(0)
+  }
+}

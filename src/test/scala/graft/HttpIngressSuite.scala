@@ -1,0 +1,44 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest => JHttpRequest, HttpResponse}
+
+import graft.channel.ChannelRegistry
+import graft.net.HttpIngress
+import graft.streaming.Waf
+import org.apache.spark.sql.functions._
+
+class HttpIngressSuite extends SparkSpec {
+  import spark.implicits._
+
+  test("HTTP edge → channel → WAF pipeline end-to-end (S5/T4/T5)") {
+    val reg = new ChannelRegistry(spark, tmpDir("http"))
+    val ch = reg.create("http_in", HttpIngress.schema)
+    val ingress = HttpIngress.start(spark, ch)
+    try {
+      val client = HttpClient.newHttpClient()
+      def req(path: String) = {
+        val r = JHttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${ingress.port}$path"))
+          .POST(JHttpRequest.BodyPublishers.ofString("payload")).build()
+        client.send(r, HttpResponse.BodyHandlers.ofString())
+      }
+      assert(req("/api/list").statusCode() == 202)
+      assert(req("/admin/secrets").statusCode() == 202)
+      assert(req("/api/update").statusCode() == 202)
+      assert(ingress.flush() == 3)
+
+      val requests = ch.read()
+      // writer attribution + order survive the edge
+      assert(requests.select("_writer_id").distinct().as[Int].collect().toSeq == Seq(100))
+      assert(requests.select("path").as[String].collect().toSeq
+        == Seq("/api/list", "/admin/secrets", "/api/update"))
+
+      val verdicts = Waf.verdicts(requests)
+      val audit = Waf.audit(verdicts).orderBy("request_id")
+        .select("request_id", "decision").as[(Long, String)].collect()
+      assert(audit.toSeq == Seq((0L, "allow"), (1L, "block"), (2L, "allow")))
+      val alerts = Waf.alerts(verdicts).as[(Long, String)].collect()
+      assert(alerts.toSeq == Seq((1L, "security alert: blocked path /admin/secrets")))
+    } finally ingress.stop()
+  }
+}
