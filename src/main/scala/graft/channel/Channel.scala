@@ -66,12 +66,23 @@ final class Channel private[channel] (
     * independent handles on the same topic (other JVMs included) can
     * never clobber each other — concurrent same-seq writes coexist and
     * read order breaks the tie on writer id. */
-  def write(df: DataFrame, writerId: Int): Unit = {
+  def write(df: DataFrame, writerId: Int): Unit =
+    doWrite(df, writerId, java.util.UUID.randomUUID().toString.take(8))
+
+  /** Idempotent append keyed on (writerId, epochId): replaying the same
+    * epoch (a restarted streaming sink re-running its last micro-batch)
+    * is a no-op, upgrading [[sink]] from at-least-once to exactly-once. */
+  def writeEpoch(df: DataFrame, writerId: Int, epochId: Long): Unit = {
+    val marker = s"_w${writerId}_e$epochId"
+    if (listBatches(dir).exists(_.getFileName.toString.endsWith(marker))) return
+    doWrite(df, writerId, s"e$epochId")
+  }
+
+  private def doWrite(df: DataFrame, writerId: Int, unique: String): Unit = {
     if (isTerminated) throw ChannelClosed(name, "terminated")
     if (isDrained) throw ChannelClosed(name, "drained")
     SchemaRegistry.check(name, schemaHash, df.schema)
     val batch = nextSeq(dir)
-    val unique = java.util.UUID.randomUUID().toString.take(8)
     val target = dir.resolve(f"batch_$batch%012d" + s"_w${writerId}_$unique").toString
     df.withColumn(WriterIdCol, lit(writerId))
       .withColumn(SeqCol, lit(batch))
@@ -142,7 +153,9 @@ final class Channel private[channel] (
            availableNow: Boolean = false): StreamingQuery = {
     val w = df.writeStream
       .option("checkpointLocation", checkpoint.toString)
-      .foreachBatch { (batch: DataFrame, _: Long) => write(batch, writerId) }
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        writeEpoch(batch, writerId, epochId) // idempotent → exactly-once
+      }
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
 

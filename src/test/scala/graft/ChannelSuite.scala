@@ -112,4 +112,14 @@ class ChannelSuite extends SparkSpec {
     val n = spark.table("weak_stream").as[Long].collect().head
     assert(n > 0 && n < 6) // survivors only, no failure on the pruned ones
   }
+
+  test("writeEpoch is idempotent per (writer, epoch) — exactly-once replay") {
+    val reg = new ChannelRegistry(spark, tmpDir("chan"))
+    val ch = reg.create("t9", schema)
+    val batch = Seq((1, "a"), (2, "b")).toDF("id", "msg")
+    ch.writeEpoch(batch, writerId = 3, epochId = 0)
+    ch.writeEpoch(batch, writerId = 3, epochId = 0) // replay: no-op
+    ch.writeEpoch(batch, writerId = 3, epochId = 1) // next epoch: appended
+    assert(ch.read().count() == 4)
+  }
 }

@@ -101,4 +101,11 @@ class FunctionsSuite extends SparkSpec {
     assert(graft.channel.SchemaRegistry.hash(s1) == graft.channel.SchemaRegistry.hash(s2))
     assert(graft.channel.SchemaRegistry.hash(s1) != graft.channel.SchemaRegistry.hash(s3))
   }
+
+  test("tokensRegex splits words, numbers and symbols (BPE-ish pre-tokenizer)") {
+    val df = Seq("hello, world! x2", "don't stop").toDF("text")
+    val toks = df.select(TextFunctions.tokensRegex(col("text"))).as[Seq[String]].collect()
+    assert(toks(0) == Seq("hello", ",", "world", "!", "x2"))
+    assert(toks(1) == Seq("don't", "stop"))
+  }
 }
