@@ -191,6 +191,55 @@ object Streamish {
       s.table(sink).orderBy(col("day"), col("event_type"))
     },
 
+    // ---- Exact interpolated percentiles per group (both engines use the
+    // same linear interpolation over the sorted values).
+    Q("q_percentiles",
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS median_v,
+        |  round(quantile_cont(value, 0.9), 4) AS p90_v,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("median_v"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90_v"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+
+    // ---- Sessionization: gap > 1 hour starts a new session per user
+    // (lag + cumulative flag sum — the batch form of session windows).
+    Q("q_sessionize",
+      """SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM (
+        |  SELECT user_id, event_id, value,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM (
+        |    SELECT user_id, event_id, value,
+        |      CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1, epoch_us(ts))
+        |             OVER (PARTITION BY user_id ORDER BY event_id) > 3600000000
+        |           THEN 1 ELSE 0 END AS new_session
+        |    FROM events))
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+      // µs granularity to match the oracle's truncated timestamps; gaps of
+      // exactly the boundary ±1µs are decided identically on both sides
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val tsUs = expr("ts div 1000")
+      val newSession =
+        when(tsUs - lag(tsUs, 1).over(w) > 3600000000L, 1).otherwise(0)
+      Tables.events(s, d)
+        .withColumn("new_session", newSession)
+        .withColumn("session_id",
+          sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"), Tables.exactSum(col("value")).as("session_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+
     // ---- A4 as a REAL stateful streaming run: ConfigFold
     // (flatMapGroupsWithState) over the events stream — signups are
     // ConfigUpdates, purchases are WorkItems (same mapping as
