@@ -159,6 +159,16 @@ final class Channel private[channel] (
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
 
+  /** Channel health/metrics row (ops surface; droppedBytes is the
+    * ReaderBehind accounting, reference messaging/src/lib.rs:106-110). */
+  def metrics(): DataFrame = {
+    import spark.implicits._
+    val batches = listBatches(dir)
+    Seq((name, batches.size.toLong, batches.map(dirSize).sum,
+      droppedBytesCount, isDrained, isTerminated))
+      .toDF("channel", "n_batches", "bytes", "dropped_bytes", "drained", "terminated")
+  }
+
   /** Stop accepting new frames; readers may consume the tail
     * (messaging/src/lib.rs:581-595). */
   def drain(): Unit = Files.createDirectories(dir.resolve(DrainMarker))

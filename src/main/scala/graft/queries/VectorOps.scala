@@ -67,6 +67,27 @@ object VectorOps {
         .orderBy(col("src"), col("sim").desc, col("nbr"))
     },
 
+    // ---- Embedding-cosine near-duplicate pairs (north-star dedup row):
+    // exact threshold pairs as the correctness baseline; the LSH/IVF
+    // variants below are the scale path for the same operation.
+    Q("q_embed_dedup",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |        round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.8
+        |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .withColumn("v", col("embedding").cast("array<double>"))
+      val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          round(VectorFunctions.cosine(col("va"), col("vb")), 6).as("sim"))
+        .filter(col("sim") >= 0.8)
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
+
     // ---- IVF-style ANN (rows-only check): coarse quantizer = 16
     // centroids SAMPLED from the dataset (evenly spaced ids — matches the
     // data distribution, so cells stay balanced; random hyperplane

@@ -125,4 +125,47 @@ class EngineSuite extends SparkSpec {
     assert(atlas.requireSingleton[String]("switchboard") == "SB")
     intercept[IllegalArgumentException] { atlas.registerSingleton("switchboard", "SB2") }
   }
+
+  test("watermark + append mode finalizes windows (event-time, late data)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val windows = input.toDF().toDF("ts_ms", "level")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "5 seconds"))
+      .agg(count(lit(1)).as("n"))
+    val q = windows.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("wm_append").start()
+    try {
+      input.addData((1000L, "a"), (2000L, "b"), (6000L, "c"))
+      q.processAllAvailable()
+      // watermark hasn't passed the first window's end yet → nothing final
+      assert(spark.table("wm_append").count() == 0)
+      input.addData((30000L, "late-mover")) // watermark → 20s, closes earlier windows
+      q.processAllAvailable()
+      input.addData((40000L, "flush"))
+      q.processAllAvailable()
+      val done = spark.table("wm_append")
+        .select(col("window.start").cast("long"), col("n")).as[(Long, Long)]
+        .collect().toMap
+      assert(done(0L) == 2)  // [0,5s): a,b finalized
+      assert(done(5L) == 1)  // [5,10s): c finalized
+    } finally q.stop()
+  }
+
+  test("channel metrics row reports size and drop accounting") {
+    import graft.channel.ChannelRegistry
+    import org.apache.spark.sql.types._
+    val reg = new ChannelRegistry(spark, tmpDir("m"))
+    val schema = StructType(Seq(StructField("id", IntegerType)))
+    val ch = reg.create("m1", schema, capacityBytes = 4 * 1024, dropMode = true)
+    (0 until 5).foreach(i => ch.write(Seq(i).toDF("id"), 1))
+    val m = ch.metrics().collect().head
+    assert(m.getAs[String]("channel") == "m1")
+    assert(m.getAs[Long]("n_batches") >= 1)
+    assert(m.getAs[Long]("dropped_bytes") > 0)
+    assert(!m.getAs[Boolean]("drained"))
+  }
 }
