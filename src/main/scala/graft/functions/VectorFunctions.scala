@@ -32,6 +32,39 @@ object VectorFunctions {
     dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
 }
 
+/** Coarse-quantizer training for IVF: one Lloyd (k-means) step refines a
+  * centroid set against the data. All heavy work is distributed (argmin
+  * assignment + per-(cell,dim) mean); only the k×dim centroid matrix ever
+  * reaches the driver — legitimate at any scale.
+  */
+object KMeans {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+
+  def assignCell(df: DataFrame, vCol: String, centroids: Seq[Seq[Double]]): DataFrame = {
+    val cells = centroids.zipWithIndex.map { case (cv, c) =>
+      struct(VectorFunctions.sqDist(col(vCol), array(cv.map(lit): _*)).as("d"),
+        lit(c).as("cell"))
+    }
+    df.withColumn("cell", array_min(array(cells: _*)).getField("cell"))
+  }
+
+  /** One Lloyd step: assign, recompute per-cell means. Cells that lose all
+    * members keep their previous centroid. */
+  def lloydStep(df: DataFrame, vCol: String,
+                centroids: Seq[Seq[Double]]): IndexedSeq[IndexedSeq[Double]] = {
+    val means = assignCell(df, vCol, centroids)
+      .select(col("cell"), posexplode(col(vCol)).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("x")).as("m"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .view.mapValues(rows =>
+        rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toIndexedSeq).toMap
+    centroids.indices.map(c => means.getOrElse(c, centroids(c).toIndexedSeq)).toIndexedSeq
+  }
+}
+
 /** Sign-random-projection LSH for approximate nearest neighbor: `nPlanes`
   * fixed pseudo-random hyperplanes; a vector's bucket is the bit pattern of
   * dot-product signs. Cosine-similar vectors collide with high probability.

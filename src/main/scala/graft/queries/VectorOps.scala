@@ -104,15 +104,13 @@ object VectorOps {
       // data collect
       val n = e.count()
       val stride = math.max(1L, n / 16L)
-      val centroids = e.filter(col("vec_id") % stride === 0 && col("vec_id") < stride * 16)
+      val sampled = e.filter(col("vec_id") % stride === 0 && col("vec_id") < stride * 16)
         .orderBy(col("vec_id"))
-        .select(col("v")).collect().map(_.getSeq[Double](0))
-      val cells = centroids.toIndexedSeq.zipWithIndex.map { case (cv, c) =>
-        struct(
-          VectorFunctions.sqDist(col("v"), array(cv.map(lit): _*)).as("d"),
-          lit(c).as("cell"))
-      }
-      val assigned = e.withColumn("cell", array_min(array(cells: _*)).getField("cell"))
+        .select(col("v")).collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+      // one Lloyd step tightens the sampled centroids (only the 16×64
+      // centroid matrix touches the driver)
+      val centroids = graft.functions.KMeans.lloydStep(e, "v", sampled)
+      val assigned = graft.functions.KMeans.assignCell(e, "v", centroids)
       val a = assigned.select(col("cell"), col("vec_id").as("src"), col("v").as("va"))
       val b = assigned.select(col("cell"), col("vec_id").as("nbr"), col("v").as("vb"))
       val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("nbr"))

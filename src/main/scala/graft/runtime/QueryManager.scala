@@ -4,6 +4,8 @@ import java.util.concurrent.ConcurrentHashMap
 
 import scala.jdk.CollectionConverters._
 
+import graft.channel.Channel
+import graft.streaming.LogAnalyser.{LogField, LogRecord}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -32,24 +34,46 @@ final case class Session(name: String, capabilities: Set[Capability.Value]) {
   * system/userland/src/process.rs:44-188): named pipelines started and
   * stopped through one registry; ACL-checked before the plan is built.
   */
-final class QueryManager(val spark: SparkSession) {
+final class QueryManager(val spark: SparkSession,
+                         logsChannel: Option[Channel] = None) {
 
   private val running = new ConcurrentHashMap[String, StreamingQuery]()
+
+  /** Engine observability (K4/S8 parity): lifecycle events are themselves
+    * a typed LogRecord stream on a channel any pipeline can subscribe to
+    * (reference: every process's tracing is a channel,
+    * system/userland/src/logging.rs:232-313). Writer id 0 = the engine. */
+  private def log(level: String, message: String, fields: (String, String)*): Unit =
+    logsChannel.foreach { ch =>
+      import spark.implicits._
+      val rec = LogRecord(level, "graft.runtime", message,
+        fields.map { case (k, v) => LogField(k, v) }, Nil,
+        System.currentTimeMillis())
+      ch.write(Seq(rec).toDF(), writerId = 0)
+    }
 
   /** Start a named pipeline. `build` constructs and starts the streaming
     * query only after the ACL check passes. */
   def start(name: String, session: Session,
             needs: Set[Capability.Value])(build: SparkSession => StreamingQuery): StreamingQuery = {
-    needs.foreach(session.authorise)
+    try needs.foreach(session.authorise)
+    catch { case e: SecurityException =>
+      log("Warn", s"pipeline denied", "pipeline" -> name, "reason" -> e.getMessage)
+      throw e
+    }
     require(!running.containsKey(name), s"pipeline '$name' already running")
     val q = build(spark)
     running.put(name, q)
+    log("Info", "pipeline started", "pipeline" -> name, "session" -> session.name)
     q
   }
 
   /** PROCESS_STOP parity (drivers/process.rs:163-192). */
   def stop(name: String): Unit =
-    Option(running.remove(name)).foreach(_.stop())
+    Option(running.remove(name)).foreach { q =>
+      q.stop()
+      log("Info", "pipeline stopped", "pipeline" -> name)
+    }
 
   def get(name: String): Option[StreamingQuery] = Option(running.get(name))
   def list: Seq[String] = running.keySet().asScala.toSeq.sorted

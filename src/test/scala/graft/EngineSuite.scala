@@ -97,13 +97,20 @@ class EngineSuite extends SparkSpec {
     intercept[SecurityException] { grandchild.authorise(Capability.ProcessLifecycle) }
   }
 
-  test("query manager refuses pipelines lacking capabilities") {
-    val qm = new QueryManager(spark)
+  test("query manager refuses pipelines lacking capabilities, logs lifecycle") {
+    import graft.channel.ChannelRegistry
+    val reg = new ChannelRegistry(spark, tmpDir("qml"))
+    val logsCh = reg.create("engine_logs",
+      implicitly[org.apache.spark.sql.Encoder[LogAnalyser.LogRecord]].schema)
+    val qm = new QueryManager(spark, logsChannel = Some(logsCh))
     val weak = Session("weak", Set.empty)
     intercept[SecurityException] {
       qm.start("p1", weak, Set(Capability.ChannelRead))(_ => fail("must not build"))
     }
     assert(qm.list.isEmpty)
+    // the denial is itself an observable LogRecord on the engine channel
+    val logs = logsCh.read().select("level", "message").as[(String, String)].collect()
+    assert(logs.exists { case (lvl, msg) => lvl == "Warn" && msg == "pipeline denied" })
   }
 
   test("module spec parser (boot deployment syntax)") {
