@@ -47,6 +47,26 @@ object WasmHost {
         }
       }
     }
+
+    /** REAL WebAssembly execution via the built-in spec-subset interpreter
+      * ([[graft.udf.wasm.WasmModule]]). Transform convention (the engine's
+      * bytes→bytes ABI, SURVEY §7.4.1): payload is written at offset 0 of
+      * the module's linear memory, the export is invoked as
+      * `f(ptr=0, len) → outLen`, and `outLen` bytes are read back from
+      * offset 0. One interpreter instance per partition (the factory runs
+      * inside mapPartitions), module bytes ship to executors. */
+    final class Interpreted(moduleBytes: Array[Byte],
+                            maxMemoryPages: Int = 256,
+                            fuel: Long = 1L << 26) extends WasmModule {
+      @transient private lazy val engine =
+        new graft.udf.wasm.WasmModule(moduleBytes, maxMemoryPages, fuel)
+      def invoke(func: String, payload: Array[Byte]): Array[Byte] = {
+        engine.writeMemory(0, payload)
+        val out = engine.invoke(func, 0L, payload.length.toLong)
+        val outLen = out.map(_.toInt).getOrElse(payload.length)
+        engine.readMemory(0, outLen)
+      }
+    }
   }
 
   /** Module registry: moduleId → factory. Factories (not instances) are

@@ -1,0 +1,332 @@
+package graft.udf.wasm
+
+import scala.collection.mutable
+
+/** Minimal WebAssembly 1.0 module decoder + interpreter — a spec-subset,
+  * pure-JVM engine for the UDF host (the reference's guest compute is WASM;
+  * BASELINE's north-star is "Structured Streaming with WebAssembly UDFs").
+  * No external dependency ships in this environment, so this implements
+  * the core needed for bytes→bytes / scalar transforms directly from the
+  * public WebAssembly binary-format spec:
+  *
+  *  - sections: type, function, memory, export, code;
+  *  - values: i32/i64 (held as Long);
+  *  - instructions: control (block/loop/if/else/br/br_if/return/call),
+  *    locals, i32/i64 const/arithmetic/logic/comparison, i32 memory
+  *    load/store (incl. 8-bit), memory.size/grow, drop/select, nop.
+  *
+  * Isolation invariants mirror the reference's sandbox rules
+  * (AGENTS.md; subsystem/wasmtime/src/lib.rs:36,63-64): linear memory is
+  * capped at `maxMemoryPages` and execution is metered by `fuel`
+  * (instruction budget) — a runaway guest throws instead of hanging an
+  * executor core.
+  *
+  * Unsupported constructs (floats, tables, globals, imports, multi-value)
+  * fail loudly at decode/execution time — never silently.
+  */
+final class WasmModule(bytes: Array[Byte],
+                       maxMemoryPages: Int = 256, // 16 MiB, reference parity
+                       fuel: Long = 1L << 26) extends Serializable {
+
+  import WasmModule._
+
+  // ---- decode ------------------------------------------------------------
+
+  private var pos = 0
+  private def u8(): Int = { val b = bytes(pos) & 0xff; pos += 1; b }
+  private def uleb(): Long = {
+    var result = 0L; var shift = 0; var b = 0
+    do { b = u8(); result |= (b & 0x7fL) << shift; shift += 7 } while ((b & 0x80) != 0)
+    result
+  }
+  private def sleb(): Long = {
+    var result = 0L; var shift = 0; var b = 0
+    do { b = u8(); result |= (b & 0x7fL) << shift; shift += 7 } while ((b & 0x80) != 0)
+    if (shift < 64 && (b & 0x40) != 0) result |= -1L << shift
+    result
+  }
+  private def take(n: Int): Array[Byte] = { val a = bytes.slice(pos, pos + n); pos += n; a }
+
+  final case class FuncType(params: Int, results: Int)
+  private val types = mutable.ArrayBuffer[FuncType]()
+  private val funcTypeIdx = mutable.ArrayBuffer[Int]()
+  private val exports = mutable.Map[String, Int]()
+  private val codes = mutable.ArrayBuffer[(Int, Array[Byte])]() // (nLocals, body)
+  private var memPagesMin = 0
+
+  private def rawU32(): Long =
+    u8().toLong | (u8().toLong << 8) | (u8().toLong << 16) | (u8().toLong << 24)
+  require(rawU32() == 0x6d736100L, "not a wasm module (magic)") // "\0asm" LE
+  require(rawU32() == 1L, "unsupported wasm version")
+
+  while (pos < bytes.length) {
+    val id = u8()
+    val size = uleb().toInt
+    val end = pos + size
+    id match {
+      case 1 => // types
+        val n = uleb().toInt
+        (0 until n).foreach { _ =>
+          require(u8() == 0x60, "expected functype")
+          val np = uleb().toInt
+          (0 until np).foreach { _ =>
+            val t = u8(); require(t == 0x7f || t == 0x7e, s"unsupported param type 0x$t%02x")
+          }
+          val nr = uleb().toInt
+          (0 until nr).foreach { _ =>
+            val t = u8(); require(t == 0x7f || t == 0x7e, s"unsupported result type 0x$t%02x")
+          }
+          require(nr <= 1, "multi-value results unsupported")
+          types += FuncType(np, nr)
+        }
+      case 3 => // functions
+        val n = uleb().toInt
+        (0 until n).foreach(_ => funcTypeIdx += uleb().toInt)
+      case 5 => // memory
+        val n = uleb().toInt
+        (0 until n).foreach { _ =>
+          val flags = u8()
+          memPagesMin = uleb().toInt
+          if ((flags & 1) != 0) uleb() // max, ignored (we cap ourselves)
+        }
+      case 7 => // exports
+        val n = uleb().toInt
+        (0 until n).foreach { _ =>
+          val name = new String(take(uleb().toInt), "UTF-8")
+          val kind = u8()
+          val idx = uleb().toInt
+          if (kind == 0) exports(name) = idx
+        }
+      case 10 => // code
+        val n = uleb().toInt
+        (0 until n).foreach { _ =>
+          val bodySize = uleb().toInt
+          val bodyEnd = pos + bodySize
+          var nLocals = 0
+          val nGroups = uleb().toInt
+          (0 until nGroups).foreach { _ =>
+            val cnt = uleb().toInt
+            val t = u8(); require(t == 0x7f || t == 0x7e, "unsupported local type")
+            nLocals += cnt
+          }
+          codes += ((nLocals, bytes.slice(pos, bodyEnd)))
+          pos = bodyEnd
+        }
+      case _ => pos = end // skip custom/unsupported sections
+    }
+    require(pos == end, s"section $id malformed")
+  }
+
+  // ---- runtime -----------------------------------------------------------
+
+  /** Linear memory, grown on demand up to the cap. */
+  private var memory = new Array[Byte](memPagesMin * PageSize)
+
+  def memorySize: Int = memory.length
+  def readMemory(offset: Int, len: Int): Array[Byte] = memory.slice(offset, offset + len)
+  def writeMemory(offset: Int, data: Array[Byte]): Unit = {
+    ensureMemory(offset + data.length)
+    System.arraycopy(data, 0, memory, offset, data.length)
+  }
+  private def ensureMemory(minBytes: Int): Unit = {
+    if (memory.length >= minBytes) return
+    val pages = (minBytes + PageSize - 1) / PageSize
+    require(pages <= maxMemoryPages, s"memory cap exceeded ($pages pages)")
+    memory = java.util.Arrays.copyOf(memory, pages * PageSize)
+  }
+
+  /** Invoke an exported function. i32 results are sign-preserved in the
+    * low 32 bits of the returned Long. */
+  def invoke(export: String, args: Long*): Option[Long] = {
+    val fIdx = exports.getOrElse(export,
+      throw new NoSuchMethodException(s"wasm export '$export'"))
+    var remainingFuel = fuel
+
+    def callFunction(idx: Int, argv: Array[Long]): Option[Long] = {
+      val ft = types(funcTypeIdx(idx))
+      require(argv.length == ft.params, s"arity mismatch calling func $idx")
+      val (nLocals, body) = codes(idx)
+      val locals = new Array[Long](ft.params + nLocals)
+      System.arraycopy(argv, 0, locals, 0, argv.length)
+      val stack = new mutable.ArrayDeque[Long]()
+      // control frames: (opcode, startPc, endPc, elsePc, stackDepthAtEntry)
+      val control = mutable.ArrayDeque[(Int, Int, Int, Int, Int)]()
+      val (endOf, elseOf) = scanBlocks(body)
+      var pc = 0
+      var returned: Option[Long] = None
+
+      def push(v: Long): Unit = stack.prepend(v)
+      def pop(): Long = stack.removeHead()
+      def i32(v: Long): Long = v.toInt.toLong
+
+      def branch(depth: Int): Unit = {
+        var d = depth
+        while (d > 0) { control.removeHead(); d -= 1 }
+        val (op, start, endPc2, _, entryDepth) = control.head
+        if (op == 0x03) { // loop: jump to start, keep frame
+          while (stack.length > entryDepth) pop()
+          pc = start
+        } else { // block/if: jump past end, pop frame
+          control.removeHead()
+          while (stack.length > entryDepth) pop()
+          pc = endPc2 + 1
+        }
+      }
+
+      var running = true
+      while (running && pc < body.length) {
+        remainingFuel -= 1
+        if (remainingFuel <= 0) throw new IllegalStateException("wasm fuel exhausted")
+        val op = body(pc) & 0xff
+        pc += 1
+        @inline def immU(): Long = { val (v, np) = ulebAt(body, pc); pc = np; v }
+        @inline def immS(): Long = { val (v, np) = slebAt(body, pc); pc = np; v }
+        op match {
+          case 0x00 => throw new IllegalStateException("wasm: unreachable executed")
+          case 0x01 => // nop
+          case 0x02 | 0x03 => // block | loop
+            val bt = body(pc) & 0xff; pc += 1
+            require(bt == 0x40 || bt == 0x7f || bt == 0x7e, "unsupported block type")
+            control.prepend((op, pc, endOf(pc - 2), -1, stack.length))
+          case 0x04 => // if
+            val bt = body(pc) & 0xff; pc += 1
+            require(bt == 0x40 || bt == 0x7f || bt == 0x7e, "unsupported block type")
+            val cond = pop()
+            val opening = pc - 2
+            control.prepend((0x02, pc, endOf(opening), elseOf(opening), stack.length))
+            if (cond == 0) {
+              val e = elseOf(opening)
+              pc = if (e >= 0) e + 1 else { control.removeHead(); endOf(opening) + 1 }
+            }
+          case 0x05 => // else (falling into it = end of then-branch)
+            val (_, _, endPc2, _, _) = control.removeHead()
+            pc = endPc2 + 1
+          case 0x0b => // end
+            if (control.nonEmpty) control.removeHead()
+            else running = false // function body end
+          case 0x0c => branch(immU().toInt) // br
+          case 0x0d => val d = immU().toInt; if (pop() != 0) branch(d) // br_if
+          case 0x0f => // return
+            returned = if (ft.results == 1) Some(pop()) else None
+            running = false
+          case 0x10 => // call
+            val callee = immU().toInt
+            val calleeType = types(funcTypeIdx(callee))
+            val argv2 = new Array[Long](calleeType.params)
+            var i = calleeType.params - 1
+            while (i >= 0) { argv2(i) = pop(); i -= 1 }
+            callFunction(callee, argv2).foreach(push)
+          case 0x1a => pop() // drop
+          case 0x1b => // select
+            val c = pop(); val b = pop(); val a = pop(); push(if (c != 0) a else b)
+          case 0x20 => push(locals(immU().toInt)) // local.get
+          case 0x21 => locals(immU().toInt) = pop() // local.set
+          case 0x22 => locals(immU().toInt) = stack.head // local.tee
+          case 0x28 => // i32.load
+            immU(); val off = immU()
+            val addr = (pop() + off).toInt; ensureMemory(addr + 4)
+            push(((memory(addr) & 0xffL)) | ((memory(addr + 1) & 0xffL) << 8) |
+              ((memory(addr + 2) & 0xffL) << 16) | ((memory(addr + 3) & 0xffL) << 24))
+          case 0x2d => // i32.load8_u
+            immU(); val off = immU()
+            val addr = (pop() + off).toInt; ensureMemory(addr + 1)
+            push(memory(addr) & 0xffL)
+          case 0x36 => // i32.store
+            immU(); val off = immU()
+            val v = pop(); val addr = (pop() + off).toInt; ensureMemory(addr + 4)
+            memory(addr) = v.toByte; memory(addr + 1) = (v >> 8).toByte
+            memory(addr + 2) = (v >> 16).toByte; memory(addr + 3) = (v >> 24).toByte
+          case 0x3a => // i32.store8
+            immU(); val off = immU()
+            val v = pop(); val addr = (pop() + off).toInt; ensureMemory(addr + 1)
+            memory(addr) = v.toByte
+          case 0x3f => immU(); push(memory.length / PageSize) // memory.size
+          case 0x40 => // memory.grow
+            immU(); val delta = pop().toInt
+            val cur = memory.length / PageSize
+            if (cur + delta <= maxMemoryPages) { ensureMemory((cur + delta) * PageSize); push(cur) }
+            else push(-1L)
+          case 0x41 => push(i32(immS())) // i32.const
+          case 0x42 => push(immS()) // i64.const
+          case 0x45 => push(if (pop() == 0) 1 else 0) // i32.eqz
+          case 0x46 => push(if (pop() == pop()) 1 else 0)
+          case 0x47 => push(if (pop() != pop()) 1 else 0)
+          case 0x48 => val b = pop().toInt; val a = pop().toInt; push(if (a < b) 1 else 0)
+          case 0x49 => val b = pop(); val a = pop()
+            push(if (java.lang.Integer.compareUnsigned(a.toInt, b.toInt) < 0) 1 else 0)
+          case 0x4a => val b = pop().toInt; val a = pop().toInt; push(if (a > b) 1 else 0)
+          case 0x4b => val b = pop(); val a = pop()
+            push(if (java.lang.Integer.compareUnsigned(a.toInt, b.toInt) > 0) 1 else 0)
+          case 0x4c => val b = pop().toInt; val a = pop().toInt; push(if (a <= b) 1 else 0)
+          case 0x4d => val b = pop(); val a = pop()
+            push(if (java.lang.Integer.compareUnsigned(a.toInt, b.toInt) <= 0) 1 else 0)
+          case 0x4e => val b = pop().toInt; val a = pop().toInt; push(if (a >= b) 1 else 0)
+          case 0x4f => val b = pop(); val a = pop()
+            push(if (java.lang.Integer.compareUnsigned(a.toInt, b.toInt) >= 0) 1 else 0)
+          case 0x6a => push(i32(pop() + pop()))
+          case 0x6b => val b = pop(); val a = pop(); push(i32(a - b))
+          case 0x6c => push(i32(pop().toInt * pop().toInt))
+          case 0x6d => val b = pop().toInt; val a = pop().toInt; push(i32(a / b))
+          case 0x6e => val b = pop().toInt; val a = pop().toInt
+            push(java.lang.Integer.divideUnsigned(a, b).toLong & 0xffffffffL)
+          case 0x6f => val b = pop().toInt; val a = pop().toInt; push(i32(a % b))
+          case 0x70 => val b = pop().toInt; val a = pop().toInt
+            push(java.lang.Integer.remainderUnsigned(a, b).toLong & 0xffffffffL)
+          case 0x71 => push(i32(pop() & pop()))
+          case 0x72 => push(i32(pop() | pop()))
+          case 0x73 => push(i32(pop() ^ pop()))
+          case 0x74 => val b = pop().toInt; val a = pop().toInt; push(i32(a << (b & 31)))
+          case 0x75 => val b = pop().toInt; val a = pop().toInt; push(i32(a >> (b & 31)))
+          case 0x76 => val b = pop().toInt; val a = pop().toInt; push(i32(a >>> (b & 31)))
+          case other =>
+            throw new UnsupportedOperationException(f"wasm opcode 0x$other%02x unsupported")
+        }
+      }
+      returned.orElse(if (ft.results == 1 && stack.nonEmpty) Some(pop()) else None)
+    }
+
+    callFunction(fIdx, args.toArray)
+  }
+}
+
+object WasmModule {
+  val PageSize = 65536
+
+  /** Map opening block/loop/if positions → their end / else positions. */
+  private def scanBlocks(body: Array[Byte]): (Map[Int, Int], Map[Int, Int]) = {
+    val endOf = mutable.Map[Int, Int]()
+    val elseOf = mutable.Map[Int, Int]().withDefaultValue(-1)
+    val stack = mutable.ArrayDeque[Int]()
+    var pc = 0
+    while (pc < body.length) {
+      val op = body(pc) & 0xff
+      val at = pc
+      pc += 1
+      op match {
+        case 0x02 | 0x03 | 0x04 => stack.prepend(at); pc += 1 // blocktype byte
+        case 0x05 => elseOf(stack.head) = at
+        case 0x0b => if (stack.nonEmpty) endOf(stack.removeHead()) = at
+        case 0x0c | 0x0d | 0x10 => pc = ulebAt(body, pc)._2
+        case 0x20 | 0x21 | 0x22 => pc = ulebAt(body, pc)._2
+        case 0x28 | 0x2d | 0x36 | 0x3a =>
+          pc = ulebAt(body, pc)._2; pc = ulebAt(body, pc)._2
+        case 0x3f | 0x40 => pc = ulebAt(body, pc)._2
+        case 0x41 | 0x42 => pc = slebAt(body, pc)._2
+        case _ => // no immediates
+      }
+    }
+    (endOf.toMap, elseOf.toMap.withDefaultValue(-1))
+  }
+
+  private def ulebAt(b: Array[Byte], start: Int): (Long, Int) = {
+    var result = 0L; var shift = 0; var p = start; var x = 0
+    do { x = b(p) & 0xff; p += 1; result |= (x & 0x7fL) << shift; shift += 7 } while ((x & 0x80) != 0)
+    (result, p)
+  }
+  private def slebAt(b: Array[Byte], start: Int): (Long, Int) = {
+    var result = 0L; var shift = 0; var p = start; var x = 0
+    do { x = b(p) & 0xff; p += 1; result |= (x & 0x7fL) << shift; shift += 7 } while ((x & 0x80) != 0)
+    if (shift < 64 && (x & 0x40) != 0) result |= -1L << shift
+    (result, p)
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import graft.udf.WasmHost
+import graft.udf.wasm.WasmModule
+import org.apache.spark.sql.functions._
+
+/** Tests the built-in WASM interpreter against hand-assembled modules
+  * (no wasm toolchain ships here; the binaries are constructed from the
+  * public binary-format spec byte by byte).
+  */
+class WasmSuite extends SparkSpec {
+  import spark.implicits._
+
+  // ---- tiny wasm assembler ----------------------------------------------
+
+  private def uleb(v: Long): Seq[Byte] = {
+    var x = v; val out = Seq.newBuilder[Byte]
+    while ({ val b = (x & 0x7f).toInt; x >>>= 7
+             out += (if (x != 0) (b | 0x80) else b).toByte; x != 0 }) ()
+    out.result()
+  }
+  private def section(id: Int, content: Seq[Byte]): Seq[Byte] =
+    id.toByte +: (uleb(content.length.toLong) ++ content)
+  private def vec(items: Seq[Seq[Byte]]): Seq[Byte] =
+    uleb(items.length.toLong) ++ items.flatten
+  private def name(s: String): Seq[Byte] =
+    uleb(s.length.toLong) ++ s.getBytes("UTF-8").toSeq
+
+  /** One-function module: params i32×nParams → i32, with a memory. */
+  private def module(export: String, nParams: Int, nLocals: Int,
+                     body: Seq[Byte]): Array[Byte] = {
+    val header = Seq(0x00, 0x61, 0x73, 0x6d, 0x01, 0x00, 0x00, 0x00).map(_.toByte)
+    val typeSec = section(1, vec(Seq(
+      Seq(0x60.toByte) ++ vec(Seq.fill(nParams)(Seq(0x7f.toByte))) ++
+        vec(Seq(Seq(0x7f.toByte))))))
+    val funcSec = section(3, vec(Seq(uleb(0))))
+    val memSec = section(5, vec(Seq(Seq(0x00.toByte) ++ uleb(1))))
+    val exportSec = section(7, vec(Seq(name(export) ++ Seq(0x00.toByte) ++ uleb(0))))
+    val locals = if (nLocals > 0) vec(Seq(uleb(nLocals.toLong) ++ Seq(0x7f.toByte)))
+                 else vec(Nil)
+    val code = locals ++ body :+ 0x0b.toByte
+    val codeSec = section(10, vec(Seq(uleb(code.length.toLong) ++ code)))
+    (header ++ typeSec ++ funcSec ++ memSec ++ exportSec ++ codeSec).toArray
+  }
+
+  // (func add5 (param i32) (result i32) local.get 0; i32.const 5; i32.add)
+  private val add5 = module("add5", nParams = 1, nLocals = 0,
+    Seq(0x20, 0x00, 0x41, 0x05, 0x6a).map(_.toByte))
+
+  // (func xor255 (param ptr i32) (param len i32) (result i32) (local i i32)
+  //   block loop  i >= len → br_if 1
+  //     mem[ptr+i] = mem[ptr+i] xor 255 ; i += 1 ; br 0
+  //   end end ; return len)
+  private val xor255 = module("xor255", nParams = 2, nLocals = 1, Seq(
+    0x02, 0x40,             // block void
+    0x03, 0x40,             //   loop void
+    0x20, 0x02,             //     local.get i
+    0x20, 0x01,             //     local.get len
+    0x4e,                   //     i32.ge_s
+    0x0d, 0x01,             //     br_if 1 (exit block)
+    0x20, 0x00, 0x20, 0x02, 0x6a, //  addr = ptr + i   (for store)
+    0x20, 0x00, 0x20, 0x02, 0x6a, //  addr = ptr + i   (for load)
+    0x2d, 0x00, 0x00,       //     i32.load8_u align=0 offset=0
+    0x41, 0xff, 0x01,       //     i32.const 255 (sleb)
+    0x73,                   //     i32.xor
+    0x3a, 0x00, 0x00,       //     i32.store8
+    0x20, 0x02, 0x41, 0x01, 0x6a, // i + 1
+    0x21, 0x02,             //     local.set i
+    0x0c, 0x00,             //     br 0 (continue loop)
+    0x0b,                   //   end loop
+    0x0b,                   // end block
+    0x20, 0x01              // local.get len (result)
+  ).map(_.toByte))
+
+  test("interpreter executes arithmetic function (add5)") {
+    val m = new WasmModule(add5)
+    assert(m.invoke("add5", 37L).contains(42L))
+    assert(m.invoke("add5", -10L).contains(-5L))
+    intercept[NoSuchMethodException] { m.invoke("nope") }
+  }
+
+  test("interpreter executes memory loop (xor255 over linear memory)") {
+    val m = new WasmModule(xor255)
+    m.writeMemory(0, Array[Byte](0, 1, 127, -1))
+    assert(m.invoke("xor255", 0L, 4L).contains(4L))
+    assert(m.readMemory(0, 4).toSeq == Seq[Byte](-1, -2, -128, 0))
+  }
+
+  test("fuel cap halts runaway guests") {
+    // loop forever: block loop br 0 end end → no way out
+    val loopForever = module("spin", nParams = 0, nLocals = 0, Seq(
+      0x02, 0x40, 0x03, 0x40, 0x0c, 0x00, 0x0b, 0x0b, 0x41, 0x00).map(_.toByte))
+    val m = new WasmModule(loopForever, fuel = 10000)
+    val e = intercept[IllegalStateException] { m.invoke("spin") }
+    assert(e.getMessage.contains("fuel"))
+  }
+
+  test("real wasm module as a Spark UDF over a DataFrame (the north star)") {
+    val moduleBytes = xor255 // local copy: the closure must not capture the suite
+    WasmHost.register("wasm-xor", () => new WasmHost.WasmModule.Interpreted(moduleBytes))
+    val df = Seq((1, Array[Byte](10, 20)), (2, Array[Byte](-1, 0, 64)))
+      .toDF("id", "payload")
+    val out = WasmHost.transform(df, "wasm-xor", "xor255", "payload")
+      .select(col("id"), col("payload"))
+      .as[(Int, Array[Byte])].collect().sortBy(_._1)
+    assert(out(0)._2.toSeq == Seq[Byte](-11, -21))
+    assert(out(1)._2.toSeq == Seq[Byte](0, -1, -65))
+  }
+}
