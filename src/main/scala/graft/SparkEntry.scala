@@ -23,7 +23,8 @@ object SparkEntry {
     qs.DedupOps.all ++
     qs.VectorOps.all ++
     qs.MultimodalOps.all ++
-    qs.CodecOps.all
+    qs.CodecOps.all ++
+    qs.WasmOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The log-analyser slice (SURVEY §7.2 M2): tumbling day window over the

@@ -1,0 +1,61 @@
+package graft.udf.wasm
+
+/** Tiny WebAssembly binary assembler (single-function modules) — enough to
+  * author guest transforms in-process where no wasm toolchain exists, and
+  * the source of the test binaries. Byte layout follows the public
+  * binary-format spec.
+  */
+object WasmAssembler {
+
+  def uleb(v: Long): Seq[Byte] = {
+    var x = v; val out = Seq.newBuilder[Byte]
+    while ({ val b = (x & 0x7f).toInt; x >>>= 7
+             out += (if (x != 0) (b | 0x80) else b).toByte; x != 0 }) ()
+    out.result()
+  }
+
+  def section(id: Int, content: Seq[Byte]): Seq[Byte] =
+    id.toByte +: (uleb(content.length.toLong) ++ content)
+
+  def vec(items: Seq[Seq[Byte]]): Seq[Byte] = uleb(items.length.toLong) ++ items.flatten
+
+  def name(s: String): Seq[Byte] = uleb(s.length.toLong) ++ s.getBytes("UTF-8").toSeq
+
+  /** One exported i32-typed function (+1 memory page). */
+  def module(export: String, nParams: Int, nLocals: Int, body: Seq[Byte]): Array[Byte] = {
+    val header = Seq(0x00, 0x61, 0x73, 0x6d, 0x01, 0x00, 0x00, 0x00).map(_.toByte)
+    val typeSec = section(1, vec(Seq(
+      Seq(0x60.toByte) ++ vec(Seq.fill(nParams)(Seq(0x7f.toByte))) ++
+        vec(Seq(Seq(0x7f.toByte))))))
+    val funcSec = section(3, vec(Seq(uleb(0))))
+    val memSec = section(5, vec(Seq(Seq(0x00.toByte) ++ uleb(1))))
+    val exportSec = section(7, vec(Seq(name(export) ++ Seq(0x00.toByte) ++ uleb(0))))
+    val locals = if (nLocals > 0) vec(Seq(uleb(nLocals.toLong) ++ Seq(0x7f.toByte)))
+                 else vec(Nil)
+    val code = locals ++ body :+ 0x0b.toByte
+    val codeSec = section(10, vec(Seq(uleb(code.length.toLong) ++ code)))
+    (header ++ typeSec ++ funcSec ++ memSec ++ exportSec ++ codeSec).toArray
+  }
+
+  /** `f(x) = (x * a + b)` over i32 (wrapping) — the demo guest transform. */
+  def affineModule(export: String, a: Int, b: Int): Array[Byte] =
+    module(export, nParams = 1, nLocals = 0,
+      Seq[Byte](0x20, 0x00) ++                       // local.get 0
+        (0x41.toByte +: sleb(a.toLong)) ++           // i32.const a
+        Seq(0x6c.toByte) ++                          // i32.mul
+        (0x41.toByte +: sleb(b.toLong)) ++           // i32.const b
+        Seq(0x6a.toByte))                            // i32.add
+
+  def sleb(v: Long): Seq[Byte] = {
+    var x = v; val out = Seq.newBuilder[Byte]
+    var more = true
+    while (more) {
+      val b = (x & 0x7f).toInt
+      x >>= 7
+      if ((x == 0 && (b & 0x40) == 0) || (x == -1 && (b & 0x40) != 0)) {
+        out += b.toByte; more = false
+      } else out += (b | 0x80).toByte
+    }
+    out.result()
+  }
+}
