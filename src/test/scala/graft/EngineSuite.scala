@@ -175,4 +175,40 @@ class EngineSuite extends SparkSpec {
     assert(m.getAs[Long]("dropped_bytes") > 0)
     assert(!m.getAs[Boolean]("drained"))
   }
+
+  test("salted join equals plain join under skew (scale pattern)") {
+    import graft.ops.SkewOps
+    // hot key: 10k rows of key 1, a handful elsewhere
+    val skewed = ((1 to 10000).map(_ => (1L, "hot")) ++ Seq((2L, "cold"), (3L, "cold")))
+      .toDF("k", "tag")
+    val dim = Seq((1L, "one"), (2L, "two"), (4L, "four")).toDF("k", "name")
+    val plain = skewed.join(dim, Seq("k")).count()
+    val salted = SkewOps.saltedJoin(skewed, dim, "k", saltFactor = 8).count()
+    assert(salted == plain && plain == 10001L)
+  }
+
+  test("streaming dedup by content fingerprint within watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val deduped = StreamingDedup.dedupByContent(
+      input.toDF().toDF("ts_ms", "text")
+        .withColumn("ts", timestamp_millis(col("ts_ms"))),
+      "ts", "10 seconds", "text")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup").start()
+    try {
+      input.addData(
+        (1000L, "Hello  World"), (2000L, "hello world"), // dups after normalize
+        (3000L, "another doc"))
+      q.processAllAvailable()
+      input.addData((4000L, "HELLO WORLD"), (5000L, "third one")) // another dup
+      q.processAllAvailable()
+      val texts = spark.table("sdedup").select("text").as[String].collect().toSet
+      assert(texts.size == 3)
+      assert(texts.map(_.toLowerCase.replaceAll("\\s+", " ")) ==
+        Set("hello world", "another doc", "third one"))
+    } finally q.stop()
+  }
 }
