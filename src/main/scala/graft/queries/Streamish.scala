@@ -240,6 +240,31 @@ object Streamish {
         .orderBy(col("user_id"), col("session_id"))
     },
 
+    // ---- Streaming exact dedup in the gate: dropDuplicatesWithinWatermark
+    // over the live events stream; first-seen (user_id, day) pairs emitted
+    // immediately, state evicted behind the watermark. Key-only output =
+    // deterministic = SQL DISTINCT oracle.
+    Q("q_stream_dedup",
+      """SELECT DISTINCT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+        |FROM events ORDER BY user_id, day""".stripMargin) { (s, d) =>
+      Tables.ensureConf(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
+      java.nio.file.Files.createSymbolicLink(tmp.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+      val stream = s.readStream.schema(schema).parquet(tmp.toString)
+        .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+        .withColumn("day", Tables.tsDay("ts"))
+        .withWatermark("ets", "1 hour")
+        .dropDuplicatesWithinWatermark(Seq("user_id", "day"))
+        .select(col("user_id"), col("day"))
+      val sink = s"graft_stream_dedup_${streamRun.incrementAndGet()}"
+      val q = stream.writeStream.outputMode("append")
+        .format("memory").queryName(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).orderBy(col("user_id"), col("day"))
+    },
+
     // ---- A4 as a REAL stateful streaming run: ConfigFold
     // (flatMapGroupsWithState) over the events stream — signups are
     // ConfigUpdates, purchases are WorkItems (same mapping as
