@@ -19,11 +19,12 @@ import org.apache.spark.sql.functions._
   *    enforced by the host, mirroring the reference's StoreLimits + fuel
   *    invariants (AGENTS.md isolation rules).
   *
-  * The interpreter itself is STUBBED: no WASM runtime ships in this
-  * environment (zero-egress, fixed deps), so [[WasmModule.Stub]] is a
-  * deterministic stand-in keyed by function name. A real engine drops a
-  * pure-JVM interpreter (e.g. Chicory) behind the same `invoke` seam; no
-  * Spark-side code changes.
+  * Two module implementations sit behind the `invoke` seam:
+  * [[WasmModule.Interpreted]] executes REAL WebAssembly bytecode via the
+  * built-in spec-subset interpreter ([[graft.udf.wasm.WasmModule]]), and
+  * [[WasmModule.Stub]] is a deterministic stand-in for plumbing tests. A
+  * production engine could swap in a JIT-ing runtime (e.g. Chicory) behind
+  * the same seam; no Spark-side code changes.
   */
 object WasmHost {
 
@@ -60,10 +61,20 @@ object WasmHost {
                             fuel: Long = 1L << 26) extends WasmModule {
       @transient private lazy val engine =
         new graft.udf.wasm.WasmModule(moduleBytes, maxMemoryPages, fuel)
+      @transient private var lastLen = 0
       def invoke(func: String, payload: Array[Byte]): Array[Byte] = {
         engine.writeMemory(0, payload)
-        val out = engine.invoke(func, 0L, payload.length.toLong)
-        val outLen = out.map(_.toInt).getOrElse(payload.length)
+        // zero the tail of the previous payload: rows must not see each
+        // other's bytes through the reused linear memory
+        engine.clearMemory(payload.length, lastLen)
+        lastLen = payload.length
+        val outLen = engine.invoke(func, 0L, payload.length.toLong)
+          .map(_.toInt)
+          .getOrElse(throw new IllegalStateException(
+            s"wasm export '$func' returned no value (ABI: f(ptr,len) -> outLen)"))
+        require(outLen >= 0 && outLen <= engine.memorySize,
+          s"wasm export '$func' returned invalid outLen $outLen")
+        lastLen = math.max(lastLen, outLen)
         engine.readMemory(0, outLen)
       }
     }

@@ -9,20 +9,22 @@ import scala.collection.mutable
   * the core needed for bytes→bytes / scalar transforms directly from the
   * public WebAssembly binary-format spec:
   *
-  *  - sections: type, function, memory, export, code;
-  *  - values: i32/i64 (held as Long);
+  *  - sections: type, function, memory, export, code (+ custom, skipped);
+  *  - values: i32/i64, canonical form = sign-extended in a Long;
   *  - instructions: control (block/loop/if/else/br/br_if/return/call),
-  *    locals, i32/i64 const/arithmetic/logic/comparison, i32 memory
+  *    locals, i32/i64 const, i32 arithmetic/logic/comparison, i32 memory
   *    load/store (incl. 8-bit), memory.size/grow, drop/select, nop.
+  *
+  * Everything outside the subset fails LOUDLY at decode time: unsupported
+  * sections (imports, data, globals, tables, elements) and unsupported
+  * opcodes are rejected when the module is constructed, never silently
+  * mis-executed. Function bodies are opcode-validated and their block
+  * structure is precomputed once at decode, not per invocation.
   *
   * Isolation invariants mirror the reference's sandbox rules
   * (AGENTS.md; subsystem/wasmtime/src/lib.rs:36,63-64): linear memory is
-  * capped at `maxMemoryPages` and execution is metered by `fuel`
-  * (instruction budget) — a runaway guest throws instead of hanging an
-  * executor core.
-  *
-  * Unsupported constructs (floats, tables, globals, imports, multi-value)
-  * fail loudly at decode/execution time — never silently.
+  * capped at `maxMemoryPages`, out-of-bounds access traps (it does NOT
+  * grow memory), and execution is metered by `fuel`.
   */
 final class WasmModule(bytes: Array[Byte],
                        maxMemoryPages: Int = 256, // 16 MiB, reference parity
@@ -34,28 +36,22 @@ final class WasmModule(bytes: Array[Byte],
 
   private var pos = 0
   private def u8(): Int = { val b = bytes(pos) & 0xff; pos += 1; b }
-  private def uleb(): Long = {
-    var result = 0L; var shift = 0; var b = 0
-    do { b = u8(); result |= (b & 0x7fL) << shift; shift += 7 } while ((b & 0x80) != 0)
-    result
-  }
-  private def sleb(): Long = {
-    var result = 0L; var shift = 0; var b = 0
-    do { b = u8(); result |= (b & 0x7fL) << shift; shift += 7 } while ((b & 0x80) != 0)
-    if (shift < 64 && (b & 0x40) != 0) result |= -1L << shift
-    result
-  }
+  private def uleb(): Long = { val (v, np) = ulebAt(bytes, pos); pos = np; v }
   private def take(n: Int): Array[Byte] = { val a = bytes.slice(pos, pos + n); pos += n; a }
+  private def rawU32(): Long =
+    u8().toLong | (u8().toLong << 8) | (u8().toLong << 16) | (u8().toLong << 24)
 
   final case class FuncType(params: Int, results: Int)
+  /** Per-function: locals count, body bytes, block-end map, else map. */
+  final case class Code(nLocals: Int, body: Array[Byte],
+                        endOf: Map[Int, Int], elseOf: Map[Int, Int])
+
   private val types = mutable.ArrayBuffer[FuncType]()
   private val funcTypeIdx = mutable.ArrayBuffer[Int]()
   private val exports = mutable.Map[String, Int]()
-  private val codes = mutable.ArrayBuffer[(Int, Array[Byte])]() // (nLocals, body)
+  private val codes = mutable.ArrayBuffer[Code]()
   private var memPagesMin = 0
 
-  private def rawU32(): Long =
-    u8().toLong | (u8().toLong << 8) | (u8().toLong << 16) | (u8().toLong << 24)
   require(rawU32() == 0x6d736100L, "not a wasm module (magic)") // "\0asm" LE
   require(rawU32() == 1L, "unsupported wasm version")
 
@@ -64,17 +60,18 @@ final class WasmModule(bytes: Array[Byte],
     val size = uleb().toInt
     val end = pos + size
     id match {
+      case 0 => pos = end // custom section: names/producers, safe to skip
       case 1 => // types
         val n = uleb().toInt
         (0 until n).foreach { _ =>
           require(u8() == 0x60, "expected functype")
           val np = uleb().toInt
           (0 until np).foreach { _ =>
-            val t = u8(); require(t == 0x7f || t == 0x7e, s"unsupported param type 0x$t%02x")
+            val t = u8(); require(t == 0x7f || t == 0x7e, "unsupported param type")
           }
           val nr = uleb().toInt
           (0 until nr).foreach { _ =>
-            val t = u8(); require(t == 0x7f || t == 0x7e, s"unsupported result type 0x$t%02x")
+            val t = u8(); require(t == 0x7f || t == 0x7e, "unsupported result type")
           }
           require(nr <= 1, "multi-value results unsupported")
           types += FuncType(np, nr)
@@ -87,7 +84,7 @@ final class WasmModule(bytes: Array[Byte],
         (0 until n).foreach { _ =>
           val flags = u8()
           memPagesMin = uleb().toInt
-          if ((flags & 1) != 0) uleb() // max, ignored (we cap ourselves)
+          if ((flags & 1) != 0) uleb() // declared max; we cap ourselves
         }
       case 7 => // exports
         val n = uleb().toInt
@@ -109,34 +106,50 @@ final class WasmModule(bytes: Array[Byte],
             val t = u8(); require(t == 0x7f || t == 0x7e, "unsupported local type")
             nLocals += cnt
           }
-          codes += ((nLocals, bytes.slice(pos, bodyEnd)))
+          val body = bytes.slice(pos, bodyEnd)
+          val (endOf, elseOf) = scanBlocks(body) // validates opcodes too
+          codes += Code(nLocals, body, endOf, elseOf)
           pos = bodyEnd
         }
-      case _ => pos = end // skip custom/unsupported sections
+      case other =>
+        // imports(2)/tables(4)/globals(6)/start(8)/elements(9)/data(11):
+        // executing a module that relies on them would be silently wrong
+        throw new UnsupportedOperationException(
+          s"wasm section id $other unsupported (imports/globals/tables/data)")
     }
     require(pos == end, s"section $id malformed")
   }
 
   // ---- runtime -----------------------------------------------------------
 
-  /** Linear memory, grown on demand up to the cap. */
   private var memory = new Array[Byte](memPagesMin * PageSize)
 
   def memorySize: Int = memory.length
   def readMemory(offset: Int, len: Int): Array[Byte] = memory.slice(offset, offset + len)
+  /** Host-side write; grows up to the cap (guest loads/stores trap instead). */
   def writeMemory(offset: Int, data: Array[Byte]): Unit = {
-    ensureMemory(offset + data.length)
+    growTo(offset + data.length)
     System.arraycopy(data, 0, memory, offset, data.length)
   }
-  private def ensureMemory(minBytes: Int): Unit = {
+  /** Host-side clear (e.g. between payloads). */
+  def clearMemory(from: Int, until: Int): Unit = {
+    val hi = math.min(until, memory.length)
+    if (from < hi) java.util.Arrays.fill(memory, from, hi, 0.toByte)
+  }
+  private def growTo(minBytes: Int): Unit = {
     if (memory.length >= minBytes) return
     val pages = (minBytes + PageSize - 1) / PageSize
     require(pages <= maxMemoryPages, s"memory cap exceeded ($pages pages)")
     memory = java.util.Arrays.copyOf(memory, pages * PageSize)
   }
+  @inline private def checkAddr(addr: Long, size: Int): Int = {
+    if (addr < 0 || addr + size > memory.length)
+      throw new IllegalStateException(
+        s"wasm trap: out-of-bounds memory access ($addr+$size of ${memory.length})")
+    addr.toInt
+  }
 
-  /** Invoke an exported function. i32 results are sign-preserved in the
-    * low 32 bits of the returned Long. */
+  /** Invoke an exported function. i32 results are sign-extended Longs. */
   def invoke(export: String, args: Long*): Option[Long] = {
     val fIdx = exports.getOrElse(export,
       throw new NoSuchMethodException(s"wasm export '$export'"))
@@ -145,35 +158,43 @@ final class WasmModule(bytes: Array[Byte],
     def callFunction(idx: Int, argv: Array[Long]): Option[Long] = {
       val ft = types(funcTypeIdx(idx))
       require(argv.length == ft.params, s"arity mismatch calling func $idx")
-      val (nLocals, body) = codes(idx)
-      val locals = new Array[Long](ft.params + nLocals)
+      val code = codes(idx)
+      val body = code.body
+      val locals = new Array[Long](ft.params + code.nLocals)
       System.arraycopy(argv, 0, locals, 0, argv.length)
       val stack = new mutable.ArrayDeque[Long]()
-      // control frames: (opcode, startPc, endPc, elsePc, stackDepthAtEntry)
+      // frames: (opcode, startPc, endPc, entryDepth, labelArity)
       val control = mutable.ArrayDeque[(Int, Int, Int, Int, Int)]()
-      val (endOf, elseOf) = scanBlocks(body)
       var pc = 0
       var returned: Option[Long] = None
+      var running = true
 
       def push(v: Long): Unit = stack.prepend(v)
       def pop(): Long = stack.removeHead()
-      def i32(v: Long): Long = v.toInt.toLong
+      @inline def i32(v: Long): Long = v.toInt.toLong
+
+      def doReturn(): Unit = {
+        returned = if (ft.results == 1) Some(pop()) else None
+        running = false
+      }
 
       def branch(depth: Int): Unit = {
+        if (depth >= control.size) { doReturn(); return } // function label
         var d = depth
         while (d > 0) { control.removeHead(); d -= 1 }
-        val (op, start, endPc2, _, entryDepth) = control.head
-        if (op == 0x03) { // loop: jump to start, keep frame
+        val (op, start, endPc2, entryDepth, arity) = control.head
+        if (op == 0x03) { // loop: target = start, label params none (MVP)
           while (stack.length > entryDepth) pop()
           pc = start
-        } else { // block/if: jump past end, pop frame
+        } else { // block/if: target = after end, carry label-arity results
           control.removeHead()
+          val keep = Array.fill(arity)(pop())
           while (stack.length > entryDepth) pop()
+          keep.reverseIterator.foreach(push)
           pc = endPc2 + 1
         }
       }
 
-      var running = true
       while (running && pc < body.length) {
         remainingFuel -= 1
         if (remainingFuel <= 0) throw new IllegalStateException("wasm fuel exhausted")
@@ -182,34 +203,33 @@ final class WasmModule(bytes: Array[Byte],
         @inline def immU(): Long = { val (v, np) = ulebAt(body, pc); pc = np; v }
         @inline def immS(): Long = { val (v, np) = slebAt(body, pc); pc = np; v }
         op match {
-          case 0x00 => throw new IllegalStateException("wasm: unreachable executed")
+          case 0x00 => throw new IllegalStateException("wasm trap: unreachable")
           case 0x01 => // nop
           case 0x02 | 0x03 => // block | loop
             val bt = body(pc) & 0xff; pc += 1
-            require(bt == 0x40 || bt == 0x7f || bt == 0x7e, "unsupported block type")
-            control.prepend((op, pc, endOf(pc - 2), -1, stack.length))
+            val arity = if (bt == 0x40) 0 else 1
+            control.prepend((op, pc, code.endOf(pc - 2), stack.length, arity))
           case 0x04 => // if
             val bt = body(pc) & 0xff; pc += 1
-            require(bt == 0x40 || bt == 0x7f || bt == 0x7e, "unsupported block type")
+            val arity = if (bt == 0x40) 0 else 1
             val cond = pop()
             val opening = pc - 2
-            control.prepend((0x02, pc, endOf(opening), elseOf(opening), stack.length))
+            control.prepend((0x02, pc, code.endOf(opening), stack.length, arity))
             if (cond == 0) {
-              val e = elseOf(opening)
-              pc = if (e >= 0) e + 1 else { control.removeHead(); endOf(opening) + 1 }
+              val e = code.elseOf(opening)
+              pc = if (e >= 0) e + 1
+                   else { control.removeHead(); code.endOf(opening) + 1 }
             }
-          case 0x05 => // else (falling into it = end of then-branch)
+          case 0x05 => // else reached = end of then-branch
             val (_, _, endPc2, _, _) = control.removeHead()
             pc = endPc2 + 1
           case 0x0b => // end
             if (control.nonEmpty) control.removeHead()
-            else running = false // function body end
-          case 0x0c => branch(immU().toInt) // br
-          case 0x0d => val d = immU().toInt; if (pop() != 0) branch(d) // br_if
-          case 0x0f => // return
-            returned = if (ft.results == 1) Some(pop()) else None
-            running = false
-          case 0x10 => // call
+            else running = false
+          case 0x0c => branch(immU().toInt)
+          case 0x0d => val d = immU().toInt; if (pop() != 0) branch(d)
+          case 0x0f => doReturn()
+          case 0x10 =>
             val callee = immU().toInt
             val calleeType = types(funcTypeIdx(callee))
             val argv2 = new Array[Long](calleeType.params)
@@ -217,38 +237,39 @@ final class WasmModule(bytes: Array[Byte],
             while (i >= 0) { argv2(i) = pop(); i -= 1 }
             callFunction(callee, argv2).foreach(push)
           case 0x1a => pop() // drop
-          case 0x1b => // select
+          case 0x1b =>
             val c = pop(); val b = pop(); val a = pop(); push(if (c != 0) a else b)
-          case 0x20 => push(locals(immU().toInt)) // local.get
-          case 0x21 => locals(immU().toInt) = pop() // local.set
-          case 0x22 => locals(immU().toInt) = stack.head // local.tee
-          case 0x28 => // i32.load
+          case 0x20 => push(locals(immU().toInt))
+          case 0x21 => locals(immU().toInt) = pop()
+          case 0x22 => locals(immU().toInt) = stack.head
+          case 0x28 => // i32.load (canonical: sign-extended)
             immU(); val off = immU()
-            val addr = (pop() + off).toInt; ensureMemory(addr + 4)
-            push(((memory(addr) & 0xffL)) | ((memory(addr + 1) & 0xffL) << 8) |
-              ((memory(addr + 2) & 0xffL) << 16) | ((memory(addr + 3) & 0xffL) << 24))
-          case 0x2d => // i32.load8_u
+            val addr = checkAddr(pop() + off, 4)
+            push((((memory(addr) & 0xff)) | ((memory(addr + 1) & 0xff) << 8) |
+              ((memory(addr + 2) & 0xff) << 16) | ((memory(addr + 3) & 0xff) << 24)).toLong)
+          case 0x2d => // i32.load8_u (0..255 — canonical either way)
             immU(); val off = immU()
-            val addr = (pop() + off).toInt; ensureMemory(addr + 1)
+            val addr = checkAddr(pop() + off, 1)
             push(memory(addr) & 0xffL)
           case 0x36 => // i32.store
             immU(); val off = immU()
-            val v = pop(); val addr = (pop() + off).toInt; ensureMemory(addr + 4)
+            val v = pop(); val addr = checkAddr(pop() + off, 4)
             memory(addr) = v.toByte; memory(addr + 1) = (v >> 8).toByte
             memory(addr + 2) = (v >> 16).toByte; memory(addr + 3) = (v >> 24).toByte
           case 0x3a => // i32.store8
             immU(); val off = immU()
-            val v = pop(); val addr = (pop() + off).toInt; ensureMemory(addr + 1)
+            val v = pop(); val addr = checkAddr(pop() + off, 1)
             memory(addr) = v.toByte
           case 0x3f => immU(); push(memory.length / PageSize) // memory.size
           case 0x40 => // memory.grow
             immU(); val delta = pop().toInt
             val cur = memory.length / PageSize
-            if (cur + delta <= maxMemoryPages) { ensureMemory((cur + delta) * PageSize); push(cur) }
-            else push(-1L)
-          case 0x41 => push(i32(immS())) // i32.const
-          case 0x42 => push(immS()) // i64.const
-          case 0x45 => push(if (pop() == 0) 1 else 0) // i32.eqz
+            if (delta >= 0 && cur + delta <= maxMemoryPages) {
+              growTo((cur + delta) * PageSize); push(cur)
+            } else push(-1L)
+          case 0x41 => push(i32(immS()))
+          case 0x42 => push(immS())
+          case 0x45 => push(if (pop() == 0) 1 else 0)
           case 0x46 => push(if (pop() == pop()) 1 else 0)
           case 0x47 => push(if (pop() != pop()) 1 else 0)
           case 0x48 => val b = pop().toInt; val a = pop().toInt; push(if (a < b) 1 else 0)
@@ -266,12 +287,18 @@ final class WasmModule(bytes: Array[Byte],
           case 0x6a => push(i32(pop() + pop()))
           case 0x6b => val b = pop(); val a = pop(); push(i32(a - b))
           case 0x6c => push(i32(pop().toInt * pop().toInt))
-          case 0x6d => val b = pop().toInt; val a = pop().toInt; push(i32(a / b))
+          case 0x6d => val b = pop().toInt; val a = pop().toInt
+            if (b == 0) throw new IllegalStateException("wasm trap: div by zero")
+            push(i32(a / b))
           case 0x6e => val b = pop().toInt; val a = pop().toInt
-            push(java.lang.Integer.divideUnsigned(a, b).toLong & 0xffffffffL)
-          case 0x6f => val b = pop().toInt; val a = pop().toInt; push(i32(a % b))
+            if (b == 0) throw new IllegalStateException("wasm trap: div by zero")
+            push(java.lang.Integer.divideUnsigned(a, b).toLong)
+          case 0x6f => val b = pop().toInt; val a = pop().toInt
+            if (b == 0) throw new IllegalStateException("wasm trap: rem by zero")
+            push(i32(a % b))
           case 0x70 => val b = pop().toInt; val a = pop().toInt
-            push(java.lang.Integer.remainderUnsigned(a, b).toLong & 0xffffffffL)
+            if (b == 0) throw new IllegalStateException("wasm trap: rem by zero")
+            push(java.lang.Integer.remainderUnsigned(a, b).toLong)
           case 0x71 => push(i32(pop() & pop()))
           case 0x72 => push(i32(pop() | pop()))
           case 0x73 => push(i32(pop() ^ pop()))
@@ -292,10 +319,20 @@ final class WasmModule(bytes: Array[Byte],
 object WasmModule {
   val PageSize = 65536
 
-  /** Map opening block/loop/if positions → their end / else positions. */
+  /** Opcodes the interpreter executes, with their immediate shapes. Used
+    * by decode-time validation: a body containing anything else is
+    * rejected when the module loads, so the branch maps can never be
+    * corrupted by mis-parsed immediates of an unknown instruction. */
+  private val NoImm = Set(0x00, 0x01, 0x05, 0x0f, 0x1a, 0x1b) ++ (0x45 to 0x4f) ++
+    Set(0x6a, 0x6b, 0x6c, 0x6d, 0x6e, 0x6f, 0x70, 0x71, 0x72, 0x73, 0x74, 0x75, 0x76)
+  private val OneULeb = Set(0x0c, 0x0d, 0x10, 0x20, 0x21, 0x22, 0x3f, 0x40)
+  private val OneSLeb = Set(0x41, 0x42)
+  private val MemImm = Set(0x28, 0x2d, 0x36, 0x3a)
+
+  /** Validate opcodes and map block/loop/if openings → end / else. */
   private def scanBlocks(body: Array[Byte]): (Map[Int, Int], Map[Int, Int]) = {
     val endOf = mutable.Map[Int, Int]()
-    val elseOf = mutable.Map[Int, Int]().withDefaultValue(-1)
+    val elseOf = mutable.Map[Int, Int]()
     val stack = mutable.ArrayDeque[Int]()
     var pc = 0
     while (pc < body.length) {
@@ -303,18 +340,22 @@ object WasmModule {
       val at = pc
       pc += 1
       op match {
-        case 0x02 | 0x03 | 0x04 => stack.prepend(at); pc += 1 // blocktype byte
+        case 0x02 | 0x03 | 0x04 =>
+          val bt = body(pc) & 0xff
+          require(bt == 0x40 || bt == 0x7f || bt == 0x7e, "unsupported block type")
+          stack.prepend(at); pc += 1
         case 0x05 => elseOf(stack.head) = at
         case 0x0b => if (stack.nonEmpty) endOf(stack.removeHead()) = at
-        case 0x0c | 0x0d | 0x10 => pc = ulebAt(body, pc)._2
-        case 0x20 | 0x21 | 0x22 => pc = ulebAt(body, pc)._2
-        case 0x28 | 0x2d | 0x36 | 0x3a =>
-          pc = ulebAt(body, pc)._2; pc = ulebAt(body, pc)._2
-        case 0x3f | 0x40 => pc = ulebAt(body, pc)._2
-        case 0x41 | 0x42 => pc = slebAt(body, pc)._2
-        case _ => // no immediates
+        case o if OneULeb(o) => pc = ulebAt(body, pc)._2
+        case o if OneSLeb(o) => pc = slebAt(body, pc)._2
+        case o if MemImm(o) => pc = ulebAt(body, pc)._2; pc = ulebAt(body, pc)._2
+        case o if NoImm(o) => // no immediates
+        case other =>
+          throw new UnsupportedOperationException(
+            f"wasm opcode 0x$other%02x unsupported (decode-time)")
       }
     }
+    require(stack.isEmpty, "unbalanced blocks in function body")
     (endOf.toMap, elseOf.toMap.withDefaultValue(-1))
   }
 

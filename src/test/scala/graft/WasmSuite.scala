@@ -106,4 +106,62 @@ class WasmSuite extends SparkSpec {
     assert(out(0)._2.toSeq == Seq[Byte](-11, -21))
     assert(out(1)._2.toSeq == Seq[Byte](0, -1, -65))
   }
+
+  // ---- spec-hole regression tests (from adversarial review) -------------
+
+  test("br to the function-level label acts as return") {
+    // (func (param i32) (result i32) local.get 0; br 0)
+    val m = new WasmModule(module("f", 1, 0,
+      Seq(0x20, 0x00, 0x0c, 0x00).map(_.toByte)))
+    assert(m.invoke("f", 9L).contains(9L))
+  }
+
+  test("br out of a result-typed block carries the value") {
+    // (func (result i32) (block (result i32) i32.const 42 br 0) )
+    val m = new WasmModule(module("f", 0, 0,
+      Seq(0x02, 0x7f, 0x41, 42, 0x0c, 0x00, 0x0b).map(_.toByte)))
+    assert(m.invoke("f").contains(42L))
+  }
+
+  test("i32.eq is canonical: loaded 0xFFFFFFFF equals const -1") {
+    // store -1 at 0, then: i32.const 0; i32.load; i32.const -1; i32.eq
+    val m = new WasmModule(module("f", 0, 0, Seq[Byte](
+      0x41, 0x00, 0x2d.toByte, 0x00, 0x00) ++ Seq[Byte](0x1a) ++ // touch mem (drop)
+      Seq(0x41, 0x00).map(_.toByte) ++ Seq(0x28, 0x00, 0x00).map(_.toByte) ++
+      Seq(0x41, 0x7f).map(_.toByte) ++ Seq(0x46).map(_.toByte)))
+    m.writeMemory(0, Array[Byte](-1, -1, -1, -1))
+    assert(m.invoke("f").contains(1L))
+  }
+
+  test("out-of-bounds access traps instead of growing memory") {
+    // i32.const 2_000_000; i32.load8_u  (module has 1 page = 64 KiB)
+    val m = new WasmModule(module("f", 0, 0,
+      Seq(0x41.toByte) ++ Seq(0x80, 0x89, 0x7a).map(_.toByte) // sleb(2000000)
+        ++ Seq(0x2d, 0x00, 0x00).map(_.toByte)))
+    val e = intercept[IllegalStateException] { m.invoke("f") }
+    assert(e.getMessage.contains("out-of-bounds"))
+  }
+
+  test("modules with unsupported sections are rejected at decode time") {
+    // append an empty data section (id 11) to add5 → must fail loudly
+    val withData = add5 ++ Array[Byte](11, 1, 0)
+    val e = intercept[UnsupportedOperationException] { new WasmModule(withData) }
+    assert(e.getMessage.contains("section"))
+  }
+
+  test("rows cannot see each other's payload bytes (memory cleared)") {
+    val host = new WasmHost.WasmModule.Interpreted(xor255)
+    val big = host.invoke("xor255", Array.fill[Byte](64)(7))
+    assert(big.forall(_ == (7 ^ 0xff).toByte))
+    // short second payload: guest scanning past len must see zeros, so a
+    // third call reading beyond its own payload gets 0^255, not old bytes
+    host.invoke("xor255", Array[Byte](1))
+    val probeModule = new WasmModule(xor255)
+    // direct engine check on a fresh interpreter mirrors the convention:
+    // after the host writes+clears, bytes beyond payload are zero
+    val h2 = new WasmHost.WasmModule.Interpreted(xor255)
+    h2.invoke("xor255", Array.fill[Byte](32)(5))
+    val out2 = h2.invoke("xor255", Array[Byte](9))
+    assert(out2.toSeq == Seq[Byte]((9 ^ 0xff).toByte))
+  }
 }
