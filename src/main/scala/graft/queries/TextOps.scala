@@ -94,6 +94,64 @@ object TextOps {
         .orderBy(col("pred_lang"), col("true_lang"))
     },
 
+    // ---- Repetition scoring (Gopher-style): low distinct-token ratio =
+    // boilerplate/spam. Pure per-row array ops, no shuffle.
+    Q("q_repetition",
+      """SELECT doc_id,
+        |  CAST(len(list_distinct(t)) AS INT) AS n_distinct,
+        |  CAST(len(t) AS INT) AS n_tok,
+        |  CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS distinct_ratio,
+        |  CASE WHEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t) < 0.3
+        |       THEN 1 ELSE 0 END AS repetitive
+        |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = TextFunctions.tokens(col("text"))
+      val ratio = size(array_distinct(toks)).cast("double") / size(toks)
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(array_distinct(toks)).as("n_distinct"),
+        size(toks).as("n_tok"),
+        ratio.as("distinct_ratio"),
+        when(ratio < 0.3, 1).otherwise(0).as("repetitive"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- The full curation pipeline in one verifiable query: quality
+    // filter → language filter → whitespace-insensitive dedup (keep lowest
+    // doc_id per fingerprint) → keep-list. This is the composed shape a
+    // training-data pipeline runs at 100 TB: two scans + one small
+    // aggregation on the fingerprint, all other stages fused per-row.
+    Q("q_curation_pipeline",
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    substring(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), 1, 16) AS fp,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the','a','an','of','to','and','in','is'))) AS n_stop
+        |  FROM documents),
+        |kept AS (
+        |  SELECT * FROM scored
+        |  WHERE n_tok BETWEEN 20 AND 1000 AND n_stop > 0),
+        |dedup AS (
+        |  SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_near_dups
+        |  FROM kept GROUP BY fp)
+        |SELECT k.doc_id, k.lang, k.n_tok, d.n_near_dups
+        |FROM kept k JOIN dedup d ON k.doc_id = d.keep_id
+        |ORDER BY k.doc_id""".stripMargin) { (s, d) =>
+      val toks = TextFunctions.tokens(col("text"))
+      val scored = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        TextFunctions.fingerprint(col("text")).as("fp"),
+        size(toks).as("n_tok"),
+        size(filter(toks, t => t.isin(TextFunctions.Stopwords: _*))).as("n_stop"))
+      val kept = scored.filter(col("n_tok").between(20, 1000) && col("n_stop") > 0)
+      val dedup = kept.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_near_dups"))
+      kept.join(dedup, kept("doc_id") === dedup("keep_id"))
+        .select(kept("doc_id"), col("lang"), col("n_tok"), col("n_near_dups"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- Content fingerprint (whitespace-insensitive dedup key; same idea
     // as the reference's BLAKE3-16 content ids,
     // system/userland/macros/src/schema.rs:44-50, with a public hash).

@@ -108,4 +108,26 @@ class FunctionsSuite extends SparkSpec {
     assert(toks(0) == Seq("hello", ",", "world", "!", "x2"))
     assert(toks(1) == Seq("don't", "stop"))
   }
+
+  test("multi-table LSH recall@1 >= 0.85 on real embeddings (deterministic)") {
+    val d = "/root/testdata/sf0.001"
+    val lsh = SparkEntry.queries("q_ann_lsh")(spark, d)
+      .select("src", "nbr").as[(Long, Long)].collect().toMap
+    val exact = {
+      val e = spark.read.parquet(s"$d/embeddings.parquet")
+        .withColumn("v", col("embedding").cast("array<double>"))
+      val a = e.select(col("vec_id").as("src"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("nbr"), col("v").as("vb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("sim").desc, col("nbr"))
+      a.crossJoin(b).filter(col("src") =!= col("nbr"))
+        .select(col("src"), col("nbr"),
+          round(VectorFunctions.cosine(col("va"), col("vb")), 6).as("sim"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("src", "nbr").as[(Long, Long)].collect().toMap
+    }
+    val recall = exact.count { case (src, nn) => lsh.get(src).contains(nn) }.toDouble / exact.size
+    info(f"LSH recall@1 = $recall%.3f over ${exact.size} vectors")
+    assert(recall >= 0.85)
+  }
 }
