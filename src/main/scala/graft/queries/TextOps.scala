@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.functions.TextFunctions
+import graft.functions.{HeavyHitters, TextFunctions}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table: token statistics,
@@ -92,6 +92,19 @@ object TextOps {
         .groupBy(col("pred_lang"), col("true_lang"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("pred_lang"), col("true_lang"))
+    },
+
+    // ---- Heavy-hitter tokens per language via the Misra–Gries sketch
+    // (rows-only check: merge order affects approximate counts). At 100 TB
+    // this replaces an unboundedly wide token groupBy with a fixed-size
+    // mergeable buffer per group.
+    Q.noOracle("q_heavy_hitters") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy(col("lang"))
+        .agg(HeavyHitters.heavyHitters(col("tok"), 16).as("top_tokens"))
+        .select(col("lang"), map_keys(col("top_tokens")).as("tokens"))
+        .orderBy(col("lang"))
     },
 
     // ---- Repetition scoring (Gopher-style): low distinct-token ratio =

@@ -130,4 +130,16 @@ class FunctionsSuite extends SparkSpec {
     info(f"LSH recall@1 = $recall%.3f over ${exact.size} vectors")
     assert(recall >= 0.85)
   }
+
+  test("heavy hitters sketch: guaranteed recall above n/k, bounded error") {
+    // 1000 "hot" + 200 "warm" + 500 singletons; capacity 16 → threshold ~106
+    val items = Seq.fill(1000)("hot") ++ Seq.fill(200)("warm") ++
+      (1 to 500).map(i => s"rare$i")
+    val df = scala.util.Random.shuffle(items).toDF("w") // order-insensitive guarantees
+    val m = df.agg(HeavyHitters.heavyHitters(col("w"), 16).as("hh"))
+      .as[Map[String, Long]].collect().head
+    assert(m.contains("hot") && m.contains("warm")) // freq > n/k must survive
+    assert(m("hot") <= 1000 && m("hot") >= 1000 - items.size / 16)
+    assert(m.size <= 16)
+  }
 }
