@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.Path
+
+import graft.catalog.Atlas
+import graft.channel.ChannelRegistry
+import graft.runtime.QueryManager
+import graft.streaming.LogAnalyser
+import graft.switchboard.Switchboard
+import org.apache.spark.sql.SparkSession
+
+/** One-call boot of the engine runtime — the Spark-side equivalent of the
+  * reference's host runtime wiring (system/runtime/src/main.rs: kernel +
+  * registry + switchboard + atlas + module deployment). Returns every
+  * subsystem pre-wired: durable channel registry under `root`, URI
+  * catalogue, capability-checked query manager (with the engine logs
+  * channel installed), and the typed switchboard.
+  */
+final case class Graft(
+    spark: SparkSession,
+    registry: ChannelRegistry,
+    atlas: Atlas,
+    queries: QueryManager,
+    switchboard: Switchboard) {
+
+  /** The engine's own log stream — subscribe like any channel (S8). */
+  def logs: channel.Channel = registry.get(Graft.LogsChannel)
+}
+
+object Graft {
+  val LogsChannel = "graft_logs"
+
+  def boot(spark: SparkSession, root: Path): Graft = {
+    Tables.ensureConf(spark)
+    val registry = new ChannelRegistry(spark, root)
+    val atlas = new Atlas
+    val logsSchema =
+      org.apache.spark.sql.Encoders.product[LogAnalyser.LogRecord].schema
+    val logsCh = registry.getOrCreate(LogsChannel, logsSchema)
+    atlas.insert("sel://graft/logs", LogsChannel)
+    val qm = new QueryManager(spark, logsChannel = Some(logsCh))
+    val sb = new Switchboard(spark, registry)
+    atlas.registerSingleton("switchboard", sb)
+    Graft(spark, registry, atlas, qm, sb)
+  }
+}

@@ -211,4 +211,16 @@ class EngineSuite extends SparkSpec {
         Set("hello world", "another doc", "third one"))
     } finally q.stop()
   }
+
+  test("Graft.boot wires the full runtime in one call") {
+    val g = Graft.boot(spark, tmpDir("boot"))
+    assert(g.atlas.get("sel://graft/logs").contains(Graft.LogsChannel))
+    assert(g.atlas.requireSingleton[graft.switchboard.Switchboard]("switchboard") eq g.switchboard)
+    // lifecycle events land on the engine logs channel
+    intercept[SecurityException] {
+      g.queries.start("x", graft.runtime.Session("nobody", Set.empty),
+        Set(graft.runtime.Capability.ChannelRead))(_ => fail("unreachable"))
+    }
+    assert(g.logs.read().count() >= 1)
+  }
 }
