@@ -21,20 +21,35 @@ object WasmAssembler {
 
   def name(s: String): Seq[Byte] = uleb(s.length.toLong) ++ s.getBytes("UTF-8").toSeq
 
-  /** One exported i32-typed function (+1 memory page). */
-  def module(export: String, nParams: Int, nLocals: Int, body: Seq[Byte]): Array[Byte] = {
+  /** One exported i32-typed function (+1 memory page), optionally with
+    * const-initialized globals `(mutable, init)` and active data segments
+    * `(offset, bytes)`. */
+  def module(export: String, nParams: Int, nLocals: Int, body: Seq[Byte],
+             globals: Seq[(Boolean, Long)] = Nil,
+             data: Seq[(Int, Array[Byte])] = Nil): Array[Byte] = {
     val header = Seq(0x00, 0x61, 0x73, 0x6d, 0x01, 0x00, 0x00, 0x00).map(_.toByte)
     val typeSec = section(1, vec(Seq(
       Seq(0x60.toByte) ++ vec(Seq.fill(nParams)(Seq(0x7f.toByte))) ++
         vec(Seq(Seq(0x7f.toByte))))))
     val funcSec = section(3, vec(Seq(uleb(0))))
     val memSec = section(5, vec(Seq(Seq(0x00.toByte) ++ uleb(1))))
+    val globalSec = if (globals.isEmpty) Nil else section(6, vec(globals.map {
+      case (mut, init) =>
+        Seq(0x7f.toByte, (if (mut) 1 else 0).toByte, 0x41.toByte) ++
+          sleb(init) :+ 0x0b.toByte
+    }))
     val exportSec = section(7, vec(Seq(name(export) ++ Seq(0x00.toByte) ++ uleb(0))))
     val locals = if (nLocals > 0) vec(Seq(uleb(nLocals.toLong) ++ Seq(0x7f.toByte)))
                  else vec(Nil)
     val code = locals ++ body :+ 0x0b.toByte
     val codeSec = section(10, vec(Seq(uleb(code.length.toLong) ++ code)))
-    (header ++ typeSec ++ funcSec ++ memSec ++ exportSec ++ codeSec).toArray
+    val dataSec = if (data.isEmpty) Nil else section(11, vec(data.map {
+      case (off, d) =>
+        (uleb(0) ++ Seq(0x41.toByte) ++ sleb(off.toLong) :+ 0x0b.toByte) ++
+          uleb(d.length.toLong) ++ d.toSeq
+    }))
+    (header ++ typeSec ++ funcSec ++ memSec ++ globalSec ++ exportSec ++
+      codeSec ++ dataSec).toArray
   }
 
   /** `f(x) = (x * a + b)` over i32 (wrapping) — the demo guest transform. */

@@ -51,6 +51,20 @@ final class WasmModule(bytes: Array[Byte],
   private val exports = mutable.Map[String, Int]()
   private val codes = mutable.ArrayBuffer[Code]()
   private var memPagesMin = 0
+  private val globals = mutable.ArrayBuffer[Long]() // values (i32/i64)
+  private val globalMutable = mutable.ArrayBuffer[Boolean]()
+  // data segments decoded before memory exists: applied after sizing
+  private val dataSegments = mutable.ArrayBuffer[(Int, Array[Byte])]()
+
+  /** Decode a constant-expression initializer: `i32.const n end` /
+    * `i64.const n end` (the only forms the subset accepts). */
+  private def constExpr(): Long = {
+    val op = u8()
+    require(op == 0x41 || op == 0x42, "unsupported const initializer")
+    val (v, np) = slebAt(bytes, pos); pos = np
+    require(u8() == 0x0b, "malformed const initializer")
+    if (op == 0x41) v.toInt.toLong else v
+  }
 
   require(rawU32() == 0x6d736100L, "not a wasm module (magic)") // "\0asm" LE
   require(rawU32() == 1L, "unsupported wasm version")
@@ -111,11 +125,28 @@ final class WasmModule(bytes: Array[Byte],
           codes += Code(nLocals, body, endOf, elseOf)
           pos = bodyEnd
         }
+      case 6 => // globals: const-initialized i32/i64
+        val n = uleb().toInt
+        (0 until n).foreach { _ =>
+          val t = u8(); require(t == 0x7f || t == 0x7e, "unsupported global type")
+          val mut = u8()
+          globalMutable += (mut == 1)
+          globals += constExpr()
+        }
+      case 11 => // data: active segments with i32.const offsets
+        val n = uleb().toInt
+        (0 until n).foreach { _ =>
+          val flags = uleb().toInt
+          require(flags == 0, "only active data segments on memory 0 supported")
+          val offset = constExpr().toInt
+          val len = uleb().toInt
+          dataSegments += ((offset, take(len)))
+        }
       case other =>
-        // imports(2)/tables(4)/globals(6)/start(8)/elements(9)/data(11):
-        // executing a module that relies on them would be silently wrong
+        // imports(2)/tables(4)/start(8)/elements(9): executing a module
+        // that relies on them would be silently wrong
         throw new UnsupportedOperationException(
-          s"wasm section id $other unsupported (imports/globals/tables/data)")
+          s"wasm section id $other unsupported (imports/tables/start/elements)")
     }
     require(pos == end, s"section $id malformed")
   }
@@ -123,6 +154,11 @@ final class WasmModule(bytes: Array[Byte],
   // ---- runtime -----------------------------------------------------------
 
   private var memory = new Array[Byte](memPagesMin * PageSize)
+  dataSegments.foreach { case (offset, data) =>
+    require(offset >= 0 && offset + data.length <= memory.length,
+      "data segment exceeds initial memory")
+    System.arraycopy(data, 0, memory, offset, data.length)
+  }
 
   def memorySize: Int = memory.length
   def readMemory(offset: Int, len: Int): Array[Byte] = memory.slice(offset, offset + len)
@@ -242,6 +278,11 @@ final class WasmModule(bytes: Array[Byte],
           case 0x20 => push(locals(immU().toInt))
           case 0x21 => locals(immU().toInt) = pop()
           case 0x22 => locals(immU().toInt) = stack.head
+          case 0x23 => push(globals(immU().toInt)) // global.get
+          case 0x24 => // global.set
+            val g = immU().toInt
+            require(globalMutable(g), s"wasm trap: global $g immutable")
+            globals(g) = pop()
           case 0x28 => // i32.load (canonical: sign-extended)
             immU(); val off = immU()
             val addr = checkAddr(pop() + off, 4)
@@ -325,7 +366,7 @@ object WasmModule {
     * corrupted by mis-parsed immediates of an unknown instruction. */
   private val NoImm = Set(0x00, 0x01, 0x05, 0x0f, 0x1a, 0x1b) ++ (0x45 to 0x4f) ++
     Set(0x6a, 0x6b, 0x6c, 0x6d, 0x6e, 0x6f, 0x70, 0x71, 0x72, 0x73, 0x74, 0x75, 0x76)
-  private val OneULeb = Set(0x0c, 0x0d, 0x10, 0x20, 0x21, 0x22, 0x3f, 0x40)
+  private val OneULeb = Set(0x0c, 0x0d, 0x10, 0x20, 0x21, 0x22, 0x23, 0x24, 0x3f, 0x40)
   private val OneSLeb = Set(0x41, 0x42)
   private val MemImm = Set(0x28, 0x2d, 0x36, 0x3a)
 

@@ -143,9 +143,11 @@ class WasmSuite extends SparkSpec {
   }
 
   test("modules with unsupported sections are rejected at decode time") {
-    // append an empty data section (id 11) to add5 → must fail loudly
-    val withData = add5 ++ Array[Byte](11, 1, 0)
-    val e = intercept[UnsupportedOperationException] { new WasmModule(withData) }
+    // append an empty IMPORT section (id 2) to add5 → must fail loudly
+    // (imports shift the function index space; silently skipping would
+    // mis-resolve every call)
+    val withImports = add5 ++ Array[Byte](2, 1, 0)
+    val e = intercept[UnsupportedOperationException] { new WasmModule(withImports) }
     assert(e.getMessage.contains("section"))
   }
 
@@ -163,5 +165,24 @@ class WasmSuite extends SparkSpec {
     h2.invoke("xor255", Array.fill[Byte](32)(5))
     val out2 = h2.invoke("xor255", Array[Byte](9))
     assert(out2.toSeq == Seq[Byte]((9 ^ 0xff).toByte))
+  }
+
+  test("data segments initialize memory; globals are readable/mutable") {
+    import graft.udf.wasm.WasmAssembler
+    // f(i) = mem[i] + global0 ; global1 counts invocations
+    val m = new WasmModule(WasmAssembler.module("f", 1, 0, Seq(
+      0x23, 0x01, 0x41, 0x01, 0x6a, 0x24, 0x01, // g1 = g1 + 1
+      0x20, 0x00, 0x2d, 0x00, 0x00,             // load8 mem[i]
+      0x23, 0x00, 0x6a                          // + g0
+    ).map(_.toByte),
+      globals = Seq((false, 100L), (true, 0L)),
+      data = Seq((0, Array[Byte](7, 8, 9)))))
+    assert(m.invoke("f", 0L).contains(107L))
+    assert(m.invoke("f", 2L).contains(109L))
+    // immutable global rejects writes
+    val bad = new WasmModule(WasmAssembler.module("g", 0, 0,
+      Seq(0x41, 0x01, 0x24, 0x00).map(_.toByte) ++ Seq(0x41.toByte, 0x00.toByte),
+      globals = Seq((false, 0L))))
+    intercept[IllegalArgumentException] { bad.invoke("g") }
   }
 }
