@@ -27,9 +27,10 @@ object PipelineDemo {
     import spark.implicits._
 
     val root = Files.createTempDirectory("graft_demo")
-    val registry = new ChannelRegistry(spark, root)
-    val atlas = new Atlas
-    val qm = new QueryManager(spark)
+    val engine = Graft.boot(spark, root)
+    val registry = engine.registry
+    val atlas = engine.atlas
+    val qm = engine.queries
 
     // deploy from a boot module-spec (declarative deployment parity)
     val spec = ModuleSpec.parse(
@@ -72,6 +73,8 @@ object PipelineDemo {
     val attribution = ch.read().groupBy("_writer_id").count()
       .as[(Int, Long)].collect().sortBy(_._1)
     println(s"DEMO_WRITERS=${attribution.mkString(",")}")
+    // engine observability: lifecycle events landed on the logs channel
+    println(s"DEMO_ENGINE_LOGS=${engine.logs.read().count()}")
     spark.stop()
   }
 }

@@ -103,6 +103,64 @@ object Relational {
         .orderBy($("r_name"), $("n_name"))
     },
 
+    // ---- Two-dimension join volume (TPC-H Q7 shape): supplier nation ×
+    // customer nation shipping volume by year.
+    Q("q7_nation_volume",
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS ship_year,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS volume
+        |FROM lineitem l
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        |WHERE sn.n_name IN ('NATION_3', 'NATION_7') AND cn.n_name IN ('NATION_3', 'NATION_7')
+        |GROUP BY supp_nation, cust_nation, ship_year
+        |ORDER BY supp_nation, cust_nation, ship_year""".stripMargin) { (s, d) =>
+      val l = Tables.lineitem(s, d)
+      val sup = Tables.supplier(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d).filter($("n_name").isin("NATION_3", "NATION_7"))
+      val sn = n.select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val cn = n.select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      l.join(broadcast(sup), sup("s_suppkey") === l("l_suppkey"))
+        .join(broadcast(sn), col("sk") === sup("s_nationkey"))
+        .join(o, o("o_orderkey") === l("l_orderkey"))
+        .join(broadcast(c), c("c_custkey") === o("o_custkey"))
+        .join(broadcast(cn), col("ck") === c("c_nationkey"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("ship_year"))
+        .agg(Tables.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("volume"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+    },
+
+    // ---- Returned-item revenue per customer, top 20 (TPC-H Q10 shape).
+    Q("q10_returned_revenue",
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |GROUP BY c.c_custkey, c.c_name, n.n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d).filter($("l_returnflag") === "R")
+      val n = Tables.nation(s, d)
+      l.join(o, o("o_orderkey") === l("l_orderkey"))
+        .join(broadcast(c), c("c_custkey") === o("o_custkey"))
+        .join(broadcast(n), n("n_nationkey") === c("c_nationkey"))
+        .groupBy($("c_custkey"), $("c_name"), $("n_name"))
+        .agg(Tables.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+        .orderBy(col("revenue").desc, $("c_custkey"))
+        .limit(20)
+    },
+
     // ---- DISTINCT aggregation.
     Q("q_distinct_segments",
       """SELECT c_mktsegment,

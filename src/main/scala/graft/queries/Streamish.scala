@@ -240,6 +240,25 @@ object Streamish {
         .orderBy(col("user_id"), col("session_id"))
     },
 
+    // ---- Sliding event-time windows (2-day windows, 1-day slide): each
+    // event lands in two overlapping windows. The oracle materializes the
+    // two candidate window starts per event explicitly.
+    Q("q_window_sliding",
+      """SELECT strftime(w, '%Y-%m-%d') AS win_start, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT date_trunc('day', ts) AS w, value FROM events
+        |  UNION ALL
+        |  SELECT date_trunc('day', ts) - INTERVAL 1 DAY AS w, value FROM events)
+        |GROUP BY w ORDER BY win_start""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(expr("timestamp_micros(ts div 1000)"), "2 days", "1 day").as("w"))
+        .agg(count(lit(1)).as("n"), Tables.exactSum(col("value")).as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd").as("win_start"),
+          col("n"), col("sum_value"))
+        .orderBy(col("win_start"))
+    },
+
     // ---- Streaming exact dedup in the gate: dropDuplicatesWithinWatermark
     // over the live events stream; first-seen (user_id, day) pairs emitted
     // immediately, state evicted behind the watermark. Key-only output =
