@@ -159,6 +159,23 @@ final class Channel private[channel] (
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
 
+  /** Compact all current batches into one (small-file hygiene: a
+    * long-lived topic accumulates one directory per micro-batch; readers
+    * pay per-file open costs). Metadata columns (`_seq`/`_offset`/
+    * `_writer_id`) are already data in the stored files, so offset order
+    * and attribution survive compaction. Not safe concurrently with
+    * writers (call from a maintenance window / drained topic). */
+  def compact(): Unit = {
+    val batches = listBatches(dir)
+    if (batches.size <= 1) return
+    val df = spark.read.schema(withWriterId(schema)).parquet(batches.map(_.toString): _*)
+    val seq = nextSeq(dir)
+    val tmp = dir.resolve(s"_compacting")
+    df.coalesce(math.max(1, partitions)).write.mode("overwrite").parquet(tmp.toString)
+    batches.foreach(Channel.deleteRecursively)
+    Files.move(tmp, dir.resolve(f"batch_$seq%012d" + "_compacted"))
+  }
+
   /** Channel health/metrics row (ops surface; droppedBytes is the
     * ReaderBehind accounting, reference messaging/src/lib.rs:106-110). */
   def metrics(): DataFrame = {

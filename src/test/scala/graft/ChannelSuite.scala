@@ -122,4 +122,20 @@ class ChannelSuite extends SparkSpec {
     ch.writeEpoch(batch, writerId = 3, epochId = 1) // next epoch: appended
     assert(ch.read().count() == 4)
   }
+
+  test("compaction merges batches, preserving order and attribution") {
+    val reg = new ChannelRegistry(spark, tmpDir("chan"))
+    val ch = reg.create("t10", schema)
+    (0 until 5).foreach(i => ch.write(Seq((i, s"m$i")).toDF("id", "msg"), i))
+    val before = ch.read().select("id", Channel.WriterIdCol)
+      .as[(Int, Int)].collect().toSeq
+    ch.compact()
+    assert(ch.metrics().collect().head.getAs[Long]("n_batches") == 1)
+    val after = ch.read().select("id", Channel.WriterIdCol)
+      .as[(Int, Int)].collect().toSeq
+    assert(after == before)
+    // writes continue after compaction with fresh sequence numbers
+    ch.write(Seq((9, "post")).toDF("id", "msg"), 9)
+    assert(ch.read().select("id").as[Int].collect().last == 9)
+  }
 }
