@@ -9,16 +9,16 @@ import scala.collection.mutable
   * the core needed for bytes→bytes / scalar transforms directly from the
   * public WebAssembly binary-format spec:
   *
-  *  - sections: type, function, memory, export, code (+ custom, skipped);
+  *  - sections: type, function, memory, global, export, code, data
+  *    (+ custom, skipped);
   *  - values: i32/i64, canonical form = sign-extended in a Long;
   *  - instructions: control (block/loop/if/else/br/br_if/return/call),
   *    locals, i32/i64 const, i32 arithmetic/logic/comparison, i32 memory
   *    load/store (incl. 8-bit), memory.size/grow, drop/select, nop.
   *
   * Everything outside the subset fails LOUDLY at decode time: unsupported
-  * sections (imports, data, globals, tables, elements) and unsupported
-  * opcodes are rejected when the module is constructed, never silently
-  * mis-executed. Function bodies are opcode-validated and their block
+  * sections (imports, tables, start, elements) and unsupported opcodes are
+  * rejected when the module is constructed, never silently mis-executed. Function bodies are opcode-validated and their block
   * structure is precomputed once at decode, not per invocation.
   *
   * Isolation invariants mirror the reference's sandbox rules
@@ -40,11 +40,6 @@ final class WasmModule(bytes: Array[Byte],
   private def take(n: Int): Array[Byte] = { val a = bytes.slice(pos, pos + n); pos += n; a }
   private def rawU32(): Long =
     u8().toLong | (u8().toLong << 8) | (u8().toLong << 16) | (u8().toLong << 24)
-
-  final case class FuncType(params: Int, results: Int)
-  /** Per-function: locals count, body bytes, block-end map, else map. */
-  final case class Code(nLocals: Int, body: Array[Byte],
-                        endOf: Map[Int, Int], elseOf: Map[Int, Int])
 
   private val types = mutable.ArrayBuffer[FuncType]()
   private val funcTypeIdx = mutable.ArrayBuffer[Int]()
@@ -359,6 +354,11 @@ final class WasmModule(bytes: Array[Byte],
 
 object WasmModule {
   val PageSize = 65536
+
+  final case class FuncType(params: Int, results: Int)
+  /** Per-function: locals count, body bytes, block-end map, else map. */
+  final case class Code(nLocals: Int, body: Array[Byte],
+                        endOf: Map[Int, Int], elseOf: Map[Int, Int])
 
   /** Opcodes the interpreter executes, with their immediate shapes. Used
     * by decode-time validation: a body containing anything else is
