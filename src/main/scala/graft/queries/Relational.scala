@@ -222,6 +222,44 @@ object Relational {
         .orderBy($("c_custkey"))
     },
 
+    // ---- Outer join with null-group handling: every customer, including
+    // the order-less, with order stats.
+    Q("q_outer_join",
+      """SELECT c.c_custkey,
+        |  COUNT(o.o_orderkey) AS n_orders,
+        |  CAST(SUM(CAST(coalesce(o.o_totalprice, 0) AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+        |  CASE WHEN COUNT(o.o_orderkey) = 0 THEN 1 ELSE 0 END AS inactive
+        |FROM customer c
+        |LEFT JOIN orders o ON o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter($("o_totalprice") > 300000)
+      c.join(o, o("o_custkey") === c("c_custkey"), "left")
+        .groupBy($("c_custkey"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          Tables.exactSum(coalesce(col("o_totalprice"), lit(0))).as("total_spent"),
+          when(count(col("o_orderkey")) === 0, 1).otherwise(0).as("inactive"))
+        .orderBy($("c_custkey"))
+    },
+
+    // ---- CUBE grouping sets (all combinations; Catalyst freebie exposed).
+    Q("q_cube",
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube($("l_returnflag"), $("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce($("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce($("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"))
+        .orderBy(col("rf"), col("ls"))
+    },
+
     // ---- Set operation: EXCEPT (distinct semantics on both engines).
     Q("q_except_setop",
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'

@@ -212,6 +212,35 @@ class EngineSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join: requests meet replies within the window (J7 live)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val reqs = MemoryStream[(Long, Long, String)] // (request_id, ts_ms, msg)
+    val reps = MemoryStream[(Long, Long, String)]
+    val reqDf = reqs.toDF().toDF("request_id", "ts_ms", "msg")
+      .withColumn("req_ts", timestamp_millis(col("ts_ms"))).drop("ts_ms")
+      .withWatermark("req_ts", "10 seconds")
+    val repDf = reps.toDF().toDF("request_id", "ts_ms", "reply")
+      .withColumn("rep_ts", timestamp_millis(col("ts_ms"))).drop("ts_ms")
+      .withWatermark("rep_ts", "10 seconds")
+    val j = reqDf.as("q").join(repDf.as("p"),
+      col("q.request_id") === col("p.request_id") &&
+        col("p.rep_ts").between(col("q.req_ts"),
+          col("q.req_ts") + expr("INTERVAL 30 seconds")))
+      .select(col("q.request_id"), col("q.msg"), col("p.reply"))
+    val query = j.writeStream.format("memory").queryName("ssj").start()
+    try {
+      reqs.addData((1L, 1000L, "ping"), (2L, 2000L, "pong"))
+      reps.addData((1L, 5000L, "ping!"))
+      query.processAllAvailable()
+      reps.addData((2L, 90000L, "too-late")) // outside the 30s join window
+      query.processAllAvailable()
+      val rows = spark.table("ssj").select("request_id", "reply")
+        .as[(Long, String)].collect().toSet
+      assert(rows == Set((1L, "ping!")))
+    } finally query.stop()
+  }
+
   test("Graft.boot wires the full runtime in one call") {
     val g = Graft.boot(spark, tmpDir("boot"))
     assert(g.atlas.get("sel://graft/logs").contains(Graft.LogsChannel))
