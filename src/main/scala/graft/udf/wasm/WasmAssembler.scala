@@ -21,16 +21,22 @@ object WasmAssembler {
 
   def name(s: String): Seq[Byte] = uleb(s.length.toLong) ++ s.getBytes("UTF-8").toSeq
 
-  /** One exported i32-typed function (+1 memory page), optionally with
-    * const-initialized globals `(mutable, init)` and active data segments
-    * `(offset, bytes)`. */
+  /** One exported function (+1 memory page), optionally with
+    * const-initialized globals `(mutable, init)`, active data segments
+    * `(offset, bytes)`, and explicit value types (default all-i32).
+    * Valtypes: 0x7f=i32 0x7e=i64 0x7d=f32 0x7c=f64. */
   def module(export: String, nParams: Int, nLocals: Int, body: Seq[Byte],
              globals: Seq[(Boolean, Long)] = Nil,
-             data: Seq[(Int, Array[Byte])] = Nil): Array[Byte] = {
+             data: Seq[(Int, Array[Byte])] = Nil,
+             paramTypes: Seq[Int] = Nil,
+             resultType: Int = 0x7f,
+             localType: Int = 0x7f): Array[Byte] = {
+    val pts = if (paramTypes.nonEmpty) paramTypes else Seq.fill(nParams)(0x7f)
+    require(pts.length == nParams)
     val header = Seq(0x00, 0x61, 0x73, 0x6d, 0x01, 0x00, 0x00, 0x00).map(_.toByte)
     val typeSec = section(1, vec(Seq(
-      Seq(0x60.toByte) ++ vec(Seq.fill(nParams)(Seq(0x7f.toByte))) ++
-        vec(Seq(Seq(0x7f.toByte))))))
+      Seq(0x60.toByte) ++ vec(pts.map(t => Seq(t.toByte))) ++
+        vec(Seq(Seq(resultType.toByte))))))
     val funcSec = section(3, vec(Seq(uleb(0))))
     val memSec = section(5, vec(Seq(Seq(0x00.toByte) ++ uleb(1))))
     val globalSec = if (globals.isEmpty) Nil else section(6, vec(globals.map {
@@ -39,7 +45,7 @@ object WasmAssembler {
           sleb(init) :+ 0x0b.toByte
     }))
     val exportSec = section(7, vec(Seq(name(export) ++ Seq(0x00.toByte) ++ uleb(0))))
-    val locals = if (nLocals > 0) vec(Seq(uleb(nLocals.toLong) ++ Seq(0x7f.toByte)))
+    val locals = if (nLocals > 0) vec(Seq(uleb(nLocals.toLong) ++ Seq(localType.toByte)))
                  else vec(Nil)
     val code = locals ++ body :+ 0x0b.toByte
     val codeSec = section(10, vec(Seq(uleb(code.length.toLong) ++ code)))

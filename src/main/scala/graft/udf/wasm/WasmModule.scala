@@ -55,10 +55,19 @@ final class WasmModule(bytes: Array[Byte],
     * `i64.const n end` (the only forms the subset accepts). */
   private def constExpr(): Long = {
     val op = u8()
-    require(op == 0x41 || op == 0x42, "unsupported const initializer")
-    val (v, np) = slebAt(bytes, pos); pos = np
+    val v = op match {
+      case 0x41 | 0x42 =>
+        val (sv, np) = slebAt(bytes, pos); pos = np
+        if (op == 0x41) sv.toInt.toLong else sv
+      case 0x43 => // f32.const: raw bits, zero-extended
+        take(4).zipWithIndex.map { case (b, i) => (b & 0xffL) << (8 * i) }.sum
+      case 0x44 => // f64.const: raw bits
+        take(8).zipWithIndex.map { case (b, i) => (b & 0xffL) << (8 * i) }.sum
+      case other =>
+        throw new UnsupportedOperationException(f"const initializer 0x$other%02x")
+    }
     require(u8() == 0x0b, "malformed const initializer")
-    if (op == 0x41) v.toInt.toLong else v
+    v
   }
 
   require(rawU32() == 0x6d736100L, "not a wasm module (magic)") // "\0asm" LE
@@ -76,11 +85,11 @@ final class WasmModule(bytes: Array[Byte],
           require(u8() == 0x60, "expected functype")
           val np = uleb().toInt
           (0 until np).foreach { _ =>
-            val t = u8(); require(t == 0x7f || t == 0x7e, "unsupported param type")
+            val t = u8(); require(ValTypes(t), "unsupported param type")
           }
           val nr = uleb().toInt
           (0 until nr).foreach { _ =>
-            val t = u8(); require(t == 0x7f || t == 0x7e, "unsupported result type")
+            val t = u8(); require(ValTypes(t), "unsupported result type")
           }
           require(nr <= 1, "multi-value results unsupported")
           types += FuncType(np, nr)
@@ -112,7 +121,7 @@ final class WasmModule(bytes: Array[Byte],
           val nGroups = uleb().toInt
           (0 until nGroups).foreach { _ =>
             val cnt = uleb().toInt
-            val t = u8(); require(t == 0x7f || t == 0x7e, "unsupported local type")
+            val t = u8(); require(ValTypes(t), "unsupported local type")
             nLocals += cnt
           }
           val body = bytes.slice(pos, bodyEnd)
@@ -123,7 +132,7 @@ final class WasmModule(bytes: Array[Byte],
       case 6 => // globals: const-initialized i32/i64
         val n = uleb().toInt
         (0 until n).foreach { _ =>
-          val t = u8(); require(t == 0x7f || t == 0x7e, "unsupported global type")
+          val t = u8(); require(ValTypes(t), "unsupported global type")
           val mut = u8()
           globalMutable += (mut == 1)
           globals += constExpr()
@@ -341,6 +350,166 @@ final class WasmModule(bytes: Array[Byte],
           case 0x74 => val b = pop().toInt; val a = pop().toInt; push(i32(a << (b & 31)))
           case 0x75 => val b = pop().toInt; val a = pop().toInt; push(i32(a >> (b & 31)))
           case 0x76 => val b = pop().toInt; val a = pop().toInt; push(i32(a >>> (b & 31)))
+
+          // ---- i64 ----
+          case 0x29 => // i64.load
+            immU(); val off = immU()
+            val addr = checkAddr(pop() + off, 8)
+            var v = 0L; var i = 7
+            while (i >= 0) { v = (v << 8) | (memory(addr + i) & 0xffL); i -= 1 }
+            push(v)
+          case 0x37 => // i64.store
+            immU(); val off = immU()
+            val v = pop(); val addr = checkAddr(pop() + off, 8)
+            var i = 0
+            while (i < 8) { memory(addr + i) = (v >> (8 * i)).toByte; i += 1 }
+          case 0x50 => push(if (pop() == 0) 1 else 0) // i64.eqz
+          case 0x51 => push(if (pop() == pop()) 1 else 0)
+          case 0x52 => push(if (pop() != pop()) 1 else 0)
+          case 0x53 => val b = pop(); val a = pop(); push(if (a < b) 1 else 0)
+          case 0x54 => val b = pop(); val a = pop()
+            push(if (java.lang.Long.compareUnsigned(a, b) < 0) 1 else 0)
+          case 0x55 => val b = pop(); val a = pop(); push(if (a > b) 1 else 0)
+          case 0x56 => val b = pop(); val a = pop()
+            push(if (java.lang.Long.compareUnsigned(a, b) > 0) 1 else 0)
+          case 0x57 => val b = pop(); val a = pop(); push(if (a <= b) 1 else 0)
+          case 0x58 => val b = pop(); val a = pop()
+            push(if (java.lang.Long.compareUnsigned(a, b) <= 0) 1 else 0)
+          case 0x59 => val b = pop(); val a = pop(); push(if (a >= b) 1 else 0)
+          case 0x5a => val b = pop(); val a = pop()
+            push(if (java.lang.Long.compareUnsigned(a, b) >= 0) 1 else 0)
+          case 0x7c => push(pop() + pop())
+          case 0x7d => val b = pop(); val a = pop(); push(a - b)
+          case 0x7e => push(pop() * pop())
+          case 0x7f => val b = pop(); val a = pop()
+            if (b == 0) throw new IllegalStateException("wasm trap: div by zero")
+            push(a / b)
+          case 0x80 => val b = pop(); val a = pop()
+            if (b == 0) throw new IllegalStateException("wasm trap: div by zero")
+            push(java.lang.Long.divideUnsigned(a, b))
+          case 0x81 => val b = pop(); val a = pop()
+            if (b == 0) throw new IllegalStateException("wasm trap: rem by zero")
+            push(a % b)
+          case 0x82 => val b = pop(); val a = pop()
+            if (b == 0) throw new IllegalStateException("wasm trap: rem by zero")
+            push(java.lang.Long.remainderUnsigned(a, b))
+          case 0x83 => push(pop() & pop())
+          case 0x84 => push(pop() | pop())
+          case 0x85 => push(pop() ^ pop())
+          case 0x86 => val b = pop(); val a = pop(); push(a << (b & 63))
+          case 0x87 => val b = pop(); val a = pop(); push(a >> (b & 63))
+          case 0x88 => val b = pop(); val a = pop(); push(a >>> (b & 63))
+          case 0xa7 => push(i32(pop())) // i32.wrap_i64
+          case 0xac => push(pop().toInt.toLong) // i64.extend_i32_s
+          case 0xad => push(pop() & 0xffffffffL) // i64.extend_i32_u
+
+          // ---- f32/f64 (raw-bits-in-Long representation) ----
+          case 0x2a => // f32.load
+            immU(); val off = immU()
+            val addr = checkAddr(pop() + off, 4)
+            var v = 0L; var i = 3
+            while (i >= 0) { v = (v << 8) | (memory(addr + i) & 0xffL); i -= 1 }
+            push(v)
+          case 0x2b => // f64.load
+            immU(); val off = immU()
+            val addr = checkAddr(pop() + off, 8)
+            var v = 0L; var i = 7
+            while (i >= 0) { v = (v << 8) | (memory(addr + i) & 0xffL); i -= 1 }
+            push(v)
+          case 0x38 => // f32.store
+            immU(); val off = immU()
+            val v = pop(); val addr = checkAddr(pop() + off, 4)
+            var i = 0
+            while (i < 4) { memory(addr + i) = (v >> (8 * i)).toByte; i += 1 }
+          case 0x39 => // f64.store
+            immU(); val off = immU()
+            val v = pop(); val addr = checkAddr(pop() + off, 8)
+            var i = 0
+            while (i < 8) { memory(addr + i) = (v >> (8 * i)).toByte; i += 1 }
+          case 0x43 => // f32.const
+            var v = 0L; var i = 3
+            while (i >= 0) { v = (v << 8) | (body(pc + i) & 0xffL); i -= 1 }
+            pc += 4; push(v)
+          case 0x44 => // f64.const
+            var v = 0L; var i = 7
+            while (i >= 0) { v = (v << 8) | (body(pc + i) & 0xffL); i -= 1 }
+            pc += 8; push(v)
+          case fop if fop >= 0x5b && fop <= 0x60 => // f32 compare
+            val b = java.lang.Float.intBitsToFloat(pop().toInt)
+            val a = java.lang.Float.intBitsToFloat(pop().toInt)
+            val r = fop match {
+              case 0x5b => a == b; case 0x5c => a != b; case 0x5d => a < b
+              case 0x5e => a > b; case 0x5f => a <= b; case 0x60 => a >= b
+            }
+            push(if (r) 1 else 0)
+          case fop if fop >= 0x61 && fop <= 0x66 => // f64 compare
+            val b = java.lang.Double.longBitsToDouble(pop())
+            val a = java.lang.Double.longBitsToDouble(pop())
+            val r = fop match {
+              case 0x61 => a == b; case 0x62 => a != b; case 0x63 => a < b
+              case 0x64 => a > b; case 0x65 => a <= b; case 0x66 => a >= b
+            }
+            push(if (r) 1 else 0)
+          case fop if fop >= 0x8b && fop <= 0x97 => // f32 unary/binary
+            @inline def pf() = java.lang.Float.intBitsToFloat(pop().toInt)
+            @inline def pushF(f: Float): Unit =
+              push(java.lang.Float.floatToRawIntBits(f) & 0xffffffffL)
+            fop match {
+              case 0x8b => pushF(math.abs(pf()))
+              case 0x8c => pushF(-pf())
+              case 0x8d => pushF(math.ceil(pf().toDouble).toFloat)
+              case 0x8e => pushF(math.floor(pf().toDouble).toFloat)
+              case 0x8f => val x = pf(); pushF(x.toLong.toFloat)
+              case 0x90 => pushF(math.rint(pf().toDouble).toFloat)
+              case 0x91 => pushF(math.sqrt(pf().toDouble).toFloat)
+              case 0x92 => val b = pf(); val a = pf(); pushF(a + b)
+              case 0x93 => val b = pf(); val a = pf(); pushF(a - b)
+              case 0x94 => val b = pf(); val a = pf(); pushF(a * b)
+              case 0x95 => val b = pf(); val a = pf(); pushF(a / b)
+              case 0x96 => val b = pf(); val a = pf(); pushF(math.min(a, b))
+              case 0x97 => val b = pf(); val a = pf(); pushF(math.max(a, b))
+            }
+          case fop if fop >= 0x99 && fop <= 0xa5 => // f64 unary/binary
+            @inline def pd() = java.lang.Double.longBitsToDouble(pop())
+            @inline def pushD(d: Double): Unit =
+              push(java.lang.Double.doubleToRawLongBits(d))
+            fop match {
+              case 0x99 => pushD(math.abs(pd()))
+              case 0x9a => pushD(-pd())
+              case 0x9b => pushD(math.ceil(pd()))
+              case 0x9c => pushD(math.floor(pd()))
+              case 0x9d => val x = pd(); pushD(x.toLong.toDouble)
+              case 0x9e => pushD(math.rint(pd()))
+              case 0x9f => pushD(math.sqrt(pd()))
+              case 0xa0 => val b = pd(); val a = pd(); pushD(a + b)
+              case 0xa1 => val b = pd(); val a = pd(); pushD(a - b)
+              case 0xa2 => val b = pd(); val a = pd(); pushD(a * b)
+              case 0xa3 => val b = pd(); val a = pd(); pushD(a / b)
+              case 0xa4 => val b = pd(); val a = pd(); pushD(math.min(a, b))
+              case 0xa5 => val b = pd(); val a = pd(); pushD(math.max(a, b))
+            }
+          case 0xa8 => // i32.trunc_f32_s
+            val d = java.lang.Float.intBitsToFloat(pop().toInt).toDouble
+            if (d.isNaN || d < Int.MinValue.toDouble || d > Int.MaxValue.toDouble)
+              throw new IllegalStateException("wasm trap: invalid conversion")
+            push(d.toInt.toLong)
+          case 0xaa => // i32.trunc_f64_s
+            val d = java.lang.Double.longBitsToDouble(pop())
+            if (d.isNaN || d < Int.MinValue.toDouble || d > Int.MaxValue.toDouble)
+              throw new IllegalStateException("wasm trap: invalid conversion")
+            push(d.toInt.toLong)
+          case 0xb2 => // f32.convert_i32_s
+            push(java.lang.Float.floatToRawIntBits(pop().toInt.toFloat) & 0xffffffffL)
+          case 0xb6 => // f32.demote_f64
+            push(java.lang.Float.floatToRawIntBits(
+              java.lang.Double.longBitsToDouble(pop()).toFloat) & 0xffffffffL)
+          case 0xb7 => // f64.convert_i32_s
+            push(java.lang.Double.doubleToRawLongBits(pop().toInt.toDouble))
+          case 0xb8 => // f64.convert_i32_u
+            push(java.lang.Double.doubleToRawLongBits((pop() & 0xffffffffL).toDouble))
+          case 0xbb => // f64.promote_f32
+            push(java.lang.Double.doubleToRawLongBits(
+              java.lang.Float.intBitsToFloat(pop().toInt).toDouble))
           case other =>
             throw new UnsupportedOperationException(f"wasm opcode 0x$other%02x unsupported")
         }
@@ -364,11 +533,12 @@ object WasmModule {
     * by decode-time validation: a body containing anything else is
     * rejected when the module loads, so the branch maps can never be
     * corrupted by mis-parsed immediates of an unknown instruction. */
-  private val NoImm = Set(0x00, 0x01, 0x05, 0x0f, 0x1a, 0x1b) ++ (0x45 to 0x4f) ++
-    Set(0x6a, 0x6b, 0x6c, 0x6d, 0x6e, 0x6f, 0x70, 0x71, 0x72, 0x73, 0x74, 0x75, 0x76)
+  val ValTypes = Set(0x7f, 0x7e, 0x7d, 0x7c) // i32 i64 f32 f64
+  private val NoImm = Set(0x00, 0x01, 0x05, 0x0f, 0x1a, 0x1b) ++ (0x45 to 0x66) ++
+    (0x6a to 0xa5) ++ Set(0xa7, 0xa8, 0xaa, 0xac, 0xad, 0xb2, 0xb6, 0xb7, 0xb8, 0xbb)
   private val OneULeb = Set(0x0c, 0x0d, 0x10, 0x20, 0x21, 0x22, 0x23, 0x24, 0x3f, 0x40)
   private val OneSLeb = Set(0x41, 0x42)
-  private val MemImm = Set(0x28, 0x2d, 0x36, 0x3a)
+  private val MemImm = Set(0x28, 0x29, 0x2a, 0x2b, 0x2d, 0x36, 0x37, 0x38, 0x39, 0x3a)
 
   /** Validate opcodes and map block/loop/if openings → end / else. */
   private def scanBlocks(body: Array[Byte]): (Map[Int, Int], Map[Int, Int]) = {
@@ -383,13 +553,15 @@ object WasmModule {
       op match {
         case 0x02 | 0x03 | 0x04 =>
           val bt = body(pc) & 0xff
-          require(bt == 0x40 || bt == 0x7f || bt == 0x7e, "unsupported block type")
+          require(bt == 0x40 || ValTypes(bt), "unsupported block type")
           stack.prepend(at); pc += 1
         case 0x05 => elseOf(stack.head) = at
         case 0x0b => if (stack.nonEmpty) endOf(stack.removeHead()) = at
         case o if OneULeb(o) => pc = ulebAt(body, pc)._2
         case o if OneSLeb(o) => pc = slebAt(body, pc)._2
         case o if MemImm(o) => pc = ulebAt(body, pc)._2; pc = ulebAt(body, pc)._2
+        case 0x43 => pc += 4 // f32.const raw bits
+        case 0x44 => pc += 8 // f64.const raw bits
         case o if NoImm(o) => // no immediates
         case other =>
           throw new UnsupportedOperationException(

@@ -167,6 +167,51 @@ class WasmSuite extends SparkSpec {
     assert(out2.toSeq == Seq[Byte]((9 ^ 0xff).toByte))
   }
 
+  test("f64 guest compute: dot product over linear memory") {
+    import graft.udf.wasm.WasmAssembler
+    // dotf(n) -> f64: vectors a at 0, b at 1024, both n f64s
+    // local 1 (i32): i ; local via separate group not supported by the
+    // mini-assembler, so use an f64 accumulator in memory at 2048
+    val body = Seq(
+      // acc = 0.0 stored at 2048
+      0x41, 0x80+0x00, 0x10,        // i32.const 2048 (uleb 0x80 0x10)
+      0x44, 0, 0, 0, 0, 0, 0, 0, 0, // f64.const 0.0
+      0x39, 0x00, 0x00,             // f64.store
+      0x02, 0x40,                   // block
+      0x03, 0x40,                   //   loop
+      0x20, 0x01,                   //     local.get i
+      0x20, 0x00,                   //     local.get n
+      0x4e,                         //     i32.ge_s
+      0x0d, 0x01,                   //     br_if 1
+      0x41, 0x80+0x00, 0x10,        //     i32.const 2048 (store addr)
+      0x41, 0x80+0x00, 0x10, 0x2b, 0x00, 0x00, // load acc
+      // a[i]: addr = i*8
+      0x20, 0x01, 0x41, 0x08, 0x6c, 0x2b, 0x00, 0x00,
+      // b[i]: addr = 1024 + i*8
+      0x20, 0x01, 0x41, 0x08, 0x6c, 0x41, 0x80+0x00, 0x08, 0x6a, 0x2b, 0x00, 0x00,
+      0xa2,                         //     f64.mul
+      0xa0,                         //     f64.add
+      0x39, 0x00, 0x00,             //     store acc
+      0x20, 0x01, 0x41, 0x01, 0x6a, 0x21, 0x01, // i += 1
+      0x0c, 0x00,                   //     br 0
+      0x0b, 0x0b,                   // end end
+      0x41, 0x80+0x00, 0x10, 0x2b, 0x00, 0x00 // load acc (result)
+    ).map(_.toByte)
+    val m = new WasmModule(WasmAssembler.module("dotf", 1, 1, body,
+      resultType = 0x7c))
+    def putF64(off: Int, ds: Seq[Double]): Unit = {
+      val bb = java.nio.ByteBuffer.allocate(8 * ds.size)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      ds.foreach(bb.putDouble)
+      m.writeMemory(off, bb.array())
+    }
+    putF64(0, Seq(1.5, 2.0, -3.0))
+    putF64(1024, Seq(2.0, 0.5, 1.0))
+    val bits = m.invoke("dotf", 3L).get
+    val got = java.lang.Double.longBitsToDouble(bits)
+    assert(got == 1.5 * 2.0 + 2.0 * 0.5 + -3.0 * 1.0) // = 1.0
+  }
+
   test("data segments initialize memory; globals are readable/mutable") {
     import graft.udf.wasm.WasmAssembler
     // f(i) = mem[i] + global0 ; global1 counts invocations
