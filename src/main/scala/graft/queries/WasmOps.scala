@@ -12,7 +12,65 @@ import org.apache.spark.sql.functions._
   */
 object WasmOps {
 
+  /** Guest l2norm(n) → f64: sum of squares of the n f64s at offset 0,
+    * then sqrt. Accumulator lives in a local (f64 raw bits). */
+  private def l2normModule: Array[Byte] = {
+    val body = Seq(
+      0x44, 0, 0, 0, 0, 0, 0, 0, 0,      // f64.const 0.0 → acc slot init
+      0x21, 0x02,                         // local.set acc (local 2, f64)
+      0x02, 0x40, 0x03, 0x40,             // block loop
+      0x20, 0x01, 0x20, 0x00, 0x4e,       //   i >= n ?
+      0x0d, 0x01,                         //   br_if exit
+      0x20, 0x02,                         //   acc
+      0x20, 0x01, 0x41, 0x08, 0x6c, 0x2b, 0x00, 0x00, // x = mem[i*8]
+      0x20, 0x01, 0x41, 0x08, 0x6c, 0x2b, 0x00, 0x00, // x again
+      0xa2, 0xa0,                         //   x*x; acc + …
+      0x21, 0x02,                         //   local.set acc
+      0x20, 0x01, 0x41, 0x01, 0x6a, 0x21, 0x01,       // i += 1
+      0x0c, 0x00, 0x0b, 0x0b,             //   br 0; end; end
+      0x20, 0x02, 0x9f                    // sqrt(acc)
+    ).map(_.toByte)
+    // locals: i (i32) then acc (f64) — two groups not supported by the
+    // mini-assembler's single-group locals, so use f64 for BOTH locals and
+    // keep i as an integer-valued f64? No — keep it simple: i stays in an
+    // i64-safe raw slot; integer ops on local 1 require i32 semantics, so
+    // assemble with two local groups by hand below.
+    WasmAssembler.moduleMultiLocals("l2norm", nParams = 1,
+      localGroups = Seq((1, 0x7f), (1, 0x7c)), body = body, resultType = 0x7c)
+  }
+
   val all: Seq[Q] = Seq(
+
+    // ---- WASM float compute over embeddings: guest-computed L2 norms
+    // hash-matched against the SQL oracle (exercises the interpreter's
+    // f64 path + the per-partition instance reuse on real vector data).
+    Q("q_wasm_vector_norm",
+      """SELECT vec_id, round(sqrt(s), 6) AS l2
+        |FROM (SELECT vec_id, SUM(x * x) AS s
+        |      FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x
+        |            FROM embeddings)
+        |      GROUP BY vec_id)
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val moduleBytes = l2normModule
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .as[(Long, Seq[Double])]
+        .mapPartitions { rows =>
+          val guest = new WasmModule(moduleBytes)
+          rows.map { case (id, v) =>
+            val bb = java.nio.ByteBuffer.allocate(8 * v.size)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            v.foreach(bb.putDouble)
+            guest.writeMemory(0, bb.array())
+            val bits = guest.invoke("l2norm", v.size.toLong).get
+            (id, java.lang.Double.longBitsToDouble(bits))
+          }
+        }
+        .toDF("vec_id", "raw")
+        .select(col("vec_id"), round(col("raw"), 6).as("l2"))
+        .orderBy(col("vec_id"))
+    },
     Q("q_wasm_map",
       """SELECT event_id, CAST(event_id * 3 + 7 AS BIGINT) AS mapped
         |FROM events WHERE event_id < 10000 ORDER BY event_id""".stripMargin) { (s, d) =>
