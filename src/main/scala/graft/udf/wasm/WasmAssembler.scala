@@ -58,6 +58,13 @@ object WasmAssembler {
       codeSec ++ dataSec).toArray
   }
 
+  /** Import section: function imports `(module, field, typeIdx)`. Insert
+    * between type(1) and function(3) sections when assembling by hand. */
+  def importSection(imports: Seq[(String, String, Int)]): Seq[Byte] =
+    section(2, vec(imports.map { case (m, f, t) =>
+      name(m) ++ name(f) ++ Seq(0x00.toByte) ++ uleb(t.toLong)
+    }))
+
   /** Like [[module]] but with multiple local groups `(count, valtype)` —
     * needed when a function mixes i32 counters with f64 accumulators. */
   def moduleMultiLocals(export: String, nParams: Int,

@@ -16,9 +16,11 @@ import scala.collection.mutable
   *    locals, i32/i64 const, i32 arithmetic/logic/comparison, i32 memory
   *    load/store (incl. 8-bit), memory.size/grow, drop/select, nop.
   *
-  * Everything outside the subset fails LOUDLY at decode time: unsupported
-  * sections (imports, tables, start, elements) and unsupported opcodes are
-  * rejected when the module is constructed, never silently mis-executed. Function bodies are opcode-validated and their block
+  * Function imports resolve against a host-function registry at decode
+  * time (the reference's hostcall surface, SURVEY §3.1 — collapsed to
+  * synchronous calls per §7.4.1); unresolved imports and everything else
+  * outside the subset (tables, start, elements, unknown opcodes) fail
+  * LOUDLY when the module is constructed, never silently mis-executed. Function bodies are opcode-validated and their block
   * structure is precomputed once at decode, not per invocation.
   *
   * Isolation invariants mirror the reference's sandbox rules
@@ -28,7 +30,9 @@ import scala.collection.mutable
   */
 final class WasmModule(bytes: Array[Byte],
                        maxMemoryPages: Int = 256, // 16 MiB, reference parity
-                       fuel: Long = 1L << 26) extends Serializable {
+                       fuel: Long = 1L << 26,
+                       hostFns: Map[String, Seq[Long] => Option[Long]] = Map.empty)
+    extends Serializable {
 
   import WasmModule._
 
@@ -42,6 +46,9 @@ final class WasmModule(bytes: Array[Byte],
     u8().toLong | (u8().toLong << 8) | (u8().toLong << 16) | (u8().toLong << 24)
 
   private val types = mutable.ArrayBuffer[FuncType]()
+  /** imported functions first (they occupy the low function indices),
+    * then module-local functions — the wasm function index space. */
+  private val importedFns = mutable.ArrayBuffer[(String, Int)]() // (key, typeIdx)
   private val funcTypeIdx = mutable.ArrayBuffer[Int]()
   private val exports = mutable.Map[String, Int]()
   private val codes = mutable.ArrayBuffer[Code]()
@@ -146,11 +153,23 @@ final class WasmModule(bytes: Array[Byte],
           val len = uleb().toInt
           dataSegments += ((offset, take(len)))
         }
+      case 2 => // imports: function imports resolve against hostFns
+        val n = uleb().toInt
+        (0 until n).foreach { _ =>
+          val mod = new String(take(uleb().toInt), "UTF-8")
+          val fld = new String(take(uleb().toInt), "UTF-8")
+          val kind = u8()
+          require(kind == 0, s"only function imports supported ($mod.$fld)")
+          val typeIdx = uleb().toInt
+          val key = s"$mod.$fld"
+          require(hostFns.contains(key), s"unresolved wasm import '$key'")
+          importedFns += ((key, typeIdx))
+        }
       case other =>
-        // imports(2)/tables(4)/start(8)/elements(9): executing a module
-        // that relies on them would be silently wrong
+        // tables(4)/start(8)/elements(9): executing a module that relies
+        // on them would be silently wrong
         throw new UnsupportedOperationException(
-          s"wasm section id $other unsupported (imports/tables/start/elements)")
+          s"wasm section id $other unsupported (tables/start/elements)")
     }
     require(pos == end, s"section $id malformed")
   }
@@ -196,9 +215,15 @@ final class WasmModule(bytes: Array[Byte],
     var remainingFuel = fuel
 
     def callFunction(idx: Int, argv: Array[Long]): Option[Long] = {
-      val ft = types(funcTypeIdx(idx))
+      if (idx < importedFns.size) { // host function (hostcall parity)
+        val (key, typeIdx) = importedFns(idx)
+        require(argv.length == types(typeIdx).params, s"arity mismatch calling import $key")
+        return hostFns(key)(argv.toSeq)
+      }
+      val local = idx - importedFns.size
+      val ft = types(funcTypeIdx(local))
       require(argv.length == ft.params, s"arity mismatch calling func $idx")
-      val code = codes(idx)
+      val code = codes(local)
       val body = code.body
       val locals = new Array[Long](ft.params + code.nLocals)
       System.arraycopy(argv, 0, locals, 0, argv.length)
@@ -271,7 +296,9 @@ final class WasmModule(bytes: Array[Byte],
           case 0x0f => doReturn()
           case 0x10 =>
             val callee = immU().toInt
-            val calleeType = types(funcTypeIdx(callee))
+            val calleeType =
+              if (callee < importedFns.size) types(importedFns(callee)._2)
+              else types(funcTypeIdx(callee - importedFns.size))
             val argv2 = new Array[Long](calleeType.params)
             var i = calleeType.params - 1
             while (i >= 0) { argv2(i) = pop(); i -= 1 }

@@ -143,11 +143,10 @@ class WasmSuite extends SparkSpec {
   }
 
   test("modules with unsupported sections are rejected at decode time") {
-    // append an empty IMPORT section (id 2) to add5 → must fail loudly
-    // (imports shift the function index space; silently skipping would
-    // mis-resolve every call)
-    val withImports = add5 ++ Array[Byte](2, 1, 0)
-    val e = intercept[UnsupportedOperationException] { new WasmModule(withImports) }
+    // append an empty TABLE section (id 4) to add5 → must fail loudly
+    // (tables imply call_indirect, which the subset cannot execute)
+    val withTables = add5 ++ Array[Byte](4, 1, 0)
+    val e = intercept[UnsupportedOperationException] { new WasmModule(withTables) }
     assert(e.getMessage.contains("section"))
   }
 
@@ -165,6 +164,44 @@ class WasmSuite extends SparkSpec {
     h2.invoke("xor255", Array.fill[Byte](32)(5))
     val out2 = h2.invoke("xor255", Array[Byte](9))
     assert(out2.toSeq == Seq[Byte]((9 ^ 0xff).toByte))
+  }
+
+  test("i64 arithmetic beyond 32 bits") {
+    import graft.udf.wasm.WasmAssembler
+    // g(x: i64) = x*2 + 1
+    val m = new WasmModule(WasmAssembler.module("g", 1, 0,
+      Seq(0x20, 0x00, 0x42, 0x02, 0x7e, 0x42, 0x01, 0x7c).map(_.toByte),
+      paramTypes = Seq(0x7e), resultType = 0x7e))
+    val big = 10_000_000_000L
+    assert(m.invoke("g", big).contains(big * 2 + 1))
+  }
+
+  test("function imports dispatch to host functions (hostcall parity)") {
+    val A = graft.udf.wasm.WasmAssembler
+    // type0: (i32)->()  [host env.log]; type1: (i32)->(i32) [exported f]
+    val typeSec = A.section(1, A.vec(Seq(
+      Seq(0x60.toByte) ++ A.vec(Seq(Seq(0x7f.toByte))) ++ A.vec(Nil),
+      Seq(0x60.toByte) ++ A.vec(Seq(Seq(0x7f.toByte))) ++ A.vec(Seq(Seq(0x7f.toByte))))))
+    val imports = A.importSection(Seq(("env", "log", 0)))
+    val funcSec = A.section(3, A.vec(Seq(A.uleb(1))))
+    val memSec = A.section(5, A.vec(Seq(Seq(0x00.toByte) ++ A.uleb(1))))
+    val exportSec = A.section(7, A.vec(Seq(A.name("f") ++ Seq(0x00.toByte) ++ A.uleb(1))))
+    // f(x): env.log(x); return x*10
+    val body = A.vec(Nil) ++ Seq(
+      0x20, 0x00, 0x10, 0x00,           // local.get x; call 0 (host)
+      0x20, 0x00, 0x41, 0x0a, 0x6c      // x * 10
+    ).map(_.toByte) :+ 0x0b.toByte
+    val codeSec = A.section(10, A.vec(Seq(A.uleb(body.length.toLong) ++ body)))
+    val bytes = (Seq(0x00, 0x61, 0x73, 0x6d, 0x01, 0x00, 0x00, 0x00).map(_.toByte) ++
+      typeSec ++ imports ++ funcSec ++ memSec ++ exportSec ++ codeSec).toArray
+
+    val logged = scala.collection.mutable.ArrayBuffer[Long]()
+    val m = new WasmModule(bytes,
+      hostFns = Map("env.log" -> { args => logged += args.head; None }))
+    assert(m.invoke("f", 7L).contains(70L))
+    assert(logged.toSeq == Seq(7L))
+    // unresolved import fails loudly at decode
+    intercept[IllegalArgumentException] { new WasmModule(bytes) }
   }
 
   test("f64 guest compute: dot product over linear memory") {
