@@ -57,6 +57,8 @@ final class WasmModule(bytes: Array[Byte],
   private val globalMutable = mutable.ArrayBuffer[Boolean]()
   // data segments decoded before memory exists: applied after sizing
   private val dataSegments = mutable.ArrayBuffer[(Int, Array[Byte])]()
+  // funcref table (call_indirect dispatch); -1 = uninitialized slot
+  private var table: Array[Int] = Array.emptyIntArray
 
   /** Decode a constant-expression initializer: `i32.const n end` /
     * `i64.const n end` (the only forms the subset accepts). */
@@ -165,11 +167,33 @@ final class WasmModule(bytes: Array[Byte],
           require(hostFns.contains(key), s"unresolved wasm import '$key'")
           importedFns += ((key, typeIdx))
         }
+      case 4 => // tables: a single funcref table
+        val n = uleb().toInt
+        require(n <= 1, "at most one table supported")
+        (0 until n).foreach { _ =>
+          require(u8() == 0x70, "only funcref tables supported")
+          val flags = u8()
+          val min = uleb().toInt
+          if ((flags & 1) != 0) uleb()
+          table = Array.fill(min)(-1)
+        }
+      case 9 => // elements: active funcref segments with i32.const offsets
+        val n = uleb().toInt
+        (0 until n).foreach { _ =>
+          val flags = uleb().toInt
+          require(flags == 0, "only active element segments on table 0 supported")
+          val offset = constExpr().toInt
+          val cnt = uleb().toInt
+          (0 until cnt).foreach { k =>
+            val fIdx = uleb().toInt
+            require(offset + k < table.length, "element segment exceeds table")
+            table(offset + k) = fIdx
+          }
+        }
       case other =>
-        // tables(4)/start(8)/elements(9): executing a module that relies
-        // on them would be silently wrong
+        // start(8): implicit side effects at instantiation are out of scope
         throw new UnsupportedOperationException(
-          s"wasm section id $other unsupported (tables/start/elements)")
+          s"wasm section id $other unsupported (start)")
     }
     require(pos == end, s"section $id malformed")
   }
@@ -303,6 +327,22 @@ final class WasmModule(bytes: Array[Byte],
             var i = calleeType.params - 1
             while (i >= 0) { argv2(i) = pop(); i -= 1 }
             callFunction(callee, argv2).foreach(push)
+          case 0x11 => // call_indirect: (type imm, table imm 0x00)
+            val expectType = immU().toInt
+            pc += 1 // table index byte (always 0)
+            val slot = pop().toInt
+            if (slot < 0 || slot >= table.length || table(slot) < 0)
+              throw new IllegalStateException("wasm trap: undefined table element")
+            val callee = table(slot)
+            val calleeType =
+              if (callee < importedFns.size) types(importedFns(callee)._2)
+              else types(funcTypeIdx(callee - importedFns.size))
+            require(calleeType == types(expectType),
+              "wasm trap: indirect call type mismatch")
+            val argv2 = new Array[Long](calleeType.params)
+            var i = calleeType.params - 1
+            while (i >= 0) { argv2(i) = pop(); i -= 1 }
+            callFunction(callee, argv2).foreach(push)
           case 0x1a => pop() // drop
           case 0x1b =>
             val c = pop(); val b = pop(); val a = pop(); push(if (c != 0) a else b)
@@ -339,6 +379,22 @@ final class WasmModule(bytes: Array[Byte],
             if (delta >= 0 && cur + delta <= maxMemoryPages) {
               growTo((cur + delta) * PageSize); push(cur)
             } else push(-1L)
+          case 0x2c => // i32.load8_s
+            immU(); val off = immU()
+            val addr = checkAddr(pop() + off, 1)
+            push(memory(addr).toLong)
+          case 0x2e => // i32.load16_s
+            immU(); val off = immU()
+            val addr = checkAddr(pop() + off, 2)
+            push((((memory(addr) & 0xff) | (memory(addr + 1) << 8))).toShort.toLong)
+          case 0x2f => // i32.load16_u
+            immU(); val off = immU()
+            val addr = checkAddr(pop() + off, 2)
+            push(((memory(addr) & 0xffL)) | ((memory(addr + 1) & 0xffL) << 8))
+          case 0x3b => // i32.store16
+            immU(); val off = immU()
+            val v = pop(); val addr = checkAddr(pop() + off, 2)
+            memory(addr) = v.toByte; memory(addr + 1) = (v >> 8).toByte
           case 0x41 => push(i32(immS()))
           case 0x42 => push(immS())
           case 0x45 => push(if (pop() == 0) 1 else 0)
@@ -356,6 +412,9 @@ final class WasmModule(bytes: Array[Byte],
           case 0x4e => val b = pop().toInt; val a = pop().toInt; push(if (a >= b) 1 else 0)
           case 0x4f => val b = pop(); val a = pop()
             push(if (java.lang.Integer.compareUnsigned(a.toInt, b.toInt) >= 0) 1 else 0)
+          case 0x67 => push(java.lang.Integer.numberOfLeadingZeros(pop().toInt).toLong)
+          case 0x68 => push(java.lang.Integer.numberOfTrailingZeros(pop().toInt).toLong)
+          case 0x69 => push(java.lang.Integer.bitCount(pop().toInt).toLong)
           case 0x6a => push(i32(pop() + pop()))
           case 0x6b => val b = pop(); val a = pop(); push(i32(a - b))
           case 0x6c => push(i32(pop().toInt * pop().toInt))
@@ -377,6 +436,10 @@ final class WasmModule(bytes: Array[Byte],
           case 0x74 => val b = pop().toInt; val a = pop().toInt; push(i32(a << (b & 31)))
           case 0x75 => val b = pop().toInt; val a = pop().toInt; push(i32(a >> (b & 31)))
           case 0x76 => val b = pop().toInt; val a = pop().toInt; push(i32(a >>> (b & 31)))
+          case 0x77 => val b = pop().toInt; val a = pop().toInt
+            push(i32(java.lang.Integer.rotateLeft(a, b & 31).toLong))
+          case 0x78 => val b = pop().toInt; val a = pop().toInt
+            push(i32(java.lang.Integer.rotateRight(a, b & 31).toLong))
 
           // ---- i64 ----
           case 0x29 => // i64.load
@@ -405,6 +468,9 @@ final class WasmModule(bytes: Array[Byte],
           case 0x59 => val b = pop(); val a = pop(); push(if (a >= b) 1 else 0)
           case 0x5a => val b = pop(); val a = pop()
             push(if (java.lang.Long.compareUnsigned(a, b) >= 0) 1 else 0)
+          case 0x79 => push(java.lang.Long.numberOfLeadingZeros(pop()).toLong)
+          case 0x7a => push(java.lang.Long.numberOfTrailingZeros(pop()).toLong)
+          case 0x7b => push(java.lang.Long.bitCount(pop()).toLong)
           case 0x7c => push(pop() + pop())
           case 0x7d => val b = pop(); val a = pop(); push(a - b)
           case 0x7e => push(pop() * pop())
@@ -426,6 +492,10 @@ final class WasmModule(bytes: Array[Byte],
           case 0x86 => val b = pop(); val a = pop(); push(a << (b & 63))
           case 0x87 => val b = pop(); val a = pop(); push(a >> (b & 63))
           case 0x88 => val b = pop(); val a = pop(); push(a >>> (b & 63))
+          case 0x89 => val b = pop(); val a = pop()
+            push(java.lang.Long.rotateLeft(a, (b & 63).toInt))
+          case 0x8a => val b = pop(); val a = pop()
+            push(java.lang.Long.rotateRight(a, (b & 63).toInt))
           case 0xa7 => push(i32(pop())) // i32.wrap_i64
           case 0xac => push(pop().toInt.toLong) // i64.extend_i32_s
           case 0xad => push(pop() & 0xffffffffL) // i64.extend_i32_u
@@ -496,6 +566,14 @@ final class WasmModule(bytes: Array[Byte],
               case 0x96 => val b = pf(); val a = pf(); pushF(math.min(a, b))
               case 0x97 => val b = pf(); val a = pf(); pushF(math.max(a, b))
             }
+          case 0x98 => // f32.copysign
+            val b = java.lang.Float.intBitsToFloat(pop().toInt)
+            val a = java.lang.Float.intBitsToFloat(pop().toInt)
+            push(java.lang.Float.floatToRawIntBits(math.copySign(a, b)) & 0xffffffffL)
+          case 0xa6 => // f64.copysign
+            val b = java.lang.Double.longBitsToDouble(pop())
+            val a = java.lang.Double.longBitsToDouble(pop())
+            push(java.lang.Double.doubleToRawLongBits(math.copySign(a, b)))
           case fop if fop >= 0x99 && fop <= 0xa5 => // f64 unary/binary
             @inline def pd() = java.lang.Double.longBitsToDouble(pop())
             @inline def pushD(d: Double): Unit =
@@ -561,11 +639,12 @@ object WasmModule {
     * rejected when the module loads, so the branch maps can never be
     * corrupted by mis-parsed immediates of an unknown instruction. */
   val ValTypes = Set(0x7f, 0x7e, 0x7d, 0x7c) // i32 i64 f32 f64
-  private val NoImm = Set(0x00, 0x01, 0x05, 0x0f, 0x1a, 0x1b) ++ (0x45 to 0x66) ++
-    (0x6a to 0xa5) ++ Set(0xa7, 0xa8, 0xaa, 0xac, 0xad, 0xb2, 0xb6, 0xb7, 0xb8, 0xbb)
+  private val NoImm = Set(0x00, 0x01, 0x05, 0x0f, 0x1a, 0x1b) ++ (0x45 to 0xa6) ++
+    Set(0xa7, 0xa8, 0xaa, 0xac, 0xad, 0xb2, 0xb6, 0xb7, 0xb8, 0xbb)
   private val OneULeb = Set(0x0c, 0x0d, 0x10, 0x20, 0x21, 0x22, 0x23, 0x24, 0x3f, 0x40)
   private val OneSLeb = Set(0x41, 0x42)
-  private val MemImm = Set(0x28, 0x29, 0x2a, 0x2b, 0x2d, 0x36, 0x37, 0x38, 0x39, 0x3a)
+  private val MemImm = Set(0x28, 0x29, 0x2a, 0x2b, 0x2c, 0x2d, 0x2e, 0x2f,
+    0x36, 0x37, 0x38, 0x39, 0x3a, 0x3b)
 
   /** Validate opcodes and map block/loop/if openings → end / else. */
   private def scanBlocks(body: Array[Byte]): (Map[Int, Int], Map[Int, Int]) = {
@@ -584,6 +663,7 @@ object WasmModule {
           stack.prepend(at); pc += 1
         case 0x05 => elseOf(stack.head) = at
         case 0x0b => if (stack.nonEmpty) endOf(stack.removeHead()) = at
+        case 0x11 => pc = ulebAt(body, pc)._2; pc += 1 // call_indirect
         case o if OneULeb(o) => pc = ulebAt(body, pc)._2
         case o if OneSLeb(o) => pc = slebAt(body, pc)._2
         case o if MemImm(o) => pc = ulebAt(body, pc)._2; pc = ulebAt(body, pc)._2

@@ -143,10 +143,10 @@ class WasmSuite extends SparkSpec {
   }
 
   test("modules with unsupported sections are rejected at decode time") {
-    // append an empty TABLE section (id 4) to add5 → must fail loudly
-    // (tables imply call_indirect, which the subset cannot execute)
-    val withTables = add5 ++ Array[Byte](4, 1, 0)
-    val e = intercept[UnsupportedOperationException] { new WasmModule(withTables) }
+    // append a START section (id 8) to add5 → must fail loudly (implicit
+    // instantiation side effects are outside the subset)
+    val withStart = add5 ++ Array[Byte](8, 1, 0)
+    val e = intercept[UnsupportedOperationException] { new WasmModule(withStart) }
     assert(e.getMessage.contains("section"))
   }
 
@@ -202,6 +202,40 @@ class WasmSuite extends SparkSpec {
     assert(logged.toSeq == Seq(7L))
     // unresolved import fails loudly at decode
     intercept[IllegalArgumentException] { new WasmModule(bytes) }
+  }
+
+  test("call_indirect dispatches through the funcref table") {
+    val A = graft.udf.wasm.WasmAssembler
+    // two local funcs of type (i32)->(i32): double (idx 0) and inc (idx 1);
+    // exported sel(which, x) picks through the table: table[0]=1, table[1]=0
+    val typeSec = A.section(1, A.vec(Seq(
+      Seq(0x60.toByte) ++ A.vec(Seq(Seq(0x7f.toByte))) ++ A.vec(Seq(Seq(0x7f.toByte))),
+      Seq(0x60.toByte) ++ A.vec(Seq(Seq(0x7f.toByte), Seq(0x7f.toByte))) ++
+        A.vec(Seq(Seq(0x7f.toByte))))))
+    val funcSec = A.section(3, A.vec(Seq(A.uleb(0), A.uleb(0), A.uleb(1))))
+    val tableSec = A.section(4, A.vec(Seq(Seq(0x70.toByte, 0x00.toByte) ++ A.uleb(2))))
+    val memSec = A.section(5, A.vec(Seq(Seq(0x00.toByte) ++ A.uleb(1))))
+    val exportSec = A.section(7, A.vec(Seq(A.name("sel") ++ Seq(0x00.toByte) ++ A.uleb(2))))
+    val elemSec = A.section(9, A.vec(Seq(
+      A.uleb(0) ++ Seq(0x41.toByte, 0x00.toByte, 0x0b.toByte) ++
+        A.vec(Seq(A.uleb(1), A.uleb(0)))))) // table[0]=func1(inc), table[1]=func0(double)
+    def code(body: Seq[Byte]) = A.vec(Nil) ++ body :+ 0x0b.toByte
+    val doubleBody = code(Seq(0x20, 0x00, 0x41, 0x02, 0x6c).map(_.toByte))
+    val incBody = code(Seq(0x20, 0x00, 0x41, 0x01, 0x6a).map(_.toByte))
+    val selBody = code(Seq(
+      0x20, 0x01,       // x
+      0x20, 0x00,       // which (table slot)
+      0x11, 0x00, 0x00  // call_indirect type0, table 0
+    ).map(_.toByte))
+    val codeSec = A.section(10, A.vec(Seq(doubleBody, incBody, selBody).map(c =>
+      A.uleb(c.length.toLong) ++ c)))
+    val bytes = (Seq(0x00, 0x61, 0x73, 0x6d, 0x01, 0x00, 0x00, 0x00).map(_.toByte) ++
+      typeSec ++ funcSec ++ tableSec ++ memSec ++ exportSec ++ elemSec ++ codeSec).toArray
+    val m = new WasmModule(bytes)
+    assert(m.invoke("sel", 0L, 10L).contains(11L)) // table[0] → inc
+    assert(m.invoke("sel", 1L, 10L).contains(20L)) // table[1] → double
+    val e = intercept[IllegalStateException] { m.invoke("sel", 5L, 1L) }
+    assert(e.getMessage.contains("table"))
   }
 
   test("f64 guest compute: dot product over linear memory") {
