@@ -110,11 +110,10 @@ object VectorOps {
       // one Lloyd step tightens the sampled centroids (only the 16×64
       // centroid matrix touches the driver)
       val centroids = graft.functions.KMeans.lloydStep(e, "v", sampled)
-      val assigned = graft.functions.KMeans.assignCell(e, "v", centroids)
       // multi-probe: the query side searches its 3 nearest cells (recall@1
       // 0.25 → 0.54 on the test embeddings, at 3× candidate cost — the
-      // probe count is IVF's recall/cost dial; the stored side keeps its
-      // single home cell)
+      // probe count is IVF's recall/cost dial). Distances evaluate once
+      // per vector: the stored side's home cell is probe_cells[0].
       val cellStructs = centroids.zipWithIndex.map { case (cv, c) =>
         struct(
           VectorFunctions.sqDist(col("v"), array(cv.map(lit): _*)).as("d"),
@@ -122,10 +121,11 @@ object VectorOps {
       }
       val probed = e.withColumn("probe_cells",
         transform(slice(array_sort(array(cellStructs: _*)), 1, 3),
-          s => s.getField("cell")))
+          s => s.getField("cell"))).cache()
       val a = probed.select(col("vec_id").as("src"), col("v").as("va"),
         explode(col("probe_cells")).as("cell"))
-      val b = assigned.select(col("cell"), col("vec_id").as("nbr"), col("v").as("vb"))
+      val b = probed.select(element_at(col("probe_cells"), 1).as("cell"),
+        col("vec_id").as("nbr"), col("v").as("vb"))
       val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("nbr"))
       a.join(b, Seq("cell"))
         .filter(col("src") =!= col("nbr"))

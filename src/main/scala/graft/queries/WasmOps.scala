@@ -30,13 +30,9 @@ object WasmOps {
       0x0c, 0x00, 0x0b, 0x0b,             //   br 0; end; end
       0x20, 0x02, 0x9f                    // sqrt(acc)
     ).map(_.toByte)
-    // locals: i (i32) then acc (f64) — two groups not supported by the
-    // mini-assembler's single-group locals, so use f64 for BOTH locals and
-    // keep i as an integer-valued f64? No — keep it simple: i stays in an
-    // i64-safe raw slot; integer ops on local 1 require i32 semantics, so
-    // assemble with two local groups by hand below.
-    WasmAssembler.moduleMultiLocals("l2norm", nParams = 1,
-      localGroups = Seq((1, 0x7f), (1, 0x7c)), body = body, resultType = 0x7c)
+    // locals: param n (idx 0), i32 counter i (idx 1), f64 acc (idx 2)
+    WasmAssembler.module("l2norm", nParams = 1, nLocals = 0, body = body,
+      resultType = 0x7c, localGroups = Seq((1, 0x7f), (1, 0x7c)))
   }
 
   val all: Seq[Q] = Seq(

@@ -30,9 +30,12 @@ object WasmAssembler {
              data: Seq[(Int, Array[Byte])] = Nil,
              paramTypes: Seq[Int] = Nil,
              resultType: Int = 0x7f,
-             localType: Int = 0x7f): Array[Byte] = {
+             localType: Int = 0x7f,
+             localGroups: Seq[(Int, Int)] = Nil): Array[Byte] = {
     val pts = if (paramTypes.nonEmpty) paramTypes else Seq.fill(nParams)(0x7f)
     require(pts.length == nParams)
+    val groups = if (localGroups.nonEmpty) localGroups
+                 else if (nLocals > 0) Seq((nLocals, localType)) else Nil
     val header = Seq(0x00, 0x61, 0x73, 0x6d, 0x01, 0x00, 0x00, 0x00).map(_.toByte)
     val typeSec = section(1, vec(Seq(
       Seq(0x60.toByte) ++ vec(pts.map(t => Seq(t.toByte))) ++
@@ -45,8 +48,7 @@ object WasmAssembler {
           sleb(init) :+ 0x0b.toByte
     }))
     val exportSec = section(7, vec(Seq(name(export) ++ Seq(0x00.toByte) ++ uleb(0))))
-    val locals = if (nLocals > 0) vec(Seq(uleb(nLocals.toLong) ++ Seq(localType.toByte)))
-                 else vec(Nil)
+    val locals = vec(groups.map { case (cnt, t) => uleb(cnt.toLong) ++ Seq(t.toByte) })
     val code = locals ++ body :+ 0x0b.toByte
     val codeSec = section(10, vec(Seq(uleb(code.length.toLong) ++ code)))
     val dataSec = if (data.isEmpty) Nil else section(11, vec(data.map {
@@ -64,26 +66,6 @@ object WasmAssembler {
     section(2, vec(imports.map { case (m, f, t) =>
       name(m) ++ name(f) ++ Seq(0x00.toByte) ++ uleb(t.toLong)
     }))
-
-  /** Like [[module]] but with multiple local groups `(count, valtype)` —
-    * needed when a function mixes i32 counters with f64 accumulators. */
-  def moduleMultiLocals(export: String, nParams: Int,
-                        localGroups: Seq[(Int, Int)], body: Seq[Byte],
-                        paramTypes: Seq[Int] = Nil,
-                        resultType: Int = 0x7f): Array[Byte] = {
-    val pts = if (paramTypes.nonEmpty) paramTypes else Seq.fill(nParams)(0x7f)
-    val header = Seq(0x00, 0x61, 0x73, 0x6d, 0x01, 0x00, 0x00, 0x00).map(_.toByte)
-    val typeSec = section(1, vec(Seq(
-      Seq(0x60.toByte) ++ vec(pts.map(t => Seq(t.toByte))) ++
-        vec(Seq(Seq(resultType.toByte))))))
-    val funcSec = section(3, vec(Seq(uleb(0))))
-    val memSec = section(5, vec(Seq(Seq(0x00.toByte) ++ uleb(1))))
-    val exportSec = section(7, vec(Seq(name(export) ++ Seq(0x00.toByte) ++ uleb(0))))
-    val locals = vec(localGroups.map { case (cnt, t) => uleb(cnt.toLong) ++ Seq(t.toByte) })
-    val code = locals ++ body :+ 0x0b.toByte
-    val codeSec = section(10, vec(Seq(uleb(code.length.toLong) ++ code)))
-    (header ++ typeSec ++ funcSec ++ memSec ++ exportSec ++ codeSec).toArray
-  }
 
   /** `f(x) = (x * a + b)` over i32 (wrapping) — the demo guest transform. */
   def affineModule(export: String, a: Int, b: Int): Array[Byte] =

@@ -18,9 +18,10 @@ import scala.collection.mutable
   *
   * Function imports resolve against a host-function registry at decode
   * time (the reference's hostcall surface, SURVEY §3.1 — collapsed to
-  * synchronous calls per §7.4.1); unresolved imports and everything else
-  * outside the subset (tables, start, elements, unknown opcodes) fail
-  * LOUDLY when the module is constructed, never silently mis-executed. Function bodies are opcode-validated and their block
+  * synchronous calls per §7.4.1); funcref tables + call_indirect dispatch
+  * with full-type checks. Unresolved imports and everything outside the
+  * subset (start sections, unknown opcodes) fail LOUDLY when the module
+  * is constructed, never silently mis-executed. Function bodies are opcode-validated and their block
   * structure is precomputed once at decode, not per invocation.
   *
   * Isolation invariants mirror the reference's sandbox rules
@@ -93,15 +94,15 @@ final class WasmModule(bytes: Array[Byte],
         (0 until n).foreach { _ =>
           require(u8() == 0x60, "expected functype")
           val np = uleb().toInt
-          (0 until np).foreach { _ =>
-            val t = u8(); require(ValTypes(t), "unsupported param type")
+          val ps = IndexedSeq.fill(np) {
+            val t = u8(); require(ValTypes(t), "unsupported param type"); t
           }
           val nr = uleb().toInt
-          (0 until nr).foreach { _ =>
-            val t = u8(); require(ValTypes(t), "unsupported result type")
+          val rs = IndexedSeq.fill(nr) {
+            val t = u8(); require(ValTypes(t), "unsupported result type"); t
           }
           require(nr <= 1, "multi-value results unsupported")
-          types += FuncType(np, nr)
+          types += FuncType(ps, rs)
         }
       case 3 => // functions
         val n = uleb().toInt
@@ -184,9 +185,13 @@ final class WasmModule(bytes: Array[Byte],
           require(flags == 0, "only active element segments on table 0 supported")
           val offset = constExpr().toInt
           val cnt = uleb().toInt
+          require(offset >= 0 && offset + cnt <= table.length,
+            "element segment out of table bounds")
           (0 until cnt).foreach { k =>
             val fIdx = uleb().toInt
-            require(offset + k < table.length, "element segment exceeds table")
+            // function section precedes elements, so the index space is known
+            require(fIdx >= 0 && fIdx < importedFns.size + funcTypeIdx.size,
+              s"element references unknown function $fIdx")
             table(offset + k) = fIdx
           }
         }
@@ -241,15 +246,19 @@ final class WasmModule(bytes: Array[Byte],
     def callFunction(idx: Int, argv: Array[Long]): Option[Long] = {
       if (idx < importedFns.size) { // host function (hostcall parity)
         val (key, typeIdx) = importedFns(idx)
-        require(argv.length == types(typeIdx).params, s"arity mismatch calling import $key")
-        return hostFns(key)(argv.toSeq)
+        val ft0 = types(typeIdx)
+        require(argv.length == ft0.params.length, s"arity mismatch calling import $key")
+        val res = hostFns(key)(argv.toSeq)
+        require(res.isDefined == ft0.results.nonEmpty,
+          s"host '$key' result arity violates import type")
+        return res
       }
       val local = idx - importedFns.size
       val ft = types(funcTypeIdx(local))
-      require(argv.length == ft.params, s"arity mismatch calling func $idx")
+      require(argv.length == ft.params.length, s"arity mismatch calling func $idx")
       val code = codes(local)
       val body = code.body
-      val locals = new Array[Long](ft.params + code.nLocals)
+      val locals = new Array[Long](ft.params.length + code.nLocals)
       System.arraycopy(argv, 0, locals, 0, argv.length)
       val stack = new mutable.ArrayDeque[Long]()
       // frames: (opcode, startPc, endPc, entryDepth, labelArity)
@@ -263,7 +272,7 @@ final class WasmModule(bytes: Array[Byte],
       @inline def i32(v: Long): Long = v.toInt.toLong
 
       def doReturn(): Unit = {
-        returned = if (ft.results == 1) Some(pop()) else None
+        returned = if (ft.results.nonEmpty) Some(pop()) else None
         running = false
       }
 
@@ -323,8 +332,8 @@ final class WasmModule(bytes: Array[Byte],
             val calleeType =
               if (callee < importedFns.size) types(importedFns(callee)._2)
               else types(funcTypeIdx(callee - importedFns.size))
-            val argv2 = new Array[Long](calleeType.params)
-            var i = calleeType.params - 1
+            val argv2 = new Array[Long](calleeType.params.length)
+            var i = calleeType.params.length - 1
             while (i >= 0) { argv2(i) = pop(); i -= 1 }
             callFunction(callee, argv2).foreach(push)
           case 0x11 => // call_indirect: (type imm, table imm 0x00)
@@ -339,8 +348,8 @@ final class WasmModule(bytes: Array[Byte],
               else types(funcTypeIdx(callee - importedFns.size))
             require(calleeType == types(expectType),
               "wasm trap: indirect call type mismatch")
-            val argv2 = new Array[Long](calleeType.params)
-            var i = calleeType.params - 1
+            val argv2 = new Array[Long](calleeType.params.length)
+            var i = calleeType.params.length - 1
             while (i >= 0) { argv2(i) = pop(); i -= 1 }
             callFunction(callee, argv2).foreach(push)
           case 0x1a => pop() // drop
@@ -556,7 +565,10 @@ final class WasmModule(bytes: Array[Byte],
               case 0x8c => pushF(-pf())
               case 0x8d => pushF(math.ceil(pf().toDouble).toFloat)
               case 0x8e => pushF(math.floor(pf().toDouble).toFloat)
-              case 0x8f => val x = pf(); pushF(x.toLong.toFloat)
+              case 0x8f => val x = pf()
+                pushF(if (x.isNaN || x.isInfinite) x
+                      else if (x < 0) math.ceil(x.toDouble).toFloat
+                      else math.floor(x.toDouble).toFloat)
               case 0x90 => pushF(math.rint(pf().toDouble).toFloat)
               case 0x91 => pushF(math.sqrt(pf().toDouble).toFloat)
               case 0x92 => val b = pf(); val a = pf(); pushF(a + b)
@@ -583,7 +595,9 @@ final class WasmModule(bytes: Array[Byte],
               case 0x9a => pushD(-pd())
               case 0x9b => pushD(math.ceil(pd()))
               case 0x9c => pushD(math.floor(pd()))
-              case 0x9d => val x = pd(); pushD(x.toLong.toDouble)
+              case 0x9d => val x = pd()
+                pushD(if (x.isNaN || x.isInfinite) x
+                      else if (x < 0) math.ceil(x) else math.floor(x))
               case 0x9e => pushD(math.rint(pd()))
               case 0x9f => pushD(math.sqrt(pd()))
               case 0xa0 => val b = pd(); val a = pd(); pushD(a + b)
@@ -595,14 +609,16 @@ final class WasmModule(bytes: Array[Byte],
             }
           case 0xa8 => // i32.trunc_f32_s
             val d = java.lang.Float.intBitsToFloat(pop().toInt).toDouble
-            if (d.isNaN || d < Int.MinValue.toDouble || d > Int.MaxValue.toDouble)
+            val t = if (d < 0) math.ceil(d) else math.floor(d)
+            if (d.isNaN || t < Int.MinValue.toDouble || t > Int.MaxValue.toDouble)
               throw new IllegalStateException("wasm trap: invalid conversion")
-            push(d.toInt.toLong)
+            push(t.toInt.toLong)
           case 0xaa => // i32.trunc_f64_s
             val d = java.lang.Double.longBitsToDouble(pop())
-            if (d.isNaN || d < Int.MinValue.toDouble || d > Int.MaxValue.toDouble)
+            val t = if (d < 0) math.ceil(d) else math.floor(d)
+            if (d.isNaN || t < Int.MinValue.toDouble || t > Int.MaxValue.toDouble)
               throw new IllegalStateException("wasm trap: invalid conversion")
-            push(d.toInt.toLong)
+            push(t.toInt.toLong)
           case 0xb2 => // f32.convert_i32_s
             push(java.lang.Float.floatToRawIntBits(pop().toInt.toFloat) & 0xffffffffL)
           case 0xb6 => // f32.demote_f64
@@ -619,7 +635,7 @@ final class WasmModule(bytes: Array[Byte],
             throw new UnsupportedOperationException(f"wasm opcode 0x$other%02x unsupported")
         }
       }
-      returned.orElse(if (ft.results == 1 && stack.nonEmpty) Some(pop()) else None)
+      returned.orElse(if (ft.results.nonEmpty && stack.nonEmpty) Some(pop()) else None)
     }
 
     callFunction(fIdx, args.toArray)
@@ -629,7 +645,9 @@ final class WasmModule(bytes: Array[Byte],
 object WasmModule {
   val PageSize = 65536
 
-  final case class FuncType(params: Int, results: Int)
+  /** Full function type: value-type lists (call_indirect compares these
+    * for the spec type-mismatch trap; arity alone is not enough). */
+  final case class FuncType(params: IndexedSeq[Int], results: IndexedSeq[Int])
   /** Per-function: locals count, body bytes, block-end map, else map. */
   final case class Code(nLocals: Int, body: Array[Byte],
                         endOf: Map[Int, Int], elseOf: Map[Int, Int])
