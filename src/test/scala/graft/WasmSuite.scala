@@ -238,6 +238,56 @@ class WasmSuite extends SparkSpec {
     assert(e.getMessage.contains("table"))
   }
 
+  test("float trunc and conversion boundary semantics (spec regressions)") {
+    import graft.udf.wasm.WasmAssembler
+    def d64(x: Double) = {
+      val bits = java.lang.Double.doubleToRawLongBits(x)
+      Seq(0x44.toByte) ++ (0 until 8).map(i => ((bits >> (8 * i)) & 0xff).toByte)
+    }
+    // f64.trunc(NaN) must stay NaN (not 0.0)
+    val truncNaN = new WasmModule(WasmAssembler.module("t", 0, 0,
+      d64(Double.NaN) ++ Seq(0x9d.toByte), resultType = 0x7c))
+    assert(java.lang.Double.longBitsToDouble(truncNaN.invoke("t").get).isNaN)
+    // f64.trunc(1e300) is identity (not Long.MaxValue.toDouble)
+    val truncBig = new WasmModule(WasmAssembler.module("t", 0, 0,
+      d64(1e300) ++ Seq(0x9d.toByte), resultType = 0x7c))
+    assert(java.lang.Double.longBitsToDouble(truncBig.invoke("t").get) == 1e300)
+    // i32.trunc_f64_s(2147483647.5) converts (truncated value in range)
+    val convEdge = new WasmModule(WasmAssembler.module("t", 0, 0,
+      d64(2147483647.5) ++ Seq(0xaa.toByte)))
+    assert(convEdge.invoke("t").contains(2147483647L))
+    // …but 2147483648.5 traps
+    val convOver = new WasmModule(WasmAssembler.module("t", 0, 0,
+      d64(2147483648.5) ++ Seq(0xaa.toByte)))
+    intercept[IllegalStateException] { convOver.invoke("t") }
+  }
+
+  test("call_indirect traps on value-type mismatch with equal arity") {
+    val A = graft.udf.wasm.WasmAssembler
+    // type0: (i32)->(i32) [declared at call site]; type1: (f64)->(f64)
+    // [what the table slot actually holds]
+    val typeSec = A.section(1, A.vec(Seq(
+      Seq(0x60.toByte) ++ A.vec(Seq(Seq(0x7f.toByte))) ++ A.vec(Seq(Seq(0x7f.toByte))),
+      Seq(0x60.toByte) ++ A.vec(Seq(Seq(0x7c.toByte))) ++ A.vec(Seq(Seq(0x7c.toByte))))))
+    val funcSec = A.section(3, A.vec(Seq(A.uleb(1), A.uleb(0)))) // f64 fn, then caller
+    val tableSec = A.section(4, A.vec(Seq(Seq(0x70.toByte, 0x00.toByte) ++ A.uleb(1))))
+    val memSec = A.section(5, A.vec(Seq(Seq(0x00.toByte) ++ A.uleb(1))))
+    val exportSec = A.section(7, A.vec(Seq(A.name("f") ++ Seq(0x00.toByte) ++ A.uleb(1))))
+    val elemSec = A.section(9, A.vec(Seq(
+      A.uleb(0) ++ Seq(0x41.toByte, 0x00.toByte, 0x0b.toByte) ++ A.vec(Seq(A.uleb(0))))))
+    def code(body: Seq[Byte]) = A.vec(Nil) ++ body :+ 0x0b.toByte
+    val f64Body = code(Seq(0x20, 0x00).map(_.toByte))           // identity f64
+    val callerBody = code(Seq(
+      0x20, 0x00, 0x41, 0x00, 0x11, 0x00, 0x00).map(_.toByte)) // call_indirect type0
+    val codeSec = A.section(10, A.vec(Seq(f64Body, callerBody).map(c =>
+      A.uleb(c.length.toLong) ++ c)))
+    val bytes = (Seq(0x00, 0x61, 0x73, 0x6d, 0x01, 0x00, 0x00, 0x00).map(_.toByte) ++
+      typeSec ++ funcSec ++ tableSec ++ memSec ++ exportSec ++ elemSec ++ codeSec).toArray
+    val m = new WasmModule(bytes)
+    val e = intercept[IllegalArgumentException] { m.invoke("f", 4L) }
+    assert(e.getMessage.contains("type mismatch"))
+  }
+
   test("f64 guest compute: dot product over linear memory") {
     import graft.udf.wasm.WasmAssembler
     // dotf(n) -> f64: vectors a at 0, b at 1024, both n f64s
