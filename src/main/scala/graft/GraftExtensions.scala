@@ -1,6 +1,7 @@
 package graft
 
-import graft.functions.{CosineSim, DotProduct, SqDist}
+import graft.functions.{CosineSim, DotProduct, HeavyHitters, MinHashSignature, SqDist}
+import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -26,5 +27,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("sq_dist"),
       info("sq_dist", "sq_dist(array<double>, array<double>) - squared L2 distance"),
       (args: Seq[Expression]) => SqDist(args(0), args(1))))
+    // sketch aggregates (SQL GROUP BY usable)
+    e.injectFunction((FunctionIdentifier("heavy_hitters"),
+      info("heavy_hitters", "heavy_hitters(col[, capacity]) - Misra-Gries top items"),
+      (args: Seq[Expression]) => HeavyHitters(args.head,
+        if (args.length > 1) args(1).eval().asInstanceOf[Int] else 64)))
+    e.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(col[, k]) - MinHash signature array"),
+      (args: Seq[Expression]) => MinHashSignature(args.head,
+        if (args.length > 1) args(1).eval().asInstanceOf[Int] else 32)))
   }
 }

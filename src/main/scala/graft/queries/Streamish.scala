@@ -240,6 +240,53 @@ object Streamish {
         .orderBy(col("user_id"), col("session_id"))
     },
 
+    // ---- Exact heavy hitters through the sketch aggregate: with capacity
+    // ≥ distinct keys the Misra–Gries buffer never evicts, so counts are
+    // exact and deterministic — oracled against a plain GROUP BY. (The
+    // approximate regime is q_heavy_hitters, rows-only.)
+    Q("q_top_event_types",
+      """SELECT day, event_type, n FROM (
+        |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    event_type, COUNT(*) AS n
+        |  FROM events GROUP BY day, event_type)
+        |ORDER BY day, n DESC, event_type""".stripMargin) { (s, d) =>
+      import graft.functions.HeavyHitters
+      Tables.events(s, d)
+        .groupBy(Tables.tsDay("ts").as("day"))
+        .agg(HeavyHitters.heavyHitters(col("event_type"), capacity = 16).as("hh"))
+        .select(col("day"), explode(col("hh")).as(Seq("event_type", "n")))
+        .orderBy(col("day"), col("n").desc, col("event_type"))
+    },
+
+    // ---- Native session windows (session_window built-in): gap-merged
+    // per-user sessions; oracle recomputes sessions with the lag/gap
+    // method. Counts only — window bounds stay internal.
+    Q("q_session_window",
+      """SELECT user_id,
+        |  CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM (
+        |    SELECT user_id, event_id, ts,
+        |      CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1, epoch_us(ts))
+        |             OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |             >= 3600000000
+        |           THEN 1 ELSE 0 END AS new_session
+        |    FROM events))
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+        .groupBy(session_window(col("ets"), "1 hour").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("cnt")).as("n_events"))
+        .orderBy(col("user_id"))
+    },
+
     // ---- Sliding event-time windows (2-day windows, 1-day slide): each
     // event lands in two overlapping windows. The oracle materializes the
     // two candidate window starts per event explicitly.

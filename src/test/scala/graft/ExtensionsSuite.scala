@@ -28,6 +28,15 @@ class ExtensionsSuite extends AnyFunSuite {
       assert(r.getDouble(0) == 1.0)
       assert(r.getDouble(1) == 11.0)
       assert(r.getDouble(2) == 25.0)
+      // sketch aggregates usable straight from SQL
+      import spark.implicits._
+      Seq("a", "a", "b").toDF("w").createOrReplaceTempView("words")
+      val hh = spark.sql("SELECT heavy_hitters(w, 8) FROM words")
+        .collect().head.getMap[String, Long](0)
+      assert(hh("a") == 2L && hh("b") == 1L)
+      val sig = spark.sql("SELECT minhash_sig(w, 16) FROM words")
+        .collect().head.getSeq[Int](0)
+      assert(sig.length == 16)
     } finally {
       // don't stop(): that would kill the SparkContext shared with the
       // other suites in this JVM — just hand back the default-session slot
