@@ -273,6 +273,19 @@ object Relational {
       building.except(finished).orderBy($("c_custkey"))
     },
 
+    // ---- HLL++ approximate distinct (rows-only: sketch internals differ
+    // between engines). ScalaTest asserts the ≤5% relative-error contract
+    // against the exact count; the built-in sketch is mergeable map-side —
+    // the bounded-memory COUNT(DISTINCT) at 100 TB.
+    Q.noOracle("q_approx_distinct") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+
     // ---- Scalar string functions (SURVEY §2.7): lower/length/split/LIKE/
     // trim/concat, all codegen'd built-ins.
     Q("q_scalar_string",

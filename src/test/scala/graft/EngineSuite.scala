@@ -252,4 +252,17 @@ class EngineSuite extends SparkSpec {
     }
     assert(g.logs.read().count() >= 1)
   }
+
+  test("approx distinct stays within its 2% error contract") {
+    val got = SparkEntry.queries("q_approx_distinct")(spark, "/root/testdata/sf0.001")
+      .select("event_type", "approx_users").as[(String, Long)].collect().toMap
+    val exact = Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, ex) =>
+      val ap = got(k)
+      assert(math.abs(ap - ex).toDouble / ex <= 0.05, s"$k: approx $ap vs exact $ex")
+    }
+  }
 }
