@@ -273,6 +273,40 @@ object Relational {
       building.except(finished).orderBy($("c_custkey"))
     },
 
+    // ---- Ordered string aggregation (deterministic: sorted before join).
+    Q("q_string_agg",
+      """SELECT c_mktsegment,
+        |  string_agg(c_name, ',' ORDER BY c_name) AS names,
+        |  COUNT(*) AS n
+        |FROM (SELECT c_mktsegment, c_name FROM customer WHERE c_custkey <= 50)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .filter($("c_custkey") <= 50)
+        .groupBy($("c_mktsegment"))
+        .agg(
+          concat_ws(",", array_sort(collect_list($("c_name")))).as("names"),
+          count(lit(1)).as("n"))
+        .orderBy($("c_mktsegment"))
+    },
+
+    // ---- Pivot: event counts per day spread across type columns. The
+    // oracle expresses the same reshaping portably with conditional sums.
+    Q("q_pivot",
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY day ORDER BY day""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(Tables.tsDay("ts").as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy(col("day"))
+    },
+
     // ---- HLL++ approximate distinct (rows-only: sketch internals differ
     // between engines). ScalaTest asserts the ≤5% relative-error contract
     // against the exact count; the built-in sketch is mergeable map-side —
