@@ -4,11 +4,12 @@ import graft.{Q, Tables}
 import graft.udf.wasm.{WasmAssembler, WasmModule}
 import org.apache.spark.sql.functions._
 
-/** WASM-guest compute inside the correctness gate: a real WebAssembly
-  * module (assembled in-process, executed by the built-in interpreter)
-  * maps event ids through `f(x) = x*3 + 7`; the oracle recomputes the
-  * affine map in plain SQL. Any interpreter bug — decode, arithmetic,
-  * instance reuse — breaks the hash match.
+/** WASM-guest compute inside the correctness gate: real WebAssembly
+  * modules (assembled in-process, executed by the built-in interpreter)
+  * whose outputs hash-match plain-SQL oracles — an integer affine map
+  * over event ids and f64 L2 norms over the embedding vectors. Any
+  * interpreter bug (decode, arithmetic, float semantics, instance reuse)
+  * breaks the match.
   */
 object WasmOps {
 
