@@ -74,7 +74,14 @@ final class Channel private[channel] (
     * is a no-op, upgrading [[sink]] from at-least-once to exactly-once. */
   def writeEpoch(df: DataFrame, writerId: Int, epochId: Long): Unit = {
     val marker = s"_w${writerId}_e$epochId"
-    if (listBatches(dir).exists(_.getFileName.toString.endsWith(marker))) return
+    val existing = listBatches(dir).filter(_.getFileName.toString.endsWith(marker))
+    // A batch dir only counts as committed once Spark's job commit wrote
+    // _SUCCESS; the directory itself appears before the tasks finish, so a
+    // crash mid-write leaves a partial dir that must be replaced on replay,
+    // not skipped (skipping would drop the epoch's data on the exact
+    // recovery path this idempotence exists for).
+    if (existing.exists(p => Files.exists(p.resolve("_SUCCESS")))) return
+    existing.foreach(Channel.deleteRecursively)
     doWrite(df, writerId, s"e$epochId")
   }
 
@@ -82,21 +89,33 @@ final class Channel private[channel] (
     if (isTerminated) throw ChannelClosed(name, "terminated")
     if (isDrained) throw ChannelClosed(name, "drained")
     SchemaRegistry.check(name, schemaHash, df.schema)
+    // Park mode parks BEFORE accepting the frame (reference
+    // messaging/src/writer.rs:166-199): a full channel must reject the
+    // write without making it visible, or a retrying writer duplicates it.
+    if (!dropMode) {
+      val current = listBatches(dir).map(dirSize).sum
+      if (current >= capacityBytes) throw ChannelBackpressure(name, current, capacityBytes)
+    }
     val batch = nextSeq(dir)
-    val target = dir.resolve(f"batch_$batch%012d" + s"_w${writerId}_$unique").toString
+    val target = dir.resolve(f"batch_$batch%012d" + s"_w${writerId}_$unique")
     df.withColumn(WriterIdCol, lit(writerId))
       .withColumn(SeqCol, lit(batch))
       .withColumn(OffsetCol, monotonically_increasing_id())
       .coalesce(math.max(1, partitions))
-      .write.mode("errorifexists").parquet(target)
-    enforceCapacity()
+      .write.mode("errorifexists").parquet(target.toString)
+    enforceCapacity(justWritten = Some(target))
   }
 
-  private def enforceCapacity(): Unit = synchronized {
+  private def enforceCapacity(justWritten: Option[Path] = None): Unit = synchronized {
     var batches = listBatches(dir)
     var total = batches.map(dirSize).sum
     if (total <= capacityBytes) return
-    if (!dropMode) throw ChannelBackpressure(name, total, capacityBytes)
+    if (!dropMode) {
+      // The batch size wasn't knowable before the distributed write ran;
+      // un-publish it so the rejected frame is never visible to readers.
+      justWritten.foreach { p => total -= dirSize(p); deleteRecursively(p) }
+      throw ChannelBackpressure(name, total, capacityBytes)
+    }
     // Drop mode: evict oldest whole batches (frame-pruning parity,
     // messaging/src/lib.rs:342-359) until under capacity.
     while (total > capacityBytes && batches.size > 1) {
@@ -163,8 +182,15 @@ final class Channel private[channel] (
     * long-lived topic accumulates one directory per micro-batch; readers
     * pay per-file open costs). Metadata columns (`_seq`/`_offset`/
     * `_writer_id`) are already data in the stored files, so offset order
-    * and attribution survive compaction. Not safe concurrently with
-    * writers (call from a maintenance window / drained topic). */
+    * and attribution survive compaction.
+    *
+    * The compacted output is named `compact_*`, OUTSIDE the `batch_*` glob
+    * that [[readStream]] subscriptions watch: a checkpointed subscriber has
+    * already ingested the original batches, so re-listing their contents
+    * under a new file would double-deliver the whole topic. Consequence:
+    * streaming subscriptions (existing and new) see only post-compaction
+    * appends; batch [[read]] always sees everything. Not safe concurrently
+    * with writers (call from a maintenance window / drained topic). */
   def compact(): Unit = {
     val batches = listBatches(dir)
     if (batches.size <= 1) return
@@ -172,8 +198,16 @@ final class Channel private[channel] (
     val seq = nextSeq(dir)
     val tmp = dir.resolve(s"_compacting")
     df.coalesce(math.max(1, partitions)).write.mode("overwrite").parquet(tmp.toString)
-    batches.foreach(Channel.deleteRecursively)
-    Files.move(tmp, dir.resolve(f"batch_$seq%012d" + "_compacted"))
+    Files.move(tmp, dir.resolve(f"compact_$seq%012d"))
+    // Sweep everything the new compact file supersedes — including
+    // leftovers of a previously crashed compaction (listBatches already
+    // filters them, so this is cleanup, not correctness).
+    Files.list(dir).iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        (n.startsWith("batch_") || n.startsWith("compact_")) && batchSeq(p) < seq
+      }
+      .toSeq.foreach(Channel.deleteRecursively)
   }
 
   /** Channel health/metrics row (ops surface; droppedBytes is the
@@ -216,16 +250,34 @@ object Channel {
     s
   }
 
-  private[channel] def listBatches(dir: Path): Seq[Path] =
-    if (!Files.exists(dir)) Nil
-    else Files.list(dir).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("batch_"))
-      .toSeq.sortBy(_.getFileName.toString)
+  private[channel] def batchSeq(p: Path): Long = {
+    val n = p.getFileName.toString
+    n.dropWhile(!_.isDigit).takeWhile(_.isDigit).toLong
+  }
+
+  /** All live data directories in seq order. A `compact_N` dir holds every
+    * frame with seq < N, so its rename-into-place atomically supersedes
+    * lower-seq entries: if a crash interrupted compact() between the move
+    * and the source deletes, the leftovers are filtered here (and swept
+    * lazily) rather than double-read. */
+  private[channel] def listBatches(dir: Path): Seq[Path] = {
+    if (!Files.exists(dir)) return Nil
+    val all = Files.list(dir).iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("batch_") || n.startsWith("compact_")
+      }
+      .toSeq.sortBy(batchSeq)
+    val lastCompact = all.filter(_.getFileName.toString.startsWith("compact_"))
+      .map(batchSeq).maxOption
+    lastCompact match {
+      case Some(c) => all.filter(p => batchSeq(p) >= c)
+      case None => all
+    }
+  }
 
   private[channel] def nextSeq(dir: Path): Long =
-    listBatches(dir).lastOption
-      .map(p => p.getFileName.toString.stripPrefix("batch_").takeWhile(_.isDigit).toLong + 1)
-      .getOrElse(0L)
+    listBatches(dir).lastOption.map(batchSeq(_) + 1).getOrElse(0L)
 
   private[channel] def dirSize(p: Path): Long =
     Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_))

@@ -103,7 +103,10 @@ object TextOps {
         .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("tok"))
         .groupBy(col("lang"))
         .agg(HeavyHitters.heavyHitters(col("tok"), 16).as("top_tokens"))
-        .select(col("lang"), map_keys(col("top_tokens")).as("tokens"))
+        // Stringify: the driver's comparator sorts result columns in pandas,
+        // which cannot hash array cells.
+        .select(col("lang"),
+          concat_ws(" ", array_sort(map_keys(col("top_tokens")))).as("tokens"))
         .orderBy(col("lang"))
     },
 

@@ -63,7 +63,12 @@ final class QueryManager(val spark: SparkSession,
     }
     require(!running.containsKey(name), s"pipeline '$name' already running")
     val q = build(spark)
-    running.put(name, q)
+    // Atomic claim: two concurrent starts can both pass the pre-check, and
+    // a plain put would silently overwrite (and leak) the loser's query.
+    if (running.putIfAbsent(name, q) != null) {
+      q.stop()
+      throw new IllegalArgumentException(s"pipeline '$name' already running")
+    }
     log("Info", "pipeline started", "pipeline" -> name, "session" -> session.name)
     q
   }

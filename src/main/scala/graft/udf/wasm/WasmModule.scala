@@ -429,6 +429,9 @@ final class WasmModule(bytes: Array[Byte],
           case 0x6c => push(i32(pop().toInt * pop().toInt))
           case 0x6d => val b = pop().toInt; val a = pop().toInt
             if (b == 0) throw new IllegalStateException("wasm trap: div by zero")
+            // Wasm spec: INT_MIN / -1 overflows and must trap (JVM wraps).
+            if (a == Int.MinValue && b == -1)
+              throw new IllegalStateException("wasm trap: integer overflow")
             push(i32(a / b))
           case 0x6e => val b = pop().toInt; val a = pop().toInt
             if (b == 0) throw new IllegalStateException("wasm trap: div by zero")
@@ -485,6 +488,8 @@ final class WasmModule(bytes: Array[Byte],
           case 0x7e => push(pop() * pop())
           case 0x7f => val b = pop(); val a = pop()
             if (b == 0) throw new IllegalStateException("wasm trap: div by zero")
+            if (a == Long.MinValue && b == -1L)
+              throw new IllegalStateException("wasm trap: integer overflow")
             push(a / b)
           case 0x80 => val b = pop(); val a = pop()
             if (b == 0) throw new IllegalStateException("wasm trap: div by zero")

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import graft.channel.{Channel, ChannelRegistry, SchemaRegistry}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructType, StructField, IntegerType, StringType}
@@ -123,6 +125,30 @@ class ChannelSuite extends SparkSpec {
     assert(ch.read().count() == 4)
   }
 
+  test("writeEpoch replaces a partial (uncommitted) batch on replay") {
+    val reg = new ChannelRegistry(spark, tmpDir("chan"))
+    val ch = reg.create("t9b", schema)
+    // Simulate a crash mid-write: the batch dir exists (Spark creates it
+    // before job commit) but has no _SUCCESS and no data.
+    val partial = ch.dir.resolve("batch_000000000000_w3_e0")
+    java.nio.file.Files.createDirectories(partial)
+    val batch = Seq((1, "a"), (2, "b")).toDF("id", "msg")
+    ch.writeEpoch(batch, writerId = 3, epochId = 0) // replay must NOT skip
+    assert(ch.read().count() == 2)
+    // …and a committed epoch is still idempotent.
+    ch.writeEpoch(batch, writerId = 3, epochId = 0)
+    assert(ch.read().count() == 2)
+  }
+
+  test("park-mode rejection leaves nothing visible to readers") {
+    val reg = new ChannelRegistry(spark, tmpDir("chan"))
+    val ch = reg.create("t5b", schema, capacityBytes = 1, dropMode = false)
+    intercept[Channel.ChannelBackpressure] {
+      ch.write(Seq((1, "a")).toDF("id", "msg"), 0)
+    }
+    assert(ch.read().count() == 0) // the parked frame was never accepted
+  }
+
   test("compaction merges batches, preserving order and attribution") {
     val reg = new ChannelRegistry(spark, tmpDir("chan"))
     val ch = reg.create("t10", schema)
@@ -131,6 +157,12 @@ class ChannelSuite extends SparkSpec {
       .as[(Int, Int)].collect().toSeq
     ch.compact()
     assert(ch.metrics().collect().head.getAs[Long]("n_batches") == 1)
+    // Compacted output lives OUTSIDE the `batch_*` glob readStream watches,
+    // so checkpointed subscribers don't re-ingest the whole topic.
+    val names = java.nio.file.Files.list(ch.dir).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    assert(names.exists(_.startsWith("compact_")))
+    assert(!names.exists(_.startsWith("batch_")))
     val after = ch.read().select("id", Channel.WriterIdCol)
       .as[(Int, Int)].collect().toSeq
     assert(after == before)

@@ -262,6 +262,27 @@ class WasmSuite extends SparkSpec {
     intercept[IllegalStateException] { convOver.invoke("t") }
   }
 
+  test("signed division overflow traps (INT_MIN / -1)") {
+    val A = graft.udf.wasm.WasmAssembler
+    // i32: JVM wraps Int.MinValue / -1 silently; wasm must trap.
+    val i32Div = new WasmModule(A.module("t", 0, 0,
+      Seq(0x41.toByte) ++ A.sleb(Int.MinValue.toLong) ++
+        Seq(0x41.toByte) ++ A.sleb(-1L) ++ Seq(0x6d.toByte)))
+    val e32 = intercept[IllegalStateException] { i32Div.invoke("t") }
+    assert(e32.getMessage.contains("integer overflow"))
+    // i64 likewise.
+    val i64Div = new WasmModule(A.module("t", 0, 0,
+      Seq(0x42.toByte) ++ A.sleb(Long.MinValue) ++
+        Seq(0x42.toByte) ++ A.sleb(-1L) ++ Seq(0x7f.toByte), resultType = 0x7e))
+    val e64 = intercept[IllegalStateException] { i64Div.invoke("t") }
+    assert(e64.getMessage.contains("integer overflow"))
+    // rem_s at the same operands is defined (0), not a trap.
+    val i32Rem = new WasmModule(A.module("t", 0, 0,
+      Seq(0x41.toByte) ++ A.sleb(Int.MinValue.toLong) ++
+        Seq(0x41.toByte) ++ A.sleb(-1L) ++ Seq(0x6f.toByte)))
+    assert(i32Rem.invoke("t").contains(0L))
+  }
+
   test("call_indirect traps on value-type mismatch with equal arity") {
     val A = graft.udf.wasm.WasmAssembler
     // type0: (i32)->(i32) [declared at call site]; type1: (f64)->(f64)
