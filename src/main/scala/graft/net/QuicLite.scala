@@ -1,0 +1,355 @@
+package graft.net
+
+import java.net.{InetSocketAddress, SocketAddress}
+import java.nio.ByteBuffer
+import java.nio.channels.DatagramChannel
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue, CountDownLatch, TimeUnit}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+
+import scala.jdk.CollectionConverters._
+
+/** A userspace QUIC-subset transport over UDP — the S4 network driver
+  * (reference subsystem/net-quinn: quinn-backed QUIC listener/dialer,
+  * driver.rs:60-136). The JDK ships no QUIC stack, so this implements the
+  * RFC 9000 machinery the reference's capability surface actually uses:
+  *
+  *  - connection IDs demultiplexing many connections over one UDP socket
+  *    (endpoint model, lib.rs:155-157);
+  *  - a port-shared listener registry with SNI-style domain routing —
+  *    connections for an unrouted domain are closed with reason
+  *    "unrouted domain" (lib.rs:178-202 `accept_for_domain`);
+  *  - bidirectional streams multiplexed per connection, client-initiated
+  *    ids 0,4,8,… (accept_bi / open_bi parity, driver.rs:125-135);
+  *  - reliable ordered delivery over lossy UDP: per-packet numbers,
+  *    immediate ACKs, RTO-based retransmission, offset-keyed reassembly
+  *    (the recovery subset of RFC 9002).
+  *
+  * Deliberate deviation, stated loudly: NO TLS. The reference rides
+  * rustls' QUIC crypto (lib.rs:9-27); the JDK has no TLS-over-UDP
+  * primitive and this engine's trust boundary is the driver process, so
+  * the handshake carries the domain in cleartext where a ClientHello SNI
+  * would sit. The packet layout keeps QUIC's shape (long-header
+  * handshake, short-header data) so a real crypto layer could wrap it
+  * without touching stream/recovery logic.
+  */
+object QuicLite {
+
+  // Packet types (first byte). INITIAL/ACCEPT/CLOSE are the "long header"
+  // handshake packets; STREAM/ACK are the 1-RTT data plane.
+  private val INITIAL: Byte = 1
+  private val ACCEPT: Byte = 2
+  private val STREAM: Byte = 3
+  private val ACK: Byte = 4
+  private val CLOSE: Byte = 5
+
+  /** Conservative payload budget per datagram (QUIC's 1200-byte minimum
+    * datagram size, RFC 9000 §14.1); stream data is fragmented to fit. */
+  val MaxData = 1100
+
+  private val RtoMillis = 100L
+  private val MaxRetries = 12
+
+  final case class QuicError(message: String) extends RuntimeException(message)
+
+  /** One bidirectional stream: outbound writes fragment into STREAM
+    * frames; inbound frames reassemble by offset until FIN. */
+  final class QuicStream private[net] (
+      val conn: Connection, val streamId: Long) {
+    private[net] val inbound = new java.util.TreeMap[Long, Array[Byte]]()
+    private[net] var finAt: Long = -1L
+    private[net] val complete = new CountDownLatch(1)
+    private[net] var delivered: Array[Byte] = null
+    private var writeOffset = 0L
+
+    /** Append bytes to the stream; `fin = true` closes our direction.
+      * Fragments into ≤MaxData frames, each retransmitted until acked. */
+    def write(bytes: Array[Byte], fin: Boolean = true): Unit = {
+      var off = 0
+      do {
+        val n = math.min(MaxData, bytes.length - off)
+        val last = off + n == bytes.length
+        conn.sendStreamFrame(streamId, writeOffset + off,
+          java.util.Arrays.copyOfRange(bytes, off, off + n), fin && last)
+        off += n
+      } while (off < bytes.length)
+      writeOffset += bytes.length
+    }
+
+    /** Block until the peer FINs its direction; returns the whole
+      * reassembled inbound payload. */
+    def readAll(timeoutMs: Long = 5000): Array[Byte] = {
+      if (!complete.await(timeoutMs, TimeUnit.MILLISECONDS))
+        throw QuicError(conn.failure.getOrElse(s"stream $streamId: read timeout"))
+      delivered
+    }
+
+    // Receiver side: returns true when this frame completed the stream.
+    private[net] def offer(offset: Long, data: Array[Byte], fin: Boolean): Boolean =
+      synchronized {
+        if (delivered != null) return false // already complete (dup frame)
+        inbound.putIfAbsent(offset, data)
+        if (fin) finAt = offset + data.length
+        // contiguous prefix check
+        var next = 0L
+        val it = inbound.entrySet().iterator()
+        var contiguous = true
+        while (contiguous && it.hasNext) {
+          val e = it.next()
+          if (e.getKey != next) contiguous = false else next = e.getKey + e.getValue.length
+        }
+        if (contiguous && finAt >= 0 && next == finAt) {
+          val out = new Array[Byte](finAt.toInt)
+          var p = 0
+          inbound.values().asScala.foreach { b =>
+            System.arraycopy(b, 0, out, p, b.length); p += b.length
+          }
+          delivered = out
+          complete.countDown()
+          true
+        } else false
+      }
+  }
+
+  /** Connection state shared by both endpoint roles. Stream id parity is
+    * RFC 9000 §2.1: the client allocates 0,4,8,…; replies travel on the
+    * same id in the opposite direction. */
+  final class Connection private[net] (
+      endpoint: QuicEndpoint, val cid: Long, @volatile var remote: SocketAddress,
+      val domain: String, private[net] val isServerSide: Boolean) {
+    private[net] val streams = new ConcurrentHashMap[Long, QuicStream]()
+    private[net] val established = new CountDownLatch(1)
+    private val nextStreamId = new AtomicLong(0L)
+    private val nextPacket = new AtomicLong(0L)
+    // pktNum -> (datagram bytes, last-send nanos, retries); the retransmit
+    // loop resends entries past RTO and kills the connection at MaxRetries.
+    private[net] val unacked = new ConcurrentHashMap[Long, (Array[Byte], Long, Int)]()
+    @volatile private[net] var failure: Option[String] = None
+
+    def isOpen: Boolean = failure.isEmpty
+
+    def openStream(): QuicStream = {
+      val id = nextStreamId.getAndAdd(4)
+      val s = new QuicStream(this, id)
+      streams.put(id, s)
+      s
+    }
+
+    private[net] def stream(id: Long): QuicStream =
+      streams.computeIfAbsent(id, _ => new QuicStream(this, id))
+
+    private[net] def sendStreamFrame(
+        streamId: Long, offset: Long, data: Array[Byte], fin: Boolean): Unit = {
+      failure.foreach(f => throw QuicError(f))
+      val pkt = nextPacket.getAndIncrement()
+      val buf = ByteBuffer.allocate(1 + 8 + 8 + 8 + 8 + 1 + 2 + data.length)
+      buf.put(STREAM).putLong(cid).putLong(pkt).putLong(streamId).putLong(offset)
+        .put(if (fin) 1.toByte else 0.toByte).putShort(data.length.toShort).put(data)
+      buf.flip()
+      val bytes = new Array[Byte](buf.remaining()); buf.get(bytes)
+      unacked.put(pkt, (bytes, System.nanoTime(), 0))
+      endpoint.transmit(bytes, remote, pkt)
+    }
+
+    private[net] def fail(reason: String): Unit = {
+      failure = Some(reason)
+      unacked.clear()
+      streams.values().asScala.foreach(_.complete.countDown())
+      established.countDown()
+    }
+
+    def close(code: Int = 0, reason: String = "bye"): Unit = {
+      val r = reason.getBytes(UTF_8)
+      val buf = ByteBuffer.allocate(1 + 8 + 4 + 2 + r.length)
+      buf.put(CLOSE).putLong(cid).putInt(code).putShort(r.length.toShort).put(r)
+      buf.flip()
+      val bytes = new Array[Byte](buf.remaining()); buf.get(bytes)
+      endpoint.transmit(bytes, remote, -1L) // fire-and-forget
+      endpoint.dropConnection(cid)
+    }
+  }
+
+  /** A bound domain on a listening endpoint: completed inbound streams
+    * (request FIN received) queue here — accept_for_domain parity. */
+  final class ListenerHandle private[net] (val domain: String) {
+    private[net] val inbox = new java.util.concurrent.LinkedBlockingQueue[QuicStream]()
+    def accept(timeoutMs: Long = 5000): Option[QuicStream] =
+      Option(inbox.poll(timeoutMs, TimeUnit.MILLISECONDS))
+  }
+
+  /** One UDP socket acting as QUIC endpoint — server, client, or both
+    * (quinn Endpoint parity). Owns the receive loop and the retransmit
+    * timer. */
+  final class QuicEndpoint private[net] (channel: DatagramChannel) {
+    private val conns = new ConcurrentHashMap[Long, Connection]()
+    private val listeners = new ConcurrentHashMap[String, ListenerHandle]()
+    private val closed = new AtomicBoolean(false)
+    private val cids = new java.security.SecureRandom()
+
+    /** Test hook: return true to drop this outbound datagram (first-class
+      * loss injection so recovery is testable deterministically). */
+    @volatile var lossRule: (Long) => Boolean = _ => false
+
+    def port: Int = channel.getLocalAddress.asInstanceOf[InetSocketAddress].getPort
+
+    /** Register a domain route (get_or_try_init + ensure_domain parity:
+      * many domains share the port; re-binding a domain reuses the
+      * existing handle). */
+    def bind(domain: String): ListenerHandle =
+      listeners.computeIfAbsent(domain, d => new ListenerHandle(d))
+
+    /** Dial: send INITIAL (retrying — handshake packets get the same
+      * loss treatment as data) until ACCEPT, or fail. */
+    def connect(host: String, port: Int, domain: String,
+                timeoutMs: Long = 3000): Connection = {
+      val cid = cids.nextLong()
+      val remote = new InetSocketAddress(host, port)
+      val conn = new Connection(this, cid, remote, domain, isServerSide = false)
+      conns.put(cid, conn)
+      val sni = domain.getBytes(UTF_8)
+      val buf = ByteBuffer.allocate(1 + 8 + 2 + sni.length)
+      buf.put(INITIAL).putLong(cid).putShort(sni.length.toShort).put(sni)
+      buf.flip()
+      val initial = new Array[Byte](buf.remaining()); buf.get(initial)
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      transmit(initial, remote, -1L)
+      while (!conn.established.await(RtoMillis, TimeUnit.MILLISECONDS)) {
+        conn.failure.foreach(f => throw QuicError(f))
+        if (System.nanoTime() > deadline) {
+          conns.remove(cid)
+          throw QuicError(s"connect to $domain@$host:$port timed out")
+        }
+        transmit(initial, remote, -1L) // handshake retransmission
+      }
+      conn.failure.foreach(f => throw QuicError(f))
+      conn
+    }
+
+    private[net] def transmit(bytes: Array[Byte], to: SocketAddress, pkt: Long): Unit = {
+      if (pkt >= 0 && lossRule(pkt)) return // dropped "on the wire"
+      channel.send(ByteBuffer.wrap(bytes), to)
+    }
+
+    private[net] def dropConnection(cid: Long): Unit = conns.remove(cid)
+
+    private def receiveLoop(): Unit = {
+      val buf = ByteBuffer.allocate(2048)
+      while (!closed.get()) {
+        buf.clear()
+        val from = try channel.receive(buf) catch { case _: Exception => null }
+        if (from != null) {
+          buf.flip()
+          try handle(buf, from) catch { case _: Exception => () } // malformed: drop
+        }
+      }
+    }
+
+    private def handle(buf: ByteBuffer, from: SocketAddress): Unit = buf.get() match {
+      case INITIAL =>
+        val cid = buf.getLong
+        val sni = new Array[Byte](buf.getShort & 0xffff); buf.get(sni)
+        val domain = new String(sni, UTF_8)
+        listeners.get(domain) match {
+          case null => // unrouted domain → close(0) parity (lib.rs:198)
+            val r = "unrouted domain".getBytes(UTF_8)
+            val out = ByteBuffer.allocate(1 + 8 + 4 + 2 + r.length)
+            out.put(CLOSE).putLong(cid).putInt(0).putShort(r.length.toShort).put(r)
+            out.flip()
+            val b = new Array[Byte](out.remaining()); out.get(b)
+            transmit(b, from, -1L)
+          case _ =>
+            // idempotent: duplicate INITIAL (lost ACCEPT) re-sends ACCEPT
+            conns.computeIfAbsent(cid,
+              _ => new Connection(this, cid, from, domain, isServerSide = true))
+              .remote = from
+            val out = ByteBuffer.allocate(1 + 8)
+            out.put(ACCEPT).putLong(cid).flip()
+            val b = new Array[Byte](out.remaining()); out.get(b)
+            transmit(b, from, -1L)
+        }
+
+      case ACCEPT =>
+        val cid = buf.getLong
+        Option(conns.get(cid)).foreach(_.established.countDown())
+
+      case STREAM =>
+        val cid = buf.getLong
+        val conn = conns.get(cid)
+        if (conn != null) {
+          val pkt = buf.getLong
+          val streamId = buf.getLong
+          val offset = buf.getLong
+          val fin = buf.get() != 0
+          val data = new Array[Byte](buf.getShort & 0xffff); buf.get(data)
+          // ACK every packet, duplicates included (the dup means our
+          // previous ACK was lost).
+          val out = ByteBuffer.allocate(1 + 8 + 2 + 8)
+          out.put(ACK).putLong(cid).putShort(1).putLong(pkt).flip()
+          val b = new Array[Byte](out.remaining()); out.get(b)
+          transmit(b, conn.remote, -1L)
+          val s = conn.stream(streamId)
+          if (s.offer(offset, data, fin) && conn.isServerSide) {
+            // a completed client-initiated stream is a new inbound request
+            // → route to the domain's accept queue (offer() fires exactly
+            // once per stream, so duplicate final frames can't re-enqueue)
+            Option(listeners.get(conn.domain)).foreach(_.inbox.put(s))
+          }
+        }
+
+      case ACK =>
+        val cid = buf.getLong
+        val conn = conns.get(cid)
+        if (conn != null) {
+          val n = buf.getShort & 0xffff
+          (0 until n).foreach(_ => conn.unacked.remove(buf.getLong))
+        }
+
+      case CLOSE =>
+        val cid = buf.getLong
+        val code = buf.getInt
+        val r = new Array[Byte](buf.getShort & 0xffff); buf.get(r)
+        Option(conns.remove(cid))
+          .foreach(_.fail(s"closed by peer ($code): ${new String(r, UTF_8)}"))
+
+      case _ => () // unknown packet type: drop
+    }
+
+    private def retransmitLoop(): Unit = {
+      while (!closed.get()) {
+        Thread.sleep(RtoMillis / 2)
+        val now = System.nanoTime()
+        conns.values().asScala.foreach { conn =>
+          conn.unacked.entrySet().asScala.foreach { e =>
+            val (bytes, sentAt, retries) = e.getValue
+            if (now - sentAt > RtoMillis * 1000000L) {
+              if (retries >= MaxRetries) conn.fail(s"packet ${e.getKey} lost after $MaxRetries retries")
+              else if (conn.unacked.replace(e.getKey, e.getValue, (bytes, now, retries + 1)))
+                transmit(bytes, conn.remote, e.getKey)
+            }
+          }
+        }
+      }
+    }
+
+    private[net] def start(): this.type = {
+      val rx = new Thread(() => receiveLoop(), s"quic-rx-$port")
+      val rt = new Thread(() => retransmitLoop(), s"quic-rto-$port")
+      rx.setDaemon(true); rt.setDaemon(true)
+      rx.start(); rt.start()
+      this
+    }
+
+    def close(): Unit = {
+      closed.set(true)
+      channel.close()
+    }
+  }
+
+  /** Bind an endpoint (server, or client with a fixed port). Port 0 picks
+    * an ephemeral port. */
+  def endpoint(port: Int = 0): QuicEndpoint = {
+    val ch = DatagramChannel.open()
+    ch.bind(new InetSocketAddress("127.0.0.1", port))
+    new QuicEndpoint(ch).start()
+  }
+}

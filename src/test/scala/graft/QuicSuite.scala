@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.channel.ChannelRegistry
+import graft.net.{QuicIngress, QuicLite}
+import org.apache.spark.sql.functions._
+
+class QuicSuite extends SparkSpec {
+  import spark.implicits._
+
+  private def s(bytes: Array[Byte]) = new String(bytes, UTF_8)
+
+  test("handshake + bidirectional stream round-trip (S4)") {
+    val server = QuicLite.endpoint()
+    val client = QuicLite.endpoint()
+    try {
+      val listener = server.bind("echo.test")
+      val conn = client.connect("127.0.0.1", server.port, "echo.test")
+      val stream = conn.openStream()
+      stream.write("hello over quic".getBytes(UTF_8))
+      val inbound = listener.accept().getOrElse(fail("no stream accepted"))
+      assert(s(inbound.readAll()) == "hello over quic")
+      inbound.write("pong".getBytes(UTF_8))
+      assert(s(stream.readAll()) == "pong")
+    } finally { server.close(); client.close() }
+  }
+
+  test("unrouted domain is refused with the reference's close reason") {
+    val server = QuicLite.endpoint()
+    val client = QuicLite.endpoint()
+    try {
+      server.bind("routed.test")
+      val e = intercept[QuicLite.QuicError] {
+        client.connect("127.0.0.1", server.port, "other.test", timeoutMs = 2000)
+      }
+      assert(e.getMessage.contains("unrouted domain"))
+    } finally { server.close(); client.close() }
+  }
+
+  test("streams multiplex on one connection; large payload fragments") {
+    val server = QuicLite.endpoint()
+    val client = QuicLite.endpoint()
+    try {
+      val listener = server.bind("mux.test")
+      val conn = client.connect("127.0.0.1", server.port, "mux.test")
+      // larger than MaxData so it fragments into multiple STREAM packets
+      val big = ("x" * (QuicLite.MaxData * 3 + 17)).getBytes(UTF_8)
+      val s1 = conn.openStream(); val s2 = conn.openStream()
+      assert(s1.streamId == 0 && s2.streamId == 4) // RFC 9000 §2.1 parity
+      s2.write("short".getBytes(UTF_8))
+      s1.write(big)
+      val got = (0 until 2).flatMap(_ => listener.accept())
+        .map(st => st.streamId -> s(st.readAll())).toMap
+      assert(got(4L) == "short")
+      assert(got(0L).length == big.length && got(0L) == new String(big, UTF_8))
+    } finally { server.close(); client.close() }
+  }
+
+  test("retransmission recovers from injected packet loss") {
+    val server = QuicLite.endpoint()
+    val client = QuicLite.endpoint()
+    try {
+      val listener = server.bind("lossy.test")
+      val conn = client.connect("127.0.0.1", server.port, "lossy.test")
+      // drop the FIRST transmission of every even packet number; the RTO
+      // loop must resend until acked
+      val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      client.lossRule = pkt => (pkt % 2 == 0) && seen.add(pkt)
+      val payload = ("loss" * 1000).getBytes(UTF_8) // 4000 bytes → 4 packets
+      val stream = conn.openStream()
+      stream.write(payload)
+      val inbound = listener.accept(timeoutMs = 10000).getOrElse(fail("lost"))
+      assert(s(inbound.readAll(10000)) == new String(payload, UTF_8))
+    } finally { server.close(); client.close() }
+  }
+
+  test("QUIC edge → channel → query end-to-end (S4 record flow)") {
+    val reg = new ChannelRegistry(spark, tmpDir("quic"))
+    val ch = reg.create("quic_in", QuicIngress.schema)
+    val ingress = QuicIngress.start(spark, ch, "ingest.test",
+      reply = body => s"ok:${body.length}".getBytes(UTF_8))
+    val client = QuicLite.endpoint()
+    try {
+      val conn = client.connect("127.0.0.1", ingress.port, "ingest.test")
+      val replies = (0 until 3).map { i =>
+        val st = conn.openStream()
+        st.write(s"record-$i".getBytes(UTF_8))
+        s(st.readAll())
+      }
+      assert(replies == Seq("ok:8", "ok:8", "ok:8"))
+      assert(ingress.flush() == 3)
+      val rows = ch.read()
+        .select(col("request_id"), expr("cast(body as string)").as("body"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      assert(rows.map(_._2).toSeq == Seq("record-0", "record-1", "record-2"))
+    } finally { ingress.stop(); client.close() }
+  }
+}
