@@ -3,19 +3,20 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expressions for the vector hot path. The higher-order
   * `zip_with`/`aggregate` forms evaluate an interpreted lambda per array
-  * element (~dim × 3 closures per row); these expressions loop over
-  * primitive double arrays instead — one virtual call per ROW, not per
-  * element. Measured ~8× on the kNN join. Eval-mode (CodegenFallback) is
-  * sufficient: the loop body is already JIT-friendly primitive code.
+  * element (~dim × 3 closures per row); these expressions generate a tight
+  * primitive loop INSIDE WholeStageCodegen, reading `ArrayData` elements
+  * in place — no per-pair array materialization. (The first cut used
+  * CodegenFallback + toDoubleArray; at 4M candidate pairs that copied two
+  * 64-double arrays per pair and dominated the ANN queries.) Measured ~8×
+  * on the kNN join for the eval form; codegen removes the remaining copy.
   */
-abstract class VectorBinaryExpression extends BinaryExpression
-    with CodegenFallback {
+abstract class VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
@@ -39,6 +40,24 @@ abstract class VectorBinaryExpression extends BinaryExpression
       s"vector length mismatch: ${x.length} vs ${y.length}")
     compute(x, y)
   }
+
+  /** Java loop body: given ArrayData vars `a`/`b` and length `n`, assign
+    * the result to `out`. Element access must use `.getDouble(i)`. */
+  protected def loopCode(a: String, b: String, n: String, out: String,
+                         ctx: CodegenContext): String
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "vector length mismatch: " + $n + " vs " + $b.numElements());
+         |}
+         |${loopCode(a, b, n, ev.value, ctx)}
+       """.stripMargin
+    })
 }
 
 /** Sequential-order dot product (bit-parity with a left fold). */
@@ -49,6 +68,18 @@ case class DotProduct(left: Expression, right: Expression)
     var i = 0
     while (i < x.length) { dot += x(i) * y(i); i += 1 }
     dot
+  }
+  override protected def loopCode(a: String, b: String, n: String, out: String,
+                                  ctx: CodegenContext): String = {
+    val i = ctx.freshName("i")
+    val acc = ctx.freshName("dot")
+    s"""
+       |double $acc = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  $acc += $a.getDouble($i) * $b.getDouble($i);
+       |}
+       |$out = $acc;
+     """.stripMargin
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(l, r)
@@ -66,6 +97,21 @@ case class CosineSim(left: Expression, right: Expression)
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+  override protected def loopCode(a: String, b: String, n: String, out: String,
+                                  ctx: CodegenContext): String = {
+    val i = ctx.freshName("i")
+    val (dot, na, nb) = (ctx.freshName("dot"), ctx.freshName("na"), ctx.freshName("nb"))
+    val (x, y) = (ctx.freshName("x"), ctx.freshName("y"))
+    s"""
+       |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  final double $x = $a.getDouble($i);
+       |  final double $y = $b.getDouble($i);
+       |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+       |}
+       |$out = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+     """.stripMargin
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(l, r)
 }
@@ -79,8 +125,143 @@ case class SqDist(left: Expression, right: Expression)
     while (i < x.length) { val d = x(i) - y(i); acc += d * d; i += 1 }
     acc
   }
+  override protected def loopCode(a: String, b: String, n: String, out: String,
+                                  ctx: CodegenContext): String = {
+    val i = ctx.freshName("i")
+    val acc = ctx.freshName("acc")
+    val d = ctx.freshName("d")
+    s"""
+       |double $acc = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  final double $d = $a.getDouble($i) - $b.getDouble($i);
+       |  $acc += $d * $d;
+       |}
+       |$out = $acc;
+     """.stripMargin
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(l, r)
+}
+
+/** All multi-table LSH buckets in ONE pass over the vector: element
+  * `t` of the result is table `t`'s bucket id (bit `b` set iff
+  * dot(v, plane[t*nPlanes+b]) > 0). Replaces the first-cut formulation of
+  * nTables × nPlanes separate [[DotProduct]](v, literal-array) expressions,
+  * whose plan was 64 expressions × 64-element literal arrays — slow to
+  * analyze, slow to evaluate (v re-read per plane). Per-row cost here is
+  * dim × totalPlanes fused multiply-adds; the plane matrix rides along as
+  * a plain constructor value, not a literal subtree.
+  *
+  * Eval-mode (CodegenFallback): evaluated once per INPUT row (not per
+  * candidate pair), so interpretation overhead is immaterial.
+  */
+case class SignLshBuckets(child: Expression,
+                          planes: IndexedSeq[IndexedSeq[Double]],
+                          nTables: Int, nPlanes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(planes.length == nTables * nPlanes, "plane count must be nTables*nPlanes")
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "sign_lsh_buckets"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<double>, got ${other.simpleString}")
+  }
+
+  @transient private lazy val flat: Array[Double] = planes.flatten.toArray
+  @transient private lazy val dim: Int = planes.head.length
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    require(v.numElements() == dim, s"vector length mismatch: ${v.numElements()} vs $dim")
+    val total = nTables * nPlanes
+    val acc = new Array[Double](total)
+    var i = 0
+    while (i < dim) {
+      val x = v.getDouble(i)
+      var j = 0
+      while (j < total) { acc(j) += x * flat(j * dim + i); j += 1 }
+      i += 1
+    }
+    val buckets = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bits = 0L
+      var b = 0
+      while (b < nPlanes) {
+        if (acc(t * nPlanes + b) > 0.0) bits |= (1L << b)
+        b += 1
+      }
+      buckets(t) = bits
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buckets)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** The `k` nearest centroid indices (squared Euclidean, ties by index) in
+  * one pass — IVF cell assignment and multi-probe in a single expression.
+  * Same plan-size rationale as [[SignLshBuckets]]: the centroid matrix is
+  * a constructor value, not k × dim literal subtrees.
+  */
+case class NearestCells(child: Expression,
+                        centroids: IndexedSeq[IndexedSeq[Double]], k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(k >= 1 && k <= centroids.length, "1 <= k <= centroid count")
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType, false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_cells"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<double>, got ${other.simpleString}")
+  }
+
+  @transient private lazy val cents: Array[Array[Double]] = centroids.map(_.toArray).toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = cents(0).length
+    require(v.numElements() == dim, s"vector length mismatch: ${v.numElements()} vs $dim")
+    val x = v.toDoubleArray()
+    val dists = new Array[Double](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      var acc = 0.0
+      var i = 0
+      while (i < dim) { val d = x(i) - cv(i); acc += d * d; i += 1 }
+      dists(c) = acc
+      c += 1
+    }
+    // selection of k smallest (k, ncells both tiny — O(k*n) fine)
+    val picked = new Array[Int](k)
+    val used = new Array[Boolean](cents.length)
+    var p = 0
+    while (p < k) {
+      var best = -1
+      var c2 = 0
+      while (c2 < cents.length) {
+        if (!used(c2) && (best < 0 || dists(c2) < dists(best))) best = c2
+        c2 += 1
+      }
+      used(best) = true
+      picked(p) = best
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(picked)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 object VectorExpressions {
@@ -88,4 +269,9 @@ object VectorExpressions {
   def dot(a: Column, b: Column): Column = toColumn(DotProduct(toExpression(a), toExpression(b)))
   def cosine(a: Column, b: Column): Column = toColumn(CosineSim(toExpression(a), toExpression(b)))
   def sqDist(a: Column, b: Column): Column = toColumn(SqDist(toExpression(a), toExpression(b)))
+  def signLshBuckets(v: Column, planes: IndexedSeq[IndexedSeq[Double]],
+                     nTables: Int, nPlanes: Int): Column =
+    toColumn(SignLshBuckets(toExpression(v), planes, nTables, nPlanes))
+  def nearestCells(v: Column, centroids: IndexedSeq[IndexedSeq[Double]], k: Int): Column =
+    toColumn(NearestCells(toExpression(v), centroids, k))
 }

@@ -41,13 +41,10 @@ object KMeans {
   import org.apache.spark.sql.DataFrame
   import org.apache.spark.sql.functions._
 
-  def assignCell(df: DataFrame, vCol: String, centroids: Seq[Seq[Double]]): DataFrame = {
-    val cells = centroids.zipWithIndex.map { case (cv, c) =>
-      struct(VectorFunctions.sqDist(col(vCol), array(cv.map(lit): _*)).as("d"),
-        lit(c).as("cell"))
-    }
-    df.withColumn("cell", array_min(array(cells: _*)).getField("cell"))
-  }
+  def assignCell(df: DataFrame, vCol: String, centroids: Seq[Seq[Double]]): DataFrame =
+    df.withColumn("cell", element_at(
+      VectorExpressions.nearestCells(
+        col(vCol), centroids.map(_.toIndexedSeq).toIndexedSeq, 1), 1))
 
   /** One Lloyd step: assign, recompute per-cell means. Cells that lose all
     * members keep their previous centroid. */
@@ -93,20 +90,19 @@ object SignLsh {
       when(VectorFunctions.dot(v, plane) > 0.0, lit(1L << b)).otherwise(0L)
     }.reduce(_ + _)
 
-  /** Multi-table LSH: an array of (table, bucket) structs. A single
-    * many-plane table has recall p^planes — tiny for weakly-clustered
-    * vectors; L independent few-plane tables recall 1-(1-p^k)^L.
-    * Measured on the test embeddings (recall@1 of the true nearest
-    * neighbor landing in a shared bucket): 1×6 planes = 0.04,
+  /** Multi-table LSH: element `t` of the result array is table `t`'s
+    * bucket id. A single many-plane table has recall p^planes — tiny for
+    * weakly-clustered vectors; L independent few-plane tables recall
+    * 1-(1-p^k)^L. Measured on the test embeddings (recall@1 of the true
+    * nearest neighbor landing in a shared bucket): 1×6 planes = 0.04,
     * 16 tables × 4 planes = 0.93. Candidates are still equi-join bounded:
-    * per-table buckets hold ~n/2^k vectors. */
+    * per-table buckets hold ~n/2^k vectors.
+    *
+    * All tables hash in one fused pass ([[SignLshBuckets]]); the sign
+    * logic and per-plane accumulation order are identical to the
+    * per-plane [[bucket]] form, so bucket ids agree bit-for-bit. */
   def bucketTables(v: Column, nTables: Int = 16, nPlanes: Int = 4,
-                   dim: Int = 64, seed: Long = 42L): Column = {
-    val all = planes(nTables * nPlanes, dim, seed)
-    val entries = (0 until nTables).map { t =>
-      val ps = all.slice(t * nPlanes, (t + 1) * nPlanes)
-      struct(lit(t).as("table"), bucketFrom(v, ps).as("bucket"))
-    }
-    array(entries: _*)
-  }
+                   dim: Int = 64, seed: Long = 42L): Column =
+    VectorExpressions.signLshBuckets(
+      v, planes(nTables * nPlanes, dim, seed), nTables, nPlanes)
 }

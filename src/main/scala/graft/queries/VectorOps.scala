@@ -77,14 +77,25 @@ object VectorOps {
         |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.8
         |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+      // The stream side is repartitioned (explicit count — AQE would
+      // coalesce a tiny keyed shuffle back to one partition) because the
+      // test parquet is one row-group → one partition, which would run
+      // the O(n²) pair kernel on a single core. (The exact all-pairs form
+      // is the correctness baseline; LSH/IVF below are the scale path.)
+      val parallelism = s.conf.get("spark.sql.shuffle.partitions").toInt
       val e = Tables.embeddings(s, d)
         .withColumn("v", col("embedding").cast("array<double>"))
-      val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+      val a = e.repartition(parallelism, col("vec_id"))
+        .select(col("vec_id").as("vec_a"), col("v").as("va"))
       val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
-      a.join(b, col("vec_a") < col("vec_b"))
+      // Both predicates live in the join condition, cheap one FIRST: left
+      // as a post-join filter, Catalyst pushes `sim >= 0.8` in front of
+      // `vec_a < vec_b`, evaluating the cosine for all n² ordered pairs
+      // instead of the n²/2 that survive the id test.
+      a.join(broadcast(b), col("vec_a") < col("vec_b") &&
+          round(VectorFunctions.cosine(col("va"), col("vb")), 6) >= 0.8)
         .select(col("vec_a"), col("vec_b"),
           round(VectorFunctions.cosine(col("va"), col("vb")), 6).as("sim"))
-        .filter(col("sim") >= 0.8)
         .orderBy(col("vec_a"), col("vec_b"))
     },
 
@@ -99,6 +110,9 @@ object VectorOps {
     Q.noOracle("q_ann_ivf") { (s, d) =>
       val e = Tables.embeddings(s, d)
         .withColumn("v", col("embedding").cast("array<double>"))
+        // single-row-group test file → spread the scan (explicit count:
+        // AQE would coalesce a tiny keyed shuffle back to one partition)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("vec_id"))
       // two tiny driver-side actions on metadata-scale data (16 rows):
       // legitimate even at 100 TB — this is centroid training, not a
       // data collect
@@ -112,28 +126,29 @@ object VectorOps {
       val centroids = graft.functions.KMeans.lloydStep(e, "v", sampled)
       // multi-probe: the query side searches its 3 nearest cells (recall@1
       // 0.25 → 0.54 on the test embeddings, at 3× candidate cost — the
-      // probe count is IVF's recall/cost dial). Distances evaluate once
-      // per vector: the stored side's home cell is probe_cells[0].
-      val cellStructs = centroids.zipWithIndex.map { case (cv, c) =>
-        struct(
-          VectorFunctions.sqDist(col("v"), array(cv.map(lit): _*)).as("d"),
-          lit(c).as("cell"))
-      }
+      // probe count is IVF's recall/cost dial). All 16 distances evaluate
+      // in ONE fused pass per vector (NearestCells); the stored side's
+      // home cell is probe_cells[0].
       val probed = e.withColumn("probe_cells",
-        transform(slice(array_sort(array(cellStructs: _*)), 1, 3),
-          s => s.getField("cell"))).cache()
+        graft.functions.VectorExpressions.nearestCells(col("v"), centroids, 3)).cache()
       val a = probed.select(col("vec_id").as("src"), col("v").as("va"),
         explode(col("probe_cells")).as("cell"))
       val b = probed.select(element_at(col("probe_cells"), 1).as("cell"),
         col("vec_id").as("nbr"), col("v").as("vb"))
-      val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("nbr"))
+      // Best neighbor via a map-side-combinable min(struct) aggregation:
+      // each (src,nbr) pair is unique (the join hits nbr's single home
+      // cell), so the lexicographic min on (-sim, nbr, cell) is the
+      // row_number()=1 row — without the full shuffle+sort a window would
+      // pay on every candidate pair.
       a.join(b, Seq("cell"))
         .filter(col("src") =!= col("nbr"))
         .select(col("src"), col("nbr"), col("cell"),
-          round(VectorFunctions.cosine(col("va"), col("vb")), 6).as("sim"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("src"), col("cell"), col("nbr"), col("sim"))
+          VectorFunctions.cosine(col("va"), col("vb")).as("sim"))
+        .groupBy(col("src"))
+        .agg(min(struct((-col("sim")).as("ns"), col("nbr").as("nb"),
+          col("cell").as("ce"))).as("m"))
+        .select(col("src"), col("m.ce").as("cell"), col("m.nb").as("nbr"),
+          round(-col("m.ns"), 6).as("sim"))
         .orderBy(col("src"))
     },
 
@@ -147,24 +162,38 @@ object VectorOps {
     Q.noOracle("q_ann_lsh") { (s, d) =>
       val e = Tables.embeddings(s, d)
         .withColumn("v", col("embedding").cast("array<double>"))
+        // single-row-group test file → spread the scan (explicit count:
+        // AQE would coalesce a tiny keyed shuffle back to one partition)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("vec_id"))
+      // Plane count auto-sizes with n so per-bucket populations stay
+      // ~targetBucket: candidate volume is Σ pop² per bucket, so a fixed
+      // plane count degenerates to all-pairs as n grows (at n=2000 a
+      // 4-plane table already generates MORE pairs than brute force).
+      // count() is a parquet-metadata action, cheap at any scale.
+      val n = e.count()
+      val nPlanes = math.max(4, math.min(16,
+        math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt))
       val banded = e
-        .select(col("vec_id"), col("v"),
-          explode(SignLsh.bucketTables(col("v"), dim = Dim)).as("tb"))
-        .select(col("vec_id"), col("v"), col("tb.table"), col("tb.bucket"))
+        .select(col("vec_id"),
+          posexplode(SignLsh.bucketTables(col("v"), nPlanes = nPlanes, dim = Dim))
+            .as(Seq("table", "bucket")))
       val a = banded.select(col("table"), col("bucket"), col("vec_id").as("src"))
       val b = banded.select(col("table"), col("bucket"), col("vec_id").as("nbr"))
-      val cands = a.join(b, Seq("table", "bucket"))
-        .filter(col("src") =!= col("nbr"))
-        .select(col("src"), col("nbr")).distinct()
       val av = e.select(col("vec_id").as("src"), col("v").as("va"))
       val bv = e.select(col("vec_id").as("nbr"), col("v").as("vb"))
-      val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("nbr"))
-      cands.join(av, "src").join(bv, "nbr")
+      // No distinct() on candidates: duplicate (src,nbr) pairs from
+      // different tables agree on sim, so the min(struct) aggregation
+      // absorbs them — cheaper than a dedicated dedup shuffle. The vector
+      // joins auto-broadcast at test scale; at 100 TB they become
+      // co-partitioned shuffle joins on src/nbr.
+      a.join(b, Seq("table", "bucket"))
+        .filter(col("src") =!= col("nbr"))
+        .join(av, "src").join(bv, "nbr")
         .select(col("src"), col("nbr"),
-          round(VectorFunctions.cosine(col("va"), col("vb")), 6).as("sim"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("src"), col("nbr"), col("sim"))
+          VectorFunctions.cosine(col("va"), col("vb")).as("sim"))
+        .groupBy(col("src"))
+        .agg(min(struct((-col("sim")).as("ns"), col("nbr").as("nb"))).as("m"))
+        .select(col("src"), col("m.nb").as("nbr"), round(-col("m.ns"), 6).as("sim"))
         .orderBy(col("src"))
     }
   )

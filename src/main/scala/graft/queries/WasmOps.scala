@@ -52,6 +52,9 @@ object WasmOps {
       val moduleBytes = l2normModule
       Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        // single-row-group test file → one partition; spread the guest
+        // compute across cores (one interpreter instance per partition)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("vec_id"))
         .as[(Long, Seq[Double])]
         .mapPartitions { rows =>
           val guest = new WasmModule(moduleBytes)
