@@ -18,6 +18,7 @@ object SparkEntry {
   /** All verifiable queries, grouped by area. */
   val registry: Seq[Q] =
     qs.Relational.all ++
+    qs.TemporalOps.all ++
     qs.Streamish.all ++
     qs.TextOps.all ++
     qs.DedupOps.all ++

@@ -1,0 +1,72 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.ops.TemporalJoins
+import org.apache.spark.sql.functions._
+
+/** Temporal/non-equi join coverage: as-of enrichment and point-in-interval
+  * range join, both verified against plain-SQL oracles (the oracle states
+  * the semantics as a correlated window/theta join; the engine runs the
+  * scalable formulation — union+window and bucketed equi-join).
+  */
+object TemporalOps {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- As-of join: each purchase event picks up the user's most recent
+    // strictly-prior click (time in µs; event_id breaks sub-µs ties —
+    // never order on raw nanos, the oracle only sees µs).
+    Q("q_asof_join",
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |                  epoch_us(ts) AS t FROM events),
+        |l AS (SELECT event_id, user_id, t FROM e WHERE event_type = 'purchase'),
+        |r AS (SELECT event_id, user_id, t, value FROM e WHERE event_type = 'click'),
+        |j AS (SELECT l.event_id, l.user_id, l.t,
+        |             r.event_id AS asof_event_id, r.t AS asof_t,
+        |             r.value AS asof_value,
+        |             ROW_NUMBER() OVER (PARTITION BY l.event_id
+        |               ORDER BY r.t DESC, r.event_id DESC) AS rn
+        |      FROM l LEFT JOIN r ON l.user_id = r.user_id
+        |        AND (r.t < l.t OR (r.t = l.t AND r.event_id < l.event_id)))
+        |SELECT event_id, user_id, t, asof_event_id, asof_t,
+        |       round(asof_value, 6) AS asof_value
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).withColumn("t", expr("ts div 1000"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("t"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("t"), col("value"))
+      TemporalJoins.asOf(purchases, clicks,
+          keys = Seq("user_id"), order = Seq("t", "event_id"),
+          payload = Seq("event_id", "t", "value"))
+        .select(col("event_id"), col("user_id"), col("t"),
+          col("asof_event_id"), col("asof_t"),
+          round(col("asof_value"), 6).as("asof_value"))
+        .orderBy(col("event_id"))
+    },
+
+    // ---- Range join: lineitems priced inside ±5 bands around the first
+    // 100 parts' retail prices. Bucket width = the band width, so each
+    // interval covers ≤2 buckets; band bounds are computed with the same
+    // double ops on both engines (bit-equal comparisons).
+    Q("q_range_join",
+      """WITH iv AS (SELECT p_partkey AS band_part,
+        |                   p_retailprice - 5 AS lo, p_retailprice + 5 AS hi
+        |            FROM part WHERE p_partkey <= 100)
+        |SELECT l.l_orderkey, l.l_linenumber, iv.band_part,
+        |       l.l_extendedprice AS price
+        |FROM lineitem l JOIN iv
+        |  ON l.l_extendedprice >= iv.lo AND l.l_extendedprice < iv.hi
+        |ORDER BY l.l_orderkey, l.l_linenumber, iv.band_part""".stripMargin) { (s, d) =>
+      val iv = Tables.part(s, d).filter(col("p_partkey") <= 100)
+        .select(col("p_partkey").as("band_part"),
+          (col("p_retailprice") - 5).as("lo"), (col("p_retailprice") + 5).as("hi"))
+      val pts = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").as("price"))
+      TemporalJoins.pointInterval(pts, iv, "price", "lo", "hi", bucketWidth = 10.0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("band_part"), col("price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("band_part"))
+    }
+  )
+}
