@@ -208,6 +208,22 @@ object Streamish {
         .orderBy(col("event_type"))
     },
 
+    // ---- Approx percentiles (rows-only): the scale path for
+    // q_percentiles above. Exact percentiles need a full sort per group;
+    // the KLL/GK-style sketch behind percentile_approx is mergeable
+    // map-side state with bounded error (1/accuracy) — at 100 TB the only
+    // viable formulation. Error contract is regression-tested against the
+    // exact values in EngineSuite.
+    Q.noOracle("q_approx_percentiles") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile_approx(value, 0.5, 10000)"), 4).as("p50_approx"),
+          round(expr("percentile_approx(value, 0.9, 10000)"), 4).as("p90_approx"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+
     // ---- Sessionization: gap > 1 hour starts a new session per user
     // (lag + cumulative flag sum — the batch form of session windows).
     Q("q_sessionize",
@@ -329,6 +345,46 @@ object Streamish {
         .format("memory").queryName(sink).start()
       try q.processAllAvailable() finally q.stop()
       s.table(sink).orderBy(col("user_id"), col("day"))
+    },
+
+    // ---- Watermarked stream-stream interval join in the gate: purchases
+    // joined to the same user's clicks from the preceding hour, as a LIVE
+    // two-stream join (both sides watermarked; state eviction is driven by
+    // the time bound — the canonical two-topic correlation at 100 TB,
+    // where unbounded-state joins are impossible). Inner join + nothing
+    // late in a single batch ⇒ the streaming result equals the batch
+    // theta-join oracle exactly.
+    Q("q_stream_join",
+      """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id
+        |FROM events p JOIN events c ON p.user_id = c.user_id
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000
+        |                         AND epoch_us(p.ts)
+        |ORDER BY p_id, c_id""".stripMargin) { (s, d) =>
+      Tables.ensureConf(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_join")
+      java.nio.file.Files.createSymbolicLink(tmp.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+      tmp.toFile.deleteOnExit()
+      def side(tpe: String, prefix: String) =
+        s.readStream.schema(schema).parquet(tmp.toString)
+          .filter(col("event_type") === tpe)
+          .select(col("event_id").as(s"${prefix}_id"),
+            col("user_id").as(s"${prefix}_user"),
+            expr("timestamp_micros(ts div 1000)").as(s"${prefix}_ts"))
+          .withWatermark(s"${prefix}_ts", "1 hour")
+      val joined = side("purchase", "p").join(side("click", "c"),
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+      val sink = s"graft_stream_join_${streamRun.incrementAndGet()}"
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .select(col("p_id"), col("c_id"), col("p_user").as("user_id"))
+        .orderBy(col("p_id"), col("c_id"))
     },
 
     // ---- A4 as a REAL stateful streaming run: ConfigFold

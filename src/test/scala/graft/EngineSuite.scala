@@ -253,6 +253,26 @@ class EngineSuite extends SparkSpec {
     assert(g.logs.read().count() >= 1)
   }
 
+  test("approx percentiles stay within 5% of the exact interpolated values") {
+    // percentile_approx returns an actual data value; the exact query
+    // interpolates between neighbors — at a few hundred rows per group
+    // that semantic gap (not sketch error) dominates, hence 5%.
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q_approx_percentiles")(spark, d)
+      .select("event_type", "p50_approx", "p90_approx")
+      .as[(String, Double, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val exact = SparkEntry.queries("q_percentiles")(spark, d)
+      .select("event_type", "median_v", "p90_v")
+      .as[(String, Double, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    exact.foreach { case (k, (m, p90)) =>
+      val (am, ap90) = got(k)
+      assert(math.abs(am - m) / math.max(math.abs(m), 1e-9) <= 0.05, s"$k p50: $am vs $m")
+      assert(math.abs(ap90 - p90) / math.max(math.abs(p90), 1e-9) <= 0.05, s"$k p90: $ap90 vs $p90")
+    }
+  }
+
   test("approx distinct stays within its 2% error contract") {
     val got = SparkEntry.queries("q_approx_distinct")(spark, "/root/testdata/sf0.001")
       .select("event_type", "approx_users").as[(String, Long)].collect().toMap

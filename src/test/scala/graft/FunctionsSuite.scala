@@ -131,6 +131,17 @@ class FunctionsSuite extends SparkSpec {
     assert(recall >= 0.85)
   }
 
+  test("PQ ANN recall@10 >= 0.9 vs exact top-10 (deterministic)") {
+    val d = "/root/testdata/sf0.001"
+    val pq = SparkEntry.queries("q_ann_pq")(spark, d)
+      .select("vec_id").as[Long].collect().toSet
+    val exact = SparkEntry.queries("q_embed_topk")(spark, d)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (pq intersect exact).size.toDouble / exact.size
+    info(f"PQ recall@10 = $recall%.2f")
+    assert(recall >= 0.9)
+  }
+
   test("heavy hitters sketch: guaranteed recall above n/k, bounded error") {
     // 1000 "hot" + 200 "warm" + 500 singletons; capacity 16 → threshold ~106
     val items = Seq.fill(1000)("hot") ++ Seq.fill(200)("warm") ++
