@@ -46,6 +46,15 @@ object KMeans {
       VectorExpressions.nearestCells(
         col(vCol), centroids.map(_.toIndexedSeq).toIndexedSeq, 1), 1))
 
+  /** `iters` Lloyd steps (each one distributed pass + k×dim driver
+    * matrix). Returns after convergence-by-iteration-count; k-means on a
+    * sampled-seed codebook typically stabilizes in a handful of steps. */
+  def lloydSteps(df: DataFrame, vCol: String, centroids: Seq[Seq[Double]],
+                 iters: Int): IndexedSeq[IndexedSeq[Double]] =
+    (1 to iters).foldLeft(centroids.map(_.toIndexedSeq).toIndexedSeq) {
+      (c, _) => lloydStep(df, vCol, c)
+    }
+
   /** One Lloyd step: assign, recompute per-cell means. Cells that lose all
     * members keep their previous centroid. */
   def lloydStep(df: DataFrame, vCol: String,

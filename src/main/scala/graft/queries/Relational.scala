@@ -103,6 +103,26 @@ object Relational {
         .orderBy($("r_name"), $("n_name"))
     },
 
+    // ---- Salted skew join in the gate: event_type has 5 distinct values
+    // over 100k+ rows — the pathological hot-key shape where a plain
+    // shuffle join puts whole keys on single partitions. The salted path
+    // (SkewOps.saltedJoin: hot side split across 8 salts, dim replicated
+    // per salt) must be RESULT-IDENTICAL to the plain join the oracle
+    // runs; this query proves it under the hash gate.
+    Q("q_skew_join",
+      """WITH dim AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS type_n
+        |             FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, d.type_n
+        |FROM events e JOIN dim d USING (event_type)
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val dim = e.groupBy(col("event_type")).agg(count(lit(1)).as("type_n"))
+      graft.ops.SkewOps.saltedJoin(
+          e.select(col("event_id"), col("event_type")), dim, "event_type")
+        .select(col("event_id"), col("event_type"), col("type_n"))
+        .orderBy(col("event_id"))
+    },
+
     // ---- Two-dimension join volume (TPC-H Q7 shape): supplier nation ×
     // customer nation shipping volume by year.
     Q("q7_nation_volume",

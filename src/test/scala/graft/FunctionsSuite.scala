@@ -131,6 +131,26 @@ class FunctionsSuite extends SparkSpec {
     assert(recall >= 0.85)
   }
 
+  test("IVF ANN recall@1 >= 0.5 on real embeddings (deterministic)") {
+    val d = "/root/testdata/sf0.001"
+    val ivf = SparkEntry.queries("q_ann_ivf")(spark, d)
+      .select("src", "nbr").as[(Long, Long)].collect().toMap
+    val e = spark.read.parquet(s"$d/embeddings.parquet")
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val a = e.select(col("vec_id").as("src"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("nbr"), col("v").as("vb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("sim").desc, col("nbr"))
+    val exact = a.crossJoin(b).filter(col("src") =!= col("nbr"))
+      .select(col("src"), col("nbr"),
+        round(VectorFunctions.cosine(col("va"), col("vb")), 6).as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("src", "nbr").as[(Long, Long)].collect().toMap
+    val recall = exact.count { case (s0, nn) => ivf.get(s0).contains(nn) }.toDouble / exact.size
+    info(f"IVF recall@1 = $recall%.3f over ${exact.size} vectors")
+    assert(recall >= 0.5)
+  }
+
   test("PQ ANN recall@10 >= 0.9 vs exact top-10 (deterministic)") {
     val d = "/root/testdata/sf0.001"
     val pq = SparkEntry.queries("q_ann_pq")(spark, d)
