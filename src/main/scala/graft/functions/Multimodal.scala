@@ -49,4 +49,34 @@ object Multimodal {
     * video pipeline needs (explode of a generated index sequence). */
   def sampleFrameIdx(nFrames: Column, every: Int): Column =
     sequence(lit(0), nFrames - 1, lit(every))
+
+  /** Fake resize to a bounding box, aspect preserved: integer arithmetic
+    * only (`div`), so both engines compute identical dimensions. A real
+    * image op slots into [[decodePartitions]]; THIS models the metadata
+    * contract a resize stage maintains. */
+  def resizeDims(width: Column, height: Column, maxDim: Int): (Column, Column) = {
+    val m = greatest(width, height)
+    (try_divide(width * maxDim, m).cast("int"),
+      try_divide(height * maxDim, m).cast("int"))
+  }
+
+  /** Per-media feature vector (what an embedding model would emit):
+    * 16-bucket byte histogram, L1-normalized — deterministic, fixed-size
+    * array<double>, computed partition-locally with one "model" per
+    * partition. Downstream it composes with the vector operators
+    * (cosine top-k, dedup) exactly as real embeddings do. */
+  case class MediaFeatures(media_id: Long, feat: Array[Double])
+
+  def featurePartitions(ds: Dataset[MediaRecord], buckets: Int = 16): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition "model" init happens here (once, not per row)
+      it.map { r =>
+        val hist = new Array[Double](buckets)
+        r.payload.foreach { b => hist(((b & 0xff) * buckets) / 256) += 1.0 }
+        val n = math.max(1, r.payload.length).toDouble
+        MediaFeatures(r.media_id, hist.map(_ / n))
+      }
+    }
+  }
 }

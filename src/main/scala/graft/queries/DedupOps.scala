@@ -49,14 +49,21 @@ object DedupOps {
         .distinct()
         .cache()
       val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      // broadcast one side of the shared-shingle join: hot shingles then
-      // stream through map-side pair generation instead of skewing a
-      // shuffle. (Exact pairwise Jaccard is inherently quadratic in hot
-      // shingles — the 100 TB path is q_minhash_lsh below; this operator
-      // is the exact verifier run on candidate subsets.)
-      val pairs = sh.as("a").join(broadcast(sh.as("b")),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // pair generation per shingle GROUP, not a self-join: one shuffle on
+      // the shingle key, each group emits its ordered doc pairs in place
+      // (array combinatorics inside the task), then the pair counts
+      // aggregate map-side. The earlier broadcast self-join shipped the
+      // whole shingle set to every task per run. (Exact pairwise Jaccard
+      // is inherently quadratic in hot shingles — the 100 TB path is
+      // q_minhash_lsh below; this operator is the exact verifier run on
+      // candidate subsets.)
+      val pairs = sh.groupBy(col("s"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")) >= 2)
+        .select(explode(flatten(transform(col("ds"), (x, i) =>
+          transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+            y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+        .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
         .agg(count(lit(1)).as("shared"))
       val jac = col("shared").cast("double") /
         (col("n_a") + col("n_b") - col("shared"))

@@ -35,6 +35,69 @@ object MultimodalOps {
         .orderBy(col("media_id"))
     },
 
+    // ---- Frame sampling: every 5th frame index per clip (the shape a
+    // video pipeline explodes before per-frame work fans out). Integer
+    // sequence arithmetic — oracle-able.
+    Q("q_media_frames",
+      """SELECT media_id, CAST(f AS INT) AS frame_idx
+        |FROM (SELECT doc_id AS media_id,
+        |        CAST(octet_length(encode(text)) AS INT) % 30 + 1 AS n_frames
+        |      FROM documents),
+        |  unnest(range(0, n_frames, 5)) AS u(f)
+        |ORDER BY media_id, frame_idx""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"),
+          Multimodal.fakeFrames(length(col("text").cast("binary"))).cast("int").as("n_frames"))
+        .select(col("media_id"),
+          explode(Multimodal.sampleFrameIdx(col("n_frames"), 5)).as("f"))
+        .select(col("media_id"), col("f").cast("int").as("frame_idx"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    },
+
+    // ---- Resize stage metadata contract: bound each clip to 256px,
+    // aspect preserved, integer-exact on both engines.
+    Q("q_media_resize",
+      """SELECT media_id, width, height,
+        |  CAST(width * 256 // GREATEST(width, height) AS INT) AS out_w,
+        |  CAST(height * 256 // GREATEST(width, height) AS INT) AS out_h
+        |FROM (SELECT doc_id AS media_id,
+        |        CAST((CAST(octet_length(encode(text)) AS INT) % 64 + 1) * 16 AS INT) AS width,
+        |        CAST((CAST(octet_length(encode(text)) AS INT) % 48 + 1) * 16 AS INT) AS height
+        |      FROM documents)
+        |ORDER BY media_id""".stripMargin) { (s, d) =>
+      val n = length(col("text").cast("binary"))
+      val base = Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"),
+          Multimodal.fakeWidth(n).cast("int").as("width"),
+          Multimodal.fakeHeight(n).cast("int").as("height"))
+      val (w, h) = Multimodal.resizeDims(col("width"), col("height"), 256)
+      base.select(col("media_id"), col("width"), col("height"),
+          w.cast("int").as("out_w"), h.cast("int").as("out_h"))
+        .orderBy(col("media_id"))
+    },
+
+    // ---- Feature extraction → similarity composition (rows-only): the
+    // partition-local "model" emits a fixed-size feature vector per media
+    // row, then the VECTOR operators take over — top-5 most similar media
+    // to media_id 0 by cosine, exactly the embeddings pipeline shape.
+    Q.noOracle("q_media_features") { (s, d) =>
+      import s.implicits._
+      val ds = Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("payload"),
+          lit("text/plain").as("mime"))
+        .as[Multimodal.MediaRecord]
+      val feats = Multimodal.featurePartitions(ds).toDF()
+        .withColumn("v", col("feat").cast("array<double>"))
+      val qv = feats.filter(col("media_id") === 0).select(col("v").as("qv"))
+      feats.filter(col("media_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("media_id"),
+          round(graft.functions.VectorFunctions.cosine(col("v"), col("qv")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("media_id"))
+        .limit(5)
+    },
+
     // ---- Partition-local decode via typed mapPartitions (rows-only check:
     // the FNV checksum has no SQL twin). Exercises the real decoder shape.
     Q.noOracle("q_media_decode") { (s, d) =>
