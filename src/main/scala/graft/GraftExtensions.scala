@@ -36,5 +36,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("minhash_sig", "minhash_sig(col[, k]) - MinHash signature array"),
       (args: Seq[Expression]) => MinHashSignature(args.head,
         if (args.length > 1) args(1).eval().asInstanceOf[Int] else 32)))
+    // multi-table LSH bucketing straight from SQL; plane matrix derives
+    // deterministically from the (literal) shape arguments at plan time
+    e.injectFunction((FunctionIdentifier("sign_lsh_buckets"),
+      info("sign_lsh_buckets",
+        "sign_lsh_buckets(v[, nTables, nPlanes, dim, seed]) - per-table LSH bucket ids"),
+      (args: Seq[Expression]) => {
+        def intArg(i: Int, dflt: Int) =
+          if (args.length > i) args(i).eval().asInstanceOf[Number].intValue() else dflt
+        val (nT, nP, dim) = (intArg(1, 16), intArg(2, 4), intArg(3, 64))
+        val seed = if (args.length > 4) args(4).eval().asInstanceOf[Number].longValue() else 42L
+        graft.functions.SignLshBuckets(args.head,
+          graft.functions.SignLsh.planes(nT * nP, dim, seed), nT, nP)
+      }))
   }
 }

@@ -37,6 +37,10 @@ class ExtensionsSuite extends AnyFunSuite {
       val sig = spark.sql("SELECT minhash_sig(w, 16) FROM words")
         .collect().head.getSeq[Int](0)
       assert(sig.length == 16)
+      val buckets = spark.sql(
+        "SELECT sign_lsh_buckets(array_repeat(0.5d, 64), 8, 4, 64, 42L) AS b")
+        .collect().head.getSeq[Long](0)
+      assert(buckets.length == 8 && buckets.forall(b => b >= 0 && b < 16))
     } finally {
       // don't stop(): that would kill the SparkContext shared with the
       // other suites in this JVM — just hand back the default-session slot
