@@ -17,6 +17,19 @@ object Streamish {
 
   private val streamRun = new AtomicInteger(0)
 
+  /** Start a streaming query with state partitions sized to the data: the
+    * shuffle-partition count is frozen into the checkpoint at first start,
+    * and each stateful operator keeps one state store per partition — at
+    * gate scale 32 near-empty stores are pure overhead, at 100 TB the same
+    * dial turns the other way. Restores the session conf immediately after
+    * start (batch queries keep the configured width). */
+  private def sizedStart(s: org.apache.spark.sql.SparkSession, parts: Int)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery) = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try start finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- T1/T2/J1: map → union → filter. Mirrors examples/data-pipeline
@@ -185,8 +198,8 @@ object Streamish {
         .groupBy(Tables.tsDay("ts").as("day"), col("event_type"))
         .agg(count(lit(1)).as("n"))
       val sink = s"graft_stream_window_${streamRun.incrementAndGet()}"
-      val q = agg.writeStream.outputMode("complete")
-        .format("memory").queryName(sink).start()
+      val q = sizedStart(s, 8)(agg.writeStream.outputMode("complete")
+        .format("memory").queryName(sink).start())
       try q.processAllAvailable() finally q.stop()
       s.table(sink).orderBy(col("day"), col("event_type"))
     },
@@ -341,8 +354,8 @@ object Streamish {
         .dropDuplicatesWithinWatermark(Seq("user_id", "day"))
         .select(col("user_id"), col("day"))
       val sink = s"graft_stream_dedup_${streamRun.incrementAndGet()}"
-      val q = stream.writeStream.outputMode("append")
-        .format("memory").queryName(sink).start()
+      val q = sizedStart(s, 8)(stream.writeStream.outputMode("append")
+        .format("memory").queryName(sink).start())
       try q.processAllAvailable() finally q.stop()
       s.table(sink).orderBy(col("user_id"), col("day"))
     },
@@ -379,8 +392,8 @@ object Streamish {
           col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
           col("c_ts") <= col("p_ts"))
       val sink = s"graft_stream_join_${streamRun.incrementAndGet()}"
-      val q = joined.writeStream.outputMode("append")
-        .format("memory").queryName(sink).start()
+      val q = sizedStart(s, 8)(joined.writeStream.outputMode("append")
+        .format("memory").queryName(sink).start())
       try q.processAllAvailable() finally q.stop()
       s.table(sink)
         .select(col("p_id"), col("c_id"), col("p_user").as("user_id"))
@@ -427,8 +440,8 @@ object Streamish {
           col("event_id").cast("string").as("payload"))
         .as[ConfigFold.Tagged]
       val sink = s"graft_stream_state_${streamRun.incrementAndGet()}"
-      val q = ConfigFold(tagged).writeStream.outputMode("append")
-        .format("memory").queryName(sink).start()
+      val q = sizedStart(s, 8)(ConfigFold(tagged).writeStream.outputMode("append")
+        .format("memory").queryName(sink).start())
       try q.processAllAvailable() finally q.stop()
       s.table(sink).select(
         col("seq"), col("key"),
