@@ -216,6 +216,27 @@ object Relational {
         .orderBy($("o_orderpriority"), col("rn"))
     },
 
+    // ---- The same top-k-per-key computed by the CUSTOM physical operator
+    // (graft.plans.TopKPerKey: logical node + strategy + bounded-heap
+    // exec, partial phase pruning the shuffle to ≤k rows per key per
+    // partition). Hash-matching the window-formulation oracle proves the
+    // operator's semantics; the window form above shuffles and sorts every
+    // row, this one never sorts and shuffles O(k × keys × partitions).
+    Q("q_topk_native",
+      """SELECT o_orderpriority, o_orderkey, o_totalprice
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 5
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin) { (s, d) =>
+      graft.plans.TopKPerKey(Tables.orders(s, d), Seq("o_orderpriority"),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 5)
+        .select($("o_orderpriority"), $("o_orderkey"), $("o_totalprice"))
+        .orderBy($("o_orderpriority"), col("o_totalprice").desc, $("o_orderkey"))
+    },
+
     // ---- Semi join (EXISTS).
     Q("q_semi_join",
       """SELECT c_custkey, c_name FROM customer

@@ -11,4 +11,23 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** Wrap a custom LogicalPlan as a DataFrame (classic.Dataset.ofRows is
+    * private[sql]) — needed by operators that plan whole-node semantics
+    * (e.g. graft.plans.TopKPerKey). */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan behind a DataFrame. */
+  def planOf(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].logicalPlan
+
+  /** EAGER Column → Expression conversion. `toExpression` can return a
+    * lazy wrapper still holding `sql.internal` ColumnNodes — fine inside
+    * Spark's own operators, but not serializable into task closures of
+    * custom SparkPlans. This converts the node tree to pure catalyst
+    * expressions up front. */
+  def toEagerExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 }

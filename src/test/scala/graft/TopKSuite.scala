@@ -1,0 +1,42 @@
+package graft
+
+import graft.plans.TopKPerKey
+import org.apache.spark.sql.functions._
+
+class TopKSuite extends SparkSpec {
+  import spark.implicits._
+
+  test("custom top-k operator matches the window formulation") {
+    val df = (1 to 1000).map(i => (s"g${i % 7}", i, (i * 37 % 1000).toDouble))
+      .toDF("g", "id", "score").repartition(4)
+    val native = TopKPerKey(df, Seq("g"), Seq(col("score").desc, col("id").asc), 3)
+      .select("g", "id", "score").orderBy("g", "id")
+      .as[(String, Int, Double)].collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("score").desc, col("id").asc)
+    val windowed = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("g", "id", "score").orderBy("g", "id")
+      .as[(String, Int, Double)].collect().toSeq
+    assert(native == windowed)
+  }
+
+  test("k larger than group keeps whole groups; ascending order works") {
+    val df = Seq(("a", 3), ("a", 1), ("b", 2)).toDF("g", "v")
+    val out = TopKPerKey(df, Seq("g"), Seq(col("v").asc), 10)
+      .orderBy("g", "v").as[(String, Int)].collect().toSeq
+    assert(out == Seq(("a", 1), ("a", 3), ("b", 2)))
+    val top1 = TopKPerKey(df, Seq("g"), Seq(col("v").asc), 1)
+      .orderBy("g").as[(String, Int)].collect().toSeq
+    assert(top1 == Seq(("a", 1), ("b", 2)))
+  }
+
+  test("plans partial -> exchange -> final (shuffle pruned to k per key per partition)") {
+    val df = (1 to 100).map(i => (i % 3, i)).toDF("g", "v").repartition(4)
+    val plan = TopKPerKey(df, Seq("g"), Seq(col("v").asc), 2)
+      .queryExecution.executedPlan.toString
+    assert("TopKPerKey \\[".r.findAllIn(plan).size == 2, s"expected two phases:\n$plan")
+    assert(plan.contains("Exchange"), s"expected an exchange between phases:\n$plan")
+    // and no sort anywhere — the whole point vs the window formulation
+    assert(!plan.contains("Sort "), s"top-k must not sort:\n$plan")
+  }
+}
