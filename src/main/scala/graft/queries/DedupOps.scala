@@ -44,7 +44,10 @@ object DedupOps {
       // cache the distinct shingle set: it feeds the self-join twice plus
       // the per-doc counts — without this the explode+distinct subtree (a
       // shuffle each) runs four times
+      // single-row-group test file → the shingle explode would run on one
+      // core; pin a keyed repartition first (no-op at real multi-file scale)
       val sh = Tables.documents(s, d)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
         .select(col("doc_id"), explode(TextFunctions.shingles(col("text"), 3)).as("s"))
         .distinct()
         .cache()
@@ -81,6 +84,7 @@ object DedupOps {
     // collision probability ≈ 1-(1-j⁴)⁸, steep around j≈0.6.
     Q.noOracle("q_minhash_lsh") { (s, d) =>
       val docs = Tables.documents(s, d)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
       val sig = MinHash.signatures(docs, "doc_id", "text").cache()
       val cands = MinHash.candidates(MinHash.bands(sig, "doc_id"), "doc_id")
       val a = sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
@@ -95,7 +99,9 @@ object DedupOps {
     // ---- SimHash near-dup pairs (rows-only check): 60-bit fingerprints,
     // Hamming-LSH banding (4×15-bit chunks), exact Hamming ≤ 6 verify.
     Q.noOracle("q_simhash") { (s, d) =>
-      val sig = SimHash.signatures(Tables.documents(s, d), "doc_id", "text")
+      val docs = Tables.documents(s, d)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
+      val sig = SimHash.signatures(docs, "doc_id", "text")
       SimHash.nearPairs(sig, "doc_id", maxDist = 6)
         .orderBy(col("doc_a"), col("doc_b"))
     }
