@@ -96,6 +96,31 @@ object DedupOps {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // ---- Winnowed rolling-hash fingerprints (rows-only check): char-level
+    // Rabin–Karp k-grams + MOSS winnowing, so documents sharing any
+    // substring of length ≥ k+w-1 share a print even when whole-document
+    // hashes differ (sub-document overlap dedup). Candidates are an
+    // equi-join on the 8-byte print — same scale shape as MinHash bands.
+    Q.noOracle("q_winnow_dedup") { (s, d) =>
+      val prints = Tables.documents(s, d)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
+        .select(col("doc_id"),
+          explode(graft.functions.Winnow.fingerprints(
+            TextFunctions.normalize(col("text")))).as("fp"))
+        .distinct()
+      val counts = prints.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val a = prints.select(col("fp"), col("doc_id").as("doc_a"))
+      val b = prints.select(col("fp"), col("doc_id").as("doc_b"))
+      val shared = a.join(b, Seq("fp"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
+      shared
+        .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+        .filter(col("shared").cast("double") / col("n_a") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // ---- SimHash near-dup pairs (rows-only check): 60-bit fingerprints,
     // Hamming-LSH banding (4×15-bit chunks), exact Hamming ≤ 6 verify.
     Q.noOracle("q_simhash") { (s, d) =>

@@ -162,6 +162,35 @@ class FunctionsSuite extends SparkSpec {
     assert(recall >= 0.9)
   }
 
+  test("winnowed fingerprints: shared substrings collide, edits keep overlap") {
+    import graft.functions.Winnow
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    val edited = base.replace("lazy", "hazy") // small local edit
+    val unrelated = "completely different content with no shared runs at all " * 4
+    val df = Seq((1L, base), (2L, edited), (3L, unrelated), (4L, base))
+      .toDF("id", "t")
+      .select(col("id"), Winnow.fingerprints(col("t")).as("fps"))
+    val fps = df.as[(Long, Seq[Long])].collect().toMap
+    // identical docs → identical prints (deterministic)
+    assert(fps(1L) == fps(4L) && fps(1L).nonEmpty)
+    def overlap(a: Seq[Long], b: Seq[Long]) =
+      (a.toSet intersect b.toSet).size.toDouble / a.toSet.size
+    // a one-word edit preserves most prints (the rolling-hash win over
+    // whole-document hashing)
+    assert(overlap(fps(1L), fps(2L)) > 0.5, s"edit overlap ${overlap(fps(1L), fps(2L))}")
+    // unrelated text shares (essentially) nothing
+    assert(overlap(fps(1L), fps(3L)) < 0.05)
+    // winnowing guarantee: any shared substring of length >= k+w-1 (11)
+    // yields a shared print
+    val s1 = Seq((10L, "xxxxx SHARED-RUN-OF-TEXT-LONG-ENOUGH yyyyy"))
+      .toDF("id", "t").select(Winnow.fingerprints(col("t")).as("f"))
+      .as[Seq[Long]].head().toSet
+    val s2 = Seq((11L, "aaaaa SHARED-RUN-OF-TEXT-LONG-ENOUGH bbbbb"))
+      .toDF("id", "t").select(Winnow.fingerprints(col("t")).as("f"))
+      .as[Seq[Long]].head().toSet
+    assert((s1 intersect s2).nonEmpty)
+  }
+
   test("heavy hitters sketch: guaranteed recall above n/k, bounded error") {
     // 1000 "hot" + 200 "warm" + 500 singletons; capacity 16 → threshold ~106
     val items = Seq.fill(1000)("hot") ++ Seq.fill(200)("warm") ++
