@@ -54,15 +54,20 @@ object VectorOps {
         |  FROM p) WHERE rn <= 3
         |ORDER BY src, sim DESC, nbr""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d).withColumn("v", col("embedding").cast("array<double>"))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("vec_id"))
       val probes = e.filter(col("vec_id") < 50).select(col("vec_id").as("src"), col("v").as("va"))
       val cands = e.select(col("vec_id").as("nbr"), col("v").as("vb"))
-      val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("nbr"))
-      broadcast(probes).crossJoin(cands)
+      // top-3 via the custom bounded-heap operator (plans.TopKPerKey):
+      // each partition keeps ≤3 pairs per probe before the shuffle, so the
+      // exchange carries O(k × probes × partitions) rows instead of every
+      // scored pair — and nothing is sorted (the window formulation this
+      // replaces is still the oracle, which the result hash-matches).
+      val scored = broadcast(probes).crossJoin(cands)
         .filter(col("nbr") =!= col("src"))
         .select(col("src"), col("nbr"),
           round(VectorFunctions.cosine(col("va"), col("vb")), 6).as("sim"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
+      graft.plans.TopKPerKey(scored, Seq("src"),
+          Seq(col("sim").desc, col("nbr").asc), k = 3)
         .select(col("src"), col("nbr"), col("sim"))
         .orderBy(col("src"), col("sim").desc, col("nbr"))
     },
