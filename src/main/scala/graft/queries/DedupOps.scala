@@ -108,9 +108,20 @@ object DedupOps {
           explode(graft.functions.Winnow.fingerprints(
             TextFunctions.normalize(col("text")))).as("fp"))
         .distinct()
-      val counts = prints.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val a = prints.select(col("fp"), col("doc_id").as("doc_a"))
-      val b = prints.select(col("fp"), col("doc_id").as("doc_b"))
+        .cache()
+      // Document-frequency cap (MOSS practice): a print present in many
+      // documents is boilerplate and generates df² candidate pairs — THE
+      // quadratic hazard of shared-key candidate joins at 100 TB. Capping
+      // df bounds per-print join fan-out; true near-dup pairs still share
+      // plenty of low-df prints. The overlap ratio is computed over KEPT
+      // prints on both sides (dropping boilerplate from one side of the
+      // fraction would deflate every ratio).
+      val rare = prints.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 50).select(col("fp"))
+      val kept = prints.join(rare, "fp").cache()
+      val counts = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val a = kept.select(col("fp"), col("doc_id").as("doc_a"))
+      val b = kept.select(col("fp"), col("doc_id").as("doc_b"))
       val shared = a.join(b, Seq("fp"))
         .filter(col("doc_a") < col("doc_b"))
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
