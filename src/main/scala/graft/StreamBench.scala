@@ -39,13 +39,18 @@ object StreamBench {
     }
     val ingestSec = (System.nanoTime() - t0) / 1e9
 
-    // query leg: strong subscription → day window → counts by type
+    // query leg: strong subscription → day window → counts by type.
+    // State partitions sized to the aggregate's key count (150 windows):
+    // the shuffle-partition width freezes into the streaming checkpoint,
+    // and near-empty state stores are pure per-batch overhead.
     val t1 = System.nanoTime()
-    val q = ch.readStream()
-      .groupBy(Tables.tsDay("ts").as("day"), col("event_type"))
-      .agg(count(lit(1)).as("n"), Tables.exactSum(col("value")).as("v"))
-      .writeStream.outputMode("complete").format("memory")
-      .queryName("streambench").start()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try ch.readStream()
+        .groupBy(Tables.tsDay("ts").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Tables.exactSum(col("value")).as("v"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("streambench").start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", cpus)
     try q.processAllAvailable() finally q.stop()
     val querySec = (System.nanoTime() - t1) / 1e9
     val outRows = spark.table("streambench").count()

@@ -346,6 +346,21 @@ final class ChannelRegistry(spark: SparkSession, root: Path) {
       .toSeq.sorted
   }
 
+  /** SQL surface: register every topic (or a glob subset) as a temp view
+    * `<prefix><name>`, so `spark.sql("SELECT … FROM graft_logs")` reads
+    * the topic with FULL Catalyst treatment — the view resolves to the
+    * native parquet scan, so predicate pushdown, column pruning, and
+    * partition planning all apply (the reason topics deliberately are NOT
+    * a custom DSv2 source: a shim would have to re-implement pushdown the
+    * file source already has). Views are snapshots of the topic's batch
+    * view; re-register to pick up newly created topics. */
+  def registerViews(prefix: String = "graft_", glob: String = "*"): Seq[String] =
+    list(glob).map { name =>
+      val view = prefix + name
+      get(name).read().createOrReplaceTempView(view)
+      view
+    }
+
   def delete(name: String): Unit = {
     val dir = root.resolve(name)
     if (Files.exists(dir)) Channel.deleteRecursively(dir)

@@ -170,4 +170,21 @@ class ChannelSuite extends SparkSpec {
     ch.write(Seq((9, "post")).toDF("id", "msg"), 9)
     assert(ch.read().select("id").as[Int].collect().last == 9)
   }
+
+  test("registerViews exposes topics to SQL with pushdown intact") {
+    val reg = new ChannelRegistry(spark, tmpDir("chanviews"))
+    val ch = reg.create("viewt", schema)
+    ch.write(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "msg"), 0)
+    reg.create("viewu", schema)
+    val views = reg.registerViews()
+    assert(views.sorted == Seq("graft_viewt", "graft_viewu"))
+    val got = spark.sql("SELECT msg FROM graft_viewt WHERE id >= 2 ORDER BY id")
+      .as[String].collect().toSeq
+    assert(got == Seq("b", "c"))
+    // the view resolves to the native parquet scan: the filter reaches it
+    val plan = spark.sql("SELECT msg FROM graft_viewt WHERE id >= 2")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThanOrEqual(id,2)"),
+      s"filter not pushed to the scan:\n$plan")
+  }
 }
