@@ -113,11 +113,14 @@ object VectorOps {
     // assignment is a linear scan, the join shuffles on a low-cardinality
     // cell id, recall is tuned by probing more cells / k-means iterations.
     Q.noOracle("q_ann_ivf") { (s, d) =>
+      // cached: the count, centroid sample, three Lloyd passes and the
+      // probe assignment all re-scan e otherwise (6 jobs x scan+shuffle)
       val e = Tables.embeddings(s, d)
         .withColumn("v", col("embedding").cast("array<double>"))
         // single-row-group test file → spread the scan (explicit count:
         // AQE would coalesce a tiny keyed shuffle back to one partition)
         .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("vec_id"))
+        .cache()
       // two tiny driver-side actions on metadata-scale data (16 rows):
       // legitimate even at 100 TB — this is centroid training, not a
       // data collect
@@ -191,11 +194,13 @@ object VectorOps {
     // per-bucket populations stay bounded; tables buy recall at a linear
     // candidate-count cost (the recall/cost dial of the operator).
     Q.noOracle("q_ann_lsh") { (s, d) =>
+      // cached: feeds the count, the banding pass and both vector sides
       val e = Tables.embeddings(s, d)
         .withColumn("v", col("embedding").cast("array<double>"))
         // single-row-group test file → spread the scan (explicit count:
         // AQE would coalesce a tiny keyed shuffle back to one partition)
         .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("vec_id"))
+        .cache()
       // Plane count auto-sizes with n so per-bucket populations stay
       // ~targetBucket: candidate volume is Σ pop² per bucket, so a fixed
       // plane count degenerates to all-pairs as n grows (at n=2000 a
