@@ -19,6 +19,29 @@ object TextOps {
 
   val all: Seq[Q] = Seq(
 
+    // ---- Deterministic content-hash train/val/test split (the canonical
+    // training-pipeline assignment): bucket by the first md5 hex digit of
+    // the doc id — stable across runs, machines and engines, embarrassingly
+    // parallel, and rebalancing-free when the corpus grows (a given doc
+    // never changes split). 12/16 train, 2/16 val, 2/16 test.
+    Q("q_hash_split",
+      """WITH tagged AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, lang, COUNT(*) AS n, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        |FROM tagged GROUP BY split, lang ORDER BY split, lang""".stripMargin) { (s, d) =>
+      val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          when(h <= "b", "train").when(h <= "d", "val").otherwise("test").as("split"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("split"), col("lang"))
+    },
+
     // ---- Token counting per language (whitespace tokenizer).
     Q("q_token_stats",
       """SELECT lang, COUNT(*) AS n_docs,
