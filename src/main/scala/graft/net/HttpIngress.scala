@@ -68,14 +68,27 @@ object HttpIngress {
     }
 
     /** Append everything received so far to the channel (one micro-batch).
-      * Returns the number of records flushed. */
-    def flush(): Int = {
+      * Returns the number of records flushed. A rejected write (channel
+      * backpressure / closed) restores the drained records — accepted
+      * requests must survive a failed flush, or the 202 we already sent
+      * the client was a lie. */
+    def flush(): Int = synchronized {
       val batch = Iterator.continually(pending.poll()).takeWhile(_ != null).toSeq
       if (batch.nonEmpty) {
-        channel.write(spark.createDataset(batch)(enc).toDF(), writerId)
+        try channel.write(spark.createDataset(batch)(enc).toDF(), writerId)
+        catch { case e: Throwable =>
+          // restore ahead of anything that arrived mid-flush (ids keep
+          // the true arrival order for downstream consumers)
+          val arrived = Iterator.continually(pending.poll()).takeWhile(_ != null).toSeq
+          (batch ++ arrived).foreach(pending.add)
+          throw e
+        }
       }
       batch.size
     }
+
+    /** Records accepted but not yet flushed (ops/metrics surface). */
+    def pendingCount: Int = pending.size
 
     def stop(): Unit = server.stop(0)
   }

@@ -64,14 +64,25 @@ object QuicIngress {
     }
 
     /** Append everything received so far to the channel (one micro-batch).
-      * Returns the number of records flushed. */
-    def flush(): Int = {
+      * Returns the number of records flushed. A rejected write (channel
+      * backpressure / closed) restores the drained records — the stream
+      * reply already acknowledged them, so they must survive a failed
+      * flush. */
+    def flush(): Int = synchronized {
       val batch = Iterator.continually(pending.poll()).takeWhile(_ != null).toSeq
       if (batch.nonEmpty) {
-        channel.write(spark.createDataset(batch)(enc).toDF(), writerId)
+        try channel.write(spark.createDataset(batch)(enc).toDF(), writerId)
+        catch { case e: Throwable =>
+          val arrived = Iterator.continually(pending.poll()).takeWhile(_ != null).toSeq
+          (batch ++ arrived).foreach(pending.add)
+          throw e
+        }
       }
       batch.size
     }
+
+    /** Records accepted but not yet flushed (ops/metrics surface). */
+    def pendingCount: Int = pending.size
 
     def stop(): Unit = {
       stopped.set(true)

@@ -41,4 +41,23 @@ class HttpIngressSuite extends SparkSpec {
       assert(alerts.toSeq == Seq((1L, "security alert: blocked path /admin/secrets")))
     } finally ingress.stop()
   }
+
+  test("flush restores accepted requests when the channel rejects the write") {
+    val reg = new ChannelRegistry(spark, tmpDir("httpbp"))
+    // capacity 1 byte, park mode: the write lands then is un-published by
+    // the capacity check, surfacing ChannelBackpressure to the flusher
+    val ch = reg.create("http_bp", HttpIngress.schema, capacityBytes = 1)
+    val ingress = HttpIngress.start(spark, ch)
+    try {
+      val client = HttpClient.newHttpClient()
+      val r = JHttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${ingress.port}/x"))
+        .POST(JHttpRequest.BodyPublishers.ofString("p")).build()
+      assert(client.send(r, HttpResponse.BodyHandlers.ofString()).statusCode() == 202)
+      assert(ingress.pendingCount == 1)
+      intercept[graft.channel.Channel.ChannelBackpressure] { ingress.flush() }
+      // the accepted (202'd) request survived the failed flush
+      assert(ingress.pendingCount == 1)
+      assert(ch.read().count() == 0)
+    } finally ingress.stop()
+  }
 }
