@@ -326,6 +326,14 @@ final class WasmModule(bytes: Array[Byte],
             else running = false
           case 0x0c => branch(immU().toInt)
           case 0x0d => val d = immU().toInt; if (pop() != 0) branch(d)
+          case 0x0e => // br_table: n labels + default, select by operand
+            val n = immU().toInt
+            val labels = new Array[Int](n)
+            var i = 0
+            while (i < n) { labels(i) = immU().toInt; i += 1 }
+            val dflt = immU().toInt
+            val idx = pop().toInt
+            branch(if (idx >= 0 && idx < n) labels(idx) else dflt)
           case 0x0f => doReturn()
           case 0x10 =>
             val callee = immU().toInt
@@ -687,6 +695,10 @@ object WasmModule {
         case 0x05 => elseOf(stack.head) = at
         case 0x0b => if (stack.nonEmpty) endOf(stack.removeHead()) = at
         case 0x11 => pc = ulebAt(body, pc)._2; pc += 1 // call_indirect
+        case 0x0e => // br_table: count n, then n+1 label ulebs
+          val (n, p1) = ulebAt(body, pc); pc = p1
+          var i = 0L
+          while (i <= n) { pc = ulebAt(body, pc)._2; i += 1 }
         case o if OneULeb(o) => pc = ulebAt(body, pc)._2
         case o if OneSLeb(o) => pc = slebAt(body, pc)._2
         case o if MemImm(o) => pc = ulebAt(body, pc)._2; pc = ulebAt(body, pc)._2

@@ -262,6 +262,30 @@ class WasmSuite extends SparkSpec {
     intercept[IllegalStateException] { convOver.invoke("t") }
   }
 
+  test("br_table selects branch depth by operand (switch lowering)") {
+    import graft.udf.wasm.WasmAssembler
+    // block A { block B { block C { br_table [C,B] default=A on x }
+    //   -> 10 } -> 20 } -> 30
+    val body = Seq(
+      0x02, 0x40,                 // block A
+      0x02, 0x40,                 //   block B
+      0x02, 0x40,                 //     block C
+      0x20, 0x00,                 //       local.get x
+      0x0e, 0x02, 0x00, 0x01, 0x02, //    br_table [0,1] default 2
+      0x0b,                       //     end C
+      0x41, 10, 0x0f,             //     i32.const 10; return
+      0x0b,                       //   end B
+      0x41, 20, 0x0f,             //   i32.const 20; return
+      0x0b,                       // end A
+      0x41, 30                    // i32.const 30
+    ).map(_.toByte)
+    val m = new WasmModule(WasmAssembler.module("sw", nParams = 1, nLocals = 0, body = body))
+    assert(m.invoke("sw", 0L).get == 10L)
+    assert(m.invoke("sw", 1L).get == 20L)
+    assert(m.invoke("sw", 2L).get == 30L)
+    assert(m.invoke("sw", 99L).get == 30L) // out of range -> default
+  }
+
   test("signed division overflow traps (INT_MIN / -1)") {
     val A = graft.udf.wasm.WasmAssembler
     // i32: JVM wraps Int.MinValue / -1 silently; wasm must trap.
