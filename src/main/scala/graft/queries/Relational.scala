@@ -314,6 +314,20 @@ object Relational {
       building.except(finished).orderBy($("c_custkey"))
     },
 
+    // ---- INTERSECT (the other set operator; EXCEPT above): customers in
+    // the BUILDING segment who DO have a finished order.
+    Q("q_intersect_setop",
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val building = Tables.customer(s, d)
+        .filter($("c_mktsegment") === "BUILDING").select($("c_custkey"))
+      val finished = Tables.orders(s, d)
+        .filter($("o_orderstatus") === "F").select(col("o_custkey").as("c_custkey"))
+      building.intersect(finished).orderBy($("c_custkey"))
+    },
+
     // ---- Ordered string aggregation (deterministic: sorted before join).
     Q("q_string_agg",
       """SELECT c_mktsegment,
