@@ -102,6 +102,27 @@ class ChannelSuite extends SparkSpec {
     assert(rows.forall(_._2 == 9))
   }
 
+  test("sink restart from checkpoint is exactly-once across new data") {
+    val reg = new ChannelRegistry(spark, tmpDir("chan_restart"))
+    val src = reg.create("src_r", schema)
+    val dst = reg.create("dst_r", schema)
+    val ck = tmpDir("ck_r")
+    src.write(Seq((1, "a"), (2, "b")).toDF("id", "msg"), 1)
+    def runLeg(): Unit = {
+      val q = dst.sink(src.readStream().select(col("id"), col("msg")),
+        writerId = 9, checkpoint = ck, availableNow = true)
+      q.awaitTermination(30000)
+    }
+    runLeg()
+    // more source data arrives, the pipeline restarts from its checkpoint
+    src.write(Seq((3, "c")).toDF("id", "msg"), 1)
+    runLeg()
+    // and an idle restart with nothing new must add nothing
+    runLeg()
+    val ids = dst.read().select("id").as[Int].collect().sorted.toSeq
+    assert(ids == Seq(1, 2, 3), s"expected exactly-once delivery, got $ids")
+  }
+
   test("weak readStream skips evicted batches (S3)") {
     val reg = new ChannelRegistry(spark, tmpDir("chan"))
     val ch = reg.create("t8", schema, capacityBytes = 4 * 1024, dropMode = true)
