@@ -18,6 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // whole-operator planning (TopKPerKey) — sessions built with these
+    // extensions don't need the runtime experimental-strategy injection
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     e.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(array<double>, array<double>) - cosine similarity"),
       (args: Seq[Expression]) => CosineSim(args(0), args(1))))

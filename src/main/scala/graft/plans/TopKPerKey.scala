@@ -82,6 +82,12 @@ case class TopKPerKeyExec(grouping: Seq[Expression], order: Seq[SortOrder],
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning = child.outputPartitioning
 
+  // observability: the partial phase's output vs its input is the
+  // shuffle-pruning ratio
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
+
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(grouping) :: Nil
@@ -91,6 +97,7 @@ case class TopKPerKeyExec(grouping: Seq[Expression], order: Seq[SortOrder],
     val groupingExprs = grouping
     val sortOrder = order
     val limit = k
+    val numOutput = longMetric("numOutputRows")
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(groupingExprs, childOutput)
       // generated row comparator for the SortOrder list; heap keeps its
@@ -114,7 +121,7 @@ case class TopKPerKeyExec(grouping: Seq[Expression], order: Seq[SortOrder],
           heap += row.asInstanceOf[UnsafeRow].copy()
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator)
+      heaps.valuesIterator.flatMap(_.iterator).map { r => numOutput += 1; r }
     }
   }
 
