@@ -33,13 +33,21 @@ object HttpIngress {
 
   val schema = enc.schema
 
+  /** Synchronous response policy: (status, body) computed from the
+    * request — the reference's rest-api example validates the JSON body
+    * and answers 200/401/400 on the same connection
+    * (examples/rest-api/src/lib.rs); the default is the load-balancer's
+    * unconditional 202 accept. */
+  type Reply = HttpRequest => (Int, Array[Byte])
+  val AcceptAll: Reply = _ => (202, "accepted".getBytes("UTF-8"))
+
   /** Start listening; buffered requests are appended to `channel` on each
     * `flush()` (micro-batch ingest — the channel IS the streaming source
     * downstream). Returns the ingress handle. */
   def start(spark: SparkSession, channel: Channel, port: Int = 0,
-            writerId: Int = 100): Ingress = {
+            writerId: Int = 100, reply: Reply = AcceptAll): Ingress = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 64)
-    val ingress = new Ingress(spark, channel, server, writerId)
+    val ingress = new Ingress(spark, channel, server, writerId, reply)
     server.createContext("/", (exchange: HttpExchange) => ingress.handle(exchange))
     server.setExecutor(null) // serial: preserves arrival order like a channel
     server.start()
@@ -47,7 +55,8 @@ object HttpIngress {
   }
 
   final class Ingress(spark: SparkSession, channel: Channel,
-                      server: HttpServer, writerId: Int) {
+                      server: HttpServer, writerId: Int,
+                      reply: HttpIngress.Reply) {
     private val pending = new ConcurrentLinkedQueue[HttpRequest]()
     private val ids = new AtomicLong(0)
 
@@ -55,14 +64,15 @@ object HttpIngress {
 
     private[net] def handle(exchange: HttpExchange): Unit = {
       val body = exchange.getRequestBody.readAllBytes()
-      pending.add(HttpRequest(
+      val req = HttpRequest(
         ids.getAndIncrement(),
         exchange.getRequestMethod,
         exchange.getRequestURI.getPath,
         exchange.getRemoteAddress.getAddress.getHostAddress,
-        body))
-      val resp = "accepted".getBytes("UTF-8")
-      exchange.sendResponseHeaders(202, resp.length.toLong)
+        body)
+      pending.add(req)
+      val (status, resp) = reply(req)
+      exchange.sendResponseHeaders(status, resp.length.toLong)
       exchange.getResponseBody.write(resp)
       exchange.close()
     }

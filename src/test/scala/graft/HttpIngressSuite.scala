@@ -42,6 +42,37 @@ class HttpIngressSuite extends SparkSpec {
     } finally ingress.stop()
   }
 
+  test("rest-api parity: body-validating reply policy answers 200/401/400") {
+    val reg = new ChannelRegistry(spark, tmpDir("httprest"))
+    val ch = reg.create("rest_in", HttpIngress.schema)
+    // the reference's rest-api example: parse {"password": ...} and answer
+    // on the same connection (examples/rest-api/src/lib.rs)
+    val ingress = HttpIngress.start(spark, ch, reply = req => {
+      val body = new String(req.body, "UTF-8")
+      """"password"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(body) match {
+        case Some(m) if m.group(1) == "It's an illusion!" =>
+          (200, """{"status":true}""".getBytes("UTF-8"))
+        case Some(_) => (401, """{"status":false}""".getBytes("UTF-8"))
+        case None => (400, """{"error":"invalid request"}""".getBytes("UTF-8"))
+      }
+    })
+    try {
+      val client = HttpClient.newHttpClient()
+      def post(body: String) = {
+        val r = JHttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${ingress.port}/auth"))
+          .POST(JHttpRequest.BodyPublishers.ofString(body)).build()
+        client.send(r, HttpResponse.BodyHandlers.ofString())
+      }
+      val ok = post("""{"password": "It's an illusion!"}""")
+      assert(ok.statusCode() == 200 && ok.body() == """{"status":true}""")
+      assert(post("""{"password": "wrong"}""").statusCode() == 401)
+      assert(post("""not json""").statusCode() == 400)
+      // every attempt still lands in the channel for the audit pipeline
+      assert(ingress.flush() == 3)
+      assert(ch.read().count() == 3)
+    } finally ingress.stop()
+  }
+
   test("flush restores accepted requests when the channel rejects the write") {
     val reg = new ChannelRegistry(spark, tmpDir("httpbp"))
     // capacity 1 byte, park mode: the write lands then is un-published by
