@@ -75,6 +75,62 @@ class QuicSuite extends SparkSpec {
     } finally { server.close(); client.close() }
   }
 
+  test("load balancer over QUIC: round-robin backends, bounded concurrency") {
+    // the reference's load-balancer example: accept streams for a domain,
+    // forward each request to one of N backends over QUIC, reply on the
+    // ORIGINATING stream, at most `concurrency` requests in flight
+    // (examples/load-balancer/src/lib.rs: for_each_concurrent(50))
+    val backendA = QuicLite.endpoint()
+    val backendB = QuicLite.endpoint()
+    val lb = QuicLite.endpoint()
+    val client = QuicLite.endpoint()
+    try {
+      def serveBackend(ep: QuicLite.QuicEndpoint, tag: String): Unit = {
+        val l = ep.bind("backend.test")
+        val t = new Thread(() => while (true) l.accept(200).foreach { st =>
+          st.write(s"$tag:${s(st.readAll())}".getBytes(UTF_8))
+        })
+        t.setDaemon(true); t.start()
+      }
+      serveBackend(backendA, "A")
+      serveBackend(backendB, "B")
+
+      val backends = Vector(
+        lb.connect("127.0.0.1", backendA.port, "backend.test"),
+        lb.connect("127.0.0.1", backendB.port, "backend.test"))
+      val rr = new java.util.concurrent.atomic.AtomicInteger(0)
+      val gate = new java.util.concurrent.Semaphore(2) // bounded concurrency
+      val inflightMax = new java.util.concurrent.atomic.AtomicInteger(0)
+      val inflight = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = lb.bind("lb.test")
+      val lbThread = new Thread(() => while (true) listener.accept(200).foreach { st =>
+        gate.acquire()
+        val t = new Thread(() => try {
+          inflightMax.accumulateAndGet(inflight.incrementAndGet(), math.max)
+          val backend = backends(rr.getAndIncrement() % backends.size)
+          val fwd = backend.openStream()
+          fwd.write(st.readAll())
+          st.write(fwd.readAll()) // reply on the originating stream
+        } finally { inflight.decrementAndGet(); gate.release() })
+        t.setDaemon(true); t.start()
+      })
+      lbThread.setDaemon(true); lbThread.start()
+
+      val conn = client.connect("127.0.0.1", lb.port, "lb.test")
+      val replies = (0 until 6).map { i =>
+        val st = conn.openStream()
+        st.write(s"req$i".getBytes(UTF_8))
+        s(st.readAll(10000))
+      }
+      // every request answered by exactly one backend, round-robin
+      assert(replies.map(_.takeWhile(_ != ':')).toSet == Set("A", "B"))
+      assert(replies.count(_.startsWith("A:")) == 3)
+      assert(replies.map(_.dropWhile(_ != ':').drop(1)).sorted ==
+        (0 until 6).map(i => s"req$i"))
+      assert(inflightMax.get() <= 2)
+    } finally { backendA.close(); backendB.close(); lb.close(); client.close() }
+  }
+
   test("QUIC edge → channel → query end-to-end (S4 record flow)") {
     val reg = new ChannelRegistry(spark, tmpDir("quic"))
     val ch = reg.create("quic_in", QuicIngress.schema)
