@@ -52,5 +52,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.SignLshBuckets(args.head,
           graft.functions.SignLsh.planes(nT * nP, dim, seed), nT, nP)
       }))
+    e.injectFunction((FunctionIdentifier("winnow_fingerprints"),
+      info("winnow_fingerprints",
+        "winnow_fingerprints(text[, k, window]) - winnowed rolling-hash fingerprints"),
+      (args: Seq[Expression]) => {
+        def intArg(i: Int, dflt: Int) =
+          if (args.length > i) args(i).eval().asInstanceOf[Number].intValue() else dflt
+        graft.functions.WinnowFingerprints(args.head, intArg(1, 8), intArg(2, 4))
+      }))
   }
 }

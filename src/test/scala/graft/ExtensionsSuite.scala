@@ -41,6 +41,10 @@ class ExtensionsSuite extends AnyFunSuite {
         "SELECT sign_lsh_buckets(array_repeat(0.5d, 64), 8, 4, 64, 42L) AS b")
         .collect().head.getSeq[Long](0)
       assert(buckets.length == 8 && buckets.forall(b => b >= 0 && b < 16))
+      val wf = spark.sql(
+        "SELECT winnow_fingerprints('the quick brown fox jumps over the dog') AS f")
+        .collect().head.getSeq[Long](0)
+      assert(wf.nonEmpty)
     } finally {
       // don't stop(): that would kill the SparkContext shared with the
       // other suites in this JVM — just hand back the default-session slot
