@@ -380,9 +380,11 @@ object Streamish {
       java.nio.file.Files.createSymbolicLink(tmp.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$d/events.parquet"))
       tmp.toFile.deleteOnExit()
+      // one source, two filtered legs (streaming self-join): the file
+      // listing and scan happen once per micro-batch instead of twice
+      val src = s.readStream.schema(schema).parquet(tmp.toString)
       def side(tpe: String, prefix: String) =
-        s.readStream.schema(schema).parquet(tmp.toString)
-          .filter(col("event_type") === tpe)
+        src.filter(col("event_type") === tpe)
           .select(col("event_id").as(s"${prefix}_id"),
             col("user_id").as(s"${prefix}_user"),
             expr("timestamp_micros(ts div 1000)").as(s"${prefix}_ts"))
