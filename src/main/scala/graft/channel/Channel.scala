@@ -92,7 +92,11 @@ final class Channel private[channel] (
     // Park mode parks BEFORE accepting the frame (reference
     // messaging/src/writer.rs:166-199): a full channel must reject the
     // write without making it visible, or a retrying writer duplicates it.
-    if (!dropMode) {
+    // Synchronized with enforceCapacity so two same-handle writers can't
+    // both pass a nearly-full check. The size is re-walked from the
+    // directory (not cached) deliberately: other handles/processes write
+    // the same topic, so the directory is the only source of truth.
+    if (!dropMode) synchronized {
       val current = listBatches(dir).map(dirSize).sum
       if (current >= capacityBytes) throw ChannelBackpressure(name, current, capacityBytes)
     }
@@ -202,12 +206,12 @@ final class Channel private[channel] (
     // Sweep everything the new compact file supersedes — including
     // leftovers of a previously crashed compaction (listBatches already
     // filters them, so this is cleanup, not correctness).
-    Files.list(dir).iterator().asScala
+    Channel.listDir(dir)
       .filter { p =>
         val n = p.getFileName.toString
         (n.startsWith("batch_") || n.startsWith("compact_")) && batchSeq(p) < seq
       }
-      .toSeq.foreach(Channel.deleteRecursively)
+      .foreach(Channel.deleteRecursively)
   }
 
   /** Channel health/metrics row (ops surface; droppedBytes is the
@@ -260,14 +264,21 @@ object Channel {
     * lower-seq entries: if a crash interrupted compact() between the move
     * and the source deletes, the leftovers are filtered here (and swept
     * lazily) rather than double-read. */
+  /** Files.list with the stream CLOSED (only the iterator is consumed
+    * otherwise, leaking a directory handle per call until GC). */
+  private[channel] def listDir(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   private[channel] def listBatches(dir: Path): Seq[Path] = {
     if (!Files.exists(dir)) return Nil
-    val all = Files.list(dir).iterator().asScala
+    val all = listDir(dir)
       .filter { p =>
         val n = p.getFileName.toString
         n.startsWith("batch_") || n.startsWith("compact_")
       }
-      .toSeq.sortBy(batchSeq)
+      .sortBy(batchSeq)
     val lastCompact = all.filter(_.getFileName.toString.startsWith("compact_"))
       .map(batchSeq).maxOption
     lastCompact match {
@@ -339,11 +350,11 @@ final class ChannelRegistry(spark: SparkSession, root: Path) {
   def list(glob: String = "*"): Seq[String] = {
     val matcher = java.nio.file.FileSystems.getDefault.getPathMatcher(s"glob:$glob")
     if (!Files.exists(root)) Nil
-    else Files.list(root).iterator().asScala
+    else Channel.listDir(root)
       .filter(p => Files.exists(p.resolve("_SCHEMA")))
       .map(_.getFileName.toString)
       .filter(n => matcher.matches(Paths.get(n)))
-      .toSeq.sorted
+      .sorted
   }
 
   /** SQL surface: register every topic (or a glob subset) as a temp view

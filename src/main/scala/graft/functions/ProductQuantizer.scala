@@ -39,8 +39,12 @@ object ProductQuantizer {
       .filter(col(idCol) % stride === 0 && col(idCol) < stride * k)
       .orderBy(col(idCol)).select(col(vCol))
       .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    require(sampled.nonEmpty, s"no seed vectors sampled (n=$n, idCol=$idCol)")
+    // a tiny corpus (or sparse ids) can yield fewer than k seeds — clamp
+    // the codebook size rather than indexing past the sample
+    val kEff = math.min(k, sampled.length)
     val init: Codebooks = (0 until m).map(s =>
-      sampled.map(v => v.slice(s * sub, (s + 1) * sub)))
+      sampled.take(kEff).map(v => v.slice(s * sub, (s + 1) * sub)))
     // One Lloyd step for all m subspaces in one pass: explode (dim, x),
     // recover (subspace, code, subdim) per element, mean per cell.
     val means = df
@@ -57,7 +61,7 @@ object ProductQuantizer {
       .view.mapValues(rows =>
         rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toIndexedSeq).toMap
     (0 until m).map { s =>
-      (0 until k).map { c =>
+      (0 until kEff).map { c =>
         means.getOrElse((s, c), init(s)(c)) // empty cell keeps its seed
       }.toIndexedSeq
     }.toIndexedSeq

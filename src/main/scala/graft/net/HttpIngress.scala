@@ -57,7 +57,7 @@ object HttpIngress {
   final class Ingress(spark: SparkSession, channel: Channel,
                       server: HttpServer, writerId: Int,
                       reply: HttpIngress.Reply) {
-    private val pending = new ConcurrentLinkedQueue[HttpRequest]()
+    private val buffer = new IngressBuffer[HttpRequest](spark, channel, writerId, enc)
     private val ids = new AtomicLong(0)
 
     def port: Int = server.getAddress.getPort
@@ -70,7 +70,7 @@ object HttpIngress {
         exchange.getRequestURI.getPath,
         exchange.getRemoteAddress.getAddress.getHostAddress,
         body)
-      pending.add(req)
+      buffer.add(req)
       val (status, resp) = reply(req)
       exchange.sendResponseHeaders(status, resp.length.toLong)
       exchange.getResponseBody.write(resp)
@@ -78,27 +78,14 @@ object HttpIngress {
     }
 
     /** Append everything received so far to the channel (one micro-batch).
-      * Returns the number of records flushed. A rejected write (channel
-      * backpressure / closed) restores the drained records — accepted
-      * requests must survive a failed flush, or the 202 we already sent
-      * the client was a lie. */
-    def flush(): Int = synchronized {
-      val batch = Iterator.continually(pending.poll()).takeWhile(_ != null).toSeq
-      if (batch.nonEmpty) {
-        try channel.write(spark.createDataset(batch)(enc).toDF(), writerId)
-        catch { case e: Throwable =>
-          // restore ahead of anything that arrived mid-flush (ids keep
-          // the true arrival order for downstream consumers)
-          val arrived = Iterator.continually(pending.poll()).takeWhile(_ != null).toSeq
-          (batch ++ arrived).foreach(pending.add)
-          throw e
-        }
-      }
-      batch.size
-    }
+      * Returns the number of records flushed; a rejected write restores
+      * the drained records (accepted requests must survive a failed flush,
+      * or the 202 we already sent the client was a lie — see
+      * [[IngressBuffer]]). */
+    def flush(): Int = buffer.flush()
 
     /** Records accepted but not yet flushed (ops/metrics surface). */
-    def pendingCount: Int = pending.size
+    def pendingCount: Int = buffer.size
 
     def stop(): Unit = server.stop(0)
   }

@@ -33,7 +33,8 @@ object QuicIngress {
             reply: Array[Byte] => Array[Byte] = _ => "accepted".getBytes("UTF-8"))
       : Ingress = {
     val ep = Option(endpoint).getOrElse(QuicLite.endpoint())
-    val ingress = new Ingress(spark, channel, ep, ep.bind(domain), writerId, reply)
+    val ingress = new Ingress(spark, channel, ep, ep.bind(domain), writerId, reply,
+      ownsEndpoint = endpoint == null)
     ingress.start()
     ingress
   }
@@ -41,8 +42,9 @@ object QuicIngress {
   final class Ingress(spark: SparkSession, channel: Channel,
                       val endpoint: QuicLite.QuicEndpoint,
                       listener: QuicLite.ListenerHandle, writerId: Int,
-                      reply: Array[Byte] => Array[Byte]) {
-    private val pending = new ConcurrentLinkedQueue[QuicRequest]()
+                      reply: Array[Byte] => Array[Byte],
+                      ownsEndpoint: Boolean) {
+    private val buffer = new IngressBuffer[QuicRequest](spark, channel, writerId, enc)
     private val ids = new AtomicLong(0)
     private val stopped = new AtomicBoolean(false)
 
@@ -51,12 +53,15 @@ object QuicIngress {
     private[net] def start(): Unit = {
       val t = new Thread(() => {
         while (!stopped.get()) {
-          listener.accept(timeoutMs = 200).foreach { s =>
+          // one bad stream (peer vanished mid-reply, throwing user reply
+          // fn) must not kill the accept loop — that would silently stop
+          // serving every later connection
+          try listener.accept(timeoutMs = 200).foreach { s =>
             val body = s.readAll()
-            pending.add(QuicRequest(ids.getAndIncrement(), listener.domain,
+            buffer.add(QuicRequest(ids.getAndIncrement(), listener.domain,
               s.streamId, s.conn.remote.toString, body))
             s.write(reply(body)) // synchronous response, same stream
-          }
+          } catch { case _: InterruptedException => return; case _: Exception => () }
         }
       }, s"quic-ingress-${listener.domain}")
       t.setDaemon(true)
@@ -64,29 +69,20 @@ object QuicIngress {
     }
 
     /** Append everything received so far to the channel (one micro-batch).
-      * Returns the number of records flushed. A rejected write (channel
-      * backpressure / closed) restores the drained records — the stream
-      * reply already acknowledged them, so they must survive a failed
-      * flush. */
-    def flush(): Int = synchronized {
-      val batch = Iterator.continually(pending.poll()).takeWhile(_ != null).toSeq
-      if (batch.nonEmpty) {
-        try channel.write(spark.createDataset(batch)(enc).toDF(), writerId)
-        catch { case e: Throwable =>
-          val arrived = Iterator.continually(pending.poll()).takeWhile(_ != null).toSeq
-          (batch ++ arrived).foreach(pending.add)
-          throw e
-        }
-      }
-      batch.size
-    }
+      * Returns the number of records flushed; a rejected write restores
+      * the drained records (the stream reply already acknowledged them —
+      * see [[IngressBuffer]]). */
+    def flush(): Int = buffer.flush()
 
     /** Records accepted but not yet flushed (ops/metrics surface). */
-    def pendingCount: Int = pending.size
+    def pendingCount: Int = buffer.size
 
+    /** Stops the accept loop; closes the endpoint only if this ingress
+      * created it — a SHARED endpoint serves other domains whose
+      * connections must survive this ingress stopping. */
     def stop(): Unit = {
       stopped.set(true)
-      endpoint.close()
+      if (ownsEndpoint) endpoint.close()
     }
   }
 }

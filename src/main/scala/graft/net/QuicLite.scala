@@ -77,11 +77,17 @@ object QuicLite {
     }
 
     /** Block until the peer FINs its direction; returns the whole
-      * reassembled inbound payload. */
+      * reassembled inbound payload. Throws [[QuicError]] on timeout AND on
+      * connection failure — fail() counts the latch down with `delivered`
+      * still null, which must surface as the transport error, never as a
+      * null payload. */
     def readAll(timeoutMs: Long = 5000): Array[Byte] = {
       if (!complete.await(timeoutMs, TimeUnit.MILLISECONDS))
         throw QuicError(conn.failure.getOrElse(s"stream $streamId: read timeout"))
-      delivered
+      val out = delivered
+      if (out == null)
+        throw QuicError(conn.failure.getOrElse(s"stream $streamId: connection closed"))
+      out
     }
 
     // Receiver side: returns true when this frame completed the stream.
@@ -156,6 +162,10 @@ object QuicLite {
       unacked.clear()
       streams.values().asScala.foreach(_.complete.countDown())
       established.countDown()
+      // deregister: dead connections must not accumulate in the endpoint
+      // map (long-lived servers see unbounded connection churn) or keep
+      // the retransmit loop iterating their corpses
+      endpoint.dropConnection(cid)
     }
 
     def close(code: Int = 0, reason: String = "bye"): Unit = {
