@@ -75,6 +75,38 @@ class QuicSuite extends SparkSpec {
     } finally { server.close(); client.close() }
   }
 
+  test("readAll surfaces connection failure as QuicError, not null") {
+    val server = QuicLite.endpoint()
+    val client = QuicLite.endpoint()
+    try {
+      server.bind("close.test")
+      val conn = client.connect("127.0.0.1", server.port, "close.test")
+      val st = conn.openStream()
+      st.write("hanging request".getBytes(UTF_8))
+      conn.close(1, "going away") // our side tears the connection down
+      val e = intercept[QuicLite.QuicError] { st.readAll(2000) }
+      assert(e.getMessage.nonEmpty)
+    } finally { server.close(); client.close() }
+  }
+
+  test("stopping one ingress on a shared endpoint keeps the other serving") {
+    val reg = new ChannelRegistry(spark, tmpDir("quicshared"))
+    val chA = reg.create("shared_a", QuicIngress.schema)
+    val chB = reg.create("shared_b", QuicIngress.schema)
+    val shared = QuicLite.endpoint()
+    val ia = QuicIngress.start(spark, chA, "a.test", endpoint = shared, writerId = 1)
+    val ib = QuicIngress.start(spark, chB, "b.test", endpoint = shared, writerId = 2)
+    val client = QuicLite.endpoint()
+    try {
+      ia.stop() // must NOT close the shared endpoint
+      val conn = client.connect("127.0.0.1", shared.port, "b.test")
+      val st = conn.openStream()
+      st.write("still here".getBytes(UTF_8))
+      assert(s(st.readAll()) == "accepted")
+      assert(ib.flush() == 1)
+    } finally { ib.stop(); shared.close(); client.close() }
+  }
+
   test("load balancer over QUIC: round-robin backends, bounded concurrency") {
     // the reference's load-balancer example: accept streams for a domain,
     // forward each request to one of N backends over QUIC, reply on the
