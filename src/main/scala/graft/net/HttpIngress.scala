@@ -1,7 +1,6 @@
 package graft.net
 
 import java.net.InetSocketAddress
-import java.util.concurrent.ConcurrentLinkedQueue
 import java.util.concurrent.atomic.AtomicLong
 
 import scala.jdk.CollectionConverters._

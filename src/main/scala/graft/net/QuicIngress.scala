@@ -1,6 +1,5 @@
 package graft.net
 
-import java.util.concurrent.ConcurrentLinkedQueue
 import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
 
 import graft.channel.Channel
