@@ -396,6 +396,26 @@ final class WasmModule(bytes: Array[Byte],
             if (delta >= 0 && cur + delta <= maxMemoryPages) {
               growTo((cur + delta) * PageSize); push(cur)
             } else push(-1L)
+          case 0xfc => // bulk-memory prefix (the memcpy/memset every
+            // compiled module emits); ranges bounds-checked IN FULL before
+            // any byte moves (spec: partial copies never happen)
+            def checkRange(a: Int, n: Int): Unit =
+              if (a < 0 || n < 0 || a.toLong + n > memory.length)
+                throw new IllegalStateException("wasm trap: out of bounds memory access")
+            immU().toInt match {
+              case 10 => // memory.copy: dst src n (+ two reserved bytes)
+                pc += 2
+                val n = pop().toInt; val src = pop().toInt; val dst = pop().toInt
+                checkRange(src, n); checkRange(dst, n)
+                if (n > 0) System.arraycopy(memory, src, memory, dst, n)
+              case 11 => // memory.fill: dst value n (+ one reserved byte)
+                pc += 1
+                val n = pop().toInt; val v = pop().toByte; val dst = pop().toInt
+                checkRange(dst, n)
+                if (n > 0) java.util.Arrays.fill(memory, dst, dst + n, v)
+              case sub => throw new UnsupportedOperationException(
+                s"wasm 0xfc subopcode $sub unsupported")
+            }
           case 0x2c => // i32.load8_s
             immU(); val off = immU()
             val addr = checkAddr(pop() + off, 1)
@@ -699,6 +719,14 @@ object WasmModule {
           val (n, p1) = ulebAt(body, pc); pc = p1
           var i = 0L
           while (i <= n) { pc = ulebAt(body, pc)._2; i += 1 }
+        case 0xfc => // bulk-memory: uleb subop + reserved memory bytes
+          val (sub, p1) = ulebAt(body, pc); pc = p1
+          sub match {
+            case 10 => pc += 2 // memory.copy
+            case 11 => pc += 1 // memory.fill
+            case other => throw new UnsupportedOperationException(
+              s"wasm 0xfc subopcode $other unsupported (decode-time)")
+          }
         case o if OneULeb(o) => pc = ulebAt(body, pc)._2
         case o if OneSLeb(o) => pc = slebAt(body, pc)._2
         case o if MemImm(o) => pc = ulebAt(body, pc)._2; pc = ulebAt(body, pc)._2

@@ -262,6 +262,28 @@ class WasmSuite extends SparkSpec {
     intercept[IllegalStateException] { convOver.invoke("t") }
   }
 
+  test("bulk memory: memory.copy and memory.fill with full bounds checks") {
+    import graft.udf.wasm.WasmAssembler
+    // f(): fill [0,4)=0x2a; copy [0,4) -> [8,12); return mem[8] (load8_u)
+    val body = Seq(
+      0x41, 0x00, 0x41, 0x2a, 0x41, 0x04, // dst=0 val=0x2a n=4
+      0xfc, 11, 0x00,                     // memory.fill
+      0x41, 0x08, 0x41, 0x00, 0x41, 0x04, // dst=8 src=0 n=4
+      0xfc, 10, 0x00, 0x00,               // memory.copy
+      0x41, 0x08, 0x2d, 0x00, 0x00        // i32.load8_u mem[8]
+    ).map(_.toByte)
+    val m = new WasmModule(WasmAssembler.module("bk", 0, 0, body))
+    assert(m.invoke("bk").get == 0x2aL)
+    // out-of-bounds fill traps before touching anything
+    val oob = Seq(
+      0x41, 0x7f, 0x41, 0x00, 0x41, 0x10, // dst=-1 val=0 n=16
+      0xfc, 11, 0x00,
+      0x41, 0x00).map(_.toByte)
+    val bad = new WasmModule(WasmAssembler.module("oob", 0, 0, oob))
+    val e = intercept[IllegalStateException] { bad.invoke("oob") }
+    assert(e.getMessage.contains("out of bounds"))
+  }
+
   test("br_table selects branch depth by operand (switch lowering)") {
     import graft.udf.wasm.WasmAssembler
     // block A { block B { block C { br_table [C,B] default=A on x }
