@@ -664,6 +664,12 @@ final class WasmModule(bytes: Array[Byte],
           case 0xbb => // f64.promote_f32
             push(java.lang.Double.doubleToRawLongBits(
               java.lang.Float.intBitsToFloat(pop().toInt).toDouble))
+          // sign-extension ops (merged into core wasm; llvm emits by default)
+          case 0xc0 => push(pop().toByte.toLong)  // i32.extend8_s
+          case 0xc1 => push(pop().toShort.toLong) // i32.extend16_s
+          case 0xc2 => push(pop().toByte.toLong)  // i64.extend8_s
+          case 0xc3 => push(pop().toShort.toLong) // i64.extend16_s
+          case 0xc4 => push(pop().toInt.toLong)   // i64.extend32_s
           case other =>
             throw new UnsupportedOperationException(f"wasm opcode 0x$other%02x unsupported")
         }
@@ -691,7 +697,8 @@ object WasmModule {
     * corrupted by mis-parsed immediates of an unknown instruction. */
   val ValTypes = Set(0x7f, 0x7e, 0x7d, 0x7c) // i32 i64 f32 f64
   private val NoImm = Set(0x00, 0x01, 0x05, 0x0f, 0x1a, 0x1b) ++ (0x45 to 0xa6) ++
-    Set(0xa7, 0xa8, 0xaa, 0xac, 0xad, 0xb2, 0xb6, 0xb7, 0xb8, 0xbb)
+    Set(0xa7, 0xa8, 0xaa, 0xac, 0xad, 0xb2, 0xb6, 0xb7, 0xb8, 0xbb) ++
+    (0xc0 to 0xc4) // sign-extension ops
   private val OneULeb = Set(0x0c, 0x0d, 0x10, 0x20, 0x21, 0x22, 0x23, 0x24, 0x3f, 0x40)
   private val OneSLeb = Set(0x41, 0x42)
   private val MemImm = Set(0x28, 0x29, 0x2a, 0x2b, 0x2c, 0x2d, 0x2e, 0x2f,

@@ -262,6 +262,19 @@ class WasmSuite extends SparkSpec {
     intercept[IllegalStateException] { convOver.invoke("t") }
   }
 
+  test("sign-extension ops: extend8_s/extend16_s/extend32_s") {
+    import graft.udf.wasm.WasmAssembler
+    // f(x: i64) = i64.extend8_s(x)
+    val m8 = new WasmModule(WasmAssembler.module("e", 1, 0,
+      Seq(0x20, 0x00, 0xc2).map(_.toByte), paramTypes = Seq(0x7e), resultType = 0x7e))
+    assert(m8.invoke("e", 0x80L).get == -128L)  // high bit of byte -> negative
+    assert(m8.invoke("e", 0x7fL).get == 127L)
+    val m32 = new WasmModule(WasmAssembler.module("e", 1, 0,
+      Seq(0x20, 0x00, 0xc4).map(_.toByte), paramTypes = Seq(0x7e), resultType = 0x7e))
+    assert(m32.invoke("e", 0xffffffffL).get == -1L)
+    assert(m32.invoke("e", 0x7fffffffL).get == Int.MaxValue.toLong)
+  }
+
   test("bulk memory: memory.copy and memory.fill with full bounds checks") {
     import graft.udf.wasm.WasmAssembler
     // f(): fill [0,4)=0x2a; copy [0,4) -> [8,12); return mem[8] (load8_u)
