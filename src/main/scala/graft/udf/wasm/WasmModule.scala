@@ -11,10 +11,13 @@ import scala.collection.mutable
   *
   *  - sections: type, function, memory, global, export, code, data
   *    (+ custom, skipped);
-  *  - values: i32/i64, canonical form = sign-extended in a Long;
-  *  - instructions: control (block/loop/if/else/br/br_if/return/call),
-  *    locals, i32/i64 const, i32 arithmetic/logic/comparison, i32 memory
-  *    load/store (incl. 8-bit), memory.size/grow, drop/select, nop.
+  *  - values: i32/i64 sign-extended in a Long; f32/f64 as raw bits;
+  *  - instructions: control (block/loop/if/else/br/br_if/br_table/
+  *    return/call/call_indirect), locals/globals, i32/i64/f32/f64 const +
+  *    arithmetic/logic/comparison, conversions (trunc with spec traps,
+  *    trunc_sat, convert, demote/promote, reinterpret, extend*_s), memory
+  *    load/store (incl. 8/16-bit), memory.size/grow, bulk memory
+  *    (memory.copy/fill), drop/select, nop.
   *
   * Function imports resolve against a host-function registry at decode
   * time (the reference's hostcall surface, SURVEY §3.1 — collapsed to
@@ -402,7 +405,29 @@ final class WasmModule(bytes: Array[Byte],
             def checkRange(a: Int, n: Int): Unit =
               if (a < 0 || n < 0 || a.toLong + n > memory.length)
                 throw new IllegalStateException("wasm trap: out of bounds memory access")
+            // saturating float→int (trunc_sat, subops 0-7): NaN → 0,
+            // out-of-range clamps — the JVM's toInt/toLong semantics for
+            // the signed cases, explicit clamps for unsigned
+            def satU32(d: Double): Long =
+              if (d.isNaN || d <= -1.0) 0L
+              else if (d >= 4294967295.0) 0xffffffffL
+              else d.toLong & 0xffffffffL
+            def satU64(d: Double): Long =
+              if (d.isNaN || d <= -1.0) 0L
+              else if (d >= 1.8446744073709552e19) -1L // 2^64-1, all bits
+              else if (d < 9.223372036854776e18) d.toLong
+              else (d - 9.223372036854776e18).toLong | Long.MinValue
+            @inline def popF32: Double = java.lang.Float.intBitsToFloat(pop().toInt).toDouble
+            @inline def popF64: Double = java.lang.Double.longBitsToDouble(pop())
             immU().toInt match {
+              case 0 => push(popF32.toInt.toLong)  // i32.trunc_sat_f32_s
+              case 1 => push(satU32(popF32))       // i32.trunc_sat_f32_u
+              case 2 => push(popF64.toInt.toLong)  // i32.trunc_sat_f64_s
+              case 3 => push(satU32(popF64))       // i32.trunc_sat_f64_u
+              case 4 => push(popF32.toLong)        // i64.trunc_sat_f32_s
+              case 5 => push(satU64(popF32))       // i64.trunc_sat_f32_u
+              case 6 => push(popF64.toLong)        // i64.trunc_sat_f64_s
+              case 7 => push(satU64(popF64))       // i64.trunc_sat_f64_u
               case 10 => // memory.copy: dst src n (+ two reserved bytes)
                 pc += 2
                 val n = pop().toInt; val src = pop().toInt; val dst = pop().toInt
@@ -664,6 +689,9 @@ final class WasmModule(bytes: Array[Byte],
           case 0xbb => // f64.promote_f32
             push(java.lang.Double.doubleToRawLongBits(
               java.lang.Float.intBitsToFloat(pop().toInt).toDouble))
+          // reinterpret ops: the value stack already holds raw bits for
+          // floats, so all four are identity on the representation
+          case 0xbc | 0xbd | 0xbe | 0xbf => ()
           // sign-extension ops (merged into core wasm; llvm emits by default)
           case 0xc0 => push(pop().toByte.toLong)  // i32.extend8_s
           case 0xc1 => push(pop().toShort.toLong) // i32.extend16_s
@@ -698,6 +726,7 @@ object WasmModule {
   val ValTypes = Set(0x7f, 0x7e, 0x7d, 0x7c) // i32 i64 f32 f64
   private val NoImm = Set(0x00, 0x01, 0x05, 0x0f, 0x1a, 0x1b) ++ (0x45 to 0xa6) ++
     Set(0xa7, 0xa8, 0xaa, 0xac, 0xad, 0xb2, 0xb6, 0xb7, 0xb8, 0xbb) ++
+    (0xbc to 0xbf) ++ // reinterpret ops (identity on the raw-bits stack)
     (0xc0 to 0xc4) // sign-extension ops
   private val OneULeb = Set(0x0c, 0x0d, 0x10, 0x20, 0x21, 0x22, 0x23, 0x24, 0x3f, 0x40)
   private val OneSLeb = Set(0x41, 0x42)
@@ -726,9 +755,10 @@ object WasmModule {
           val (n, p1) = ulebAt(body, pc); pc = p1
           var i = 0L
           while (i <= n) { pc = ulebAt(body, pc)._2; i += 1 }
-        case 0xfc => // bulk-memory: uleb subop + reserved memory bytes
+        case 0xfc => // prefix: uleb subop (+ reserved memory bytes)
           val (sub, p1) = ulebAt(body, pc); pc = p1
           sub match {
+            case s0 if s0 >= 0 && s0 <= 7 => // trunc_sat: no immediates
             case 10 => pc += 2 // memory.copy
             case 11 => pc += 1 // memory.fill
             case other => throw new UnsupportedOperationException(

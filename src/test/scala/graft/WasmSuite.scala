@@ -275,6 +275,25 @@ class WasmSuite extends SparkSpec {
     assert(m32.invoke("e", 0x7fffffffL).get == Int.MaxValue.toLong)
   }
 
+  test("saturating truncation: NaN -> 0, out-of-range clamps, no traps") {
+    import graft.udf.wasm.WasmAssembler
+    def run(bits: Long, sub: Int, resultType: Int): Long = {
+      // f(x: f64-bits as i64) = trunc_sat(reinterpret)
+      val body = Seq(0x20, 0x00, 0xbf, 0xfc, sub).map(_.toByte) // f64.reinterpret_i64
+      val m = new WasmModule(WasmAssembler.module("t", 1, 0, body,
+        paramTypes = Seq(0x7e), resultType = resultType))
+      m.invoke("t", bits).get
+    }
+    def d(x: Double) = java.lang.Double.doubleToRawLongBits(x)
+    assert(run(d(Double.NaN), 2, 0x7f) == 0L)            // i32_s: NaN -> 0
+    assert(run(d(1e12), 2, 0x7f) == Int.MaxValue.toLong) // clamp high
+    assert(run(d(-1e12), 2, 0x7f) == Int.MinValue.toLong)
+    assert(run(d(-5.0), 3, 0x7f) == 0L)                  // i32_u: negative -> 0
+    assert(run(d(5e9), 3, 0x7f) == 0xffffffffL)          // clamp to 2^32-1
+    assert(run(d(42.9), 6, 0x7e) == 42L)                 // i64_s plain trunc
+    assert(run(d(2e19), 7, 0x7e) == -1L)                 // i64_u clamp 2^64-1
+  }
+
   test("bulk memory: memory.copy and memory.fill with full bounds checks") {
     import graft.udf.wasm.WasmAssembler
     // f(): fill [0,4)=0x2a; copy [0,4) -> [8,12); return mem[8] (load8_u)
