@@ -518,6 +518,42 @@ final class WasmModule(bytes: Array[Byte],
             val v = pop(); val addr = checkAddr(pop() + off, 8)
             var i = 0
             while (i < 8) { memory(addr + i) = (v >> (8 * i)).toByte; i += 1 }
+          case 0x30 => // i64.load8_s
+            immU(); val off = immU()
+            push(memory(checkAddr(pop() + off, 1)).toLong)
+          case 0x31 => // i64.load8_u
+            immU(); val off = immU()
+            push(memory(checkAddr(pop() + off, 1)) & 0xffL)
+          case 0x32 => // i64.load16_s
+            immU(); val off = immU()
+            val a = checkAddr(pop() + off, 2)
+            push((((memory(a) & 0xff) | ((memory(a + 1) & 0xff) << 8)).toShort).toLong)
+          case 0x33 => // i64.load16_u
+            immU(); val off = immU()
+            val a = checkAddr(pop() + off, 2)
+            push(((memory(a) & 0xffL)) | ((memory(a + 1) & 0xffL) << 8))
+          case 0x34 => // i64.load32_s
+            immU(); val off = immU()
+            val a = checkAddr(pop() + off, 4)
+            push((((memory(a) & 0xff)) | ((memory(a + 1) & 0xff) << 8) |
+              ((memory(a + 2) & 0xff) << 16) | ((memory(a + 3) & 0xff) << 24)).toLong)
+          case 0x35 => // i64.load32_u
+            immU(); val off = immU()
+            val a = checkAddr(pop() + off, 4)
+            push(((memory(a) & 0xffL)) | ((memory(a + 1) & 0xffL) << 8) |
+              ((memory(a + 2) & 0xffL) << 16) | ((memory(a + 3) & 0xffL) << 24))
+          case 0x3c => // i64.store8
+            immU(); val off = immU()
+            val v = pop(); memory(checkAddr(pop() + off, 1)) = v.toByte
+          case 0x3d => // i64.store16
+            immU(); val off = immU()
+            val v = pop(); val a = checkAddr(pop() + off, 2)
+            memory(a) = v.toByte; memory(a + 1) = (v >> 8).toByte
+          case 0x3e => // i64.store32
+            immU(); val off = immU()
+            val v = pop(); val a = checkAddr(pop() + off, 4)
+            memory(a) = v.toByte; memory(a + 1) = (v >> 8).toByte
+            memory(a + 2) = (v >> 16).toByte; memory(a + 3) = (v >> 24).toByte
           case 0x50 => push(if (pop() == 0) 1 else 0) // i64.eqz
           case 0x51 => push(if (pop() == pop()) 1 else 0)
           case 0x52 => push(if (pop() != pop()) 1 else 0)
@@ -731,7 +767,8 @@ object WasmModule {
   private val OneULeb = Set(0x0c, 0x0d, 0x10, 0x20, 0x21, 0x22, 0x23, 0x24, 0x3f, 0x40)
   private val OneSLeb = Set(0x41, 0x42)
   private val MemImm = Set(0x28, 0x29, 0x2a, 0x2b, 0x2c, 0x2d, 0x2e, 0x2f,
-    0x36, 0x37, 0x38, 0x39, 0x3a, 0x3b)
+    0x30, 0x31, 0x32, 0x33, 0x34, 0x35,
+    0x36, 0x37, 0x38, 0x39, 0x3a, 0x3b, 0x3c, 0x3d, 0x3e)
 
   /** Validate opcodes and map block/loop/if openings → end / else. */
   private def scanBlocks(body: Array[Byte]): (Map[Int, Int], Map[Int, Int]) = {

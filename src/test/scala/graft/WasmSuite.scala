@@ -275,6 +275,26 @@ class WasmSuite extends SparkSpec {
     assert(m32.invoke("e", 0x7fffffffL).get == Int.MaxValue.toLong)
   }
 
+  test("i64 narrow loads/stores round-trip with correct extension") {
+    import graft.udf.wasm.WasmAssembler
+    // f(x: i64): store32 x at 0; return load32_s(0)
+    def roundtrip(storeOp: Int, loadOp: Int, x: Long): Long = {
+      val body = Seq(
+        0x41, 0x00, 0x20, 0x00, storeOp, 0x00, 0x00, // store at addr 0
+        0x41, 0x00, loadOp, 0x00, 0x00               // load from addr 0
+      ).map(_.toByte)
+      val m = new WasmModule(WasmAssembler.module("r", 1, 0, body,
+        paramTypes = Seq(0x7e), resultType = 0x7e))
+      m.invoke("r", x).get
+    }
+    assert(roundtrip(0x3e, 0x34, 0xffffffffL) == -1L)        // store32/load32_s
+    assert(roundtrip(0x3e, 0x35, 0xffffffffL) == 0xffffffffL) // load32_u
+    assert(roundtrip(0x3d, 0x32, 0x8000L) == -32768L)         // store16/load16_s
+    assert(roundtrip(0x3d, 0x33, 0x8000L) == 0x8000L)         // load16_u
+    assert(roundtrip(0x3c, 0x30, 0x80L) == -128L)             // store8/load8_s
+    assert(roundtrip(0x3c, 0x31, 0x80L) == 0x80L)             // load8_u
+  }
+
   test("saturating truncation: NaN -> 0, out-of-range clamps, no traps") {
     import graft.udf.wasm.WasmAssembler
     def run(bits: Long, sub: Int, resultType: Int): Long = {
