@@ -715,6 +715,21 @@ final class WasmModule(bytes: Array[Byte],
             push(t.toInt.toLong)
           case 0xb2 => // f32.convert_i32_s
             push(java.lang.Float.floatToRawIntBits(pop().toInt.toFloat) & 0xffffffffL)
+          case 0xb3 => // f32.convert_i32_u
+            push(java.lang.Float.floatToRawIntBits(
+              (pop() & 0xffffffffL).toFloat) & 0xffffffffL)
+          case 0xb4 => // f32.convert_i64_s
+            push(java.lang.Float.floatToRawIntBits(pop().toFloat) & 0xffffffffL)
+          case 0xb5 => // f32.convert_i64_u
+            val v = pop()
+            val d = if (v >= 0) v.toDouble else ((v >>> 1) | (v & 1)).toDouble * 2.0
+            push(java.lang.Float.floatToRawIntBits(d.toFloat) & 0xffffffffL)
+          case 0xb9 => // f64.convert_i64_s
+            push(java.lang.Double.doubleToRawLongBits(pop().toDouble))
+          case 0xba => // f64.convert_i64_u
+            val v = pop()
+            val d = if (v >= 0) v.toDouble else ((v >>> 1) | (v & 1)).toDouble * 2.0
+            push(java.lang.Double.doubleToRawLongBits(d))
           case 0xb6 => // f32.demote_f64
             push(java.lang.Float.floatToRawIntBits(
               java.lang.Double.longBitsToDouble(pop()).toFloat) & 0xffffffffL)
@@ -761,7 +776,8 @@ object WasmModule {
     * corrupted by mis-parsed immediates of an unknown instruction. */
   val ValTypes = Set(0x7f, 0x7e, 0x7d, 0x7c) // i32 i64 f32 f64
   private val NoImm = Set(0x00, 0x01, 0x05, 0x0f, 0x1a, 0x1b) ++ (0x45 to 0xa6) ++
-    Set(0xa7, 0xa8, 0xaa, 0xac, 0xad, 0xb2, 0xb6, 0xb7, 0xb8, 0xbb) ++
+    Set(0xa7, 0xa8, 0xaa, 0xac, 0xad, 0xb2, 0xb3, 0xb4, 0xb5,
+      0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xbb) ++
     (0xbc to 0xbf) ++ // reinterpret ops (identity on the raw-bits stack)
     (0xc0 to 0xc4) // sign-extension ops
   private val OneULeb = Set(0x0c, 0x0d, 0x10, 0x20, 0x21, 0x22, 0x23, 0x24, 0x3f, 0x40)
