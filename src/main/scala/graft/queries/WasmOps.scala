@@ -71,6 +71,48 @@ object WasmOps {
         .select(col("vec_id"), round(col("raw"), 6).as("l2"))
         .orderBy(col("vec_id"))
     },
+    // ---- br_table dispatch under the hash gate: the guest routes each
+    // event id through a 4-way switch (the compiler lowering of `switch`)
+    // with per-case arithmetic; any mis-decoded label vector or depth
+    // handling breaks the match against the SQL CASE oracle.
+    Q("q_wasm_branch",
+      """SELECT event_id,
+        |  CAST(CASE CAST(event_id % 4 AS INT)
+        |    WHEN 0 THEN event_id * 2
+        |    WHEN 1 THEN event_id + 100
+        |    WHEN 2 THEN event_id // 2
+        |    ELSE 0 END AS BIGINT) AS routed
+        |FROM events WHERE event_id < 20000 ORDER BY event_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val body = Seq(
+        0x02, 0x40, 0x02, 0x40, 0x02, 0x40, 0x02, 0x40, 0x02, 0x40, // 5 blocks
+        0x20, 0x00, 0x42, 0x04, 0x82, 0xa7, // (x % 4) wrapped to i32
+        0x0e, 0x04, 0x00, 0x01, 0x02, 0x03, 0x03, // br_table [0,1,2,3] dflt 3
+        0x0b,                                     // end case-0 block
+        0x20, 0x00, 0x42, 0x02, 0x7e, 0x0f,       //   x * 2; return
+        0x0b,                                     // end case-1 block
+        0x20, 0x00, 0x42, 0xe4, 0x00, 0x7c, 0x0f, //   x + 100; return
+        0x0b,                                     // end case-2 block
+        0x20, 0x00, 0x42, 0x02, 0x7f, 0x0f,       //   x / 2; return
+        0x0b,                                     // end case-3 block
+        0x42, 0x00, 0x0f,                         //   0; return
+        0x0b,                                     // end outer
+        0x42, 0x00                                // (unreachable fallthrough)
+      ).map(_.toByte)
+      val moduleBytes = WasmAssembler.module("route", nParams = 1, nLocals = 0,
+        body = body, paramTypes = Seq(0x7e), resultType = 0x7e)
+      Tables.events(s, d)
+        .select(col("event_id"))
+        .filter(col("event_id") < 20000)
+        .as[Long]
+        .mapPartitions { ids =>
+          val guest = new WasmModule(moduleBytes)
+          ids.map(id => (id, guest.invoke("route", id).get))
+        }
+        .toDF("event_id", "routed")
+        .orderBy(col("event_id"))
+    },
+
     Q("q_wasm_map",
       """SELECT event_id, CAST(event_id * 3 + 7 AS BIGINT) AS mapped
         |FROM events WHERE event_id < 10000 ORDER BY event_id""".stripMargin) { (s, d) =>
