@@ -131,6 +131,29 @@ class FunctionsSuite extends SparkSpec {
     assert(recall >= 0.85)
   }
 
+  test("LSH recall@1 >= 0.7 at sf0.1 where planes auto-size to 6 (deterministic)") {
+    // the auto-sized plane count (log2(n/32)) kicks in above the sf0.001
+    // regime — recall must survive the finer bucketing at n=2000
+    val d = "/root/testdata/sf0.1"
+    val lsh = SparkEntry.queries("q_ann_lsh")(spark, d)
+      .select("src", "nbr").as[(Long, Long)].collect().toMap
+    val e = spark.read.parquet(s"$d/embeddings.parquet")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .repartition(4, col("vec_id"))
+    val a = e.select(col("vec_id").as("src"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("nbr"), col("v").as("vb"))
+    val exact = a.crossJoin(broadcast(b)).filter(col("src") =!= col("nbr"))
+      .select(col("src"), col("nbr"),
+        VectorFunctions.cosine(col("va"), col("vb")).as("sim"))
+      .groupBy(col("src"))
+      .agg(min(struct((-col("sim")).as("ns"), col("nbr").as("nb"))).as("m"))
+      .select(col("src"), col("m.nb").as("nbr"))
+      .as[(Long, Long)].collect().toMap
+    val recall = exact.count { case (s0, nn) => lsh.get(s0).contains(nn) }.toDouble / exact.size
+    info(f"LSH recall@1 at sf0.1 = $recall%.3f over ${exact.size} vectors")
+    assert(recall >= 0.7)
+  }
+
   test("IVF ANN recall@1 >= 0.5 on real embeddings (deterministic)") {
     val d = "/root/testdata/sf0.001"
     val ivf = SparkEntry.queries("q_ann_ivf")(spark, d)
