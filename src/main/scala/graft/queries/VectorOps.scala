@@ -176,11 +176,14 @@ object VectorOps {
       val q0 = e.filter(col("vec_id") === 0)
         .select(col("v")).head().getSeq[Double](0).toIndexedSeq
       val table = graft.functions.ProductQuantizer.adcTable(q0, cb)
+      // shortlist scales with n (~10% of the corpus, floor 100): a fixed
+      // shortlist shrinks relatively as n grows and recall decays with it
+      val shortlist = math.max(100L, e.count() / 10L).toInt
       e.filter(col("vec_id") =!= 0)
         .withColumn("codes", graft.functions.ProductQuantizer.encode(col("v"), cb))
         .withColumn("approx_d",
           graft.functions.ProductQuantizer.adc(col("codes"), table, k = 16))
-        .orderBy(col("approx_d"), col("vec_id")).limit(100) // ADC shortlist
+        .orderBy(col("approx_d"), col("vec_id")).limit(shortlist) // ADC shortlist
         .select(col("vec_id"),
           round(VectorFunctions.cosine(col("v"), array(q0.map(lit): _*)), 6).as("sim"))
         .orderBy(col("sim").desc, col("vec_id")).limit(10) // exact re-rank

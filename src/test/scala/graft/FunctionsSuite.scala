@@ -131,12 +131,10 @@ class FunctionsSuite extends SparkSpec {
     assert(recall >= 0.85)
   }
 
-  test("LSH recall@1 >= 0.7 at sf0.1 where planes auto-size to 6 (deterministic)") {
-    // the auto-sized plane count (log2(n/32)) kicks in above the sf0.001
-    // regime — recall must survive the finer bucketing at n=2000
+  test("ANN recall holds at sf0.1: LSH auto-sized, IVF, PQ (deterministic)") {
+    // auto-sized LSH planes (log2(n/32)) and stride-sampled IVF/PQ
+    // training all change regime above sf0.001 — pin recall at n=2000
     val d = "/root/testdata/sf0.1"
-    val lsh = SparkEntry.queries("q_ann_lsh")(spark, d)
-      .select("src", "nbr").as[(Long, Long)].collect().toMap
     val e = spark.read.parquet(s"$d/embeddings.parquet")
       .withColumn("v", col("embedding").cast("array<double>"))
       .repartition(4, col("vec_id"))
@@ -149,9 +147,26 @@ class FunctionsSuite extends SparkSpec {
       .agg(min(struct((-col("sim")).as("ns"), col("nbr").as("nb"))).as("m"))
       .select(col("src"), col("m.nb").as("nbr"))
       .as[(Long, Long)].collect().toMap
-    val recall = exact.count { case (s0, nn) => lsh.get(s0).contains(nn) }.toDouble / exact.size
-    info(f"LSH recall@1 at sf0.1 = $recall%.3f over ${exact.size} vectors")
-    assert(recall >= 0.7)
+
+    val lsh = SparkEntry.queries("q_ann_lsh")(spark, d)
+      .select("src", "nbr").as[(Long, Long)].collect().toMap
+    val lshR = exact.count { case (s0, nn) => lsh.get(s0).contains(nn) }.toDouble / exact.size
+    info(f"LSH recall@1 at sf0.1 = $lshR%.3f")
+    assert(lshR >= 0.7)
+
+    val ivf = SparkEntry.queries("q_ann_ivf")(spark, d)
+      .select("src", "nbr").as[(Long, Long)].collect().toMap
+    val ivfR = exact.count { case (s0, nn) => ivf.get(s0).contains(nn) }.toDouble / exact.size
+    info(f"IVF recall@1 at sf0.1 = $ivfR%.3f")
+    assert(ivfR >= 0.4)
+
+    val pq = SparkEntry.queries("q_ann_pq")(spark, d)
+      .select("vec_id").as[Long].collect().toSet
+    val exactTop10 = SparkEntry.queries("q_embed_topk")(spark, d)
+      .select("vec_id").as[Long].collect().toSet
+    val pqR = (pq intersect exactTop10).size.toDouble / exactTop10.size
+    info(f"PQ recall@10 at sf0.1 = $pqR%.2f")
+    assert(pqR >= 0.7)
   }
 
   test("IVF ANN recall@1 >= 0.5 on real embeddings (deterministic)") {
