@@ -54,6 +54,23 @@ class TemporalJoinsSuite extends SparkSpec {
       s"range join degenerated to a nested loop:\n$plan")
   }
 
+  test("pointInterval handles negative coordinates (floor-division buckets)") {
+    val pts = Seq((1L, -7.0), (2L, -5.0), (3L, -10.0), (4L, -4.9)).toDF("pid", "x")
+    val iv = Seq((9L, -10.0, -5.0)).toDF("ivid", "lo", "hi") // [-10, -5)
+    val out = TemporalJoins.pointInterval(pts, iv, "x", "lo", "hi", bucketWidth = 5.0)
+      .select("pid").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 3L)) // -7 and -10 in; -5 excluded (hi), -4.9 out
+  }
+
+  test("asOf plans zero joins: one keyed window over the tagged union") {
+    val l = Seq((1L, "k", 5L)).toDF("id", "k", "t")
+    val r = Seq((2L, "k", 3L, 1.0)).toDF("rid", "k", "t", "v")
+    val plan = TemporalJoins.asOf(l, r, Seq("k"), Seq("t"), Seq("rid", "v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"asOf must not plan a join:\n$plan")
+    assert(plan.contains("Window"), s"expected the window formulation:\n$plan")
+  }
+
   test("q_asof_join and q_range_join run on sf0.001") {
     val d = "/root/testdata/sf0.001"
     val asof = SparkEntry.queries("q_asof_join")(spark, d)
