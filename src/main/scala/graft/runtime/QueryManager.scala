@@ -52,6 +52,36 @@ final class QueryManager(val spark: SparkSession,
       ch.write(Seq(rec).toDF(), writerId = 0)
     }
 
+  /** Per-trigger progress telemetry into the engine-log channel — the
+    * reference streams every process's tracing over a channel
+    * (logging.rs:232-313); here each micro-batch emits a typed record any
+    * pipeline can subscribe to. Opt-in (a listener is session-global);
+    * returns the listener so callers can detach. Only queries this
+    * manager started are reported. */
+  def attachProgressLogger(): org.apache.spark.sql.streaming.StreamingQueryListener = {
+    val l = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val mine = running.entrySet().asScala
+          .find(_.getValue.id == e.progress.id).map(_.getKey)
+        mine.foreach { name =>
+          log("Info", "pipeline progress",
+            "pipeline" -> name,
+            "batch" -> e.progress.batchId.toString,
+            "input_rows" -> e.progress.numInputRows.toString,
+            "rows_per_sec" -> f"${e.progress.processedRowsPerSecond}%.1f")
+        }
+      }
+    }
+    spark.streams.addListener(l)
+    l
+  }
+
+  def detachProgressLogger(l: org.apache.spark.sql.streaming.StreamingQueryListener): Unit =
+    spark.streams.removeListener(l)
+
   /** Start a named pipeline. `build` constructs and starts the streaming
     * query only after the ACL check passes. */
   def start(name: String, session: Session,

@@ -97,6 +97,34 @@ class EngineSuite extends SparkSpec {
     intercept[SecurityException] { grandchild.authorise(Capability.ProcessLifecycle) }
   }
 
+  test("query manager streams per-batch progress telemetry to the log channel") {
+    import graft.channel.ChannelRegistry
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val reg = new ChannelRegistry(spark, tmpDir("qmp"))
+    val logsCh = reg.create("engine_logs_p",
+      implicitly[org.apache.spark.sql.Encoder[LogAnalyser.LogRecord]].schema)
+    val qm = new QueryManager(spark, logsChannel = Some(logsCh))
+    val listener = qm.attachProgressLogger()
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Long]
+      val q = qm.start("prog", Session("ops", Set(Capability.ChannelRead)),
+        Set(Capability.ChannelRead)) { _ =>
+        input.toDF().writeStream.format("memory").queryName("qm_prog").start()
+      }
+      input.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      // listener events deliver asynchronously — poll for the record
+      val deadline = System.currentTimeMillis() + 15000
+      def progressRows() = logsCh.read()
+        .filter(col("message") === "pipeline progress").count()
+      while (progressRows() == 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(progressRows() >= 1, "no progress telemetry landed in the channel")
+      qm.stop("prog")
+    } finally qm.detachProgressLogger(listener)
+  }
+
   test("query manager refuses pipelines lacking capabilities, logs lifecycle") {
     import graft.channel.ChannelRegistry
     val reg = new ChannelRegistry(spark, tmpDir("qml"))
