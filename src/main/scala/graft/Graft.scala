@@ -25,6 +25,11 @@ final case class Graft(
 
   /** The engine's own log stream — subscribe like any channel (S8). */
   def logs: channel.Channel = registry.get(Graft.LogsChannel)
+
+  /** Expose every topic to SQL (`graft_<name>` views with full pushdown);
+    * returns the registered view names. */
+  def sqlViews(prefix: String = "graft_"): Seq[String] =
+    registry.registerViews(prefix)
 }
 
 object Graft {
