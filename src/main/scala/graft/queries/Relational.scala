@@ -237,6 +237,27 @@ object Relational {
         .orderBy($("o_orderpriority"), col("o_totalprice").desc, $("o_orderkey"))
     },
 
+    // ---- Window navigation (lag/lead): each order sees its customer's
+    // previous and next order — the offset functions as first-class
+    // operators (they also back sessionize/state_fold internally).
+    Q("q_lag_lead",
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |  lag(o_orderkey) OVER w AS prev_order,
+        |  lead(o_orderkey) OVER w AS next_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy($("o_custkey"))
+        .orderBy($("o_orderdate"), $("o_orderkey"))
+      Tables.orders(s, d)
+        .select($("o_custkey"), $("o_orderkey"),
+          date_format($("o_orderdate"), "yyyy-MM-dd").as("day"),
+          lag($("o_orderkey"), 1).over(w).as("prev_order"),
+          lead($("o_orderkey"), 1).over(w).as("next_order"))
+        .orderBy($("o_custkey"), $("o_orderkey"))
+    },
+
     // ---- Semi join (EXISTS).
     Q("q_semi_join",
       """SELECT c_custkey, c_name FROM customer
