@@ -258,6 +258,48 @@ object Relational {
         .orderBy($("o_custkey"), $("o_orderkey"))
     },
 
+    // ---- ntile: spend quartiles per market segment (equal-height
+    // bucketing over a total order).
+    Q("q_ntile",
+      """SELECT c_mktsegment, c_custkey, q
+        |FROM (SELECT c_mktsegment, c_custkey, CAST(ntile(4) OVER (
+        |        PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |      AS INT) AS q
+        |      FROM customer)
+        |WHERE q = 1
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy($("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, $("c_custkey"))
+      Tables.customer(s, d)
+        .select($("c_mktsegment"), $("c_custkey"), ntile(4).over(w).as("q"))
+        .filter(col("q") === 1)
+        .orderBy($("c_mktsegment"), $("c_custkey"))
+    },
+
+    // ---- Correlated scalar subquery shape: orders above their own
+    // customer's average order value. Declaratively: a per-customer
+    // aggregate broadcast back onto the fact — the plan a correlated
+    // subquery decorrelates to anyway. The comparison is price×n > total
+    // with a DECIMAL-exact total (a raw double AVG is addition-order
+    // dependent — both engines would be unstable near ties).
+    Q("q_above_avg",
+      """WITH t AS (SELECT o_custkey AS ck,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  COUNT(*) AS n FROM orders GROUP BY ck)
+        |SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders JOIN t ON o_custkey = ck
+        |WHERE o_totalprice * n > total
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val avgs = o.groupBy(col("o_custkey").as("ck"))
+        .agg(Tables.exactSum($("o_totalprice")).as("total"),
+          count(lit(1)).as("n"))
+      o.join(broadcast(avgs), col("o_custkey") === col("ck"))
+        .filter($("o_totalprice") * col("n") > col("total"))
+        .select($("o_orderkey"), $("o_custkey"), $("o_totalprice"))
+        .orderBy($("o_orderkey"))
+    },
+
     // ---- Semi join (EXISTS).
     Q("q_semi_join",
       """SELECT c_custkey, c_name FROM customer
