@@ -67,11 +67,15 @@ final class QueryManager(val spark: SparkSession,
         val mine = running.entrySet().asScala
           .find(_.getValue.id == e.progress.id).map(_.getKey)
         mine.foreach { name =>
-          log("Info", "pipeline progress",
+          // lossy under pressure, like the reference's Drop-mode logging
+          // channel (512 KiB, logging.rs:280) — telemetry must never
+          // stall or error the pipelines it observes
+          try log("Info", "pipeline progress",
             "pipeline" -> name,
             "batch" -> e.progress.batchId.toString,
             "input_rows" -> e.progress.numInputRows.toString,
             "rows_per_sec" -> f"${e.progress.processedRowsPerSecond}%.1f")
+          catch { case _: Exception => () }
         }
       }
     }
