@@ -67,20 +67,28 @@ final class Channel private[channel] (
     * never clobber each other — concurrent same-seq writes coexist and
     * read order breaks the tie on writer id. */
   def write(df: DataFrame, writerId: Int): Unit =
-    doWrite(df, writerId, java.util.UUID.randomUUID().toString.take(8))
+    // "u" prefix keeps a random hex suffix from ever parsing as an epoch
+    // marker (`_e<digits>`) in compact()'s _EPOCHS bookkeeping.
+    doWrite(df, writerId, "u" + java.util.UUID.randomUUID().toString.take(8))
 
   /** Idempotent append keyed on (writerId, epochId): replaying the same
     * epoch (a restarted streaming sink re-running its last micro-batch)
     * is a no-op, upgrading [[sink]] from at-least-once to exactly-once. */
   def writeEpoch(df: DataFrame, writerId: Int, epochId: Long): Unit = {
     val marker = s"_w${writerId}_e$epochId"
-    val existing = listBatches(dir).filter(_.getFileName.toString.endsWith(marker))
+    val batches = listBatches(dir)
+    val existing = batches.filter(_.getFileName.toString.endsWith(marker))
     // A batch dir only counts as committed once Spark's job commit wrote
     // _SUCCESS; the directory itself appears before the tasks finish, so a
     // crash mid-write leaves a partial dir that must be replaced on replay,
     // not skipped (skipping would drop the epoch's data on the exact
     // recovery path this idempotence exists for).
     if (existing.exists(p => Files.exists(p.resolve("_SUCCESS")))) return
+    // An epoch absorbed by compact() no longer has its marker dir; the
+    // compact dir carries the superseded markers forward (_EPOCHS), so a
+    // sink restarted after a maintenance-window compaction still skips its
+    // replayed last micro-batch instead of appending duplicates.
+    if (compactedEpochs(batches).contains(marker.drop(1))) return
     existing.foreach(Channel.deleteRecursively)
     doWrite(df, writerId, s"e$epochId")
   }
@@ -202,6 +210,16 @@ final class Channel private[channel] (
     val seq = nextSeq(dir)
     val tmp = dir.resolve(s"_compacting")
     df.coalesce(math.max(1, partitions)).write.mode("overwrite").parquet(tmp.toString)
+    // Carry every absorbed (writerId, epochId) marker into the compact dir
+    // (_EPOCHS, one `w<id>_e<epoch>` per line — an underscore-prefixed file,
+    // invisible to parquet scans) so writeEpoch idempotence survives the
+    // marker dirs' deletion below; prior compacts' _EPOCHS chain forward.
+    val absorbed = (compactedEpochs(batches) ++ batches.collect {
+      case p if Files.exists(p.resolve("_SUCCESS")) =>
+        EpochMarker.findFirstIn(p.getFileName.toString)
+    }.flatten).toSeq.sorted
+    if (absorbed.nonEmpty)
+      Files.writeString(tmp.resolve(EpochsFile), absorbed.mkString("\n"))
     Files.move(tmp, dir.resolve(f"compact_$seq%012d"))
     // Sweep everything the new compact file supersedes — including
     // leftovers of a previously crashed compaction (listBatches already
@@ -238,6 +256,19 @@ object Channel {
   val OffsetCol = "_offset"
   private val DrainMarker = "_DRAINED"
   private val TerminateMarker = "_TERMINATED"
+  private val EpochsFile = "_EPOCHS"
+  private val EpochMarker = """w\d+_e\d+$""".r
+
+  /** Epoch markers recorded by compactions still live in `batches`
+    * (superseded compacts are filtered by listBatches, and their markers
+    * were chained into the surviving compact's _EPOCHS). */
+  private[channel] def compactedEpochs(batches: Seq[Path]): Set[String] =
+    batches.iterator
+      .map(_.resolve(EpochsFile))
+      .filter(Files.exists(_))
+      .flatMap(Files.readString(_).split("\n"))
+      .filter(_.nonEmpty)
+      .toSet
 
   final case class ChannelClosed(channel: String, state: String)
       extends RuntimeException(s"channel '$channel' is $state")

@@ -51,13 +51,15 @@ object Multimodal {
     sequence(lit(0), nFrames - 1, lit(every))
 
   /** Fake resize to a bounding box, aspect preserved: integer arithmetic
-    * only (`div`), so both engines compute identical dimensions. A real
+    * only (`div` = IntegralDivide on longs), so both engines compute
+    * identical dimensions structurally — no double-division rounding to
+    * drift from the oracle's floor division at any value range. A real
     * image op slots into [[decodePartitions]]; THIS models the metadata
     * contract a resize stage maintains. */
   def resizeDims(width: Column, height: Column, maxDim: Int): (Column, Column) = {
-    val m = greatest(width, height)
-    (try_divide(width * maxDim, m).cast("int"),
-      try_divide(height * maxDim, m).cast("int"))
+    val m = greatest(width, height).cast("long")
+    (call_function("div", (width * maxDim).cast("long"), m).cast("int"),
+      call_function("div", (height * maxDim).cast("long"), m).cast("int"))
   }
 
   /** Per-media feature vector (what an embedding model would emit):

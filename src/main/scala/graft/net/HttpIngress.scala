@@ -70,10 +70,19 @@ object HttpIngress {
         exchange.getRemoteAddress.getAddress.getHostAddress,
         body)
       buffer.add(req)
-      val (status, resp) = reply(req)
-      exchange.sendResponseHeaders(status, resp.length.toLong)
-      exchange.getResponseBody.write(resp)
-      exchange.close()
+      // A throwing reply policy must still answer and close the exchange:
+      // the request is already buffered (it WILL be ingested), and the
+      // server executor is serial, so a hung exchange stalls every
+      // subsequent request until the client times out.
+      try {
+        val (status, resp) =
+          try reply(req)
+          catch { case scala.util.control.NonFatal(_) =>
+            (500, "reply policy failed".getBytes("UTF-8"))
+          }
+        exchange.sendResponseHeaders(status, resp.length.toLong)
+        exchange.getResponseBody.write(resp)
+      } finally exchange.close()
     }
 
     /** Append everything received so far to the channel (one micro-batch).

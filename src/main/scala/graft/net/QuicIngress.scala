@@ -59,7 +59,14 @@ object QuicIngress {
             val body = s.readAll()
             buffer.add(QuicRequest(ids.getAndIncrement(), listener.domain,
               s.streamId, s.conn.remote.toString, body))
-            s.write(reply(body)) // synchronous response, same stream
+            // the request is already buffered; a throwing reply policy must
+            // still answer the peer stream or the client hangs to timeout
+            val resp =
+              try reply(body)
+              catch { case scala.util.control.NonFatal(_) =>
+                "error: reply policy failed".getBytes("UTF-8")
+              }
+            s.write(resp) // synchronous response, same stream
           } catch { case _: InterruptedException => return; case _: Exception => () }
         }
       }, s"quic-ingress-${listener.domain}")

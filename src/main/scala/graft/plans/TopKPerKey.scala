@@ -100,6 +100,15 @@ case class TopKPerKeyExec(grouping: Seq[Expression], order: Seq[SortOrder],
     val numOutput = longMetric("numOutputRows")
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(groupingExprs, childOutput)
+      // doExecute's contract does not guarantee UnsafeRow (LocalTableScan /
+      // RDD-backed children emit generic rows) — normalize through an
+      // identity UnsafeProjection before copying into the heap; already-
+      // unsafe rows (the common case) skip the extra projection copy
+      val toUnsafeProj = UnsafeProjection.create(childOutput, childOutput)
+      def toUnsafe(row: InternalRow): UnsafeRow = row match {
+        case u: UnsafeRow => u
+        case r => toUnsafeProj(r)
+      }
       // generated row comparator for the SortOrder list; heap keeps its
       // MAX (= worst kept row) at the head for O(log k) replacement
       val cmp = new LazilyGeneratedOrdering(sortOrder, childOutput)
@@ -115,10 +124,10 @@ case class TopKPerKeyExec(grouping: Seq[Expression], order: Seq[SortOrder],
             h
         }
         if (heap.size < limit) {
-          heap += row.asInstanceOf[UnsafeRow].copy()
+          heap += toUnsafe(row).copy()
         } else if (cmp.compare(row, heap.head) < 0) {
           heap.dequeue()
-          heap += row.asInstanceOf[UnsafeRow].copy()
+          heap += toUnsafe(row).copy()
         }
       }
       heaps.valuesIterator.flatMap(_.iterator).map { r => numOutput += 1; r }

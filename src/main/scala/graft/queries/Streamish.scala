@@ -30,6 +30,27 @@ object Streamish {
     try start finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Stage the events table inside a fresh temp directory (the file-stream
+    * source only accepts directories; a real deployment's channel topics
+    * are directories already — see graft.channel) and clean it up
+    * RECURSIVELY once the query has run: File.deleteOnExit can't remove
+    * non-empty directories, so repeated harness runs would leak one temp
+    * dir per run. The memory-sink result survives the cleanup — only the
+    * staged input goes. */
+  private def withStagedEvents[T](d: String, label: String)(f: String => T): T = {
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft_stream_$label")
+    java.nio.file.Files.createSymbolicLink(tmp.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$d/events.parquet"))
+    try f(tmp.toString)
+    finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(tmp) // does not follow the symlink
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- T1/T2/J1: map → union → filter. Mirrors examples/data-pipeline
@@ -184,23 +205,16 @@ object Streamish {
         |FROM events GROUP BY day, event_type ORDER BY day, event_type""".stripMargin) { (s, d) =>
       Tables.ensureConf(s)
       val schema = s.read.parquet(s"$d/events.parquet").schema
-      // the file-stream source only accepts directories: stage a temp dir
-      // with a symlink to the events table (a real deployment's channel
-      // topics are directories already — see graft.channel)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_events")
-      val link = tmp.resolve("events.parquet")
-      java.nio.file.Files.createSymbolicLink(link,
-        java.nio.file.Paths.get(s"$d/events.parquet"))
-      link.toFile.deleteOnExit()
-      tmp.toFile.deleteOnExit()
-      val stream = s.readStream.schema(schema).parquet(tmp.toString)
-      val agg = stream
-        .groupBy(Tables.tsDay("ts").as("day"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
       val sink = s"graft_stream_window_${streamRun.incrementAndGet()}"
-      val q = sizedStart(s, 8)(agg.writeStream.outputMode("complete")
-        .format("memory").queryName(sink).start())
-      try q.processAllAvailable() finally q.stop()
+      withStagedEvents(d, "events") { tmp =>
+        val stream = s.readStream.schema(schema).parquet(tmp)
+        val agg = stream
+          .groupBy(Tables.tsDay("ts").as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val q = sizedStart(s, 8)(agg.writeStream.outputMode("complete")
+          .format("memory").queryName(sink).start())
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink).orderBy(col("day"), col("event_type"))
     },
 
@@ -344,19 +358,18 @@ object Streamish {
         |FROM events ORDER BY user_id, day""".stripMargin) { (s, d) =>
       Tables.ensureConf(s)
       val schema = s.read.parquet(s"$d/events.parquet").schema
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
-      java.nio.file.Files.createSymbolicLink(tmp.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$d/events.parquet"))
-      val stream = s.readStream.schema(schema).parquet(tmp.toString)
-        .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
-        .withColumn("day", Tables.tsDay("ts"))
-        .withWatermark("ets", "1 hour")
-        .dropDuplicatesWithinWatermark(Seq("user_id", "day"))
-        .select(col("user_id"), col("day"))
       val sink = s"graft_stream_dedup_${streamRun.incrementAndGet()}"
-      val q = sizedStart(s, 8)(stream.writeStream.outputMode("append")
-        .format("memory").queryName(sink).start())
-      try q.processAllAvailable() finally q.stop()
+      withStagedEvents(d, "dedup") { tmp =>
+        val stream = s.readStream.schema(schema).parquet(tmp)
+          .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+          .withColumn("day", Tables.tsDay("ts"))
+          .withWatermark("ets", "1 hour")
+          .dropDuplicatesWithinWatermark(Seq("user_id", "day"))
+          .select(col("user_id"), col("day"))
+        val q = sizedStart(s, 8)(stream.writeStream.outputMode("append")
+          .format("memory").queryName(sink).start())
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink).orderBy(col("user_id"), col("day"))
     },
 
@@ -376,27 +389,25 @@ object Streamish {
         |ORDER BY p_id, c_id""".stripMargin) { (s, d) =>
       Tables.ensureConf(s)
       val schema = s.read.parquet(s"$d/events.parquet").schema
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_join")
-      java.nio.file.Files.createSymbolicLink(tmp.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$d/events.parquet"))
-      tmp.toFile.deleteOnExit()
-      // one source, two filtered legs (streaming self-join): the file
-      // listing and scan happen once per micro-batch instead of twice
-      val src = s.readStream.schema(schema).parquet(tmp.toString)
-      def side(tpe: String, prefix: String) =
-        src.filter(col("event_type") === tpe)
-          .select(col("event_id").as(s"${prefix}_id"),
-            col("user_id").as(s"${prefix}_user"),
-            expr("timestamp_micros(ts div 1000)").as(s"${prefix}_ts"))
-          .withWatermark(s"${prefix}_ts", "1 hour")
-      val joined = side("purchase", "p").join(side("click", "c"),
-        col("p_user") === col("c_user") &&
-          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-          col("c_ts") <= col("p_ts"))
       val sink = s"graft_stream_join_${streamRun.incrementAndGet()}"
-      val q = sizedStart(s, 8)(joined.writeStream.outputMode("append")
-        .format("memory").queryName(sink).start())
-      try q.processAllAvailable() finally q.stop()
+      withStagedEvents(d, "join") { tmp =>
+        // one source, two filtered legs (streaming self-join): the file
+        // listing and scan happen once per micro-batch instead of twice
+        val src = s.readStream.schema(schema).parquet(tmp)
+        def side(tpe: String, prefix: String) =
+          src.filter(col("event_type") === tpe)
+            .select(col("event_id").as(s"${prefix}_id"),
+              col("user_id").as(s"${prefix}_user"),
+              expr("timestamp_micros(ts div 1000)").as(s"${prefix}_ts"))
+            .withWatermark(s"${prefix}_ts", "1 hour")
+        val joined = side("purchase", "p").join(side("click", "c"),
+          col("p_user") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts"))
+        val q = sizedStart(s, 8)(joined.writeStream.outputMode("append")
+          .format("memory").queryName(sink).start())
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink)
         .select(col("p_id"), col("c_id"), col("p_user").as("user_id"))
         .orderBy(col("p_id"), col("c_id"))
@@ -429,22 +440,21 @@ object Streamish {
       import graft.streaming.ConfigFold
       Tables.ensureConf(s)
       val schema = s.read.parquet(s"$d/events.parquet").schema
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_state")
-      java.nio.file.Files.createSymbolicLink(tmp.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$d/events.parquet"))
-      val tagged = s.readStream.schema(schema).parquet(tmp.toString)
-        .filter(col("event_type").isin("signup", "purchase"))
-        .select(
-          col("user_id").cast("string").as("key"),
-          col("event_id").as("seq"),
-          (col("event_type") === "signup").as("isConfig"),
-          greatest(lit(1), floor(col("value") / 50.0).cast("int")).as("multiplier"),
-          col("event_id").cast("string").as("payload"))
-        .as[ConfigFold.Tagged]
       val sink = s"graft_stream_state_${streamRun.incrementAndGet()}"
-      val q = sizedStart(s, 8)(ConfigFold(tagged).writeStream.outputMode("append")
-        .format("memory").queryName(sink).start())
-      try q.processAllAvailable() finally q.stop()
+      withStagedEvents(d, "state") { tmp =>
+        val tagged = s.readStream.schema(schema).parquet(tmp)
+          .filter(col("event_type").isin("signup", "purchase"))
+          .select(
+            col("user_id").cast("string").as("key"),
+            col("event_id").as("seq"),
+            (col("event_type") === "signup").as("isConfig"),
+            greatest(lit(1), floor(col("value") / 50.0).cast("int")).as("multiplier"),
+            col("event_id").cast("string").as("payload"))
+          .as[ConfigFold.Tagged]
+        val q = sizedStart(s, 8)(ConfigFold(tagged).writeStream.outputMode("append")
+          .format("memory").queryName(sink).start())
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink).select(
         col("seq"), col("key"),
         col("configVersion").as("config_version"),

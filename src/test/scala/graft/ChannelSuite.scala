@@ -192,6 +192,26 @@ class ChannelSuite extends SparkSpec {
     assert(ch.read().select("id").as[Int].collect().last == 9)
   }
 
+  test("writeEpoch stays idempotent across compaction (no replay duplicates)") {
+    val reg = new ChannelRegistry(spark, tmpDir("chan"))
+    val ch = reg.create("t10b", schema)
+    val batch = Seq((1, "a"), (2, "b")).toDF("id", "msg")
+    ch.writeEpoch(batch, writerId = 3, epochId = 0)
+    ch.writeEpoch(batch, writerId = 3, epochId = 1)
+    ch.compact() // absorbs both epochs' marker dirs into compact_*
+    // A sink restarted after the maintenance-window compaction replays its
+    // last micro-batch: the absorbed epoch must still be recognized.
+    ch.writeEpoch(batch, writerId = 3, epochId = 1)
+    assert(ch.read().count() == 4, "compaction broke epoch idempotence")
+    // a genuinely new epoch still appends…
+    ch.writeEpoch(batch, writerId = 3, epochId = 2)
+    assert(ch.read().count() == 6)
+    // …and the markers chain through a SECOND compaction
+    ch.compact()
+    ch.writeEpoch(batch, writerId = 3, epochId = 2)
+    assert(ch.read().count() == 6)
+  }
+
   test("registerViews exposes topics to SQL with pushdown intact") {
     val reg = new ChannelRegistry(spark, tmpDir("chanviews"))
     val ch = reg.create("viewt", schema)
