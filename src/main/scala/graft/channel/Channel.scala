@@ -175,6 +175,30 @@ final class Channel private[channel] (
       .parquet(s"$dir/batch_*")
   }
 
+  /** DSv2 batch read ([[graft.sources.ChannelSource]]): same data as
+    * [[read]], planned through the connector (bin-packed input partitions,
+    * native parquet pushdown/pruning), unordered — callers order
+    * explicitly when they need the channel's total order. */
+  def readV2(): DataFrame = {
+    if (isTerminated) throw ChannelClosed(name, "terminated")
+    spark.read.format("graft-channel").load(dir.toString)
+  }
+
+  /** DSv2 streaming subscription with seq-based offsets
+    * ([[graft.sources.ChannelSource]] — latest-start weak readers,
+    * maxBatchesPerTrigger admission control, data-loss detection).
+    * Multi-writer topics with racing writers should keep using the
+    * file-granular [[readStream]]. */
+  def readStreamV2(weak: Boolean = false, startingLatest: Boolean = false,
+                   maxBatchesPerTrigger: Option[Int] = None): DataFrame = {
+    if (isTerminated) throw ChannelClosed(name, "terminated")
+    val r = spark.readStream.format("graft-channel")
+      .option("weak", weak.toString)
+      .option("startingOffsets", if (startingLatest) "latest" else "earliest")
+    maxBatchesPerTrigger.foreach(n => r.option("maxBatchesPerTrigger", n.toString))
+    r.load(dir.toString)
+  }
+
   /** Continuous sink: write a streaming DataFrame into this channel.
     * foreachBatch routes through [[write]] so capacity/lifecycle/writer-id
     * semantics hold for streaming writers too. Long-lived by default
@@ -285,7 +309,7 @@ object Channel {
     s
   }
 
-  private[channel] def batchSeq(p: Path): Long = {
+  private[graft] def batchSeq(p: Path): Long = {
     val n = p.getFileName.toString
     n.dropWhile(!_.isDigit).takeWhile(_.isDigit).toLong
   }
@@ -297,12 +321,12 @@ object Channel {
     * lazily) rather than double-read. */
   /** Files.list with the stream CLOSED (only the iterator is consumed
     * otherwise, leaking a directory handle per call until GC). */
-  private[channel] def listDir(dir: Path): Seq[Path] = {
+  private[graft] def listDir(dir: Path): Seq[Path] = {
     val s = Files.list(dir)
     try s.iterator().asScala.toSeq finally s.close()
   }
 
-  private[channel] def listBatches(dir: Path): Seq[Path] = {
+  private[graft] def listBatches(dir: Path): Seq[Path] = {
     if (!Files.exists(dir)) return Nil
     val all = listDir(dir)
       .filter { p =>
@@ -318,7 +342,7 @@ object Channel {
     }
   }
 
-  private[channel] def nextSeq(dir: Path): Long =
+  private[graft] def nextSeq(dir: Path): Long =
     listBatches(dir).lastOption.map(batchSeq(_) + 1).getOrElse(0L)
 
   private[channel] def dirSize(p: Path): Long =
@@ -392,10 +416,11 @@ final class ChannelRegistry(spark: SparkSession, root: Path) {
     * `<prefix><name>`, so `spark.sql("SELECT … FROM graft_logs")` reads
     * the topic with FULL Catalyst treatment — the view resolves to the
     * native parquet scan, so predicate pushdown, column pruning, and
-    * partition planning all apply (the reason topics deliberately are NOT
-    * a custom DSv2 source: a shim would have to re-implement pushdown the
-    * file source already has). Views are snapshots of the topic's batch
-    * view; re-register to pick up newly created topics. */
+    * partition planning all apply. The DSv2 connector
+    * ([[graft.sources.ChannelSource]], `format("graft-channel")`) is the
+    * programmatic twin: same parquet machinery underneath, plus seq-offset
+    * streaming. Views are snapshots of the topic's batch view;
+    * re-register to pick up newly created topics. */
   def registerViews(prefix: String = "graft_", glob: String = "*"): Seq[String] =
     list(glob).map { name =>
       val view = prefix + name

@@ -1,0 +1,315 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.{GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
+
+import graft.channel.Channel
+
+/** DataSource V2 integration for graft channels: `spark.read.format
+  * ("graft-channel").load(topicDir)` and `spark.readStream.format
+  * ("graft-channel")...`.
+  *
+  * The batch/stream READERS delegate to Spark's own parquet machinery
+  * ([[GraftSqlBridge.parquetReadFunc]]), so predicate pushdown (row-group +
+  * page skipping) and column pruning are the native parquet ones — this is
+  * why the source exists alongside [[graft.channel.ChannelRegistry
+  * .registerViews]] (SQL convenience) rather than replacing it: both paths
+  * bottom out in the same scan machinery.
+  *
+  * What DSv2 adds over the file-stream `Channel.readStream`:
+  *   - **seq-based offsets**: a micro-batch is a contiguous range of
+  *     channel sequence numbers `[start, end)` — compact, human-readable
+  *     checkpoint state (vs the file source's per-file log), mirroring the
+  *     reference's 64-bit channel cursors
+  *     (/root/reference/subsystem/messaging/src/lib.rs:80-83);
+  *   - **latest-start weak readers**: `startingOffsets=latest` begins at
+  *     the committed tail, the reference's weak-subscribe semantics
+  *     (reader.rs:319-349) that the file source cannot express (it always
+  *     replays the directory);
+  *   - **admission control**: `maxBatchesPerTrigger` bounds each
+  *     micro-batch in channel batches (Park-style flow control);
+  *   - **data-loss accounting**: `weak=true` skips seq ranges evicted by
+  *     Drop-mode channels (ReaderBehind parity, reader.rs:342-396);
+  *     `weak=false` (default, strong reader) fails on a gap instead of
+  *     silently losing data.
+  *
+  * Offsets only advance past FULLY COMMITTED prefixes: the visible end is
+  * the first sequence whose batch dir lacks `_SUCCESS`, so a mid-write
+  * batch is never half-read and a crashed write blocks (not corrupts) the
+  * stream until swept. Streaming planning reads `batch_*` dirs only —
+  * `compact_*` rewrites are invisible to subscriptions (same contract as
+  * [[Channel.readStream]]: a checkpointed subscriber already ingested the
+  * originals). Multi-writer note: concurrent writers may reserve the same
+  * seq; the committed-prefix rule closes that race except for a dir that
+  * becomes *visible* only after the stream advanced past its seq — topics
+  * with concurrently-racing writers should subscribe via the file-granular
+  * [[Channel.readStream]]; DSv2 streaming targets single-writer and Fanout
+  * topics.
+  *
+  * Scale: batch scans bin-pack parquet files into input partitions by
+  * `spark.sql.files.maxPartitionBytes`, so a long-lived topic with
+  * thousands of micro-batch files plans a bounded task count instead of
+  * one task per tiny file.
+  */
+final class ChannelSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-channel"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Channel.withWriterId(ChannelSource.storedSchema(ChannelSource.topicDir(options)))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new ChannelTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+private[graft] object ChannelSource {
+  def topicDir(options: CaseInsensitiveStringMap): Path = {
+    val p = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-channel requires option 'path' (the topic directory)"))
+    Paths.get(p)
+  }
+
+  def storedSchema(dir: Path): StructType = {
+    val meta = dir.resolve("_SCHEMA")
+    require(Files.exists(meta), s"not a channel topic (no _SCHEMA): $dir")
+    org.apache.spark.sql.types.DataType
+      .fromJson(Files.readString(meta).split("\n")(0)).asInstanceOf[StructType]
+  }
+
+  /** Parquet data files of one batch/compact dir, lexicographic (part
+    * file order = write order within the batch). */
+  def dataFiles(dir: Path): Seq[Path] =
+    Channel.listDir(dir)
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .sortBy(_.getFileName.toString)
+
+  def committed(dir: Path): Boolean = Files.exists(dir.resolve("_SUCCESS"))
+}
+
+final class ChannelTable(schema: StructType, options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  private val dir = ChannelSource.topicDir(options)
+  override def name(): String = s"graft-channel `${dir.getFileName}`"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new ChannelScanBuilder(schema, dir, caseInsensitiveOptions)
+}
+
+/** Records Spark's pruned schema and pushable filters. `pushFilters`
+  * returns ALL filters back to Spark for re-evaluation (parquet row-group
+  * stats are a may-skip index, not an exact filter — the same contract the
+  * native parquet source uses), while the pushable subset is handed to the
+  * reader for actual row-group/page skipping and reported via
+  * `pushedFilters`. */
+final class ChannelScanBuilder(dataSchema: StructType, dir: Path,
+                               options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var required: StructType = dataSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // A filter is pushable when every referenced column is a top-level
+    // atomic field (ParquetFilters' own precondition); nested/complex
+    // references stay Spark-side only.
+    import org.apache.spark.sql.types._
+    val atomic = dataSchema.fields.collect {
+      case f => f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType | _: BinaryType => None
+        case _ => Some(f.name)
+      }
+    }.flatten.toSet
+    pushed = filters.filter(_.references.forall(atomic.contains))
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def build(): Scan =
+    new ChannelScan(SparkSession.active, dataSchema, required, pushed, dir, options)
+}
+
+final class ChannelScan(spark: SparkSession, dataSchema: StructType,
+                        required: StructType, pushed: Array[Filter],
+                        dir: Path, options: CaseInsensitiveStringMap) extends Scan {
+  override def readSchema(): StructType = required
+
+  private def factory(): PartitionReaderFactory =
+    new ChannelReaderFactory(GraftSqlBridge.parquetReadFunc(
+      spark, dataSchema, required, pushed.toSeq,
+      options.asCaseSensitiveMap().asScala.toMap))
+
+  override def description(): String =
+    s"GraftChannelScan ${dir.getFileName} ReadSchema: ${required.catalogString}, " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+  override def toString: String = description()
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val files = Channel.listBatches(dir).flatMap(ChannelSource.dataFiles)
+        .map(p => FileSlice(p.toString, Files.size(p)))
+      ChannelScan.binPack(files,
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").toLong)
+    }
+    override def createReaderFactory(): PartitionReaderFactory = factory()
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ChannelMicroBatchStream(dir, factory(),
+      weak = options.getBoolean("weak", false),
+      startLatest = Option(options.get("startingOffsets")).exists(_.equalsIgnoreCase("latest")),
+      maxBatches = Option(options.get("maxBatchesPerTrigger")).map(_.toInt))
+}
+
+private[graft] object ChannelScan {
+  /** First-fit bin-packing of whole files into partitions of ≤ target
+    * bytes (files ordered by batch seq, so each partition stays roughly
+    * offset-contiguous). One oversized file still gets its own partition —
+    * parquet row groups inside it are skipped via pushed filters. */
+  def binPack(files: Seq[FileSlice], target: Long): Array[InputPartition] = {
+    val parts = Seq.newBuilder[ChannelInputPartition]
+    var cur = Vector.empty[FileSlice]
+    var bytes = 0L
+    for (f <- files) {
+      if (cur.nonEmpty && bytes + f.length > target) {
+        parts += ChannelInputPartition(cur); cur = Vector.empty; bytes = 0L
+      }
+      cur :+= f; bytes += f.length
+    }
+    if (cur.nonEmpty) parts += ChannelInputPartition(cur)
+    parts.result().toArray
+  }
+}
+
+final case class FileSlice(path: String, length: Long)
+
+final case class ChannelInputPartition(files: Seq[FileSlice]) extends InputPartition
+
+final class ChannelReaderFactory(
+    readFunc: PartitionedFile => Iterator[InternalRow])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val files = partition.asInstanceOf[ChannelInputPartition].files
+    new PartitionReader[InternalRow] {
+      private val rows: Iterator[InternalRow] = files.iterator.flatMap { f =>
+        readFunc(PartitionedFile(
+          InternalRow.empty, SparkPath.fromPathString(f.path), 0, f.length))
+      }.flatMap {
+        // returning_batch is pinned false, but stay defensive about the
+        // cast-smuggled ColumnarBatch the parquet reader CAN emit
+        case b: ColumnarBatch => b.rowIterator().asScala
+        case r => Iterator.single(r)
+      }
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { current = rows.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Offset = the next channel sequence number to read (exclusive end of
+  * everything ingested), directly mirroring the reference's monotonically
+  * increasing reader cursors. */
+final case class ChannelSeqOffset(seq: Long) extends Offset {
+  override def json(): String = seq.toString
+}
+
+final case class ChannelDataLoss(dir: String, missing: Seq[Long])
+    extends RuntimeException(
+      s"channel '$dir' lost seq(s) ${missing.mkString(",")} (evicted by Drop-mode " +
+        "capacity or compacted mid-subscription); use weak=true to skip ahead")
+
+final class ChannelMicroBatchStream(dir: Path, factory: PartitionReaderFactory,
+                                    weak: Boolean, startLatest: Boolean,
+                                    maxBatches: Option[Int])
+    extends MicroBatchStream with SupportsAdmissionControl {
+  import ChannelSource._
+
+  /** Streaming sees only `batch_*` dirs (compaction is invisible to
+    * subscriptions), grouped by seq — concurrent writers may share one. */
+  private def batchDirs(): Seq[(Long, Seq[Path])] =
+    Channel.listDir(dir)
+      .filter(_.getFileName.toString.startsWith("batch_"))
+      .groupBy(Channel.batchSeq).toSeq.sortBy(_._1)
+
+  private def earliest(): Long = {
+    val dirs = batchDirs()
+    dirs.headOption.map(_._1).getOrElse(Channel.nextSeq(dir))
+  }
+
+  /** One past the last seq of the committed prefix: the stream never
+    * advances into a half-written or still-contended seq (every dir at a
+    * seq needs `_SUCCESS`). Seq GAPS (eviction, manual deletion) do not
+    * hold the end back — planInputPartitions decides per mode whether a
+    * gap inside the offset range is a skip (weak) or a loss (strict). */
+  private def visibleEnd(): Long = {
+    val dirs = batchDirs()
+    var end = dirs.headOption.map(_._1).getOrElse(Channel.nextSeq(dir))
+    dirs.takeWhile { case (_, ds) => ds.forall(committed) }
+      .foreach { case (seq, _) => end = seq + 1 }
+    end
+  }
+
+  override def initialOffset(): Offset =
+    ChannelSeqOffset(if (startLatest) visibleEnd() else earliest())
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxBatches.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("latestOffset(Offset, ReadLimit) is used")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[ChannelSeqOffset].seq
+    val end = visibleEnd()
+    val capped = limit match {
+      case m: ReadMaxFiles => math.min(end, from + m.maxFiles())
+      case _ => end
+    }
+    ChannelSeqOffset(math.max(from, capped))
+  }
+
+  override def reportLatestOffset(): Offset = ChannelSeqOffset(visibleEnd())
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ChannelSeqOffset].seq
+    val e = end.asInstanceOf[ChannelSeqOffset].seq
+    val inRange = batchDirs().filter { case (seq, _) => seq >= s && seq < e }
+    if (!weak) {
+      val missing = (s until e).filterNot(inRange.map(_._1).toSet)
+      if (missing.nonEmpty) throw ChannelDataLoss(dir.toString, missing)
+    }
+    inRange.flatMap(_._2).flatMap(dataFiles)
+      .map(p => ChannelInputPartition(Seq(FileSlice(p.toString, Files.size(p)))))
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = factory
+
+  override def deserializeOffset(json: String): Offset = ChannelSeqOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

@@ -30,4 +30,36 @@ object GraftSqlBridge {
     * expressions up front. */
   def toEagerExpression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** A task-shippable parquet row reader built on Spark's OWN
+    * `ParquetFileFormat.buildReaderWithPartitionValues` (the exact
+    * machinery behind every native parquet scan), so a custom DSv2 source
+    * gets the real predicate pushdown (row-group + page skipping via
+    * `filters`) and column pruning (`requiredSchema`) instead of a shim
+    * re-implementation. `returning_batch` is pinned to false: the closure
+    * yields plain `InternalRow`s, which is what a row-based
+    * `PartitionReader[InternalRow]` must emit. The returned function is
+    * serializable (it broadcasts the hadoop conf internally — it is the
+    * same closure FileScanRDD ships to executors). */
+  def parquetReadFunc(
+      spark: SparkSession,
+      dataSchema: org.apache.spark.sql.types.StructType,
+      requiredSchema: org.apache.spark.sql.types.StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      options: Map[String, String])
+      : org.apache.spark.sql.execution.datasources.PartitionedFile =>
+        Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.sql.execution.datasources.FileFormat
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val opts = options + (FileFormat.OPTION_RETURNING_BATCH -> "false")
+    val fmt = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    fmt.buildReaderWithPartitionValues(
+      cs,
+      dataSchema,
+      new org.apache.spark.sql.types.StructType(),
+      requiredSchema,
+      filters,
+      opts,
+      cs.sessionState.newHadoopConfWithOptions(opts))
+  }
 }

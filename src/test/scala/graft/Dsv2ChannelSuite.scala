@@ -1,0 +1,177 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.channel.{Channel, ChannelRegistry}
+import graft.sources.{ChannelScan, ChannelSource, FileSlice}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+
+/** The DSv2 connector (graft.sources.ChannelSource): batch scans with
+  * native parquet pushdown/pruning, and seq-offset micro-batch streaming
+  * with committed-prefix visibility, latest start, admission control, and
+  * strict/weak gap handling. */
+class Dsv2ChannelSuite extends SparkSpec {
+  import spark.implicits._
+
+  private def schema = StructType(Seq(
+    StructField("id", IntegerType), StructField("msg", StringType)))
+
+  private var sinkN = 0
+  private def runToSink(df: DataFrame, trigger: Option[Trigger] = None): String = {
+    sinkN += 1
+    val name = s"dsv2_sink_$sinkN"
+    val w = df.writeStream.outputMode("append").format("memory").queryName(name)
+    trigger match {
+      case Some(t) =>
+        val q = w.trigger(t).start(); q.awaitTermination(); name
+      case None =>
+        val q = w.start()
+        try q.processAllAvailable() finally q.stop()
+        name
+    }
+  }
+
+  test("batch read matches Channel.read and prunes/pushes to parquet") {
+    val reg = new ChannelRegistry(spark, tmpDir("dsv2"))
+    val ch = reg.create("b1", schema)
+    ch.write(Seq((1, "a"), (2, "b")).toDF("id", "msg"), writerId = 1)
+    ch.write(Seq((3, "c"), (4, "d")).toDF("id", "msg"), writerId = 2)
+
+    val v2 = ch.readV2()
+    assert(v2.columns.toSet == Set("id", "msg", Channel.WriterIdCol,
+      Channel.SeqCol, Channel.OffsetCol))
+    assert(v2.select("id").as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
+
+    val q = ch.readV2().filter($"id" >= 3).select("msg")
+    assert(q.as[String].collect().sorted.toSeq == Seq("c", "d"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftChannelScan") &&
+      plan.contains("GreaterThanOrEqual(id,3)"),
+      s"filter not pushed into the channel scan:\n$plan")
+    // column pruning reached the connector: readSchema is just the two
+    // referenced columns, not the full topic schema
+    assert(plan.contains("ReadSchema: struct<id:int,msg:string>") ||
+      plan.contains("ReadSchema: struct<msg:string,id:int>"),
+      s"columns not pruned:\n$plan")
+  }
+
+  test("batch read sees compacted data and spark.read.format works directly") {
+    val reg = new ChannelRegistry(spark, tmpDir("dsv2"))
+    val ch = reg.create("b2", schema)
+    ch.write(Seq((1, "a")).toDF("id", "msg"), 1)
+    ch.write(Seq((2, "b")).toDF("id", "msg"), 1)
+    ch.compact()
+    ch.write(Seq((3, "c")).toDF("id", "msg"), 1)
+    val df = spark.read.format("graft-channel").load(ch.dir.toString)
+    assert(df.select("id").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+  }
+
+  test("streaming: seq offsets ingest existing and future batches exactly once") {
+    val reg = new ChannelRegistry(spark, tmpDir("dsv2"))
+    val ch = reg.create("s1", schema)
+    ch.write(Seq((1, "a"), (2, "b")).toDF("id", "msg"), 1)
+    ch.write(Seq((3, "c")).toDF("id", "msg"), 1)
+
+    sinkN += 1
+    val name = s"dsv2_sink_$sinkN"
+    val q = ch.readStreamV2().select("id").writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+      ch.write(Seq((4, "d")).toDF("id", "msg"), 1) // appended mid-subscription
+      q.processAllAvailable()
+      assert(spark.table(name).as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
+    } finally q.stop()
+  }
+
+  test("startingOffsets=latest skips history (weak-subscribe tail start)") {
+    val reg = new ChannelRegistry(spark, tmpDir("dsv2"))
+    val ch = reg.create("s2", schema)
+    ch.write(Seq((1, "old")).toDF("id", "msg"), 1)
+
+    sinkN += 1
+    val name = s"dsv2_sink_$sinkN"
+    val q = ch.readStreamV2(startingLatest = true).select("msg").writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 0, "latest start must not replay history")
+      ch.write(Seq((2, "new")).toDF("id", "msg"), 1)
+      q.processAllAvailable()
+      assert(spark.table(name).as[String].collect().toSeq == Seq("new"))
+    } finally q.stop()
+  }
+
+  test("maxBatchesPerTrigger paces ingestion one channel batch per micro-batch") {
+    val reg = new ChannelRegistry(spark, tmpDir("dsv2"))
+    val ch = reg.create("s3", schema)
+    (1 to 3).foreach(i => ch.write(Seq((i, s"m$i")).toDF("id", "msg"), 1))
+
+    sinkN += 1
+    val name = s"dsv2_sink_$sinkN"
+    val q = ch.readStreamV2(maxBatchesPerTrigger = Some(1)).select("id").writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+      val fed = q.recentProgress.count(_.numInputRows > 0)
+      assert(fed >= 3, s"expected >=3 paced micro-batches, saw $fed")
+    } finally q.stop()
+  }
+
+  test("strict reader fails on an evicted seq; weak reader skips it") {
+    val reg = new ChannelRegistry(spark, tmpDir("dsv2"))
+    val ch = reg.create("s4", schema)
+    (1 to 3).foreach(i => ch.write(Seq((i, s"m$i")).toDF("id", "msg"), 1))
+    // evict the middle batch out from under future subscribers
+    val victim = Channel.listBatches(ch.dir)(1)
+    assert(victim.getFileName.toString.startsWith("batch_0000000000"))
+    val walk = Files.walk(victim)
+    try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    finally walk.close()
+
+    // weak: ReaderBehind parity — skip ahead, deliver what exists
+    val weakName = runToSink(ch.readStreamV2(weak = true).select("id"))
+    assert(spark.table(weakName).as[Int].collect().sorted.toSeq == Seq(1, 3))
+
+    // strict: the gap is data loss, not silence
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runToSink(ch.readStreamV2().select("id"))
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.isInstanceOf[graft.sources.ChannelDataLoss]),
+      s"expected ChannelDataLoss in cause chain: $ex")
+  }
+
+  test("offsets do not advance past an uncommitted (no _SUCCESS) batch dir") {
+    val reg = new ChannelRegistry(spark, tmpDir("dsv2"))
+    val ch = reg.create("s5", schema)
+    ch.write(Seq((1, "a")).toDF("id", "msg"), 1)
+    ch.write(Seq((2, "b")).toDF("id", "msg"), 1)
+    // simulate a crashed writer: second batch loses its commit marker
+    val half = Channel.listBatches(ch.dir)(1)
+    Files.delete(half.resolve("_SUCCESS"))
+
+    val name = runToSink(ch.readStreamV2().select("id"))
+    assert(spark.table(name).as[Int].collect().toSeq == Seq(1),
+      "stream read into an uncommitted batch")
+  }
+
+  test("binPack groups small files and isolates oversized ones") {
+    def f(n: String, len: Long) = FileSlice(n, len)
+    val parts = ChannelScan.binPack(
+      Seq(f("a", 40), f("b", 40), f("c", 40), f("d", 500), f("e", 10)), target = 100)
+    val grouped = parts.map(_.asInstanceOf[graft.sources.ChannelInputPartition]
+      .files.map(_.path).toSeq).toSeq
+    assert(grouped == Seq(Seq("a", "b"), Seq("c"), Seq("d"), Seq("e")))
+  }
+
+  private implicit class IterOps[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
+  }
+}
