@@ -2,6 +2,8 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.{MinHash, SimHash, TextFunctions}
+import graft.ops.ConnectedComponents
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents`: exact (hash-groupBy), n-gram
@@ -10,6 +12,60 @@ import org.apache.spark.sql.functions._
   * band keys, never a cross join).
   */
 object DedupOps {
+
+  /** Exact n-gram Jaccard near-dup pairs ≥ 0.8 — the edge set shared by
+    * q_ngram_jaccard (pair listing) and q_dedup_clusters (grouping).
+    * Shape notes live on q_ngram_jaccard below. */
+  private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    // cache the distinct shingle set: it feeds the self-join twice plus
+    // the per-doc counts — without this the explode+distinct subtree (a
+    // shuffle each) runs four times
+    // single-row-group test file → the shingle explode would run on one
+    // core; pin a keyed repartition first (no-op at real multi-file scale)
+    val sh = Tables.documents(s, d)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
+      .select(col("doc_id"), explode(TextFunctions.shingles(col("text"), 3)).as("s"))
+      .distinct()
+      .cache()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // pair generation per shingle GROUP, not a self-join: one shuffle on
+    // the shingle key, each group emits its ordered doc pairs in place
+    // (array combinatorics inside the task), then the pair counts
+    // aggregate map-side. The earlier broadcast self-join shipped the
+    // whole shingle set to every task per run. (Exact pairwise Jaccard
+    // is inherently quadratic in hot shingles — the 100 TB path is
+    // q_minhash_lsh below; this operator is the exact verifier run on
+    // candidate subsets.)
+    val pairs = sh.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    val jac = col("shared").cast("double") /
+      (col("n_a") + col("n_b") - col("shared"))
+    pairs
+      .join(broadcast(counts).withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+      .join(broadcast(counts).withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"),
+        jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  /** The n-gram-Jaccard pair subquery as oracle SQL (shared CTE prefix of
+    * q_ngram_jaccard and q_dedup_clusters). */
+  private val ngramPairsSql =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |       unnest(range(1, len(t) - 1)) AS u(i)
+      |  WHERE len(t) >= 3),
+      |d AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |      GROUP BY doc_a, doc_b)""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -27,56 +83,45 @@ object DedupOps {
     // shared-shingle equi-join (shuffle on shingle), not a cross join; at
     // scale the MinHash variant below caps candidate fan-out further.
     Q("q_ngram_jaccard",
-      """WITH sh AS (
-        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |       unnest(range(1, len(t) - 1)) AS u(i)
-        |  WHERE len(t) >= 3),
-        |d AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |      GROUP BY doc_a, doc_b)
+      s"""WITH $ngramPairsSql
         |SELECT doc_a, doc_b, shared, da.n AS n_a, db.n AS n_b,
         |  CAST(shared AS DOUBLE) / (da.n + db.n - shared) AS jaccard
         |FROM p JOIN d da ON p.doc_a = da.doc_id JOIN d db ON p.doc_b = db.doc_id
         |WHERE CAST(shared AS DOUBLE) / (da.n + db.n - shared) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      // cache the distinct shingle set: it feeds the self-join twice plus
-      // the per-doc counts — without this the explode+distinct subtree (a
-      // shuffle each) runs four times
-      // single-row-group test file → the shingle explode would run on one
-      // core; pin a keyed repartition first (no-op at real multi-file scale)
-      val sh = Tables.documents(s, d)
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
-        .select(col("doc_id"), explode(TextFunctions.shingles(col("text"), 3)).as("s"))
-        .distinct()
-        .cache()
-      val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      // pair generation per shingle GROUP, not a self-join: one shuffle on
-      // the shingle key, each group emits its ordered doc pairs in place
-      // (array combinatorics inside the task), then the pair counts
-      // aggregate map-side. The earlier broadcast self-join shipped the
-      // whole shingle set to every task per run. (Exact pairwise Jaccard
-      // is inherently quadratic in hot shingles — the 100 TB path is
-      // q_minhash_lsh below; this operator is the exact verifier run on
-      // candidate subsets.)
-      val pairs = sh.groupBy(col("s"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        .filter(size(col("ds")) >= 2)
-        .select(explode(flatten(transform(col("ds"), (x, i) =>
-          transform(slice(col("ds"), i + lit(2), size(col("ds"))),
-            y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
-        .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-        .agg(count(lit(1)).as("shared"))
-      val jac = col("shared").cast("double") /
-        (col("n_a") + col("n_b") - col("shared"))
-      pairs
-        .join(broadcast(counts).withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
-        .join(broadcast(counts).withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
-        .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"),
-          jac.as("jaccard"))
-        .filter(col("jaccard") >= 0.8)
-        .orderBy(col("doc_a"), col("doc_b"))
+      ngramJaccardPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- Near-dup GROUPS from the pair graph: alternating large-star /
+    // small-star connected components (graft.ops.ConnectedComponents), so
+    // chains A≈B≈C collapse into one cluster keyed by the minimum doc_id —
+    // the canonical keeper a training pipeline retains. Oracle: recursive
+    // min-label propagation over the same symmetric edge set.
+    Q("q_dedup_clusters",
+      s"""WITH RECURSIVE $ngramPairsSql,
+        |pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM p JOIN d da ON p.doc_a = da.doc_id JOIN d db ON p.doc_b = db.doc_id
+        |  WHERE CAST(shared AS DOUBLE) / (da.n + db.n - shared) >= 0.8),
+        |edges AS (SELECT doc_a AS ea, doc_b AS eb FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |walk(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT eb, w.label FROM walk w JOIN edges e ON e.ea = w.node),
+        |lab AS (SELECT node AS doc_id, MIN(label) AS cluster FROM walk GROUP BY node)
+        |SELECT l.doc_id, l.cluster, CAST(c.csize AS BIGINT) AS csize
+        |FROM lab l JOIN (SELECT cluster, COUNT(*) AS csize FROM lab GROUP BY cluster) c
+        |  ON l.cluster = c.cluster
+        |ORDER BY l.doc_id""".stripMargin) { (s, d) =>
+      val edges = ngramJaccardPairs(s, d)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val nodes = Tables.documents(s, d).select(col("doc_id").as("node"))
+      val comp = ConnectedComponents.components(edges, nodes)
+      val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("csize"))
+      comp.join(sizes, "component")
+        .select(col("node").as("doc_id"), col("component").as("cluster"), col("csize"))
+        .orderBy(col("doc_id"))
     },
 
     // ---- MinHash+LSH near-dup pairs (scale path; no SQL oracle — the
