@@ -185,6 +185,39 @@ object DedupOps {
       val sig = SimHash.signatures(docs, "doc_id", "text")
       SimHash.nearPairs(sig, "doc_id", maxDist = 6)
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- Edit-distance near-dup pairs: prefix blocking (equi-join on
+    // (lang, first-16-chars) — a key shuffle, never a cross join) + a
+    // length-difference prefilter (|len_a−len_b| > t implies distance > t,
+    // so the O(L²) DP only runs on survivors). Spark's banded
+    // levenshtein(l, r, threshold) early-exits above the bound — the DP is
+    // O(L·t) not O(L²). Same shape as the LSH candidates: generation is
+    // linear-ish, verification exact.
+    Q("q_edit_dedup",
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+        |FROM documents a JOIN documents b
+        |  ON a.lang = b.lang AND substr(a.text, 1, 16) = substr(b.text, 1, 16)
+        |  AND a.doc_id < b.doc_id
+        |  AND abs(len(a.text) - len(b.text)) <= 20
+        |WHERE levenshtein(a.text, b.text) <= 20
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        substring(col("text"), 1, 16).as("blk"),
+        length(col("text")).as("len"), col("text"))
+      val a = docs.select(col("lang"), col("blk"), col("doc_id").as("doc_a"),
+        col("len").as("len_a"), col("text").as("text_a"))
+      val b = docs.select(col("lang"), col("blk"), col("doc_id").as("doc_b"),
+        col("len").as("len_b"), col("text").as("text_b"))
+      a.join(b, Seq("lang", "blk"))
+        .filter(col("doc_a") < col("doc_b") &&
+          abs(col("len_a") - col("len_b")) <= 20)
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("text_a"), col("text_b"), 20).cast("long").as("dist"))
+        .filter(col("dist") >= 0) // banded variant returns -1 above the bound
+        .orderBy(col("doc_a"), col("doc_b"))
     }
   )
 }

@@ -276,6 +276,29 @@ object Relational {
         .orderBy($("c_mktsegment"), $("c_custkey"))
     },
 
+    // ---- Relative-rank window functions (dense_rank / percent_rank /
+    // cume_dist) over a tie-broken total order, so every rank value is
+    // deterministic. Doubles rounded to 6dp: both engines compute
+    // (rank−1)/(n−1) and rows≤/n in IEEE doubles, but rounding keeps the
+    // parity structural rather than expression-shape dependent.
+    Q("q_rank_fns",
+      """SELECT c_mktsegment, c_custkey,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drank,
+        |  round(percent_rank() OVER w, 6) AS prank,
+        |  round(cume_dist() OVER w, 6) AS cdist
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy($("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, $("c_custkey"))
+      Tables.customer(s, d)
+        .select($("c_mktsegment"), $("c_custkey"),
+          dense_rank().over(w).cast("long").as("drank"),
+          round(percent_rank().over(w), 6).as("prank"),
+          round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy($("c_mktsegment"), $("c_custkey"))
+    },
+
     // ---- Correlated scalar subquery shape: orders above their own
     // customer's average order value. Declaratively: a per-customer
     // aggregate broadcast back onto the fact — the plan a correlated

@@ -42,6 +42,25 @@ object TextOps {
         .orderBy(col("split"), col("lang"))
     },
 
+    // ---- Deterministic stratified sampling: per-stratum rates via the
+    // same content-hash gate (16 hex buckets: en keeps 4/16, the rest
+    // 8/16 — downsample the over-represented stratum). Unlike
+    // DataFrame.sampleBy (seeded RNG, partition-order dependent, engine
+    // specific), a hash gate is reproducible across engines/runs/cluster
+    // sizes, pure scan+filter (no shuffle), and docs never flip split
+    // membership as the corpus grows.
+    Q("q_stratified_sample",
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
+        |  CASE WHEN lang = 'en' THEN '4' ELSE '8' END
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+      Tables.documents(s, d)
+        .filter(h < when(col("lang") === "en", "4").otherwise("8"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- Token counting per language (whitespace tokenizer).
     Q("q_token_stats",
       """SELECT lang, COUNT(*) AS n_docs,
