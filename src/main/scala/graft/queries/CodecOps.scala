@@ -33,6 +33,43 @@ object CodecOps {
         .select(col("r.event_id").as("event_id"), col("r.event_type").as("event_type"),
           col("r.value").as("value"), expr("r.ts div 1000").as("ts_us"))
         .orderBy(col("event_id"))
+    },
+
+    // ---- Channel roundtrip through the DSv2 connector: an events slice
+    // is published into a fresh topic (writer-attributed parquet batches)
+    // and read back via format("graft-channel") — the whole
+    // write→commit→scan path sits inside the correctness gate, and the
+    // oracle never sees the channel, so any loss/duplication/metadata leak
+    // in the connector breaks the hash. The aggregate is localCheckpointed
+    // eagerly so the staged topic can be deleted before the result is
+    // consumed (no temp-dir leak per run).
+    Q("q_channel_roundtrip",
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.ensureConf(s)
+      val root = java.nio.file.Files.createTempDirectory("graft_chan_rt")
+      try {
+        val reg = new graft.channel.ChannelRegistry(s, root)
+        val slice = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_id"), col("event_type"), col("value"))
+        val ch = reg.create("rt", slice.schema)
+        ch.write(slice, writerId = 1)
+        ch.readV2()
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), Tables.exactSum(col("value")).as("total"))
+          .orderBy(col("event_type"))
+          .localCheckpoint()
+      } finally {
+        val walk = java.nio.file.Files.walk(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        } finally walk.close()
+      }
     }
   )
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.{HeavyHitters, TextFunctions}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table: token statistics,
@@ -59,6 +60,95 @@ object TextOps {
         .filter(h < when(col("lang") === "en", "4").otherwise("8"))
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- Corpus vocabulary with document frequency (tokenizer-training
+    // prerequisite): explode → two-level agg. The per-(doc,word) distinct
+    // happens inside COUNT(DISTINCT …) — Spark plans it as partial
+    // aggregates (expand + two shuffles), no driver-side state.
+    Q("q_vocab",
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |           FROM documents)
+        |SELECT word, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
+        |FROM t WHERE word <> ''
+        |GROUP BY word HAVING COUNT(DISTINCT doc_id) >= 10
+        |ORDER BY word""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word"))
+        .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+        .filter(col("df") >= 10)
+        .orderBy(col("word"))
+    },
+
+    // ---- TF-IDF top-3 terms per document, selected by the native
+    // bounded-heap operator (plans.TopKPerKey) — the heap keeps ≤3 rows
+    // per doc pre-shuffle, vs a full sort-per-partition under the window
+    // formulation the oracle uses. RANKING is integer-only
+    // (tf DESC, df ASC, word) so top-3 membership can never flip on a
+    // float ulp; the tfidf VALUE (the only double) is emitted rounded.
+    Q("q_tfidf_top",
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM t
+        |       WHERE word <> '' GROUP BY doc_id, word),
+        |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM t
+        |       WHERE word <> '' GROUP BY word),
+        |r AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+        |        row_number() OVER (PARTITION BY tf.doc_id
+        |          ORDER BY tf.tf DESC, df.df ASC, tf.word ASC) AS rn
+        |      FROM tf JOIN df USING (word))
+        |SELECT doc_id, word, tf, df,
+        |  round(CAST(tf AS DOUBLE) *
+        |    ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df), 6) AS tfidf
+        |FROM r WHERE rn <= 3 ORDER BY doc_id, word""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val nDocs = docs.count().toDouble // O(1) scalar, parquet row-count only
+      val words = docs
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+      val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      val df = words.groupBy(col("word")).agg(countDistinct(col("doc_id")).as("df"))
+      val top = graft.plans.TopKPerKey(
+        tf.join(broadcast(df), "word"), Seq("doc_id"),
+        Seq(col("tf").desc, col("df").asc, col("word").asc), k = 3)
+      top.select(col("doc_id"), col("word"), col("tf"), col("df"),
+          round(col("tf").cast("double") * log(lit(nDocs) / col("df")), 6).as("tfidf"))
+        .orderBy(col("doc_id"), col("word"))
+    },
+
+    // ---- Token-budget sequence packing: assign documents (in stable
+    // doc_id order per language) to fixed-budget training chunks by the
+    // START offset of each doc in the cumulative token stream — the
+    // deterministic shard assignment a pretraining pipeline materializes.
+    // The per-lang running sum is one window; at 100 TB the partition key
+    // becomes (lang, hash-shard) so no single language serializes into
+    // one task — the assignment stays deterministic because shards are
+    // themselves hash-stable.
+    Q("q_seq_pack",
+      """WITH t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+        |           FROM documents),
+        |c AS (SELECT doc_id, lang, n_tok,
+        |        SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |          ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM t)
+        |SELECT lang, CAST((cum - n_tok) // 2048 AS BIGINT) AS chunk,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS chunk_tokens,
+        |  MIN(doc_id) AS first_doc
+        |FROM c GROUP BY lang, chunk ORDER BY lang, chunk""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .select(col("lang"), expr("(cum - n_tok) div 2048").as("chunk"),
+          col("doc_id"), col("n_tok"))
+        .groupBy(col("lang"), col("chunk"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("chunk_tokens"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("lang"), col("chunk"))
     },
 
     // ---- Token counting per language (whitespace tokenizer).
