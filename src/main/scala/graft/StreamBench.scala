@@ -55,7 +55,24 @@ object StreamBench {
     val querySec = (System.nanoTime() - t1) / 1e9
     val outRows = spark.table("streambench").count()
 
-    println(f"""{"metric":"stream_rows_per_sec","ingest_rps":${n / ingestSec}%.0f,"query_rps":${n / querySec}%.0f,"rows":$n,"ingest_sec":$ingestSec%.2f,"query_sec":$querySec%.2f,"window_rows":$outRows,"sf":"$sfDir"}""")
+    // DSv2 leg: the same subscription through the seq-offset connector
+    // (graft.sources.ChannelSource) — measures the connector's scan path
+    // against the file-stream source on identical data and aggregation.
+    val t2 = System.nanoTime()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q2 = try ch.readStreamV2()
+        .groupBy(Tables.tsDay("ts").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Tables.exactSum(col("value")).as("v"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("streambench_v2").start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", cpus)
+    try q2.processAllAvailable() finally q2.stop()
+    val v2Sec = (System.nanoTime() - t2) / 1e9
+    val v2Rows = spark.table("streambench_v2").count()
+    require(v2Rows == outRows,
+      s"DSv2 leg window rows ($v2Rows) != file-source leg ($outRows)")
+
+    println(f"""{"metric":"stream_rows_per_sec","ingest_rps":${n / ingestSec}%.0f,"query_rps":${n / querySec}%.0f,"query_v2_rps":${n / v2Sec}%.0f,"rows":$n,"ingest_sec":$ingestSec%.2f,"query_sec":$querySec%.2f,"query_v2_sec":$v2Sec%.2f,"window_rows":$outRows,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -109,7 +109,10 @@ object TextOps {
         .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("word"))
         .filter(col("word") =!= "")
       val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-      val df = words.groupBy(col("word")).agg(countDistinct(col("doc_id")).as("df"))
+        .cache()
+      // tf rows are already one-per-(doc,word): df is a plain count over
+      // them — no second corpus explode, no COUNT DISTINCT expand
+      val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
       val top = graft.plans.TopKPerKey(
         tf.join(broadcast(df), "word"), Seq("doc_id"),
         Seq(col("tf").desc, col("df").asc, col("word").asc), k = 3)
