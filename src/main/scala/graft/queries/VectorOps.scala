@@ -132,13 +132,15 @@ object VectorOps {
       // three Lloyd steps tighten the sampled centroids (only the 16×64
       // centroid matrix touches the driver per step)
       val centroids = graft.functions.KMeans.lloydSteps(e, "v", sampled, iters = 3)
-      // multi-probe: the query side searches its 4 nearest cells (recall@1
-      // 0.25 → 0.63 on the test embeddings, at 4× candidate cost — the
-      // probe count is IVF's recall/cost dial). All 16 distances evaluate
+      // multi-probe: the query side searches its 6 nearest cells (recall@1
+      // 0.25 @1 probe → 0.63 @4 → 0.73-0.77 @6 on the test embeddings — the
+      // probe count is IVF's recall/cost dial, and near-uniform synthetic
+      // embeddings NEED more probes than clustered real ones because cell
+      // boundaries carry little structure). All 16 distances evaluate
       // in ONE fused pass per vector (NearestCells); the stored side's
       // home cell is probe_cells[0].
       val probed = e.withColumn("probe_cells",
-        graft.functions.VectorExpressions.nearestCells(col("v"), centroids, 4)).cache()
+        graft.functions.VectorExpressions.nearestCells(col("v"), centroids, 6)).cache()
       val a = probed.select(col("vec_id").as("src"), col("v").as("va"),
         explode(col("probe_cells")).as("cell"))
       val b = probed.select(element_at(col("probe_cells"), 1).as("cell"),

@@ -158,7 +158,7 @@ class FunctionsSuite extends SparkSpec {
       .select("src", "nbr").as[(Long, Long)].collect().toMap
     val ivfR = exact.count { case (s0, nn) => ivf.get(s0).contains(nn) }.toDouble / exact.size
     info(f"IVF recall@1 at sf0.1 = $ivfR%.3f")
-    assert(ivfR >= 0.4)
+    assert(ivfR >= 0.6)
 
     val pq = SparkEntry.queries("q_ann_pq")(spark, d)
       .select("vec_id").as[Long].collect().toSet
@@ -169,7 +169,7 @@ class FunctionsSuite extends SparkSpec {
     assert(pqR >= 0.7)
   }
 
-  test("IVF ANN recall@1 >= 0.5 on real embeddings (deterministic)") {
+  test("IVF ANN recall@1 >= 0.65 on real embeddings (deterministic)") {
     val d = "/root/testdata/sf0.001"
     val ivf = SparkEntry.queries("q_ann_ivf")(spark, d)
       .select("src", "nbr").as[(Long, Long)].collect().toMap
@@ -186,7 +186,7 @@ class FunctionsSuite extends SparkSpec {
       .select("src", "nbr").as[(Long, Long)].collect().toMap
     val recall = exact.count { case (s0, nn) => ivf.get(s0).contains(nn) }.toDouble / exact.size
     info(f"IVF recall@1 = $recall%.3f over ${exact.size} vectors")
-    assert(recall >= 0.5)
+    assert(recall >= 0.65)
   }
 
   test("PQ ANN recall@10 >= 0.9 vs exact top-10 (deterministic)") {
