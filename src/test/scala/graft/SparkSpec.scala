@@ -19,9 +19,27 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sparkContext.setLogLevel("ERROR")
   }
 
+  private val tmpDirs = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+
   def tmpDir(prefix: String): java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
-    p.toFile.deleteOnExit()
+    tmpDirs.synchronized { tmpDirs += p }
     p
+  }
+
+  /** deleteOnExit cannot remove non-empty directories — sweep suite temp
+    * dirs recursively so repeated sbt test runs don't litter /tmp. */
+  override def afterAll(): Unit = {
+    tmpDirs.synchronized(tmpDirs.toList).foreach { p =>
+      try {
+        val walk = java.nio.file.Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        } finally walk.close()
+      } catch { case _: java.io.IOException => () }
+    }
+    super.afterAll()
   }
 }
