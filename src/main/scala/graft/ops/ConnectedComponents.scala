@@ -33,12 +33,15 @@ object ConnectedComponents {
     * reachable from `node` (isolated nodes map to themselves). Node ids
     * must be non-null and orderable (use longs). */
   def components(edges: DataFrame, nodes: DataFrame, maxIter: Int = 25): DataFrame = {
-    var e = canon(edges).localCheckpoint()
+    // LAZY localCheckpoint: the signature aggregate right after is the
+    // materializing action, so each round costs ONE job (checkpoint write
+    // + convergence probe fused) instead of two.
+    var e = canon(edges).localCheckpoint(false)
     var prev = signature(e)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = canon(smallStar(largeStar(e))).localCheckpoint()
+      val next = canon(smallStar(largeStar(e))).localCheckpoint(false)
       val cur = signature(next)
       converged = cur == prev
       prev = cur

@@ -154,6 +154,71 @@ object TextOps {
         .orderBy(col("lang"), col("chunk"))
     },
 
+    // ---- Benchmark decontamination: test-split documents sharing any
+    // 13-gram with the train split (the standard n-gram overlap check run
+    // before training). Candidates come from an equi-join on the shingle —
+    // the dedup shape, never a cross join. In production the "train" side
+    // is the huge one and the benchmark suite is small: build the
+    // benchmark shingle set once and broadcast it (or a Bloom filter of
+    // it) so decontamination is a map-side filter over 100 TB; the
+    // symmetric-corpus form here exercises the shuffle path.
+    Q("q_decontaminate",
+      """WITH tt AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, split, array_to_string(t[i:i+12], ' ') AS s
+        |       FROM tt, unnest(range(1, len(t) - 11)) AS u(i) WHERE len(t) >= 13),
+        |tr AS (SELECT DISTINCT s FROM sh WHERE split = 'train'),
+        |te AS (SELECT doc_id, s FROM sh WHERE split = 'test')
+        |SELECT te.doc_id, COUNT(*) AS n_hits
+        |FROM te JOIN tr ON te.s = tr.s
+        |GROUP BY te.doc_id ORDER BY te.doc_id""".stripMargin) { (s, d) =>
+      val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+      val sh = Tables.documents(s, d)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
+        .select(col("doc_id"),
+          when(h <= "b", "train").when(h <= "d", "val").otherwise("test").as("split"),
+          explode(TextFunctions.shingles(col("text"), 13)).as("s"))
+        .distinct()
+        .cache()
+      val tr = sh.filter(col("split") === "train").select(col("s")).distinct()
+      val te = sh.filter(col("split") === "test").select(col("doc_id"), col("s"))
+      te.join(tr, "s")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Source-mixing weights: per-source token shares and the
+    // downsampling weight that flattens the mixture to uniform
+    // (weight = min(1, target_share/actual_share), the knob a pretraining
+    // data recipe materializes per domain). One small agg + a broadcast
+    // scalar join — the weights table is later broadcast back onto the
+    // corpus for weighted sampling.
+    Q("q_mix_weights",
+      """WITH s AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(toks) AS DOUBLE) AS total, COUNT(*) AS k FROM s)
+        |SELECT source, n_docs, toks,
+        |  round(toks / total, 6) AS share,
+        |  round(LEAST(1.0, (total / k) / toks), 6) AS sample_weight
+        |FROM s, tot ORDER BY source""".stripMargin) { (s, d) =>
+      val perSrc = Tables.documents(s, d)
+        .select(col("source"), TextFunctions.tokenCount(col("text")).as("n_tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("toks"))
+      val tot = perSrc.agg(sum(col("toks")).cast("double").as("total"),
+        count(lit(1)).as("k"))
+      perSrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("toks"),
+          round(col("toks") / col("total"), 6).as("share"),
+          round(least(lit(1.0), (col("total") / col("k")) / col("toks")), 6)
+            .as("sample_weight"))
+        .orderBy(col("source"))
+    },
+
     // ---- Token counting per language (whitespace tokenizer).
     Q("q_token_stats",
       """SELECT lang, COUNT(*) AS n_docs,
