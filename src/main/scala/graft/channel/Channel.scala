@@ -61,11 +61,11 @@ final class Channel private[channel] (
     *
     * Sequence allocation is slice-reservation parity
     * (messaging/src/lib.rs:491-519) adapted to shared directories: the
-    * sequence number is re-derived from the directory at write time and
-    * the batch directory name carries a per-write unique suffix, so
-    * independent handles on the same topic (other JVMs included) can
-    * never clobber each other — concurrent same-seq writes coexist and
-    * read order breaks the tie on writer id. */
+    * sequence number is CLAIMED with an atomic `_res_` marker create
+    * (see [[Channel.reserveSeq]]) so independent handles on the same
+    * topic (other JVMs included) always land on distinct seqs and can
+    * never clobber each other; the batch directory name additionally
+    * carries a per-write unique suffix. */
   def write(df: DataFrame, writerId: Int): Unit =
     // "u" prefix keeps a random hex suffix from ever parsing as an epoch
     // marker (`_e<digits>`) in compact()'s _EPOCHS bookkeeping.
@@ -108,13 +108,32 @@ final class Channel private[channel] (
       val current = listBatches(dir).map(dirSize).sum
       if (current >= capacityBytes) throw ChannelBackpressure(name, current, capacityBytes)
     }
-    val batch = nextSeq(dir)
+    // ATOMIC seq reservation (slice-reservation parity upgraded from
+    // "coexist on collision" to true reservation): the `_res_<seq>` marker
+    // is claimed with an atomic createDirectory, so concurrent writers —
+    // other JVMs included — always land on DISTINCT sequence numbers. The
+    // marker lives until the batch commits; the DSv2 stream's visible end
+    // refuses to pass a pending reservation, which closes the
+    // late-visible-same-seq race and makes seq-offset subscriptions
+    // strong for multi-writer topics. A writer that crashes mid-write
+    // leaves its marker and parks the seq cursor for DSv2 streams until
+    // compact() (or sweepStale) clears it — blocked beats silently lossy.
+    val batch = reserveSeq(dir)
     val target = dir.resolve(f"batch_$batch%012d" + s"_w${writerId}_$unique")
-    df.withColumn(WriterIdCol, lit(writerId))
-      .withColumn(SeqCol, lit(batch))
-      .withColumn(OffsetCol, monotonically_increasing_id())
-      .coalesce(math.max(1, partitions))
-      .write.mode("errorifexists").parquet(target.toString)
+    try {
+      df.withColumn(WriterIdCol, lit(writerId))
+        .withColumn(SeqCol, lit(batch))
+        .withColumn(OffsetCol, monotonically_increasing_id())
+        .coalesce(math.max(1, partitions))
+        .write.mode("errorifexists").parquet(target.toString)
+      Files.deleteIfExists(dir.resolve(f"$ResPrefix$batch%012d"))
+    } catch {
+      // A failed write leaves no committed dir: tombstone the seq
+      // (`_abort_`) so strict DSv2 readers know the hole never held data —
+      // a bare release would read as data loss, and keeping the
+      // reservation would park every stream on a routine failure.
+      case t: Throwable => markAborted(dir, batch); throw t
+    }
     enforceCapacity(justWritten = Some(target))
   }
 
@@ -124,8 +143,11 @@ final class Channel private[channel] (
     if (total <= capacityBytes) return
     if (!dropMode) {
       // The batch size wasn't knowable before the distributed write ran;
-      // un-publish it so the rejected frame is never visible to readers.
-      justWritten.foreach { p => total -= dirSize(p); deleteRecursively(p) }
+      // un-publish it so the rejected frame is never visible to readers
+      // (tombstoned: the un-published seq must read as aborted, not lost).
+      justWritten.foreach { p =>
+        total -= dirSize(p); deleteRecursively(p); markAborted(dir, batchSeq(p))
+      }
       throw ChannelBackpressure(name, total, capacityBytes)
     }
     // Drop mode: evict oldest whole batches (frame-pruning parity,
@@ -187,8 +209,9 @@ final class Channel private[channel] (
   /** DSv2 streaming subscription with seq-based offsets
     * ([[graft.sources.ChannelSource]] — latest-start weak readers,
     * maxBatchesPerTrigger admission control, data-loss detection).
-    * Multi-writer topics with racing writers should keep using the
-    * file-granular [[readStream]]. */
+    * Strong for concurrent multi-writer topics too: writers reserve their
+    * seq atomically before writing and the stream's visible end waits on
+    * pending reservations. */
   def readStreamV2(weak: Boolean = false, startingLatest: Boolean = false,
                    maxBatchesPerTrigger: Option[Int] = None): DataFrame = {
     if (isTerminated) throw ChannelClosed(name, "terminated")
@@ -247,11 +270,15 @@ final class Channel private[channel] (
     Files.move(tmp, dir.resolve(f"compact_$seq%012d"))
     // Sweep everything the new compact file supersedes — including
     // leftovers of a previously crashed compaction (listBatches already
-    // filters them, so this is cleanup, not correctness).
+    // filters them, so this is cleanup, not correctness) — and ALL stale
+    // seq reservations: compact() requires no concurrent writers, so any
+    // surviving `_res_` marker belongs to a crashed write and would park
+    // DSv2 streams forever.
     Channel.listDir(dir)
       .filter { p =>
         val n = p.getFileName.toString
-        (n.startsWith("batch_") || n.startsWith("compact_")) && batchSeq(p) < seq
+        ((n.startsWith("batch_") || n.startsWith("compact_")) && batchSeq(p) < seq) ||
+          n.startsWith(ResPrefix) || n.startsWith(AbortPrefix)
       }
       .foreach(Channel.deleteRecursively)
   }
@@ -282,6 +309,48 @@ object Channel {
   private val TerminateMarker = "_TERMINATED"
   private val EpochsFile = "_EPOCHS"
   private val EpochMarker = """w\d+_e\d+$""".r
+  private[graft] val ResPrefix = "_res_"
+
+  /** Sequence numbers currently reserved by in-flight (or crashed)
+    * writers. Underscore prefix keeps markers invisible to parquet scans
+    * and listBatches. */
+  private[graft] def resSeqs(dir: Path): Seq[Long] =
+    listDir(dir).filter(_.getFileName.toString.startsWith(ResPrefix))
+      .map(p => p.getFileName.toString.drop(ResPrefix.length).toLong)
+      .sorted
+
+  /** Claim the next free sequence number with an atomic createDirectory
+    * on its `_res_` marker — two writers (any JVMs) can never share a seq.
+    * Scans both committed batches and outstanding reservations so a
+    * crashed writer's marker is skipped over, not reused. */
+  private[graft] def reserveSeq(dir: Path): Long = {
+    var s = Seq(nextSeq(dir),
+      resSeqs(dir).lastOption.map(_ + 1).getOrElse(0L),
+      abortSeqs(dir).lastOption.map(_ + 1).getOrElse(0L)).max
+    while (!tryReserve(dir, s)) s += 1
+    s
+  }
+
+  private def tryReserve(dir: Path, s: Long): Boolean =
+    try { Files.createDirectory(dir.resolve(f"$ResPrefix$s%012d")); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+
+  private[graft] val AbortPrefix = "_abort_"
+
+  /** Seqs whose write failed after reservation: tombstoned holes that
+    * never held data (strict readers skip them; [[reserveSeq]] never
+    * reuses them — a reused aborted seq would sit BEHIND stream offsets
+    * that already passed it). */
+  private[graft] def abortSeqs(dir: Path): Seq[Long] =
+    listDir(dir).filter(_.getFileName.toString.startsWith(AbortPrefix))
+      .map(p => p.getFileName.toString.drop(AbortPrefix.length).toLong)
+      .sorted
+
+  private[graft] def markAborted(dir: Path, s: Long): Unit = {
+    try Files.createDirectory(dir.resolve(f"$AbortPrefix$s%012d"))
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    Files.deleteIfExists(dir.resolve(f"$ResPrefix$s%012d"))
+  }
 
   /** Epoch markers recorded by compactions still live in `batches`
     * (superseded compacts are filtered by listBatches, and their markers

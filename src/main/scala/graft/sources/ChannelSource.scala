@@ -49,17 +49,15 @@ import graft.channel.Channel
   *     silently losing data.
   *
   * Offsets only advance past FULLY COMMITTED prefixes: the visible end is
-  * the first sequence whose batch dir lacks `_SUCCESS`, so a mid-write
-  * batch is never half-read and a crashed write blocks (not corrupts) the
-  * stream until swept. Streaming planning reads `batch_*` dirs only —
-  * `compact_*` rewrites are invisible to subscriptions (same contract as
-  * [[Channel.readStream]]: a checkpointed subscriber already ingested the
-  * originals). Multi-writer note: concurrent writers may reserve the same
-  * seq; the committed-prefix rule closes that race except for a dir that
-  * becomes *visible* only after the stream advanced past its seq — topics
-  * with concurrently-racing writers should subscribe via the file-granular
-  * [[Channel.readStream]]; DSv2 streaming targets single-writer and Fanout
-  * topics.
+  * the first sequence whose batch dir lacks `_SUCCESS` — or whose `_res_`
+  * reservation marker is still pending (writers claim their seq with an
+  * atomic createDirectory BEFORE writing, see [[Channel.reserveSeq]]), so
+  * a mid-write batch is never half-read, a not-yet-visible concurrent
+  * write can never be skipped, and a crashed write blocks (not corrupts)
+  * the stream until swept by `compact()`. Streaming planning reads
+  * `batch_*` dirs only — `compact_*` rewrites are invisible to
+  * subscriptions (same contract as [[Channel.readStream]]: a checkpointed
+  * subscriber already ingested the originals).
   *
   * Scale: batch scans bin-pack parquet files into input partitions by
   * `spark.sql.files.maxPartitionBytes`, so a long-lived topic with
@@ -262,15 +260,28 @@ final class ChannelMicroBatchStream(dir: Path, factory: PartitionReaderFactory,
 
   /** One past the last seq of the committed prefix: the stream never
     * advances into a half-written or still-contended seq (every dir at a
-    * seq needs `_SUCCESS`). Seq GAPS (eviction, manual deletion) do not
-    * hold the end back — planInputPartitions decides per mode whether a
-    * gap inside the offset range is a skip (weak) or a loss (strict). */
+    * seq needs `_SUCCESS`), NOR past a pending `_res_` seq reservation
+    * (an in-flight writer whose batch dir may not even exist yet —
+    * reservation-before-write is what makes seq offsets strong for
+    * concurrent multi-writer topics). Seq GAPS (eviction, manual
+    * deletion) do not hold the end back — planInputPartitions decides per
+    * mode whether a gap inside the offset range is a skip (weak) or a
+    * loss (strict). */
   private def visibleEnd(): Long = {
     val dirs = batchDirs()
     var end = dirs.headOption.map(_._1).getOrElse(Channel.nextSeq(dir))
     dirs.takeWhile { case (_, ds) => ds.forall(committed) }
       .foreach { case (seq, _) => end = seq + 1 }
-    end
+    // a reservation whose seq has no fully committed batch dir yet is an
+    // in-flight (or crashed) write: hold the cursor at it. (Marker +
+    // committed dir overlap only transiently between job commit and
+    // marker release — that state does not block.)
+    val dirMap = dirs.toMap
+    Channel.resSeqs(dir)
+      .filterNot(s => dirMap.get(s).exists(_.forall(committed)))
+      .minOption
+      .map(math.min(end, _))
+      .getOrElse(end)
   }
 
   override def initialOffset(): Offset =
@@ -299,7 +310,10 @@ final class ChannelMicroBatchStream(dir: Path, factory: PartitionReaderFactory,
     val e = end.asInstanceOf[ChannelSeqOffset].seq
     val inRange = batchDirs().filter { case (seq, _) => seq >= s && seq < e }
     if (!weak) {
-      val missing = (s until e).filterNot(inRange.map(_._1).toSet)
+      // `_abort_` tombstones are holes that never held data (failed or
+      // capacity-rejected writes) — not loss
+      val benign = Channel.abortSeqs(dir).toSet
+      val missing = (s until e).filterNot(inRange.map(_._1).toSet ++ benign)
       if (missing.nonEmpty) throw ChannelDataLoss(dir.toString, missing)
     }
     inRange.flatMap(_._2).flatMap(dataFiles)

@@ -162,6 +162,50 @@ class Dsv2ChannelSuite extends SparkSpec {
       "stream read into an uncommitted batch")
   }
 
+  test("pending seq reservation parks the stream; release resumes it") {
+    val reg = new ChannelRegistry(spark, tmpDir("dsv2"))
+    val ch = reg.create("s6", schema)
+    ch.write(Seq((1, "a")).toDF("id", "msg"), 1)
+    // no leftover markers after successful writes
+    assert(Channel.resSeqs(ch.dir).isEmpty)
+    // simulate an in-flight concurrent writer that reserved the next seq
+    // but has not committed its batch dir yet
+    val next = Channel.reserveSeq(ch.dir)
+    ch.write(Seq((2, "b")).toDF("id", "msg"), 2) // lands BEYOND the reservation
+
+    sinkN += 1
+    val name = s"dsv2_sink_$sinkN"
+    val q = ch.readStreamV2().select("id").writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).as[Int].collect().toSeq == Seq(1),
+        "stream advanced past a pending reservation")
+      // the reserved writer FAILS (a failed write's catch path): its seq
+      // becomes an abort tombstone — a benign hole, not data loss
+      Channel.markAborted(ch.dir, next)
+      q.processAllAvailable()
+      assert(spark.table(name).as[Int].collect().sorted.toSeq == Seq(1, 2),
+        "stream did not resume after the reservation aborted")
+    } finally q.stop()
+    // compact() sweeps stale markers (crashed writers)
+    Channel.reserveSeq(ch.dir)
+    ch.write(Seq((3, "c")).toDF("id", "msg"), 1)
+    ch.compact()
+    assert(Channel.resSeqs(ch.dir).isEmpty, "compact left stale reservations")
+  }
+
+  test("reserved seqs are distinct and monotone across interleaved writers") {
+    val reg = new ChannelRegistry(spark, tmpDir("dsv2"))
+    val ch = reg.create("s7", schema)
+    val r1 = Channel.reserveSeq(ch.dir)
+    val r2 = Channel.reserveSeq(ch.dir) // second reservation must not collide
+    assert(r2 == r1 + 1)
+    ch.write(Seq((1, "a")).toDF("id", "msg"), 1) // skips both reservations
+    val seqs = ch.read().select(Channel.SeqCol).as[Long].collect().toSeq
+    assert(seqs == Seq(r2 + 1))
+  }
+
   test("binPack groups small files and isolates oversized ones") {
     def f(n: String, len: Long) = FileSlice(n, len)
     val parts = ChannelScan.binPack(
