@@ -218,6 +218,44 @@ object Streamish {
       s.table(sink).orderBy(col("day"), col("event_type"))
     },
 
+    // ---- The DSv2 channel connector's STREAMING path inside the
+    // correctness gate: an events slice is published into a fresh topic,
+    // then a live seq-offset subscription (readStreamV2 →
+    // format("graft-channel") micro-batch stream) aggregates it into a
+    // memory sink. The oracle aggregates the events table directly — any
+    // loss, duplication, or offset error in the connector's
+    // reservation/commit protocol breaks the hash.
+    Q("q_stream_channel",
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+        |  COUNT(*) AS n
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY day, event_type ORDER BY day, event_type""".stripMargin) { (s, d) =>
+      Tables.ensureConf(s)
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_chan")
+      val sink = s"graft_stream_chan_${streamRun.incrementAndGet()}"
+      try {
+        val reg = new graft.channel.ChannelRegistry(s, root)
+        val slice = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_id"), col("ts"), col("event_type"))
+        val ch = reg.create("evstream", slice.schema)
+        ch.write(slice, writerId = 1)
+        val agg = ch.readStreamV2()
+          .groupBy(Tables.tsDay("ts").as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val q = sizedStart(s, 8)(agg.writeStream.outputMode("complete")
+          .format("memory").queryName(sink).start())
+        try q.processAllAvailable() finally q.stop()
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(root)
+        try walk.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+      s.table(sink).orderBy(col("day"), col("event_type"))
+    },
+
     // ---- Exact interpolated percentiles per group (both engines use the
     // same linear interpolation over the sorted values).
     Q("q_percentiles",
