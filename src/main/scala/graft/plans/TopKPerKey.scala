@@ -6,11 +6,11 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BoundReference, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, GenerateUnsafeProjection, LazilyGeneratedOrdering}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{BlockingOperatorWithCodegen, CodegenSupport, SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Whole-operator top-k-per-key, planned as a custom physical operator —
   * the (c) rung of the custom-operator ladder (custom `LogicalPlan` +
@@ -72,13 +72,62 @@ object TopKStrategy extends SparkStrategy {
   }
 }
 
+/** Per-partition bounded-heap state, shared verbatim by the interpreted
+  * path (`doExecute`'s mapPartitions) and the generated path (whole-stage
+  * codegen calls [[insert]] from the fused child loop and drains
+  * [[result]]). Accepts any `InternalRow` — rows are normalized through
+  * an identity UnsafeProjection unless already unsafe (LocalTableScan /
+  * InputAdapter children emit generic rows). */
+final class TopKPartitionState(grouping: Seq[Expression], order: Seq[SortOrder],
+                               childOutput: Seq[Attribute], limit: Int) {
+  private val keyProj = UnsafeProjection.create(grouping, childOutput)
+  private val toUnsafeProj = UnsafeProjection.create(childOutput, childOutput)
+  // generated row comparator for the SortOrder list; heap keeps its
+  // MAX (= worst kept row) at the head for O(log k) replacement
+  private val cmp = new LazilyGeneratedOrdering(order, childOutput)
+  private val heaps =
+    mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
+
+  private def toUnsafe(row: InternalRow): UnsafeRow = row match {
+    case u: UnsafeRow => u
+    case r => toUnsafeProj(r)
+  }
+
+  def insert(row: InternalRow): Unit = {
+    val key = keyProj(row)
+    val heap = heaps.get(key) match {
+      case Some(h) => h
+      case None =>
+        val h = mutable.PriorityQueue.empty[UnsafeRow](
+          cmp.asInstanceOf[Ordering[UnsafeRow]])
+        heaps.put(key.copy(), h)
+        h
+    }
+    if (heap.size < limit) {
+      heap += toUnsafe(row).copy()
+    } else if (cmp.compare(row, heap.head) < 0) {
+      heap.dequeue()
+      heap += toUnsafe(row).copy()
+    }
+  }
+
+  def result(): Iterator[UnsafeRow] = heaps.valuesIterator.flatMap(_.iterator)
+}
+
 /** Bounded-heap top-k per key within each partition. `partial = true`
   * runs before the exchange (no distribution requirement, prunes the
   * shuffle); `partial = false` requires rows clustered by the key and
-  * emits the exact per-key result. */
+  * emits the exact per-key result.
+  *
+  * Participates in WHOLE-STAGE CODEGEN as a blocking operator (the
+  * SortExec pattern): the child's generated loop calls
+  * `TopKPartitionState.insert` directly — no iterator boundary on the
+  * input side — and the drain loop above feeds the parent's generated
+  * code. The partial phase therefore fuses with the scan/project below
+  * it, the final phase with whatever consumes it. */
 case class TopKPerKeyExec(grouping: Seq[Expression], order: Seq[SortOrder],
                           k: Int, child: SparkPlan, partial: Boolean)
-    extends UnaryExecNode {
+    extends UnaryExecNode with BlockingOperatorWithCodegen {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning = child.outputPartitioning
 
@@ -92,45 +141,90 @@ case class TopKPerKeyExec(grouping: Seq[Expression], order: Seq[SortOrder],
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(grouping) :: Nil
 
+  /** Executor-side factory (the exec ships as a codegen reference
+    * object; projections/orderings are built lazily per partition). */
+  def newPartitionState(): TopKPartitionState =
+    new TopKPartitionState(grouping, order, child.output, k)
+
+  // heap rows are per-row copies already — parents may buffer them safely
+  override def needCopyResult: Boolean = false
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    child.asInstanceOf[CodegenSupport].inputRDDs()
+
+  private var stateTerm: String = _
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val needToProcess = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN,
+      "topkNeedsProcess", v => s"$v = true;")
+    val thisPlan = ctx.addReferenceObj("topkPlan", this)
+    stateTerm = ctx.addMutableState(classOf[TopKPartitionState].getName, "topkState")
+    val iterTerm = ctx.addMutableState("scala.collection.Iterator", "topkOut")
+    val fillFunc = ctx.freshName("insertTopKRows")
+    val rowTerm = ctx.freshName("topkRow")
+    val numOutput = metricTerm(ctx, "numOutputRows")
+    // the child's produce loop lands in its own function whose doConsume
+    // (below) pushes every row into the heap state — the blocking half
+    val fill = ctx.addNewFunction(fillFunc,
+      s"""
+         |private void $fillFunc() throws java.io.IOException {
+         |  ${child.asInstanceOf[CodegenSupport].produce(ctx, this)}
+         |}
+       """.stripMargin.trim)
+    s"""
+       |if ($needToProcess) {
+       |  $stateTerm = $thisPlan.newPartitionState();
+       |  $fill();
+       |  $iterTerm = $stateTerm.result();
+       |  $needToProcess = false;
+       |}
+       |while ($limitNotReachedCond $iterTerm.hasNext()) {
+       |  org.apache.spark.sql.catalyst.expressions.UnsafeRow $rowTerm =
+       |    (org.apache.spark.sql.catalyst.expressions.UnsafeRow) $iterTerm.next();
+       |  $numOutput.add(1);
+       |  ${consume(ctx, null, rowTerm)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
+
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode],
+                         row: ExprCode): String =
+    if (row != null) {
+      // the row ExprCode's CODE populates the row (an UnsafeRowWriter
+      // projection when the child produced exploded columns) — it MUST be
+      // emitted before row.value is touched, or insert() sees an
+      // unwritten buffer (garbage lengths → segfault in downstream
+      // hashing). insert() normalizes generic rows, so cast to
+      // InternalRow, not UnsafeRow.
+      s"""
+         |${row.code}
+         |$stateTerm.insert((org.apache.spark.sql.catalyst.InternalRow) ${row.value});
+       """.stripMargin
+    } else {
+      // children that hand exploded columns with no prepared row: pack
+      // them with a generated projection, then insert
+      val colExprs = child.output.zipWithIndex.map { case (attr, i) =>
+        BoundReference(i, attr.dataType, attr.nullable)
+      }
+      ctx.currentVars = input
+      val code = GenerateUnsafeProjection.createCode(ctx, colExprs)
+      s"""
+         |${code.code}
+         |$stateTerm.insert(${code.value});
+       """.stripMargin
+    }
+
   override protected def doExecute(): RDD[InternalRow] = {
-    val childOutput = child.output
-    val groupingExprs = grouping
-    val sortOrder = order
-    val limit = k
     val numOutput = longMetric("numOutputRows")
+    // locals, not `this`: the task closure ships expressions + schema
+    // only, never the child plan (the codegen path necessarily references
+    // the plan object — that is Spark's own pattern for blocking ops)
+    val (g, o, out, limit) = (grouping, order, child.output, k)
     child.execute().mapPartitions { it =>
-      val keyProj = UnsafeProjection.create(groupingExprs, childOutput)
-      // doExecute's contract does not guarantee UnsafeRow (LocalTableScan /
-      // RDD-backed children emit generic rows) — normalize through an
-      // identity UnsafeProjection before copying into the heap; already-
-      // unsafe rows (the common case) skip the extra projection copy
-      val toUnsafeProj = UnsafeProjection.create(childOutput, childOutput)
-      def toUnsafe(row: InternalRow): UnsafeRow = row match {
-        case u: UnsafeRow => u
-        case r => toUnsafeProj(r)
-      }
-      // generated row comparator for the SortOrder list; heap keeps its
-      // MAX (= worst kept row) at the head for O(log k) replacement
-      val cmp = new LazilyGeneratedOrdering(sortOrder, childOutput)
-      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
-      it.foreach { row =>
-        val key = keyProj(row)
-        val heap = heaps.get(key) match {
-          case Some(h) => h
-          case None =>
-            val h = mutable.PriorityQueue.empty[UnsafeRow](
-              cmp.asInstanceOf[Ordering[UnsafeRow]])
-            heaps.put(key.copy(), h)
-            h
-        }
-        if (heap.size < limit) {
-          heap += toUnsafe(row).copy()
-        } else if (cmp.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap += toUnsafe(row).copy()
-        }
-      }
-      heaps.valuesIterator.flatMap(_.iterator).map { r => numOutput += 1; r }
+      val state = new TopKPartitionState(g, o, out, limit)
+      it.foreach(state.insert)
+      state.result().map { r => numOutput += 1; r }
     }
   }
 

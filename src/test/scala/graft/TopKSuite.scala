@@ -39,4 +39,15 @@ class TopKSuite extends SparkSpec {
     // and no sort anywhere — the whole point vs the window formulation
     assert(!plan.contains("Sort "), s"top-k must not sort:\n$plan")
   }
+
+  test("participates in whole-stage codegen (blocking-operator pattern)") {
+    val df = (1 to 100).map(i => (i % 3, i)).toDF("g", "v").repartition(4)
+    val out = TopKPerKey(df, Seq("g"), Seq(col("v").asc), 2)
+    assert(out.collect().length == 6)
+    // after execution, fused stages print as *(n); both phases must be
+    // inside a WholeStageCodegen span, not running as iterator fallbacks
+    val plan = out.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) TopKPerKey".r.findAllIn(plan).size >= 2,
+      s"TopKPerKey not fused into whole-stage codegen:\n$plan")
+  }
 }
