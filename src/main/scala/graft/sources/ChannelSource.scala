@@ -168,7 +168,8 @@ final class ChannelScan(spark: SparkSession, dataSchema: StructType,
       val files = Channel.listBatches(dir).flatMap(ChannelSource.dataFiles)
         .map(p => FileSlice(p.toString, Files.size(p)))
       ChannelScan.binPack(files,
-        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").toLong)
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")))
     }
     override def createReaderFactory(): PartitionReaderFactory = factory()
   }
@@ -273,15 +274,22 @@ final class ChannelMicroBatchStream(dir: Path, factory: PartitionReaderFactory,
     dirs.takeWhile { case (_, ds) => ds.forall(committed) }
       .foreach { case (seq, _) => end = seq + 1 }
     // a reservation whose seq has no fully committed batch dir yet is an
-    // in-flight (or crashed) write: hold the cursor at it. (Marker +
-    // committed dir overlap only transiently between job commit and
-    // marker release — that state does not block.)
-    val dirMap = dirs.toMap
-    Channel.resSeqs(dir)
-      .filterNot(s => dirMap.get(s).exists(_.forall(committed)))
-      .minOption
-      .map(math.min(end, _))
-      .getOrElse(end)
+    // in-flight (or crashed) write: hold the cursor at it — a STRONG
+    // reader guarantee. Weak readers are lossy by contract (they already
+    // skip evicted seqs), so a stalled writer must not park them: they
+    // sail past and the straggler's rows count as the data loss weak
+    // subscribers signed up for. (Marker + committed dir overlap only
+    // transiently between job commit and marker release — that state
+    // does not block.)
+    if (weak) end
+    else {
+      val dirMap = dirs.toMap
+      Channel.resSeqs(dir)
+        .filterNot(s => dirMap.get(s).exists(_.forall(committed)))
+        .minOption
+        .map(math.min(end, _))
+        .getOrElse(end)
+    }
   }
 
   override def initialOffset(): Offset =

@@ -173,6 +173,12 @@ class Dsv2ChannelSuite extends SparkSpec {
     val next = Channel.reserveSeq(ch.dir)
     ch.write(Seq((2, "b")).toDF("id", "msg"), 2) // lands BEYOND the reservation
 
+    // weak readers are lossy by contract: a stalled writer must not park
+    // them — they read everything committed and sail past the reservation
+    val weakName = runToSink(ch.readStreamV2(weak = true).select("id"))
+    assert(spark.table(weakName).as[Int].collect().sorted.toSeq == Seq(1, 2),
+      "weak reader was parked by a pending reservation")
+
     sinkN += 1
     val name = s"dsv2_sink_$sinkN"
     val q = ch.readStreamV2().select("id").writeStream
