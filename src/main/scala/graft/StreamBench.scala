@@ -32,12 +32,18 @@ object StreamBench {
     val ch = registry.create("events", events.schema,
       capacityBytes = 4L * 1024 * 1024 * 1024)
 
-    // ingest leg: 8 writer batches (the many-writer shape)
+    // ingest leg: 8 CONCURRENT writers (the many-writer shape, for real —
+    // each thread races the atomic seq reservation like independent
+    // processes would; local[n] schedules their jobs in parallel)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val t0 = System.nanoTime()
-    (0 until 8).foreach { w =>
-      ch.write(events.filter(col("event_id") % 8 === w), writerId = w)
-    }
+    Await.result(Future.sequence((0 until 8).map { w =>
+      Future(ch.write(events.filter(col("event_id") % 8 === w), writerId = w))
+    }), Duration.Inf)
     val ingestSec = (System.nanoTime() - t0) / 1e9
+    require(ch.read().count() == n, "concurrent ingest lost or duplicated rows")
 
     // query leg: strong subscription → day window → counts by type.
     // State partitions sized to the aggregate's key count (150 windows):
