@@ -206,6 +206,22 @@ final class Channel private[channel] (
     spark.read.format("graft-channel").load(dir.toString)
   }
 
+  /** Current exclusive end cursor — pass as `endSeq` to [[readSnapshot]]
+    * to pin everything written so far. */
+  def cursor(): Long = Channel.nextSeq(dir)
+
+  /** Immutable snapshot read of seq range `[startSeq, endSeq)` via the
+    * DSv2 connector: re-reads see the identical dataset regardless of
+    * later appends (the reproducible-dataset pin a training run records).
+    * Fails if the range reaches into compacted history — re-pin after
+    * maintenance. */
+  def readSnapshot(endSeq: Long, startSeq: Long = 0L): DataFrame = {
+    if (isTerminated) throw ChannelClosed(name, "terminated")
+    spark.read.format("graft-channel")
+      .option("startSeq", startSeq).option("endSeq", endSeq)
+      .load(dir.toString)
+  }
+
   /** DSv2 streaming subscription with seq-based offsets
     * ([[graft.sources.ChannelSource]] — latest-start weak readers,
     * maxBatchesPerTrigger admission control, data-loss detection).

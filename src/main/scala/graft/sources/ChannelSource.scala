@@ -165,7 +165,36 @@ final class ChannelScan(spark: SparkSession, dataSchema: StructType,
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
-      val files = Channel.listBatches(dir).flatMap(ChannelSource.dataFiles)
+      // Snapshot reads: [startSeq, endSeq) pins an immutable slice of the
+      // topic by cursor — a training run records endSeq once and every
+      // re-read sees the identical dataset regardless of later appends.
+      // Batch dirs are single-seq, so planning-level pruning is EXACT.
+      // Compaction rewrites batches into a multi-seq compact_* dir, which
+      // can no longer be pruned exactly at planning — a pin that reaches
+      // into compacted history fails loudly (re-pin after maintenance)
+      // instead of silently over- or under-reading, mirroring the
+      // streaming contract that compaction invalidates subscriptions'
+      // view of history.
+      val startSeq = Option(options.get("startSeq")).map(_.toLong)
+      val endSeq = Option(options.get("endSeq")).map(_.toLong)
+      val snapshot = startSeq.isDefined || endSeq.isDefined
+      val all = Channel.listBatches(dir)
+      val batches = if (!snapshot) all else {
+        val compacted = all.filter(_.getFileName.toString.startsWith("compact_"))
+          .map(Channel.batchSeq).maxOption
+        compacted.filter(c => startSeq.getOrElse(0L) < c).foreach { c =>
+          throw new IllegalStateException(
+            s"snapshot [${startSeq.getOrElse(0L)}, ${endSeq.fold("∞")(_.toString)}) " +
+              s"reaches into compacted history (compact seq $c) on '$dir'; " +
+              "re-pin the snapshot from the current visible end")
+        }
+        all.filter { p =>
+          val s = Channel.batchSeq(p)
+          !p.getFileName.toString.startsWith("compact_") &&
+            startSeq.forall(s >= _) && endSeq.forall(s < _)
+        }
+      }
+      val files = batches.flatMap(ChannelSource.dataFiles)
         .map(p => FileSlice(p.toString, Files.size(p)))
       ChannelScan.binPack(files,
         org.apache.spark.network.util.JavaUtils.byteStringAsBytes(

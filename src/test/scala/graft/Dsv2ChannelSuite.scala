@@ -212,6 +212,28 @@ class Dsv2ChannelSuite extends SparkSpec {
     assert(seqs == Seq(r2 + 1))
   }
 
+  test("snapshot reads pin a seq range; compaction invalidates old pins") {
+    val reg = new ChannelRegistry(spark, tmpDir("dsv2"))
+    val ch = reg.create("s8", schema)
+    (1 to 3).foreach(i => ch.write(Seq((i, s"m$i")).toDF("id", "msg"), 1))
+    val pin = ch.cursor()
+    ch.write(Seq((4, "late")).toDF("id", "msg"), 1)
+    // the pinned snapshot is immune to the later append…
+    assert(ch.readSnapshot(endSeq = pin).select("id").as[Int].collect().sorted.toSeq
+      == Seq(1, 2, 3))
+    // …and sub-ranges slice by cursor
+    assert(ch.readSnapshot(endSeq = pin, startSeq = 1).select("id").as[Int]
+      .collect().sorted.toSeq == Seq(2, 3))
+    // compaction absorbs history: a stale pin must fail loudly, not
+    // silently over/under-read
+    ch.compact()
+    intercept[IllegalStateException] {
+      ch.readSnapshot(endSeq = pin).collect()
+    }
+    // unpinned reads still see everything
+    assert(ch.readV2().select("id").as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
+  }
+
   test("binPack groups small files and isolates oversized ones") {
     def f(n: String, len: Long) = FileSlice(n, len)
     val parts = ChannelScan.binPack(
