@@ -23,17 +23,31 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
 
+    // Queries cache() intermediate relations for their own multi-pass
+    // plans; CacheManager matches by canonicalized plan, so WITHOUT a
+    // sweep those entries pile up across 84 queries × 3 runs (warmup +
+    // best-of-2), evicting under memory pressure and GC-taxing every
+    // later query — r4's phantom q_decontaminate "regression" was exactly
+    // this cross-query residue. Sweep after every run: each timing then
+    // measures the query INCLUDING its own cache build, from a clean
+    // block manager.
+    def sweep(): Unit = spark.sharedState.cacheManager.clearCache()
+
     // warmup at the smallest sf (JIT + parquet footer caches)
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
+      finally sweep()
     }
 
     def time(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      sweep() // outside the timed window — blocks drop is bookkeeping
+      if (ok) dt else -1.0
     }
 
     val results = names.map { name =>

@@ -134,7 +134,11 @@ final class Channel private[channel] (
       // reservation would park every stream on a routine failure.
       case t: Throwable => markAborted(dir, batch); throw t
     }
-    enforceCapacity(justWritten = Some(target))
+    // Publish the new committed head even when capacity enforcement
+    // un-publishes this very batch (the abort tombstone still unblocks
+    // the cursor) — O(1) offset planning for every subscriber.
+    try enforceCapacity(justWritten = Some(target))
+    finally advanceHead(dir)
   }
 
   private def enforceCapacity(justWritten: Option[Path] = None): Unit = synchronized {
@@ -297,6 +301,10 @@ final class Channel private[channel] (
           n.startsWith(ResPrefix) || n.startsWith(AbortPrefix)
       }
       .foreach(Channel.deleteRecursively)
+    // the compact dir consumed seq N without a batch_* dir: republish the
+    // cursor past it (subscribers treat a compact-covered seq as a benign
+    // hole, not loss)
+    Channel.advanceHead(dir)
   }
 
   /** Channel health/metrics row (ops surface; droppedBytes is the
@@ -326,6 +334,66 @@ object Channel {
   private val EpochsFile = "_EPOCHS"
   private val EpochMarker = """w\d+_e\d+$""".r
   private[graft] val ResPrefix = "_res_"
+  private[graft] val HeadFile = "_HEAD"
+
+  /** Committed head cursor `(strictEnd, weakEnd)` from a full directory
+    * listing: `weakEnd` = one past the last seq of the fully committed
+    * `batch_*` prefix (every dir at a seq has `_SUCCESS`; gaps — evicted
+    * or aborted seqs — do not hold it back); `strictEnd` additionally
+    * parks at the lowest still-pending `_res_` reservation (an in-flight
+    * or crashed write whose batch dir may not exist yet). This is the
+    * ONE O(#dirs) computation of streaming offset planning; it runs on
+    * the WRITE path (see [[advanceHead]]) so triggers read the published
+    * cursor in O(1) instead of re-listing a possibly million-dir topic. */
+  private[graft] def committedEnds(dir: Path): (Long, Long) = {
+    val dirs = listDir(dir)
+      .filter(_.getFileName.toString.startsWith("batch_"))
+      .groupBy(batchSeq).toSeq.sortBy(_._1)
+    def committed(p: Path) = Files.exists(p.resolve("_SUCCESS"))
+    var end = dirs.headOption.map(_._1).getOrElse(nextSeq(dir))
+    dirs.takeWhile { case (_, ds) => ds.forall(committed) }
+      .foreach { case (seq, _) => end = seq + 1 }
+    val dirMap = dirs.toMap
+    val strict = resSeqs(dir)
+      .filterNot(s => dirMap.get(s).exists(_.forall(committed)))
+      .minOption.map(math.min(end, _)).getOrElse(end)
+    (strict, end)
+  }
+
+  /** Read the published head cursor, if any. `None` (no file, or torn
+    * foreign content) sends the reader down the full-listing recovery
+    * path. */
+  private[graft] def readHead(dir: Path): Option[(Long, Long)] = {
+    val f = dir.resolve(HeadFile)
+    if (!Files.exists(f)) None
+    else try {
+      val Array(s, w) = Files.readString(f).trim.split(" ")
+      Some((s.toLong, w.toLong))
+    } catch { case _: Exception => None }
+  }
+
+  /** Publish the committed head cursor (atomic tmp+rename, monotone
+    * per component — a racing stale writer can never regress it). Called
+    * after every commit/abort/compact: the amortized cost rides the write
+    * path, which already walks the directory for capacity accounting,
+    * leaving offset planning O(1) per trigger. A writer that crashes
+    * between its commit and this publish leaves the cursor lagging (never
+    * wrong — any historical cursor stays a valid committed prefix: new
+    * reservations always land at ≥ the published end and evictions only
+    * create gaps below it); the next write or compact() heals the lag. */
+  private[graft] def advanceHead(dir: Path): Unit = {
+    val (strict, weakEnd) = committedEnds(dir)
+    val cur = readHead(dir)
+    val (ns, nw) = (math.max(strict, cur.fold(0L)(_._1)),
+      math.max(weakEnd, cur.fold(0L)(_._2)))
+    if (cur.forall { case (s, w) => ns > s || nw > w }) {
+      val tmp = Files.createTempFile(dir, "_head", ".tmp")
+      Files.writeString(tmp, s"$ns $nw")
+      Files.move(tmp, dir.resolve(HeadFile),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
 
   /** Sequence numbers currently reserved by in-flight (or crashed)
     * writers. Underscore prefix keeps markers invisible to parquet scans
@@ -362,10 +430,21 @@ object Channel {
       .map(p => p.getFileName.toString.drop(AbortPrefix.length).toLong)
       .sorted
 
+  /** Seqs consumed by `compact_*` dirs: each compaction claims a seq that
+    * never holds a `batch_*` dir, so subscriptions must read it as a
+    * benign hole (the compacted CONTENT was already delivered as the
+    * original batches), not as data loss. */
+  private[graft] def compactSeqs(dir: Path): Set[Long] =
+    listDir(dir).filter(_.getFileName.toString.startsWith("compact_"))
+      .map(batchSeq).toSet
+
   private[graft] def markAborted(dir: Path, s: Long): Unit = {
     try Files.createDirectory(dir.resolve(f"$AbortPrefix$s%012d"))
     catch { case _: java.nio.file.FileAlreadyExistsException => () }
     Files.deleteIfExists(dir.resolve(f"$ResPrefix$s%012d"))
+    // an aborted seq is a benign hole: unblock the published cursor so
+    // parked strong readers resume without waiting for the next write
+    advanceHead(dir)
   }
 
   /** Epoch markers recorded by compactions still live in `batches`
@@ -404,9 +483,14 @@ object Channel {
     * lower-seq entries: if a crash interrupted compact() between the move
     * and the source deletes, the leftovers are filtered here (and swept
     * lazily) rather than double-read. */
+  /** Directory-scan counter (observability + the O(1)-offset-planning
+    * regression test's probe: an idle stream trigger must not list). */
+  private[graft] val listDirCalls = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Files.list with the stream CLOSED (only the iterator is consumed
     * otherwise, leaking a directory handle per call until GC). */
   private[graft] def listDir(dir: Path): Seq[Path] = {
+    listDirCalls.incrementAndGet()
     val s = Files.list(dir)
     try s.iterator().asScala.toSeq finally s.close()
   }

@@ -1,0 +1,285 @@
+package graft.functions
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import graft.channel.SchemaRegistry
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Length/offset-based binary struct codec — the engine's Flatbuffers-
+  * parity wire format for typed channel payloads (reference policy:
+  * Flatbuffers on public wires, no JSON for runtime wires —
+  * /root/reference/AGENTS.md; `FlatMsg::encode/decode` at
+  * system/userland/src/encoding.rs:29-62). Original layout, not a
+  * Flatbuffers implementation: what is carried over is the CONTRACT —
+  * fixed-offset scalar access, offset/length slots for variable-width
+  * fields, and a 16-byte content-addressed schema hash travelling with
+  * every frame (`SchemaDescriptor`, encoding.rs:55-62; hash derivation
+  * macros/src/schema.rs:44-50 — ours is [[SchemaRegistry.hash]], SHA-256/16
+  * over the canonical schema JSON).
+  *
+  * Wire layout (little-endian):
+  * {{{
+  *   [0]        magic 0x47 'G'
+  *   [1]        version 0x01
+  *   [2..17]    schema hash (16 bytes)
+  *   [18..]     null bitmap, ceil(nFields/8) bytes (bit i ⇒ field i null)
+  *   fixed section: one slot per field in schema order —
+  *     bool/i8 1B, i16 2B, i32/f32/date 4B, i64/f64/timestamp 8B,
+  *     string/binary/array<fixed-scalar>: u32 offset + u32 length
+  *     (offset from frame start; length in bytes for string/binary,
+  *     in ELEMENTS for arrays)
+  *   variable tail: string/binary bytes and packed array elements
+  * }}}
+  *
+  * Supported field types mirror the reference's `#[schema]` type system
+  * (scalars, String, Vec<u8>, Vec<scalar> — schema.rs:536-553,399-461);
+  * nested tables are out of the v1 format (flatten at the query layer).
+  *
+  * Decode is PERMISSIVE by default: malformed frames and schema-hash
+  * mismatches yield null structs, which pipelines strip with `filterMap`
+  * (T3's `filter_map(|res| res.ok())` semantics). `strict = true` turns a
+  * hash mismatch into the reference's attach-time refusal
+  * ([[SchemaRegistry.SchemaMismatch]]).
+  */
+object BinaryCodec {
+  val Magic: Byte = 0x47
+  val Version: Byte = 1
+
+  private[functions] def fixedWidth(dt: DataType): Option[Int] = dt match {
+    case BooleanType | ByteType => Some(1)
+    case ShortType => Some(2)
+    case IntegerType | FloatType | DateType => Some(4)
+    case LongType | DoubleType | TimestampType | TimestampNTZType => Some(8)
+    case _ => None
+  }
+
+  private[functions] def supported(dt: DataType): Boolean = dt match {
+    case StringType | BinaryType => true
+    case ArrayType(el, _) => fixedWidth(el).isDefined
+    case other => fixedWidth(other).isDefined
+  }
+
+  private[functions] def slotWidth(dt: DataType): Int = fixedWidth(dt).getOrElse(8)
+
+  private[functions] def hashBytes(schema: StructType): Array[Byte] =
+    SchemaRegistry.hash(schema).grouped(2)
+      .map(h => Integer.parseInt(h, 16).toByte).toArray // hex pairs
+
+  private def writeFixed(bb: ByteBuffer, dt: DataType, row: InternalRow, i: Int): Unit =
+    dt match {
+      case BooleanType => bb.put(if (row.getBoolean(i)) 1.toByte else 0.toByte)
+      case ByteType => bb.put(row.getByte(i))
+      case ShortType => bb.putShort(row.getShort(i))
+      case IntegerType | DateType => bb.putInt(row.getInt(i))
+      case FloatType => bb.putFloat(row.getFloat(i))
+      case LongType | TimestampType | TimestampNTZType => bb.putLong(row.getLong(i))
+      case DoubleType => bb.putDouble(row.getDouble(i))
+      case other => throw new IllegalStateException(s"not fixed: $other")
+    }
+
+  private def writeElem(bb: ByteBuffer, at: Int, el: DataType, a: ArrayData, j: Int): Unit =
+    el match {
+      case BooleanType => bb.put(at, if (a.getBoolean(j)) 1.toByte else 0.toByte)
+      case ByteType => bb.put(at, a.getByte(j))
+      case ShortType => bb.putShort(at, a.getShort(j))
+      case IntegerType | DateType => bb.putInt(at, a.getInt(j))
+      case FloatType => bb.putFloat(at, a.getFloat(j))
+      case LongType | TimestampType | TimestampNTZType => bb.putLong(at, a.getLong(j))
+      case DoubleType => bb.putDouble(at, a.getDouble(j))
+      case other => throw new IllegalStateException(s"not fixed: $other")
+    }
+
+  private def readFixed(bb: ByteBuffer, at: Int, dt: DataType): Any = dt match {
+    case BooleanType => bb.get(at) != 0
+    case ByteType => bb.get(at)
+    case ShortType => bb.getShort(at)
+    case IntegerType | DateType => bb.getInt(at)
+    case FloatType => bb.getFloat(at)
+    case LongType | TimestampType | TimestampNTZType => bb.getLong(at)
+    case DoubleType => bb.getDouble(at)
+    case other => throw new IllegalStateException(s"not fixed: $other")
+  }
+
+  /** Encode a row of `schema` into one frame. */
+  private[functions] def encodeRow(schema: StructType, hash: Array[Byte],
+                                   row: InternalRow): Array[Byte] = {
+    val n = schema.length
+    val bitmapLen = (n + 7) / 8
+    val fixedBase = 18 + bitmapLen
+    val fixedLen = schema.fields.map(f => slotWidth(f.dataType)).sum
+    // size the variable tail
+    var varLen = 0
+    var i = 0
+    while (i < n) {
+      if (!row.isNullAt(i)) schema.fields(i).dataType match {
+        case StringType => varLen += row.getUTF8String(i).numBytes()
+        case BinaryType => varLen += row.getBinary(i).length
+        case ArrayType(el, _) =>
+          varLen += row.getArray(i).numElements() * fixedWidth(el).get
+        case _ => ()
+      }
+      i += 1
+    }
+    val out = new Array[Byte](fixedBase + fixedLen + varLen)
+    val bb = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(Magic).put(Version).put(hash, 0, 16)
+    // null bitmap
+    i = 0
+    while (i < n) {
+      if (row.isNullAt(i)) out(18 + (i >> 3)) = (out(18 + (i >> 3)) | (1 << (i & 7))).toByte
+      i += 1
+    }
+    bb.position(fixedBase)
+    var varAt = fixedBase + fixedLen
+    i = 0
+    while (i < n) {
+      val dt = schema.fields(i).dataType
+      if (row.isNullAt(i)) {
+        bb.position(bb.position() + slotWidth(dt)) // zeroed slot
+      } else dt match {
+        case StringType =>
+          val b = row.getUTF8String(i).getBytes
+          bb.putInt(varAt).putInt(b.length)
+          System.arraycopy(b, 0, out, varAt, b.length); varAt += b.length
+        case BinaryType =>
+          val b = row.getBinary(i)
+          bb.putInt(varAt).putInt(b.length)
+          System.arraycopy(b, 0, out, varAt, b.length); varAt += b.length
+        case ArrayType(el, _) =>
+          val a = row.getArray(i)
+          val m = a.numElements()
+          val w = fixedWidth(el).get
+          bb.putInt(varAt).putInt(m)
+          var j = 0
+          while (j < m) { writeElem(bb, varAt + j * w, el, a, j); j += 1 }
+          varAt += m * w
+        case other => writeFixed(bb, other, row, i)
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Decode one frame against `schema`; None when the frame is malformed
+    * or carries a different schema hash. */
+  private[functions] def decodeRow(schema: StructType, hash: Array[Byte],
+                                   bytes: Array[Byte]): Option[InternalRow] = {
+    val n = schema.length
+    val bitmapLen = (n + 7) / 8
+    val fixedBase = 18 + bitmapLen
+    val fixedLen = schema.fields.map(f => slotWidth(f.dataType)).sum
+    if (bytes.length < fixedBase + fixedLen) return None
+    if (bytes(0) != Magic || bytes(1) != Version) return None
+    var h = 0
+    while (h < 16) { if (bytes(2 + h) != hash(h)) return None; h += 1 }
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val vals = new Array[Any](n)
+    var at = fixedBase
+    var i = 0
+    try {
+      while (i < n) {
+        val dt = schema.fields(i).dataType
+        val isNull = (bytes(18 + (i >> 3)) & (1 << (i & 7))) != 0
+        if (!isNull) dt match {
+          case StringType =>
+            val (o, l) = (bb.getInt(at), bb.getInt(at + 4))
+            if (o < 0 || l < 0 || o + l > bytes.length) return None
+            vals(i) = UTF8String.fromBytes(bytes, o, l)
+          case BinaryType =>
+            val (o, l) = (bb.getInt(at), bb.getInt(at + 4))
+            if (o < 0 || l < 0 || o + l > bytes.length) return None
+            val b = new Array[Byte](l)
+            System.arraycopy(bytes, o, b, 0, l)
+            vals(i) = b
+          case ArrayType(el, _) =>
+            val (o, m) = (bb.getInt(at), bb.getInt(at + 4))
+            val w = fixedWidth(el).get
+            if (o < 0 || m < 0 || o + m.toLong * w > bytes.length) return None
+            val arr = new Array[Any](m)
+            var j = 0
+            while (j < m) { arr(j) = readFixed(bb, o + j * w, el); j += 1 }
+            vals(i) = new GenericArrayData(arr)
+          case other => vals(i) = readFixed(bb, at, other)
+        }
+        at += slotWidth(dt)
+        i += 1
+      }
+      Some(new GenericInternalRow(vals))
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+}
+
+/** `struct → binary`: one frame per row, schema hash stamped in the
+  * header. Evaluated once per row at a pipeline boundary —
+  * CodegenFallback interpretation overhead is immaterial next to the
+  * byte copying itself. */
+case class StructEncode(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "struct_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case s: StructType if s.fields.forall(f => BinaryCodec.supported(f.dataType)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case s: StructType => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: unsupported field type in ${s.simpleString} " +
+        "(v1 wire format: fixed scalars, string, binary, array<fixed scalar>)")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects struct, got ${other.simpleString}")
+  }
+
+  @transient private lazy val schema = child.dataType.asInstanceOf[StructType]
+  @transient private lazy val hash = BinaryCodec.hashBytes(schema)
+
+  override protected def nullSafeEval(input: Any): Any =
+    BinaryCodec.encodeRow(schema, hash, input.asInstanceOf[InternalRow])
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `binary → struct` against a declared schema. The frame's embedded hash
+  * must equal the declared schema's hash: mismatch ⇒ null struct
+  * (permissive pipelines filterMap it away) or, with `strict = true`, the
+  * attach-refusal error the reference raises on schema disagreement. */
+case class StructDecode(child: Expression, schema: StructType, strict: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    StructType(schema.fields.map(_.copy(nullable = true)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "struct_decode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType if schema.fields.forall(f => BinaryCodec.supported(f.dataType)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case BinaryType => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: unsupported field type in ${schema.simpleString}")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary, got ${other.simpleString}")
+  }
+
+  @transient private lazy val hash = BinaryCodec.hashBytes(schema)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    BinaryCodec.decodeRow(schema, hash, bytes) match {
+      case Some(row) => row
+      case None if strict =>
+        val got =
+          if (bytes.length >= 18 && bytes(0) == BinaryCodec.Magic)
+            bytes.slice(2, 18).map(b => f"$b%02x").mkString
+          else "<malformed frame>"
+        throw SchemaRegistry.SchemaMismatch("<frame>", SchemaRegistry.hash(schema), got)
+      case None => null
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -17,10 +17,29 @@ import org.apache.spark.sql.types.StructType
   */
 object Codec {
 
-  /** Encode columns into a single binary payload. */
+  /** Encode columns into a single binary payload (JSON diagnostic form). */
   def encode(cols: Column*): Column = to_json(struct(cols: _*)).cast("binary")
 
   /** Decode a binary payload into a typed struct column (null on failure). */
   def decode(payload: Column, schema: StructType): Column =
     from_json(payload.cast("string"), schema)
+
+  /** Encode columns into one binary frame of the length/offset wire format
+    * ([[BinaryCodec]]) — the runtime-wire codec (Flatbuffers-parity
+    * policy); the JSON form above stays as the diagnostic codec. Field
+    * names/types are taken from the column aliases, and the frame carries
+    * the 16-byte schema hash. */
+  def encodeBinary(cols: Column*): Column = {
+    import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+    toColumn(StructEncode(toExpression(struct(cols: _*))))
+  }
+
+  /** Decode a wire-format frame into a typed struct column. The frame's
+    * embedded schema hash must match `schema`: null on mismatch or
+    * malformed frame (permissive, T3 filter_map semantics), or an
+    * attach-refusal error with `strict = true`. */
+  def decodeBinary(payload: Column, schema: StructType, strict: Boolean = false): Column = {
+    import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+    toColumn(StructDecode(toExpression(payload), schema, strict))
+  }
 }

@@ -29,8 +29,9 @@ object MinHash {
 
   /** LSH banding: explode each signature into (band, bandKey) rows.
     * Docs sharing any band key are candidate pairs. */
-  def bands(sig: DataFrame, idCol: String, numBands: Int = 8): DataFrame = {
-    val rowsPerBand = 32 / numBands
+  def bands(sig: DataFrame, idCol: String, numBands: Int = 8,
+            numHashes: Int = 32): DataFrame = {
+    val rowsPerBand = numHashes / numBands
     val bandKeys = (0 until numBands).map { b =>
       val slice = (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band"), hash(slice: _*).as("band_key"))
@@ -56,7 +57,14 @@ object MinHash {
 
 /** SimHash: 60-bit similarity-preserving fingerprints (bit 60+ avoided so
   * the value stays positive in a signed long). Near-dups have small
-  * Hamming distance. */
+  * Hamming distance.
+  *
+  * The per-token hash is the first 15 hex chars of md5 — 60 bits with an
+  * exact SQL twin on any engine with `md5()`, which is what makes the
+  * whole signature (and therefore the near-pair set) ORACLE-CHECKABLE:
+  * DuckDB recomputes identical signatures bit-for-bit and verifies the
+  * pair listing, instead of trusting the engine's own sketch. md5 is a
+  * codegen'd built-in, so the hot path stays in WholeStageCodegen. */
 object SimHash {
 
   val Bits = 60
@@ -67,7 +75,8 @@ object SimHash {
   def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
+      .withColumn("h",
+        conv(substring(md5(col("t").cast("binary")), 1, Bits / 4), 16, 10).cast("long"))
     val bitCounts = (0 until Bits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(0L)).as(s"c$b")
     }

@@ -18,9 +18,11 @@ object Multimodal {
   /** A media record as it travels through the engine. */
   case class MediaRecord(media_id: Long, payload: Array[Byte], mime: String)
 
-  /** Extracted metadata (what a real decoder would emit). */
+  /** Extracted metadata (what a real decoder would emit). The checksum is
+    * the md5 hex of the payload — a content id with an exact SQL twin, so
+    * the whole decode row is oracle-checkable. */
   case class MediaMeta(media_id: Long, n_bytes: Int, width: Int, height: Int,
-                       n_frames: Int, checksum: Long)
+                       n_frames: Int, checksum: String)
 
   /** Deterministic fake decode, column form (codegen'd arithmetic — stands
     * in for a real `mapPartitions` decoder; see [[decodePartitions]]). */
@@ -36,10 +38,12 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       // per-partition "codec" init happens here (once, not per row)
+      val md = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>
         val n = r.payload.length
         // deterministic fake decode — replace with real codec call
-        val checksum = r.payload.foldLeft(1469598103934665603L)((h, b) => (h ^ b) * 1099511628211L)
+        md.reset()
+        val checksum = md.digest(r.payload).map("%02x".format(_)).mkString
         MediaMeta(r.media_id, n, ((n % 64) + 1) * 16, ((n % 48) + 1) * 16, (n % 30) + 1, checksum)
       }
     }

@@ -32,6 +32,15 @@ object TextFunctions {
     when(size(toks) >= n, make).otherwise(array().cast("array<string>"))
   }
 
+  /** Character n-grams (every substring of length n), for exact
+    * sub-document overlap verification on candidate pairs. Empty array for
+    * texts shorter than n — `sequence(1, negative)` would count DOWN. */
+  def charGrams(text: Column, n: Int): Column = {
+    val idx = sequence(lit(1), length(text) - (n - 1))
+    when(length(text) >= n, transform(idx, i => text.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Ratio of stopword tokens (tiny public stopword list; deterministic). */
   val Stopwords: Seq[String] = Seq("the", "a", "an", "of", "to", "and", "in", "is")
 

@@ -35,6 +35,24 @@ object CodecOps {
         .orderBy(col("event_id"))
     },
 
+    // ---- The same roundtrip through the length/offset BINARY wire codec
+    // (functions.BinaryCodec — the Flatbuffers-parity runtime-wire format
+    // with the 16-byte schema hash stamped per frame). The oracle never
+    // sees the encoded form, so any loss, misalignment, or hash-check
+    // regression in the binary layout breaks the hash match. JSON codec
+    // above stays as the diagnostic form; this is the data-plane one.
+    Q("q_codec_binary",
+      """SELECT event_id, event_type, value, epoch_us(ts) AS ts_us
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(Codec.encodeBinary(col("event_id"), col("event_type"), col("value"), col("ts"))
+          .as("payload"))
+        .select(Codec.decodeBinary(col("payload"), payloadSchema).as("r"))
+        .select(col("r.event_id").as("event_id"), col("r.event_type").as("event_type"),
+          col("r.value").as("value"), expr("r.ts div 1000").as("ts_us"))
+        .orderBy(col("event_id"))
+    },
+
     // ---- Channel roundtrip through the DSv2 connector: an events slice
     // is published into a fresh topic (writer-attributed parquet batches)
     // and read back via format("graft-channel") — the whole

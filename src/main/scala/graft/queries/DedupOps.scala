@@ -13,20 +13,45 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  /** Exact n-gram Jaccard near-dup pairs ≥ 0.8 — the edge set shared by
-    * q_ngram_jaccard (pair listing) and q_dedup_clusters (grouping).
-    * Shape notes live on q_ngram_jaccard below. */
-  private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
-    // cache the distinct shingle set: it feeds the self-join twice plus
-    // the per-doc counts — without this the explode+distinct subtree (a
-    // shuffle each) runs four times
-    // single-row-group test file → the shingle explode would run on one
-    // core; pin a keyed repartition first (no-op at real multi-file scale)
-    val sh = Tables.documents(s, d)
+  /** Distinct (doc_id, shingle) relation, cached — it feeds self-joins
+    * and per-doc counts multiple times per query; without the cache the
+    * explode+distinct subtree (a shuffle each) re-runs per consumer.
+    * Single-row-group test file → the shingle explode would run on one
+    * core; the keyed repartition spreads it (no-op at real multi-file
+    * scale). */
+  private def shingleRel(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
       .select(col("doc_id"), explode(TextFunctions.shingles(col("text"), 3)).as("s"))
       .distinct()
       .cache()
+
+  /** Exact Jaccard over a GIVEN candidate pair set: two equi-joins against
+    * the shingle relation count the shared distinct shingles per pair
+    * (candidates are tiny vs the corpus, so these broadcast), then the
+    * per-doc totals join in. This is the "verify exactly on candidates
+    * only" half of every LSH dedup — generation bounds the pair count,
+    * verification restores exactness. */
+  private def exactJaccard(sh: DataFrame, cands: DataFrame): DataFrame = {
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("s"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("s"))
+    val shared = broadcast(cands).join(a, "doc_a").join(b, Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
+    val jac = col("shared").cast("double") /
+      (col("n_a") + col("n_b") - col("shared"))
+    shared
+      .join(broadcast(counts).withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+      .join(broadcast(counts).withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"),
+        jac.as("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs ≥ 0.8 — the edge set shared by
+    * q_ngram_jaccard (pair listing) and q_dedup_clusters (grouping).
+    * Shape notes live on q_ngram_jaccard below. */
+  private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleRel(s, d)
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // pair generation per shingle GROUP, not a self-join: one shuffle on
     // the shingle key, each group emits its ordered doc pairs in place
@@ -124,66 +149,125 @@ object DedupOps {
         .orderBy(col("doc_id"))
     },
 
-    // ---- MinHash+LSH near-dup pairs (scale path; no SQL oracle — the
-    // driver records a rows-only check). 32 hashes, 8 bands × 4 rows:
-    // collision probability ≈ 1-(1-j⁴)⁸, steep around j≈0.6.
-    Q.noOracle("q_minhash_lsh") { (s, d) =>
+    // ---- MinHash+LSH near-dup join, exact-verified — the 100 TB path for
+    // q_ngram_jaccard: banded signatures generate candidate pairs via an
+    // equi-join on band keys (never a cross join), then the exact Jaccard
+    // runs on candidates only. 64 hashes, 16 bands × 4 rows: collision
+    // probability 1-(1-j⁴)¹⁶ ≈ 1-4e-8 at j=0.9 (every true pair in this
+    // corpus has j ≥ 0.9), so the verified output EQUALS the exact join —
+    // which is exactly what the oracle checks: same SQL as
+    // q_ngram_jaccard, so a recall miss in the banding, a broken
+    // signature, or a wrong verify all hash-mismatch.
+    Q("q_minhash_lsh",
+      s"""WITH $ngramPairsSql
+        |SELECT doc_a, doc_b, shared, da.n AS n_a, db.n AS n_b,
+        |  CAST(shared AS DOUBLE) / (da.n + db.n - shared) AS jaccard
+        |FROM p JOIN d da ON p.doc_a = da.doc_id JOIN d db ON p.doc_b = db.doc_id
+        |WHERE CAST(shared AS DOUBLE) / (da.n + db.n - shared) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val sh = shingleRel(s, d)
+      val sig = sh.groupBy(col("doc_id"))
+        .agg(graft.functions.MinHashSignature.minhashSig(col("s"), 64).as("sig"))
+      val cands = MinHash.candidates(
+        MinHash.bands(sig, "doc_id", numBands = 16, numHashes = 64), "doc_id")
+      exactJaccard(sh, cands)
+        .filter(col("jaccard") >= 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- Winnowed rolling-hash fingerprints, exact-verified: char-level
+    // Rabin–Karp k-grams (k=24) + MOSS winnowing (w=7), so documents
+    // sharing any substring of length ≥ k+w-1 = 30 are GUARANTEED to
+    // share a print (the winnowing theorem) even when whole-document
+    // hashes differ — sub-document overlap dedup, storing only ~2/(w+1)
+    // of the positions. k=24 (not a smaller gram) is the hot-key control:
+    // 16-char grams are common boilerplate whose df² pair fan-out
+    // dominated the candidate join at sf0.1; 24-char collisions are ~2×
+    // rarer than 20-char ones and selection samples ~25% of them. Both
+    // the candidate emission (per-print groups) and the 30-gram verify
+    // (per-gram groups) emit ordered pairs INSIDE their key group — one
+    // shuffle each on the key, no self-join. The output is the verified
+    // intersection: exact shared-30-gram counts for pairs the prints
+    // surfaced. Because recall is deterministic (theorem, not
+    // probability), that intersection EQUALS the exact 30-gram pair join
+    // — which is the oracle: DuckDB recomputes every pair's count from
+    // scratch, so a broken print selection (candidate loss) or a wrong
+    // verify both hash-mismatch.
+    Q("q_winnow_dedup",
+      """WITH nd AS (SELECT doc_id,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id, substr(norm, CAST(i AS INT), 30) AS g
+        |      FROM nd, unnest(range(1, len(norm) - 28)) AS u(i)
+        |      WHERE len(norm) >= 30)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        |FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+        |GROUP BY doc_a, doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val L = 30 // k + w - 1: the winnowing guarantee length
       val docs = Tables.documents(s, d)
         .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
-      val sig = MinHash.signatures(docs, "doc_id", "text").cache()
-      val cands = MinHash.candidates(MinHash.bands(sig, "doc_id"), "doc_id")
-      val a = sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-      val b = sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-      cands.join(a, "doc_a").join(b, "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          round(MinHash.estimatedJaccard(col("sig_a"), col("sig_b")), 6).as("est_jaccard"))
-        .filter(col("est_jaccard") >= 0.5)
-        .orderBy(col("doc_a"), col("doc_b"))
-    },
-
-    // ---- Winnowed rolling-hash fingerprints (rows-only check): char-level
-    // Rabin–Karp k-grams + MOSS winnowing, so documents sharing any
-    // substring of length ≥ k+w-1 share a print even when whole-document
-    // hashes differ (sub-document overlap dedup). Candidates are an
-    // equi-join on the 8-byte print — same scale shape as MinHash bands.
-    Q.noOracle("q_winnow_dedup") { (s, d) =>
-      val prints = Tables.documents(s, d)
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
-        .select(col("doc_id"),
-          explode(graft.functions.Winnow.fingerprints(
-            TextFunctions.normalize(col("text")))).as("fp"))
-        .distinct()
+        .select(col("doc_id"), TextFunctions.normalize(col("text")).as("norm"))
         .cache()
-      // Document-frequency cap (MOSS practice): a print present in many
-      // documents is boilerplate and generates df² candidate pairs — THE
-      // quadratic hazard of shared-key candidate joins at 100 TB. Capping
-      // df bounds per-print join fan-out; true near-dup pairs still share
-      // plenty of low-df prints. The overlap ratio is computed over KEPT
-      // prints on both sides (dropping boilerplate from one side of the
-      // fraction would deflate every ratio).
-      val rare = prints.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 50).select(col("fp"))
-      val kept = prints.join(rare, "fp").cache()
-      val counts = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val a = kept.select(col("fp"), col("doc_id").as("doc_a"))
-      val b = kept.select(col("fp"), col("doc_id").as("doc_b"))
-      val shared = a.join(b, Seq("fp"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
-      shared
-        .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
-        .filter(col("shared").cast("double") / col("n_a") >= 0.5)
-        .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"))
+      // ordered pair emission inside a key group (the ngramJaccardPairs
+      // pattern): groupBy key → sorted doc list → in-task combinatorics
+      def pairsByKey(rel: DataFrame, key: String): DataFrame =
+        rel.groupBy(col(key))
+          .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+          .filter(size(col("ds")) >= 2)
+          .select(explode(flatten(transform(col("ds"), (x, i) =>
+            transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+              y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+          .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      val prints = docs.select(col("doc_id"),
+        explode(graft.functions.Winnow.fingerprints(col("norm"), k = 24, window = 7)).as("fp"))
+      val cands = pairsByKey(prints, "fp").distinct()
+      // exact verify: |shared distinct 30-grams| per pair, emitted from
+      // per-gram groups (cheap: 30-gram collisions are rare), then
+      // intersected with the print candidates — a pair the theorem
+      // promised but the prints missed would drop here and fail the oracle
+      val grams = docs
+        .select(col("doc_id"), explode(TextFunctions.charGrams(col("norm"), L)).as("g"))
+        .distinct()
+      pairsByKey(grams, "g")
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(cands), Seq("doc_a", "doc_b"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
-    // ---- SimHash near-dup pairs (rows-only check): 60-bit fingerprints,
-    // Hamming-LSH banding (4×15-bit chunks), exact Hamming ≤ 6 verify.
-    Q.noOracle("q_simhash") { (s, d) =>
+    // ---- SimHash near-dup pairs, oracle-checked bit-for-bit: 60-bit
+    // fingerprints over md5-derived token hashes (see [[SimHash]]),
+    // Hamming-LSH banding (4×15-bit chunks — pigeonhole-complete for
+    // distance ≤ 3), exact Hamming ≤ 3 verify on candidates. The oracle
+    // recomputes every signature from md5 hex digits and lists all pairs
+    // at distance ≤ 3 via xor+bit_count, so banding recall, the bit
+    // majority vote, and the verify threshold are all driver-checked.
+    Q("q_simhash",
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |h AS (SELECT doc_id, substr(md5(tok), 1, 15) AS hx FROM t),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    SUM(CASE WHEN
+        |      (((strpos('0123456789abcdef', substr(hx, CAST(15 - b // 4 AS INT), 1)) - 1)
+        |        >> CAST(b % 4 AS INT)) & 1) = 1 THEN 1 ELSE 0 END) AS c,
+        |    COUNT(*) AS n
+        |  FROM h, unnest(range(0, 60)) AS u(b) GROUP BY doc_id, b),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN c * 2 > n THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+        |             ELSE 0 END) AS BIGINT) AS sh
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
         .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
       val sig = SimHash.signatures(docs, "doc_id", "text")
-      SimHash.nearPairs(sig, "doc_id", maxDist = 6)
+      SimHash.nearPairs(sig, "doc_id", maxDist = 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
 

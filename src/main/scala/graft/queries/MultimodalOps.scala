@@ -76,11 +76,30 @@ object MultimodalOps {
         .orderBy(col("media_id"))
     },
 
-    // ---- Feature extraction → similarity composition (rows-only): the
-    // partition-local "model" emits a fixed-size feature vector per media
-    // row, then the VECTOR operators take over — top-5 most similar media
-    // to media_id 0 by cosine, exactly the embeddings pipeline shape.
-    Q.noOracle("q_media_features") { (s, d) =>
+    // ---- Feature extraction → similarity composition: the partition-
+    // local "model" emits a fixed-size feature vector per media row (a
+    // 16-bucket byte histogram, L1-normalized), then the VECTOR operators
+    // take over — top-5 most similar media to media_id 0 by cosine,
+    // exactly the embeddings pipeline shape. Oracle: DuckDB recomputes
+    // the histogram char-by-char (the corpus is ASCII, so byte buckets ==
+    // `ascii(char) // 16`) and the cosine top-5 — the mapPartitions
+    // "model", the normalization and the similarity ranking are all
+    // driver-checked end to end.
+    Q("q_media_features",
+      """WITH ch AS (
+        |  SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) // 16 AS bucket
+        |  FROM documents, unnest(range(1, len(text) + 1)) AS u(i)),
+        |cnt AS (SELECT doc_id, bucket, COUNT(*) AS c FROM ch GROUP BY doc_id, bucket),
+        |base AS (
+        |  SELECT d.doc_id, r.b AS bucket,
+        |    COALESCE(c.c, 0) / CAST(len(d.text) AS DOUBLE) AS f
+        |  FROM documents d CROSS JOIN unnest(range(0, 16)) AS r(b)
+        |  LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.bucket = r.b),
+        |v AS (SELECT doc_id, list(f ORDER BY bucket) AS feat FROM base GROUP BY doc_id),
+        |q AS (SELECT feat AS qv FROM v WHERE doc_id = 0)
+        |SELECT v.doc_id AS media_id, round(list_cosine_similarity(v.feat, qv), 6) AS sim
+        |FROM v, q WHERE v.doc_id <> 0
+        |ORDER BY sim DESC, media_id LIMIT 5""".stripMargin) { (s, d) =>
       import s.implicits._
       val ds = Tables.documents(s, d)
         .select(col("doc_id").as("media_id"),
@@ -98,9 +117,19 @@ object MultimodalOps {
         .limit(5)
     },
 
-    // ---- Partition-local decode via typed mapPartitions (rows-only check:
-    // the FNV checksum has no SQL twin). Exercises the real decoder shape.
-    Q.noOracle("q_media_decode") { (s, d) =>
+    // ---- Partition-local decode via typed mapPartitions (one "codec"
+    // instance per partition, rows streamed through it). The md5 content
+    // checksum gives the decode row an exact SQL twin, so the whole
+    // mapPartitions path — schema, batching, per-partition init — sits
+    // inside the correctness gate.
+    Q("q_media_decode",
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  CAST((octet_length(encode(text)) % 64 + 1) * 16 AS INT) AS width,
+        |  CAST((octet_length(encode(text)) % 48 + 1) * 16 AS INT) AS height,
+        |  CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames,
+        |  md5(text) AS checksum
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
       import s.implicits._
       val ds = Tables.documents(s, d)
         .select(col("doc_id").as("media_id"),

@@ -448,16 +448,29 @@ object Relational {
         .orderBy(col("day"))
     },
 
-    // ---- HLL++ approximate distinct (rows-only: sketch internals differ
-    // between engines). ScalaTest asserts the ≤5% relative-error contract
-    // against the exact count; the built-in sketch is mergeable map-side —
-    // the bounded-memory COUNT(DISTINCT) at 100 TB.
-    Q.noOracle("q_approx_distinct") { (s, d) =>
+    // ---- HLL++ approximate distinct — the bounded-memory COUNT(DISTINCT)
+    // at 100 TB (the sketch is mergeable map-side). Sketch internals
+    // differ between engines, so the oracle checks the sketch's ERROR
+    // CONTRACT instead of its value: the query emits the exact distinct
+    // count (SQL-predictable) plus `hll_ok` = |approx − exact| ≤ 6%·exact
+    // (3× the 2% target rsd); DuckDB asserts the counts and `true`. A
+    // drifting or broken sketch flips the boolean and hash-mismatches.
+    // (The exact countDistinct here is the verification harness, not the
+    // scale path — the operator under test is approx_count_distinct.)
+    Q("q_approx_distinct",
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  COUNT(*) AS n, true AS hll_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .groupBy(col("event_type"))
         .agg(
-          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("approx"),
+          countDistinct(col("user_id")).as("exact_users"),
           count(lit(1)).as("n"))
+        .select(col("event_type"), col("exact_users"), col("n"),
+          (abs(col("approx") - col("exact_users")).cast("double")
+            <= col("exact_users") * 0.06).as("hll_ok"))
         .orderBy(col("event_type"))
     },
 

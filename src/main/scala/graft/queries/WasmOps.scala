@@ -36,6 +36,38 @@ object WasmOps {
       resultType = 0x7c, localGroups = Seq((1, 0x7f), (1, 0x7c)))
   }
 
+  /** Guest `shift(ptr, len) → outLen`: reads the i64 at offset 0, adds
+    * `env.config_get(0)` (an imported, capability-gated hostcall), stores
+    * the result back at offset 0 and returns 8. Assembled by hand because
+    * [[WasmAssembler.module]] has no import support: type 0 is the
+    * import's `(i64)→(i64)`, type 1 the export's `(i64,i64)→(i64)`;
+    * imports precede local functions in the index space, so `call 0` is
+    * the hostcall and the export binds function index 1. */
+  private def configShiftModule: Array[Byte] = {
+    val A = WasmAssembler
+    val i64 = 0x7e.toByte
+    val typeSec = A.section(1, A.vec(Seq(
+      Seq(0x60.toByte) ++ A.vec(Seq(Seq(i64))) ++ A.vec(Seq(Seq(i64))),
+      Seq(0x60.toByte) ++ A.vec(Seq(Seq(i64), Seq(i64))) ++ A.vec(Seq(Seq(i64))))))
+    val imports = A.importSection(Seq(("env", "config_get", 0)))
+    val funcSec = A.section(3, A.vec(Seq(A.uleb(1))))
+    val memSec = A.section(5, A.vec(Seq(Seq(0x00.toByte) ++ A.uleb(1))))
+    val exportSec = A.section(7, A.vec(Seq(A.name("shift") ++ Seq(0x00.toByte) ++ A.uleb(1))))
+    val body = A.vec(Nil) ++ Seq(
+      0x41, 0x00,        // i32.const 0 (store addr)
+      0x41, 0x00,        // i32.const 0 (load addr)
+      0x29, 0x03, 0x00,  // i64.load align=8 offset=0
+      0x42, 0x00,        // i64.const 0 (config key)
+      0x10, 0x00,        // call 0 → env.config_get
+      0x7c,              // i64.add
+      0x37, 0x03, 0x00,  // i64.store align=8 offset=0
+      0x42, 0x08         // i64.const 8 → outLen
+    ).map(_.toByte) :+ 0x0b.toByte
+    val codeSec = A.section(10, A.vec(Seq(A.uleb(body.length.toLong) ++ body)))
+    (Seq(0x00, 0x61, 0x73, 0x6d, 0x01, 0x00, 0x00, 0x00).map(_.toByte) ++
+      typeSec ++ imports ++ funcSec ++ memSec ++ exportSec ++ codeSec).toArray
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- WASM float compute over embeddings: guest-computed L2 norms
@@ -110,6 +142,42 @@ object WasmOps {
           ids.map(id => (id, guest.invoke("route", id).get))
         }
         .toDF("event_id", "routed")
+        .orderBy(col("event_id"))
+    },
+
+    // ---- Guest-initiated READ-ONLY hostcall under the hash gate: the
+    // guest reads config slot 0 through the capability-gated
+    // `env.config_get` hostcall (graft.udf.WasmHost.Interpreted —
+    // Context::require parity, reference
+    // system/userland/src/context.rs:38-73) and shifts every event id by
+    // it. The oracle knows only the host-frozen config VALUE, so a broken
+    // hostcall dispatch, a mis-linked import, or a capability-gate
+    // regression all hash-mismatch. Runs through the bytes→bytes ABI
+    // (payload at offset 0, f(ptr,len)→outLen) — the full UDF-host path,
+    // not a bare interpreter call.
+    Q("q_wasm_hostcall",
+      """SELECT event_id, event_id + 1000 AS shifted
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val moduleBytes = configShiftModule
+      Tables.events(s, d)
+        .select(col("event_id"))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("event_id"))
+        .as[Long]
+        .mapPartitions { ids =>
+          val guest = new graft.udf.WasmHost.WasmModule.Interpreted(moduleBytes,
+            capabilities = Set(graft.runtime.Capability.ConfigRead),
+            hostConfig = Map(0L -> 1000L))
+          ids.map { id =>
+            val bb = java.nio.ByteBuffer.allocate(8)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            bb.putLong(id)
+            val out = guest.invoke("shift", bb.array())
+            (id, java.nio.ByteBuffer.wrap(out)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong)
+          }
+        }
+        .toDF("event_id", "shifted")
         .orderBy(col("event_id"))
     },
 

@@ -9,15 +9,51 @@ import graft.streaming.LogAnalyser.{LogField, LogRecord}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.StreamingQuery
 
-/** Capability names mirror the reference's hostcall-gating capability set
-  * (system/abi/src/lib.rs:114-135); the engine checks them BEFORE building
-  * a plan — parity with link-time PermissionDenied stubs
+/** Capability names mirror the reference's full 20-grant hostcall-gating
+  * catalogue (system/abi/src/lib.rs:114-135) plus the engine's own
+  * ConfigRead/LogWrite/ChannelShare; the engine checks them BEFORE
+  * building a plan — parity with link-time PermissionDenied stubs
   * (subsystem/wasmtime/src/lib.rs:295-380): deny-by-default, monotonic
-  * attenuation on child sessions.
+  * attenuation on child sessions. Net grants are per-protocol AND
+  * per-direction (bind/accept/connect/read/write), exactly as the
+  * reference splits them; the TLS-config grants exist in the catalogue
+  * even though the engine's QUIC subset runs without TLS (a loudly
+  * documented divergence, net/QuicLite.scala) so module specs written
+  * against the reference's grant names parse unchanged.
   */
 object Capability extends Enumeration {
-  val ChannelCreate, ChannelRead, ChannelWrite, ChannelShare,
-      ProcessLifecycle, NetBind, NetConnect, TimeRead, LogWrite = Value
+  val SessionLifecycle,
+      ChannelCreate, ChannelRead, ChannelWrite, ChannelShare,
+      ProcessLifecycle,
+      NetQuicBind, NetQuicAccept, NetQuicConnect, NetQuicRead, NetQuicWrite,
+      NetHttpBind, NetHttpAccept, NetHttpConnect, NetHttpRead, NetHttpWrite,
+      NetTlsServerConfig, NetTlsClientConfig,
+      SingletonRegister, SingletonLookup,
+      TimeRead, ConfigRead, LogWrite = Value
+
+  /** Grant set each engine source/sink class needs — what a session must
+    * hold before [[QueryManager.start]] will build the pipeline (the
+    * reference gates the same surfaces per-hostcall,
+    * system/abi/src/lib.rs hostcall→capability table). */
+  object Needs {
+    val QuicSource: Set[Value] = Set(NetQuicBind, NetQuicAccept, NetQuicRead)
+    val QuicSink: Set[Value] = Set(NetQuicConnect, NetQuicWrite)
+    val HttpSource: Set[Value] = Set(NetHttpBind, NetHttpAccept, NetHttpRead)
+    val HttpReply: Set[Value] = Set(NetHttpBind, NetHttpAccept, NetHttpRead, NetHttpWrite)
+    val HttpSink: Set[Value] = Set(NetHttpConnect, NetHttpWrite)
+    val ChannelSubscribe: Set[Value] = Set(ChannelRead)
+    val ChannelPublish: Set[Value] = Set(ChannelWrite)
+    val ChannelAttach: Set[Value] = Set(ChannelShare, ChannelRead)
+    val Singleton: Set[Value] = Set(SingletonRegister, SingletonLookup)
+    val all: Map[String, Set[Value]] = Map(
+      "quic-source" -> QuicSource, "quic-sink" -> QuicSink,
+      "http-source" -> HttpSource, "http-reply" -> HttpReply,
+      "http-sink" -> HttpSink,
+      "channel-subscribe" -> ChannelSubscribe,
+      "channel-publish" -> ChannelPublish,
+      "channel-attach" -> ChannelAttach,
+      "singleton" -> Singleton)
+  }
 }
 
 /** A capability session: what a pipeline is entitled to do. Child sessions

@@ -290,36 +290,30 @@ final class ChannelMicroBatchStream(dir: Path, factory: PartitionReaderFactory,
 
   /** One past the last seq of the committed prefix: the stream never
     * advances into a half-written or still-contended seq (every dir at a
-    * seq needs `_SUCCESS`), NOR past a pending `_res_` seq reservation
-    * (an in-flight writer whose batch dir may not even exist yet —
-    * reservation-before-write is what makes seq offsets strong for
-    * concurrent multi-writer topics). Seq GAPS (eviction, manual
-    * deletion) do not hold the end back — planInputPartitions decides per
-    * mode whether a gap inside the offset range is a skip (weak) or a
-    * loss (strict). */
-  private def visibleEnd(): Long = {
-    val dirs = batchDirs()
-    var end = dirs.headOption.map(_._1).getOrElse(Channel.nextSeq(dir))
-    dirs.takeWhile { case (_, ds) => ds.forall(committed) }
-      .foreach { case (seq, _) => end = seq + 1 }
-    // a reservation whose seq has no fully committed batch dir yet is an
-    // in-flight (or crashed) write: hold the cursor at it — a STRONG
-    // reader guarantee. Weak readers are lossy by contract (they already
-    // skip evicted seqs), so a stalled writer must not park them: they
-    // sail past and the straggler's rows count as the data loss weak
-    // subscribers signed up for. (Marker + committed dir overlap only
-    // transiently between job commit and marker release — that state
-    // does not block.)
-    if (weak) end
-    else {
-      val dirMap = dirs.toMap
-      Channel.resSeqs(dir)
-        .filterNot(s => dirMap.get(s).exists(_.forall(committed)))
-        .minOption
-        .map(math.min(end, _))
-        .getOrElse(end)
+    * seq needs `_SUCCESS`), NOR — for strong readers — past a pending
+    * `_res_` seq reservation (an in-flight writer whose batch dir may not
+    * even exist yet; reservation-before-write is what makes seq offsets
+    * strong for concurrent multi-writer topics). Weak readers are lossy
+    * by contract (they already skip evicted seqs), so a stalled writer
+    * must not park them. Seq GAPS (eviction, manual deletion) do not
+    * hold the end back — planInputPartitions decides per mode whether a
+    * gap inside the offset range is a skip (weak) or a loss (strict).
+    *
+    * O(1) per trigger: writers publish the committed head cursor on
+    * every commit/abort/compact ([[Channel.advanceHead]] — the reference
+    * contract of monotone 64-bit cursors,
+    * /root/reference/subsystem/messaging/src/lib.rs:80-83), so a
+    * long-lived topic with 10⁵–10⁶ batch dirs plans each trigger from
+    * ONE small-file read instead of a full directory listing. The full
+    * listing ([[Channel.committedEnds]]) remains the recovery path for
+    * topics without a published cursor. */
+  private def visibleEnd(): Long =
+    Channel.readHead(dir) match {
+      case Some((strict, weakEnd)) => if (weak) weakEnd else strict
+      case None =>
+        val (strict, weakEnd) = Channel.committedEnds(dir)
+        if (weak) weakEnd else strict
     }
-  }
 
   override def initialOffset(): Offset =
     ChannelSeqOffset(if (startLatest) visibleEnd() else earliest())
@@ -348,8 +342,10 @@ final class ChannelMicroBatchStream(dir: Path, factory: PartitionReaderFactory,
     val inRange = batchDirs().filter { case (seq, _) => seq >= s && seq < e }
     if (!weak) {
       // `_abort_` tombstones are holes that never held data (failed or
-      // capacity-rejected writes) — not loss
-      val benign = Channel.abortSeqs(dir).toSet
+      // capacity-rejected writes), and a `compact_N` dir consumed seq N
+      // without a batch (its content was already delivered as the
+      // original batches) — neither is loss
+      val benign = Channel.abortSeqs(dir).toSet ++ Channel.compactSeqs(dir)
       val missing = (s until e).filterNot(inRange.map(_._1).toSet ++ benign)
       if (missing.nonEmpty) throw ChannelDataLoss(dir.toString, missing)
     }

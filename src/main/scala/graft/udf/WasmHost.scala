@@ -55,12 +55,40 @@ object WasmHost {
       * the module's linear memory, the export is invoked as
       * `f(ptr=0, len) → outLen`, and `outLen` bytes are read back from
       * offset 0. One interpreter instance per partition (the factory runs
-      * inside mapPartitions), module bytes ship to executors. */
+      * inside mapPartitions), module bytes ship to executors.
+      *
+      * READ-ONLY HOSTCALLS (`Context::require` parity, reference
+      * system/userland/src/context.rs:38-73, collapsed to the synchronous
+      * calls SURVEY §7.4.1 allows): `env.time_millis() → i64` and
+      * `env.config_get(key: i64) → i64` are ALWAYS linked, but each traps
+      * with PermissionDenied unless the module's capability set grants it
+      * — the reference's deny-by-default stub linking
+      * (subsystem/wasmtime/src/lib.rs:295-380). The clock is
+      * host-supplied (and so deterministic under test); config is a
+      * host-frozen i64→i64 map (missing key → -1). Guest I/O beyond these
+      * stays in engine operators, by design. */
     final class Interpreted(moduleBytes: Array[Byte],
                             maxMemoryPages: Int = 256,
-                            fuel: Long = 1L << 26) extends WasmModule {
+                            fuel: Long = 1L << 26,
+                            capabilities: Set[graft.runtime.Capability.Value] = Set.empty,
+                            hostClockMillis: () => Long = () => 0L,
+                            hostConfig: Map[Long, Long] = Map.empty) extends WasmModule {
+      private def gated(cap: graft.runtime.Capability.Value, fn: String)(
+          f: Seq[Long] => Option[Long]): (String, Seq[Long] => Option[Long]) =
+        fn -> { args: Seq[Long] =>
+          if (capabilities.contains(cap)) f(args)
+          else throw new SecurityException(
+            s"PermissionDenied: hostcall '$fn' requires capability $cap")
+        }
       @transient private lazy val engine =
-        new graft.udf.wasm.WasmModule(moduleBytes, maxMemoryPages, fuel)
+        new graft.udf.wasm.WasmModule(moduleBytes, maxMemoryPages, fuel,
+          hostFns = Map(
+            gated(graft.runtime.Capability.TimeRead, "env.time_millis") { _ =>
+              Some(hostClockMillis())
+            },
+            gated(graft.runtime.Capability.ConfigRead, "env.config_get") { args =>
+              Some(hostConfig.getOrElse(args.headOption.getOrElse(-1L), -1L))
+            }))
       @transient private var lastLen = 0
       def invoke(func: String, payload: Array[Byte]): Array[Byte] = {
         engine.writeMemory(0, payload)

@@ -153,9 +153,13 @@ class Dsv2ChannelSuite extends SparkSpec {
     val ch = reg.create("s5", schema)
     ch.write(Seq((1, "a")).toDF("id", "msg"), 1)
     ch.write(Seq((2, "b")).toDF("id", "msg"), 1)
-    // simulate a crashed writer: second batch loses its commit marker
+    // simulate a crashed writer: second batch loses its commit marker.
+    // Out-of-band surgery invalidates the published head cursor too (a
+    // real crash simply never advances it), so drop it — the stream must
+    // recover through the full-listing path.
     val half = Channel.listBatches(ch.dir)(1)
     Files.delete(half.resolve("_SUCCESS"))
+    Files.delete(ch.dir.resolve("_HEAD"))
 
     val name = runToSink(ch.readStreamV2().select("id"))
     assert(spark.table(name).as[Int].collect().toSeq == Seq(1),
@@ -232,6 +236,61 @@ class Dsv2ChannelSuite extends SparkSpec {
     }
     // unpinned reads still see everything
     assert(ch.readV2().select("id").as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
+  }
+
+  test("offset planning is O(1): an idle trigger on a 10k-batch topic does not list") {
+    val reg = new ChannelRegistry(spark, tmpDir("dsv2"))
+    val ch = reg.create("s9", schema)
+    ch.write(Seq((1, "a")).toDF("id", "msg"), 1)
+    // fabricate a long-lived topic: 10k committed batch dirs appended
+    // after the real one (planning only reads names + _SUCCESS markers,
+    // so empty dirs exercise the exact code path without 10k parquet
+    // writes), then publish the cursor the writers would have
+    (1 to 10000).foreach { i =>
+      val d = ch.dir.resolve(f"batch_${i}%012d_w1_utest")
+      Files.createDirectories(d)
+      Files.createFile(d.resolve("_SUCCESS"))
+    }
+    Channel.advanceHead(ch.dir)
+    assert(Channel.readHead(ch.dir).contains((10001L, 10001L)))
+
+    val stream = new graft.sources.ChannelMicroBatchStream(ch.dir,
+      null, weak = false, startLatest = false, maxBatches = None)
+    val start = stream.initialOffset() // may list (once, at query start)
+    val before = Channel.listDirCalls.get()
+    // steady-state triggers: offset discovery must be O(1) — zero
+    // directory scans, just the head-cursor read
+    (1 to 100).foreach { _ =>
+      assert(stream.latestOffset(start, org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+        .asInstanceOf[graft.sources.ChannelSeqOffset].seq == 10001L)
+      stream.reportLatestOffset()
+    }
+    assert(Channel.listDirCalls.get() == before,
+      s"idle triggers listed the topic dir ${Channel.listDirCalls.get() - before} times")
+  }
+
+  test("strong subscription survives a compaction boundary (benign compact seq)") {
+    val reg = new ChannelRegistry(spark, tmpDir("dsv2"))
+    val ch = reg.create("s10", schema)
+    ch.write(Seq((1, "a")).toDF("id", "msg"), 1)
+    ch.write(Seq((2, "b")).toDF("id", "msg"), 1)
+    sinkN += 1
+    val name = s"dsv2_sink_$sinkN"
+    val q = ch.readStreamV2().select("id").writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).as[Int].collect().sorted.toSeq == Seq(1, 2))
+      // maintenance window: the checkpointed subscriber already ingested
+      // the originals; compaction claims the next seq with a compact_*
+      // dir that is INVISIBLE to subscriptions — it must read as a benign
+      // hole, not ChannelDataLoss, and post-compaction appends flow
+      ch.compact()
+      ch.write(Seq((3, "c")).toDF("id", "msg"), 1)
+      q.processAllAvailable()
+      assert(spark.table(name).as[Int].collect().sorted.toSeq == Seq(1, 2, 3),
+        "stream broke at the compaction boundary")
+    } finally q.stop()
   }
 
   test("binPack groups small files and isolates oversized ones") {

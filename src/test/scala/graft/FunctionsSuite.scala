@@ -111,7 +111,7 @@ class FunctionsSuite extends SparkSpec {
 
   test("multi-table LSH recall@1 >= 0.85 on real embeddings (deterministic)") {
     val d = "/root/testdata/sf0.001"
-    val lsh = SparkEntry.queries("q_ann_lsh")(spark, d)
+    val lsh = graft.queries.VectorOps.annLshNeighbors(spark, d)
       .select("src", "nbr").as[(Long, Long)].collect().toMap
     val exact = {
       val e = spark.read.parquet(s"$d/embeddings.parquet")
@@ -148,19 +148,19 @@ class FunctionsSuite extends SparkSpec {
       .select(col("src"), col("m.nb").as("nbr"))
       .as[(Long, Long)].collect().toMap
 
-    val lsh = SparkEntry.queries("q_ann_lsh")(spark, d)
+    val lsh = graft.queries.VectorOps.annLshNeighbors(spark, d)
       .select("src", "nbr").as[(Long, Long)].collect().toMap
     val lshR = exact.count { case (s0, nn) => lsh.get(s0).contains(nn) }.toDouble / exact.size
     info(f"LSH recall@1 at sf0.1 = $lshR%.3f")
     assert(lshR >= 0.7)
 
-    val ivf = SparkEntry.queries("q_ann_ivf")(spark, d)
+    val ivf = graft.queries.VectorOps.annIvfNeighbors(spark, d)
       .select("src", "nbr").as[(Long, Long)].collect().toMap
     val ivfR = exact.count { case (s0, nn) => ivf.get(s0).contains(nn) }.toDouble / exact.size
     info(f"IVF recall@1 at sf0.1 = $ivfR%.3f")
     assert(ivfR >= 0.6)
 
-    val pq = SparkEntry.queries("q_ann_pq")(spark, d)
+    val pq = graft.queries.VectorOps.annPqTopk(spark, d)
       .select("vec_id").as[Long].collect().toSet
     val exactTop10 = SparkEntry.queries("q_embed_topk")(spark, d)
       .select("vec_id").as[Long].collect().toSet
@@ -171,7 +171,7 @@ class FunctionsSuite extends SparkSpec {
 
   test("IVF ANN recall@1 >= 0.65 on real embeddings (deterministic)") {
     val d = "/root/testdata/sf0.001"
-    val ivf = SparkEntry.queries("q_ann_ivf")(spark, d)
+    val ivf = graft.queries.VectorOps.annIvfNeighbors(spark, d)
       .select("src", "nbr").as[(Long, Long)].collect().toMap
     val e = spark.read.parquet(s"$d/embeddings.parquet")
       .withColumn("v", col("embedding").cast("array<double>"))
@@ -191,7 +191,7 @@ class FunctionsSuite extends SparkSpec {
 
   test("PQ ANN recall@10 >= 0.9 vs exact top-10 (deterministic)") {
     val d = "/root/testdata/sf0.001"
-    val pq = SparkEntry.queries("q_ann_pq")(spark, d)
+    val pq = graft.queries.VectorOps.annPqTopk(spark, d)
       .select("vec_id").as[Long].collect().toSet
     val exact = SparkEntry.queries("q_embed_topk")(spark, d)
       .select("vec_id").as[Long].collect().toSet
@@ -227,6 +227,60 @@ class FunctionsSuite extends SparkSpec {
       .toDF("id", "t").select(Winnow.fingerprints(col("t")).as("f"))
       .as[Seq[Long]].head().toSet
     assert((s1 intersect s2).nonEmpty)
+  }
+
+  test("binary codec: lossless roundtrip over every supported type, nulls included") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("b", BooleanType), StructField("i8", ByteType),
+      StructField("i16", ShortType), StructField("i32", IntegerType),
+      StructField("i64", LongType), StructField("f32", FloatType),
+      StructField("f64", DoubleType), StructField("s", StringType),
+      StructField("bin", BinaryType), StructField("xs", ArrayType(LongType))))
+    val rows = Seq(
+      (true, 1.toByte, 2.toShort, 3, 4L, 0.5f, 0.25, "héllo ütf-8 ∆", Array[Byte](1, 2, 3), Seq(7L, 8L)),
+      (false, -1.toByte, -2.toShort, -3, -4L, -0.5f, -0.25, "", Array.emptyByteArray, Seq.empty[Long]))
+    val df = rows.toDF("b", "i8", "i16", "i32", "i64", "f32", "f64", "s", "bin", "xs")
+    val back = df.select(Codec.encodeBinary(df.columns.map(col).toSeq: _*).as("p"))
+      .select(Codec.decodeBinary(col("p"), schema).as("r"))
+      .select(col("r.*"))
+    // binary column via hex (Array[Byte].toString is reference identity)
+    def canon(x: org.apache.spark.sql.DataFrame) =
+      x.withColumn("bin", hex(col("bin"))).collect().map(_.toString).sorted.toSeq
+    assert(canon(back) == canon(df))
+    // nulls survive (null bitmap, not sentinel values)
+    val withNull = Seq((Some(1L), Option.empty[String]), (None, Some("x")))
+      .toDF("a", "s")
+    val ns = StructType(Seq(StructField("a", LongType), StructField("s", StringType)))
+    val nBack = withNull.select(Codec.encodeBinary(col("a"), col("s")).as("p"))
+      .select(Codec.decodeBinary(col("p"), ns).as("r"))
+      .select(col("r.a"), col("r.s")).as[(Option[Long], Option[String])]
+      .collect().toSet
+    assert(nBack == Set((Some(1L), None), (None, Some("x"))))
+  }
+
+  test("binary codec: schema-hash mismatch → null (permissive) or refusal (strict)") {
+    import org.apache.spark.sql.types._
+    val enc = Seq((1L, "a")).toDF("id", "msg")
+      .select(Codec.encodeBinary(col("id"), col("msg")).as("p"))
+    val wrong = StructType(Seq(StructField("id", LongType), StructField("msg", IntegerType)))
+    // permissive: the frame decodes to null, filter_map strips it (T3)
+    assert(enc.select(Codec.decodeBinary(col("p"), wrong).as("r"))
+      .filter(col("r").isNotNull).count() == 0)
+    // strict: attach-refusal, like the reference's schema check (raw or
+    // Spark-wrapped depending on where the projection evaluates)
+    val ex = intercept[Throwable] {
+      enc.select(Codec.decodeBinary(col("p"), wrong, strict = true)).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.isInstanceOf[graft.channel.SchemaRegistry.SchemaMismatch]),
+      s"no SchemaMismatch in cause chain: $ex")
+    // malformed frames (foreign bytes) are null, never a crash
+    val junk = Seq(Array[Byte](1, 2, 3), Array.emptyByteArray).toDF("p")
+    val s2 = StructType(Seq(StructField("id", LongType)))
+    assert(junk.select(Codec.decodeBinary(col("p"), s2).as("r"))
+      .filter(col("r").isNotNull).count() == 0)
   }
 
   test("heavy hitters sketch: guaranteed recall above n/k, bounded error") {

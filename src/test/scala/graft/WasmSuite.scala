@@ -204,6 +204,48 @@ class WasmSuite extends SparkSpec {
     intercept[IllegalArgumentException] { new WasmModule(bytes) }
   }
 
+  test("gated read-only hostcalls: time needs TimeRead, deny-by-default traps") {
+    import graft.runtime.Capability
+    val A = graft.udf.wasm.WasmAssembler
+    val i64 = 0x7e.toByte
+    // type0: ()->(i64) [env.time_millis]; type1: (i64,i64)->(i64) [ABI tick]
+    val typeSec = A.section(1, A.vec(Seq(
+      Seq(0x60.toByte) ++ A.vec(Nil) ++ A.vec(Seq(Seq(i64))),
+      Seq(0x60.toByte) ++ A.vec(Seq(Seq(i64), Seq(i64))) ++ A.vec(Seq(Seq(i64))))))
+    val imports = A.importSection(Seq(("env", "time_millis", 0)))
+    val funcSec = A.section(3, A.vec(Seq(A.uleb(1))))
+    val memSec = A.section(5, A.vec(Seq(Seq(0x00.toByte) ++ A.uleb(1))))
+    val exportSec = A.section(7, A.vec(Seq(A.name("tick") ++ Seq(0x00.toByte) ++ A.uleb(1))))
+    // tick(ptr, len): mem[0] = time_millis(); return 8
+    val body = A.vec(Nil) ++ Seq(
+      0x41, 0x00,       // i32.const 0 (store addr)
+      0x10, 0x00,       // call 0 → env.time_millis
+      0x37, 0x03, 0x00, // i64.store align=8 offset=0
+      0x42, 0x08        // outLen = 8
+    ).map(_.toByte) :+ 0x0b.toByte
+    val codeSec = A.section(10, A.vec(Seq(A.uleb(body.length.toLong) ++ body)))
+    val bytes = (Seq(0x00, 0x61, 0x73, 0x6d, 0x01, 0x00, 0x00, 0x00).map(_.toByte) ++
+      typeSec ++ imports ++ funcSec ++ memSec ++ exportSec ++ codeSec).toArray
+
+    // granted: the guest reads the HOST-supplied clock (deterministic)
+    val granted = new WasmHost.WasmModule.Interpreted(bytes,
+      capabilities = Set(Capability.TimeRead), hostClockMillis = () => 123456789L)
+    val out = granted.invoke("tick", Array.emptyByteArray)
+    assert(java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong == 123456789L)
+
+    // deny-by-default: the import LINKS (reference stub-linking parity)
+    // but calling it without the grant traps with PermissionDenied
+    val denied = new WasmHost.WasmModule.Interpreted(bytes)
+    val ex = intercept[SecurityException] { denied.invoke("tick", Array.emptyByteArray) }
+    assert(ex.getMessage.contains("PermissionDenied") && ex.getMessage.contains("TimeRead"))
+
+    // config_get is gated independently (ConfigRead ≠ TimeRead)
+    val wrongGrant = new WasmHost.WasmModule.Interpreted(bytes,
+      capabilities = Set(Capability.ConfigRead))
+    intercept[SecurityException] { wrongGrant.invoke("tick", Array.emptyByteArray) }
+  }
+
   test("call_indirect dispatches through the funcref table") {
     val A = graft.udf.wasm.WasmAssembler
     // two local funcs of type (i32)->(i32): double (idx 0) and inc (idx 1);
