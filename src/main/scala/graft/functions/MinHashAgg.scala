@@ -57,14 +57,19 @@ case class MinHashSignature(
   override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
     val v = child.eval(input)
     if (v != null) {
-      val s = v.asInstanceOf[UTF8String]
-      val bytes = s.getBytes
-      // ONE byte-scan: 64-bit base from two seeded murmur3 halves
-      val lo = Murmur3_x86_32.hashUnsafeBytes(
-        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 0x5bd1e995)
-      val hi = Murmur3_x86_32.hashUnsafeBytes(
-        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 0x1b873593)
-      val base = (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+      // base hash: strings get ONE byte-scan (two seeded murmur3 halves);
+      // a long input is taken as an already-hashed element key (the
+      // shingle relations shuffle xxhash64 keys, not raw strings)
+      val base = v match {
+        case l: java.lang.Long => mix(l.longValue())
+        case s: UTF8String =>
+          val bytes = s.getBytes
+          val lo = Murmur3_x86_32.hashUnsafeBytes(
+            bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 0x5bd1e995)
+          val hi = Murmur3_x86_32.hashUnsafeBytes(
+            bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 0x1b873593)
+          (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+      }
       var i = 0
       while (i < numHashes) {
         val h = ((coefA(i) * base + coefB(i)) >>> 33).toInt // top bits mix best

@@ -13,16 +13,24 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  /** Distinct (doc_id, shingle) relation, cached — it feeds self-joins
-    * and per-doc counts multiple times per query; without the cache the
-    * explode+distinct subtree (a shuffle each) re-runs per consumer.
-    * Single-row-group test file → the shingle explode would run on one
-    * core; the keyed repartition spreads it (no-op at real multi-file
-    * scale). */
+  /** Distinct (doc_id, shingle-hash) relation, cached — it feeds
+    * self-joins and per-doc counts multiple times per query; without the
+    * cache the explode+distinct subtree (a shuffle each) re-runs per
+    * consumer. The shingle travels as its xxhash64 — every downstream
+    * shuffle (the distinct, the per-shingle groups, the candidate
+    * verify) moves 8-byte keys instead of ~80-char strings, a ~10×
+    * shuffle-payload cut that matters more with every scale-up. Distinct
+    * hashes = distinct shingles modulo 64-bit collisions (≈n²/2⁶⁵ —
+    * deterministic per corpus, and the DuckDB oracle counts raw strings,
+    * so a colliding corpus would turn the gate red rather than silently
+    * drift). Single-row-group test file → the shingle explode would run
+    * on one core; the keyed repartition spreads it (no-op at real
+    * multi-file scale). */
   private def shingleRel(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
-      .select(col("doc_id"), explode(TextFunctions.shingles(col("text"), 3)).as("s"))
+      .select(col("doc_id"), explode(TextFunctions.shingles(col("text"), 3)).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
       .distinct()
       .cache()
 
@@ -227,7 +235,8 @@ object DedupOps {
       // intersected with the print candidates — a pair the theorem
       // promised but the prints missed would drop here and fail the oracle
       val grams = docs
-        .select(col("doc_id"), explode(TextFunctions.charGrams(col("norm"), L)).as("g"))
+        .select(col("doc_id"), explode(TextFunctions.charGrams(col("norm"), L)).as("g0"))
+        .select(col("doc_id"), xxhash64(col("g0")).as("g"))
         .distinct()
       pairsByKey(grams, "g")
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))

@@ -187,11 +187,17 @@ object TextOps {
         .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
         .select(col("doc_id"), col("text"),
           when(h <= "b", "train").when(h <= "d", "val").otherwise("test").as("split"))
+      // shingles travel as xxhash64 keys: the distincts and the join
+      // shuffle 8 bytes per shingle instead of ~90-char strings (distinct
+      // hashes = distinct shingles modulo the negligible 64-bit collision
+      // rate, which the exact-count oracle would expose)
       val tr = docs.filter(col("split") === "train")
-        .select(explode(TextFunctions.shingles(col("text"), 13)).as("s"))
+        .select(explode(TextFunctions.shingles(col("text"), 13)).as("s0"))
+        .select(xxhash64(col("s0")).as("s"))
         .distinct()
       val te = docs.filter(col("split") === "test")
-        .select(col("doc_id"), explode(TextFunctions.shingles(col("text"), 13)).as("s"))
+        .select(col("doc_id"), explode(TextFunctions.shingles(col("text"), 13)).as("s0"))
+        .select(col("doc_id"), xxhash64(col("s0")).as("s"))
         .distinct()
       te.join(tr, "s")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
