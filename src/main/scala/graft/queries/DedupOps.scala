@@ -87,6 +87,21 @@ object DedupOps {
       .filter(col("jaccard") >= 0.8)
   }
 
+  /** MinHash-LSH candidates + exact-Jaccard verify — the 100 TB form of
+    * the ≥0.8 near-dup pair set. 64 hashes, 16 bands × 4 rows: every true
+    * pair in this corpus has j ≥ 0.9, so per-pair banding miss probability
+    * is (1-j⁴)¹⁶ ≈ 4e-8 — the verified output EQUALS [[ngramJaccardPairs]]
+    * (and shares its oracle SQL). Candidate generation is an equi-join on
+    * band keys; the exact kernel only ever touches candidates. */
+  private def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleRel(s, d)
+    val sig = sh.groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashSignature.minhashSig(col("s"), 64).as("sig"))
+    val cands = MinHash.candidates(
+      MinHash.bands(sig, "doc_id", numBands = 16, numHashes = 64), "doc_id")
+    exactJaccard(sh, cands).filter(col("jaccard") >= 0.8)
+  }
+
   /** The n-gram-Jaccard pair subquery as oracle SQL (shared CTE prefix of
     * q_ngram_jaccard and q_dedup_clusters). */
   private val ngramPairsSql =
@@ -128,8 +143,14 @@ object DedupOps {
     // ---- Near-dup GROUPS from the pair graph: alternating large-star /
     // small-star connected components (graft.ops.ConnectedComponents), so
     // chains A≈B≈C collapse into one cluster keyed by the minimum doc_id —
-    // the canonical keeper a training pipeline retains. Oracle: recursive
-    // min-label propagation over the same symmetric edge set.
+    // the canonical keeper a training pipeline retains. The edge set comes
+    // from [[minhashVerifiedPairs]] — banded LSH candidates + exact
+    // verify, NOT the exact per-shingle pair emission (whose hot-shingle
+    // df² fan-out is the one stage that would not survive 100×). Because
+    // the verify is exact and banding recall is 1-4e-8 on this corpus,
+    // the edge set is identical and the oracle below stays the plain
+    // exact-join recursive CTE. Oracle: recursive min-label propagation
+    // over the same symmetric edge set.
     Q("q_dedup_clusters",
       s"""WITH RECURSIVE $ngramPairsSql,
         |pairs AS (
@@ -147,7 +168,7 @@ object DedupOps {
         |FROM lab l JOIN (SELECT cluster, COUNT(*) AS csize FROM lab GROUP BY cluster) c
         |  ON l.cluster = c.cluster
         |ORDER BY l.doc_id""".stripMargin) { (s, d) =>
-      val edges = ngramJaccardPairs(s, d)
+      val edges = minhashVerifiedPairs(s, d)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
       val nodes = Tables.documents(s, d).select(col("doc_id").as("node"))
       val comp = ConnectedComponents.components(edges, nodes)
@@ -173,14 +194,7 @@ object DedupOps {
         |FROM p JOIN d da ON p.doc_a = da.doc_id JOIN d db ON p.doc_b = db.doc_id
         |WHERE CAST(shared AS DOUBLE) / (da.n + db.n - shared) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      val sh = shingleRel(s, d)
-      val sig = sh.groupBy(col("doc_id"))
-        .agg(graft.functions.MinHashSignature.minhashSig(col("s"), 64).as("sig"))
-      val cands = MinHash.candidates(
-        MinHash.bands(sig, "doc_id", numBands = 16, numHashes = 64), "doc_id")
-      exactJaccard(sh, cands)
-        .filter(col("jaccard") >= 0.8)
-        .orderBy(col("doc_a"), col("doc_b"))
+      minhashVerifiedPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
     },
 
     // ---- Winnowed rolling-hash fingerprints, exact-verified: char-level

@@ -151,19 +151,44 @@ object VectorOps {
         .orderBy(col("vec_a"), col("vec_b"))
     },
 
-    // ---- Embedding near-dup GROUPS: the pair graph (exact cosine ≥ 0.4 —
-    // the synthetic near-uniform embeddings top out at ~0.51/0.60, so 0.4
-    // yields a real edge set) collapsed into connected components, keyed
-    // by minimum vec_id — the canonical-keeper shape a training pipeline
-    // retains, completing the embedding dedup story (pairs → groups) the
-    // same way q_dedup_clusters does for text. Same alternating-star CC
-    // operator; oracle = recursive min-label propagation over the same
-    // symmetric edge set.
+    // ---- Embedding near-dup GROUPS, cell-blocked (SemDeDup shape — Abbas
+    // et al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    // semantic deduplication"): quantize every vector to its nearest
+    // centroid cell, emit exact-cosine ≥ 0.4 edges WITHIN cells only (an
+    // equi-join on cell id — never a cross join), then collapse pairs into
+    // connected components keyed by minimum vec_id. Why not LSH-verified
+    // edges like q_dedup_clusters: sign-LSH per-plane collision
+    // probability at the 0.4 threshold is 1-acos(0.4)/π ≈ 0.65 (this
+    // corpus's edge sims sit AT the threshold — min 0.4000/0.4005/0.40001
+    // across SFs), so recall ~1 forces tables ≫ 2^planes and candidate
+    // volume above brute force; no banding config exists that holds the
+    // oracle's exactness. Cell-blocking is the published scale answer:
+    // within-cell pair work is n × cellSize, the cell count is the
+    // recall/cost dial, and the quantizer is driver-recomputable so the
+    // oracle checks it bit-for-bit.
+    //
+    // Quantizer: K = max(1, n/32) centroids = the first K vectors (near-
+    // uniform corpus — sampled ids match the distribution), one argmin
+    // assignment pass (NearestCells: ties by centroid id, same order as
+    // the oracle's ORDER BY dist, cid). K caps at what broadcasts
+    // (~10⁵ × dim doubles at 100 TB — the standard IVF codebook bound)
+    // with cell size growing past it; at test scale K tracks n so cells
+    // stay ~32 and the plan is LINEAR in n, driver-verified at all 3 SFs.
+    // Collecting K centroid rows is codebook training, not a data collect
+    // (same adjudication as annIvfNeighbors).
     Q("q_embed_clusters",
       """WITH RECURSIVE e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |kk AS (SELECT GREATEST(COUNT(*) // 32, 1) AS kc FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e, kk WHERE vec_id < kc),
+        |asg AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+        |    FROM e CROSS JOIN c) WHERE rn = 1),
         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb
-        |      FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
         |      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4),
         |edges AS (SELECT va AS ea, vb AS eb FROM p
         |          UNION SELECT vb, va FROM p),
@@ -172,17 +197,20 @@ object VectorOps {
         |  UNION
         |  SELECT eb, w.label FROM walk w JOIN edges ee ON ee.ea = w.node),
         |lab AS (SELECT node AS vec_id, MIN(label) AS cluster FROM walk GROUP BY node)
-        |SELECT l.vec_id, l.cluster, CAST(c.csize AS BIGINT) AS csize
-        |FROM lab l JOIN (SELECT cluster, COUNT(*) AS csize FROM lab GROUP BY cluster) c
-        |  ON l.cluster = c.cluster
+        |SELECT l.vec_id, l.cluster, CAST(c2.csize AS BIGINT) AS csize
+        |FROM lab l JOIN (SELECT cluster, COUNT(*) AS csize FROM lab GROUP BY cluster) c2
+        |  ON l.cluster = c2.cluster
         |ORDER BY l.vec_id""".stripMargin) { (s, d) =>
-      val parallelism = s.conf.get("spark.sql.shuffle.partitions").toInt
-      val e = Tables.embeddings(s, d)
-        .withColumn("v", col("embedding").cast("array<double>"))
-      val a = e.repartition(parallelism, col("vec_id"))
-        .select(col("vec_id").as("va"), col("v").as("xa"))
-      val b = e.select(col("vec_id").as("vb"), col("v").as("xb"))
-      val edges = a.join(broadcast(b), col("va") < col("vb") &&
+      val e = embedRel(s, d).cache()
+      val k = math.max(1L, e.count() / 32L).toInt
+      val cents = e.filter(col("vec_id") < k).orderBy(col("vec_id"))
+        .select(col("v")).collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+      val asg = e.withColumn("cell",
+        element_at(graft.functions.VectorExpressions.nearestCells(col("v"), cents, 1), 1))
+      val a = asg.select(col("cell"), col("vec_id").as("va"), col("v").as("xa"))
+      val b = asg.select(col("cell"), col("vec_id").as("vb"), col("v").as("xb"))
+      val edges = a.join(b, Seq("cell"))
+        .filter(col("va") < col("vb") &&
           round(VectorFunctions.cosine(col("xa"), col("xb")), 6) >= 0.4)
         .select(col("va").as("a"), col("vb").as("b"))
       val nodes = e.select(col("vec_id").as("node"))
