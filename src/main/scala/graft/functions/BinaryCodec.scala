@@ -39,8 +39,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * }}}
   *
   * Supported field types mirror the reference's `#[schema]` type system
-  * (scalars, String, Vec<u8>, Vec<scalar> — schema.rs:536-553,399-461);
-  * nested tables are out of the v1 format (flatten at the query layer).
+  * (scalars, String, Vec<u8>, Vec<scalar> — schema.rs:536-553,399-461)
+  * plus, as of v2, nested tables (`table` and `Vec<table>`,
+  * schema.rs:399-461) — the reference's own flagship system record is
+  * nested (`LogRecord { fields: Vec<LogField>, spans: Vec<…> }`,
+  * system/userland/src/logging.rs:101-121), so the S8 log channel rides
+  * this format. Nested slots are u32 offset + u32 payload:
+  *   - `struct` field: offset + byte length of ONE headerless child frame
+  *     (same layout as a frame minus magic/version/hash — the parent's
+  *     schema hash already covers the child layout, since it is taken
+  *     over the canonical JSON of the full nested schema);
+  *   - `array<struct>` field: offset + element count; at offset sit
+  *     count × u32 child-frame byte lengths (0 ⇒ null element), then the
+  *     concatenated headerless child frames in order. Child-frame
+  *     offsets are relative to the child's own start, so frames compose
+  *     recursively (any depth, though the reference only needs one).
+  * Frames whose schema contains a nested field carry version byte 2;
+  * flat schemas keep the byte-identical v1 layout.
   *
   * Decode is PERMISSIVE by default: malformed frames and schema-hash
   * mismatches yield null structs, which pipelines strip with `filterMap`
@@ -62,9 +77,22 @@ object BinaryCodec {
 
   private[functions] def supported(dt: DataType): Boolean = dt match {
     case StringType | BinaryType => true
+    case st: StructType => st.fields.forall(f => supported(f.dataType))
+    case ArrayType(st: StructType, _) => st.fields.forall(f => supported(f.dataType))
     case ArrayType(el, _) => fixedWidth(el).isDefined
     case other => fixedWidth(other).isDefined
   }
+
+  private def hasNested(dt: DataType): Boolean = dt match {
+    case _: StructType => true
+    case ArrayType(_: StructType, _) => true
+    case _ => false
+  }
+
+  /** v1 for flat schemas (byte-identical to the original layout), v2 when
+    * any field is a nested table. */
+  private[functions] def versionFor(schema: StructType): Byte =
+    if (schema.fields.exists(f => hasNested(f.dataType))) 2 else Version
 
   private[functions] def slotWidth(dt: DataType): Int = fixedWidth(dt).getOrElse(8)
 
@@ -110,30 +138,64 @@ object BinaryCodec {
   /** Encode a row of `schema` into one frame. */
   private[functions] def encodeRow(schema: StructType, hash: Array[Byte],
                                    row: InternalRow): Array[Byte] = {
+    val out = encodeFrame(schema, row, headerLen = 18)
+    out(0) = Magic
+    out(1) = versionFor(schema)
+    System.arraycopy(hash, 0, out, 2, 16)
+    out
+  }
+
+  /** One frame with `headerLen` zeroed bytes reserved up front (18 for a
+    * wire frame, 0 for a nested child frame); every stored offset is
+    * relative to index 0 of the RESULT, so child frames compose by plain
+    * concatenation. */
+  private def encodeFrame(schema: StructType, row: InternalRow,
+                          headerLen: Int): Array[Byte] = {
     val n = schema.length
     val bitmapLen = (n + 7) / 8
-    val fixedBase = 18 + bitmapLen
+    val fixedBase = headerLen + bitmapLen
     val fixedLen = schema.fields.map(f => slotWidth(f.dataType)).sum
-    // size the variable tail
-    var varLen = 0
+    // pre-encode child frames and size the variable tail (long arithmetic:
+    // a frame that would exceed 2 GiB must fail loudly, not wrap)
+    val kids = new Array[AnyRef](n)
+    var varLen = 0L
     var i = 0
     while (i < n) {
       if (!row.isNullAt(i)) schema.fields(i).dataType match {
         case StringType => varLen += row.getUTF8String(i).numBytes()
         case BinaryType => varLen += row.getBinary(i).length
+        case st: StructType =>
+          val k = encodeFrame(st, row.getStruct(i, st.length), 0)
+          kids(i) = k
+          varLen += k.length
+        case ArrayType(st: StructType, _) =>
+          val a = row.getArray(i)
+          val m = a.numElements()
+          val ks = new Array[Array[Byte]](m)
+          var j = 0
+          while (j < m) {
+            if (!a.isNullAt(j)) ks(j) = encodeFrame(st, a.getStruct(j, st.length), 0)
+            j += 1
+          }
+          kids(i) = ks
+          varLen += 4L * m
+          var j2 = 0
+          while (j2 < m) { if (ks(j2) != null) varLen += ks(j2).length; j2 += 1 }
         case ArrayType(el, _) =>
-          varLen += row.getArray(i).numElements() * fixedWidth(el).get
+          varLen += row.getArray(i).numElements().toLong * fixedWidth(el).get
         case _ => ()
       }
       i += 1
     }
-    val out = new Array[Byte](fixedBase + fixedLen + varLen)
+    val total = fixedBase.toLong + fixedLen + varLen
+    require(total <= Int.MaxValue, s"frame too large: $total bytes")
+    val out = new Array[Byte](total.toInt)
     val bb = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
-    bb.put(Magic).put(Version).put(hash, 0, 16)
     // null bitmap
     i = 0
     while (i < n) {
-      if (row.isNullAt(i)) out(18 + (i >> 3)) = (out(18 + (i >> 3)) | (1 << (i & 7))).toByte
+      if (row.isNullAt(i))
+        out(headerLen + (i >> 3)) = (out(headerLen + (i >> 3)) | (1 << (i & 7))).toByte
       i += 1
     }
     bb.position(fixedBase)
@@ -152,6 +214,22 @@ object BinaryCodec {
           val b = row.getBinary(i)
           bb.putInt(varAt).putInt(b.length)
           System.arraycopy(b, 0, out, varAt, b.length); varAt += b.length
+        case _: StructType =>
+          val k = kids(i).asInstanceOf[Array[Byte]]
+          bb.putInt(varAt).putInt(k.length)
+          System.arraycopy(k, 0, out, varAt, k.length); varAt += k.length
+        case ArrayType(_: StructType, _) =>
+          val ks = kids(i).asInstanceOf[Array[Array[Byte]]]
+          bb.putInt(varAt).putInt(ks.length)
+          var at2 = varAt + 4 * ks.length
+          var j = 0
+          while (j < ks.length) {
+            val k = ks(j)
+            bb.putInt(varAt + 4 * j, if (k == null) 0 else k.length) // 0 ⇒ null elem
+            if (k != null) { System.arraycopy(k, 0, out, at2, k.length); at2 += k.length }
+            j += 1
+          }
+          varAt = at2
         case ArrayType(el, _) =>
           val a = row.getArray(i)
           val m = a.numElements()
@@ -171,14 +249,27 @@ object BinaryCodec {
     * or carries a different schema hash. */
   private[functions] def decodeRow(schema: StructType, hash: Array[Byte],
                                    bytes: Array[Byte]): Option[InternalRow] = {
-    val n = schema.length
-    val bitmapLen = (n + 7) / 8
-    val fixedBase = 18 + bitmapLen
-    val fixedLen = schema.fields.map(f => slotWidth(f.dataType)).sum
-    if (bytes.length < fixedBase + fixedLen) return None
-    if (bytes(0) != Magic || bytes(1) != Version) return None
+    if (bytes.length < 18) return None
+    if (bytes(0) != Magic || bytes(1) != versionFor(schema)) return None
     var h = 0
     while (h < 16) { if (bytes(2 + h) != hash(h)) return None; h += 1 }
+    decodeFrame(schema, bytes, 0, bytes.length, headerLen = 18)
+  }
+
+  /** Decode the frame occupying `[start, end)` of `bytes`; stored offsets
+    * are relative to `start`. All offset/length checks run in LONG
+    * arithmetic — a crafted frame with l ≈ Int.MaxValue must fail the
+    * bounds test, not wrap negative and pass into an unchecked
+    * `UTF8String.fromBytes` unsafe read. */
+  private def decodeFrame(schema: StructType, bytes: Array[Byte],
+                          start: Int, end: Int, headerLen: Int): Option[InternalRow] = {
+    val n = schema.length
+    val bitmapLen = (n + 7) / 8
+    val fixedBase = start + headerLen + bitmapLen
+    val fixedLen = schema.fields.map(f => slotWidth(f.dataType)).sum
+    if (start < 0 || end > bytes.length ||
+      end.toLong - start < headerLen.toLong + bitmapLen + fixedLen) return None
+    val span = (end - start).toLong
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val vals = new Array[Any](n)
     var at = fixedBase
@@ -186,25 +277,51 @@ object BinaryCodec {
     try {
       while (i < n) {
         val dt = schema.fields(i).dataType
-        val isNull = (bytes(18 + (i >> 3)) & (1 << (i & 7))) != 0
+        val isNull = (bytes(start + headerLen + (i >> 3)) & (1 << (i & 7))) != 0
         if (!isNull) dt match {
           case StringType =>
             val (o, l) = (bb.getInt(at), bb.getInt(at + 4))
-            if (o < 0 || l < 0 || o + l > bytes.length) return None
-            vals(i) = UTF8String.fromBytes(bytes, o, l)
+            if (o < 0 || l < 0 || o.toLong + l > span) return None
+            vals(i) = UTF8String.fromBytes(bytes, start + o, l)
           case BinaryType =>
             val (o, l) = (bb.getInt(at), bb.getInt(at + 4))
-            if (o < 0 || l < 0 || o + l > bytes.length) return None
+            if (o < 0 || l < 0 || o.toLong + l > span) return None
             val b = new Array[Byte](l)
-            System.arraycopy(bytes, o, b, 0, l)
+            System.arraycopy(bytes, start + o, b, 0, l)
             vals(i) = b
+          case st: StructType =>
+            val (o, l) = (bb.getInt(at), bb.getInt(at + 4))
+            if (o < 0 || l < 0 || o.toLong + l > span) return None
+            decodeFrame(st, bytes, start + o, start + o + l, 0) match {
+              case Some(r) => vals(i) = r
+              case None => return None
+            }
+          case ArrayType(st: StructType, _) =>
+            val (o, m) = (bb.getInt(at), bb.getInt(at + 4))
+            if (o < 0 || m < 0 || o.toLong + 4L * m > span) return None
+            val arr = new Array[Any](m)
+            var cur = start.toLong + o + 4L * m
+            var j = 0
+            while (j < m) {
+              val l = bb.getInt(start + o + 4 * j)
+              if (l < 0 || cur + l > start + span) return None
+              if (l > 0) { // 0 ⇒ null element
+                decodeFrame(st, bytes, cur.toInt, (cur + l).toInt, 0) match {
+                  case Some(r) => arr(j) = r
+                  case None => return None
+                }
+              }
+              cur += l
+              j += 1
+            }
+            vals(i) = new GenericArrayData(arr)
           case ArrayType(el, _) =>
             val (o, m) = (bb.getInt(at), bb.getInt(at + 4))
             val w = fixedWidth(el).get
-            if (o < 0 || m < 0 || o + m.toLong * w > bytes.length) return None
+            if (o < 0 || m < 0 || o.toLong + m.toLong * w > span) return None
             val arr = new Array[Any](m)
             var j = 0
-            while (j < m) { arr(j) = readFixed(bb, o + j * w, el); j += 1 }
+            while (j < m) { arr(j) = readFixed(bb, start + o + j * w, el); j += 1 }
             vals(i) = new GenericArrayData(arr)
           case other => vals(i) = readFixed(bb, at, other)
         }
@@ -231,7 +348,8 @@ case class StructEncode(child: Expression)
       TypeCheckResult.TypeCheckSuccess
     case s: StructType => TypeCheckResult.TypeCheckFailure(
       s"$prettyName: unsupported field type in ${s.simpleString} " +
-        "(v1 wire format: fixed scalars, string, binary, array<fixed scalar>)")
+        "(wire format: fixed scalars, string, binary, array<fixed scalar>, " +
+        "nested struct / array<struct> thereof)")
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects struct, got ${other.simpleString}")
   }

@@ -53,6 +53,43 @@ object CodecOps {
         .orderBy(col("event_id"))
     },
 
+    // ---- Nested-table roundtrip through the v2 wire layout: each event
+    // becomes a LogRecord-shaped record { event_id, fields: Vec<LogField> }
+    // (reference system/userland/src/logging.rs:101-121 — its flagship
+    // record is nested, so the wire format must carry Vec<table>), with a
+    // VARIABLE-length Vec (2 or 3 child frames per row). Encode → decode →
+    // explode back to flat rows; the oracle recomputes the flat rows
+    // straight from events, so any child-frame offset/length bug, lost
+    // element, or mis-ordered Vec breaks the hash match.
+    Q("q_codec_nested",
+      """SELECT event_id, k, v FROM (
+        |  SELECT event_id, 'type' AS k, event_type AS v FROM events
+        |  UNION ALL
+        |  SELECT event_id, 'tlen' AS k, CAST(len(event_type) AS VARCHAR) AS v FROM events
+        |  UNION ALL
+        |  SELECT event_id, 'extra' AS k, 'x' AS v FROM events WHERE event_id % 5 = 0)
+        |ORDER BY event_id, k""".stripMargin) { (s, d) =>
+      val fieldT = StructType(Seq(
+        StructField("k", StringType), StructField("v", StringType)))
+      val rec = Tables.events(s, d).select(col("event_id"),
+        concat(
+          array(
+            struct(lit("type").as("k"), col("event_type").as("v")),
+            struct(lit("tlen").as("k"),
+              length(col("event_type")).cast("string").as("v"))),
+          when(col("event_id") % 5 === 0,
+            array(struct(lit("extra").as("k"), lit("x").as("v"))))
+            .otherwise(array().cast(ArrayType(fieldT)))).as("fields"))
+      val nestedSchema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("fields", ArrayType(fieldT))))
+      rec.select(Codec.encodeBinary(col("event_id"), col("fields")).as("p"))
+        .select(Codec.decodeBinary(col("p"), nestedSchema).as("r"))
+        .select(col("r.event_id").as("event_id"), explode(col("r.fields")).as("f"))
+        .select(col("event_id"), col("f.k").as("k"), col("f.v").as("v"))
+        .orderBy(col("event_id"), col("k"))
+    },
+
     // ---- Channel roundtrip through the DSv2 connector: an events slice
     // is published into a fresh topic (writer-attributed parquet batches)
     // and read back via format("graft-channel") — the whole

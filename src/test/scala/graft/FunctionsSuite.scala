@@ -283,6 +283,44 @@ class FunctionsSuite extends SparkSpec {
       .filter(col("r").isNotNull).count() == 0)
   }
 
+  test("binary codec v2: nested tables (LogRecord shape) roundtrip, nulls + empty Vec") {
+    import org.apache.spark.sql.types._
+    // the reference's flagship nested record: LogRecord { fields: Vec<LogField> }
+    // (system/userland/src/logging.rs:101-121) — a struct field plus a
+    // Vec<table> field, with a null child, a null element and an empty Vec
+    val fieldT = StructType(Seq(StructField("k", StringType), StructField("v", StringType)))
+    val schema = StructType(Seq(
+      StructField("ts", LongType), StructField("msg", StringType),
+      StructField("ctx", StructType(Seq(
+        StructField("mod", StringType), StructField("line", IntegerType)))),
+      StructField("fields", ArrayType(fieldT))))
+    val rec = Seq((1L, "boot"), (2L, "warn")).toDF("ts", "msg").select(
+      col("ts"), col("msg"),
+      when(col("ts") === 1,
+        struct(concat(col("msg"), lit("-mod")).as("mod"),
+          (col("ts") * 10).cast("int").as("line"))).as("ctx"), // null ctx for ts=2
+      when(col("ts") === 1,
+        array(struct(lit("a").as("k"), lit("1").as("v")),
+          lit(null).cast(fieldT),                              // null element
+          struct(lit("b").as("k"), lit(null).cast(StringType).as("v"))))
+        .otherwise(array().cast(ArrayType(fieldT))).as("fields")) // empty Vec
+    val enc = rec.select(
+      Codec.encodeBinary(col("ts"), col("msg"), col("ctx"), col("fields")).as("p"))
+    // frames carry version byte 2; flat schemas stay on the v1 byte
+    assert(enc.select(col("p")).as[Array[Byte]].collect().forall(_(1) == 2))
+    val back = enc.select(Codec.decodeBinary(col("p"), schema).as("r")).select(col("r.*"))
+    assert(back.toJSON.collect().sorted.toSeq == rec.toJSON.collect().sorted.toSeq)
+
+    // child-frame truncation: every strict prefix of a nested frame decodes
+    // to null (permissive), never crashes or returns garbage
+    val frame = enc.as[Array[Byte]].head()
+    val truncated = Seq(frame.length * 3 / 4, frame.length - 1, 20, 3)
+      .map(n => frame.take(n))
+    val junk = truncated.toDF("p")
+    assert(junk.select(Codec.decodeBinary(col("p"), schema).as("r"))
+      .filter(col("r").isNotNull).count() == 0)
+  }
+
   test("heavy hitters sketch: guaranteed recall above n/k, bounded error") {
     // 1000 "hot" + 200 "warm" + 500 singletons; capacity 16 → threshold ~106
     val items = Seq.fill(1000)("hot") ++ Seq.fill(200)("warm") ++
