@@ -22,11 +22,20 @@ object SchemaRegistry {
     * same declared schema is nullable, and that distinction is not part of
     * channel identity (the reference hashes the .fbs text, where optional
     * is explicit in the type; Spark's nullable flag is an inference
-    * artifact). */
+    * artifact). The one metadata key that SURVIVES is [[Enums.MetaKey]]:
+    * an enum's ordered variant list IS part of the type in the reference's
+    * .fbs text, so two channels whose byte column means different enums
+    * must not share a hash. */
   def canonical(dt: DataType): DataType = dt match {
     case s: StructType =>
-      StructType(s.fields.map(f =>
-        StructField(f.name, canonical(f.dataType), nullable = true)))
+      StructType(s.fields.map { f =>
+        val meta =
+          if (f.metadata.contains(Enums.MetaKey))
+            new MetadataBuilder().putStringArray(
+              Enums.MetaKey, f.metadata.getStringArray(Enums.MetaKey)).build()
+          else Metadata.empty
+        StructField(f.name, canonical(f.dataType), nullable = true, metadata = meta)
+      })
     case a: ArrayType => ArrayType(canonical(a.elementType), containsNull = true)
     case m: MapType => MapType(canonical(m.keyType), canonical(m.valueType), true)
     case other => other

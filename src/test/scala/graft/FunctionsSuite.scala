@@ -321,6 +321,44 @@ class FunctionsSuite extends SparkSpec {
       .filter(col("r").isNotNull).count() == 0)
   }
 
+  test("enum-with-fallback: every byte value roundtrips; enum identity is hashed") {
+    import org.apache.spark.sql.types._
+    import graft.channel.{Enums, SchemaRegistry}
+    // LogLevel shape: 5 catalogued variants + Unknown(i8) fallback
+    // (reference system/userland/src/logging.rs:52-71)
+    val lvl = Enums.EnumDef("LogLevel", IndexedSeq("trace", "debug", "info", "warn", "error"))
+    // exhaustive: encode(decode(b)) == b for EVERY byte, catalogued or not
+    val allBytes = (-128 to 127).map(_.toByte).toDF("b")
+    val rt = allBytes
+      .select(col("b"), lvl.encode(lvl.decode(col("b"))).as("back"))
+      .filter(col("b") =!= col("back") || col("back").isNull)
+    assert(rt.count() == 0)
+    // catalogued ordinals render as names, the rest as unknown(<n>)
+    val shown = allBytes.select(lvl.decode(col("b")).as("d"))
+      .as[String].collect().toSet
+    assert(Set("trace", "debug", "info", "warn", "error", "unknown(-1)", "unknown(100)")
+      .subsetOf(shown))
+    // foreign display strings are null (permissive), never a crash —
+    // including unknown(...) forms outside the byte range (ANSI casts)
+    val foreign = Seq("fatal", "unknown(999)", "unknown(x)", "").toDF("d")
+    assert(foreign.select(lvl.encode(col("d")).as("b"))
+      .filter(col("b").isNotNull).count() == 0)
+    // the variant catalogue is part of channel identity...
+    val s1 = StructType(Seq(StructField("id", LongType), lvl.field("level")))
+    val lvl2 = Enums.EnumDef("LogLevel", IndexedSeq("trace", "debug", "info", "warn", "fatal"))
+    val s2 = StructType(Seq(StructField("id", LongType), lvl2.field("level")))
+    assert(SchemaRegistry.hash(s1) != SchemaRegistry.hash(s2))
+    // ...but incidental metadata and nullability still are not
+    val noisy = StructType(Seq(
+      StructField("id", LongType, nullable = false,
+        new MetadataBuilder().putString("comment", "x").build()),
+      lvl.field("level")))
+    assert(SchemaRegistry.hash(noisy) == SchemaRegistry.hash(s1))
+    // the tagged field is plain ByteType on the wire: it rides the binary
+    // codec's 1-byte slot unchanged
+    assert(Enums.of(lvl.field("level")).contains(lvl.copy(name = "level")))
+  }
+
   test("heavy hitters sketch: guaranteed recall above n/k, bounded error") {
     // 1000 "hot" + 200 "warm" + 500 singletons; capacity 16 → threshold ~106
     val items = Seq.fill(1000)("hot") ++ Seq.fill(200)("warm") ++
