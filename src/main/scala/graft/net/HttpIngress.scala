@@ -5,7 +5,8 @@ import java.util.concurrent.atomic.AtomicLong
 
 import scala.jdk.CollectionConverters._
 
-import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import com.sun.net.httpserver.{HttpExchange, HttpServer, HttpsConfigurator, HttpsServer}
+import javax.net.ssl.SSLContext
 import graft.channel.Channel
 import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
 
@@ -42,10 +43,24 @@ object HttpIngress {
 
   /** Start listening; buffered requests are appended to `channel` on each
     * `flush()` (micro-batch ingest — the channel IS the streaming source
-    * downstream). Returns the ingress handle. */
+    * downstream). Returns the ingress handle.
+    *
+    * `tls = Some(ctx)` terminates HTTPS at the edge (reference parity:
+    * `subsystem/net-hyper/src/tls.rs` + `examples/load-balancer-https/`);
+    * build the context with [[Tls.sslContext]]. Everything behind the
+    * handshake — record flow, reply policy, flush semantics — is
+    * identical to the plain listener. */
   def start(spark: SparkSession, channel: Channel, port: Int = 0,
-            writerId: Int = 100, reply: Reply = AcceptAll): Ingress = {
-    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 64)
+            writerId: Int = 100, reply: Reply = AcceptAll,
+            tls: Option[SSLContext] = None): Ingress = {
+    val addr = new InetSocketAddress("127.0.0.1", port)
+    val server = tls match {
+      case Some(ctx) =>
+        val s = HttpsServer.create(addr, 64)
+        s.setHttpsConfigurator(new HttpsConfigurator(ctx))
+        s
+      case None => HttpServer.create(addr, 64)
+    }
     val ingress = new Ingress(spark, channel, server, writerId, reply)
     server.createContext("/", (exchange: HttpExchange) => ingress.handle(exchange))
     server.setExecutor(null) // serial: preserves arrival order like a channel

@@ -73,6 +73,39 @@ class HttpIngressSuite extends SparkSpec {
     } finally ingress.stop()
   }
 
+  test("HTTPS edge: TLS handshake + request → channel → reply end-to-end") {
+    // parity with the reference's https termination
+    // (subsystem/net-hyper/src/tls.rs, examples/load-balancer-https/):
+    // self-signed cert, handshake, same record flow as plain HTTP
+    val pw = "graft-test".toCharArray
+    val ksPath = graft.net.Tls.selfSignedKeystore(tmpDir("tlsks"), pw)
+    val ctx = graft.net.Tls.sslContext(ksPath, pw)
+    val reg = new ChannelRegistry(spark, tmpDir("https"))
+    val ch = reg.create("https_in", HttpIngress.schema)
+    val ingress = HttpIngress.start(spark, ch, tls = Some(ctx))
+    try {
+      // client trusts the self-signed cert by sharing the keystore
+      val client = HttpClient.newBuilder().sslContext(ctx).build()
+      def post(path: String) = {
+        val r = JHttpRequest.newBuilder(URI.create(s"https://127.0.0.1:${ingress.port}$path"))
+          .POST(JHttpRequest.BodyPublishers.ofString("secret payload")).build()
+        client.send(r, HttpResponse.BodyHandlers.ofString())
+      }
+      assert(post("/api/tls").statusCode() == 202)
+      assert(post("/api/tls2").statusCode() == 202)
+      // a client that does NOT trust the cert is refused at the handshake
+      intercept[javax.net.ssl.SSLHandshakeException] {
+        val r = JHttpRequest.newBuilder(URI.create(s"https://127.0.0.1:${ingress.port}/x"))
+          .POST(JHttpRequest.BodyPublishers.ofString("p")).build()
+        HttpClient.newHttpClient().send(r, HttpResponse.BodyHandlers.ofString())
+      }
+      // and plaintext against the TLS port never reaches the channel
+      assert(ingress.flush() == 2)
+      assert(ch.read().select("path").as[String].collect().toSeq
+        == Seq("/api/tls", "/api/tls2"))
+    } finally ingress.stop()
+  }
+
   test("flush restores accepted requests when the channel rejects the write") {
     val reg = new ChannelRegistry(spark, tmpDir("httpbp"))
     // capacity 1 byte, park mode: the write lands then is un-published by
