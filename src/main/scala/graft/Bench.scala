@@ -2,11 +2,13 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: one JSON line with per-query and total seconds at the
-  * scale factor in SPARK_GRAFT_SF_DIR. A warmup pass at sf0.001 first
-  * JIT-compiles the generated code paths so the timings measure the
-  * engine, not the JVM's first-run compilation; each query then reports
-  * the best of two runs (steady-state).
+/** Benchmark main: one JSON line with per-query `[wall, cpu]` seconds and
+  * totals at the scale factor in SPARK_GRAFT_SF_DIR. A warmup pass at
+  * sf0.001 first JIT-compiles the generated code paths so the timings
+  * measure the engine, not the JVM's first-run compilation; each query
+  * then reports the faster of two interleaved full passes (steady-state),
+  * with its process-CPU burn so host co-tenancy distortion is visible in
+  * the emitted JSON itself (busy ratio — see below).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -44,14 +46,27 @@ object Bench {
       finally sweep()
     }
 
-    def time(name: String): Double = {
+    // Process-CPU seconds alongside wall seconds: this machine has shown
+    // 5-60× wall-clock distortion from host co-tenancy (r5's driver bench),
+    // and cpu/wall is the self-diagnosing signal — a query that burns
+    // ~constant CPU across rounds but balloons in wall time was descheduled
+    // by the host, not regressed. Read: busy_ratio = cpu / (wall × cores);
+    // a healthy local[32] run of a shuffle-heavy query sits well above
+    // ~0.2, while a co-tenant-starved run collapses toward 0.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+
+    /** (wall, cpu) seconds for one run, (-1, -1) on failure. */
+    def time(name: String): (Double, Double) = {
+      val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
       val ok =
         try { SparkEntry.queries(name)(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
+      val dc = (osBean.getProcessCpuTime - c0) / 1e9
       sweep() // outside the timed window — blocks drop is bookkeeping
-      if (ok) dt else -1.0
+      if (ok) (dt, dc) else (-1.0, -1.0)
     }
 
     // Two FULL PASSES (not two consecutive runs): the first ~60-90s after
@@ -62,13 +77,16 @@ object Bench {
     // passes puts every query's second run in steady state, so
     // min(passA, passB) is transient-free for all of them.
     val passA = names.map(name => name -> time(name)).toMap
+    // keep the (wall, cpu) PAIR of the faster pass — mixing passes would
+    // pair a wall time with another run's CPU burn
     val results = names.map { name =>
       val a = passA(name)
       val b = time(name)
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      name -> (if (a._1 < 0 || b._1 < 0) (-1.0, -1.0)
+               else if (a._1 <= b._1) a else b)
     }
     // Full-precision per-query detail on its own (non-final) line for the log.
-    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val fullQs = results.map { case (k, (w, c)) => "\"" + k + "\":[" + w + "," + c + "]" }
       .mkString("{", ",", "}")
     println(s"""BENCH_DETAIL {"queries":$fullQs,"sf":"$sfDir"}""")
 
@@ -78,15 +96,21 @@ object Bench {
     // queries that do (the full map is on the BENCH_DETAIL line above).
     def r3(v: Double): String =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val total = results.map(_._2).filter(_ >= 0).sum
-    def render(qs: Seq[(String, Double)]): String = {
-      val m = qs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$m,"sf":"$sfDir"}"""
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val cpuTotal = results.map(_._2._2).filter(_ >= 0).sum
+    val cores = Runtime.getRuntime.availableProcessors()
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    def render(qs: Seq[(String, (Double, Double))]): String = {
+      // per-query rows are [wall, cpu] pairs — see the busy-ratio note above
+      val m = qs.map { case (k, (w, c)) => "\"" + k + "\":[" + r3(w) + "," + r3(c) + "]" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpu_total":${r3(cpuTotal)},"cores":$cores,"load_avg":${r3(loadAvg)},"n_queries":${results.size},"queries":$m,"sf":"$sfDir"}"""
     }
     val budget = 1400
     var line = render(results)
     if (line.length > budget) {
-      val bySlowest = results.sortBy(-_._2)
+      val bySlowest = results.sortBy(-_._2._1)
       var keep = bySlowest.size
       while (keep > 1 && render(bySlowest.take(keep).sortBy(_._1)).length > budget) keep -= 1
       line = render(bySlowest.take(keep).sortBy(_._1))

@@ -48,7 +48,14 @@ object Relational {
     },
 
     // ---- Fact-fact-dim join + agg + top-k (TPC-H Q3 shape). customer is
-    // broadcast; orders⋈lineitem shuffles on the order key.
+    // broadcast into orders; lineitem is the PROBE side of the second join
+    // (the build side is the segment-filtered orders⋈customer, ~1/5 of
+    // orders — broadcastable at bench scale, and at 100 TB the planner
+    // falls back to a shuffle join on the order key with lineitem still
+    // streaming). Written `l.join(o⋈c)` deliberately: with lineitem on
+    // the right, column pruning shrank its size ESTIMATE under the
+    // broadcast threshold and the planner shipped the whole fact table to
+    // every task — ~2× slower at sf0.1 and a scale-killer shape.
     Q("q3_top_orders",
       """SELECT o.o_orderkey,
         |  strftime(o.o_orderdate, '%Y-%m-%d') AS order_day,
@@ -63,8 +70,8 @@ object Relational {
       val c = Tables.customer(s, d).filter($("c_mktsegment") === "BUILDING")
       val o = Tables.orders(s, d)
       val l = Tables.lineitem(s, d)
-      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        .join(l, l("l_orderkey") === o("o_orderkey"))
+      l.join(broadcast(o.join(broadcast(c), o("o_custkey") === c("c_custkey"))),
+          l("l_orderkey") === o("o_orderkey"))
         .groupBy(o("o_orderkey"), date_format(o("o_orderdate"), "yyyy-MM-dd").as("order_day"))
         .agg(Tables.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
