@@ -372,26 +372,48 @@ object Channel {
     } catch { case _: Exception => None }
   }
 
-  /** Publish the committed head cursor (atomic tmp+rename, monotone
-    * per component — a racing stale writer can never regress it). Called
-    * after every commit/abort/compact: the amortized cost rides the write
-    * path, which already walks the directory for capacity accounting,
-    * leaving offset planning O(1) per trigger. A writer that crashes
-    * between its commit and this publish leaves the cursor lagging (never
-    * wrong — any historical cursor stays a valid committed prefix: new
-    * reservations always land at ≥ the published end and evictions only
-    * create gaps below it); the next write or compact() heals the lag. */
+  /** Publish the committed head cursor (atomic tmp+rename). Called after
+    * every commit/abort/compact: the amortized cost rides the write path,
+    * which already walks the directory for capacity accounting, leaving
+    * offset planning O(1) per trigger.
+    *
+    * The cursor is ADVISORY, not the source of truth — and that is what
+    * makes the unsynchronized read-compare-move here safe. Two racing
+    * writers can interleave so that a staler (lower) cursor lands last:
+    * that is mere LAG, never corruption, because any historical cursor
+    * stays a valid committed prefix (new reservations always land at ≥
+    * the published end and evictions only create gaps below it), readers
+    * fall back to the full listing when the cursor trails, and the next
+    * write or compact() re-publishes the true maximum. Same story for a
+    * writer that crashes between commit and publish. Serializing
+    * publication (file lock / retry loop) would buy nothing but
+    * contention on the hot write path. */
   private[graft] def advanceHead(dir: Path): Unit = {
     val (strict, weakEnd) = committedEnds(dir)
     val cur = readHead(dir)
     val (ns, nw) = (math.max(strict, cur.fold(0L)(_._1)),
       math.max(weakEnd, cur.fold(0L)(_._2)))
     if (cur.forall { case (s, w) => ns > s || nw > w }) {
+      // sweep tmp files a crashed writer leaked (age-gated: a LIVE tmp
+      // exists for milliseconds between create and move)
+      try listDir(dir)
+        .filter(_.getFileName.toString.startsWith("_head"))
+        .filter(_.getFileName.toString.endsWith(".tmp"))
+        .filter { p =>
+          try Files.getLastModifiedTime(p).toMillis < System.currentTimeMillis() - 60000
+          catch { case _: Exception => false }
+        }.foreach(p => Files.deleteIfExists(p))
+      catch { case _: Exception => () }
       val tmp = Files.createTempFile(dir, "_head", ".tmp")
       Files.writeString(tmp, s"$ns $nw")
-      Files.move(tmp, dir.resolve(HeadFile),
+      try Files.move(tmp, dir.resolve(HeadFile),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch { case _: Exception =>
+        // publication is best-effort: a lost move (e.g. our tmp swept by
+        // an aggressive cleaner) is the same benign lag as a crash here
+        Files.deleteIfExists(tmp)
+      }
     }
   }
 

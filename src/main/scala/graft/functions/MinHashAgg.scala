@@ -40,6 +40,18 @@ case class MinHashSignature(
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
+  // analysis-time rejection of anything update() can't hash — without
+  // this an Int/Binary/Decimal child surfaced as a raw MatchError at
+  // execution time instead of a plan error naming the type
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects string (raw element) or bigint (pre-hashed element key), " +
+          s"got ${other.simpleString}")
+    }
+
   override def createAggregationBuffer(): Array[Int] =
     Array.fill(numHashes)(Int.MaxValue)
 

@@ -73,6 +73,13 @@ object WasmHost {
                             capabilities: Set[graft.runtime.Capability.Value] = Set.empty,
                             hostClockMillis: () => Long = () => 0L,
                             hostConfig: Map[Long, Long] = Map.empty) extends WasmModule {
+      // NOTE: the denial surfaces as a JVM SecurityException from inside
+      // interpreter dispatch, not as a wasm trap — fine while every gated
+      // hostcall is READ-ONLY (no instance state to half-mutate, and the
+      // fuel/memory caps still bound the run). If a STATEFUL hostcall is
+      // ever added, route PermissionDenied through the interpreter's trap
+      // path instead, so partial guest-memory writes made before the call
+      // are rolled back with the instance.
       private def gated(cap: graft.runtime.Capability.Value, fn: String)(
           f: Seq[Long] => Option[Long]): (String, Seq[Long] => Option[Long]) =
         fn -> { args: Seq[Long] =>

@@ -142,10 +142,15 @@ class EngineSuite extends SparkSpec {
   }
 
   test("every source/sink class is deny-by-default across the full grant catalogue") {
-    val qm = new QueryManager(spark)
+    import graft.channel.ChannelRegistry
+    val reg = new ChannelRegistry(spark, tmpDir("qmcat"))
+    val logsCh = reg.create("engine_logs_cat",
+      implicitly[org.apache.spark.sql.Encoder[LogAnalyser.LogRecord]].schema)
+    val qm = new QueryManager(spark, logsChannel = Some(logsCh))
     // catalogue parity: the reference's 20 grants (abi lib.rs:114-135)
     // all have an engine counterpart, plus ConfigRead/LogWrite/ChannelShare
     assert(Capability.values.size == 23)
+    assert(Capability.Needs.all.size == 9)
     Capability.Needs.all.foreach { case (surface, needs) =>
       // no grants at all → refused before the plan is built
       intercept[SecurityException] {
@@ -165,6 +170,19 @@ class EngineSuite extends SparkSpec {
       }
     }
     assert(qm.list.isEmpty)
+    // every refusal is an observable denial on the engine-log channel,
+    // attributed to the refused pipeline (reference: denials surface as
+    // PermissionDenied in the process's own tracing channel)
+    val denied = logsCh.read()
+      .filter(col("message") === "pipeline denied" && col("level") === "Warn")
+      .select(explode(col("fields")).as("f"))
+      .filter(col("f.key") === "pipeline")
+      .select(col("f.value")).as[String].collect().toSet
+    Capability.Needs.all.keys.foreach { surface =>
+      Seq(s"p-$surface", s"p2-$surface", s"p3-$surface").foreach { p =>
+        assert(denied.contains(p), s"no denial logged for $p")
+      }
+    }
   }
 
   test("module spec parser (boot deployment syntax)") {
