@@ -52,6 +52,37 @@ class EngineSuite extends SparkSpec {
     assert(out(1).getAs[Long]("warnings") == 51)
   }
 
+  test("S8: LogRecord rides the engine's own wire format (nested Vec + enum level)") {
+    import LogAnalyser.{LogField, LogRecord, LogSpan}
+    // the reference's flagship nested system record over its own runtime
+    // wire (logging.rs:101-121 + encoding.rs:29-62): Vec<table> fields,
+    // nested spans, enum level incl. the Unknown(i8) fallback
+    val recs = Seq(
+      LogRecord("Error", "graft.app", "boom",
+        Seq(LogField("code", "7"), LogField("op", "scan")),
+        Seq(LogSpan("root", Seq(LogField("span_id", "1"))),
+          LogSpan("leaf", Nil)), 1000L),
+      LogRecord("unknown(9)", "graft.app", "from-the-future", Nil, Nil, 2000L),
+      LogRecord("Info", "graft.net", "ok", Nil,
+        Seq(LogSpan("conn", Seq(LogField("peer", "10.0.0.1")))), 3000L))
+    val df = recs.toDF()
+    val wire = LogAnalyser.toWire(df)
+    // real v2 frames: magic + nested-layout version byte
+    assert(wire.as[Array[Byte]].collect()
+      .forall(f => f(0) == 0x47 && f(1) == 2))
+    val back = LogAnalyser.fromWire(wire)
+    assert(back.toJSON.collect().sorted.toSeq == df.toJSON.collect().sorted.toSeq)
+    // a reader declaring a DIFFERENT enum catalogue refuses the frames
+    // (schema hash covers the variant list)
+    val otherLevels = graft.channel.Enums.EnumDef("LogLevel",
+      IndexedSeq("Trace", "Debug", "Info", "Warn", "Fatal"))
+    val otherSchema = org.apache.spark.sql.types.StructType(
+      otherLevels.field("level") +: LogAnalyser.wireSchema.fields.tail)
+    assert(wire.select(
+        graft.functions.Codec.decodeBinary(col("frame"), otherSchema).as("r"))
+      .filter(col("r").isNotNull).count() == 0)
+  }
+
   // ---- config-state fold (A4/J6) ---------------------------------------
 
   test("config fold applies latest config, floor 1, in seq order") {
