@@ -56,15 +56,11 @@ case class MinHashSignature(
     Array.fill(numHashes)(Int.MaxValue)
 
   // fixed odd multipliers/offsets (splitmix64-expanded from the hash
-  // index) — deterministic across executors and rounds
-  @transient private lazy val coefA: Array[Long] = Array.tabulate(numHashes)(i => mix(2L * i + 1) | 1L)
-  @transient private lazy val coefB: Array[Long] = Array.tabulate(numHashes)(i => mix(2L * i + 2))
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  // index) — deterministic across executors and rounds; shared with the
+  // per-row form in the companion so streaming and batch signatures are
+  // bit-identical over the same key set
+  @transient private lazy val (coefA, coefB) = MinHashSignature.coefs(numHashes)
+  private def mix(z0: Long): Long = MinHashSignature.mix(z0)
 
   override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
     val v = child.eval(input)
@@ -125,4 +121,37 @@ object MinHashSignature {
     GraftSqlBridge.toColumn(
       MinHashSignature(GraftSqlBridge.toExpression(c), numHashes)
         .toAggregateExpression())
+
+  private[functions] def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private val coefCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private[functions] def coefs(numHashes: Int): (Array[Long], Array[Long]) =
+    coefCache.computeIfAbsent(numHashes, k =>
+      (Array.tabulate(k)(i => mix(2L * i + 1) | 1L),
+       Array.tabulate(k)(i => mix(2L * i + 2))))
+
+  /** The same signature computed in one pass over an already-distinct set
+    * of pre-hashed (xxhash64) element keys — the per-row form used where a
+    * whole document is in hand (the streaming near-dup state operator).
+    * Bit-identical to the aggregate fed the same long keys. */
+  def signatureOf(keys: Iterable[Long], numHashes: Int): Array[Int] = {
+    val (ca, cb) = coefs(numHashes)
+    val buf = Array.fill(numHashes)(Int.MaxValue)
+    keys.foreach { k =>
+      val base = mix(k)
+      var i = 0
+      while (i < numHashes) {
+        val h = ((ca(i) * base + cb(i)) >>> 33).toInt
+        if (h < buf(i)) buf(i) = h
+        i += 1
+      }
+    }
+    buf
+  }
 }

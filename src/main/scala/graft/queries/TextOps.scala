@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.functions.{HeavyHitters, TextFunctions}
+import graft.functions.{Bloom, HeavyHitters, TextFunctions}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -200,6 +200,56 @@ object TextOps {
         .select(col("doc_id"), xxhash64(col("s0")).as("s"))
         .distinct()
       te.join(tr, "s")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- The production decontamination plan (the comment above, as real
+    // code): bloom the benchmark-side shingle set on the driver, prune the
+    // corpus scan MAP-SIDE with it, and exact-verify the survivors. The
+    // corpus side never runs a full-cardinality distinct — the only rows
+    // reaching a shuffle are true overlap + ~fpp false positives, and the
+    // verify join against the real benchmark set removes the latter, so
+    // the output (and the oracle) is bit-identical to q_decontaminate's
+    // exact join. At 100 TB this turns decontamination into one scan.
+    Q("q_decontaminate_bloom",
+      """WITH tt AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, split, array_to_string(t[i:i+12], ' ') AS s
+        |       FROM tt, unnest(range(1, len(t) - 11)) AS u(i) WHERE len(t) >= 13),
+        |tr AS (SELECT DISTINCT s FROM sh WHERE split = 'train'),
+        |te AS (SELECT doc_id, s FROM sh WHERE split = 'test')
+        |SELECT te.doc_id, COUNT(*) AS n_hits
+        |FROM te JOIN tr ON te.s = tr.s
+        |GROUP BY te.doc_id ORDER BY te.doc_id""".stripMargin) { (s, d) =>
+      val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          when(h <= "b", "train").when(h <= "d", "val").otherwise("test").as("split"))
+      // benchmark side: distinct (doc, shingle-hash) pairs — metadata-scale
+      // in production, so persisting it for the two bloom-building jobs +
+      // the verify join is a dimension-table cache, not a corpus cache.
+      val te = docs.filter(col("split") === "test")
+        .select(col("doc_id"), explode(TextFunctions.shingles(col("text"), 13)).as("s0"))
+        .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+        .distinct()
+        .persist()
+      val bloom = Bloom.buildLong(te.select(col("s")), "s", fpp = 1e-3)
+      // corpus side: scan → explode → hash → BLOOM FILTER (map-side, inside
+      // whole-stage codegen) → distinct over survivors only. No train
+      // shingle that misses the benchmark bloom ever leaves its input task.
+      val trCand = docs.filter(col("split") === "train")
+        .select(explode(TextFunctions.shingles(col("text"), 13)).as("s0"))
+        .select(xxhash64(col("s0")).as("s"))
+        .filter(Bloom.mightContainLong(bloom, col("s")))
+        .distinct()
+      // exact verify: a bloom false positive is a train shingle NOT in the
+      // benchmark set, so the equi-join with te eliminates it; members pass
+      // the bloom unconditionally — the join result is exactly te ∩ train.
+      te.join(broadcast(trCand), "s")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
         .orderBy(col("doc_id"))
     },

@@ -359,6 +359,19 @@ class FunctionsSuite extends SparkSpec {
     assert(Enums.of(lvl.field("level")).contains(lvl.copy(name = "level")))
   }
 
+  test("driver-built bloom: no false negatives, bounded false positives") {
+    val members = (0L until 20000L).map(_ * 2654435761L)
+    val small = members.toDF("s")
+    val bytes = Bloom.buildLong(small, "s", fpp = 1e-3)
+    // completeness is the correctness-critical half: a false NEGATIVE would
+    // silently drop true overlap before the exact-verify join
+    assert(small.filter(Bloom.mightContainLong(bytes, col("s"))).count() == members.size)
+    val nonMembers = (0L until 20000L).map(_ * 7919L + 13L).toSet.diff(members.toSet)
+    val fp = nonMembers.toSeq.toDF("s")
+      .filter(Bloom.mightContainLong(bytes, col("s"))).count()
+    assert(fp <= nonMembers.size / 100, s"fp rate ${fp.toDouble / nonMembers.size}")
+  }
+
   test("heavy hitters sketch: guaranteed recall above n/k, bounded error") {
     // 1000 "hot" + 200 "warm" + 500 singletons; capacity 16 → threshold ~106
     val items = Seq.fill(1000)("hot") ++ Seq.fill(200)("warm") ++

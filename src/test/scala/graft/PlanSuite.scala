@@ -43,6 +43,18 @@ class PlanSuite extends SparkSpec {
       s"no partial aggregation:\n${plan.take(1500)}")
   }
 
+  test("bloom decontaminate: map-side prune, broadcast verify, exact-equal output") {
+    val df = SparkEntry.queries("q_decontaminate_bloom")(spark, sf)
+    val rows = df.collect().map(_.toString).toSeq
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("might_contain"), s"bloom prune missing:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin"), "verify join not broadcast")
+    assert(!plan.contains("CartesianProduct"))
+    val exact = SparkEntry.queries("q_decontaminate")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(rows == exact, "bloom path diverges from the exact join")
+  }
+
   test("scan-only queries stay inside WholeStageCodegen") {
     // AQE only materializes codegen stages in the FINAL plan — execute
     // first, then inspect
