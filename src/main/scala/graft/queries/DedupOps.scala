@@ -11,74 +11,6 @@ import org.apache.spark.sql.functions._
   * — the 100 TB scale paths whose candidate generation is an equi-join on
   * band keys, never a cross join).
   */
-/** A document as the streaming near-dup state sees it: id, distinct
-  * shingle-hash set (for the exact verify), 64-hash MinHash signature
-  * (for band ownership decisions). */
-case class NdMember(doc_id: Long, sh: Array[Long], sig: Array[Int])
-
-/** One LSH band row: the band index plus the band's 4-int signature slice
-  * (the group key — slice equality IS band-key collision, no hashing
-  * needed when the slice itself is the key). */
-case class NdBanded(band: Int, k1: Int, k2: Int, k3: Int, k4: Int, m: NdMember)
-
-/** Verified near-dup pair, schema-aligned with the q_minhash_lsh oracle. */
-case class NdPair(doc_a: Long, doc_b: Long, shared: Long, n_a: Long, n_b: Long,
-                  jaccard: Double)
-
-private[queries] object NdState {
-
-  /** Lowest band whose 4-slice matches between two signatures — the pair's
-    * unique "owner" bucket, making cross-band emission exactly-once
-    * without a downstream stateful dedup. */
-  private def minCollidingBand(a: Array[Int], b: Array[Int]): Int = {
-    var band = 0
-    while (band < 16) {
-      var r = 0
-      var eq = true
-      while (r < 4 && eq) { eq = a(4 * band + r) == b(4 * band + r); r += 1 }
-      if (eq) return band
-      band += 1
-    }
-    -1
-  }
-
-  private def verified(x: NdMember, y: NdMember): Option[NdPair] = {
-    val (a, b) = if (x.doc_id < y.doc_id) (x, y) else (y, x)
-    val setB = b.sh.toSet
-    var shared = 0L
-    a.sh.foreach(k => if (setB.contains(k)) shared += 1)
-    val nA = a.sh.length.toLong
-    val nB = b.sh.length.toLong
-    val j = shared.toDouble / (nA + nB - shared)
-    if (j >= 0.8) Some(NdPair(a.doc_id, b.doc_id, shared, nA, nB, j)) else None
-  }
-
-  /** Per-bucket state transition: remember every member ever seen; when a
-    * new doc arrives, pair it with bucket-mates (old AND same-batch), emit
-    * the exact-verified pair iff this band owns it. */
-  def onBucket(key: (Int, Int, Int, Int, Int), rows: Iterator[NdBanded],
-               state: org.apache.spark.sql.streaming.GroupState[Seq[NdMember]]): Iterator[NdPair] = {
-    val old = state.getOption.getOrElse(Seq.empty)
-    val known = old.map(_.doc_id).toSet
-    val fresh = rows.map(_.m).filterNot(m => known.contains(m.doc_id))
-      .toSeq.distinctBy(_.doc_id)
-    if (fresh.isEmpty) return Iterator.empty
-    state.update(old ++ fresh)
-    val out = Seq.newBuilder[NdPair]
-    // old × fresh, plus ordered pairs within fresh — every unordered pair
-    // with at least one new endpoint, exactly once
-    fresh.iterator.zipWithIndex.foreach { case (n, i) =>
-      old.iterator.foreach { o =>
-        if (minCollidingBand(o.sig, n.sig) == key._1) verified(o, n).foreach(out += _)
-      }
-      fresh.iterator.drop(i + 1).foreach { n2 =>
-        if (minCollidingBand(n.sig, n2.sig) == key._1) verified(n, n2).foreach(out += _)
-      }
-    }
-    out.result().iterator
-  }
-}
-
 object DedupOps {
 
   private[queries] val neardupRun = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -283,8 +215,10 @@ object DedupOps {
     // oracle SQL as q_minhash_lsh, which is the whole point: a recall
     // miss, a state bug, or a cross-batch loss all hash-mismatch.
     // At 100 TB: state per bucket carries (id, shingle-set, sig) for its
-    // members — production bounds it with event-time TTL eviction
-    // (GroupStateTimeout) once a doc has aged past the dedup horizon.
+    // members — production bounds it with StreamingNearDup's ttl knob
+    // (processing-time GroupStateTimeout eviction, tested in EngineSuite)
+    // once a bucket has idled past the dedup horizon; here ttl=None for
+    // batch-parity with the oracle.
     Q("q_stream_neardup",
       s"""WITH $ngramPairsSql
         |SELECT doc_a, doc_b, shared, da.n AS n_a, db.n AS n_b,
@@ -294,7 +228,6 @@ object DedupOps {
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       Tables.ensureConf(s)
       import s.implicits._
-      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
       val sink = s"graft_stream_neardup_${neardupRun.incrementAndGet()}"
       val tmp = java.nio.file.Files.createTempDirectory("graft_stream_neardup")
       try {
@@ -305,22 +238,11 @@ object DedupOps {
           .repartitionByRange(4, col("doc_id"))
           .write.mode("overwrite").parquet(s"$tmp/in")
         val schema = s.read.parquet(s"$tmp/in").schema
-        val stream = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
-          .select(col("doc_id"), array_distinct(transform(
-            TextFunctions.shingles(col("text"), 3), x => xxhash64(x))).as("sh"))
-          .filter(size(col("sh")) > 0) // shingle-less docs never signature in batch either
-          .as[(Long, Array[Long])]
-          .flatMap { case (id, sh) =>
-            val sig = graft.functions.MinHashSignature.signatureOf(sh, 64)
-            (0 until 16).map { b =>
-              NdBanded(b, sig(4 * b), sig(4 * b + 1), sig(4 * b + 2), sig(4 * b + 3),
-                NdMember(id, sh, sig))
-            }
-          }
-          .groupByKey(r => (r.band, r.k1, r.k2, r.k3, r.k4))
-          .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-            NdState.onBucket)
+        val stream = graft.streaming.StreamingNearDup.pairs(
+          s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+            .as[(Long, String)],
+          threshold = 0.8)
         val prev = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "8")
         val q = try stream.writeStream.outputMode("append")

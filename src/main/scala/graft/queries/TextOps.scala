@@ -226,9 +226,14 @@ object TextOps {
         |FROM te JOIN tr ON te.s = tr.s
         |GROUP BY te.doc_id ORDER BY te.doc_id""".stripMargin) { (s, d) =>
       val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+      // the test file is a single row group, so without the repartition the
+      // whole explode+hash+bloom-probe pipeline runs on ONE core (profiled
+      // at 7 CPU-s single-task); at real multi-file scale the scan
+      // parallelizes itself and this exchange moves each doc once
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("text"),
           when(h <= "b", "train").when(h <= "d", "val").otherwise("test").as("split"))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
       // benchmark side: distinct (doc, shingle-hash) pairs — metadata-scale
       // in production, so persisting it for the two bloom-building jobs +
       // the verify join is a dimension-table cache, not a corpus cache.

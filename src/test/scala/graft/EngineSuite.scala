@@ -399,4 +399,58 @@ class EngineSuite extends SparkSpec {
       assert(math.abs(ap - ex).toDouble / ex <= 0.05, s"$k: approx $ap vs exact $ex")
     }
   }
+
+  test("streaming near-dup: cross-batch pairs via state; TTL evicts idle buckets") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingNearDup
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two near-identical docs (one word differs out of ~40 → j ≈ 0.95)
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val twin = base.replace("w40", "zz")
+    val far  = (1 to 40).map(i => s"x$i").mkString(" ")
+
+    def run(ttl: Option[java.time.Duration], name: String,
+            spacer: Boolean): Set[(Long, Long)] = {
+      val input = MemoryStream[(Long, String)]
+      val q = StreamingNearDup.pairs(input.toDS(), 0.8, ttl)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      // processAllAvailable() cannot be used with a TTL: ProcessingTimeTimeout
+      // makes the engine re-trigger no-data batches for timeout sweeps
+      // (FlatMapGroupsWithStateExec.shouldRunAnotherBatch), so `noNewData`
+      // is never latched and the call blocks forever. Await SOURCE rows
+      // processed via progress telemetry instead.
+      def awaitInput(total: Long): Unit = {
+        val deadline = System.currentTimeMillis() + 60000
+        def processed = q.recentProgress.map(_.numInputRows).sum
+        while (processed < total && System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+        assert(processed >= total, s"$name: only $processed/$total rows processed")
+      }
+      try {
+        input.addData((1L, base))
+        awaitInput(1)
+        if (spacer) {
+          Thread.sleep(50) // let the TTL deadline pass before the next trigger
+          input.addData((7L, far)) // unrelated arrival drives the timeout batch
+          awaitInput(2)
+        }
+        input.addData((2L, twin)) // near-dup of doc 1, a later micro-batch
+        awaitInput(if (spacer) 3 else 2)
+        // the pair (if any) is emitted in doc 2's batch, which is committed
+        // once its rows are counted; give the memory sink one settle beat
+        Thread.sleep(300)
+        spark.table(name).select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      } finally q.stop()
+    }
+
+    // unbounded state: the pair is found across micro-batches
+    assert(run(None, "snd_unbounded", spacer = false) == Set((1L, 2L)))
+    // TTL far beyond the gap: still found (re-arm keeps live buckets)
+    assert(run(Some(java.time.Duration.ofHours(1)), "snd_live", spacer = true) ==
+      Set((1L, 2L)))
+    // TTL shorter than the gap: doc 1's buckets evicted before doc 2 arrives
+    assert(run(Some(java.time.Duration.ofMillis(1)), "snd_evicted", spacer = true) ==
+      Set.empty[(Long, Long)])
+  }
 }
