@@ -453,4 +453,33 @@ class EngineSuite extends SparkSpec {
     assert(run(Some(java.time.Duration.ofMillis(1)), "snd_evicted", spacer = true) ==
       Set.empty[(Long, Long)])
   }
+
+  test("streaming near-dup rides the engine's own channel source") {
+    // the reference's pipeline shape: documents arrive on a channel and
+    // are deduped AT INGEST — StreamingNearDup over the DSv2 seq-offset
+    // connector, one channel write per micro-batch, pair found through
+    // band-bucket state across the batch boundary
+    import graft.channel.ChannelRegistry
+    import graft.streaming.StreamingNearDup
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import spark.implicits._
+    val reg = new ChannelRegistry(spark, tmpDir("snd_ch"))
+    val ch = reg.create("docs_in", StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType))))
+    val base = (1 to 40).map(i => s"c$i").mkString(" ")
+    val twin = base.replace("c40", "zz")
+    ch.write(Seq((10L, base)).toDF("doc_id", "text"), writerId = 1)
+    ch.write(Seq((11L, twin)).toDF("doc_id", "text"), writerId = 1)
+    val stream = ch.readStreamV2(maxBatchesPerTrigger = Some(1))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val q = StreamingNearDup.pairs(stream, 0.8)
+      .writeStream.outputMode("append").format("memory").queryName("snd_ch").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("snd_ch")
+        .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+      assert(got.map(p => (p._1, p._2)).toSet == Set((10L, 11L)), got.mkString(","))
+      assert(got.head._3 >= 0.9, s"jaccard ${got.head._3}")
+    } finally q.stop()
+  }
 }
