@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `xxhash64` of every word n-gram shingle, computed ZERO-COPY over the
+  * text bytes — bit-identical to
+  * `transform(TextFunctions.shingles(text, n), s => xxhash64(s))` without
+  * materializing a single shingle string.
+  *
+  * Why the identity holds: `shingles` is `split(text, " ")` re-joined
+  * with `concat_ws(" ")` over n consecutive tokens. Split cuts at EVERY
+  * separator occurrence (Spark's split keeps empty tokens, including
+  * trailing ones), so consecutive tokens are separated by exactly one
+  * space in the source — re-joining them with one space reproduces the
+  * source bytes verbatim, empty tokens and all. Each shingle is therefore
+  * the contiguous byte range [tokStart(i), tokEnd(i+n-1)) of the text,
+  * and its xxhash64 (seed 42, Spark's default) can be taken straight off
+  * the UTF8String's memory. (0x20 never occurs inside a UTF-8 multibyte
+  * sequence, so byte scanning is charset-safe.)
+  *
+  * This removes the dominant CPU of the dedup/decontamination block: at
+  * sf0.1 one query materialized ~1.4M ~90-char shingle strings per run
+  * only to hash-and-discard them. A property test pins bit-equality with
+  * the composed form (multi-space, unicode, short-doc edges included).
+  *
+  * One evaluation per document row; the O(doc) work inside dwarfs the
+  * boxed call, so CodegenFallback is immaterial (same stance as
+  * [[WinnowFingerprints]]).
+  */
+case class WordShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "need n >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "word_shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.simpleString}")
+  }
+
+  private val Seed = 42L // xxhash64()'s seed — bit-parity is the contract
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes()
+    // space positions → token boundaries (tokens = spaces + 1)
+    var spaces = 0
+    var i = 0
+    while (i < len) {
+      if (s.getByte(i) == ' ') spaces += 1
+      i += 1
+    }
+    val tokens = spaces + 1
+    if (tokens < n) return new GenericArrayData(Array.empty[Long])
+    val sp = new Array[Int](spaces)
+    var j = 0
+    i = 0
+    while (i < len) {
+      if (s.getByte(i) == ' ') { sp(j) = i; j += 1 }
+      i += 1
+    }
+    def tokStart(t: Int): Int = if (t == 0) 0 else sp(t - 1) + 1
+    def tokEnd(t: Int): Int = if (t == spaces) len else sp(t)
+    val m = tokens - n + 1
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      val a = tokStart(i)
+      val b = tokEnd(i + n - 1)
+      out(i) = XXH64.hashUnsafeBytes(base, off + a, b - a, Seed)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+    copy(child = newChild)
+}
+
+object WordShingleHashes {
+  /** Column form: `word_shingle_hashes(text, n)`. */
+  def apply(text: Column, n: Int): Column =
+    toColumn(WordShingleHashes(toExpression(text), n))
+}

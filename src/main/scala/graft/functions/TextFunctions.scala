@@ -32,6 +32,15 @@ object TextFunctions {
     when(size(toks) >= n, make).otherwise(array().cast("array<string>"))
   }
 
+  /** `xxhash64` of every word n-gram shingle, zero-copy over the text
+    * bytes — bit-identical to `transform(shingles(text, n), xxhash64)`
+    * without materializing the shingle strings (see
+    * [[WordShingleHashes]]). The dedup/decontamination block shuffles
+    * shingles as these hashes; this computes them without the string
+    * detour. */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    WordShingleHashes(text, n)
+
   /** Character n-grams (every substring of length n), for exact
     * sub-document overlap verification on candidate pairs. Empty array for
     * texts shorter than n — `sequence(1, negative)` would count DOWN. */

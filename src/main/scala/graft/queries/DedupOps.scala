@@ -31,8 +31,8 @@ object DedupOps {
   private def shingleRel(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
-      .select(col("doc_id"), explode(TextFunctions.shingles(col("text"), 3)).as("s0"))
-      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+      .select(col("doc_id"),
+        explode(TextFunctions.shingleHashes(col("text"), 3)).as("s"))
       .distinct()
       .cache()
 

@@ -192,12 +192,11 @@ object TextOps {
       // hashes = distinct shingles modulo the negligible 64-bit collision
       // rate, which the exact-count oracle would expose)
       val tr = docs.filter(col("split") === "train")
-        .select(explode(TextFunctions.shingles(col("text"), 13)).as("s0"))
-        .select(xxhash64(col("s0")).as("s"))
+        .select(explode(TextFunctions.shingleHashes(col("text"), 13)).as("s"))
         .distinct()
       val te = docs.filter(col("split") === "test")
-        .select(col("doc_id"), explode(TextFunctions.shingles(col("text"), 13)).as("s0"))
-        .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+        .select(col("doc_id"),
+          explode(TextFunctions.shingleHashes(col("text"), 13)).as("s"))
         .distinct()
       te.join(tr, "s")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
@@ -238,8 +237,8 @@ object TextOps {
       // in production, so persisting it for the two bloom-building jobs +
       // the verify join is a dimension-table cache, not a corpus cache.
       val te = docs.filter(col("split") === "test")
-        .select(col("doc_id"), explode(TextFunctions.shingles(col("text"), 13)).as("s0"))
-        .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+        .select(col("doc_id"),
+          explode(TextFunctions.shingleHashes(col("text"), 13)).as("s"))
         .distinct()
         .persist()
       val bloom = Bloom.buildLong(te.select(col("s")), "s", fpp = 1e-3)
@@ -247,8 +246,7 @@ object TextOps {
       // whole-stage codegen) → distinct over survivors only. No train
       // shingle that misses the benchmark bloom ever leaves its input task.
       val trCand = docs.filter(col("split") === "train")
-        .select(explode(TextFunctions.shingles(col("text"), 13)).as("s0"))
-        .select(xxhash64(col("s0")).as("s"))
+        .select(explode(TextFunctions.shingleHashes(col("text"), 13)).as("s"))
         .filter(Bloom.mightContainLong(bloom, col("s")))
         .distinct()
       // exact verify: a bloom false positive is a train shingle NOT in the

@@ -72,8 +72,8 @@ object StreamingNearDup {
       // multi-file triggers parallelize the scan anyway and this exchange
       // is noise next to the signature math it spreads)
       .repartition(col("doc_id"))
-      .select(col("doc_id"), array_distinct(transform(
-        TextFunctions.shingles(col("text"), 3), x => xxhash64(x))).as("sh"))
+      .select(col("doc_id"), array_distinct(
+        TextFunctions.shingleHashes(col("text"), 3)).as("sh"))
       .filter(size(col("sh")) > 0) // shingle-less docs never signature in batch either
       .as[(Long, Array[Long])]
       .flatMap { case (id, sh) =>

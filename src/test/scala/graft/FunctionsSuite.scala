@@ -359,6 +359,35 @@ class FunctionsSuite extends SparkSpec {
     assert(Enums.of(lvl.field("level")).contains(lvl.copy(name = "level")))
   }
 
+  test("word_shingle_hashes: bit-identical to xxhash64 over materialized shingles") {
+    // the zero-copy contract: hashes equal the composed explode(shingles)+
+    // xxhash64 form on EVERY input shape, including the awkward ones
+    // (split keeps empty tokens, so multi-space/leading/trailing-space
+    // shingles contain the extra spaces verbatim — both forms must agree)
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a  double  spaced  text here",      // empty tokens between words
+      " leading space", "trailing space ", // boundary empties
+      "  ", " ", "",                       // only separators / empty
+      "one two",                           // fewer tokens than n=3
+      "exactly three tokens",
+      "unicode café straße 日本語 tokens here",
+      (1 to 200).map(i => s"w$i").mkString(" ")) // long doc
+    val df = docs.toDF("text")
+    for (n <- Seq(1, 3, 13)) {
+      val composed = df.select(transform(
+        TextFunctions.shingles(col("text"), n), s => xxhash64(s)).as("h"))
+        .as[Seq[Long]].collect().toSeq
+      val native = df.select(TextFunctions.shingleHashes(col("text"), n).as("h"))
+        .as[Seq[Long]].collect().toSeq
+      assert(native == composed, s"n=$n mismatch")
+    }
+    // null text → null out, like the composed form
+    val nulls = Seq[String](null).toDF("text")
+    assert(nulls.select(TextFunctions.shingleHashes(col("text"), 3))
+      .collect().head.isNullAt(0))
+  }
+
   test("driver-built bloom: no false negatives, bounded false positives") {
     val members = (0L until 20000L).map(_ * 2654435761L)
     val small = members.toDF("s")
