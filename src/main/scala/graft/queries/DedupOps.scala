@@ -104,6 +104,41 @@ object DedupOps {
     exactJaccard(sh, cands).filter(col("jaccard") >= 0.8)
   }
 
+  /** Per-document cluster labels over the verified near-dup pair graph —
+    * the shared front half of the three clustering queries: banded
+    * MinHash-LSH candidates + exact-Jaccard verify (never a cross join /
+    * per-shingle df² stage, see [[minhashVerifiedPairs]]) feed
+    * alternating-star connected components; the result carries the doc
+    * columns retention policies rank on. */
+  private def clusteredDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val edges = minhashVerifiedPairs(s, d)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val nodes = docs.select(col("doc_id").as("node"))
+    ConnectedComponents.components(edges, nodes)
+      .join(docs.select(col("doc_id").as("node"), col("n_chars"), col("source")), "node")
+      .select(col("node").as("doc_id"), col("component").as("cluster"),
+        col("n_chars"), col("source"))
+  }
+
+  /** Recursive min-label propagation over the verified near-dup pair
+    * graph — the cluster-label CTE suffix shared by every clustering
+    * oracle (q_dedup_clusters, q_dedup_keep, q_dup_source_stats). Expects
+    * the [[ngramPairsSql]] CTEs (`sh`/`d`/`p`) in scope; yields
+    * `lab(doc_id, cluster)`. */
+  private val clusterLabSql =
+    """pairs AS (
+      |  SELECT doc_a, doc_b
+      |  FROM p JOIN d da ON p.doc_a = da.doc_id JOIN d db ON p.doc_b = db.doc_id
+      |  WHERE CAST(shared AS DOUBLE) / (da.n + db.n - shared) >= 0.8),
+      |edges AS (SELECT doc_a AS ea, doc_b AS eb FROM pairs
+      |          UNION SELECT doc_b, doc_a FROM pairs),
+      |walk(node, label) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT eb, w.label FROM walk w JOIN edges e ON e.ea = w.node),
+      |lab AS (SELECT node AS doc_id, MIN(label) AS cluster FROM walk GROUP BY node)""".stripMargin
+
   /** The n-gram-Jaccard pair subquery as oracle SQL (shared CTE prefix of
     * q_ngram_jaccard and q_dedup_clusters). */
   private val ngramPairsSql =
@@ -155,17 +190,7 @@ object DedupOps {
     // over the same symmetric edge set.
     Q("q_dedup_clusters",
       s"""WITH RECURSIVE $ngramPairsSql,
-        |pairs AS (
-        |  SELECT doc_a, doc_b
-        |  FROM p JOIN d da ON p.doc_a = da.doc_id JOIN d db ON p.doc_b = db.doc_id
-        |  WHERE CAST(shared AS DOUBLE) / (da.n + db.n - shared) >= 0.8),
-        |edges AS (SELECT doc_a AS ea, doc_b AS eb FROM pairs
-        |          UNION SELECT doc_b, doc_a FROM pairs),
-        |walk(node, label) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT eb, w.label FROM walk w JOIN edges e ON e.ea = w.node),
-        |lab AS (SELECT node AS doc_id, MIN(label) AS cluster FROM walk GROUP BY node)
+        |$clusterLabSql
         |SELECT l.doc_id, l.cluster, CAST(c.csize AS BIGINT) AS csize
         |FROM lab l JOIN (SELECT cluster, COUNT(*) AS csize FROM lab GROUP BY cluster) c
         |  ON l.cluster = c.cluster
@@ -178,6 +203,78 @@ object DedupOps {
       comp.join(sizes, "component")
         .select(col("node").as("doc_id"), col("component").as("cluster"), col("csize"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- Retention: the dedup END-STATE a training pipeline materializes
+    // — ONE survivor per near-dup cluster, keep-longest policy (n_chars
+    // desc, doc_id asc tie-break). The keeper is a map-side-combinable
+    // min(struct(-n_chars, doc_id)) aggregate per cluster — each (src)
+    // group is unique, so the lexicographic min IS the rank-1 row without
+    // the shuffle+sort a row_number window would pay on every member.
+    // Output = the training-set manifest: keeper id, its length, members
+    // absorbed, bytes absorbed.
+    Q("q_dedup_keep",
+      s"""WITH RECURSIVE $ngramPairsSql,
+        |$clusterLabSql,
+        |m AS (SELECT l.cluster, l.doc_id, doc.n_chars
+        |      FROM lab l JOIN documents doc ON l.doc_id = doc.doc_id),
+        |r AS (SELECT cluster, doc_id, n_chars,
+        |        row_number() OVER (PARTITION BY cluster
+        |          ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |      FROM m),
+        |cs AS (SELECT cluster, COUNT(*) AS n_members,
+        |         CAST(SUM(n_chars) AS BIGINT) AS chars_total
+        |       FROM m GROUP BY cluster)
+        |SELECT r.cluster, r.doc_id AS keep_id, r.n_chars AS keep_chars,
+        |  cs.n_members, cs.chars_total
+        |FROM r JOIN cs ON r.cluster = cs.cluster
+        |WHERE r.rn = 1 ORDER BY r.cluster""".stripMargin) { (s, d) =>
+      clusteredDocs(s, d)
+        .groupBy(col("cluster"))
+        .agg(
+          min(struct((-col("n_chars")).as("nc"), col("doc_id").as("id"))).as("k"),
+          count(lit(1)).as("n_members"),
+          sum(col("n_chars")).as("chars_total"))
+        .select(col("cluster"), col("k.id").as("keep_id"),
+          (-col("k.nc")).as("keep_chars"), col("n_members"), col("chars_total"))
+        .orderBy(col("cluster"))
+    },
+
+    // ---- Corpus-health diagnostics: per-SOURCE duplication rate — how
+    // many documents (and bytes) each source loses to near-dup retention
+    // under the same keep-longest policy. A doc is dropped iff it is not
+    // its cluster's min(struct) keeper; the keeper comes from a
+    // whole-partition window aggregate (one shuffle on cluster, no sort
+    // rank), then one groupBy(source). The report a curation pipeline
+    // watches to catch a crawler re-ingesting a source.
+    Q("q_dup_source_stats",
+      s"""WITH RECURSIVE $ngramPairsSql,
+        |$clusterLabSql,
+        |m AS (SELECT l.cluster, l.doc_id, doc.n_chars, doc.source
+        |      FROM lab l JOIN documents doc ON l.doc_id = doc.doc_id),
+        |r AS (SELECT cluster, doc_id, n_chars, source,
+        |        row_number() OVER (PARTITION BY cluster
+        |          ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |      FROM m)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+        |    AS chars_dropped,
+        |  round(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS drop_ratio
+        |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val m = clusteredDocs(s, d)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+      m.withColumn("k",
+          min(struct((-col("n_chars")).as("nc"), col("doc_id").as("id"))).over(w))
+        .withColumn("dropped", col("doc_id") =!= col("k.id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(col("dropped"), col("n_chars")).otherwise(0L)).as("chars_dropped"))
+        .select(col("source"), col("n_docs"), col("n_dropped"), col("chars_dropped"),
+          round(col("n_dropped").cast("double") / col("n_docs"), 6).as("drop_ratio"))
+        .orderBy(col("source"))
     },
 
     // ---- MinHash+LSH near-dup join, exact-verified — the 100 TB path for
