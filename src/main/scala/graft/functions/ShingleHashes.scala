@@ -39,8 +39,18 @@ case class WordShingleHashes(child: Expression, n: Int)
   require(n >= 1, "need n >= 1")
 
   override def dataType: DataType = ArrayType(LongType, false)
-  override def nullable: Boolean = true
+  // bit-parity includes NULL: the composed form's `when(size(toks) >= n,
+  // ...)` sees NULL >= n as false and falls to otherwise(array()), so
+  // null text yields [] — never null — and so does this expression
+  override def nullable: Boolean = false
   override def prettyName: String = "word_shingle_hashes"
+
+  private val Empty = new GenericArrayData(Array.empty[Long])
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) Empty else nullSafeEval(v)
+  }
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess

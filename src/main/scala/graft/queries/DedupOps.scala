@@ -104,21 +104,49 @@ object DedupOps {
     exactJaccard(sh, cands).filter(col("jaccard") >= 0.8)
   }
 
-  /** Per-document cluster labels over the verified near-dup pair graph —
-    * the shared front half of the three clustering queries: banded
-    * MinHash-LSH candidates + exact-Jaccard verify (never a cross join /
-    * per-shingle df² stage, see [[minhashVerifiedPairs]]) feed
-    * alternating-star connected components; the result carries the doc
-    * columns retention policies rank on. */
-  private def clusteredDocs(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  /** `(node, component)` labels over the verified near-dup pair graph —
+    * the shared front half of ALL clustering queries: banded MinHash-LSH
+    * candidates + exact-Jaccard verify (never a cross join / per-shingle
+    * df² stage, see [[minhashVerifiedPairs]]) feed alternating-star
+    * connected components. */
+  private def clusterComp(s: SparkSession, d: String): DataFrame = {
     val edges = minhashVerifiedPairs(s, d)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val nodes = docs.select(col("doc_id").as("node"))
+    val nodes = Tables.documents(s, d).select(col("doc_id").as("node"))
     ConnectedComponents.components(edges, nodes)
-      .join(docs.select(col("doc_id").as("node"), col("n_chars"), col("source")), "node")
+  }
+
+  /** [[clusterComp]] joined back to the doc columns retention policies
+    * rank on — the front half of the two retention queries. */
+  private def clusteredDocs(s: SparkSession, d: String): DataFrame =
+    clusterComp(s, d)
+      .join(Tables.documents(s, d)
+        .select(col("doc_id").as("node"), col("n_chars"), col("source")), "node")
       .select(col("node").as("doc_id"), col("component").as("cluster"),
         col("n_chars"), col("source"))
+
+  /** THE retention policy, once: keep-longest (n_chars desc, doc_id asc
+    * tie-break). Every group member is unique, so this lexicographic
+    * min(struct) IS the `row_number() = 1` row of [[clusterRankSql]]'s
+    * ORDER BY — as a map-side-combinable aggregate, without the window's
+    * shuffle+sort. Read the keeper back as `k.id` / `-k.nc`. */
+  private val keeperStruct =
+    min(struct((-col("n_chars")).as("nc"), col("doc_id").as("id")))
+
+  /** Oracle twin of [[keeperStruct]]: ranks each cluster's members under
+    * the same keep-longest policy (`rn = 1` ⇔ keeper). Expects `lab` (from
+    * [[clusterLabSql]]) in scope; yields `m` (members + doc columns) and
+    * `r` (members + rn). `extra` names an additional documents column to
+    * carry through (e.g. "source"). */
+  private def clusterRankSql(extra: String = ""): String = {
+    val mCols = if (extra.isEmpty) "" else s", doc.$extra"
+    val rCols = if (extra.isEmpty) "" else s", $extra"
+    s"""m AS (SELECT l.cluster, l.doc_id, doc.n_chars$mCols
+       |      FROM lab l JOIN documents doc ON l.doc_id = doc.doc_id),
+       |r AS (SELECT cluster, doc_id, n_chars$rCols,
+       |        row_number() OVER (PARTITION BY cluster
+       |          ORDER BY n_chars DESC, doc_id ASC) AS rn
+       |      FROM m)""".stripMargin
   }
 
   /** Recursive min-label propagation over the verified near-dup pair
@@ -195,10 +223,7 @@ object DedupOps {
         |FROM lab l JOIN (SELECT cluster, COUNT(*) AS csize FROM lab GROUP BY cluster) c
         |  ON l.cluster = c.cluster
         |ORDER BY l.doc_id""".stripMargin) { (s, d) =>
-      val edges = minhashVerifiedPairs(s, d)
-        .select(col("doc_a").as("a"), col("doc_b").as("b"))
-      val nodes = Tables.documents(s, d).select(col("doc_id").as("node"))
-      val comp = ConnectedComponents.components(edges, nodes)
+      val comp = clusterComp(s, d)
       val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("csize"))
       comp.join(sizes, "component")
         .select(col("node").as("doc_id"), col("component").as("cluster"), col("csize"))
@@ -206,22 +231,14 @@ object DedupOps {
     },
 
     // ---- Retention: the dedup END-STATE a training pipeline materializes
-    // — ONE survivor per near-dup cluster, keep-longest policy (n_chars
-    // desc, doc_id asc tie-break). The keeper is a map-side-combinable
-    // min(struct(-n_chars, doc_id)) aggregate per cluster — each (src)
-    // group is unique, so the lexicographic min IS the rank-1 row without
-    // the shuffle+sort a row_number window would pay on every member.
+    // — ONE survivor per near-dup cluster under [[keeperStruct]]'s
+    // keep-longest policy, as a plain aggregate per cluster (no window).
     // Output = the training-set manifest: keeper id, its length, members
     // absorbed, bytes absorbed.
     Q("q_dedup_keep",
       s"""WITH RECURSIVE $ngramPairsSql,
         |$clusterLabSql,
-        |m AS (SELECT l.cluster, l.doc_id, doc.n_chars
-        |      FROM lab l JOIN documents doc ON l.doc_id = doc.doc_id),
-        |r AS (SELECT cluster, doc_id, n_chars,
-        |        row_number() OVER (PARTITION BY cluster
-        |          ORDER BY n_chars DESC, doc_id ASC) AS rn
-        |      FROM m),
+        |${clusterRankSql()},
         |cs AS (SELECT cluster, COUNT(*) AS n_members,
         |         CAST(SUM(n_chars) AS BIGINT) AS chars_total
         |       FROM m GROUP BY cluster)
@@ -231,8 +248,7 @@ object DedupOps {
         |WHERE r.rn = 1 ORDER BY r.cluster""".stripMargin) { (s, d) =>
       clusteredDocs(s, d)
         .groupBy(col("cluster"))
-        .agg(
-          min(struct((-col("n_chars")).as("nc"), col("doc_id").as("id"))).as("k"),
+        .agg(keeperStruct.as("k"),
           count(lit(1)).as("n_members"),
           sum(col("n_chars")).as("chars_total"))
         .select(col("cluster"), col("k.id").as("keep_id"),
@@ -250,12 +266,7 @@ object DedupOps {
     Q("q_dup_source_stats",
       s"""WITH RECURSIVE $ngramPairsSql,
         |$clusterLabSql,
-        |m AS (SELECT l.cluster, l.doc_id, doc.n_chars, doc.source
-        |      FROM lab l JOIN documents doc ON l.doc_id = doc.doc_id),
-        |r AS (SELECT cluster, doc_id, n_chars, source,
-        |        row_number() OVER (PARTITION BY cluster
-        |          ORDER BY n_chars DESC, doc_id ASC) AS rn
-        |      FROM m)
+        |${clusterRankSql("source")}
         |SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
         |  CAST(SUM(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT)
@@ -265,8 +276,7 @@ object DedupOps {
         |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
       val m = clusteredDocs(s, d)
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
-      m.withColumn("k",
-          min(struct((-col("n_chars")).as("nc"), col("doc_id").as("id"))).over(w))
+      m.withColumn("k", keeperStruct.over(w))
         .withColumn("dropped", col("doc_id") =!= col("k.id"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),

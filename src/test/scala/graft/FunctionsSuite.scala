@@ -382,10 +382,15 @@ class FunctionsSuite extends SparkSpec {
         .as[Seq[Long]].collect().toSeq
       assert(native == composed, s"n=$n mismatch")
     }
-    // null text → null out, like the composed form
+    // null text → empty array in BOTH forms (the composed form's
+    // when(size(NULL) >= n) is false → otherwise(array()); parity holds)
     val nulls = Seq[String](null).toDF("text")
-    assert(nulls.select(TextFunctions.shingleHashes(col("text"), 3))
-      .collect().head.isNullAt(0))
+    val composedNull = nulls.select(transform(
+      TextFunctions.shingles(col("text"), 3), s => xxhash64(s)).as("h"))
+      .as[Seq[Long]].collect().head
+    val nativeNull = nulls.select(TextFunctions.shingleHashes(col("text"), 3).as("h"))
+      .as[Seq[Long]].collect().head
+    assert(composedNull == Seq.empty && nativeNull == Seq.empty)
   }
 
   test("driver-built bloom: no false negatives, bounded false positives") {
