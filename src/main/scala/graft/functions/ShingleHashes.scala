@@ -104,3 +104,75 @@ object WordShingleHashes {
   def apply(text: Column, n: Int): Column =
     toColumn(WordShingleHashes(toExpression(text), n))
 }
+
+/** `xxhash64` of every CHARACTER n-gram, zero-copy over the text bytes —
+  * bit-identical to `transform(TextFunctions.charGrams(text, n), xxhash64)`
+  * without materializing the gram substrings (same stance as
+  * [[WordShingleHashes]], null text → empty array like the composed
+  * form's `when(length(null) >= n)` falling to `otherwise(array())`).
+  *
+  * Char grams are positions in CHARACTERS (`substr` semantics), so the
+  * byte range of gram i is [charStart(i), charStart(i+n)) — one pass
+  * records the char-boundary byte offsets, then each gram hashes straight
+  * off the UTF8String memory. Feeds the winnow exact-verify stage, which
+  * otherwise materialized ~n_chars 30-char substrings per document only
+  * to hash-and-discard them. */
+case class CharGramHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "need n >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "char_gram_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.simpleString}")
+  }
+
+  private val Seed = 42L // xxhash64()'s seed — bit-parity is the contract
+  private val Empty = new GenericArrayData(Array.empty[Long])
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) Empty else nullSafeEval(v)
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes()
+    // char-boundary byte offsets; starts(c) = byte offset of char c,
+    // starts(nChars) = len sentinel
+    val starts = new Array[Int](len + 1)
+    var nChars = 0
+    var i = 0
+    while (i < len) {
+      starts(nChars) = i
+      nChars += 1
+      i += UTF8String.numBytesForFirstByte(s.getByte(i))
+    }
+    starts(nChars) = len
+    if (nChars < n) return Empty
+    val m = nChars - n + 1
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      out(i) = XXH64.hashUnsafeBytes(
+        base, off + starts(i), starts(i + n) - starts(i), Seed)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramHashes =
+    copy(child = newChild)
+}
+
+object CharGramHashes {
+  /** Column form: `char_gram_hashes(text, n)`. */
+  def apply(text: Column, n: Int): Column =
+    toColumn(CharGramHashes(toExpression(text), n))
+}

@@ -41,6 +41,13 @@ object TextFunctions {
   def shingleHashes(text: Column, n: Int = 3): Column =
     WordShingleHashes(text, n)
 
+  /** `xxhash64` of every character n-gram, zero-copy (see
+    * [[CharGramHashes]]) — bit-identical to
+    * `transform(charGrams(text, n), xxhash64)` without the substring
+    * materialization. */
+  def charGramHashes(text: Column, n: Int): Column =
+    CharGramHashes(text, n)
+
   /** Character n-grams (every substring of length n), for exact
     * sub-document overlap verification on candidate pairs. Empty array for
     * texts shorter than n — `sequence(1, negative)` would count DOWN. */

@@ -421,8 +421,8 @@ object DedupOps {
       // intersected with the print candidates — a pair the theorem
       // promised but the prints missed would drop here and fail the oracle
       val grams = docs
-        .select(col("doc_id"), explode(TextFunctions.charGrams(col("norm"), L)).as("g0"))
-        .select(col("doc_id"), xxhash64(col("g0")).as("g"))
+        .select(col("doc_id"),
+          explode(TextFunctions.charGramHashes(col("norm"), L)).as("g"))
         .distinct()
       pairsByKey(grams, "g")
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))

@@ -393,6 +393,35 @@ class FunctionsSuite extends SparkSpec {
     assert(composedNull == Seq.empty && nativeNull == Seq.empty)
   }
 
+  test("char_gram_hashes: bit-identical to xxhash64 over materialized char grams") {
+    // multibyte chars make char positions diverge from byte positions —
+    // the boundary-offset walk must agree with substr's char semantics
+    val docs = Seq(
+      "plain ascii text body",
+      "café straße 日本語テキスト mixed width",
+      "ab",                                  // shorter than wide n
+      "", " ",
+      "exactly30chars-abcdefghijklmno",
+      (1 to 50).map(_ => "日").mkString)       // all-multibyte long doc
+    val df = docs.toDF("text")
+    for (n <- Seq(2, 5, 30)) {
+      val composed = df.select(transform(
+        TextFunctions.charGrams(col("text"), n), g => xxhash64(g)).as("h"))
+        .as[Seq[Long]].collect().toSeq
+      val native = df.select(TextFunctions.charGramHashes(col("text"), n).as("h"))
+        .as[Seq[Long]].collect().toSeq
+      assert(native == composed, s"n=$n mismatch")
+    }
+    // null text → empty array in both forms
+    val nulls = Seq[String](null).toDF("text")
+    val composedNull = nulls.select(transform(
+      TextFunctions.charGrams(col("text"), 3), g => xxhash64(g)).as("h"))
+      .as[Seq[Long]].collect().head
+    val nativeNull = nulls.select(TextFunctions.charGramHashes(col("text"), 3).as("h"))
+      .as[Seq[Long]].collect().head
+    assert(composedNull == Seq.empty && nativeNull == Seq.empty)
+  }
+
   test("driver-built bloom: no false negatives, bounded false positives") {
     val members = (0L until 20000L).map(_ * 2654435761L)
     val small = members.toDF("s")
