@@ -55,6 +55,18 @@ class PlanSuite extends SparkSpec {
     assert(rows == exact, "bloom path diverges from the exact join")
   }
 
+  test("retention queries: aggregate keeper (no window in keep), no cross join") {
+    // q_dedup_keep's keeper must stay a map-side-combinable aggregate —
+    // a refactor that reintroduces row_number() would add a per-cluster
+    // shuffle+sort that this asserts against; both retention queries
+    // must inherit the LSH-candidate edge path (never a cross join)
+    val keep = physical("q_dedup_keep")
+    assert(!keep.contains("Window"), s"keeper became a window:\n${keep.take(1500)}")
+    assert(!keep.contains("CartesianProduct") && !keep.contains("BroadcastNestedLoopJoin"))
+    val stats = physical("q_dup_source_stats")
+    assert(!stats.contains("CartesianProduct") && !stats.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("scan-only queries stay inside WholeStageCodegen") {
     // AQE only materializes codegen stages in the FINAL plan — execute
     // first, then inspect
