@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.{SignLsh, VectorFunctions}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -279,6 +279,20 @@ object VectorOps {
     }
   )
 
+  /** `v` scaled to unit L2 norm (zero vectors pass through), computed
+    * ONCE per vector so candidate scoring can use a plain dot product —
+    * cosine(a,b) = dot(â,b̂) — instead of recomputing BOTH norms inside
+    * every pair evaluation (~3× the flops, plus a sqrt+div, at multi-probe
+    * candidate volumes; the candidate pass is where ANN CPU lives). Only
+    * the recall-verdict ANN paths use this — the verdict tolerance (1e-5)
+    * dwarfs the last-ulp difference between the two formulas — while the
+    * exact-oracle embed queries keep the cosine form whose 6-dp rounding
+    * the DuckDB twin reproduces bit-for-bit. */
+  private def unitNorm(v: Column): Column = {
+    val n = sqrt(VectorFunctions.dot(v, v))
+    when(n > 0, transform(v, x => x / n)).otherwise(v)
+  }
+
   /** IVF ANN full neighbor listing `(src, cell, nbr, sim)` — the operator
     * behind q_ann_ivf; public so recall regression tests probe it. */
   def annIvfNeighbors(s: SparkSession, d: String): DataFrame = {
@@ -304,11 +318,12 @@ object VectorOps {
     // in ONE fused pass per vector (NearestCells); the stored side's
     // home cell is probe_cells[0].
     val probed = e.withColumn("probe_cells",
-      graft.functions.VectorExpressions.nearestCells(col("v"), centroids, 6)).cache()
-    val a = probed.select(col("vec_id").as("src"), col("v").as("va"),
+        graft.functions.VectorExpressions.nearestCells(col("v"), centroids, 6))
+      .withColumn("vn", unitNorm(col("v"))).cache()
+    val a = probed.select(col("vec_id").as("src"), col("vn").as("va"),
       explode(col("probe_cells")).as("cell"))
     val b = probed.select(element_at(col("probe_cells"), 1).as("cell"),
-      col("vec_id").as("nbr"), col("v").as("vb"))
+      col("vec_id").as("nbr"), col("vn").as("vb"))
     // Best neighbor via a map-side-combinable min(struct) aggregation:
     // each (src,nbr) pair is unique (the join hits nbr's single home
     // cell), so the lexicographic min on (-sim, nbr, cell) is the
@@ -317,7 +332,7 @@ object VectorOps {
     a.join(b, Seq("cell"))
       .filter(col("src") =!= col("nbr"))
       .select(col("src"), col("nbr"), col("cell"),
-        VectorFunctions.cosine(col("va"), col("vb")).as("sim"))
+        VectorFunctions.dot(col("va"), col("vb")).as("sim"))
       .groupBy(col("src"))
       .agg(min(struct((-col("sim")).as("ns"), col("nbr").as("nb"),
         col("cell").as("ce"))).as("m"))
@@ -377,8 +392,8 @@ object VectorOps {
           .as(Seq("table", "bucket")))
     val a = banded.select(col("table"), col("bucket"), col("vec_id").as("src"))
     val b = banded.select(col("table"), col("bucket"), col("vec_id").as("nbr"))
-    val av = e.select(col("vec_id").as("src"), col("v").as("va"))
-    val bv = e.select(col("vec_id").as("nbr"), col("v").as("vb"))
+    val av = e.select(col("vec_id").as("src"), unitNorm(col("v")).as("va"))
+    val bv = e.select(col("vec_id").as("nbr"), unitNorm(col("v")).as("vb"))
     // No distinct() on candidates: duplicate (src,nbr) pairs from
     // different tables agree on sim, so the min(struct) aggregation
     // absorbs them — cheaper than a dedicated dedup shuffle. The vector
@@ -388,7 +403,7 @@ object VectorOps {
       .filter(col("src") =!= col("nbr"))
       .join(av, "src").join(bv, "nbr")
       .select(col("src"), col("nbr"),
-        VectorFunctions.cosine(col("va"), col("vb")).as("sim"))
+        VectorFunctions.dot(col("va"), col("vb")).as("sim"))
       .groupBy(col("src"))
       .agg(min(struct((-col("sim")).as("ns"), col("nbr").as("nb"))).as("m"))
       .select(col("src"), col("m.nb").as("nbr"), round(-col("m.ns"), 6).as("sim"))
