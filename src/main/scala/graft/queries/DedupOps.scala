@@ -415,12 +415,21 @@ object DedupOps {
           .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       val prints = docs.select(col("doc_id"),
         explode(graft.functions.Winnow.fingerprints(col("norm"), k = 24, window = 7)).as("fp"))
-      val cands = pairsByKey(prints, "fp").distinct()
+      val cands = pairsByKey(prints, "fp").distinct().cache()
       // exact verify: |shared distinct 30-grams| per pair, emitted from
-      // per-gram groups (cheap: 30-gram collisions are rare), then
-      // intersected with the print candidates — a pair the theorem
-      // promised but the prints missed would drop here and fail the oracle
-      val grams = docs
+      // per-gram groups — over CANDIDATE DOCS ONLY. The winnowing
+      // guarantee cuts both ways: any pair sharing a 30-gram shares a
+      // fingerprint, so both its docs are already in `cands`, and
+      // restricting the gram explode to those docs provably loses no
+      // oracle pair (a winnow recall bug still surfaces: the pair's docs
+      // miss the gram set → the pair is absent → oracle hash-mismatch).
+      // This keys verify cost to CANDIDATE volume, not corpus volume —
+      // the shape that matters at 100 TB, and ~50× fewer gram-group rows
+      // here than exploding all docs.
+      val candDocs = cands
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+      val grams = docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
         .select(col("doc_id"),
           explode(TextFunctions.charGramHashes(col("norm"), L)).as("g"))
         .distinct()
