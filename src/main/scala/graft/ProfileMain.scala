@@ -30,6 +30,9 @@ object ProfileMain {
         spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
         val n = fn(spark, d).count()
+        // listener events arrive on an ASYNC bus — drain it or the
+        // heaviest (last) stages are missing / credited to the next run
+        org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext)
         println(f"PROF $name run$i ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
         import scala.jdk.CollectionConverters._
         val top = stages.asScala.toSeq.sortBy(-_._4).take(12)

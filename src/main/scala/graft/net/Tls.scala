@@ -45,12 +45,16 @@ object Tls {
     val cmd = Seq(keytool.toString, "-genkeypair", "-alias", "graft",
       "-keyalg", "RSA", "-keysize", "2048", "-validity", "7",
       "-storetype", "PKCS12", "-keystore", ks.toString,
-      "-storepass", new String(password), "-keypass", new String(password),
+      // :env sourcing keeps the password out of /proc/<pid>/cmdline,
+      // where any local process could read a plain -storepass argument
+      "-storepass:env", "GRAFT_KEYSTORE_PW", "-keypass:env", "GRAFT_KEYSTORE_PW",
       "-dname", "CN=localhost",
       // modern clients verify SANs, not CN — without these the JDK's own
       // HttpClient refuses the handshake ("No subject alternative names")
       "-ext", "SAN=dns:localhost,ip:127.0.0.1")
-    val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+    pb.environment().put("GRAFT_KEYSTORE_PW", new String(password))
+    val p = pb.start()
     val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
     require(p.waitFor() == 0, s"keytool failed: $out")
     ks

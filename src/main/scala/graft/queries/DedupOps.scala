@@ -363,10 +363,17 @@ object DedupOps {
           .foreach(java.nio.file.Files.deleteIfExists(_))
         finally walk.close()
       }
-      s.table(sink)
+      // copy the (bounded: one row per verified near-dup pair) sink out
+      // to a local relation and DROP the memory-sink view — otherwise
+      // every invocation parks a uniquely-named MemorySink's rows in
+      // driver memory for the session lifetime
+      val res = s.table(sink)
         .select(col("doc_a"), col("doc_b"), col("shared"),
           col("n_a"), col("n_b"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
+      val local = s.createDataFrame(res.collectAsList(), res.schema)
+      s.catalog.dropTempView(sink)
+      local
     },
 
     // ---- Winnowed rolling-hash fingerprints, exact-verified: char-level

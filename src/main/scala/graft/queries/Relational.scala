@@ -50,9 +50,12 @@ object Relational {
     // ---- Fact-fact-dim join + agg + top-k (TPC-H Q3 shape). customer is
     // broadcast into orders; lineitem is the PROBE side of the second join
     // (the build side is the segment-filtered orders⋈customer, ~1/5 of
-    // orders — broadcastable at bench scale, and at 100 TB the planner
-    // falls back to a shuffle join on the order key with lineitem still
-    // streaming). Written `l.join(o⋈c)` deliberately: with lineitem on
+    // orders — broadcastable at bench scale). NOTE the hint is a hard
+    // pin: Spark enforces explicit broadcast() up to the 8 GB cap rather
+    // than degrading, so a 100 TB deployment DROPS the hint and lets
+    // size estimates + AQE pick shuffle-vs-broadcast on the order key
+    // (the hint exists here only to beat the pruned-size mis-estimate
+    // below). Written `l.join(o⋈c)` deliberately: with lineitem on
     // the right, column pruning shrank its size ESTIMATE under the
     // broadcast threshold and the planner shipped the whole fact table to
     // every task — ~2× slower at sf0.1 and a scale-killer shape.

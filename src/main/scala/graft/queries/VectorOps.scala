@@ -290,7 +290,13 @@ object VectorOps {
     * the DuckDB twin reproduces bit-for-bit. */
   private def unitNorm(v: Column): Column = {
     val n = sqrt(VectorFunctions.dot(v, v))
-    when(n > 0, transform(v, x => x / n)).otherwise(v)
+    // NOT transform(v, x => x / n): a lambda body re-evaluates every
+    // expression it closes over PER ELEMENT (HOF lambdas are excluded
+    // from subexpression elimination), which would recompute the dot dim
+    // times — O(dim²) per vector. array_repeat evaluates its child once,
+    // so this form pays the norm exactly twice per row (guard + repeat).
+    when(n > 0, zip_with(v, array_repeat(n, size(v)), (x, nn) => x / nn))
+      .otherwise(v)
   }
 
   /** IVF ANN full neighbor listing `(src, cell, nbr, sim)` — the operator
