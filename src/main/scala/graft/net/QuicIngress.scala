@@ -26,14 +26,19 @@ object QuicIngress {
 
   /** Bind `domain` on a (possibly shared) endpoint and pump accepted
     * streams into `channel` via [[Ingress.flush]]. `reply` computes the
-    * synchronous response from the request body. */
+    * synchronous response from the request body. With `tls` set, every
+    * accepted stream runs a server-side [[QuicTls]] handshake before the
+    * request is read — the reference's TLS-native net-quinn contract at
+    * the payload level; a stream whose handshake fails (untrusting or
+    * plaintext client) never reaches the channel. */
   def start(spark: SparkSession, channel: Channel, domain: String,
             endpoint: QuicLite.QuicEndpoint = null, writerId: Int = 101,
-            reply: Array[Byte] => Array[Byte] = _ => "accepted".getBytes("UTF-8"))
+            reply: Array[Byte] => Array[Byte] = _ => "accepted".getBytes("UTF-8"),
+            tls: Option[javax.net.ssl.SSLContext] = None)
       : Ingress = {
     val ep = Option(endpoint).getOrElse(QuicLite.endpoint())
     val ingress = new Ingress(spark, channel, ep, ep.bind(domain), writerId, reply,
-      ownsEndpoint = endpoint == null)
+      ownsEndpoint = endpoint == null, tls = tls)
     ingress.start()
     ingress
   }
@@ -42,7 +47,8 @@ object QuicIngress {
                       val endpoint: QuicLite.QuicEndpoint,
                       listener: QuicLite.ListenerHandle, writerId: Int,
                       reply: Array[Byte] => Array[Byte],
-                      ownsEndpoint: Boolean) {
+                      ownsEndpoint: Boolean,
+                      tls: Option[javax.net.ssl.SSLContext] = None) {
     private val buffer = new IngressBuffer[QuicRequest](spark, channel, writerId, enc)
     private val ids = new AtomicLong(0)
     private val stopped = new AtomicBoolean(false)
@@ -56,7 +62,15 @@ object QuicIngress {
           // fn) must not kill the accept loop — that would silently stop
           // serving every later connection
           try listener.accept(timeoutMs = 200).foreach { s =>
-            val body = s.readAll()
+            // TLS mode: handshake first (throws on an untrusting or
+            // plaintext peer — caught below, request never buffered)
+            val (body, respond) = tls match {
+              case Some(ctx) =>
+                val t = QuicTls.server(s, ctx)
+                (t.readAll(), (b: Array[Byte]) => t.write(b))
+              case None =>
+                (s.readAll(), (b: Array[Byte]) => s.write(b))
+            }
             buffer.add(QuicRequest(ids.getAndIncrement(), listener.domain,
               s.streamId, s.conn.remote.toString, body))
             // the request is already buffered; a throwing reply policy must
@@ -66,7 +80,7 @@ object QuicIngress {
               catch { case scala.util.control.NonFatal(_) =>
                 "error: reply policy failed".getBytes("UTF-8")
               }
-            s.write(resp) // synchronous response, same stream
+            respond(resp) // synchronous response, same stream
           } catch { case _: InterruptedException => return; case _: Exception => () }
         }
       }, s"quic-ingress-${listener.domain}")

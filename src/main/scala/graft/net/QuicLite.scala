@@ -25,12 +25,20 @@ import scala.jdk.CollectionConverters._
   *    immediate ACKs, RTO-based retransmission, offset-keyed reassembly
   *    (the recovery subset of RFC 9002).
   *
-  * Deliberate deviation, stated loudly: NO TLS. The reference rides
-  * rustls' QUIC crypto (lib.rs:9-27); the JDK has no TLS-over-UDP
-  * primitive and this engine's trust boundary is the driver process, so
-  * the handshake carries the domain in cleartext where a ClientHello SNI
-  * would sit. The packet layout keeps QUIC's shape (long-header
-  * handshake, short-header data) so a real crypto layer could wrap it
+  * TLS: the reference rides rustls' QUIC-native crypto (lib.rs:9-27)
+  * where the TLS handshake IS the QUIC handshake and every packet is
+  * encrypted at the packet layer (RFC 9001). The JDK has no TLS-over-UDP
+  * primitive, so this engine layers [[QuicTls]] — JDK `SSLEngine` over
+  * each bidirectional stream — on top: stream payloads (the data a user
+  * hands the transport) get the full TLS properties (confidentiality,
+  * integrity, cert-based peer refusal), while the QUIC-shaped packet
+  * headers and the domain field in INITIAL (where a ClientHello SNI
+  * would sit) remain cleartext. That residual divergence — transport
+  * metadata visible on the wire, no packet-number encryption — is the
+  * deliberate, stated gap from RFC 9001 packet protection; closing it
+  * would mean reimplementing QUIC-TLS key schedules the JDK doesn't
+  * expose. The packet layout keeps QUIC's shape (long-header handshake,
+  * short-header data) so a native crypto layer could replace [[QuicTls]]
   * without touching stream/recovery logic.
   */
 object QuicLite {
@@ -53,14 +61,27 @@ object QuicLite {
   final case class QuicError(message: String) extends RuntimeException(message)
 
   /** One bidirectional stream: outbound writes fragment into STREAM
-    * frames; inbound frames reassemble by offset until FIN. */
+    * frames; inbound frames reassemble by offset until FIN. Reassembly
+    * keeps a contiguous prefix (`assembled`) plus a map of out-of-order
+    * frames ahead of it, so readers can consume incrementally
+    * ([[readSome]], the TLS layer's handshake path) or whole-payload
+    * ([[readAll]]). */
   final class QuicStream private[net] (
       val conn: Connection, val streamId: Long) {
-    private[net] val inbound = new java.util.TreeMap[Long, Array[Byte]]()
+    // frames ahead of the contiguous prefix, keyed by offset
+    private val pending = new java.util.TreeMap[Long, Array[Byte]]()
+    private val assembled = new java.io.ByteArrayOutputStream()
+    private var contiguousEnd = 0L
+    private var consumed = 0L // readSome's cursor into `assembled`
+    private val routedFlag = new AtomicBoolean(false)
     private[net] var finAt: Long = -1L
     private[net] val complete = new CountDownLatch(1)
     private[net] var delivered: Array[Byte] = null
     private var writeOffset = 0L
+
+    // first-frame accept routing: true exactly once, on the frame that
+    // makes this stream visible to the server's accept queue
+    private[net] def markRouted(): Boolean = routedFlag.compareAndSet(false, true)
 
     /** Append bytes to the stream; `fin = true` closes our direction.
       * Fragments into ≤MaxData frames, each retransmitted until acked. */
@@ -90,27 +111,52 @@ object QuicLite {
       out
     }
 
+    /** Incremental read: block until at least one NEW contiguous inbound
+      * byte past what earlier [[readSome]] calls returned, end-of-stream,
+      * or connection failure. Returns the fresh bytes; an EMPTY array is
+      * clean end-of-stream (FIN reached, everything consumed). The TLS
+      * layer ([[QuicTls]]) reads handshake flights this way — don't mix
+      * with [[readAll]] on the same stream. */
+    def readSome(timeoutMs: Long = 5000): Array[Byte] = synchronized {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      while (consumed == contiguousEnd) {
+        conn.failure.foreach(f => throw QuicError(f))
+        if (finAt >= 0 && contiguousEnd == finAt) return Array.emptyByteArray
+        val waitMs = (deadline - System.nanoTime()) / 1000000L
+        if (waitMs <= 0) throw QuicError(s"stream $streamId: read timeout")
+        wait(waitMs)
+      }
+      val all = assembled.toByteArray
+      val out = java.util.Arrays.copyOfRange(all, consumed.toInt, all.length)
+      consumed = all.length.toLong
+      out
+    }
+
+    // connection failure: wake both read paths with `delivered` still null
+    private[net] def abort(): Unit = synchronized {
+      complete.countDown()
+      notifyAll()
+    }
+
     // Receiver side: returns true when this frame completed the stream.
     private[net] def offer(offset: Long, data: Array[Byte], fin: Boolean): Boolean =
       synchronized {
         if (delivered != null) return false // already complete (dup frame)
-        inbound.putIfAbsent(offset, data)
         if (fin) finAt = offset + data.length
-        // contiguous prefix check
-        var next = 0L
-        val it = inbound.entrySet().iterator()
-        var contiguous = true
-        while (contiguous && it.hasNext) {
-          val e = it.next()
-          if (e.getKey != next) contiguous = false else next = e.getKey + e.getValue.length
+        // a frame below the contiguous prefix is a retransmitted dup —
+        // frame boundaries are stable across retries, so skip whole
+        if (offset >= contiguousEnd) pending.putIfAbsent(offset, data)
+        // fold newly contiguous frames into the assembled prefix
+        var e = pending.firstEntry()
+        while (e != null && e.getKey == contiguousEnd) {
+          assembled.write(e.getValue)
+          contiguousEnd += e.getValue.length
+          pending.remove(e.getKey)
+          e = pending.firstEntry()
         }
-        if (contiguous && finAt >= 0 && next == finAt) {
-          val out = new Array[Byte](finAt.toInt)
-          var p = 0
-          inbound.values().asScala.foreach { b =>
-            System.arraycopy(b, 0, out, p, b.length); p += b.length
-          }
-          delivered = out
+        notifyAll()
+        if (finAt >= 0 && contiguousEnd == finAt) {
+          delivered = assembled.toByteArray
           complete.countDown()
           true
         } else false
@@ -160,7 +206,7 @@ object QuicLite {
     private[net] def fail(reason: String): Unit = {
       failure = Some(reason)
       unacked.clear()
-      streams.values().asScala.foreach(_.complete.countDown())
+      streams.values().asScala.foreach(_.abort())
       established.countDown()
       // deregister: dead connections must not accumulate in the endpoint
       // map (long-lived servers see unbounded connection churn) or keep
@@ -298,10 +344,13 @@ object QuicLite {
           val b = new Array[Byte](out.remaining()); out.get(b)
           transmit(b, conn.remote, -1L)
           val s = conn.stream(streamId)
-          if (s.offer(offset, data, fin) && conn.isServerSide) {
-            // a completed client-initiated stream is a new inbound request
-            // → route to the domain's accept queue (offer() fires exactly
-            // once per stream, so duplicate final frames can't re-enqueue)
+          s.offer(offset, data, fin)
+          if (conn.isServerSide && s.markRouted()) {
+            // FIRST frame of a client-initiated stream routes it to the
+            // domain's accept queue (markRouted is sticky, so dup frames
+            // can't re-enqueue). Routing must not wait for FIN: a TLS
+            // handshake needs the server reading/answering flights long
+            // before the client FINs its direction.
             Option(listeners.get(conn.domain)).foreach(_.inbox.put(s))
           }
         }
