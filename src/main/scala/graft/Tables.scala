@@ -39,7 +39,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = t(s, d, "events")
+  /** `events.ts` has shipped in two physical forms: INT64 TIMESTAMP(NANOS)
+    * (read as raw nano longs via `nanosAsLong`) and plain µs TIMESTAMP
+    * (isAdjustedToUTC=false → TIMESTAMP_NTZ under the default NTZ
+    * inference). Engine-side code and the DuckDB oracle agree on
+    * MICROSECONDS (`ts div 1000` ↔ `epoch_us(ts)`), so normalize the
+    * timestamp form back to nano longs here — `unix_micros` × 1000 is
+    * exact (epoch µs ≈ 1.7e15, ×1000 is far below Long.Max), and the NTZ
+    * → LTZ cast is identity under the UTC session timezone ensureConf
+    * pins, matching DuckDB's naive-as-UTC `epoch_us`. */
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventsTs(t(s, d, "events"))
+
+  /** Same normalization for a DataFrame read off events.parquet directly
+    * (the streaming queries' staged file sources). Safe on either form. */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts",
+        expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+    }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 

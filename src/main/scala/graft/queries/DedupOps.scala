@@ -321,11 +321,12 @@ object DedupOps {
     // verified pair SET therefore equals the batch exact join — the same
     // oracle SQL as q_minhash_lsh, which is the whole point: a recall
     // miss, a state bug, or a cross-batch loss all hash-mismatch.
-    // At 100 TB: state per bucket carries (id, shingle-set, sig) for its
-    // members — production bounds it with StreamingNearDup's ttl knob
-    // (processing-time GroupStateTimeout eviction, tested in EngineSuite)
-    // once a bucket has idled past the dedup horizon; here ttl=None for
-    // batch-parity with the oracle.
+    // At 100 TB: bucket state is signature-only (64 ints/member); each
+    // doc's shingle set is stored ONCE in a doc-keyed verify stage, so
+    // state no longer multiplies document text by band count — production
+    // bounds it in time with StreamingNearDup's ttl knob (processing-time
+    // or watermark-driven event-time eviction, both tested in
+    // EngineSuite); here ttl=None for batch-parity with the oracle.
     Q("q_stream_neardup",
       s"""WITH $ngramPairsSql
         |SELECT doc_a, doc_b, shared, da.n AS n_a, db.n AS n_b,

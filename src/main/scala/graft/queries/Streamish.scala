@@ -207,7 +207,8 @@ object Streamish {
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val sink = s"graft_stream_window_${streamRun.incrementAndGet()}"
       withStagedEvents(d, "events") { tmp =>
-        val stream = s.readStream.schema(schema).parquet(tmp)
+        val stream = Tables.normalizeEventsTs(
+          s.readStream.schema(schema).parquet(tmp))
         val agg = stream
           .groupBy(Tables.tsDay("ts").as("day"), col("event_type"))
           .agg(count(lit(1)).as("n"))
@@ -418,7 +419,8 @@ object Streamish {
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val sink = s"graft_stream_dedup_${streamRun.incrementAndGet()}"
       withStagedEvents(d, "dedup") { tmp =>
-        val stream = s.readStream.schema(schema).parquet(tmp)
+        val stream = Tables.normalizeEventsTs(
+          s.readStream.schema(schema).parquet(tmp))
           .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
           .withColumn("day", Tables.tsDay("ts"))
           .withWatermark("ets", "1 hour")
@@ -451,7 +453,8 @@ object Streamish {
       withStagedEvents(d, "join") { tmp =>
         // one source, two filtered legs (streaming self-join): the file
         // listing and scan happen once per micro-batch instead of twice
-        val src = s.readStream.schema(schema).parquet(tmp)
+        val src = Tables.normalizeEventsTs(
+          s.readStream.schema(schema).parquet(tmp))
         def side(tpe: String, prefix: String) =
           src.filter(col("event_type") === tpe)
             .select(col("event_id").as(s"${prefix}_id"),
@@ -500,7 +503,8 @@ object Streamish {
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val sink = s"graft_stream_state_${streamRun.incrementAndGet()}"
       withStagedEvents(d, "state") { tmp =>
-        val tagged = s.readStream.schema(schema).parquet(tmp)
+        val tagged = Tables.normalizeEventsTs(
+          s.readStream.schema(schema).parquet(tmp))
           .filter(col("event_type").isin("signup", "purchase"))
           .select(
             col("user_id").cast("string").as("key"),

@@ -454,6 +454,86 @@ class EngineSuite extends SparkSpec {
       Set.empty[(Long, Long)])
   }
 
+  test("streaming near-dup: bucket state is signature-only (no shingle sets)") {
+    // The verify store holds each doc's shingle set ONCE; the 16-way band
+    // bucket store holds only (doc_id, 64-int sig). Proof by scaling: grow
+    // the documents 16× in length and the bucket store's bytes must stay
+    // flat while the doc store's bytes grow with the text.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingNearDup
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // per run: (bucketStoreBytes, docStoreBytes) from the final progress
+    def stateBytes(wordsPerDoc: Int, name: String): (Long, Long) = {
+      val input = MemoryStream[(Long, String)]
+      val q = StreamingNearDup.pairs(input.toDS(), 0.8)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        // all-distinct vocabularies: no near-dup pairs, 16 buckets per doc
+        input.addData((0L until 8L).map(d =>
+          (d, (1 to wordsPerDoc).map(i => s"d${d}w$i").mkString(" "))))
+        q.processAllAvailable()
+        val ops = q.lastProgress.stateOperators
+        assert(ops.length == 2, s"expected 2 stateful operators, got ${ops.length}")
+        // the bucket store has ~16 rows per doc; the doc store exactly 1
+        val Array(docOp, bucketOp) = ops.sortBy(_.numRowsTotal)
+        assert(bucketOp.numRowsTotal > 4 * docOp.numRowsTotal,
+          s"bucket=${bucketOp.numRowsTotal} doc=${docOp.numRowsTotal}")
+        (bucketOp.memoryUsedBytes, docOp.memoryUsedBytes)
+      } finally { q.stop(); spark.catalog.dropTempView(name) }
+    }
+
+    val (bShort, dShort) = stateBytes(50, "snd_state_short")
+    val (bLong, dLong) = stateBytes(800, "snd_state_long")
+    // doc store carries the shingle sets: 16× longer text → much bigger
+    assert(dLong > 4 * dShort, s"doc store flat: $dShort -> $dLong")
+    // bucket store is signature-only: flat in document length
+    assert(bLong < 2 * bShort,
+      s"bucket store scales with text: $bShort -> $bLong (shingles leaked into band state?)")
+  }
+
+  test("streaming near-dup: event-time TTL drops beyond-horizon duplicates") {
+    // pairsEventTime: the dedup horizon is watermark-driven — once the
+    // WATERMARK passes a document's event time + horizon, its state is
+    // swept, and a twin arriving after that is missed; a twin arriving
+    // while the original is still inside the horizon is caught. The twin
+    // itself is on-time in both runs (ts ≥ watermark — a row older than
+    // the watermark is dropped as late input by FMGWS before state is
+    // consulted, which is standard lateness-bound semantics, not the
+    // eviction under test). Wall-clock plays no part (replayed history
+    // works).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingNearDup
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val twin = base.replace("w40", "zz")
+    val far  = (1 to 40).map(i => s"x$i").mkString(" ")
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+    def run(advanceTo: Long, name: String): Set[(Long, Long)] = {
+      val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val q = StreamingNearDup.pairsEventTime(input.toDS(),
+          horizon = java.time.Duration.ofSeconds(10), threshold = 0.8)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        input.addData((1L, base, ts(1000)))      // doc 1 @ t=1000
+        q.processAllAvailable()
+        input.addData((7L, far, ts(advanceTo)))  // watermark → advanceTo
+        q.processAllAvailable()                  // + no-data sweep batch
+        input.addData((2L, twin, ts(advanceTo + 1))) // on-time twin
+        q.processAllAvailable()
+        spark.table(name).select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      } finally { q.stop(); spark.catalog.dropTempView(name) }
+    }
+
+    // watermark 1008 < 1000+10: doc 1 still inside the horizon → caught
+    assert(run(1008, "snd_et_live") == Set((1L, 2L)))
+    // watermark 1020 > 1000+10: doc 1 swept before the twin → missed
+    assert(run(1020, "snd_et_evicted") == Set.empty[(Long, Long)])
+  }
+
   test("streaming near-dup rides the engine's own channel source") {
     // the reference's pipeline shape: documents arrive on a channel and
     // are deduped AT INGEST — StreamingNearDup over the DSv2 seq-offset
