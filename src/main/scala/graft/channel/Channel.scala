@@ -428,14 +428,42 @@ object Channel {
   /** Claim the next free sequence number with an atomic createDirectory
     * on its `_res_` marker — two writers (any JVMs) can never share a seq.
     * Scans both committed batches and outstanding reservations so a
-    * crashed writer's marker is skipped over, not reused. */
+    * crashed writer's marker is skipped over, not reused.
+    *
+    * The atomic create alone is NOT sufficient: markers are released
+    * after commit, so a writer that listed the directory BEFORE a rival
+    * claimed seq `s` can win the marker AFTER that rival committed and
+    * released it — a double-claim that would put two batch dirs on one
+    * seq and reopen the late-visible-same-seq stream race (found by the
+    * seeded interleaving stress, ChannelStressSuite). Hence the
+    * post-claim re-check: every consumer of a seq makes its trace — batch
+    * dir (before `_SUCCESS`→marker-delete), `_abort_` tombstone (before
+    * marker-delete), `compact_` dir (writer-free window) — visible
+    * BEFORE the marker is released, so holding the marker and seeing no
+    * trace proves the seq is genuinely fresh. One extra listing per
+    * reservation, on a write path that already walks the directory for
+    * capacity accounting. */
   private[graft] def reserveSeq(dir: Path): Long = {
     var s = Seq(nextSeq(dir),
       resSeqs(dir).lastOption.map(_ + 1).getOrElse(0L),
       abortSeqs(dir).lastOption.map(_ + 1).getOrElse(0L)).max
-    while (!tryReserve(dir, s)) s += 1
-    s
+    while (true) {
+      if (!tryReserve(dir, s)) s += 1
+      else if (seqUsed(dir, s)) {
+        Files.deleteIfExists(dir.resolve(f"$ResPrefix$s%012d"))
+        s += 1
+      } else return s
+    }
+    -1 // unreachable
   }
+
+  /** Any on-disk trace that seq `s` was ever consumed. */
+  private def seqUsed(dir: Path, s: Long): Boolean =
+    listDir(dir).exists { p =>
+      val n = p.getFileName.toString
+      (n.startsWith("batch_") || n.startsWith("compact_") ||
+        n.startsWith(AbortPrefix)) && batchSeq(p) == s
+    }
 
   private def tryReserve(dir: Path, s: Long): Boolean =
     try { Files.createDirectory(dir.resolve(f"$ResPrefix$s%012d")); true }
