@@ -21,7 +21,8 @@ final case class Graft(
     registry: ChannelRegistry,
     atlas: Atlas,
     queries: QueryManager,
-    switchboard: Switchboard) {
+    switchboard: Switchboard,
+    modules: runtime.ModuleStore) {
 
   /** The engine's own log stream — subscribe like any channel (S8). */
   def logs: channel.Channel = registry.get(Graft.LogsChannel)
@@ -46,6 +47,10 @@ object Graft {
     val qm = new QueryManager(spark, logsChannel = Some(logsCh))
     val sb = new Switchboard(spark, registry)
     atlas.registerSingleton("switchboard", sb)
-    Graft(spark, registry, atlas, qm, sb)
+    // module bytes live under the runtime root; every path in a module
+    // spec resolves through the store's traversal check
+    val modules = new runtime.ModuleStore(root.resolve("modules"),
+      onDeny = qm.logModuleDenial)
+    Graft(spark, registry, atlas, qm, sb, modules)
   }
 }

@@ -67,6 +67,11 @@ object Main {
       val pipeline = pipelines.getOrElse(spec.name,
         throw new IllegalArgumentException(
           s"unknown pipeline '${spec.name}' (have: ${pipelines.keys.mkString(", ")})"))
+      // any path a spec carries must resolve INSIDE the module store —
+      // refusal (logged on the engine channel) aborts the deployment
+      // before the pipeline sees the spec (reference: FilesystemStore
+      // validates every fetch path against its base dir)
+      spec.args.get("path").foreach(engine.modules.resolve)
       // link-time capability attenuation parity: the session holds ONLY
       // what the spec granted
       pipeline(engine, Session(spec.name, spec.capabilities), spec.args)

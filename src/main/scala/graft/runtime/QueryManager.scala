@@ -16,10 +16,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * (subsystem/wasmtime/src/lib.rs:295-380): deny-by-default, monotonic
   * attenuation on child sessions. Net grants are per-protocol AND
   * per-direction (bind/accept/connect/read/write), exactly as the
-  * reference splits them; the TLS-config grants exist in the catalogue
-  * even though the engine's QUIC subset runs without TLS (a loudly
-  * documented divergence, net/QuicLite.scala) so module specs written
-  * against the reference's grant names parse unchanged.
+  * reference splits them; the TLS-config grants gate the engine's TLS
+  * material on both edges (HTTPS termination in net/Tls.scala, QUIC
+  * stream TLS in net/QuicTls.scala — the remaining handshake-integration
+  * divergence is documented there).
   */
 object Capability extends Enumeration {
   val SessionLifecycle,
@@ -87,6 +87,12 @@ final class QueryManager(val spark: SparkSession,
         System.currentTimeMillis())
       ch.write(Seq(rec).toDF(), writerId = 0)
     }
+
+  /** Module-store path denials ride the same engine-log channel as
+    * capability refusals (the reference surfaces InvalidPath through the
+    * module store's error path the same way). */
+  private[graft] def logModuleDenial(path: String, reason: String): Unit =
+    log("Warn", "module path denied", "path" -> path, "reason" -> reason)
 
   /** Per-trigger progress telemetry into the engine-log channel — the
     * reference streams every process's tracing over a channel

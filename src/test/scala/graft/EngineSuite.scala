@@ -224,6 +224,41 @@ class EngineSuite extends SparkSpec {
     intercept[IllegalArgumentException] { ModuleSpec.parse("capabilities=;bogus") }
   }
 
+  test("module store refuses path escapes, logs the denial (validate_path parity)") {
+    import graft.channel.ChannelRegistry
+    import graft.runtime.ModuleStore
+    val reg = new ChannelRegistry(spark, tmpDir("modstore"))
+    val logsCh = reg.create("engine_logs_mod",
+      implicitly[org.apache.spark.sql.Encoder[LogAnalyser.LogRecord]].schema)
+    val qm = new QueryManager(spark, logsChannel = Some(logsCh))
+    val base = tmpDir("modbase")
+    val store = new ModuleStore(base, onDeny = qm.logModuleDenial)
+    // a module inside the store fetches fine
+    java.nio.file.Files.createDirectories(store.base.resolve("wasm"))
+    java.nio.file.Files.write(store.base.resolve("wasm/m1.wasm"),
+      Array[Byte](0, 'a', 's', 'm'))
+    assert(store.fetch("wasm/m1.wasm").length == 4)
+    // traversal, however spelled, and absolute paths are refused
+    intercept[SecurityException] { store.resolve("../outside.wasm") }
+    intercept[SecurityException] { store.resolve("wasm/../../etc/passwd") }
+    intercept[SecurityException] { store.resolve("/etc/passwd") }
+    // a symlink planted INSIDE the store cannot alias a target outside it
+    val outside = tmpDir("modoutside")
+    java.nio.file.Files.write(outside.resolve("secret"), Array[Byte](42))
+    java.nio.file.Files.createSymbolicLink(
+      store.base.resolve("link"), outside.resolve("secret"))
+    intercept[SecurityException] { store.resolve("link") }
+    // every refusal is an observable denial on the engine-log channel,
+    // reason attached (reference: InvalidPath carries base+path)
+    val denied = logsCh.read()
+      .filter(col("message") === "module path denied" && col("level") === "Warn")
+      .select(explode(col("fields")).as("f"))
+      .filter(col("f.key") === "path")
+      .select(col("f.value")).as[String].collect().toSet
+    assert(denied == Set("../outside.wasm", "wasm/../../etc/passwd",
+      "/etc/passwd", "link"))
+  }
+
   test("atlas URI catalogue with glob lookup (J3)") {
     val atlas = new Atlas
     atlas.insert("sel://logs/svc-a", "ch_a")
