@@ -53,18 +53,26 @@ object Bench {
     // by the host, not regressed. Read: busy_ratio = cpu / (wall × cores);
     // a healthy local[32] run of a shuffle-heavy query sits well above
     // ~0.2, while a co-tenant-starved run collapses toward 0.
-    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    // Pattern-matched, not cast: on a JVM whose OS bean lacks the com.sun
+    // interface the bench degrades to wall-only (cpu −1) instead of dying
+    // on a metrics nicety.
+    val osBean: Option[com.sun.management.OperatingSystemMXBean] =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case b: com.sun.management.OperatingSystemMXBean => Some(b)
+        case _ => None
+      }
+    def cpuNanos(): Long = osBean.map(_.getProcessCpuTime).getOrElse(-1L)
 
-    /** (wall, cpu) seconds for one run, (-1, -1) on failure. */
+    /** (wall, cpu) seconds for one run, (-1, -1) on failure; cpu is -1
+      * when process-CPU time is unavailable. */
     def time(name: String): (Double, Double) = {
-      val c0 = osBean.getProcessCpuTime
+      val c0 = cpuNanos()
       val t0 = System.nanoTime()
       val ok =
         try { SparkEntry.queries(name)(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
-      val dc = (osBean.getProcessCpuTime - c0) / 1e9
+      val dc = if (c0 < 0) -1.0 else (cpuNanos() - c0) / 1e9
       sweep() // outside the timed window — blocks drop is bookkeeping
       if (ok) (dt, dc) else (-1.0, -1.0)
     }

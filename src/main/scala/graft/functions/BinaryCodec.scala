@@ -77,8 +77,14 @@ object BinaryCodec {
 
   private[functions] def supported(dt: DataType): Boolean = dt match {
     case StringType | BinaryType => true
-    case st: StructType => st.fields.forall(f => supported(f.dataType))
-    case ArrayType(st: StructType, _) => st.fields.forall(f => supported(f.dataType))
+    // zero-field structs are refused, not vacuously accepted: a present
+    // empty-schema element encodes to a 0-byte child frame, which the
+    // Vec<table> layout reserves as its null-element sentinel — accepting
+    // the type would decode non-null empty elements back as null
+    case st: StructType =>
+      st.fields.nonEmpty && st.fields.forall(f => supported(f.dataType))
+    case ArrayType(st: StructType, _) =>
+      st.fields.nonEmpty && st.fields.forall(f => supported(f.dataType))
     case ArrayType(el, _) => fixedWidth(el).isDefined
     case other => fixedWidth(other).isDefined
   }

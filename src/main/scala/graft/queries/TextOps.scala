@@ -252,6 +252,11 @@ object TextOps {
       // exact verify: a bloom false positive is a train shingle NOT in the
       // benchmark set, so the equi-join with te eliminates it; members pass
       // the bloom unconditionally — the join result is exactly te ∩ train.
+      // Cache lifetime: te stays persisted until the CALLER materializes
+      // this (lazy) result — it cannot be unpersisted inside the closure
+      // without recomputing the benchmark side in the verify join. Both
+      // harnesses sweep the cache manager after each query; a long-lived
+      // session invoking queries directly inherits that contract.
       te.join(broadcast(trCand), "s")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
         .orderBy(col("doc_id"))

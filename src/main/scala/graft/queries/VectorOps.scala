@@ -201,6 +201,11 @@ object VectorOps {
         |FROM lab l JOIN (SELECT cluster, COUNT(*) AS csize FROM lab GROUP BY cluster) c2
         |  ON l.cluster = c2.cluster
         |ORDER BY l.vec_id""".stripMargin) { (s, d) =>
+      // cache lifetime: the cached relation is still consulted when the
+      // CALLER materializes the (lazy, per-vector — not collectable at
+      // scale) result, so it cannot be unpersisted inside this closure;
+      // both harnesses sweep the cache manager after each query, which is
+      // the intended lifetime for direct invocations too
       val e = embedRel(s, d).cache()
       val k = math.max(1L, e.count() / 32L).toInt
       val cents = e.filter(col("vec_id") < k).orderBy(col("vec_id"))
@@ -313,9 +318,13 @@ object VectorOps {
     val sampled = e.filter(col("vec_id") % stride === 0 && col("vec_id") < stride * 16)
       .orderBy(col("vec_id"))
       .select(col("v")).collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
-    // three Lloyd steps tighten the sampled centroids (only the 16×64
-    // centroid matrix touches the driver per step)
-    val centroids = graft.functions.KMeans.lloydSteps(e, "v", sampled, iters = 3)
+    // two Lloyd steps tighten the sampled centroids (only the 16×64
+    // centroid matrix touches the driver per step). Two, not three: each
+    // step is a full corpus pass — the training cost that matters at
+    // 100 TB — and the third pass bought no recall at either gated SF
+    // (floors 0.65 @ sf0.001 / 0.6 @ sf0.1, FunctionsSuite), because the
+    // stride-sampled seeds already match the data distribution.
+    val centroids = graft.functions.KMeans.lloydSteps(e, "v", sampled, iters = 2)
     // multi-probe: the query side searches its 6 nearest cells (recall@1
     // 0.25 @1 probe → 0.63 @4 → 0.73-0.77 @6 on the test embeddings — the
     // probe count is IVF's recall/cost dial, and near-uniform synthetic

@@ -319,6 +319,17 @@ class FunctionsSuite extends SparkSpec {
     val junk = truncated.toDF("p")
     assert(junk.select(Codec.decodeBinary(col("p"), schema).as("r"))
       .filter(col("r").isNotNull).count() == 0)
+
+    // zero-field nested structs are refused at ANALYSIS, not encoded: a
+    // present empty-schema element would be a 0-byte child frame — the
+    // Vec<table> null-element sentinel — and decode back as null
+    val emptyT = StructType(Seq.empty)
+    val degenerate = Seq(1L).toDF("ts")
+      .select(col("ts"), array(struct()).cast(ArrayType(emptyT)).as("fields"))
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      degenerate.select(Codec.encodeBinary(col("ts"), col("fields")).as("p")).collect()
+    }
+    assert(err.getMessage.contains("unsupported field type"))
   }
 
   test("enum-with-fallback: every byte value roundtrips; enum identity is hashed") {
