@@ -307,7 +307,7 @@ object VectorOps {
   /** IVF ANN full neighbor listing `(src, cell, nbr, sim)` — the operator
     * behind q_ann_ivf; public so recall regression tests probe it. */
   def annIvfNeighbors(s: SparkSession, d: String): DataFrame = {
-    // cached: the count, centroid sample, three Lloyd passes and the
+    // cached: the count, centroid sample, two Lloyd passes and the
     // probe assignment all re-scan e otherwise (6 jobs x scan+shuffle)
     val e = embedRel(s, d).cache()
     // two tiny driver-side actions on metadata-scale data (16 rows):
