@@ -4,8 +4,9 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -30,12 +31,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * only to hash-and-discard them. A property test pins bit-equality with
   * the composed form (multi-space, unicode, short-doc edges included).
   *
-  * One evaluation per document row; the O(doc) work inside dwarfs the
-  * boxed call, so CodegenFallback is immaterial (same stance as
-  * [[WinnowFingerprints]]).
+  * Real `doGenCode` (round 7): the kernel's own cost is unchanged — the
+  * O(doc) work dwarfs one virtual call per row — but a CodegenFallback
+  * here would split the ENCLOSING WholeStageCodegen span, dropping the
+  * scan→project→explode neighbours of every dedup query to volcano
+  * iteration. The generated code calls the kernel through a reference
+  * object, keeping the stage fused.
   */
 case class WordShingleHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1, "need n >= 1")
 
   override def dataType: DataType = ArrayType(LongType, false)
@@ -60,8 +64,11 @@ case class WordShingleHashes(child: Expression, n: Int)
 
   private val Seed = 42L // xxhash64()'s seed — bit-parity is the contract
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String]
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+
+  /** Public for the generated code path (called through a reference obj). */
+  def kernel(s: UTF8String): ArrayData = {
     val base = s.getBaseObject
     val off = s.getBaseOffset
     val len = s.numBytes()
@@ -73,7 +80,7 @@ case class WordShingleHashes(child: Expression, n: Int)
       i += 1
     }
     val tokens = spaces + 1
-    if (tokens < n) return new GenericArrayData(Array.empty[Long])
+    if (tokens < n) return Empty
     val sp = new Array[Int](spaces)
     var j = 0
     i = 0
@@ -93,6 +100,20 @@ case class WordShingleHashes(child: Expression, n: Int)
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Public for the generated code's null branch. */
+  def emptyResult: ArrayData = Empty
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordShingleHashes", this, classOf[WordShingleHashes].getName)
+    val c = child.genCode(ctx)
+    val arrCls = classOf[ArrayData].getName
+    ev.copy(
+      code = c.code + code"""
+        final $arrCls ${ev.value} = ${c.isNull}
+          ? $ref.emptyResult() : $ref.kernel(${c.value});""",
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
@@ -116,9 +137,10 @@ object WordShingleHashes {
   * records the char-boundary byte offsets, then each gram hashes straight
   * off the UTF8String memory. Feeds the winnow exact-verify stage, which
   * otherwise materialized ~n_chars 30-char substrings per document only
-  * to hash-and-discard them. */
+  * to hash-and-discard them. Real `doGenCode` for the same stage-fusion
+  * reason as [[WordShingleHashes]]. */
 case class CharGramHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1, "need n >= 1")
 
   override def dataType: DataType = ArrayType(LongType, false)
@@ -139,8 +161,11 @@ case class CharGramHashes(child: Expression, n: Int)
     if (v == null) Empty else nullSafeEval(v)
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String]
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+
+  /** Public for the generated code path (called through a reference obj). */
+  def kernel(s: UTF8String): ArrayData = {
     val base = s.getBaseObject
     val off = s.getBaseOffset
     val len = s.numBytes()
@@ -165,6 +190,20 @@ case class CharGramHashes(child: Expression, n: Int)
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Public for the generated code's null branch. */
+  def emptyResult: ArrayData = Empty
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charGramHashes", this, classOf[CharGramHashes].getName)
+    val c = child.genCode(ctx)
+    val arrCls = classOf[ArrayData].getName
+    ev.copy(
+      code = c.code + code"""
+        final $arrCls ${ev.value} = ${c.isNull}
+          ? $ref.emptyResult() : $ref.kernel(${c.value});""",
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): CharGramHashes =

@@ -3,8 +3,9 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -22,12 +23,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * 8-byte print), never a cross join — the same scale shape as MinHash
   * banding, but robust to sub-document overlap.
   *
-  * One expression evaluation per row (CodegenFallback is immaterial);
-  * normalization (lowercase, whitespace collapse) should be applied by
-  * the caller so the fingerprint matches the dedup canonical form.
+  * Real `doGenCode` (round 7, same stage-fusion rationale as
+  * [[WordShingleHashes]]): the kernel cost is unchanged, but a
+  * CodegenFallback splits the enclosing WholeStageCodegen span and drops
+  * the winnow query's scan→project→explode neighbours to volcano
+  * iteration. Normalization (lowercase, whitespace collapse) should be
+  * applied by the caller so the fingerprint matches the dedup canonical
+  * form.
   */
 case class WinnowFingerprints(child: Expression, k: Int, window: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(k >= 2 && window >= 1, "need k >= 2, window >= 1")
 
   override def dataType: DataType = ArrayType(LongType, false)
@@ -42,8 +47,12 @@ case class WinnowFingerprints(child: Expression, k: Int, window: Int)
 
   private val Base = 1000003L
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+
+  /** Public for the generated code path (called through a reference obj). */
+  def kernel(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
     val n = bytes.length
     if (n < k) return new GenericArrayData(Array.empty[Long])
     // rolling k-gram hashes, natural 2^64 wraparound
@@ -76,6 +85,12 @@ case class WinnowFingerprints(child: Expression, k: Int, window: Int)
       w0 += 1
     }
     new GenericArrayData(selected.toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnowFingerprints", this,
+      classOf[WinnowFingerprints].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
