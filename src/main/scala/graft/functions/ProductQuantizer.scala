@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
@@ -100,10 +100,12 @@ object ProductQuantizer {
 
 /** Fused PQ encoder: argmin centroid per subspace in one pass over the
   * vector; codebooks are constructor values, not literal subtrees (same
-  * plan-size rationale as [[SignLshBuckets]]). Evaluated once per input
-  * row — CodegenFallback interpretation overhead is immaterial. */
+  * plan-size rationale as [[SignLshBuckets]]). Real `doGenCode` (round
+  * 7): the kernel runs once per input row, but a CodegenFallback split
+  * the encode stage out of WholeStageCodegen — the generated code calls
+  * the kernel through a reference object, keeping the stage fused. */
 case class PqEncode(child: Expression, codebooks: ProductQuantizer.Codebooks)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   private val m = codebooks.length
   private val k = codebooks.head.length
   private val sub = codebooks.head.head.length
@@ -121,8 +123,11 @@ case class PqEncode(child: Expression, codebooks: ProductQuantizer.Codebooks)
   @transient private lazy val flat: Array[Double] = // [m][k][sub] row-major
     codebooks.flatten.flatten.toArray
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  /** Public for the generated code path (called through a reference obj). */
+  def kernel(v: ArrayData): ArrayData = {
     require(v.numElements() == m * sub,
       s"vector length mismatch: ${v.numElements()} vs ${m * sub}")
     val codes = new Array[Int](m)
@@ -149,13 +154,19 @@ case class PqEncode(child: Expression, codebooks: ProductQuantizer.Codebooks)
     new GenericArrayData(codes)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncode", this, classOf[PqEncode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** ADC distance: sum of per-subspace table lookups — 8 additions per row
-  * instead of a 64-dim vector kernel. */
+  * instead of a 64-dim vector kernel; same codegen stance as
+  * [[PqEncode]]. */
 case class PqAdc(child: Expression, table: IndexedSeq[Double], k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "pq_adc"
@@ -168,13 +179,21 @@ case class PqAdc(child: Expression, table: IndexedSeq[Double], k: Int)
 
   @transient private lazy val flat: Array[Double] = table.toArray
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val codes = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  /** Public for the generated code path (called through a reference obj). */
+  def kernel(codes: ArrayData): Double = {
     var acc = 0.0
     var s = 0
     val m = codes.numElements()
     while (s < m) { acc += flat(s * k + codes.getInt(s)); s += 1 }
     acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdc", this, classOf[PqAdc].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

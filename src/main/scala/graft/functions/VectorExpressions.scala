@@ -152,14 +152,16 @@ case class SqDist(left: Expression, right: Expression)
   * dim × totalPlanes fused multiply-adds; the plane matrix rides along as
   * a plain constructor value, not a literal subtree.
   *
-  * Eval-mode (CodegenFallback): evaluated once per INPUT row (not per
-  * candidate pair), so interpretation overhead is immaterial.
+  * Real `doGenCode` (round 7): the kernel is one virtual call per input
+  * row, but a CodegenFallback here split the banding stage's
+  * scan->project->posexplode span out of WholeStageCodegen (same
+  * rationale as `WordShingleHashes`); the generated code calls the
+  * kernel through a reference object, keeping the stage fused.
   */
 case class SignLshBuckets(child: Expression,
                           planes: IndexedSeq[IndexedSeq[Double]],
                           nTables: Int, nPlanes: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(planes.length == nTables * nPlanes, "plane count must be nTables*nPlanes")
 
   override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, false)
@@ -175,8 +177,11 @@ case class SignLshBuckets(child: Expression,
   @transient private lazy val flat: Array[Double] = planes.flatten.toArray
   @transient private lazy val dim: Int = planes.head.length
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  /** Public for the generated code path (called through a reference obj). */
+  def kernel(v: ArrayData): ArrayData = {
     require(v.numElements() == dim, s"vector length mismatch: ${v.numElements()} vs $dim")
     val total = nTables * nPlanes
     val acc = new Array[Double](total)
@@ -202,6 +207,11 @@ case class SignLshBuckets(child: Expression,
     new org.apache.spark.sql.catalyst.util.GenericArrayData(buckets)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("signLshBuckets", this, classOf[SignLshBuckets].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -212,8 +222,7 @@ case class SignLshBuckets(child: Expression,
   */
 case class NearestCells(child: Expression,
                         centroids: IndexedSeq[IndexedSeq[Double]], k: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(k >= 1 && k <= centroids.length, "1 <= k <= centroid count")
 
   override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType, false)
@@ -228,8 +237,11 @@ case class NearestCells(child: Expression,
 
   @transient private lazy val cents: Array[Array[Double]] = centroids.map(_.toArray).toArray
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  /** Public for the generated code path (called through a reference obj). */
+  def kernel(v: ArrayData): ArrayData = {
     val dim = cents(0).length
     require(v.numElements() == dim, s"vector length mismatch: ${v.numElements()} vs $dim")
     val x = v.toDoubleArray()
@@ -259,6 +271,11 @@ case class NearestCells(child: Expression,
       p += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(picked)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCells", this, classOf[NearestCells].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
