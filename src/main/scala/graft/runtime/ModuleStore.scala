@@ -45,11 +45,16 @@ final class ModuleStore(baseDir: Path,
     val joined = root.resolve(p).normalize()
     if (!joined.startsWith(root)) deny("escapes module base dir")
     // Symlink containment: toRealPath follows links, so check the deepest
-    // EXISTING ancestor (the final component may not exist yet).
+    // EXISTING ancestor (the final component may not exist yet). NOFOLLOW
+    // existence + a deny on toRealPath failure refuses dangling links at
+    // RESOLVE time rather than surfacing NoSuchFileException at fetch.
     var probe = joined
-    while (!Files.exists(probe)) probe = probe.getParent
-    if (!probe.toRealPath().startsWith(root))
-      deny("symlink escapes module base dir")
+    while (!Files.exists(probe, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      probe = probe.getParent
+    val real =
+      try probe.toRealPath()
+      catch { case _: java.io.IOException => deny("unresolvable (dangling) link") }
+    if (!real.startsWith(root)) deny("symlink escapes module base dir")
     joined
   }
 

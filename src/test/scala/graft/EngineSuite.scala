@@ -248,6 +248,10 @@ class EngineSuite extends SparkSpec {
     java.nio.file.Files.createSymbolicLink(
       store.base.resolve("link"), outside.resolve("secret"))
     intercept[SecurityException] { store.resolve("link") }
+    // dangling link: refused at resolve, not NoSuchFileException at fetch
+    java.nio.file.Files.createSymbolicLink(
+      store.base.resolve("dangling"), outside.resolve("not-yet-there"))
+    intercept[SecurityException] { store.resolve("dangling") }
     // every refusal is an observable denial on the engine-log channel,
     // reason attached (reference: InvalidPath carries base+path)
     val denied = logsCh.read()
@@ -256,7 +260,7 @@ class EngineSuite extends SparkSpec {
       .filter(col("f.key") === "path")
       .select(col("f.value")).as[String].collect().toSet
     assert(denied == Set("../outside.wasm", "wasm/../../etc/passwd",
-      "/etc/passwd", "link"))
+      "/etc/passwd", "link", "dangling"))
   }
 
   test("atlas URI catalogue with glob lookup (J3)") {
@@ -563,10 +567,23 @@ class EngineSuite extends SparkSpec {
       } finally { q.stop(); spark.catalog.dropTempView(name) }
     }
 
-    // watermark 1008 < 1000+10: doc 1 still inside the horizon → caught
-    assert(run(1008, "snd_et_live") == Set((1L, 2L)))
-    // watermark 1020 > 1000+10: doc 1 swept before the twin → missed
-    assert(run(1020, "snd_et_evicted") == Set.empty[(Long, Long)])
+    // pairsEventTime flips the session to legacy multi-stateful watermark
+    // mode (analysis-time confs); restore afterwards — the suite's session
+    // is shared JVM-wide via getOrCreate, and later suites' watermarked
+    // queries must analyze under the default propagator
+    val confs = Seq(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
+      "spark.sql.streaming.statefulOperator.allowMultiple")
+    val saved = confs.map(k => k -> spark.conf.getOption(k))
+    try {
+      // watermark 1008 < 1000+10: doc 1 still inside the horizon → caught
+      assert(run(1008, "snd_et_live") == Set((1L, 2L)))
+      // watermark 1020 > 1000+10: doc 1 swept before the twin → missed
+      assert(run(1020, "snd_et_evicted") == Set.empty[(Long, Long)])
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("streaming near-dup rides the engine's own channel source") {
