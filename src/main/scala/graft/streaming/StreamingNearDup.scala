@@ -78,6 +78,11 @@ object StreamingNearDup {
     * document length. */
   case class NdSlim(doc_id: Long, sig: Array[Int])
 
+  /** Shuffle payload of the shared compute stage: shingle set + signature,
+    * computed once per document per trigger below the exchange. */
+  case class NdSigned(doc_id: Long, sh: Array[Long], sig: Array[Int],
+                      ts: java.sql.Timestamp)
+
   /** Verify-stage event. `kind` 0 = registration (`key` = doc_id, `sh` =
     * its own shingle set, stored once); 1 = candidate (`key` = the partner
     * whose shingles live in doc-state, `other` = the doc whose shingles
@@ -158,19 +163,25 @@ object StreamingNearDup {
       if (ttlMs.isEmpty) GroupStateTimeout.NoTimeout
       else if (eventTime) GroupStateTimeout.EventTimeTimeout
       else GroupStateTimeout.ProcessingTimeTimeout
-    // a micro-batch's files arrive as one partition per file; the
-    // shingling + 64-hash signature work below is the CPU of this
-    // operator, so spread it across the session's shuffle width before
-    // computing (the exchange moves raw text once — at production scale
-    // multi-file triggers parallelize the scan anyway and this exchange
-    // is noise next to the signature math it spreads)
-    val shingled = docsDf
-      .repartition(col("doc_id"))
+    // The shingle+signature math — this operator's per-document CPU —
+    // runs BELOW the repartition exchange: the micro-batch plan consumes
+    // `signed` twice (band fan-out and registrations), and everything
+    // above an exchange is recomputed per consumer while the exchange
+    // subtree itself is deduplicated by ReuseExchange. Computing first
+    // and shuffling the (hashes, signature) payload does the per-doc
+    // work ONCE per trigger; the exchange still spreads the downstream
+    // fan-out across the session's shuffle width, and at production
+    // scale multi-file triggers parallelize the compute-side scan anyway.
+    val signed = docsDf
       .select(col("doc_id"),
         array_distinct(TextFunctions.shingleHashes(col("text"), 3)).as("sh"),
         col("ts"))
       .filter(size(col("sh")) > 0) // shingle-less docs never signature in batch either
       .as[(Long, Array[Long], java.sql.Timestamp)]
+      .map { case (id, sh, ts) =>
+        NdSigned(id, sh, MinHashSignature.signatureOf(sh, 64), ts)
+      }
+      .repartition(col("doc_id"))
 
     // typed flatMap/map strip watermark attribute metadata, so each
     // stateful stage re-declares the watermark on its own `ts` column.
@@ -180,11 +191,10 @@ object StreamingNearDup {
     def rewatermark[T](ds: Dataset[T]): Dataset[T] =
       if (eventTime) ds.withWatermark("ts", delay) else ds
 
-    val banded = rewatermark(shingled.flatMap { case (id, sh, ts) =>
-      val sig = MinHashSignature.signatureOf(sh, 64)
+    val banded = rewatermark(signed.flatMap { d =>
       (0 until 16).map { b =>
-        NdBanded(b, sig(4 * b), sig(4 * b + 1), sig(4 * b + 2), sig(4 * b + 3),
-          NdMember(id, sh, sig), ts)
+        NdBanded(b, d.sig(4 * b), d.sig(4 * b + 1), d.sig(4 * b + 2), d.sig(4 * b + 3),
+          NdMember(d.doc_id, d.sh, d.sig), d.ts)
       }
     })
     val candidates = banded
@@ -192,7 +202,7 @@ object StreamingNearDup {
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         onBucket(ttlMs, eventTime))
 
-    val registrations = shingled.map { case (id, sh, ts) => NdEvent(0, id, id, sh, ts) }
+    val registrations = signed.map(d => NdEvent(0, d.doc_id, d.doc_id, d.sh, d.ts))
     rewatermark(registrations.union(candidates))
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
