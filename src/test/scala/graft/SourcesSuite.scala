@@ -65,4 +65,39 @@ class SourcesSuite extends SparkSpec {
     assert(rows.length == 5)
     assert(rows.head == ("req-1", "/path/1"))
   }
+  test("events.ts normalizes to nano longs from BOTH shipped parquet forms") {
+    // The driver's testdata generator has shipped events.ts as INT64
+    // TIMESTAMP(NANOS) (read as raw longs via nanosAsLong) and as a plain
+    // microsecond timestamp (reads as TIMESTAMP_NTZ). Every engine-side
+    // `ts div 1000` and every DuckDB `epoch_us(ts)` oracle assumes nano
+    // longs — pin that Tables.events normalizes both, so the next
+    // generator change fails HERE and not across 20 query oracles.
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("events_forms")
+    Tables.ensureConf(spark)
+
+    // long-nanos form: already the canonical representation → identity
+    val nanos = Seq((1L, 1700000000123456000L, 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    nanos.write.mode("overwrite").parquet(s"$dir/long/events.parquet")
+    val viaLong = Tables.events(spark, s"$dir/long")
+    assert(viaLong.schema("ts").dataType == LongType)
+    assert(viaLong.select("ts").as[Long].head() == 1700000000123456000L)
+
+    // timestamp form (µs precision): NTZ wall time in the UTC session →
+    // the SAME nano long, exact to the microsecond
+    val tsForm = Seq((1L, new java.sql.Timestamp(0L), 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("timestamp_micros(1700000000123456)"))
+    tsForm.write.mode("overwrite").parquet(s"$dir/tstype/events.parquet")
+    val viaTs = Tables.events(spark, s"$dir/tstype")
+    assert(viaTs.schema("ts").dataType == LongType)
+    assert(viaTs.select("ts").as[Long].head() == 1700000000123456000L)
+
+    // and the day-bucket helper — the form most oracles consume — agrees
+    val d1 = viaLong.select(Tables.tsDay("ts")).as[String].head()
+    val d2 = viaTs.select(Tables.tsDay("ts")).as[String].head()
+    assert(d1 == d2)
+  }
+
 }
