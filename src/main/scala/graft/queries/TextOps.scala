@@ -12,6 +12,8 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  private val deconRun = new java.util.concurrent.atomic.AtomicLong()
+
   private val langMarkers: Map[String, Seq[String]] = Map(
     "de" -> Seq("der", "die", "das"),
     "en" -> Seq("the", "a", "of"),
@@ -260,6 +262,81 @@ object TextOps {
       te.join(broadcast(trCand), "s")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- Decontamination AT INGEST: the training corpus arrives as a
+    // STREAM (staged as 4 files → 4 micro-batches) and every batch is
+    // bloom-pruned map-side against the driver-built benchmark bloom,
+    // then exact-verified by a stream-static broadcast join with the real
+    // benchmark shingle set — the at-ingest twin of q_decontaminate_bloom
+    // (same oracle), completing the ingest-time curation pair with
+    // q_stream_neardup. The stream side is STATELESS (filter + broadcast
+    // join per batch, no state store): per-batch emission may repeat a
+    // (test-doc, shingle) match when the same train shingle recurs across
+    // batches, so the sink read deduplicates before counting — the sink
+    // holds matched pairs only, contamination-volume = benchmark-sized by
+    // definition (the same bounded-copy argument as q_stream_neardup).
+    // At 100 TB: the bloom rides the stream as a task literal, so no
+    // train shingle that misses the benchmark ever leaves its input task,
+    // batch after batch, forever.
+    Q("q_stream_decontaminate",
+      """WITH tt AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, split, array_to_string(t[i:i+12], ' ') AS s
+        |       FROM tt, unnest(range(1, len(t) - 11)) AS u(i) WHERE len(t) >= 13),
+        |tr AS (SELECT DISTINCT s FROM sh WHERE split = 'train'),
+        |te AS (SELECT doc_id, s FROM sh WHERE split = 'test')
+        |SELECT te.doc_id, COUNT(*) AS n_hits
+        |FROM te JOIN tr ON te.s = tr.s
+        |GROUP BY te.doc_id ORDER BY te.doc_id""".stripMargin) { (s, d) =>
+      Tables.ensureConf(s)
+      val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          when(h <= "b", "train").when(h <= "d", "val").otherwise("test").as("split"))
+      val te = docs.filter(col("split") === "test")
+        .select(col("doc_id"),
+          explode(TextFunctions.shingleHashes(col("text"), 13)).as("s"))
+        .distinct()
+        .persist()
+      val bloom = Bloom.buildLong(te.select(col("s")), "s", fpp = 1e-3)
+      val sink = s"graft_stream_decon_${deconRun.incrementAndGet()}"
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_decon")
+      try {
+        docs.filter(col("split") === "train").select(col("doc_id"), col("text"))
+          .repartitionByRange(4, col("doc_id"))
+          .write.mode("overwrite").parquet(s"$tmp/in")
+        val schema = s.read.parquet(s"$tmp/in").schema
+        val matches = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+          .select(explode(TextFunctions.shingleHashes(col("text"), 13)).as("s"))
+          .filter(Bloom.mightContainLong(bloom, col("s")))
+          .join(broadcast(te), "s") // stream-static exact verify
+          .select(col("doc_id"), col("s"))
+        val q = matches.writeStream.outputMode("append")
+          .format("memory").queryName(sink).start()
+        try q.processAllAvailable() finally q.stop()
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(tmp)
+        try walk.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+      // bounded sink drain (matched pairs only) → distinct (a train
+      // shingle recurring across micro-batches emitted its pair once per
+      // batch) → per-doc counts; copy out + drop the sink view and the
+      // benchmark cache so repeated invocations leave nothing behind
+      val res = s.table(sink).distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+        .orderBy(col("doc_id"))
+      val local = s.createDataFrame(res.collectAsList(), res.schema)
+      s.catalog.dropTempView(sink)
+      te.unpersist()
+      local
     },
 
     // ---- Source-mixing weights: per-source token shares and the
