@@ -53,14 +53,16 @@ object Bench {
     // by the host, not regressed. Read: busy_ratio = cpu / (wall × cores);
     // a healthy local[32] run of a shuffle-heavy query sits well above
     // ~0.2, while a co-tenant-starved run collapses toward 0.
-    // Pattern-matched, not cast: on a JVM whose OS bean lacks the com.sun
-    // interface the bench degrades to wall-only (cpu −1) instead of dying
-    // on a metrics nicety.
+    // Pattern-matched, not cast — and the match itself guarded against
+    // LinkageError: the instanceof needs the com.sun class to LOAD, and a
+    // JVM that doesn't ship the package throws NoClassDefFoundError
+    // instead of falling to `case _`. Either way the bench degrades to
+    // wall-only (cpu −1) instead of dying on a metrics nicety.
     val osBean: Option[com.sun.management.OperatingSystemMXBean] =
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
         case b: com.sun.management.OperatingSystemMXBean => Some(b)
         case _ => None
-      }
+      } catch { case _: LinkageError => None }
     def cpuNanos(): Long = osBean.map(_.getProcessCpuTime).getOrElse(-1L)
 
     /** (wall, cpu) seconds for one run, (-1, -1) on failure; cpu is -1

@@ -70,11 +70,18 @@ object Main {
       // any path a spec carries must resolve INSIDE the module store —
       // refusal (logged on the engine channel) aborts the deployment
       // before the pipeline sees the spec (reference: FilesystemStore
-      // validates every fetch path against its base dir)
-      spec.args.get("path").foreach(engine.modules.resolve)
+      // validates every fetch path against its base dir). The pipeline
+      // receives the RESOLVED store path, not the raw spec string, so a
+      // consumer that opens args("path") directly reads the contained
+      // location — the validation is binding, not advisory (byte reads
+      // should still prefer engine.modules.fetch, which re-resolves).
+      val safeArgs = spec.args.get("path") match {
+        case Some(p) => spec.args.updated("path", engine.modules.resolve(p).toString)
+        case None => spec.args
+      }
       // link-time capability attenuation parity: the session holds ONLY
       // what the spec granted
-      pipeline(engine, Session(spec.name, spec.capabilities), spec.args)
+      pipeline(engine, Session(spec.name, spec.capabilities), safeArgs)
     }
     // engine log channel echoes deployments
     engine.logs.read().select(col("level"), col("message")).show(10, false)

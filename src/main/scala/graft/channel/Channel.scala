@@ -149,8 +149,14 @@ final class Channel private[channel] (
       // The batch size wasn't knowable before the distributed write ran;
       // un-publish it so the rejected frame is never visible to readers
       // (tombstoned: the un-published seq must read as aborted, not lost).
+      // Tombstone BEFORE deleting: our _res_ marker is already released,
+      // so between a delete and a late tombstone the seq would have no
+      // on-disk trace at all — exactly the window reserveSeq's post-claim
+      // re-check relies on never existing. A rival writer could claim the
+      // seq, commit real data, and then have THIS writer's tombstone land
+      // on top of it, making strict readers skip a committed batch.
       justWritten.foreach { p =>
-        total -= dirSize(p); deleteRecursively(p); markAborted(dir, batchSeq(p))
+        markAborted(dir, batchSeq(p)); total -= dirSize(p); deleteRecursively(p)
       }
       throw ChannelBackpressure(name, total, capacityBytes)
     }

@@ -54,6 +54,16 @@ import graft.functions.{MinHashSignature, TextFunctions}
   * verify. Both misses are strictly within the "older than the horizon"
   * contract a TTL already accepts.
   *
+  * Identity contract: `doc_id` names IMMUTABLE content. Both stateful
+  * stages are first-delivery-wins idempotent — a re-delivered id is
+  * ignored by the bucket stage's known-member filter and by the verify
+  * stage's register-once guard, so at-least-once upstream delivery never
+  * double-pairs. The flip side: re-ingesting an id with DIFFERENT text
+  * is out of contract (the first-seen shingle set keeps winning, in both
+  * this and the previous single-stage design) — content revisions must
+  * arrive under a fresh id, which is how a content-addressed intake
+  * pipeline behaves anyway.
+  *
   * Operational note for TTL mode: ProcessingTimeTimeout makes the engine
   * re-trigger (possibly empty) micro-batches so timeout sweeps can run —
   * under the default 0 ms trigger that is a busy loop, so give the query a

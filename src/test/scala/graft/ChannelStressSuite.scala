@@ -137,12 +137,17 @@ class ChannelStressSuite extends SparkSpec {
       }, s"compact-writer-$w")
     }
     threads.foreach(_.start()); start.countDown(); threads.foreach(_.join(120000))
+    assert(threads.forall(!_.isAlive), "a writer thread hung past the join timeout")
     assert(failures.isEmpty, s"write failures: ${failures.asScala.toList}")
     val before = ch.read().select("id").as[Long].collect().toSet
-    assert(before.size == nWriters * each)
+    assert(before.size == nWriters * each,
+      s"expected ${nWriters * each} rows, read ${before.size}: ${before.toSeq.sorted}")
     // maintenance-window compaction (documented: no concurrent writers)
     ch.compact()
-    assert(ch.read().select("id").as[Long].collect().toSet == before)
+    val after = ch.read().select("id").as[Long].collect().toSet
+    assert(after == before,
+      s"compaction changed the row set: missing=${(before -- after).toSeq.sorted} " +
+        s"extra=${(after -- before).toSeq.sorted}")
     val root = regRoot.resolve("stress_compact")
     assert(Channel.resSeqs(root).isEmpty && Channel.abortSeqs(root).isEmpty,
       "compaction left stale markers")

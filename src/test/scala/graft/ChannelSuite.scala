@@ -47,11 +47,22 @@ class ChannelSuite extends SparkSpec {
   }
 
   test("park mode rejects writes over capacity") {
-    val reg = new ChannelRegistry(spark, tmpDir("chan"))
+    val root = tmpDir("chan")
+    val reg = new ChannelRegistry(spark, root)
     val ch = reg.create("t5", schema, capacityBytes = 1, dropMode = false)
     intercept[Channel.ChannelBackpressure] {
       ch.write(Seq((1, "a")).toDF("id", "msg"), 0)
     }
+    // the un-published seq is tombstoned (a reader must see an aborted
+    // hole, not data loss) and is never handed out again — the capacity
+    // path must leave the same trace discipline reserveSeq's post-claim
+    // re-check assumes (trace visible before the marker is gone)
+    val dir = root.resolve("t5")
+    assert(Channel.abortSeqs(dir) == Seq(0L))
+    assert(Channel.resSeqs(dir).isEmpty)
+    val next = Channel.reserveSeq(dir)
+    assert(next == 1L, s"aborted seq reissued: $next")
+    java.nio.file.Files.deleteIfExists(dir.resolve(f"${Channel.ResPrefix}$next%012d"))
   }
 
   test("drain refuses writes but serves reads; terminate refuses both") {

@@ -393,6 +393,12 @@ class EngineSuite extends SparkSpec {
         Set(graft.runtime.Capability.ChannelRead))(_ => fail("unreachable"))
     }
     assert(g.logs.read().count() >= 1)
+    // the module store is wired under root/modules and its path denials
+    // land on the SAME engine-log channel (the boot CLI resolves every
+    // spec path through it before dispatch)
+    intercept[SecurityException] { g.modules.resolve("../escape.wasm") }
+    assert(g.logs.read()
+      .filter(col("message") === "module path denied").count() >= 1)
   }
 
   test("approx percentiles satisfy the rank-error contract (q_approx_percentiles)") {

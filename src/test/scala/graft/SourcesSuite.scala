@@ -70,8 +70,11 @@ class SourcesSuite extends SparkSpec {
     // TIMESTAMP(NANOS) (read as raw longs via nanosAsLong) and as a plain
     // microsecond timestamp (reads as TIMESTAMP_NTZ). Every engine-side
     // `ts div 1000` and every DuckDB `epoch_us(ts)` oracle assumes nano
-    // longs — pin that Tables.events normalizes both, so the next
-    // generator change fails HERE and not across 20 query oracles.
+    // longs — pin both normalizeEventsTs branches. (Spark cannot WRITE a
+    // nanos-annotated parquet, so the "long" leg below pins the
+    // LongType-identity branch with a plain INT64 column, not the
+    // nanosAsLong decode itself; the timestamp leg pins the µs→nanos
+    // conversion exactly.)
     import org.apache.spark.sql.types._
     val dir = tmpDir("events_forms")
     Tables.ensureConf(spark)
