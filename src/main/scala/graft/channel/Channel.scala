@@ -570,9 +570,25 @@ object Channel {
   private[graft] def nextSeq(dir: Path): Long =
     listBatches(dir).lastOption.map(batchSeq(_) + 1).getOrElse(0L)
 
-  private[channel] def dirSize(p: Path): Long =
-    Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_))
-      .map(Files.size).sum
+  /** Best-effort recursive size. The capacity walk races concurrent
+    * writers by design (other handles commit batches while this one
+    * sizes the topic), so files and even whole dirs may vanish between
+    * listing and stat — a vanished entry counts 0 and a torn traversal
+    * returns the partial sum rather than failing the WRITE that merely
+    * observed a rival's in-flight commit. Capacity is a soft limit over
+    * a moving directory; exactness under concurrency is not on offer. */
+  private[channel] def dirSize(p: Path): Long = {
+    try {
+      val walk = Files.walk(p)
+      try walk.iterator().asScala.map { f =>
+        try { if (Files.isRegularFile(f)) Files.size(f) else 0L }
+        catch { case _: java.io.IOException => 0L }
+      }.sum
+      finally walk.close()
+    } catch {
+      case _: java.io.IOException | _: java.io.UncheckedIOException => 0L
+    }
+  }
 
   private[channel] def deleteRecursively(p: Path): Unit = {
     Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
