@@ -7,7 +7,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -340,11 +341,12 @@ object BinaryCodec {
 }
 
 /** `struct → binary`: one frame per row, schema hash stamped in the
-  * header. Evaluated once per row at a pipeline boundary —
-  * CodegenFallback interpretation overhead is immaterial next to the
-  * byte copying itself. */
+  * header. The byte copying dwarfs one call per row, but real
+  * `doGenCode` (round 7, same stance as `WordShingleHashes`) keeps the
+  * SURROUNDING stage — typically a scan→project feeding a channel
+  * write — inside WholeStageCodegen instead of splitting it. */
 case class StructEncode(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
   override def prettyName: String = "struct_encode"
@@ -364,7 +366,16 @@ case class StructEncode(child: Expression)
   @transient private lazy val hash = BinaryCodec.hashBytes(schema)
 
   override protected def nullSafeEval(input: Any): Any =
-    BinaryCodec.encodeRow(schema, hash, input.asInstanceOf[InternalRow])
+    kernel(input.asInstanceOf[InternalRow])
+
+  /** Public for the generated code path (called through a reference obj). */
+  def kernel(row: InternalRow): Array[Byte] = BinaryCodec.encodeRow(schema, hash, row)
+
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("structEncode", this, classOf[StructEncode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -374,7 +385,7 @@ case class StructEncode(child: Expression)
   * (permissive pipelines filterMap it away) or, with `strict = true`, the
   * attach-refusal error the reference raises on schema disagreement. */
 case class StructDecode(child: Expression, schema: StructType, strict: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType =
     StructType(schema.fields.map(_.copy(nullable = true)))
   override def nullable: Boolean = true
@@ -391,8 +402,13 @@ case class StructDecode(child: Expression, schema: StructType, strict: Boolean)
 
   @transient private lazy val hash = BinaryCodec.hashBytes(schema)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[Array[Byte]]
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[Array[Byte]])
+
+  /** Public for the generated code path. Returns null for a frame that
+    * fails the permissive decode — the generated code re-derives isNull
+    * from the result, unlike the plain nullSafeCodeGen contract. */
+  def kernel(bytes: Array[Byte]): InternalRow =
     BinaryCodec.decodeRow(schema, hash, bytes) match {
       case Some(row) => row
       case None if strict =>
@@ -403,6 +419,20 @@ case class StructDecode(child: Expression, schema: StructType, strict: Boolean)
         throw SchemaRegistry.SchemaMismatch("<frame>", SchemaRegistry.hash(schema), got)
       case None => null
     }
+
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode = {
+    // NOT nullSafeCodeGen: the kernel itself returns null on a failed
+    // permissive decode, so isNull must be re-derived from the result
+    // (the helper would leave isNull=false with a null value → NPE
+    // downstream).
+    val ref = ctx.addReferenceObj("structDecode", this, classOf[StructDecode].getName)
+    val c = child.genCode(ctx)
+    val rowCls = classOf[InternalRow].getName
+    ev.copy(code = c.code +
+      code"""
+        $rowCls ${ev.value} = ${c.isNull} ? null : $ref.kernel(${c.value});
+        boolean ${ev.isNull} = ${ev.value} == null;""")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
