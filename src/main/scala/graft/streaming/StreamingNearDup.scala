@@ -73,6 +73,13 @@ import graft.functions.{MinHashSignature, TextFunctions}
   */
 object StreamingNearDup {
 
+  /** The session confs [[pairsEventTime]] needs (legacy multi-stateful
+    * watermark mode) — public so callers opting out of `autoConf` can
+    * set and restore them deliberately. */
+  val legacyWatermarkConfs: Seq[(String, String)] = Seq(
+    "spark.sql.streaming.statefulOperator.checkCorrectness.enabled" -> "false",
+    "spark.sql.streaming.statefulOperator.allowMultiple" -> "false")
+
   /** One LSH band row: band index + the band's 4-int signature slice (the
     * group key — slice equality IS band-key collision) + the member
     * (shingle set rides the shuffle transiently; it is NOT stored). */
@@ -149,15 +156,20 @@ object StreamingNearDup {
     * exactly the approximation the TTL contract documents. The confs are
     * analysis-time (read at `start()`), so they must be session-level —
     * a session mixing this with watermarked multi-stateful AGGREGATION
-    * chains (which need the new propagator) should isolate the two.
+    * chains (which need the new propagator) should isolate the two, or
+    * pass `autoConf = false` and manage [[legacyWatermarkConfs]] itself
+    * (the query then fails analysis loudly if they are missing, rather
+    * than this method mutating the session behind the caller's back).
     */
   def pairsEventTime(docs: Dataset[(Long, String, java.sql.Timestamp)],
                      horizon: java.time.Duration,
                      threshold: Double = 0.8,
-                     delay: String = "0 seconds"): Dataset[NdPair] = {
-    val conf = docs.sparkSession.conf
-    conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", false)
-    conf.set("spark.sql.streaming.statefulOperator.allowMultiple", false)
+                     delay: String = "0 seconds",
+                     autoConf: Boolean = true): Dataset[NdPair] = {
+    if (autoConf) {
+      val conf = docs.sparkSession.conf
+      legacyWatermarkConfs.foreach { case (k, v) => conf.set(k, v) }
+    }
     val df = docs.toDF("doc_id", "text", "ts").withWatermark("ts", delay)
     build(df, threshold, Some(horizon.toMillis), eventTime = true, delay)
   }
