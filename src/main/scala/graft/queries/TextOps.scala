@@ -548,6 +548,58 @@ object TextOps {
       Tables.documents(s, d)
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- Unigram-LM quality score (the CCNet/perplexity-filter shape):
+    // score every document by its mean token cross-entropy under the
+    // corpus's own unigram MLE — boilerplate/common-token soup scores low,
+    // rare-token noise scores high — and flag the below-mean half as
+    // `keep` (CCNet keeps the LOW-perplexity side). At 100 TB: the unigram
+    // table is vocabulary-sized (bounded — it's what tokenizer training
+    // bounds), so it BROADCASTS onto the exploded-corpus scan; the per-doc
+    // score is one map-side-combinable aggregate; the corpus-mean
+    // threshold is a broadcast scalar. No shuffle carries corpus text.
+    // Determinism: per-token costs round to 6dp then sum as
+    // DECIMAL(18,6) (order-independent, Tables.exactSum), the mean is an
+    // exact decimal sum over already-rounded doubles, and ln() feeds the
+    // 6dp rounding on both engines (same contract as q_tfidf_top).
+    Q("q_lm_quality",
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |ww AS (SELECT doc_id, word FROM w WHERE word <> ''),
+        |tf AS (SELECT word, COUNT(*) AS tf FROM ww GROUP BY word),
+        |tot AS (SELECT COUNT(*) AS n FROM ww),
+        |sc AS (SELECT ww.doc_id, COUNT(*) AS n_tok,
+        |         SUM(CAST(round(-ln(CAST(tf.tf AS DOUBLE) / n), 6)
+        |             AS DECIMAL(18,6))) AS s
+        |       FROM ww JOIN tf USING (word) CROSS JOIN tot
+        |       GROUP BY ww.doc_id),
+        |scored AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |             round(CAST(s AS DOUBLE) / n_tok, 6) AS xent FROM sc),
+        |m AS (SELECT round(CAST(SUM(CAST(xent AS DECIMAL(18,6))) AS DOUBLE)
+        |               / COUNT(*), 6) AS mu FROM scored)
+        |SELECT doc_id, n_tok, xent, xent <= mu AS keep
+        |FROM scored CROSS JOIN m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+      val tf = words.groupBy(col("word")).agg(count(lit(1)).as("tf"))
+      val tot = tf.agg(sum(col("tf")).as("n"))
+      val scored = words
+        .join(broadcast(tf), "word")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          round(-log(col("tf").cast("double") / col("n")), 6).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"), Tables.exactSum(col("c"), 6).as("s"))
+        .select(col("doc_id"), col("n_tok"),
+          round(col("s") / col("n_tok"), 6).as("xent"))
+      val mu = scored.agg(
+        round(Tables.exactSum(col("xent"), 6) / count(lit(1)), 6).as("mu"))
+      scored.crossJoin(broadcast(mu))
+        .select(col("doc_id"), col("n_tok"), col("xent"),
+          (col("xent") <= col("mu")).as("keep"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -281,6 +281,88 @@ object VectorOps {
     // [[annLshNeighbors]] is the full listing.
     Q("q_ann_lsh", annVerdictSql) { (s, d) =>
       recallVerdict(s, d, annLshNeighbors(s, d), floor = 0.8)
+    },
+
+    // ---- SEMANTIC decontamination: flag training vectors whose cosine
+    // to ANY benchmark vector (label = 0 plays the held-out benchmark
+    // here) reaches 0.35 — the embedding-space complement of the 13-gram
+    // q_decontaminate pair. This is the canonical 100 TB shape for the
+    // operator: benchmark embedding sets are always tiny relative to the
+    // corpus, so the benchmark side is BROADCAST and the whole query is
+    // one map-side pass over the corpus scan (per-row max over the
+    // broadcast set, map-side-combinable max aggregate) — no shuffle of
+    // corpus vectors, no candidate-generation machinery needed. Rounding
+    // to 6dp happens BEFORE the max on both sides so the threshold
+    // comparison is bit-stable across engines.
+    Q("q_semantic_decon",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        |           FROM embeddings),
+        |m AS (SELECT a.vec_id,
+        |        max(round(list_cosine_similarity(a.v, b.v), 6)) AS max_sim
+        |      FROM e a JOIN e b ON b.label = 0 AND a.label <> 0
+        |      GROUP BY a.vec_id)
+        |SELECT vec_id, max_sim FROM m WHERE max_sim >= 0.35
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val e = embedRel(s, d)
+      val bench = e.filter(col("label") === 0).select(col("v").as("bv"))
+      e.filter(col("label") =!= 0)
+        .crossJoin(broadcast(bench))
+        .select(col("vec_id"),
+          round(VectorFunctions.cosine(col("v"), col("bv")), 6).as("sim"))
+        .groupBy(col("vec_id"))
+        .agg(max(col("sim")).as("max_sim"))
+        .filter(col("max_sim") >= 0.35)
+        .orderBy(col("vec_id"))
+    },
+
+    // ---- kNN label propagation (auto-labeling): predict a label for
+    // every unlabeled vector by majority vote of its 5 nearest labeled
+    // neighbors. The labeled seed set (vec_id % 5 = 0 stands in for the
+    // small human-labeled pool) is BROADCAST — the realistic asymmetry at
+    // 100 TB is a bounded labeled set vs an unbounded corpus — so
+    // similarity compute is map-side; the per-vector top-5 goes through
+    // the native bounded-heap operator (plans.TopKPerKey keeps ≤5 rows
+    // per key BEFORE the exchange — shuffle volume is 5 rows/vector, and
+    // no Sort node exists anywhere, asserted in PlanSuite) and the
+    // majority vote is a map-side-combinable min(struct) — votes DESC,
+    // label ASC tiebreak, integer-only ranking so membership can never
+    // flip on a float ulp. Neighbor ranking ties break on labeled vec_id
+    // on both sides.
+    Q("q_knn_classify",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        |           FROM embeddings),
+        |l AS (SELECT vec_id AS lid, v, label AS nl FROM e WHERE vec_id % 5 = 0),
+        |u AS (SELECT vec_id, v FROM e WHERE vec_id % 5 <> 0),
+        |p AS (SELECT u.vec_id, l.nl, l.lid,
+        |        round(list_cosine_similarity(u.v, l.v), 6) AS sim
+        |      FROM u CROSS JOIN l),
+        |r AS (SELECT vec_id, nl FROM (
+        |        SELECT vec_id, nl,
+        |          ROW_NUMBER() OVER (PARTITION BY vec_id
+        |            ORDER BY sim DESC, lid) AS rn
+        |        FROM p) WHERE rn <= 5),
+        |v AS (SELECT vec_id, nl, COUNT(*) AS n_votes FROM r GROUP BY vec_id, nl),
+        |w AS (SELECT vec_id, nl AS pred_label, n_votes,
+        |        ROW_NUMBER() OVER (PARTITION BY vec_id
+        |          ORDER BY n_votes DESC, nl) AS vr
+        |      FROM v)
+        |SELECT vec_id, pred_label, n_votes FROM w WHERE vr = 1
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val e = embedRel(s, d)
+      val lab = e.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("lid"), col("v").as("lv"), col("label").as("nl"))
+      val sims = e.filter(col("vec_id") % 5 =!= 0)
+        .crossJoin(broadcast(lab))
+        .select(col("vec_id"), col("nl"), col("lid"),
+          round(VectorFunctions.cosine(col("v"), col("lv")), 6).as("sim"))
+      val top5 = graft.plans.TopKPerKey(
+        sims, Seq("vec_id"), Seq(col("sim").desc, col("lid").asc), k = 5)
+      top5.groupBy(col("vec_id"), col("nl")).agg(count(lit(1)).as("n_votes"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct((-col("n_votes")).as("nv"), col("nl").as("pl"))).as("m"))
+        .select(col("vec_id"), col("m.pl").as("pred_label"),
+          (-col("m.nv")).as("n_votes"))
+        .orderBy(col("vec_id"))
     }
   )
 

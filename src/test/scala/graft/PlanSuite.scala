@@ -67,6 +67,32 @@ class PlanSuite extends SparkSpec {
     assert(!stats.contains("CartesianProduct") && !stats.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("semantic decon / knn classify: benchmark+seed sides broadcast, no cartesian") {
+    // both queries' 100 TB posture is "small side broadcast, corpus side
+    // scanned once": the benchmark/labeled set must plan as a broadcast
+    // nested-loop join (it has no equi-key), never a CartesianProduct
+    val decon = physical("q_semantic_decon")
+    assert(decon.contains("BroadcastNestedLoopJoin"),
+      s"benchmark side not broadcast:\n${decon.take(2000)}")
+    assert(!decon.contains("CartesianProduct"))
+    val knn = physical("q_knn_classify")
+    assert(knn.contains("BroadcastNestedLoopJoin"),
+      s"labeled seed set not broadcast:\n${knn.take(2000)}")
+    assert(!knn.contains("CartesianProduct"))
+    // per-vector top-5 must go through the bounded-heap operator (partial
+    // + final phases), not a window sort
+    assert("TopKPerKey".r.findAllIn(knn).size >= 2,
+      s"top-5 not planned as bounded heaps:\n${knn.take(2000)}")
+    assert(!knn.contains("Window"), "top-5 regressed to a window sort")
+  }
+
+  test("lm quality: unigram table broadcast onto the corpus scan") {
+    val plan = physical("q_lm_quality")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"unigram join not broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("scan-only queries stay inside WholeStageCodegen") {
     // AQE only materializes codegen stages in the FINAL plan — execute
     // first, then inspect
