@@ -437,10 +437,15 @@ object DedupOps {
       val candDocs = cands
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
         .distinct()
+      // no .distinct() on the exploded grams: pairsByKey's
+      // collect_set(doc_id) dedupes doc ids WITHIN each gram group and
+      // each pair is emitted once per distinct gram value, so n_shared
+      // (= count of emitted rows per pair) already counts DISTINCT shared
+      // grams — a pre-distinct would only add a second full shuffle of
+      // the largest intermediate for the same answer
       val grams = docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
         .select(col("doc_id"),
           explode(TextFunctions.charGramHashes(col("norm"), L)).as("g"))
-        .distinct()
       pairsByKey(grams, "g")
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
         .join(broadcast(cands), Seq("doc_a", "doc_b"))
