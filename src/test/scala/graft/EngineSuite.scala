@@ -538,6 +538,71 @@ class EngineSuite extends SparkSpec {
       s"bucket store scales with text: $bShort -> $bLong (shingles leaked into band state?)")
   }
 
+  test("streaming near-dup: checkpoint restart resumes state exactly-once") {
+    // The production failure mode: the intake pipeline dies mid-stream
+    // and restarts from its checkpoint. Both stateful stages (band
+    // buckets + doc-keyed shingle store) must come back from the state
+    // store such that (a) a near-dup pair whose members STRADDLE the
+    // stop/restart boundary is still found — through restored state, the
+    // pre-crash member never re-enters the source — and (b) nothing is
+    // emitted twice (the file sink replays only uncommitted batches).
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    def variant(tag: String) = base.replace("w40", tag)
+    val mk = (id: Long, words: String) => (id, words)
+    // docs 1..4 are all one-word variants of `base` (every pair j ≥ 0.8);
+    // 1,2,3 arrive before the restart, 4 after — so (1,4),(2,4),(3,4)
+    // are only findable through RESTORED state; (5,6) is entirely
+    // post-restart; 7 is unrelated everywhere
+    val before = Seq(
+      Seq(mk(1L, base), mk(7L, (1 to 40).map(i => s"x$i").mkString(" "))),
+      Seq(mk(2L, variant("aa")), mk(3L, variant("ab"))))
+    val after = Seq(
+      Seq(mk(4L, variant("ac"))),
+      Seq(mk(5L, (1 to 40).map(i => s"y$i").mkString(" ") + " p"),
+          mk(6L, (1 to 40).map(i => s"y$i").mkString(" ") + " q")))
+
+    val in = tmpDir("snd_restart_in")
+    val ck = tmpDir("snd_restart_ck").toString
+    val out = tmpDir("snd_restart_out").toString
+    var fileNo = 0
+    // flat dir of single parquet files, one per intended micro-batch
+    def stage(batches: Seq[Seq[(Long, String)]]): Unit = batches.foreach { b =>
+      val scratch = tmpDir(s"snd_restart_scratch$fileNo")
+      b.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(scratch.toString)
+      val part = java.nio.file.Files.list(scratch).iterator()
+      val parts = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]
+      while (part.hasNext) { val p = part.next(); if (p.getFileName.toString.endsWith(".parquet")) parts += p }
+      java.nio.file.Files.move(parts.head, in.resolve(f"f$fileNo%03d.parquet"))
+      fileNo += 1
+    }
+    def run(): Unit = {
+      val schema = spark.read.parquet(in.toString).schema
+      val stream = graft.streaming.StreamingNearDup.pairs(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(in.toString)
+          .as[(Long, String)], 0.8)
+      val q = stream.writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ck).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    stage(before)
+    run() // first incarnation: sees docs 1,7,2,3 then dies (q.stop)
+    stage(after)
+    run() // restart from checkpoint: sees only docs 4,5,6
+
+    val got = spark.read.parquet(out)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+    // batch truth: every pair among {1,2,3,4} (all j ≥ 0.9 variants of
+    // base) plus (5,6); (1,4),(2,4),(3,4) REQUIRE restored state
+    val want = Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L),
+      (3L, 4L), (5L, 6L))
+    assert(got.toSet == want, s"got ${got.toSet}")
+    assert(got.size == want.size, s"duplicate emissions: $got")
+  }
+
   test("streaming near-dup: event-time TTL drops beyond-horizon duplicates") {
     // pairsEventTime: the dedup horizon is watermark-driven — once the
     // WATERMARK passes a document's event time + horizon, its state is
