@@ -337,18 +337,16 @@ object DedupOps {
       Tables.ensureConf(s)
       import s.implicits._
       val sink = s"graft_stream_neardup_${neardupRun.incrementAndGet()}"
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_neardup")
-      try {
-        // stage the corpus as 4 range-partitioned files → 4 micro-batches:
-        // near-dup pairs span batches, so they are found through state,
-        // not within-batch luck
-        Tables.documents(s, d).select(col("doc_id"), col("text"))
-          .repartitionByRange(4, col("doc_id"))
-          .write.mode("overwrite").parquet(s"$tmp/in")
-        val schema = s.read.parquet(s"$tmp/in").schema
+      // stage the corpus as 4 range-partitioned files → 4 micro-batches:
+      // near-dup pairs span batches, so they are found through state,
+      // not within-batch luck
+      Staging.withStagedInput(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", nFiles = 4, prefix = "graft_stream_neardup") { in =>
+        val schema = s.read.parquet(in).schema
         val stream = graft.streaming.StreamingNearDup.pairs(
           s.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+            .option("maxFilesPerTrigger", 1).parquet(in)
             .as[(Long, String)],
           threshold = 0.8)
         val prev = s.conf.get("spark.sql.shuffle.partitions")
@@ -357,24 +355,13 @@ object DedupOps {
           .format("memory").queryName(sink).start()
         finally s.conf.set("spark.sql.shuffle.partitions", prev)
         try q.processAllAvailable() finally q.stop()
-      } finally {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(tmp)
-        try walk.iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-        finally walk.close()
       }
-      // copy the (bounded: one row per verified near-dup pair) sink out
-      // to a local relation and DROP the memory-sink view — otherwise
-      // every invocation parks a uniquely-named MemorySink's rows in
-      // driver memory for the session lifetime
-      val res = s.table(sink)
-        .select(col("doc_a"), col("doc_b"), col("shared"),
-          col("n_a"), col("n_b"), col("jaccard"))
-        .orderBy(col("doc_a"), col("doc_b"))
-      val local = s.createDataFrame(res.collectAsList(), res.schema)
-      s.catalog.dropTempView(sink)
-      local
+      // the sink is bounded: one row per verified near-dup pair
+      Staging.drainSink(s, sink) {
+        _.select(col("doc_a"), col("doc_b"), col("shared"),
+            col("n_a"), col("n_b"), col("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      }
     },
 
     // ---- Winnowed rolling-hash fingerprints, exact-verified: char-level

@@ -1,0 +1,46 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared harness plumbing for the gate's STREAMING queries: staging a
+  * batch relation as a directory of N parquet files (one per intended
+  * micro-batch) and draining a bounded memory sink into a local relation.
+  * Test/gate scaffolding only — production pipelines read live channels,
+  * not staged temp dirs. Centralized so the cleanup contract (temp tree
+  * removed, sink view dropped — on failure paths too) lives in one place.
+  */
+private[queries] object Staging {
+
+  /** Write `df` as `nFiles` range-partitioned parquet files under a fresh
+    * temp dir and hand `body` the input path; the tree is deleted on the
+    * way out, success or failure. Range partitioning on `rangeCol` gives
+    * deterministic batch membership (file N = Nth key range), so
+    * cross-batch state claims are reproducible. */
+  def withStagedInput[T](df: DataFrame, rangeCol: String, nFiles: Int,
+                         prefix: String)(body: String => T): T = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix)
+    try {
+      df.repartitionByRange(nFiles, col(rangeCol))
+        .write.mode("overwrite").parquet(s"$tmp/in")
+      body(s"$tmp/in")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(tmp)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
+  /** Copy the (bounded) memory sink `sink` out through `shape` into a
+    * LOCAL relation and drop the sink view — including when the drain
+    * itself throws, so repeated invocations in a long-lived session never
+    * accumulate parked MemorySink rows. */
+  def drainSink(s: SparkSession, sink: String)
+               (shape: DataFrame => DataFrame): DataFrame =
+    try {
+      val res = shape(s.table(sink))
+      s.createDataFrame(res.collectAsList(), res.schema)
+    } finally s.catalog.dropTempView(sink)
+}

@@ -15,6 +15,14 @@ object TextOps {
   private val deconRun = new java.util.concurrent.atomic.AtomicLong()
   private val curationRun = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Deterministic content-hash train/val/test tag (12/16, 2/16, 2/16 by
+    * the first md5 hex digit of the doc id) — the split gate shared by
+    * every split-aware query here; each oracle carries the same CASE. */
+  private def splitTag: org.apache.spark.sql.Column = {
+    val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+    when(h <= "b", "train").when(h <= "d", "val").otherwise("test")
+  }
+
   private val langMarkers: Map[String, Seq[String]] = Map(
     "de" -> Seq("der", "die", "das"),
     "en" -> Seq("the", "a", "of"),
@@ -37,10 +45,9 @@ object TextOps {
         |  FROM documents)
         |SELECT split, lang, COUNT(*) AS n, CAST(MIN(doc_id) AS BIGINT) AS first_doc
         |FROM tagged GROUP BY split, lang ORDER BY split, lang""".stripMargin) { (s, d) =>
-      val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
-          when(h <= "b", "train").when(h <= "d", "val").otherwise("test").as("split"))
+          splitTag.as("split"))
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
         .orderBy(col("split"), col("lang"))
@@ -185,11 +192,10 @@ object TextOps {
       // explodes only its ~20% of documents. Cold cost halves vs the
       // cached two-shuffle form — and the cache held 13-gram strings for
       // the whole corpus, the worst kind of block-manager tenant.
-      val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
       val docs = Tables.documents(s, d)
         .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
         .select(col("doc_id"), col("text"),
-          when(h <= "b", "train").when(h <= "d", "val").otherwise("test").as("split"))
+          splitTag.as("split"))
       // shingles travel as xxhash64 keys: the distincts and the join
       // shuffle 8 bytes per shingle instead of ~90-char strings (distinct
       // hashes = distinct shingles modulo the negligible 64-bit collision
@@ -227,14 +233,13 @@ object TextOps {
         |SELECT te.doc_id, COUNT(*) AS n_hits
         |FROM te JOIN tr ON te.s = tr.s
         |GROUP BY te.doc_id ORDER BY te.doc_id""".stripMargin) { (s, d) =>
-      val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
       // the test file is a single row group, so without the repartition the
       // whole explode+hash+bloom-probe pipeline runs on ONE core (profiled
       // at 7 CPU-s single-task); at real multi-file scale the scan
       // parallelizes itself and this exchange moves each doc once
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("text"),
-          when(h <= "b", "train").when(h <= "d", "val").otherwise("test").as("split"))
+          splitTag.as("split"))
         .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
       // benchmark side: distinct (doc, shingle-hash) pairs — metadata-scale
       // in production, so persisting it for the two bloom-building jobs +
@@ -294,50 +299,40 @@ object TextOps {
         |FROM te JOIN tr ON te.s = tr.s
         |GROUP BY te.doc_id ORDER BY te.doc_id""".stripMargin) { (s, d) =>
       Tables.ensureConf(s)
-      val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("text"),
-          when(h <= "b", "train").when(h <= "d", "val").otherwise("test").as("split"))
+          splitTag.as("split"))
       val te = docs.filter(col("split") === "test")
         .select(col("doc_id"),
           explode(TextFunctions.shingleHashes(col("text"), 13)).as("s"))
         .distinct()
         .persist()
-      val bloom = Bloom.buildLong(te.select(col("s")), "s", fpp = 1e-3)
-      val sink = s"graft_stream_decon_${deconRun.incrementAndGet()}"
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_decon")
       try {
-        docs.filter(col("split") === "train").select(col("doc_id"), col("text"))
-          .repartitionByRange(4, col("doc_id"))
-          .write.mode("overwrite").parquet(s"$tmp/in")
-        val schema = s.read.parquet(s"$tmp/in").schema
-        val matches = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
-          .select(explode(TextFunctions.shingleHashes(col("text"), 13)).as("s"))
-          .filter(Bloom.mightContainLong(bloom, col("s")))
-          .join(broadcast(te), "s") // stream-static exact verify
-          .select(col("doc_id"), col("s"))
-        val q = matches.writeStream.outputMode("append")
-          .format("memory").queryName(sink).start()
-        try q.processAllAvailable() finally q.stop()
-      } finally {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(tmp)
-        try walk.iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-        finally walk.close()
-      }
-      // bounded sink drain (matched pairs only) → distinct (a train
-      // shingle recurring across micro-batches emitted its pair once per
-      // batch) → per-doc counts; copy out + drop the sink view and the
-      // benchmark cache so repeated invocations leave nothing behind
-      val res = s.table(sink).distinct()
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
-        .orderBy(col("doc_id"))
-      val local = s.createDataFrame(res.collectAsList(), res.schema)
-      s.catalog.dropTempView(sink)
-      te.unpersist()
-      local
+        val bloom = Bloom.buildLong(te.select(col("s")), "s", fpp = 1e-3)
+        val sink = s"graft_stream_decon_${deconRun.incrementAndGet()}"
+        Staging.withStagedInput(
+          docs.filter(col("split") === "train").select(col("doc_id"), col("text")),
+          "doc_id", nFiles = 4, prefix = "graft_stream_decon") { in =>
+          val schema = s.read.parquet(in).schema
+          val matches = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(in)
+            .select(explode(TextFunctions.shingleHashes(col("text"), 13)).as("s"))
+            .filter(Bloom.mightContainLong(bloom, col("s")))
+            .join(broadcast(te), "s") // stream-static exact verify
+            .select(col("doc_id"), col("s"))
+          val q = matches.writeStream.outputMode("append")
+            .format("memory").queryName(sink).start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        // bounded sink drain (matched pairs only) → distinct (a train
+        // shingle recurring across micro-batches emitted its pair once per
+        // batch) → per-doc counts
+        Staging.drainSink(s, sink) {
+          _.distinct()
+            .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+            .orderBy(col("doc_id"))
+        }
+      } finally te.unpersist()
     },
 
     // ---- The composed AT-INGEST curation pipeline: quality gate →
@@ -358,8 +353,14 @@ object TextOps {
     // dropDuplicatesWithinWatermark in production — ttl-free here for
     // batch parity); the benchmark side is tiny → Bloom literal +
     // broadcast, corpus rows never shuffle except the fp dedup exchange.
-    // Cross-batch proof at sf0.1: duplicate-fp groups span micro-batches,
-    // so a state loss drops a dedup and the oracle hash-mismatches.
+    // n_hits counts contaminated-shingle OCCURRENCES (no post-sink
+    // distinct), so the count is sensitive to duplicate emission: if the
+    // fp-dedup state loses a key and a duplicate re-emits, every count
+    // for that fp doubles and the oracle hash-mismatches — the dedup
+    // stage is observationally verified, not just present. Duplicate-fp
+    // groups span micro-batches at sf0.1, so that check exercises
+    // CROSS-batch state, and a dropped quality gate or broken verify
+    // surfaces as extra/missing fps.
     Q("q_stream_curation",
       """WITH nd AS (SELECT doc_id, text,
         |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
@@ -371,7 +372,7 @@ object TextOps {
         |      WHERE split = 'train'
         |        AND len(string_split(text, ' ')) BETWEEN 20 AND 1000),
         |k AS (SELECT fp, MIN(norm) AS norm FROM q GROUP BY fp),
-        |ks AS (SELECT DISTINCT fp, array_to_string(t[i:i+12], ' ') AS s
+        |ks AS (SELECT fp, array_to_string(t[i:i+12], ' ') AS s
         |       FROM (SELECT fp, string_split(norm, ' ') AS t FROM k),
         |            unnest(range(1, len(t) - 11)) AS u(i) WHERE len(t) >= 13),
         |ts AS (SELECT DISTINCT array_to_string(t[i:i+12], ' ') AS s
@@ -381,10 +382,9 @@ object TextOps {
         |SELECT ks.fp, COUNT(*) AS n_hits FROM ks JOIN ts USING (s)
         |GROUP BY ks.fp ORDER BY ks.fp""".stripMargin) { (s, d) =>
       Tables.ensureConf(s)
-      val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("text"),
-          when(h <= "b", "train").when(h <= "d", "val").otherwise("test").as("split"))
+          splitTag.as("split"))
       // benchmark shingles over NORMALIZED text (shingles must be a pure
       // function of the fingerprint so keeper choice can't leak into them)
       val te = docs.filter(col("split") === "test")
@@ -392,44 +392,36 @@ object TextOps {
           TextFunctions.normalize(col("text")), 13)).as("s"))
         .distinct()
         .persist()
-      val bloom = Bloom.buildLong(te, "s", fpp = 1e-3)
-      val sink = s"graft_stream_curation_${curationRun.incrementAndGet()}"
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_curation")
       try {
-        docs.filter(col("split") === "train").select(col("doc_id"), col("text"))
-          .repartitionByRange(4, col("doc_id"))
-          .write.mode("overwrite").parquet(s"$tmp/in")
-        val schema = s.read.parquet(s"$tmp/in").schema
-        val curated = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
-          .filter(TextFunctions.tokenCount(col("text")).between(20, 1000))
-          .withColumn("norm", TextFunctions.normalize(col("text")))
-          .withColumn("fp", substring(md5(col("norm").cast("binary")), 1, 16))
-          .dropDuplicates("fp")
-          .select(col("fp"),
-            explode(TextFunctions.shingleHashes(col("norm"), 13)).as("s"))
-          .filter(Bloom.mightContainLong(bloom, col("s")))
-          .join(broadcast(te), "s")
-          .select(col("fp"), col("s"))
-        val q = curated.writeStream.outputMode("append")
-          .format("memory").queryName(sink).start()
-        try q.processAllAvailable() finally q.stop()
-      } finally {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(tmp)
-        try walk.iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-        finally walk.close()
-      }
-      // bounded drain: one row per (surviving fp, contaminated shingle);
-      // distinct collapses within-doc shingle repeats, then per-fp counts
-      val res = s.table(sink).distinct()
-        .groupBy(col("fp")).agg(count(lit(1)).as("n_hits"))
-        .orderBy(col("fp"))
-      val local = s.createDataFrame(res.collectAsList(), res.schema)
-      s.catalog.dropTempView(sink)
-      te.unpersist()
-      local
+        val bloom = Bloom.buildLong(te, "s", fpp = 1e-3)
+        val sink = s"graft_stream_curation_${curationRun.incrementAndGet()}"
+        Staging.withStagedInput(
+          docs.filter(col("split") === "train").select(col("doc_id"), col("text")),
+          "doc_id", nFiles = 4, prefix = "graft_stream_curation") { in =>
+          val schema = s.read.parquet(in).schema
+          val curated = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(in)
+            .filter(TextFunctions.tokenCount(col("text")).between(20, 1000))
+            .withColumn("norm", TextFunctions.normalize(col("text")))
+            .withColumn("fp", substring(md5(col("norm").cast("binary")), 1, 16))
+            .dropDuplicates("fp")
+            .select(col("fp"),
+              explode(TextFunctions.shingleHashes(col("norm"), 13)).as("s"))
+            .filter(Bloom.mightContainLong(bloom, col("s")))
+            .join(broadcast(te), "s")
+            .select(col("fp"), col("s"))
+          val q = curated.writeStream.outputMode("append")
+            .format("memory").queryName(sink).start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        // bounded drain: one row per contaminated-shingle OCCURRENCE —
+        // deliberately NOT distinct'd (see the emission-sensitivity note
+        // in the header comment)
+        Staging.drainSink(s, sink) {
+          _.groupBy(col("fp")).agg(count(lit(1)).as("n_hits"))
+            .orderBy(col("fp"))
+        }
+      } finally te.unpersist()
     },
 
     // ---- Source-mixing weights: per-source token shares and the

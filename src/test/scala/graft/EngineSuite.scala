@@ -571,10 +571,14 @@ class EngineSuite extends SparkSpec {
       val scratch = tmpDir(s"snd_restart_scratch$fileNo")
       b.toDF("doc_id", "text").coalesce(1)
         .write.mode("overwrite").parquet(scratch.toString)
-      val part = java.nio.file.Files.list(scratch).iterator()
-      val parts = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]
-      while (part.hasNext) { val p = part.next(); if (p.getFileName.toString.endsWith(".parquet")) parts += p }
-      java.nio.file.Files.move(parts.head, in.resolve(f"f$fileNo%03d.parquet"))
+      val listing = java.nio.file.Files.list(scratch)
+      val part =
+        try {
+          import scala.jdk.CollectionConverters._
+          listing.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+        } finally listing.close()
+      java.nio.file.Files.move(part, in.resolve(f"f$fileNo%03d.parquet"))
       fileNo += 1
     }
     def run(): Unit = {
