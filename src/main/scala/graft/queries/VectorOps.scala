@@ -283,6 +283,47 @@ object VectorOps {
       recallVerdict(s, d, annLshNeighbors(s, d), floor = 0.8)
     },
 
+    // ---- Embedding-space OUTLIER detection (the data-quality gate for
+    // an embedding pipeline: encoder regressions, corrupt inputs, and
+    // off-distribution junk all land far from every centroid): quantize
+    // each vector to its nearest centroid cell (the same
+    // driver-recomputable first-K quantizer as q_embed_clusters, ties by
+    // centroid id) and flag vectors whose cosine to their OWN centroid
+    // falls below 0.2. One linear assignment pass + a broadcast join to
+    // the K-row centroid table — no shuffle of corpus vectors, the same
+    // codebook-scale bound as the IVF path. Rounding before the
+    // threshold keeps the flag bit-stable across engines.
+    Q("q_embed_outliers",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |kk AS (SELECT GREATEST(COUNT(*) // 32, 1) AS kc FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e, kk WHERE vec_id < kc),
+        |asg AS (SELECT vec_id, cid, cv, v FROM (
+        |  SELECT e.vec_id, e.v, c.cid, c.cv,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+        |  FROM e CROSS JOIN c) WHERE rn = 1)
+        |SELECT vec_id, CAST(cid AS BIGINT) AS cell, cent_sim
+        |FROM (SELECT vec_id, cid,
+        |        round(list_cosine_similarity(v, cv), 6) AS cent_sim
+        |      FROM asg)
+        |WHERE cent_sim < 0.2 ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val e = embedRel(s, d).cache()
+      val k = math.max(1L, e.count() / 32L).toInt
+      val cents = e.filter(col("vec_id") < k).orderBy(col("vec_id"))
+        .select(col("v")).collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+      val centRel = e.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("long").as("cell"), col("v").as("cv"))
+      e.withColumn("cell",
+          element_at(graft.functions.VectorExpressions.nearestCells(col("v"), cents, 1), 1)
+            .cast("long"))
+        .join(broadcast(centRel), "cell")
+        .select(col("vec_id"), col("cell"),
+          round(VectorFunctions.cosine(col("v"), col("cv")), 6).as("cent_sim"))
+        .filter(col("cent_sim") < 0.2)
+        .orderBy(col("vec_id"))
+    },
+
     // ---- SEMANTIC decontamination: flag training vectors whose cosine
     // to ANY benchmark vector (label = 0 plays the held-out benchmark
     // here) reaches 0.35 — the embedding-space complement of the 13-gram
