@@ -453,6 +453,97 @@ object TextOps {
         .orderBy(col("source"))
     },
 
+    // ---- APPLY the mixing recipe (the materialization step after
+    // q_mix_weights): deterministically downsample each source to its
+    // sample_weight via a content-hash gate — keep a doc iff its md5's
+    // first 4 hex digits, read as a 16-bit fraction, fall under the
+    // weight. Same reproducibility argument as q_hash_split (no RNG, no
+    // partition-order dependence, docs never flip as the corpus grows),
+    // and the gate COMPOSES with the split gate (independent md5
+    // substrings). The weights table is k rows → broadcast; the whole
+    // query is a map-side filter + one small agg, no corpus shuffle.
+    // The hex threshold (floor(w·65536) as 4 lowercase hex chars,
+    // length-equal lexicographic compare = numeric compare) keeps the
+    // gate engine-bit-stable; w ≥ 1 short-circuits to keep-all so the
+    // threshold never needs a 5th hex digit.
+    Q("q_weighted_sample",
+      """WITH s AS (SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(toks) AS DOUBLE) AS total, COUNT(*) AS k FROM s),
+        |w AS (SELECT source,
+        |        round(LEAST(1.0, (total / k) / toks), 6) AS w FROM s, tot),
+        |dd AS (SELECT d.doc_id, d.source,
+        |         len(string_split(d.text, ' ')) AS n_tok,
+        |         substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS h4, w.w
+        |       FROM documents d JOIN w USING (source)),
+        |kept AS (SELECT * FROM dd WHERE w >= 1.0 OR
+        |  h4 < lpad(lower(hex(CAST(floor(w * 65536) AS INT))), 4, '0'))
+        |SELECT source, COUNT(*) AS n_kept,
+        |  CAST(SUM(n_tok) AS BIGINT) AS kept_tokens,
+        |  CAST(MIN(doc_id) AS BIGINT) AS first_kept
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val perSrc = docs
+        .select(col("source"), TextFunctions.tokenCount(col("text")).as("n_tok"))
+        .groupBy(col("source")).agg(sum(col("n_tok")).cast("long").as("toks"))
+      val tot = perSrc.agg(sum(col("toks")).cast("double").as("total"),
+        count(lit(1)).as("k"))
+      val weights = perSrc.crossJoin(broadcast(tot))
+        .select(col("source"),
+          round(least(lit(1.0), (col("total") / col("k")) / col("toks")), 6).as("w"))
+      val thr = lpad(lower(hex(floor(col("w") * 65536).cast("int"))), 4, "0")
+      docs
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).as("n_tok"),
+          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4).as("h4"))
+        .join(broadcast(weights), "source")
+        .filter(col("w") >= 1.0 || col("h4") < thr)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tok")).cast("long").as("kept_tokens"),
+          min(col("doc_id")).as("first_kept"))
+        .orderBy(col("source"))
+    },
+
+    // ---- Corpus duplication-health report (the memorization-risk
+    // metric a dataset card publishes): for every document, the fraction
+    // of its distinct 13-gram shingles that are corpus-UNIQUE (df = 1).
+    // Low novelty = the doc is mostly built from n-grams that recur
+    // elsewhere (boilerplate / near-dup residue the dedup block should
+    // have caught); the corpus-level histogram of this column is the
+    // duplication spectrum. Shape at 100 TB: shingles travel as
+    // zero-copy xxhash64 keys; the df table is corpus-sized so it is
+    // NOT broadcast — both sides derive from the same exploded relation
+    // and co-partition on the shingle hash, one equi-join + two aggs.
+    Q("q_shingle_novelty",
+      """WITH sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+12], ' ') AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |       unnest(range(1, len(t) - 11)) AS u(i) WHERE len(t) >= 13),
+        |df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+        |p AS (SELECT sh.doc_id, COUNT(*) AS n_sh,
+        |        SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS n_unique
+        |      FROM sh JOIN df USING (s) GROUP BY sh.doc_id)
+        |SELECT doc_id, CAST(n_sh AS BIGINT) AS n_shingles,
+        |  CAST(n_unique AS BIGINT) AS n_unique,
+        |  round(CAST(n_unique AS DOUBLE) / n_sh, 6) AS novelty
+        |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // cached: consumed twice (df derivation + the join back) — one
+      // corpus explode, not two; harness sweep owns the lifetime
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextFunctions.shingleHashes(col("text"), 13)).as("s"))
+        .distinct()
+        .cache()
+      val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      sh.join(df, "s")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+          round(col("n_unique").cast("double") / col("n_shingles"), 6).as("novelty"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- Token counting per language (whitespace tokenizer).
     Q("q_token_stats",
       """SELECT lang, COUNT(*) AS n_docs,
