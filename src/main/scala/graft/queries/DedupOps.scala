@@ -274,9 +274,13 @@ object DedupOps {
         |  round(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / COUNT(*), 6) AS drop_ratio
         |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      // keeper via the same map-side-combinable aggregate as
+      // q_dedup_keep (r6 verdict symmetry note): a per-cluster
+      // min(struct) + join back, instead of a WindowExec whose
+      // partition sort touches every row
       val m = clusteredDocs(s, d)
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
-      m.withColumn("k", keeperStruct.over(w))
+      val keep = m.groupBy(col("cluster")).agg(keeperStruct.as("k"))
+      m.join(keep, "cluster")
         .withColumn("dropped", col("doc_id") =!= col("k.id"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),

@@ -64,6 +64,7 @@ class PlanSuite extends SparkSpec {
     assert(!keep.contains("Window"), s"keeper became a window:\n${keep.take(1500)}")
     assert(!keep.contains("CartesianProduct") && !keep.contains("BroadcastNestedLoopJoin"))
     val stats = physical("q_dup_source_stats")
+    assert(!stats.contains("Window"), s"stats keeper became a window:\n${stats.take(1500)}")
     assert(!stats.contains("CartesianProduct") && !stats.contains("BroadcastNestedLoopJoin"))
   }
 
