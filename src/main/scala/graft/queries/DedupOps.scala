@@ -353,11 +353,8 @@ object DedupOps {
             .option("maxFilesPerTrigger", 1).parquet(in)
             .as[(Long, String)],
           threshold = 0.8)
-        val prev = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        val q = try stream.writeStream.outputMode("append")
-          .format("memory").queryName(sink).start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        val q = Staging.sizedStart(s, 8)(stream.writeStream
+          .outputMode("append").format("memory").queryName(sink).start())
         try q.processAllAvailable() finally q.stop()
       }
       // the sink is bounded: one row per verified near-dup pair

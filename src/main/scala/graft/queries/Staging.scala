@@ -33,6 +33,19 @@ private[queries] object Staging {
     }
   }
 
+  /** Start a streaming query with `spark.sql.shuffle.partitions` pinned
+    * to `parts` for the duration of the start call — stateful operators
+    * freeze their state-partition count into the checkpoint at first
+    * start, and 32 mostly-idle state-store tasks per trigger dominate
+    * small-batch wall time. The session conf is restored afterwards. */
+  def sizedStart(s: SparkSession, parts: Int)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try start finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Copy the (bounded) memory sink `sink` out through `shape` into a
     * LOCAL relation and drop the sink view — including when the drain
     * itself throws, so repeated invocations in a long-lived session never

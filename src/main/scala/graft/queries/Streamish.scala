@@ -24,11 +24,8 @@ object Streamish {
     * dial turns the other way. Restores the session conf immediately after
     * start (batch queries keep the configured width). */
   private def sizedStart(s: org.apache.spark.sql.SparkSession, parts: Int)(
-      start: => org.apache.spark.sql.streaming.StreamingQuery) = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    try start finally s.conf.set("spark.sql.shuffle.partitions", prev)
-  }
+      start: => org.apache.spark.sql.streaming.StreamingQuery) =
+    Staging.sizedStart(s, parts)(start)
 
   /** Stage the events table inside a fresh temp directory (the file-stream
     * source only accepts directories; a real deployment's channel topics

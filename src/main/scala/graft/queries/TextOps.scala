@@ -410,8 +410,8 @@ object TextOps {
             .filter(Bloom.mightContainLong(bloom, col("s")))
             .join(broadcast(te), "s")
             .select(col("fp"), col("s"))
-          val q = curated.writeStream.outputMode("append")
-            .format("memory").queryName(sink).start()
+          val q = Staging.sizedStart(s, 8)(curated.writeStream
+            .outputMode("append").format("memory").queryName(sink).start())
           try q.processAllAvailable() finally q.stop()
         }
         // bounded drain: one row per contaminated-shingle OCCURRENCE —
