@@ -259,10 +259,11 @@ object DedupOps {
     // ---- Corpus-health diagnostics: per-SOURCE duplication rate — how
     // many documents (and bytes) each source loses to near-dup retention
     // under the same keep-longest policy. A doc is dropped iff it is not
-    // its cluster's min(struct) keeper; the keeper comes from a
-    // whole-partition window aggregate (one shuffle on cluster, no sort
-    // rank), then one groupBy(source). The report a curation pipeline
-    // watches to catch a crawler re-ingesting a source.
+    // its cluster's min(struct) keeper; the keeper comes from the same
+    // map-side-combinable per-cluster aggregate as q_dedup_keep, joined
+    // back to the members (no WindowExec partition sort — plan-asserted),
+    // then one groupBy(source). The report a curation pipeline watches
+    // to catch a crawler re-ingesting a source.
     Q("q_dup_source_stats",
       s"""WITH RECURSIVE $ngramPairsSql,
         |$clusterLabSql,
@@ -343,22 +344,23 @@ object DedupOps {
       val sink = s"graft_stream_neardup_${neardupRun.incrementAndGet()}"
       // stage the corpus as 4 range-partitioned files → 4 micro-batches:
       // near-dup pairs span batches, so they are found through state,
-      // not within-batch luck
-      Staging.withStagedInput(
-        Tables.documents(s, d).select(col("doc_id"), col("text")),
-        "doc_id", nFiles = 4, prefix = "graft_stream_neardup") { in =>
-        val schema = s.read.parquet(in).schema
-        val stream = graft.streaming.StreamingNearDup.pairs(
-          s.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1).parquet(in)
-            .as[(Long, String)],
-          threshold = 0.8)
-        val q = Staging.sizedStart(s, 8)(stream.writeStream
-          .outputMode("append").format("memory").queryName(sink).start())
-        try q.processAllAvailable() finally q.stop()
-      }
-      // the sink is bounded: one row per verified near-dup pair
-      Staging.drainSink(s, sink) {
+      // not within-batch luck; the sink is bounded (one row per verified
+      // near-dup pair)
+      Staging.runAndDrain(s, sink) {
+        Staging.withStagedInput(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", nFiles = 4, prefix = "graft_stream_neardup") { in =>
+          val schema = s.read.parquet(in).schema
+          val stream = graft.streaming.StreamingNearDup.pairs(
+            s.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(in)
+              .as[(Long, String)],
+            threshold = 0.8)
+          val q = Staging.sizedStart(s, 8)(stream.writeStream
+            .outputMode("append").format("memory").queryName(sink).start())
+          try q.processAllAvailable() finally q.stop()
+        }
+      } {
         _.select(col("doc_a"), col("doc_b"), col("shared"),
             col("n_a"), col("n_b"), col("jaccard"))
           .orderBy(col("doc_a"), col("doc_b"))

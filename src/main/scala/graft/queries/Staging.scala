@@ -46,13 +46,17 @@ private[queries] object Staging {
     try start finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
-  /** Copy the (bounded) memory sink `sink` out through `shape` into a
-    * LOCAL relation and drop the sink view — including when the drain
-    * itself throws, so repeated invocations in a long-lived session never
-    * accumulate parked MemorySink rows. */
-  def drainSink(s: SparkSession, sink: String)
-               (shape: DataFrame => DataFrame): DataFrame =
+  /** Run `run` (which starts and finishes a memory-sink streaming query
+    * named `sink`), then copy the (bounded) sink out through `shape` into
+    * a LOCAL relation. The sink view is dropped in a finally that covers
+    * BOTH the streaming run and the drain — a failed micro-batch must not
+    * park a uniquely-named MemorySink's rows in driver memory for the
+    * session lifetime (dropTempView on a never-registered view is a
+    * harmless no-op, so the guard also covers a failure before start). */
+  def runAndDrain(s: SparkSession, sink: String)(run: => Unit)
+                 (shape: DataFrame => DataFrame): DataFrame =
     try {
+      run
       val res = shape(s.table(sink))
       s.createDataFrame(res.collectAsList(), res.schema)
     } finally s.catalog.dropTempView(sink)

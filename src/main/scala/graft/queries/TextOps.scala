@@ -23,6 +23,24 @@ object TextOps {
     when(h <= "b", "train").when(h <= "d", "val").otherwise("test")
   }
 
+  /** Per-source doc/token totals with corpus totals attached and THE
+    * sampling-recipe formula `w = round(least(1, (total/k)/toks), 6)` —
+    * the single place the recipe lives: q_mix_weights REPORTS it,
+    * q_weighted_sample APPLIES it, so the published weight and the
+    * applied weight cannot drift. */
+  private def mixWeightRel(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val perSrc = Tables.documents(s, d)
+      .select(col("source"), TextFunctions.tokenCount(col("text")).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("toks"))
+    val tot = perSrc.agg(sum(col("toks")).cast("double").as("total"),
+      count(lit(1)).as("k"))
+    perSrc.crossJoin(broadcast(tot))
+      .withColumn("w",
+        round(least(lit(1.0), (col("total") / col("k")) / col("toks")), 6))
+  }
+
   private val langMarkers: Map[String, Seq[String]] = Map(
     "de" -> Seq("der", "die", "das"),
     "en" -> Seq("the", "a", "of"),
@@ -310,24 +328,25 @@ object TextOps {
       try {
         val bloom = Bloom.buildLong(te.select(col("s")), "s", fpp = 1e-3)
         val sink = s"graft_stream_decon_${deconRun.incrementAndGet()}"
-        Staging.withStagedInput(
-          docs.filter(col("split") === "train").select(col("doc_id"), col("text")),
-          "doc_id", nFiles = 4, prefix = "graft_stream_decon") { in =>
-          val schema = s.read.parquet(in).schema
-          val matches = s.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1).parquet(in)
-            .select(explode(TextFunctions.shingleHashes(col("text"), 13)).as("s"))
-            .filter(Bloom.mightContainLong(bloom, col("s")))
-            .join(broadcast(te), "s") // stream-static exact verify
-            .select(col("doc_id"), col("s"))
-          val q = matches.writeStream.outputMode("append")
-            .format("memory").queryName(sink).start()
-          try q.processAllAvailable() finally q.stop()
-        }
         // bounded sink drain (matched pairs only) → distinct (a train
         // shingle recurring across micro-batches emitted its pair once per
         // batch) → per-doc counts
-        Staging.drainSink(s, sink) {
+        Staging.runAndDrain(s, sink) {
+          Staging.withStagedInput(
+            docs.filter(col("split") === "train").select(col("doc_id"), col("text")),
+            "doc_id", nFiles = 4, prefix = "graft_stream_decon") { in =>
+            val schema = s.read.parquet(in).schema
+            val matches = s.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(in)
+              .select(explode(TextFunctions.shingleHashes(col("text"), 13)).as("s"))
+              .filter(Bloom.mightContainLong(bloom, col("s")))
+              .join(broadcast(te), "s") // stream-static exact verify
+              .select(col("doc_id"), col("s"))
+            val q = matches.writeStream.outputMode("append")
+              .format("memory").queryName(sink).start()
+            try q.processAllAvailable() finally q.stop()
+          }
+        } {
           _.distinct()
             .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
             .orderBy(col("doc_id"))
@@ -395,29 +414,30 @@ object TextOps {
       try {
         val bloom = Bloom.buildLong(te, "s", fpp = 1e-3)
         val sink = s"graft_stream_curation_${curationRun.incrementAndGet()}"
-        Staging.withStagedInput(
-          docs.filter(col("split") === "train").select(col("doc_id"), col("text")),
-          "doc_id", nFiles = 4, prefix = "graft_stream_curation") { in =>
-          val schema = s.read.parquet(in).schema
-          val curated = s.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1).parquet(in)
-            .filter(TextFunctions.tokenCount(col("text")).between(20, 1000))
-            .withColumn("norm", TextFunctions.normalize(col("text")))
-            .withColumn("fp", substring(md5(col("norm").cast("binary")), 1, 16))
-            .dropDuplicates("fp")
-            .select(col("fp"),
-              explode(TextFunctions.shingleHashes(col("norm"), 13)).as("s"))
-            .filter(Bloom.mightContainLong(bloom, col("s")))
-            .join(broadcast(te), "s")
-            .select(col("fp"), col("s"))
-          val q = Staging.sizedStart(s, 8)(curated.writeStream
-            .outputMode("append").format("memory").queryName(sink).start())
-          try q.processAllAvailable() finally q.stop()
-        }
         // bounded drain: one row per contaminated-shingle OCCURRENCE —
         // deliberately NOT distinct'd (see the emission-sensitivity note
         // in the header comment)
-        Staging.drainSink(s, sink) {
+        Staging.runAndDrain(s, sink) {
+          Staging.withStagedInput(
+            docs.filter(col("split") === "train").select(col("doc_id"), col("text")),
+            "doc_id", nFiles = 4, prefix = "graft_stream_curation") { in =>
+            val schema = s.read.parquet(in).schema
+            val curated = s.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(in)
+              .filter(TextFunctions.tokenCount(col("text")).between(20, 1000))
+              .withColumn("norm", TextFunctions.normalize(col("text")))
+              .withColumn("fp", substring(md5(col("norm").cast("binary")), 1, 16))
+              .dropDuplicates("fp")
+              .select(col("fp"),
+                explode(TextFunctions.shingleHashes(col("norm"), 13)).as("s"))
+              .filter(Bloom.mightContainLong(bloom, col("s")))
+              .join(broadcast(te), "s")
+              .select(col("fp"), col("s"))
+            val q = Staging.sizedStart(s, 8)(curated.writeStream
+              .outputMode("append").format("memory").queryName(sink).start())
+            try q.processAllAvailable() finally q.stop()
+          }
+        } {
           _.groupBy(col("fp")).agg(count(lit(1)).as("n_hits"))
             .orderBy(col("fp"))
         }
@@ -439,42 +459,40 @@ object TextOps {
         |  round(toks / total, 6) AS share,
         |  round(LEAST(1.0, (total / k) / toks), 6) AS sample_weight
         |FROM s, tot ORDER BY source""".stripMargin) { (s, d) =>
-      val perSrc = Tables.documents(s, d)
-        .select(col("source"), TextFunctions.tokenCount(col("text")).as("n_tok"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("toks"))
-      val tot = perSrc.agg(sum(col("toks")).cast("double").as("total"),
-        count(lit(1)).as("k"))
-      perSrc.crossJoin(broadcast(tot))
+      mixWeightRel(s, d)
         .select(col("source"), col("n_docs"), col("toks"),
           round(col("toks") / col("total"), 6).as("share"),
-          round(least(lit(1.0), (col("total") / col("k")) / col("toks")), 6)
-            .as("sample_weight"))
+          col("w").as("sample_weight"))
         .orderBy(col("source"))
     },
 
     // ---- APPLY the mixing recipe (the materialization step after
-    // q_mix_weights): deterministically downsample each source to its
-    // sample_weight via a content-hash gate — keep a doc iff its md5's
-    // first 4 hex digits, read as a 16-bit fraction, fall under the
-    // weight. Same reproducibility argument as q_hash_split (no RNG, no
-    // partition-order dependence, docs never flip as the corpus grows),
-    // and the gate COMPOSES with the split gate (independent md5
-    // substrings). The weights table is k rows → broadcast; the whole
+    // q_mix_weights, sharing its [[mixWeightRel]] formula so the
+    // published weight and the applied weight cannot drift):
+    // deterministically downsample each source to its sample_weight via
+    // a content-hash gate — keep a doc iff md5 hex digits 5–8, read as a
+    // 16-bit fraction, fall under the weight. Same reproducibility
+    // argument as q_hash_split (no RNG, no partition-order dependence,
+    // docs never flip as the corpus grows), and the gate COMPOSES with
+    // the split gate because the digest regions are DISJOINT (split
+    // reads digit 1; sampling digits 5–8 are uniform within every split
+    // bucket — reading digit 1 in both gates would skew a w=0.5 sample
+    // to 100% train). The weights table is k rows → broadcast; the whole
     // query is a map-side filter + one small agg, no corpus shuffle.
     // The hex threshold (floor(w·65536) as 4 lowercase hex chars,
     // length-equal lexicographic compare = numeric compare) keeps the
     // gate engine-bit-stable; w ≥ 1 short-circuits to keep-all so the
     // threshold never needs a 5th hex digit.
     Q("q_weighted_sample",
-      """WITH s AS (SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+      """WITH s AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
         |  FROM documents GROUP BY source),
         |tot AS (SELECT CAST(SUM(toks) AS DOUBLE) AS total, COUNT(*) AS k FROM s),
         |w AS (SELECT source,
         |        round(LEAST(1.0, (total / k) / toks), 6) AS w FROM s, tot),
         |dd AS (SELECT d.doc_id, d.source,
         |         len(string_split(d.text, ' ')) AS n_tok,
-        |         substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS h4, w.w
+        |         substr(md5(CAST(d.doc_id AS VARCHAR)), 5, 4) AS h4, w.w
         |       FROM documents d JOIN w USING (source)),
         |kept AS (SELECT * FROM dd WHERE w >= 1.0 OR
         |  h4 < lpad(lower(hex(CAST(floor(w * 65536) AS INT))), 4, '0'))
@@ -482,20 +500,12 @@ object TextOps {
         |  CAST(SUM(n_tok) AS BIGINT) AS kept_tokens,
         |  CAST(MIN(doc_id) AS BIGINT) AS first_kept
         |FROM kept GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val perSrc = docs
-        .select(col("source"), TextFunctions.tokenCount(col("text")).as("n_tok"))
-        .groupBy(col("source")).agg(sum(col("n_tok")).cast("long").as("toks"))
-      val tot = perSrc.agg(sum(col("toks")).cast("double").as("total"),
-        count(lit(1)).as("k"))
-      val weights = perSrc.crossJoin(broadcast(tot))
-        .select(col("source"),
-          round(least(lit(1.0), (col("total") / col("k")) / col("toks")), 6).as("w"))
+      val weights = mixWeightRel(s, d).select(col("source"), col("w"))
       val thr = lpad(lower(hex(floor(col("w") * 65536).cast("int"))), 4, "0")
-      docs
+      Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           TextFunctions.tokenCount(col("text")).as("n_tok"),
-          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4).as("h4"))
+          substring(md5(col("doc_id").cast("string").cast("binary")), 5, 4).as("h4"))
         .join(broadcast(weights), "source")
         .filter(col("w") >= 1.0 || col("h4") < thr)
         .groupBy(col("source"))

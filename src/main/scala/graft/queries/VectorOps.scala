@@ -312,8 +312,15 @@ object VectorOps {
       val k = math.max(1L, e.count() / 32L).toInt
       val cents = e.filter(col("vec_id") < k).orderBy(col("vec_id"))
         .select(col("v")).collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
-      val centRel = e.filter(col("vec_id") < k)
-        .select(col("vec_id").cast("long").as("cell"), col("v").as("cv"))
+      // centRel is built FROM the collected `cents` array keyed by its
+      // 0-based index — the same index NearestCells emits — so the join
+      // is aligned by construction; keying on vec_id instead would only
+      // be correct while ids happen to be 0-based and contiguous (the
+      // fixture contract the ORACLE also assumes, but the Spark side
+      // should not silently depend on it twice)
+      import s.implicits._
+      val centRel = cents.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toArray) }.toDF("cell", "cv")
       e.withColumn("cell",
           element_at(graft.functions.VectorExpressions.nearestCells(col("v"), cents, 1), 1)
             .cast("long"))
