@@ -689,4 +689,29 @@ class EngineSuite extends SparkSpec {
       assert(got.head._3 >= 0.9, s"jaccard ${got.head._3}")
     } finally q.stop()
   }
+
+  test("sampling gate is independent of the split gate (disjoint digest regions)") {
+    // Regression guard for a review-caught bug: the weighted-sampling
+    // gate originally read md5 hex digits 1-4 while the train/val/test
+    // split reads digit 1 — a w=0.5 sample then kept ONLY first-digit
+    // 0-7 docs, i.e. 100% train, and the DuckDB oracle could not see it
+    // because both sides computed the same biased gate. The sampler now
+    // reads digits 5-8; this asserts the composed property directly:
+    // a 50% hash sample must retain every split, in roughly the split's
+    // own proportion.
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val h1 = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+    val split = when(h1 <= "b", "train").when(h1 <= "d", "val").otherwise("test")
+    val h58 = substring(md5(col("doc_id").cast("string").cast("binary")), 5, 4)
+    val sampled = docs.filter(h58 < "8000") // w = 0.5 gate, digits 5-8
+      .groupBy(split.as("split")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(sampled.keySet == Set("train", "val", "test"),
+      s"sample lost whole splits: $sampled")
+    val total = sampled.values.sum.toDouble
+    // splits are 12/2/2 sixteenths of the corpus; allow generous noise
+    assert(sampled("train") / total > 0.55 && sampled("train") / total < 0.92,
+      s"train share skewed: $sampled")
+  }
 }
