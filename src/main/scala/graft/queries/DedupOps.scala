@@ -74,9 +74,7 @@ object DedupOps {
     val pairs = sh.groupBy(col("s"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2)
-      .select(explode(flatten(transform(col("ds"), (x, i) =>
-        transform(slice(col("ds"), i + lit(2), size(col("ds"))),
-          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(explode(graft.functions.OrderedPairs(col("ds"))).as("p"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
     val jac = col("shared").cast("double") /
@@ -407,9 +405,7 @@ object DedupOps {
         rel.groupBy(col(key))
           .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
           .filter(size(col("ds")) >= 2)
-          .select(explode(flatten(transform(col("ds"), (x, i) =>
-            transform(slice(col("ds"), i + lit(2), size(col("ds"))),
-              y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+          .select(explode(graft.functions.OrderedPairs(col("ds"))).as("p"))
           .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       val prints = docs.select(col("doc_id"),
         explode(graft.functions.Winnow.fingerprints(col("norm"), k = 24, window = 7)).as("fp"))

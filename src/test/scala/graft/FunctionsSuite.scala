@@ -404,6 +404,26 @@ class FunctionsSuite extends SparkSpec {
     assert(composedNull == Seq.empty && nativeNull == Seq.empty)
   }
 
+  test("ordered_pairs: identical to the HOF pair-emission it replaces") {
+    // the pair-emission contract of the dedup group joins: for a sorted
+    // id list, ordered_pairs must emit exactly the pairs (and the order)
+    // of the flatten(transform(slice…)) formulation — sizes 0,1,2,3 and
+    // a larger-than-typical group, plus a seeded random sweep
+    val rnd = new scala.util.Random(20260814L)
+    val cases: Seq[Seq[Long]] =
+      Seq(Seq.empty[Long], Seq(5L), Seq(1L, 2L), Seq(1L, 2L, 3L),
+        (1L to 12L).toSeq) ++
+      (1 to 20).map(_ => Seq.fill(rnd.nextInt(8))(rnd.nextLong()).distinct.sorted.toSeq)
+    val df = cases.toDF("ds")
+    val hof = df.select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b")).as[(Long, Long)].collect().toSeq
+    val native = df.select(explode(graft.functions.OrderedPairs(col("ds"))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b")).as[(Long, Long)].collect().toSeq
+    assert(native == hof, s"native=$native hof=$hof")
+  }
+
   test("char_gram_hashes: bit-identical to xxhash64 over materialized char grams") {
     // multibyte chars make char positions diverge from byte positions —
     // the boundary-offset walk must agree with substr's char semantics
