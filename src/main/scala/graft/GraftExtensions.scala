@@ -52,6 +52,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.SignLshBuckets(args.head,
           graft.functions.SignLsh.planes(nT * nP, dim, seed), nT, nP)
       }))
+    e.injectFunction((FunctionIdentifier("ordered_pairs"),
+      info("ordered_pairs",
+        "ordered_pairs(array<bigint>) - every ordered (i<j) element pair as struct<doc_a,doc_b>"),
+      (args: Seq[Expression]) => graft.functions.OrderedPairs(args.head)))
     e.injectFunction((FunctionIdentifier("winnow_fingerprints"),
       info("winnow_fingerprints",
         "winnow_fingerprints(text[, k, window]) - winnowed rolling-hash fingerprints"),

@@ -45,6 +45,11 @@ class ExtensionsSuite extends AnyFunSuite {
         "SELECT winnow_fingerprints('the quick brown fox jumps over the dog') AS f")
         .collect().head.getSeq[Long](0)
       assert(wf.nonEmpty)
+      val op = spark.sql(
+        "SELECT explode(ordered_pairs(array(1L, 2L, 3L))) AS p")
+        .selectExpr("p.doc_a", "p.doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(op == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
     } finally {
       // don't stop(): that would kill the SparkContext shared with the
       // other suites in this JVM — just hand back the default-session slot
