@@ -42,10 +42,22 @@ final class WasmModule(bytes: Array[Byte],
 
   // ---- decode ------------------------------------------------------------
 
+  // Every read is bounds-checked: the module bytes are UNTRUSTED guest
+  // input, and a truncated/corrupt module must be REFUSED
+  // (IllegalArgumentException) rather than crash the host with a raw
+  // AIOOBE — the contract WasmFuzzSuite pins with random blobs and
+  // mutation fuzzing.
   private var pos = 0
-  private def u8(): Int = { val b = bytes(pos) & 0xff; pos += 1; b }
+  private def u8(): Int = {
+    if (pos >= bytes.length)
+      throw new IllegalArgumentException("truncated wasm module")
+    val b = bytes(pos) & 0xff; pos += 1; b
+  }
   private def uleb(): Long = { val (v, np) = ulebAt(bytes, pos); pos = np; v }
-  private def take(n: Int): Array[Byte] = { val a = bytes.slice(pos, pos + n); pos += n; a }
+  private def take(n: Int): Array[Byte] = {
+    require(n >= 0 && pos + n <= bytes.length, "truncated wasm module (bytes)")
+    val a = bytes.slice(pos, pos + n); pos += n; a
+  }
   private def rawU32(): Long =
     u8().toLong | (u8().toLong << 8) | (u8().toLong << 16) | (u8().toLong << 24)
 
@@ -90,6 +102,10 @@ final class WasmModule(bytes: Array[Byte],
     val id = u8()
     val size = uleb().toInt
     val end = pos + size
+    // a negative/oversized declared size would otherwise move `pos`
+    // BACKWARD at the `pos = end` sync (infinite decode loop) or past
+    // the buffer — refuse up front
+    require(size >= 0 && end <= bytes.length, s"section $id size out of bounds")
     id match {
       case 0 => pos = end // custom section: names/producers, safe to skip
       case 1 => // types
@@ -115,6 +131,10 @@ final class WasmModule(bytes: Array[Byte],
         (0 until n).foreach { _ =>
           val flags = u8()
           memPagesMin = uleb().toInt
+          // the allocation below multiplies by PageSize: an unchecked huge
+          // min would overflow into NegativeArraySizeException (or OOM)
+          require(memPagesMin >= 0 && memPagesMin <= maxMemoryPages,
+            s"memory min $memPagesMin exceeds cap $maxMemoryPages")
           if ((flags & 1) != 0) uleb() // declared max; we cap ourselves
         }
       case 7 => // exports
@@ -130,12 +150,14 @@ final class WasmModule(bytes: Array[Byte],
         (0 until n).foreach { _ =>
           val bodySize = uleb().toInt
           val bodyEnd = pos + bodySize
+          require(bodySize >= 0 && bodyEnd <= end, "function body size out of bounds")
           var nLocals = 0
           val nGroups = uleb().toInt
           (0 until nGroups).foreach { _ =>
             val cnt = uleb().toInt
             val t = u8(); require(ValTypes(t), "unsupported local type")
             nLocals += cnt
+            require(cnt >= 0 && nLocals <= (1 << 16), "too many locals")
           }
           val body = bytes.slice(pos, bodyEnd)
           val (endOf, elseOf) = scanBlocks(body) // validates opcodes too
@@ -178,6 +200,7 @@ final class WasmModule(bytes: Array[Byte],
           require(u8() == 0x70, "only funcref tables supported")
           val flags = u8()
           val min = uleb().toInt
+          require(min >= 0 && min <= (1 << 20), s"table size $min out of bounds")
           if ((flags & 1) != 0) uleb()
           table = Array.fill(min)(-1)
         }
@@ -205,6 +228,19 @@ final class WasmModule(bytes: Array[Byte],
     }
     require(pos == end, s"section $id malformed")
   }
+
+  // ---- cross-section validation ------------------------------------------
+  // Mutated modules can reorder/contradict sections, so every index that
+  // later drives an array lookup is range-checked HERE, once — the
+  // interpreter then never needs per-dispatch guards for them.
+  require(funcTypeIdx.forall(i => i >= 0 && i < types.size),
+    "function type index out of range")
+  require(importedFns.forall { case (_, t) => t >= 0 && t < types.size },
+    "import type index out of range")
+  require(codes.size == funcTypeIdx.size,
+    s"code section (${codes.size}) does not match function section (${funcTypeIdx.size})")
+  require(exports.values.forall(i => i >= 0 && i < importedFns.size + funcTypeIdx.size),
+    "export references unknown function")
 
   // ---- runtime -----------------------------------------------------------
 
@@ -756,7 +792,19 @@ final class WasmModule(bytes: Array[Byte],
       returned.orElse(if (ft.results.nonEmpty && stack.nonEmpty) Some(pop()) else None)
     }
 
-    callFunction(fIdx, args.toArray)
+    // A body that passed opcode validation can still carry hostile
+    // IMMEDIATES (local.get 200 with 3 locals, branch depths past the
+    // control stack, …). Rather than tax every dispatch with a guard,
+    // convert the JVM's own index checks into the wasm trap they
+    // semantically are — the guest dies, the host survives (the
+    // contract WasmFuzzSuite pins with mutation fuzzing).
+    try callFunction(fIdx, args.toArray)
+    catch {
+      case e: IndexOutOfBoundsException =>
+        throw new IllegalStateException(s"wasm trap: invalid access (${e.getMessage})", e)
+      case e: NoSuchElementException =>
+        throw new IllegalStateException(s"wasm trap: stack underflow (${e.getMessage})", e)
+    }
   }
 }
 
@@ -798,10 +846,13 @@ object WasmModule {
       pc += 1
       op match {
         case 0x02 | 0x03 | 0x04 =>
+          require(pc < body.length, "truncated function body (block type)")
           val bt = body(pc) & 0xff
           require(bt == 0x40 || ValTypes(bt), "unsupported block type")
           stack.prepend(at); pc += 1
-        case 0x05 => elseOf(stack.head) = at
+        case 0x05 =>
+          require(stack.nonEmpty, "else outside any block")
+          elseOf(stack.head) = at
         case 0x0b => if (stack.nonEmpty) endOf(stack.removeHead()) = at
         case 0x11 => pc = ulebAt(body, pc)._2; pc += 1 // call_indirect
         case 0x0e => // br_table: count n, then n+1 label ulebs
@@ -832,14 +883,24 @@ object WasmModule {
     (endOf.toMap, elseOf.toMap.withDefaultValue(-1))
   }
 
+  /** Bounds-checked LEB reads: untrusted bytes reach these both at decode
+    * time and as body immediates, so running off the end must be a
+    * CONTROLLED refusal (IllegalArgumentException), never a raw AIOOBE —
+    * found by WasmFuzzSuite, which pins the contract. */
   private def ulebAt(b: Array[Byte], start: Int): (Long, Int) = {
     var result = 0L; var shift = 0; var p = start; var x = 0
-    do { x = b(p) & 0xff; p += 1; result |= (x & 0x7fL) << shift; shift += 7 } while ((x & 0x80) != 0)
+    do {
+      if (p >= b.length) throw new IllegalArgumentException("truncated wasm module (uleb)")
+      x = b(p) & 0xff; p += 1; result |= (x & 0x7fL) << shift; shift += 7
+    } while ((x & 0x80) != 0)
     (result, p)
   }
   private def slebAt(b: Array[Byte], start: Int): (Long, Int) = {
     var result = 0L; var shift = 0; var p = start; var x = 0
-    do { x = b(p) & 0xff; p += 1; result |= (x & 0x7fL) << shift; shift += 7 } while ((x & 0x80) != 0)
+    do {
+      if (p >= b.length) throw new IllegalArgumentException("truncated wasm module (sleb)")
+      x = b(p) & 0xff; p += 1; result |= (x & 0x7fL) << shift; shift += 7
+    } while ((x & 0x80) != 0)
     if (shift < 64 && (x & 0x40) != 0) result |= -1L << shift
     (result, p)
   }

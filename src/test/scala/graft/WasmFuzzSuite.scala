@@ -1,0 +1,110 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.udf.wasm.WasmModule
+
+/** Fuzz tests for the WASM seam: the interpreter hosts UNTRUSTED guest
+  * bytes inside executor JVMs, so a malformed module must fail with a
+  * CONTROLLED error (parse/validation/trap exceptions), never an
+  * uncontrolled JVM crash path (AIOOBE / NPE / NegativeArraySize /
+  * ClassCast / StackOverflow) — those would make the UDF seam a
+  * denial-of-service surface where a refusal was required.
+  */
+class WasmFuzzSuite extends AnyFunSuite {
+
+  private def check(p: Prop, n: Int): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** Controlled = the documented failure surface of the module loader +
+    * interpreter. Anything else escaping is a finding. */
+  private def controlled(t: Throwable): Boolean = t match {
+    case _: IllegalStateException | _: IllegalArgumentException |
+         _: UnsupportedOperationException | _: NoSuchMethodException => true
+    case _ => false
+  }
+
+  private def outcome(bytes: Array[Byte], invoke: Option[String]): Option[Throwable] =
+    try {
+      val m = new WasmModule(bytes, fuel = 100000)
+      invoke.foreach(name => m.invoke(name, 7L))
+      None
+    } catch { case t: Throwable => Some(t) }
+
+  // ---- a known-valid module to mutate (same layout as WasmSuite's) ----
+
+  private def uleb(v: Int): Seq[Byte] = {
+    var x = v; val out = Seq.newBuilder[Byte]
+    var more = true
+    while (more) {
+      val b = x & 0x7f; x >>>= 7
+      more = x != 0
+      out += (if (more) (b | 0x80) else b).toByte
+    }
+    out.result()
+  }
+  private def vec(items: Seq[Seq[Byte]]): Seq[Byte] =
+    uleb(items.length) ++ items.flatten
+  private def section(id: Int, payload: Seq[Byte]): Seq[Byte] =
+    Seq(id.toByte) ++ uleb(payload.length) ++ payload
+  private def name(s: String): Seq[Byte] =
+    uleb(s.length) ++ s.getBytes("UTF-8").toSeq
+
+  private val add5: Array[Byte] = {
+    val header = Seq(0x00, 0x61, 0x73, 0x6d, 0x01, 0x00, 0x00, 0x00).map(_.toByte)
+    val typeSec = section(1, vec(Seq(
+      Seq(0x60.toByte) ++ vec(Seq(Seq(0x7f.toByte))) ++ vec(Seq(Seq(0x7f.toByte))))))
+    val funcSec = section(3, vec(Seq(uleb(0))))
+    val memSec = section(5, vec(Seq(Seq(0x00.toByte) ++ uleb(1))))
+    val exportSec = section(7, vec(Seq(name("add5") ++ Seq(0x00.toByte) ++ uleb(0))))
+    val body = Seq(0x20, 0x00, 0x41, 0x05, 0x6a).map(_.toByte) // local.get 0; i32.const 5; i32.add
+    val codeSec = section(10, vec(Seq(
+      uleb(body.length + 2) ++ uleb(0) ++ body ++ Seq(0x0b.toByte))))
+    (header ++ typeSec ++ funcSec ++ memSec ++ exportSec ++ codeSec).toArray
+  }
+
+  test("fixture sanity: the unmutated module runs") {
+    assert(new WasmModule(add5).invoke("add5", 37L).contains(42L))
+  }
+
+  test("random byte blobs fail with controlled errors only") {
+    val blob = for {
+      n <- Gen.choose(0, 200)
+      body <- Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+      withMagic <- Gen.oneOf(true, false)
+    } yield
+      if (withMagic)
+        (Seq(0x00, 0x61, 0x73, 0x6d, 0x01, 0x00, 0x00, 0x00).map(_.toByte) ++ body).toArray
+      else body.toArray
+    check(Prop.forAll(blob) { bytes =>
+      outcome(bytes, invoke = None) match {
+        case Some(t) if !controlled(t) =>
+          throw new AssertionError(
+            s"uncontrolled ${t.getClass.getName}: ${t.getMessage} " +
+              s"for bytes ${bytes.map("%02x".format(_)).mkString}", t)
+        case _ => true
+      }
+    }, n = 500)
+  }
+
+  test("mutated valid modules fail with controlled errors only (invoke included)") {
+    val mutation = for {
+      pos <- Gen.choose(0, add5.length - 1)
+      b <- Gen.choose(Byte.MinValue, Byte.MaxValue)
+    } yield (pos, b)
+    check(Prop.forAll(Gen.listOfN(3, mutation)) { muts =>
+      val bytes = add5.clone()
+      muts.foreach { case (pos, b) => bytes(pos) = b }
+      outcome(bytes, invoke = Some("add5")) match {
+        case Some(t) if !controlled(t) =>
+          throw new AssertionError(
+            s"uncontrolled ${t.getClass.getName}: ${t.getMessage} " +
+              s"after muts $muts", t)
+        case _ => true
+      }
+    }, n = 500)
+  }
+}
