@@ -26,6 +26,34 @@ class QuicSuite extends SparkSpec {
     } finally { server.close(); client.close() }
   }
 
+  test("endpoint survives a flood of hostile datagrams (fuzz) and still serves") {
+    // The UDP edge receives UNTRUSTED bytes; the receive loop's contract
+    // is that malformed packets are dropped, never crash the endpoint.
+    // Spray random blobs — including ones that start with valid packet
+    // type bytes but carry garbage bodies — then prove a legitimate
+    // handshake + stream still completes on the same endpoint.
+    val server = QuicLite.endpoint()
+    val client = QuicLite.endpoint()
+    val gun = java.nio.channels.DatagramChannel.open()
+    try {
+      val listener = server.bind("sturdy.test")
+      val target = new java.net.InetSocketAddress("127.0.0.1", server.port)
+      val rnd = new scala.util.Random(20260814L)
+      (0 until 300).foreach { i =>
+        val n = rnd.nextInt(100)
+        val body = Array.fill(n)(rnd.nextInt().toByte)
+        if (i % 3 == 0 && n > 0) body(0) = (rnd.nextInt(8) + 1).toByte // valid-ish type
+        gun.send(java.nio.ByteBuffer.wrap(body), target)
+      }
+      Thread.sleep(200) // let the flood drain through the receive loop
+      val conn = client.connect("127.0.0.1", server.port, "sturdy.test", timeoutMs = 5000)
+      val stream = conn.openStream()
+      stream.write("still alive".getBytes(UTF_8))
+      val inbound = listener.accept(timeoutMs = 5000).getOrElse(fail("endpoint died"))
+      assert(s(inbound.readAll()) == "still alive")
+    } finally { gun.close(); server.close(); client.close() }
+  }
+
   test("unrouted domain is refused with the reference's close reason") {
     val server = QuicLite.endpoint()
     val client = QuicLite.endpoint()
