@@ -55,7 +55,9 @@ final class WasmModule(bytes: Array[Byte],
   }
   private def uleb(): Long = { val (v, np) = ulebAt(bytes, pos); pos = np; v }
   private def take(n: Int): Array[Byte] = {
-    require(n >= 0 && pos + n <= bytes.length, "truncated wasm module (bytes)")
+    // subtraction form: `pos + n` overflows Int for a hostile 5-byte uleb
+    // length, wrapping negative and slipping past an addition-form check
+    require(n >= 0 && n <= bytes.length - pos, "truncated wasm module (bytes)")
     val a = bytes.slice(pos, pos + n); pos += n; a
   }
   private def rawU32(): Long =
@@ -105,7 +107,7 @@ final class WasmModule(bytes: Array[Byte],
     // a negative/oversized declared size would otherwise move `pos`
     // BACKWARD at the `pos = end` sync (infinite decode loop) or past
     // the buffer — refuse up front
-    require(size >= 0 && end <= bytes.length, s"section $id size out of bounds")
+    require(size >= 0 && size <= bytes.length - pos, s"section $id size out of bounds")
     id match {
       case 0 => pos = end // custom section: names/producers, safe to skip
       case 1 => // types
@@ -150,15 +152,17 @@ final class WasmModule(bytes: Array[Byte],
         (0 until n).foreach { _ =>
           val bodySize = uleb().toInt
           val bodyEnd = pos + bodySize
-          require(bodySize >= 0 && bodyEnd <= end, "function body size out of bounds")
-          var nLocals = 0
+          require(bodySize >= 0 && bodySize <= end - pos, "function body size out of bounds")
+          var nLocalsL = 0L
           val nGroups = uleb().toInt
           (0 until nGroups).foreach { _ =>
             val cnt = uleb().toInt
             val t = u8(); require(ValTypes(t), "unsupported local type")
-            nLocals += cnt
-            require(cnt >= 0 && nLocals <= (1 << 16), "too many locals")
+            require(cnt >= 0, "negative local count")
+            nLocalsL += cnt // Long: two hostile groups cannot wrap the sum
+            require(nLocalsL <= (1 << 16), "too many locals")
           }
+          val nLocals = nLocalsL.toInt
           val body = bytes.slice(pos, bodyEnd)
           val (endOf, elseOf) = scanBlocks(body) // validates opcodes too
           codes += Code(nLocals, body, endOf, elseOf)
@@ -211,7 +215,7 @@ final class WasmModule(bytes: Array[Byte],
           require(flags == 0, "only active element segments on table 0 supported")
           val offset = constExpr().toInt
           val cnt = uleb().toInt
-          require(offset >= 0 && offset + cnt <= table.length,
+          require(offset >= 0 && cnt >= 0 && cnt <= table.length - offset,
             "element segment out of table bounds")
           (0 until cnt).foreach { k =>
             val fIdx = uleb().toInt
@@ -246,7 +250,7 @@ final class WasmModule(bytes: Array[Byte],
 
   private var memory = new Array[Byte](memPagesMin * PageSize)
   dataSegments.foreach { case (offset, data) =>
-    require(offset >= 0 && offset + data.length <= memory.length,
+    require(offset >= 0 && data.length <= memory.length - offset,
       "data segment exceeds initial memory")
     System.arraycopy(data, 0, memory, offset, data.length)
   }
@@ -282,7 +286,11 @@ final class WasmModule(bytes: Array[Byte],
       throw new NoSuchMethodException(s"wasm export '$export'"))
     var remainingFuel = fuel
 
-    def callFunction(idx: Int, argv: Array[Long]): Option[Long] = {
+    def callFunction(idx: Int, argv: Array[Long], depth: Int = 0): Option[Long] = {
+      // spec "call stack exhaustion" trap: a self-recursive guest must
+      // trap here, not ride JVM recursion into StackOverflowError
+      if (depth > 128) // each guest frame costs many JVM frames — cap
+        throw new IllegalStateException("wasm trap: call stack exhausted")
       if (idx < importedFns.size) { // host function (hostcall parity)
         val (key, typeIdx) = importedFns(idx)
         val ft0 = types(typeIdx)
@@ -382,7 +390,7 @@ final class WasmModule(bytes: Array[Byte],
             val argv2 = new Array[Long](calleeType.params.length)
             var i = calleeType.params.length - 1
             while (i >= 0) { argv2(i) = pop(); i -= 1 }
-            callFunction(callee, argv2).foreach(push)
+            callFunction(callee, argv2, depth + 1).foreach(push)
           case 0x11 => // call_indirect: (type imm, table imm 0x00)
             val expectType = immU().toInt
             pc += 1 // table index byte (always 0)
@@ -398,7 +406,7 @@ final class WasmModule(bytes: Array[Byte],
             val argv2 = new Array[Long](calleeType.params.length)
             var i = calleeType.params.length - 1
             while (i >= 0) { argv2(i) = pop(); i -= 1 }
-            callFunction(callee, argv2).foreach(push)
+            callFunction(callee, argv2, depth + 1).foreach(push)
           case 0x1a => pop() // drop
           case 0x1b =>
             val c = pop(); val b = pop(); val a = pop(); push(if (c != 0) a else b)
@@ -804,6 +812,14 @@ final class WasmModule(bytes: Array[Byte],
         throw new IllegalStateException(s"wasm trap: invalid access (${e.getMessage})", e)
       case e: NoSuchElementException =>
         throw new IllegalStateException(s"wasm trap: stack underflow (${e.getMessage})", e)
+      case e: NegativeArraySizeException =>
+        throw new IllegalStateException(s"wasm trap: invalid allocation (${e.getMessage})", e)
+      case e: StackOverflowError =>
+        // last-resort: the explicit depth cap above should fire first;
+        // the interpreter holds no host locks and its only mutable state
+        // is this module's own memory/globals, so converting at the
+        // boundary is safe
+        throw new IllegalStateException("wasm trap: call stack exhausted (jvm)", e)
     }
   }
 }
@@ -890,16 +906,22 @@ object WasmModule {
   private def ulebAt(b: Array[Byte], start: Int): (Long, Int) = {
     var result = 0L; var shift = 0; var p = start; var x = 0
     do {
-      if (p >= b.length) throw new IllegalArgumentException("truncated wasm module (uleb)")
+      if (p < 0 || p >= b.length)
+        throw new IllegalArgumentException("truncated wasm module (uleb)")
       x = b(p) & 0xff; p += 1; result |= (x & 0x7fL) << shift; shift += 7
+      if (shift >= 64 && (x & 0x80) != 0) // JVM shift masking would corrupt
+        throw new IllegalArgumentException("over-long uleb encoding")
     } while ((x & 0x80) != 0)
     (result, p)
   }
   private def slebAt(b: Array[Byte], start: Int): (Long, Int) = {
     var result = 0L; var shift = 0; var p = start; var x = 0
     do {
-      if (p >= b.length) throw new IllegalArgumentException("truncated wasm module (sleb)")
+      if (p < 0 || p >= b.length)
+        throw new IllegalArgumentException("truncated wasm module (sleb)")
       x = b(p) & 0xff; p += 1; result |= (x & 0x7fL) << shift; shift += 7
+      if (shift >= 64 && (x & 0x80) != 0)
+        throw new IllegalArgumentException("over-long sleb encoding")
     } while ((x & 0x80) != 0)
     if (shift < 64 && (x & 0x40) != 0) result |= -1L << shift
     (result, p)

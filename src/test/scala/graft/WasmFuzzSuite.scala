@@ -70,6 +70,70 @@ class WasmFuzzSuite extends AnyFunSuite {
     assert(new WasmModule(add5).invoke("add5", 37L).contains(42L))
   }
 
+  test("crafted Int-overflow modules are refused, not crashed (review-found paths)") {
+    // Adversarial review found that `pos + n <= limit` style checks wrap
+    // negative for a hostile 5-byte uleb 0x7FFFFFFF — these crafted
+    // modules each aim one overflow at a specific check; random fuzz is
+    // statistically unable to reach them, so they are pinned explicitly.
+    val header = Seq(0x00, 0x61, 0x73, 0x6d, 0x01, 0x00, 0x00, 0x00).map(_.toByte)
+    val max = uleb(Int.MaxValue) // ff ff ff ff 07 (also a valid positive sleb)
+    val crafted: Seq[(String, Array[Byte])] = Seq(
+      "section size Int.MaxValue" ->
+        (header ++ Seq(1.toByte) ++ max).toArray,
+      "export name length Int.MaxValue" ->
+        (header ++ section(7, vec(Seq(max)))).toArray,
+      "body size Int.MaxValue" ->
+        (header ++ section(10, vec(Seq(max ++ Seq(0x00.toByte), uleb(0))))).toArray,
+      "locals sum wraps negative" ->
+        (header ++
+          section(1, vec(Seq(Seq(0x60.toByte) ++ vec(Seq()) ++ vec(Seq(Seq(0x7f.toByte)))))) ++
+          section(3, vec(Seq(uleb(0)))) ++
+          section(10, vec(Seq {
+            val groups = uleb(2) ++ uleb(65536) ++ Seq(0x7f.toByte) ++
+              max ++ Seq(0x7f.toByte)
+            val body = Seq(0x41.toByte, 0x00.toByte, 0x0b.toByte)
+            uleb(groups.length + body.length) ++ groups ++ body
+          }))).toArray,
+      "data segment offset Int.MaxValue" ->
+        (header ++
+          section(5, vec(Seq(Seq(0x00.toByte) ++ uleb(1)))) ++
+          section(11, vec(Seq(
+            uleb(0) ++ Seq(0x41.toByte) ++ max ++ Seq(0x0b.toByte) ++
+              uleb(1) ++ Seq(0x55.toByte))))).toArray,
+      "element segment offset Int.MaxValue" ->
+        (header ++
+          section(4, vec(Seq(Seq(0x70.toByte, 0x00.toByte) ++ uleb(0)))) ++
+          section(9, vec(Seq(
+            uleb(0) ++ Seq(0x41.toByte) ++ max ++ Seq(0x0b.toByte) ++
+              uleb(1) ++ uleb(0))))).toArray,
+      "over-long uleb section size" ->
+        (header ++ Seq(1.toByte) ++ Seq.fill(10)(0x80.toByte) ++ Seq(0x01.toByte)).toArray)
+    crafted.foreach { case (label, bytes) =>
+      outcome(bytes, invoke = None) match {
+        case Some(t) if !controlled(t) =>
+          fail(s"$label: uncontrolled ${t.getClass.getName}: ${t.getMessage}", t)
+        case Some(_) => // refused — correct
+        case None => fail(s"$label: hostile module was ACCEPTED")
+      }
+    }
+  }
+
+  test("self-recursive guest traps on call-stack exhaustion, not StackOverflowError") {
+    val header = Seq(0x00, 0x61, 0x73, 0x6d, 0x01, 0x00, 0x00, 0x00).map(_.toByte)
+    val spin = (header ++
+      section(1, vec(Seq(Seq(0x60.toByte) ++ vec(Seq()) ++ vec(Seq(Seq(0x7f.toByte)))))) ++
+      section(3, vec(Seq(uleb(0)))) ++
+      section(7, vec(Seq(name("spin") ++ Seq(0x00.toByte) ++ uleb(0)))) ++
+      section(10, vec(Seq {
+        val body = Seq(0x10, 0x00, 0x41, 0x00).map(_.toByte) // call 0; i32.const 0
+        uleb(body.length + 2) ++ uleb(0) ++ body ++ Seq(0x0b.toByte)
+      }))).toArray
+    val m = new WasmModule(spin)
+    val e = intercept[IllegalStateException] { m.invoke("spin") }
+    assert(e.getMessage.contains("call stack exhausted") || e.getMessage.contains("fuel"),
+      e.getMessage)
+  }
+
   test("random byte blobs fail with controlled errors only") {
     val blob = for {
       n <- Gen.choose(0, 200)
