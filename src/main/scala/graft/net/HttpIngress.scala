@@ -25,6 +25,11 @@ import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
   */
 object HttpIngress {
 
+  /** Largest accepted request body — one hostile client must not be able
+    * to balloon edge memory (requests above it get 413, unbuffered).
+    * Mirrors the reference edge's bounded-frame posture. */
+  val MaxBodyBytes: Int = 8 * 1024 * 1024
+
   /** One ingested request (RawHttp shape, FIXTURES.md §6). */
   case class HttpRequest(request_id: Long, method: String, path: String,
                          remote_addr: String, body: Array[Byte])
@@ -77,7 +82,20 @@ object HttpIngress {
     def port: Int = server.getAddress.getPort
 
     private[net] def handle(exchange: HttpExchange): Unit = {
-      val body = exchange.getRequestBody.readAllBytes()
+      // bounded read: readAllBytes() on an unbounded stream lets one
+      // hostile client OOM the edge — cap, drain the tail, refuse with
+      // 413 (the request is NOT buffered; nothing was promised)
+      val in = exchange.getRequestBody
+      val body = in.readNBytes(HttpIngress.MaxBodyBytes + 1)
+      if (body.length > HttpIngress.MaxBodyBytes) {
+        try {
+          while (in.read(new Array[Byte](8192)) > 0) () // drain politely
+          val resp = "payload too large".getBytes("UTF-8")
+          exchange.sendResponseHeaders(413, resp.length.toLong)
+          exchange.getResponseBody.write(resp)
+        } finally exchange.close()
+        return
+      }
       val req = HttpRequest(
         ids.getAndIncrement(),
         exchange.getRequestMethod,

@@ -42,6 +42,26 @@ class HttpIngressSuite extends SparkSpec {
     } finally ingress.stop()
   }
 
+  test("oversized body is refused with 413 and never buffered") {
+    val reg = new ChannelRegistry(spark, tmpDir("httpbig"))
+    val ch = reg.create("big_in", HttpIngress.schema)
+    val ingress = HttpIngress.start(spark, ch)
+    try {
+      val client = HttpClient.newHttpClient()
+      def post(body: Array[Byte]) = {
+        val r = JHttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${ingress.port}/up"))
+          .POST(JHttpRequest.BodyPublishers.ofByteArray(body)).build()
+        client.send(r, HttpResponse.BodyHandlers.ofString())
+      }
+      val tooBig = post(new Array[Byte](HttpIngress.MaxBodyBytes + 1))
+      assert(tooBig.statusCode() == 413, s"got ${tooBig.statusCode()}")
+      assert(ingress.pendingCount == 0, "oversized request was buffered")
+      // the edge still serves after the refusal
+      assert(post("ok".getBytes("UTF-8")).statusCode() == 202)
+      assert(ingress.flush() == 1)
+    } finally ingress.stop()
+  }
+
   test("rest-api parity: body-validating reply policy answers 200/401/400") {
     val reg = new ChannelRegistry(spark, tmpDir("httprest"))
     val ch = reg.create("rest_in", HttpIngress.schema)
