@@ -58,6 +58,13 @@ object QuicLite {
   private val RtoMillis = 100L
   private val MaxRetries = 12
 
+  /** Per-stream cap on out-of-order (not-yet-contiguous) reassembly
+    * bytes, and per-connection cap on concurrently open streams — the
+    * memory bounds real QUIC gets from MAX_STREAM_DATA / MAX_STREAMS
+    * flow control; a peer exceeding them has its connection failed. */
+  private[net] var MaxPendingBytes = 16L * 1024 * 1024 // var: tests lower it
+  private[net] var MaxStreamsPerConn = 4096 // var: tests lower it
+
   final case class QuicError(message: String) extends RuntimeException(message)
 
   /** One bidirectional stream: outbound writes fragment into STREAM
@@ -70,6 +77,7 @@ object QuicLite {
       val conn: Connection, val streamId: Long) {
     // frames ahead of the contiguous prefix, keyed by offset
     private val pending = new java.util.TreeMap[Long, Array[Byte]]()
+    private var pendingBytes = 0L
     private val assembled = new java.io.ByteArrayOutputStream()
     private var contiguousEnd = 0L
     private var consumed = 0L // readSome's cursor into `assembled`
@@ -145,12 +153,26 @@ object QuicLite {
         if (fin) finAt = offset + data.length
         // a frame below the contiguous prefix is a retransmitted dup —
         // frame boundaries are stable across retries, so skip whole
-        if (offset >= contiguousEnd) pending.putIfAbsent(offset, data)
+        if (offset >= contiguousEnd) {
+          // flow-control posture (quinn/RFC 9000 parity in spirit): a
+          // hostile peer spraying frames at disjoint far offsets that
+          // never become contiguous would otherwise grow `pending`
+          // without bound — legit sustained loss windows are RTO-sized,
+          // far below this cap. Violation fails the CONNECTION.
+          if (pendingBytes + data.length > MaxPendingBytes) {
+            conn.fail(s"stream $streamId: reassembly buffer exceeded " +
+              s"($pendingBytes pending bytes) — flow-control violation")
+            return false
+          }
+          if (pending.putIfAbsent(offset, data) == null)
+            pendingBytes += data.length
+        }
         // fold newly contiguous frames into the assembled prefix
         var e = pending.firstEntry()
         while (e != null && e.getKey == contiguousEnd) {
           assembled.write(e.getValue)
           contiguousEnd += e.getValue.length
+          pendingBytes -= e.getValue.length
           pending.remove(e.getKey)
           e = pending.firstEntry()
         }
@@ -187,8 +209,17 @@ object QuicLite {
       s
     }
 
-    private[net] def stream(id: Long): QuicStream =
+    private[net] def stream(id: Long): QuicStream = {
+      // MAX_STREAMS-style bound: a hostile peer cycling fresh stream ids
+      // must not grow the stream map without limit. The over-limit stream
+      // is returned DETACHED (never retained) so continued flooding after
+      // the failure can't grow the map either.
+      if (!streams.containsKey(id) && streams.size() >= MaxStreamsPerConn) {
+        fail(s"stream limit exceeded (${streams.size()}) — flow-control violation")
+        return new QuicStream(this, id)
+      }
       streams.computeIfAbsent(id, _ => new QuicStream(this, id))
+    }
 
     private[net] def sendStreamFrame(
         streamId: Long, offset: Long, data: Array[Byte], fin: Boolean): Unit = {
@@ -237,7 +268,7 @@ object QuicLite {
     * (quinn Endpoint parity). Owns the receive loop and the retransmit
     * timer. */
   final class QuicEndpoint private[net] (channel: DatagramChannel) {
-    private val conns = new ConcurrentHashMap[Long, Connection]()
+    private[net] val conns = new ConcurrentHashMap[Long, Connection]()
     private val listeners = new ConcurrentHashMap[String, ListenerHandle]()
     private val closed = new AtomicBoolean(false)
     private val cids = new java.security.SecureRandom()
