@@ -83,13 +83,18 @@ object HttpIngress {
 
     private[net] def handle(exchange: HttpExchange): Unit = {
       // bounded read: readAllBytes() on an unbounded stream lets one
-      // hostile client OOM the edge — cap, drain the tail, refuse with
-      // 413 (the request is NOT buffered; nothing was promised)
+      // hostile client OOM the edge — cap and refuse with 413 (the
+      // request is NOT buffered; nothing was promised)
       val in = exchange.getRequestBody
       val body = in.readNBytes(HttpIngress.MaxBodyBytes + 1)
       if (body.length > HttpIngress.MaxBodyBytes) {
+        // answer 413 and close WITHOUT draining the remainder: the
+        // server executor is serial, so politely reading out an
+        // unbounded (or merely huge) hostile body would stall every
+        // other request — closing sacrifices this client's keep-alive,
+        // which is the right trade against a peer that already violated
+        // the size contract
         try {
-          while (in.read(new Array[Byte](8192)) > 0) () // drain politely
           val resp = "payload too large".getBytes("UTF-8")
           exchange.sendResponseHeaders(413, resp.length.toLong)
           exchange.getResponseBody.write(resp)

@@ -64,6 +64,7 @@ object QuicLite {
     * flow control; a peer exceeding them has its connection failed. */
   private[net] var MaxPendingBytes = 16L * 1024 * 1024 // var: tests lower it
   private[net] var MaxStreamsPerConn = 4096 // var: tests lower it
+  private[net] var MaxStreamBytes = 64L * 1024 * 1024 // var: tests lower it
 
   final case class QuicError(message: String) extends RuntimeException(message)
 
@@ -153,27 +154,44 @@ object QuicLite {
         if (fin) finAt = offset + data.length
         // a frame below the contiguous prefix is a retransmitted dup —
         // frame boundaries are stable across retries, so skip whole
-        if (offset >= contiguousEnd) {
-          // flow-control posture (quinn/RFC 9000 parity in spirit): a
-          // hostile peer spraying frames at disjoint far offsets that
-          // never become contiguous would otherwise grow `pending`
-          // without bound — legit sustained loss windows are RTO-sized,
-          // far below this cap. Violation fails the CONNECTION.
+        if (offset >= contiguousEnd && !pending.containsKey(offset)) {
+          // flow-control posture (quinn/RFC 9000 parity in spirit).
+          // Order matters: the dup check above runs FIRST so a
+          // retransmitted already-pending frame (lost ACK) can never be
+          // double-counted into a spurious violation. Two bounds:
+          //  - MaxPendingBytes caps out-of-order frames that never
+          //    become contiguous (disjoint-offset spray) — legit loss
+          //    windows are RTO-sized, far below it;
+          //  - MaxStreamBytes caps the TOTAL stream size: the contiguous
+          //    prefix is held until consumed, so an in-order no-FIN
+          //    spray must also hit a wall (real MAX_STREAM_DATA bounds
+          //    total unconsumed data, not just out-of-order data).
+          // Violation fails the CONNECTION.
           if (pendingBytes + data.length > MaxPendingBytes) {
             conn.fail(s"stream $streamId: reassembly buffer exceeded " +
               s"($pendingBytes pending bytes) — flow-control violation")
             return false
           }
-          if (pending.putIfAbsent(offset, data) == null)
-            pendingBytes += data.length
+          if (offset + data.length > MaxStreamBytes) {
+            conn.fail(s"stream $streamId: stream size exceeds " +
+              s"$MaxStreamBytes bytes — flow-control violation")
+            return false
+          }
+          pending.put(offset, data)
+          pendingBytes += data.length
         }
-        // fold newly contiguous frames into the assembled prefix
+        // fold newly contiguous frames into the assembled prefix; an
+        // entry stranded BELOW the prefix (hostile overlap — legit
+        // retransmits have stable frame boundaries) is dropped whole so
+        // its bytes can't leak the pending budget or wedge the fold
         var e = pending.firstEntry()
-        while (e != null && e.getKey == contiguousEnd) {
-          assembled.write(e.getValue)
-          contiguousEnd += e.getValue.length
-          pendingBytes -= e.getValue.length
+        while (e != null && e.getKey <= contiguousEnd) {
           pending.remove(e.getKey)
+          pendingBytes -= e.getValue.length
+          if (e.getKey == contiguousEnd) {
+            assembled.write(e.getValue)
+            contiguousEnd += e.getValue.length
+          }
           e = pending.firstEntry()
         }
         notifyAll()
@@ -216,7 +234,9 @@ object QuicLite {
       // the failure can't grow the map either.
       if (!streams.containsKey(id) && streams.size() >= MaxStreamsPerConn) {
         fail(s"stream limit exceeded (${streams.size()}) — flow-control violation")
-        return new QuicStream(this, id)
+        val dead = new QuicStream(this, id)
+        dead.abort() // readers fail fast instead of waiting out a timeout
+        return dead
       }
       streams.computeIfAbsent(id, _ => new QuicStream(this, id))
     }
@@ -376,7 +396,7 @@ object QuicLite {
           transmit(b, conn.remote, -1L)
           val s = conn.stream(streamId)
           s.offer(offset, data, fin)
-          if (conn.isServerSide && s.markRouted()) {
+          if (conn.isServerSide && conn.isOpen && s.markRouted()) {
             // FIRST frame of a client-initiated stream routes it to the
             // domain's accept queue (markRouted is sticky, so dup frames
             // can't re-enqueue). Routing must not wait for FIN: a TLS

@@ -70,6 +70,50 @@ class QuicFloodSuite extends AnyFunSuite {
     }
   }
 
+  test("in-order no-FIN spray trips the total-stream-size cap") {
+    // the contiguous prefix is held until consumed, so a peer streaming
+    // in-order frames forever (never FINing) must hit the
+    // MAX_STREAM_DATA-style total bound, not grow `assembled` to OOM
+    val prevCap = QuicLite.MaxStreamBytes
+    QuicLite.MaxStreamBytes = 64 * 1024
+    val server = QuicLite.endpoint()
+    val client = QuicLite.endpoint()
+    val gun = DatagramChannel.open()
+    try {
+      server.bind("inorder.test")
+      val conn = client.connect("127.0.0.1", server.port, "inorder.test")
+      val target = new InetSocketAddress("127.0.0.1", server.port)
+      val serverConn = {
+        var c: QuicLite.Connection = null
+        val deadline = System.currentTimeMillis() + 2000
+        while (c == null && System.currentTimeMillis() < deadline) {
+          c = server.conns.get(conn.cid)
+          if (c == null) Thread.sleep(10)
+        }
+        assert(c != null, "server connection not established")
+        c
+      }
+      val chunk = new Array[Byte](1024)
+      var off = 0L
+      var pkt = 90000L
+      var i = 0
+      while (i < 2000 && serverConn.failure.isEmpty) {
+        gun.send(streamFrame(conn.cid, pkt, 0L, off, chunk), target)
+        off += chunk.length // perfectly contiguous, never FIN
+        pkt += 1; i += 1
+        if (i % 50 == 0) Thread.sleep(5)
+      }
+      val deadline = System.currentTimeMillis() + 3000
+      while (serverConn.failure.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(serverConn.failure.exists(_.contains("flow-control violation")),
+        s"connection not failed after $i in-order frames: ${serverConn.failure}")
+    } finally {
+      QuicLite.MaxStreamBytes = prevCap
+      gun.close(); server.close(); client.close()
+    }
+  }
+
   test("stream-id flood trips the per-connection stream cap") {
     val prevCap = QuicLite.MaxStreamsPerConn
     QuicLite.MaxStreamsPerConn = 64
