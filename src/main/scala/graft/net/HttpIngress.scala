@@ -22,6 +22,12 @@ import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
   * consume the channel downstream. Built on the JDK's HttpServer — no
   * external dependency; a QUIC driver would slot into the same
   * record-flow seam.
+  *
+  * Production note: the serial executor preserves arrival order but makes
+  * request-TIME the edge's scarce resource — deploy with the JDK's
+  * `sun.net.httpserver.maxReqTime`/`maxRspTime` set (they default to
+  * unlimited) or behind a proxy that enforces client timeouts, or a
+  * stalling client (slowloris) parks the edge on a blocking read.
   */
 object HttpIngress {
 
@@ -91,9 +97,15 @@ object HttpIngress {
         // answer 413 and close WITHOUT draining the remainder: the
         // server executor is serial, so politely reading out an
         // unbounded (or merely huge) hostile body would stall every
-        // other request — closing sacrifices this client's keep-alive,
-        // which is the right trade against a peer that already violated
-        // the size contract
+        // other request. Two accepted consequences, both in the
+        // oversized client's own failure domain: (a) its keep-alive is
+        // sacrificed, and (b) if its unsent remainder exceeds the JDK's
+        // small close-drain window, the connection RSTs and the client
+        // may observe a reset instead of the 413. Residual exposure: a
+        // client that STALLS mid-body blocks the serial executor at the
+        // read itself (slowloris) — that needs a request-time limit
+        // (JDK sun.net.httpserver.maxReqTime at launch, or a fronting
+        // proxy), not more code here; see the class scaladoc.
         try {
           val resp = "payload too large".getBytes("UTF-8")
           exchange.sendResponseHeaders(413, resp.length.toLong)

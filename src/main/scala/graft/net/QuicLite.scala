@@ -58,10 +58,15 @@ object QuicLite {
   private val RtoMillis = 100L
   private val MaxRetries = 12
 
-  /** Per-stream cap on out-of-order (not-yet-contiguous) reassembly
-    * bytes, and per-connection cap on concurrently open streams — the
-    * memory bounds real QUIC gets from MAX_STREAM_DATA / MAX_STREAMS
-    * flow control; a peer exceeding them has its connection failed. */
+  /** Flow-control bounds — the memory limits real QUIC gets from
+    * MAX_STREAM_DATA / MAX_STREAMS; a peer exceeding them has its
+    * connection failed. Three knobs: MaxPendingBytes caps out-of-order
+    * (not-yet-contiguous) reassembly bytes per stream; MaxStreamsPerConn
+    * caps concurrently open streams per connection; MaxStreamBytes caps
+    * RETAINED (unconsumed) bytes per stream — an un-FINned in-order
+    * spray hits it, while a promptly consumed long-lived stream (the TLS
+    * layer's readSome path trims as it goes) can move unlimited total
+    * bytes. */
   private[net] var MaxPendingBytes = 16L * 1024 * 1024 // var: tests lower it
   private[net] var MaxStreamsPerConn = 4096 // var: tests lower it
   private[net] var MaxStreamBytes = 64L * 1024 * 1024 // var: tests lower it
@@ -80,6 +85,7 @@ object QuicLite {
     private val pending = new java.util.TreeMap[Long, Array[Byte]]()
     private var pendingBytes = 0L
     private val assembled = new java.io.ByteArrayOutputStream()
+    private var assembledBase = 0L // stream offset of assembled's byte 0
     private var contiguousEnd = 0L
     private var consumed = 0L // readSome's cursor into `assembled`
     private val routedFlag = new AtomicBoolean(false)
@@ -136,8 +142,16 @@ object QuicLite {
         wait(waitMs)
       }
       val all = assembled.toByteArray
-      val out = java.util.Arrays.copyOfRange(all, consumed.toInt, all.length)
-      consumed = all.length.toLong
+      val out = java.util.Arrays.copyOfRange(all,
+        (consumed - assembledBase).toInt, all.length)
+      consumed = assembledBase + all.length
+      // trim: the consumed prefix is never re-read (readAll must not be
+      // mixed with readSome — documented above), so dropping it keeps
+      // retained memory AND the flow-control budget proportional to
+      // UNCONSUMED data — a long-lived promptly-consumed stream (TLS)
+      // can move unlimited total bytes
+      assembled.reset()
+      assembledBase = consumed
       out
     }
 
@@ -172,9 +186,13 @@ object QuicLite {
               s"($pendingBytes pending bytes) — flow-control violation")
             return false
           }
-          if (offset + data.length > MaxStreamBytes) {
-            conn.fail(s"stream $streamId: stream size exceeds " +
-              s"$MaxStreamBytes bytes — flow-control violation")
+          // subtraction form: offset near Long.MaxValue must trip the
+          // bound, not overflow past it; the budget is RETAINED bytes
+          // (beyond the consumed-and-trimmed prefix), so promptly
+          // consumed long-lived streams are unaffected
+          if (offset - assembledBase > MaxStreamBytes - data.length) {
+            conn.fail(s"stream $streamId: retained stream bytes exceed " +
+              s"$MaxStreamBytes — flow-control violation")
             return false
           }
           pending.put(offset, data)
