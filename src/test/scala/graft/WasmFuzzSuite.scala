@@ -14,8 +14,11 @@ import graft.udf.wasm.WasmModule
   */
 class WasmFuzzSuite extends AnyFunSuite {
 
+  // -Dgraft.fuzz.scale=N multiplies case counts for one-off soaks
+  private val fuzzScale = java.lang.Integer.getInteger("graft.fuzz.scale", 1)
   private def check(p: Prop, n: Int): Unit = {
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n * fuzzScale), p)
     assert(res.passed, res.status.toString)
   }
 
