@@ -359,6 +359,96 @@ object Relational {
         .orderBy($("c_custkey"))
     },
 
+    // ---- Doubly-correlated EXISTS / NOT EXISTS over a self-joined fact
+    // table (TPC-H Q21 shape, re-keyed to this schema's columns): for
+    // 'F' orders, a supplier "waited alone" when it shipped a line > 60
+    // days after the order date, the order had other suppliers, and no
+    // OTHER supplier was late on it. Both correlations decorrelate into
+    // fact-fact self-joins on l_orderkey: late⋈semi(lineitem) then
+    // ⋈anti(late). Scale shape: all three legs hash on the SAME key
+    // (l_orderkey), so the probe-side exchanges line up, and the two
+    // `late` occurrences are identical subtrees → Catalyst's
+    // ReuseExchange serves the anti leg from the semi leg's shuffle
+    // files instead of rescanning lineitem⋈orders. The non-equi
+    // suppkey<>suppkey conjunct stays a cheap residual on the hash
+    // match. Supplier dim broadcasts.
+    Q("q21_late_suppliers",
+      """WITH late AS (
+        |  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM late l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val ordersF = Tables.orders(s, d).filter($("o_orderstatus") === "F")
+        .select($("o_orderkey"), $("o_orderdate"))
+      val late = li.select($("l_orderkey"), $("l_suppkey"), $("l_shipdate"))
+        .join(ordersF, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select($("l_orderkey"), $("l_suppkey"))
+        .distinct()
+      val others = li.select(col("l_orderkey").as("o2_orderkey"),
+        col("l_suppkey").as("o2_suppkey"))
+      val lateOthers = late.select(col("l_orderkey").as("o3_orderkey"),
+        col("l_suppkey").as("o3_suppkey"))
+      late
+        .join(others, col("l_orderkey") === col("o2_orderkey") &&
+          col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
+        .join(lateOthers, col("l_orderkey") === col("o3_orderkey") &&
+          col("l_suppkey") =!= col("o3_suppkey"), "left_anti")
+        .join(broadcast(Tables.supplier(s, d).select($("s_suppkey"), $("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy($("s_name")).agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, $("s_name"))
+        .limit(20)
+    },
+
+    // ---- Correlated scalar subquery against the fact table ITSELF
+    // (TPC-H Q17 shape): lines whose quantity is below 20% of their
+    // part's average quantity. Decorrelates into a per-partkey aggregate
+    // joined back to the detail rows — no window, no per-part subquery
+    // execution. The aggregate side is map-side-combined BEFORE its
+    // exchange, so its shuffle carries one row per (partition, partkey),
+    // a rounding error next to the detail shuffle; at test scale AQE
+    // then broadcasts the finished thresh relation onto the detail scan
+    // (zero detail shuffles), and at 100 TB it degrades to the
+    // co-partitioned join on l_partkey both sides already hash to.
+    // The threshold (0.2 × avg of integral doubles) is exact in IEEE
+    // arithmetic in any summation order, so the < comparison is
+    // engine-stable. Part dim broadcasts for the final brand rollup.
+    Q("q17_small_quantity",
+      """WITH a AS (SELECT l_partkey, 0.2 * avg(l_quantity) AS thresh
+        |           FROM lineitem GROUP BY l_partkey)
+        |SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_rev,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem l JOIN a ON l.l_partkey = a.l_partkey
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_quantity < a.thresh
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select($("l_partkey"), $("l_quantity"), $("l_extendedprice"))
+      val thresh = li.groupBy($("l_partkey"))
+        .agg((lit(0.2) * avg($("l_quantity"))).as("thresh"))
+        .select(col("l_partkey").as("t_partkey"), col("thresh"))
+      li.join(thresh, col("l_partkey") === col("t_partkey"))
+        .filter($("l_quantity") < col("thresh"))
+        .join(broadcast(Tables.part(s, d).select($("p_partkey"), $("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy($("p_brand"))
+        .agg(Tables.exactSum(col("l_extendedprice")).as("small_rev"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($("p_brand"))
+    },
+
     // ---- Outer join with null-group handling: every customer, including
     // the order-less, with order stats.
     Q("q_outer_join",

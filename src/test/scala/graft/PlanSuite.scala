@@ -94,6 +94,34 @@ class PlanSuite extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q21: decorrelated self-joins reuse the late-lines exchange") {
+    // the EXISTS and NOT-EXISTS legs both hash the same `late` subtree on
+    // l_orderkey — the anti leg must be served from the semi leg's shuffle
+    // (ReusedExchange), not a second lineitem⋈orders scan
+    val df = SparkEntry.queries("q21_late_suppliers")(spark, sf)
+    df.collect() // AQE finalizes reuse in the executed plan
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage") ||
+      plan.contains("TableCacheQueryStage"),
+      s"late subtree scanned twice (no exchange reuse):\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q17: decorrelated threshold is a combined aggregate, never a window") {
+    val df = SparkEntry.queries("q17_small_quantity")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    // the scalar subquery must decorrelate into a map-side-combined
+    // aggregate (partial_avg before the exchange) joined back — not a
+    // per-part window sort, and never a cartesian
+    assert(plan.contains("partial_avg") || plan.contains("partial_average"),
+      s"threshold agg not map-side combined:\n${plan.take(3000)}")
+    assert(!plan.contains("WindowExec") && !plan.contains("Window "),
+      "threshold computed via window sort")
+    assert(plan.contains("BroadcastHashJoin"), "part dim not broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("scan-only queries stay inside WholeStageCodegen") {
     // AQE only materializes codegen stages in the FINAL plan — execute
     // first, then inspect
