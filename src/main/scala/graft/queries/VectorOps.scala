@@ -411,6 +411,81 @@ object VectorOps {
         .select(col("vec_id"), col("m.pl").as("pred_label"),
           (-col("m.nv")).as("n_votes"))
         .orderBy(col("vec_id"))
+    },
+
+    // ---- ONLINE top-k retrieval serving: query vectors arrive as a
+    // STREAM (4 micro-batches) and each trigger's batch is answered
+    // against the static corpus — the retrieval-service shape (RAG /
+    // nearest-neighbor lookup at inference time), complementing the
+    // batch kNN join above. Per trigger: the arriving query batch
+    // BROADCASTS (it is the tiny side by construction — a serving batch
+    // is requests, the corpus is the index) onto the cached corpus
+    // relation, exact cosine scores flow into the bounded-heap
+    // `TopKPerKey` (no sort, no window), and the per-query top-3 appends
+    // to the result sink. Each query id occurs in exactly one batch, so
+    // per-batch top-k IS the global per-query top-k, which is what lets
+    // the batch kNN oracle hash-check the streamed serving path
+    // bit-for-bit. At 100 TB the per-trigger corpus pass is the exact
+    // brute-force baseline; the IVF/LSH/PQ indexes above bound the
+    // candidate set for the same serving loop (approximate, so they
+    // carry recall verdicts instead of this query's exact oracle), and
+    // the corpus cache stands in for the served index. foreachBatch is
+    // the production sink seam: results append to a parquet dir here
+    // (bounded: 3 rows per query), a real deployment answers RPCs.
+    Q("q_stream_knn",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS src, b.vec_id AS nbr,
+        |        round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        |      FROM e a JOIN e b ON b.vec_id <> a.vec_id
+        |      WHERE a.vec_id < 50)
+        |SELECT src, nbr, sim FROM (
+        |  SELECT src, nbr, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, nbr) AS rn
+        |  FROM p) WHERE rn <= 3
+        |ORDER BY src, sim DESC, nbr""".stripMargin) { (s, d) =>
+      Tables.ensureConf(s)
+      val e = embedRel(s, d)
+      val corpus = e.select(col("vec_id").as("nbr"), col("v").as("vb")).persist()
+      try {
+        corpus.count() // materialize once: every trigger scans the cache
+        val probes = e.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("src"), col("v").as("va"))
+        Staging.withStagedInput(probes, "src", nFiles = 4,
+          prefix = "graft_stream_knn") { in =>
+          val tmpOut = java.nio.file.Files
+            .createTempDirectory("graft_stream_knn_out")
+          try {
+            val outDir = s"$tmpOut/topk"
+            val schema = s.read.parquet(in).schema
+            val q = s.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(in)
+              .writeStream.outputMode("append")
+              .foreachBatch { (batch: DataFrame, _: Long) =>
+                val scored = broadcast(batch).crossJoin(corpus)
+                  .filter(col("nbr") =!= col("src"))
+                  .select(col("src"), col("nbr"),
+                    round(VectorFunctions.cosine(col("va"), col("vb")), 6)
+                      .as("sim"))
+                graft.plans.TopKPerKey(scored, Seq("src"),
+                    Seq(col("sim").desc, col("nbr").asc), k = 3)
+                  .select(col("src"), col("nbr"), col("sim"))
+                  .write.mode("append").parquet(outDir)
+                () // Unit sink contract
+              }
+              .start()
+            try q.processAllAvailable() finally q.stop()
+            val res = s.read.parquet(outDir)
+              .orderBy(col("src"), col("sim").desc, col("nbr"))
+            s.createDataFrame(res.collectAsList(), res.schema)
+          } finally {
+            import scala.jdk.CollectionConverters._
+            val walk = java.nio.file.Files.walk(tmpOut)
+            try walk.iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+            finally walk.close()
+          }
+        }
+      } finally corpus.unpersist()
     }
   )
 
