@@ -386,6 +386,98 @@ object Streamish {
         .orderBy(col("user_id"))
     },
 
+    // ---- STREAMING session windows: the stateful twin of the batch
+    // q_session_window above. Events replay in event-time order (4
+    // range-staged micro-batches), and `session_window` merges each
+    // user's events into gap-bounded sessions ACROSS batches in the
+    // state store — a session left open at a batch boundary extends when
+    // the user's next batch-k+1 event lands within the 1-hour gap, and
+    // finalizes (append-mode emission) only once the watermark passes
+    // its end. Two sentinel files with event times beyond every real
+    // session drive the watermark past all state deterministically
+    // (emission lags the watermark by one batch — the first sentinel
+    // advances it over every real session end, the second triggers the
+    // batch that emits them — so the drain never races a no-data
+    // micro-batch); sentinel rows themselves stay unemitted in state and
+    // are filtered by user_id. At 100 TB this is the production session
+    // posture: state per (user, open session) only, evicted as the
+    // watermark moves — the batch twin's window-sort over all history is
+    // exactly what this avoids. Oracle = the same gaps-and-islands SQL
+    // as the batch form, so streamed session assembly is hash-checked
+    // bit-for-bit.
+    Q("q_stream_sessions",
+      """SELECT user_id,
+        |  CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM (
+        |    SELECT user_id, event_id, ts,
+        |      CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1, epoch_us(ts))
+        |             OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |             >= 3600000000
+        |           THEN 1 ELSE 0 END AS new_session
+        |    FROM events))
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      Tables.ensureConf(s)
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+      val maxTs = ev.agg(max(col("ts"))).head.getLong(0) // watermark sentinel base
+      val hourNs = 3600L * 1000000000L
+      val sink = s"graft_stream_sessions_${streamRun.incrementAndGet()}"
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sessions")
+      try {
+        val in = s"$tmp/in"
+        // event-time-ordered replay: range staging on (ts, event_id) means
+        // batch k+1 never carries an event time below batch k's max, so a
+        // 0-second watermark drops nothing
+        ev.repartitionByRange(4, col("ts"), col("event_id")).write.parquet(in)
+        def writeFlush(name: String, ts: Long): Unit = {
+          val fl = s"$tmp/$name"
+          s.range(1).select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+            lit(ts).as("ts")).coalesce(1).write.parquet(fl)
+          val part = new java.io.File(fl).listFiles()
+            .filter(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).head
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(in, s"part-zz-$name.parquet"))
+        }
+        writeFlush("flush1", maxTs + 2 * hourNs)
+        writeFlush("flush2", maxTs + 48 * hourNs)
+        // pin arrival order via distinct mod-times (the file source orders
+        // by mod-time; same-millisecond writes would tie-break on path)
+        new java.io.File(in).listFiles()
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .zipWithIndex.foreach { case (f, i) => f.setLastModified(1000L * (i + 1)) }
+        val schema = s.read.parquet(in).schema
+        Staging.runAndDrain(s, sink) {
+          val sessions = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(in)
+            .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+            .withWatermark("ets", "0 seconds")
+            .groupBy(session_window(col("ets"), "1 hour").as("sw"), col("user_id"))
+            .agg(count(lit(1)).as("cnt"))
+            .select(col("user_id"), col("cnt"))
+          val q = sizedStart(s, 8)(sessions.writeStream.outputMode("append")
+            .format("memory").queryName(sink).start())
+          try q.processAllAvailable() finally q.stop()
+        } {
+          _.filter(col("user_id") >= 0)
+            .groupBy(col("user_id"))
+            .agg(count(lit(1)).as("n_sessions"), sum(col("cnt")).as("n_events"))
+            .orderBy(col("user_id"))
+        }
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(tmp)
+        try walk.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    },
+
     // ---- Sliding event-time windows (2-day windows, 1-day slide): each
     // event lands in two overlapping windows. The oracle materializes the
     // two candidate window starts per event explicitly.
