@@ -46,6 +46,45 @@ private[queries] object Staging {
     try start finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Stage `df` as an event-time-ordered replay: `nFiles` range-partitioned
+    * parquet files on `rangeCols` (batch k+1 never carries a key below
+    * batch k's max — with time-leading range cols, a 0-second watermark
+    * drops nothing), followed by the single-partition `flushes` frames as
+    * trailing sentinel files (watermark drivers — append-mode emission
+    * lags the watermark by one batch, so a final sentinel triggers the
+    * batch that emits everything the previous one unlocked). Arrival
+    * order is pinned with distinct mod-times (the file source orders by
+    * mod-time; same-millisecond writes would tie-break on path). The tree
+    * is deleted on the way out, success or failure. */
+  def withOrderedReplay[T](df: DataFrame, rangeCols: Seq[org.apache.spark.sql.Column],
+                           nFiles: Int, prefix: String, flushes: Seq[DataFrame])
+                          (body: String => T): T = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix)
+    try {
+      val in = s"$tmp/in"
+      df.repartitionByRange(nFiles, rangeCols: _*).write.parquet(in)
+      flushes.zipWithIndex.foreach { case (fl, i) =>
+        val dir = s"$tmp/flush$i"
+        fl.coalesce(1).write.parquet(dir)
+        val part = new java.io.File(dir).listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(in, f"part-zz-flush$i%02d.parquet"))
+      }
+      new java.io.File(in).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (f, i) => f.setLastModified(1000L * (i + 1)) }
+      body(in)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(tmp)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   /** Run `run` (which starts and finishes a memory-sink streaming query
     * named `sink`), then copy the (bounded) sink out through `shape` into
     * a LOCAL relation. The sink view is dropped in a finally that covers

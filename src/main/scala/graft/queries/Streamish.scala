@@ -426,31 +426,15 @@ object Streamish {
       val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
       val maxTs = ev.agg(max(col("ts"))).head.getLong(0) // watermark sentinel base
       val hourNs = 3600L * 1000000000L
+      def flush(ts: Long) = s.range(1).select(lit(-1L).as("event_id"),
+        lit(-1L).as("user_id"), lit(ts).as("ts"))
       val sink = s"graft_stream_sessions_${streamRun.incrementAndGet()}"
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sessions")
-      try {
-        val in = s"$tmp/in"
-        // event-time-ordered replay: range staging on (ts, event_id) means
-        // batch k+1 never carries an event time below batch k's max, so a
-        // 0-second watermark drops nothing
-        ev.repartitionByRange(4, col("ts"), col("event_id")).write.parquet(in)
-        def writeFlush(name: String, ts: Long): Unit = {
-          val fl = s"$tmp/$name"
-          s.range(1).select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
-            lit(ts).as("ts")).coalesce(1).write.parquet(fl)
-          val part = new java.io.File(fl).listFiles()
-            .filter(f => f.getName.startsWith("part-") &&
-              f.getName.endsWith(".parquet")).head
-          java.nio.file.Files.move(part.toPath,
-            java.nio.file.Paths.get(in, s"part-zz-$name.parquet"))
-        }
-        writeFlush("flush1", maxTs + 2 * hourNs)
-        writeFlush("flush2", maxTs + 48 * hourNs)
-        // pin arrival order via distinct mod-times (the file source orders
-        // by mod-time; same-millisecond writes would tie-break on path)
-        new java.io.File(in).listFiles()
-          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-          .zipWithIndex.foreach { case (f, i) => f.setLastModified(1000L * (i + 1)) }
+      // event-time-ordered replay on (ts, event_id): a 0-second watermark
+      // drops nothing; two sentinels drive the watermark past every real
+      // session and trigger the emitting batch
+      Staging.withOrderedReplay(ev, Seq(col("ts"), col("event_id")), 4,
+        "graft_stream_sessions",
+        Seq(flush(maxTs + 2 * hourNs), flush(maxTs + 48 * hourNs))) { in =>
         val schema = s.read.parquet(in).schema
         Staging.runAndDrain(s, sink) {
           val sessions = s.readStream.schema(schema)
@@ -469,12 +453,6 @@ object Streamish {
             .agg(count(lit(1)).as("n_sessions"), sum(col("cnt")).as("n_events"))
             .orderBy(col("user_id"))
         }
-      } finally {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(tmp)
-        try walk.iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-        finally walk.close()
       }
     },
 
@@ -561,6 +539,70 @@ object Streamish {
       s.table(sink)
         .select(col("p_id"), col("c_id"), col("p_user").as("user_id"))
         .orderBy(col("p_id"), col("c_id"))
+    },
+
+    // ---- Watermarked stream-stream LEFT OUTER interval join: every
+    // purchase emits — matched rows as the inner join above, UNMATCHED
+    // purchases as a null-extended row once the click-side watermark
+    // passes their interval (state eviction IS the emission trigger, a
+    // different state machine from the inner join's match-only path, and
+    // the production shape for "every request, correlated or not" feeds).
+    // The replay is event-time-ordered (4 range-staged batches), so
+    // matches are never lost to late drops, and because clicks precede
+    // their purchase in event time a matching click is always already in
+    // state when its purchase arrives. The two sentinel files carry one
+    // row PER SIDE (each side computes its own watermark from its
+    // filtered leg; the global watermark is their min, so both legs must
+    // see sentinel event times) with user_id -1, filtered from the drain.
+    // Unmatched c_id is emitted as -1, not NULL: the comparator sorts
+    // rows, and NULL ordering differs between engines. Oracle = the
+    // batch left theta-join.
+    Q("q_stream_left_join",
+      """SELECT p.event_id AS p_id, coalesce(c.event_id, -1) AS c_id, p.user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        |  AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000
+        |                         AND epoch_us(p.ts)
+        |ORDER BY p_id, c_id""".stripMargin) { (s, d) =>
+      Tables.ensureConf(s)
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      val maxTs = ev.agg(max(col("ts"))).head.getLong(0)
+      val hourNs = 3600L * 1000000000L
+      def flush(ts: Long) = s.createDataFrame(java.util.Arrays.asList(
+          org.apache.spark.sql.Row(-1L, -1L, "purchase", ts),
+          org.apache.spark.sql.Row(-2L, -1L, "click", ts)),
+        ev.schema)
+      val sink = s"graft_stream_ljoin_${streamRun.incrementAndGet()}"
+      Staging.withOrderedReplay(ev, Seq(col("ts"), col("event_id")), 4,
+        "graft_stream_ljoin",
+        Seq(flush(maxTs + 3 * hourNs), flush(maxTs + 48 * hourNs))) { in =>
+        val schema = s.read.parquet(in).schema
+        Staging.runAndDrain(s, sink) {
+          val src = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(in)
+          def side(tpe: String, prefix: String) =
+            src.filter(col("event_type") === tpe)
+              .select(col("event_id").as(s"${prefix}_id"),
+                col("user_id").as(s"${prefix}_user"),
+                expr("timestamp_micros(ts div 1000)").as(s"${prefix}_ts"))
+              .withWatermark(s"${prefix}_ts", "1 hour")
+          val joined = side("purchase", "p").join(side("click", "c"),
+            col("p_user") === col("c_user") &&
+              col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+              col("c_ts") <= col("p_ts"),
+            "left_outer")
+          val q = sizedStart(s, 8)(joined.writeStream.outputMode("append")
+            .format("memory").queryName(sink).start())
+          try q.processAllAvailable() finally q.stop()
+        } {
+          _.filter(col("p_user") >= 0)
+            .select(col("p_id"), coalesce(col("c_id"), lit(-1L)).as("c_id"),
+              col("p_user").as("user_id"))
+            .orderBy(col("p_id"), col("c_id"))
+        }
+      }
     },
 
     // ---- A4 as a REAL stateful streaming run: ConfigFold
