@@ -724,6 +724,88 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // ---- Per-document curation SCORECARD: the audit artifact a training
+    // pipeline publishes alongside the dataset — one row per document with
+    // every gate's verdict attributed (quality, repetition, dedup-keeper,
+    // benchmark contamination, split) plus the composed keep decision,
+    // instead of q_curation_pipeline's survivors-only output. Dropping a
+    // doc without a recorded reason is how curation bugs hide; this is the
+    // row that makes the pipeline auditable. Scale shape: quality and
+    // repetition are codegen'd per-row expressions on the scan; the keeper
+    // flag is the one corpus shuffle (fp → min(doc_id), map-side
+    // combinable, joined back); contamination reuses the decontamination
+    // leg (tiny benchmark side broadcast; the bloom-pruned variant slots
+    // in at 100 TB exactly as in q_decontaminate_bloom). All flags int,
+    // no NULLs in the output (left-join misses coalesce to 0).
+    Q("q_curation_scorecard",
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    string_split(text, ' ') AS t,
+        |    substring(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), 1, 16) AS fp
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) BETWEEN 20 AND 1000
+        |          AND len(list_filter(t,
+        |              x -> x IN ('the','a','an','of','to','and','in','is'))) > 0
+        |          AND CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(t)
+        |              BETWEEN 2.0 AND 12.0
+        |     THEN 1 ELSE 0 END AS q_ok,
+        |    CASE WHEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t) < 0.3
+        |         THEN 1 ELSE 0 END AS repetitive
+        |  FROM base),
+        |kp AS (SELECT fp, MIN(doc_id) AS keep_id FROM base GROUP BY fp),
+        |sh AS (SELECT DISTINCT doc_id, split, array_to_string(t[i:i+12], ' ') AS s
+        |       FROM base, unnest(range(1, len(t) - 11)) AS u(i) WHERE len(t) >= 13),
+        |te AS (SELECT DISTINCT s FROM sh WHERE split = 'test'),
+        |cont AS (SELECT DISTINCT sh.doc_id FROM sh JOIN te USING (s)
+        |         WHERE sh.split = 'train')
+        |SELECT b.doc_id, b.split, q.q_ok, q.repetitive,
+        |  CASE WHEN kp.keep_id IS NOT NULL THEN 1 ELSE 0 END AS keeper,
+        |  CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS contaminated,
+        |  CASE WHEN q.q_ok = 1 AND q.repetitive = 0 AND kp.keep_id IS NOT NULL
+        |        AND c.doc_id IS NULL AND b.split = 'train' THEN 1 ELSE 0 END AS keep
+        |FROM base b JOIN q USING (doc_id)
+        |LEFT JOIN kp ON b.doc_id = kp.keep_id
+        |LEFT JOIN cont c ON b.doc_id = c.doc_id
+        |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+      val toks = TextFunctions.tokens(col("text"))
+      val base = Tables.documents(s, d).select(
+        col("doc_id"), col("text"), splitTag.as("split"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+      val flagged = base.select(
+        col("doc_id"), col("split"), col("fp"),
+        when(TextFunctions.qualityScore(col("text")) === 1.0, 1).otherwise(0)
+          .as("q_ok"),
+        when(size(array_distinct(toks)).cast("double") / size(toks) < 0.3, 1)
+          .otherwise(0).as("repetitive"))
+      val keepers = flagged.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), lit(1).as("k_flag"))
+      val te = base.filter(col("split") === "test")
+        .select(explode(TextFunctions.shingleHashes(col("text"), 13)).as("s"))
+        .distinct()
+      val cont = base.filter(col("split") === "train")
+        .select(col("doc_id"),
+          explode(TextFunctions.shingleHashes(col("text"), 13)).as("s"))
+        .join(broadcast(te), "s")
+        .select(col("doc_id")).distinct()
+        .select(col("doc_id"), lit(1).as("c_flag"))
+      flagged
+        .join(keepers, Seq("doc_id"), "left")
+        .join(cont, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("split"), col("q_ok"), col("repetitive"),
+          coalesce(col("k_flag"), lit(0)).as("keeper"),
+          coalesce(col("c_flag"), lit(0)).as("contaminated"),
+          when(col("q_ok") === 1 && col("repetitive") === 0 &&
+            col("k_flag").isNotNull && col("c_flag").isNull &&
+            col("split") === "train", 1).otherwise(0).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- Content fingerprint (whitespace-insensitive dedup key; same idea
     // as the reference's BLAKE3-16 content ids,
     // system/userland/macros/src/schema.rs:44-50, with a public hash).
