@@ -487,6 +487,37 @@ object Relational {
         .orderBy(col("rf"), col("ls"))
     },
 
+    // ---- Explicit GROUPING SETS with grouping() disambiguation: an
+    // ASYMMETRIC set list ((rf,ls), (ls), ()) that neither ROLLUP nor
+    // CUBE can express, plus the grouping() flags that distinguish a
+    // subtotal NULL from a genuine NULL in the data — the part of the
+    // grouping-sets surface q_cube/q_rollup don't exercise. One expanded
+    // aggregate (each input row replicated once per matching set,
+    // map-side combined) — no per-set re-scan.
+    Q("q_grouping_sets",
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY g_rf, g_ls, rf, ls""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq($("l_returnflag"), $("l_linestatus")), Seq($("l_linestatus")), Seq()),
+          $("l_returnflag"), $("l_linestatus"))
+        .agg(grouping($("l_returnflag")).cast("int").as("g_rf"),
+          grouping($("l_linestatus")).cast("int").as("g_ls"),
+          count(lit(1)).as("n"), Tables.exactSum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce($("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce($("l_linestatus"), lit("ALL")).as("ls"),
+          col("g_rf"), col("g_ls"), col("n"), col("sum_qty"))
+        .orderBy(col("g_rf"), col("g_ls"), col("rf"), col("ls"))
+    },
+
     // ---- Set operation: EXCEPT (distinct semantics on both engines).
     Q("q_except_setop",
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
