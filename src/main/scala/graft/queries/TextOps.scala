@@ -806,6 +806,48 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // ---- Partitioned dataset PUBLISH: the last step of the pipeline —
+    // write the corpus as lang-partitioned parquet (the layout downstream
+    // trainers actually consume: partition pruning on lang/source is what
+    // makes "give me the German slice of 100 TB" a directory listing, not
+    // a scan), then read it BACK and aggregate. The oracle aggregates the
+    // source table directly, so the round trip proves the partition
+    // column survives the directory-encode/decode (values become path
+    // segments and are re-inferred on read) and that no rows are lost or
+    // duplicated by the writer. Scale posture: repartition on the
+    // partition column BEFORE partitionBy — otherwise every task writes a
+    // file into every partition directory and the layout degenerates into
+    // the small-files problem; one task per partition value writes one
+    // file each here (at 100 TB: hash-repartition on (lang, file-bucket)
+    // to bound file size while keeping file counts sane).
+    Q("q_publish_partitioned",
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"), col("source"),
+        TextFunctions.tokenCount(col("text")).as("n_tok"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_publish")
+      try {
+        val out = s"$tmp/corpus"
+        docs.repartition(col("lang"))
+          .write.partitionBy("lang").mode("overwrite").parquet(out)
+        val res = s.read.parquet(out)
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"))
+          .orderBy(col("lang"), col("source"))
+        // local copy: the published tree is deleted on the way out, so the
+        // result must not keep a lineage onto it (bounded: langs × sources)
+        s.createDataFrame(res.collectAsList(), res.schema)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(tmp)
+        try walk.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    },
+
     // ---- Content fingerprint (whitespace-insensitive dedup key; same idea
     // as the reference's BLAKE3-16 content ids,
     // system/userland/macros/src/schema.rs:44-50, with a public hash).
