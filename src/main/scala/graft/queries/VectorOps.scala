@@ -486,6 +486,97 @@ object VectorOps {
           }
         }
       } finally corpus.unpersist()
+    },
+
+    // ---- INDEX-SERVED streaming ANN: the scale path of q_stream_knn.
+    // The IVF index is built ONCE before the stream starts (same
+    // centroids as q_ann_ivf via [[ivfCentroids]]; postings = every
+    // corpus vector unit-normed under its home cell, cached). Query
+    // vectors then arrive in 4 micro-batches and each trigger touches
+    // ONLY its candidate cells: the tiny probe batch broadcasts with its
+    // 6 nearest cells exploded, equi-joins the postings on cell id, and
+    // the bounded-heap min(struct) keeps the best neighbor per query —
+    // per-trigger work is O(batch × cellSize × nprobe), not a corpus
+    // scan, which is what lets a serving loop answer against 100 TB.
+    // Approximate ⇒ the oracle is a recall VERDICT (floor 0.6, the same
+    // contract as q_ann_ivf): counts are exact SQL-predictable and the
+    // boolean flips if the index, probe assignment, or per-batch join
+    // regresses. Exactness of the serving loop itself is covered by
+    // q_stream_knn's bit-for-bit oracle on the brute-force path.
+    Q("q_stream_ann",
+      """SELECT CAST(LEAST(COUNT(*), 100) AS BIGINT) AS n_queries,
+        |  CAST(LEAST(COUNT(*), 100) AS BIGINT) AS n_answered,
+        |  true AS recall_ok
+        |FROM embeddings""".stripMargin) { (s, d) =>
+      Tables.ensureConf(s)
+      val e = embedRel(s, d).cache()
+      try {
+        val centroids = ivfCentroids(e)
+        val postings = e.select(
+            element_at(graft.functions.VectorExpressions.nearestCells(
+              col("v"), centroids, 1), 1).as("cell"),
+            col("vec_id").as("nbr"), unitNorm(col("v")).as("vbn"))
+          .cache()
+        postings.count() // materialize the index before serving starts
+        try {
+          val probes = e.filter(col("vec_id") < 100)
+            .select(col("vec_id").as("src"), col("v").as("va"))
+          val served = Staging.withStagedInput(probes, "src", nFiles = 4,
+            prefix = "graft_stream_ann") { in =>
+            val tmpOut = java.nio.file.Files.createTempDirectory("graft_stream_ann_out")
+            try {
+              val outDir = s"$tmpOut/ann"
+              val schema = s.read.parquet(in).schema
+              val q = s.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(in)
+                .writeStream.outputMode("append")
+                .foreachBatch { (batch: DataFrame, _: Long) =>
+                  val probed = batch.withColumn("probe_cells",
+                      graft.functions.VectorExpressions.nearestCells(
+                        col("va"), centroids, 6))
+                    .withColumn("van", unitNorm(col("va")))
+                  broadcast(probed)
+                    .select(col("src"), col("van"),
+                      explode(col("probe_cells")).as("cell"))
+                    .join(postings, Seq("cell"))
+                    .filter(col("src") =!= col("nbr"))
+                    .select(col("src"), col("nbr"),
+                      VectorFunctions.dot(col("van"), col("vbn")).as("sim"))
+                    .groupBy(col("src"))
+                    .agg(min(struct((-col("sim")).as("ns"), col("nbr").as("nb"))).as("m"))
+                    .select(col("src"), col("m.nb").as("nbr"),
+                      round(-col("m.ns"), 6).as("sim"))
+                    .write.mode("append").parquet(outDir)
+                  ()
+                }
+                .start()
+              try q.processAllAvailable() finally q.stop()
+              val res = s.read.parquet(outDir)
+              s.createDataFrame(res.collectAsList(), res.schema)
+            } finally {
+              import scala.jdk.CollectionConverters._
+              val walk = java.nio.file.Files.walk(tmpOut)
+              try walk.iterator().asScala.toSeq.reverse
+                .foreach(java.nio.file.Files.deleteIfExists(_))
+              finally walk.close()
+            }
+          }
+          // recall verdict against the exact best similarity per query
+          // (one broadcast linear pass — O(probes·n), never O(n²))
+          val exact1 = broadcast(probes.withColumn("van", unitNorm(col("va"))))
+            .crossJoin(e.select(col("vec_id").as("nbr"), unitNorm(col("v")).as("vbn")))
+            .filter(col("src") =!= col("nbr"))
+            .groupBy(col("src"))
+            .agg(max(VectorFunctions.dot(col("van"), col("vbn"))).as("best_sim"))
+          val stats = served.join(exact1, "src")
+            .agg(count(lit(1)).as("n_answered"),
+              sum(when(col("sim") >= col("best_sim") - 1e-5, 1L).otherwise(0L))
+                .as("n_hits"))
+          probes.agg(count(lit(1)).as("n_queries")).crossJoin(stats)
+            .select(col("n_queries"), col("n_answered"),
+              (col("n_hits").cast("double") / col("n_queries") >= 0.6).as("recall_ok"))
+        } finally postings.unpersist()
+      } finally e.unpersist()
     }
   )
 
@@ -509,15 +600,13 @@ object VectorOps {
       .otherwise(v)
   }
 
-  /** IVF ANN full neighbor listing `(src, cell, nbr, sim)` — the operator
-    * behind q_ann_ivf; public so recall regression tests probe it. */
-  def annIvfNeighbors(s: SparkSession, d: String): DataFrame = {
-    // cached: the count, centroid sample, two Lloyd passes and the
-    // probe assignment all re-scan e otherwise (6 jobs x scan+shuffle)
-    val e = embedRel(s, d).cache()
-    // two tiny driver-side actions on metadata-scale data (16 rows):
-    // legitimate even at 100 TB — this is centroid training, not a
-    // data collect
+  /** IVF coarse-quantizer training on an already-cached embedding
+    * relation: stride-sampled seeds + two Lloyd steps. Only the 16×64
+    * centroid matrix ever touches the driver — centroid training, not a
+    * data collect; legitimate at any corpus scale. Shared by the batch
+    * listing ([[annIvfNeighbors]]) and the streamed serving path
+    * (q_stream_ann), so both search the same index. */
+  private def ivfCentroids(e: DataFrame): IndexedSeq[IndexedSeq[Double]] = {
     val n = e.count()
     val stride = math.max(1L, n / 16L)
     val sampled = e.filter(col("vec_id") % stride === 0 && col("vec_id") < stride * 16)
@@ -529,7 +618,16 @@ object VectorOps {
     // 100 TB — and the third pass bought no recall at either gated SF
     // (floors 0.65 @ sf0.001 / 0.6 @ sf0.1, FunctionsSuite), because the
     // stride-sampled seeds already match the data distribution.
-    val centroids = graft.functions.KMeans.lloydSteps(e, "v", sampled, iters = 2)
+    graft.functions.KMeans.lloydSteps(e, "v", sampled, iters = 2)
+  }
+
+  /** IVF ANN full neighbor listing `(src, cell, nbr, sim)` — the operator
+    * behind q_ann_ivf; public so recall regression tests probe it. */
+  def annIvfNeighbors(s: SparkSession, d: String): DataFrame = {
+    // cached: the count, centroid sample, two Lloyd passes and the
+    // probe assignment all re-scan e otherwise (6 jobs x scan+shuffle)
+    val e = embedRel(s, d).cache()
+    val centroids = ivfCentroids(e)
     // multi-probe: the query side searches its 6 nearest cells (recall@1
     // 0.25 @1 probe → 0.63 @4 → 0.73-0.77 @6 on the test embeddings — the
     // probe count is IVF's recall/cost dial, and near-uniform synthetic
