@@ -714,4 +714,74 @@ class EngineSuite extends SparkSpec {
     assert(sampled("train") / total > 0.55 && sampled("train") / total < 0.92,
       s"train share skewed: $sampled")
   }
+
+  test("streaming session windows: checkpoint restart merges state across the boundary") {
+    // The production failure mode for sessionization: the pipeline dies
+    // with sessions OPEN in the state store and restarts from its
+    // checkpoint. A session whose events straddle the stop/restart
+    // boundary must come back as ONE merged session (the pre-crash events
+    // never re-enter the source — only restored state can supply them),
+    // and nothing may be emitted twice. user 10: events at 10:00 and
+    // 10:30 pre-crash, 10:50 post-restart → one 3-event session through
+    // restored state. user 20: 10:00 pre-crash, 13:00 post-restart →
+    // gap > 1h, two distinct 1-event sessions. Sentinels at 16:00/20:00
+    // drive the watermark over every real session end (emission lags the
+    // watermark by one batch — the same two-sentinel contract as
+    // q_stream_sessions).
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val before = Seq(
+      Seq((10L, ts("10:00")), (20L, ts("10:00"))),
+      Seq((10L, ts("10:30"))))
+    val after = Seq(
+      Seq((10L, ts("10:50")), (20L, ts("13:00"))),
+      Seq((-1L, ts("16:00"))),
+      Seq((-1L, ts("20:00"))))
+    val in = tmpDir("sess_restart_in")
+    val ck = tmpDir("sess_restart_ck").toString
+    val out = tmpDir("sess_restart_out").toString
+    var fileNo = 0
+    def stage(batches: Seq[Seq[(Long, java.sql.Timestamp)]]): Unit = batches.foreach { b =>
+      val scratch = tmpDir(s"sess_restart_scratch$fileNo")
+      b.toDF("user_id", "ets").coalesce(1)
+        .write.mode("overwrite").parquet(scratch.toString)
+      val listing = java.nio.file.Files.list(scratch)
+      val part =
+        try {
+          import scala.jdk.CollectionConverters._
+          listing.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+        } finally listing.close()
+      java.nio.file.Files.move(part, in.resolve(f"f$fileNo%03d.parquet"))
+      fileNo += 1
+    }
+    def run(): Unit = {
+      val schema = spark.read.parquet(in.toString).schema
+      val sessions = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+        .withWatermark("ets", "0 seconds")
+        .groupBy(session_window(col("ets"), "1 hour").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"), col("sw.start").cast("long").as("start_s"), col("cnt"))
+      val q = sessions.writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ck).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    stage(before)
+    run() // first incarnation: user 10's session open at 10:30, dies
+    stage(after)
+    run() // restart: 10:50 must extend the RESTORED 10:00–10:30 session
+    val got = spark.read.parquet(out)
+      .filter(col("user_id") >= 0)
+      .select("user_id", "start_s", "cnt").as[(Long, Long, Long)]
+      .collect().toSet
+    def epoch(hhmm: String) = ts(hhmm).getTime / 1000
+    val want = Set(
+      (10L, epoch("10:00"), 3L), // merged across the restart boundary
+      (20L, epoch("10:00"), 1L),
+      (20L, epoch("13:00"), 1L))
+    assert(got == want, s"got $got")
+  }
 }
