@@ -122,6 +122,60 @@ class PlanSuite extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("parquet aggregate pushdown: MIN/MAX/COUNT answered by footer stats") {
+    // at 100 TB, `SELECT max(l_shipdate) FROM lineitem` must read row-group
+    // footers, not 600 B rows/group — Spark pushes min/max/count into the
+    // parquet scan when enabled; assert the plan records the pushed agg
+    // (only the DSv2 parquet scan supports pushed aggregates — the V1
+    // path is Spark's default for parquet, so the test opts into V2)
+    val confs = Seq(
+      "spark.sql.parquet.aggregatePushdown" -> "true",
+      "spark.sql.sources.useV1SourceList" -> "")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = spark.read.parquet(s"$sf/lineitem.parquet")
+        .agg(max(col("l_orderkey")).as("mx"), count(lit(1)).as("n"))
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(plan.contains("PushedAggregation: [MAX(l_orderkey), COUNT(*)]"),
+        s"aggregate not pushed to the scan:\n${plan.take(2000)}")
+      assert(df.collect().head.getLong(1) > 0)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("runtime bloom-filter join pruning reaches the probe-side scan") {
+    // the 100 TB selective-join shape: a filtered build side should prune
+    // the fact scan at RUNTIME (bloom on the join key) so most probe rows
+    // die before the shuffle — Spark injects bloom_filter/might_contain
+    // when the optimizer conf is on and thresholds pass; pin that the
+    // engine's session can produce the plan (thresholds floored for the
+    // test-scale tables)
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force a shuffle join
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val orders = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val df = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(plan.contains("might_contain") || plan.contains("bloom_filter"),
+        s"no runtime bloom filter on the probe side:\n${plan.take(3000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("scan-only queries stay inside WholeStageCodegen") {
     // AQE only materializes codegen stages in the FINAL plan — execute
     // first, then inspect
