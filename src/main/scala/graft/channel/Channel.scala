@@ -239,12 +239,17 @@ final class Channel private[channel] (
     * seq atomically before writing and the stream's visible end waits on
     * pending reservations. */
   def readStreamV2(weak: Boolean = false, startingLatest: Boolean = false,
-                   maxBatchesPerTrigger: Option[Int] = None): DataFrame = {
+                   maxBatchesPerTrigger: Option[Int] = None,
+                   fromSeq: Option[Long] = None): DataFrame = {
     if (isTerminated) throw ChannelClosed(name, "terminated")
     val r = spark.readStream.format("graft-channel")
       .option("weak", weak.toString)
       .option("startingOffsets", if (startingLatest) "latest" else "earliest")
     maxBatchesPerTrigger.foreach(n => r.option("maxBatchesPerTrigger", n.toString))
+    // backfill→tail handoff: pair with read(endSeq = N) — the batch
+    // snapshot covers [0, N), the subscription starts at exactly N
+    // (precedence over startingOffsets)
+    fromSeq.foreach(n => r.option("startingSeq", n.toString))
     r.load(dir.toString)
   }
 

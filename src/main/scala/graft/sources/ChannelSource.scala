@@ -207,6 +207,7 @@ final class ChannelScan(spark: SparkSession, dataSchema: StructType,
     new ChannelMicroBatchStream(dir, factory(),
       weak = options.getBoolean("weak", false),
       startLatest = Option(options.get("startingOffsets")).exists(_.equalsIgnoreCase("latest")),
+      startSeq = Option(options.get("startingSeq")).map(_.toLong),
       maxBatches = Option(options.get("maxBatchesPerTrigger")).map(_.toInt))
 }
 
@@ -272,6 +273,7 @@ final case class ChannelDataLoss(dir: String, missing: Seq[Long])
 
 final class ChannelMicroBatchStream(dir: Path, factory: PartitionReaderFactory,
                                     weak: Boolean, startLatest: Boolean,
+                                    startSeq: Option[Long],
                                     maxBatches: Option[Int])
     extends MicroBatchStream with SupportsAdmissionControl {
   import ChannelSource._
@@ -315,8 +317,11 @@ final class ChannelMicroBatchStream(dir: Path, factory: PartitionReaderFactory,
         if (weak) weakEnd else strict
     }
 
+  /** Explicit `startingSeq` (the backfill→tail handoff: batch-read the
+    * snapshot `[0, N)`, then subscribe from exactly N — no overlap, no
+    * gap) takes precedence over latest/earliest. */
   override def initialOffset(): Offset =
-    ChannelSeqOffset(if (startLatest) visibleEnd() else earliest())
+    ChannelSeqOffset(startSeq.getOrElse(if (startLatest) visibleEnd() else earliest()))
 
   override def getDefaultReadLimit: ReadLimit =
     maxBatches.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())

@@ -106,6 +106,34 @@ class Dsv2ChannelSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("backfill-to-tail handoff: snapshot [0,N) + startingSeq=N, exactly once") {
+    // the lambda-free bootstrap: batch-read everything written so far as
+    // an immutable snapshot, then subscribe from EXACTLY the snapshot
+    // boundary — no row read twice, none skipped, even with appends
+    // racing the handoff (they land at seqs >= N and belong to the tail)
+    val reg = new ChannelRegistry(spark, tmpDir("dsv2"))
+    val ch = reg.create("h1", schema)
+    ch.write(Seq((1, "a"), (2, "b")).toDF("id", "msg"), 1)
+    ch.write(Seq((3, "c")).toDF("id", "msg"), 1)
+    val n = ch.cursor() // pin the boundary
+    val snapshot = ch.readSnapshot(endSeq = n).select("id").as[Int].collect().toSeq
+    assert(snapshot.sorted == Seq(1, 2, 3))
+    ch.write(Seq((4, "d")).toDF("id", "msg"), 2) // racing append → tail side
+    sinkN += 1
+    val name = s"dsv2_sink_$sinkN"
+    val q = ch.readStreamV2(fromSeq = Some(n)).select("id").writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      ch.write(Seq((5, "e")).toDF("id", "msg"), 2) // live append mid-tail
+      q.processAllAvailable()
+      val tail = spark.table(name).as[Int].collect().toSeq
+      assert(tail.sorted == Seq(4, 5), s"tail read $tail")
+      val union = (snapshot ++ tail).sorted
+      assert(union == Seq(1, 2, 3, 4, 5), s"handoff lost/duplicated rows: $union")
+    } finally q.stop()
+  }
+
   test("maxBatchesPerTrigger paces ingestion one channel batch per micro-batch") {
     val reg = new ChannelRegistry(spark, tmpDir("dsv2"))
     val ch = reg.create("s3", schema)
@@ -255,7 +283,7 @@ class Dsv2ChannelSuite extends SparkSpec {
     assert(Channel.readHead(ch.dir).contains((10001L, 10001L)))
 
     val stream = new graft.sources.ChannelMicroBatchStream(ch.dir,
-      null, weak = false, startLatest = false, maxBatches = None)
+      null, weak = false, startLatest = false, startSeq = None, maxBatches = None)
     val start = stream.initialOffset() // may list (once, at query start)
     val before = Channel.listDirCalls.get()
     // steady-state triggers: offset discovery must be O(1) — zero
