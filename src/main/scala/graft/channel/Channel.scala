@@ -320,6 +320,72 @@ final class Channel private[channel] (
 
   /** Channel health/metrics row (ops surface; droppedBytes is the
     * ReaderBehind accounting, reference messaging/src/lib.rs:106-110). */
+  /** Consumption-driven retention — the reference's frame pruning
+    * ("frames dropped once all heads pass",
+    * /root/reference/subsystem/messaging/src/lib.rs:342-359), adapted to
+    * durable topics: subscribers REGISTER a named head, acknowledge the
+    * seqs they have durably processed, and [[pruneConsumed]] deletes only
+    * history EVERY registered head has passed. Capacity eviction (Drop
+    * mode) bounds the topic by SIZE; this bounds it by CONSUMPTION — the
+    * two compose, and a topic with no registered readers is never pruned
+    * by consumption (no heads ⇒ nothing has provably passed).
+    * Readers outside the registry are outside the contract, exactly as
+    * unsubscribed readers are invisible to the reference's head
+    * accounting: a strict subscription resumed from a checkpoint BELOW a
+    * pruned boundary reports data loss (same surface as Drop eviction). */
+  def registerReader(reader: String): Unit = {
+    Channel.validReaderName(reader)
+    ackReader(reader, 0L)
+  }
+
+  /** Monotonic acknowledgement: `upTo` is the reader's next-unread seq
+    * (exclusive — everything below is durably processed). A lower ack
+    * than already recorded is a no-op, so retries and out-of-order acks
+    * can never regress a head and resurrect prune eligibility. */
+  def ackReader(reader: String, upTo: Long): Unit = synchronized {
+    Channel.validReaderName(reader)
+    val f = dir.resolve(s"${Channel.ReaderPrefix}$reader")
+    val current = if (Files.exists(f))
+      try Files.readString(f).trim.toLong catch { case _: Exception => 0L }
+    else -1L
+    if (upTo > current || current < 0) {
+      val tmp = dir.resolve(s"${Channel.ReaderPrefix}$reader.tmp")
+      Files.writeString(tmp, math.max(upTo, math.max(current, 0L)).toString)
+      Files.move(tmp, f, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  /** Registered reader heads (reader → next-unread seq). */
+  def readerHeads: Map[String, Long] =
+    Channel.listDir(dir)
+      .filter(_.getFileName.toString.startsWith(Channel.ReaderPrefix))
+      .filterNot(_.getFileName.toString.endsWith(".tmp"))
+      .map { p =>
+        val n = p.getFileName.toString.stripPrefix(Channel.ReaderPrefix)
+        n -> (try Files.readString(p).trim.toLong catch { case _: Exception => 0L })
+      }.toMap
+
+  /** Delete committed batch dirs every registered head has passed;
+    * returns bytes pruned. Abort tombstones and reservation markers are
+    * kept (strict-reader gap accounting below the floor stays exact for
+    * any out-of-contract reader). No registered readers ⇒ no-op. */
+  def pruneConsumed(): Long = synchronized {
+    val heads = readerHeads
+    if (heads.isEmpty) return 0L
+    val floor = heads.values.min
+    var pruned = 0L
+    Channel.listBatches(dir)
+      .filter(p => Channel.batchSeq(p) < floor &&
+        !p.getFileName.toString.startsWith("compact_") &&
+        Files.exists(p.resolve("_SUCCESS")))
+      .foreach { p =>
+        pruned += Channel.dirSize(p)
+        Channel.deleteRecursively(p)
+      }
+    pruned
+  }
+
   def metrics(): DataFrame = {
     import spark.implicits._
     val batches = listBatches(dir)
@@ -346,6 +412,16 @@ object Channel {
   private val EpochMarker = """w\d+_e\d+$""".r
   private[graft] val ResPrefix = "_res_"
   private[graft] val HeadFile = "_HEAD"
+  private[graft] val ReaderPrefix = "_rdr_"
+
+  /** Reader names become marker file names — reject anything that could
+    * traverse or collide with topic internals (same hostile-input posture
+    * as the module store's path validation). */
+  private[graft] def validReaderName(reader: String): Unit =
+    require(reader.nonEmpty && reader.length <= 128 &&
+      reader.forall(c => c.isLetterOrDigit || c == '.' || c == '_' || c == '-') &&
+      !reader.startsWith(".") && !reader.endsWith(".tmp"),
+      s"invalid reader name '$reader' (allowed: [A-Za-z0-9._-], no leading dot)")
 
   /** Committed head cursor `(strictEnd, weakEnd)` from a full directory
     * listing: `weakEnd` = one past the last seq of the fully committed

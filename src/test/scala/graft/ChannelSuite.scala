@@ -22,6 +22,37 @@ class ChannelSuite extends SparkSpec {
     assert(rows.map(_.getInt(2)).toSeq == Seq(7, 7, 8)) // attribution
   }
 
+  test("consumption-driven retention: prune only below every registered head") {
+    // reference frame pruning parity: history is deleted once ALL heads
+    // pass it — never because of one fast consumer, never with no
+    // consumers registered at all
+    val reg = new ChannelRegistry(spark, tmpDir("chan_prune"))
+    val ch = reg.create("pr1", schema)
+    ch.write(Seq((1, "a")).toDF("id", "msg"), 1) // seq 0
+    ch.write(Seq((2, "b")).toDF("id", "msg"), 1) // seq 1
+    ch.write(Seq((3, "c")).toDF("id", "msg"), 1) // seq 2
+    assert(ch.pruneConsumed() == 0L, "no registered readers must mean no pruning")
+    ch.registerReader("etl")
+    ch.registerReader("audit")
+    ch.ackReader("etl", 3)   // consumed everything
+    ch.ackReader("audit", 1) // only seq 0
+    assert(ch.readerHeads == Map("etl" -> 3L, "audit" -> 1L))
+    assert(ch.pruneConsumed() > 0L)
+    assert(ch.read().select("id").as[Int].collect().sorted.toSeq == Seq(2, 3),
+      "only the batch below BOTH heads may go")
+    // a lower (retried/out-of-order) ack can never regress a head
+    ch.ackReader("etl", 1)
+    assert(ch.readerHeads("etl") == 3L)
+    ch.ackReader("audit", 3)
+    ch.pruneConsumed()
+    assert(ch.read().isEmpty, "all heads passed: everything prunes")
+    ch.write(Seq((4, "d")).toDF("id", "msg"), 1) // topic still serves writes
+    assert(ch.read().select("id").as[Int].collect().toSeq == Seq(4))
+    // hostile reader names are refused before they become marker files
+    intercept[IllegalArgumentException](ch.registerReader("../escape"))
+    intercept[IllegalArgumentException](ch.registerReader(""))
+  }
+
   test("many-writer union interleaves whole batches (J1)") {
     val reg = new ChannelRegistry(spark, tmpDir("chan"))
     val ch = reg.create("t2", schema)
