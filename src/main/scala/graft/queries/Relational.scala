@@ -449,6 +449,71 @@ object Relational {
         .orderBy($("p_brand"))
     },
 
+    // ---- Conditional aggregation over a join (TPC-H Q14 shape): promo
+    // revenue share in a ship-date quarter. The date range pushes into
+    // the lineitem parquet scan; part broadcasts; the CASE folds into the
+    // map-side partial aggregate so the exchange carries two partial
+    // decimal sums and a count, not rows. Both engines sum identical
+    // per-row DECIMAL(18,4) casts, so the share divides two exact totals
+    // and is bit-stable.
+    Q("q14_promo_share",
+      """SELECT 100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |    ELSE 0 END) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        |         AS DOUBLE) AS promo_share,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin) { (s, d) =>
+      val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, d).select($("p_partkey"), $("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          (lit(100.0) * sum(when(col("p_type").startsWith("PROMO"), rev)
+            .otherwise(lit(0))).cast("double")
+            / sum(rev).cast("double")).as("promo_share"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // ---- Scalar subquery + correlated NOT EXISTS combined (TPC-H Q22
+    // shape): high-balance customers with no urgent orders, rolled up by
+    // nation. The global average is a broadcast scalar (computed as an
+    // exact decimal sum / count so the > threshold is engine-stable on
+    // boundary balances); the NOT EXISTS decorrelates to a left-anti
+    // join against the filtered orders, probing only the ~6% of
+    // customers that survive the balance gate.
+    Q("q22_idle_customers",
+      """WITH avg_bal AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |           / COUNT(*) AS ab
+        |  FROM customer WHERE c_acctbal > 0.00),
+        |eligible AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer, avg_bal
+        |  WHERE c_acctbal > ab
+        |    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT'))
+        |SELECT c_nationkey, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM eligible GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val avgBal = c.filter($("c_acctbal") > 0.0)
+        .agg(Tables.exactAvg(col("c_acctbal")).as("ab"))
+      val urgent = Tables.orders(s, d)
+        .filter($("o_orderpriority") === "1-URGENT").select($("o_custkey"))
+      c.crossJoin(broadcast(avgBal))
+        .filter($("c_acctbal") > col("ab"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy($("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          Tables.exactSum(col("c_acctbal")).as("totacctbal"))
+        .orderBy($("c_nationkey"))
+    },
+
     // ---- Outer join with null-group handling: every customer, including
     // the order-less, with order stats.
     Q("q_outer_join",
