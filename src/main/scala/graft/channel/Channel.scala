@@ -366,6 +366,26 @@ final class Channel private[channel] (
         n -> (try Files.readString(p).trim.toLong catch { case _: Exception => 0L })
       }.toMap
 
+  /** Acknowledge from a subscription's own progress: reads the last
+    * committed end offset of the graft-channel source on THIS topic out
+    * of `q.lastProgress` and advances `reader`'s head to it. Call after
+    * the query has quiesced (e.g. `processAllAvailable()`): lastProgress
+    * reflects completed micro-batches, which is exactly the
+    * durably-checkpointed point a retention head may safely claim.
+    * No-op when the query has no progress yet or no source on this
+    * topic — acks must never guess. */
+  def ackFromProgress(reader: String, q: StreamingQuery): Unit = {
+    Channel.validReaderName(reader)
+    Option(q.lastProgress).foreach { p =>
+      p.sources.toSeq
+        .filter(sp => Option(sp.description).exists(_.contains(dir.toString)))
+        .flatMap(sp => Option(sp.endOffset))
+        .flatMap(off => scala.util.Try(off.trim.toLong).toOption)
+        .maxOption
+        .foreach(ackReader(reader, _))
+    }
+  }
+
   /** Delete committed batch dirs every registered head has passed;
     * returns bytes pruned. Abort tombstones and reservation markers are
     * kept (strict-reader gap accounting below the floor stays exact for
@@ -373,16 +393,21 @@ final class Channel private[channel] (
   def pruneConsumed(): Long = synchronized {
     val heads = readerHeads
     if (heads.isEmpty) return 0L
-    val floor = heads.values.min
-    var pruned = 0L
-    Channel.listBatches(dir)
-      .filter(p => Channel.batchSeq(p) < floor &&
-        !p.getFileName.toString.startsWith("compact_") &&
+    val committed = Channel.listBatches(dir)
+      .filter(p => !p.getFileName.toString.startsWith("compact_") &&
         Files.exists(p.resolve("_SUCCESS")))
-      .foreach { p =>
-        pruned += Channel.dirSize(p)
-        Channel.deleteRecursively(p)
-      }
+    // keep the NEWEST committed batch even when every head passed it —
+    // the same invariant Drop-mode eviction holds (batches.size > 1):
+    // the on-disk seq history stays anchored for topics whose _HEAD
+    // cursor is missing, and a fresh earliest()-start subscriber lands
+    // on a real dir instead of a fully bare topic
+    val lastSeq = committed.map(Channel.batchSeq).maxOption.getOrElse(0L)
+    val floor = math.min(heads.values.min, lastSeq)
+    var pruned = 0L
+    committed.filter(p => Channel.batchSeq(p) < floor).foreach { p =>
+      pruned += Channel.dirSize(p)
+      Channel.deleteRecursively(p)
+    }
     pruned
   }
 
@@ -531,9 +556,14 @@ object Channel {
     * reservation, on a write path that already walks the directory for
     * capacity accounting. */
   private[graft] def reserveSeq(dir: Path): Long = {
+    // the published head cursor joins the floor computation: batch dirs
+    // below it may have been pruned/evicted WITHOUT tombstones, and a
+    // seq below the committed end must never be re-issued (a subscriber
+    // whose offset already passed it would silently skip the new data)
     var s = Seq(nextSeq(dir),
       resSeqs(dir).lastOption.map(_ + 1).getOrElse(0L),
-      abortSeqs(dir).lastOption.map(_ + 1).getOrElse(0L)).max
+      abortSeqs(dir).lastOption.map(_ + 1).getOrElse(0L),
+      readHead(dir).map(_._2).getOrElse(0L)).max
     while (true) {
       if (!tryReserve(dir, s)) s += 1
       else if (seqUsed(dir, s)) {

@@ -278,6 +278,11 @@ final class ChannelMicroBatchStream(dir: Path, factory: PartitionReaderFactory,
     extends MicroBatchStream with SupportsAdmissionControl {
   import ChannelSource._
 
+  /** Surfaces the topic dir in StreamingQueryProgress.sources.description
+    * so tooling (e.g. Channel.ackFromProgress) can match a source to its
+    * topic. */
+  override def toString: String = s"GraftChannel[$dir]"
+
   /** Streaming sees only `batch_*` dirs (compaction is invisible to
     * subscriptions), grouped by seq — concurrent writers may share one. */
   private def batchDirs(): Seq[(Long, Seq[Path])] =

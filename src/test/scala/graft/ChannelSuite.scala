@@ -45,9 +45,12 @@ class ChannelSuite extends SparkSpec {
     assert(ch.readerHeads("etl") == 3L)
     ch.ackReader("audit", 3)
     ch.pruneConsumed()
-    assert(ch.read().isEmpty, "all heads passed: everything prunes")
+    // the newest committed batch survives even a fully-passed topic
+    // (same anchor invariant as Drop eviction's batches.size > 1)
+    assert(ch.read().select("id").as[Int].collect().toSeq == Seq(3),
+      "all heads passed: everything but the newest batch prunes")
     ch.write(Seq((4, "d")).toDF("id", "msg"), 1) // topic still serves writes
-    assert(ch.read().select("id").as[Int].collect().toSeq == Seq(4))
+    assert(ch.read().select("id").as[Int].collect().sorted.toSeq == Seq(3, 4))
     // hostile reader names are refused before they become marker files
     intercept[IllegalArgumentException](ch.registerReader("../escape"))
     intercept[IllegalArgumentException](ch.registerReader(""))

@@ -134,6 +134,33 @@ class Dsv2ChannelSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ackFromProgress: a subscription's own progress drives retention") {
+    // the full retention loop: subscribe → process → ack the head FROM
+    // the query's committed progress → prune what every head passed
+    val reg = new ChannelRegistry(spark, tmpDir("dsv2"))
+    val ch = reg.create("ack1", schema)
+    ch.registerReader("tail")
+    ch.write(Seq((1, "a")).toDF("id", "msg"), 1)
+    ch.write(Seq((2, "b")).toDF("id", "msg"), 1)
+    sinkN += 1
+    val name = s"dsv2_sink_$sinkN"
+    val q = ch.readStreamV2().select("id").writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      ch.ackFromProgress("tail", q)
+      assert(ch.readerHeads("tail") == 2L,
+        s"head not advanced from progress: ${ch.readerHeads}")
+      assert(ch.pruneConsumed() > 0L)
+      assert(ch.read().select("id").as[Int].collect().toSeq == Seq(2),
+        "history below the head prunes; the newest batch anchors the topic")
+      // the live subscription continues past the pruned history untouched
+      ch.write(Seq((3, "c")).toDF("id", "msg"), 1)
+      q.processAllAvailable()
+      assert(spark.table(name).as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    } finally q.stop()
+  }
+
   test("maxBatchesPerTrigger paces ingestion one channel batch per micro-batch") {
     val reg = new ChannelRegistry(spark, tmpDir("dsv2"))
     val ch = reg.create("s3", schema)
