@@ -217,8 +217,15 @@ final class Channel private[channel] (
   }
 
   /** Current exclusive end cursor — pass as `endSeq` to [[readSnapshot]]
-    * to pin everything written so far. */
-  def cursor(): Long = Channel.nextSeq(dir)
+    * to pin everything written so far, or as `fromSeq` to
+    * [[readStreamV2]] for the backfill→tail handoff. This is the STRICT
+    * committed end (parks at the lowest pending `_res_` reservation,
+    * like a strong subscription's visible end), not `nextSeq`: a
+    * concurrent writer's in-flight lower-seq batch must stay AHEAD of
+    * the boundary — with a `nextSeq` cursor it would fall below the
+    * tail's start yet outside the snapshot, and be lost silently. */
+  def cursor(): Long =
+    Channel.readHead(dir).map(_._1).getOrElse(Channel.committedEnds(dir)._1)
 
   /** Immutable snapshot read of seq range `[startSeq, endSeq)` via the
     * DSv2 connector: re-reads see the identical dataset regardless of
@@ -377,8 +384,11 @@ final class Channel private[channel] (
   def ackFromProgress(reader: String, q: StreamingQuery): Unit = {
     Channel.validReaderName(reader)
     Option(q.lastProgress).foreach { p =>
+      // exact-match the source description: a substring test on the bare
+      // dir path would also match a SIBLING topic whose path extends this
+      // one (events vs events_dlq) and ack — then prune — the wrong topic
       p.sources.toSeq
-        .filter(sp => Option(sp.description).exists(_.contains(dir.toString)))
+        .filter(sp => Option(sp.description).exists(_.contains(s"GraftChannel[$dir]")))
         .flatMap(sp => Option(sp.endOffset))
         .flatMap(off => scala.util.Try(off.trim.toLong).toOption)
         .maxOption

@@ -117,14 +117,7 @@ object CodecOps {
           .agg(count(lit(1)).as("n"), Tables.exactSum(col("value")).as("total"))
           .orderBy(col("event_type"))
           .localCheckpoint()
-      } finally {
-        val walk = java.nio.file.Files.walk(root)
-        try {
-          import scala.jdk.CollectionConverters._
-          walk.iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        } finally walk.close()
-      }
+      } finally Staging.deleteTree(root)
     }
   )
 }

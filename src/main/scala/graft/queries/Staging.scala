@@ -12,26 +12,37 @@ import org.apache.spark.sql.functions._
   */
 private[queries] object Staging {
 
+  /** Recursive temp-tree removal — THE one copy of the cleanup contract
+    * (deepest-first deleteIfExists; symlinks are removed, not followed —
+    * Files.walk does not traverse them). Every staged-input/staged-output
+    * site routes through here. */
+  def deleteTree(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(root)
+    try walk.iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walk.close()
+  }
+
+  /** Fresh temp dir handed to `body`, deleted on the way out — success or
+    * failure. */
+  def withTempDir[T](prefix: String)(body: java.nio.file.Path => T): T = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix)
+    try body(tmp) finally deleteTree(tmp)
+  }
+
   /** Write `df` as `nFiles` range-partitioned parquet files under a fresh
     * temp dir and hand `body` the input path; the tree is deleted on the
     * way out, success or failure. Range partitioning on `rangeCol` gives
     * deterministic batch membership (file N = Nth key range), so
     * cross-batch state claims are reproducible. */
   def withStagedInput[T](df: DataFrame, rangeCol: String, nFiles: Int,
-                         prefix: String)(body: String => T): T = {
-    val tmp = java.nio.file.Files.createTempDirectory(prefix)
-    try {
+                         prefix: String)(body: String => T): T =
+    withTempDir(prefix) { tmp =>
       df.repartitionByRange(nFiles, col(rangeCol))
         .write.mode("overwrite").parquet(s"$tmp/in")
       body(s"$tmp/in")
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(tmp)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-      finally walk.close()
     }
-  }
 
   /** Start a streaming query with `spark.sql.shuffle.partitions` pinned
     * to `parts` for the duration of the start call — stateful operators
@@ -58,9 +69,8 @@ private[queries] object Staging {
     * is deleted on the way out, success or failure. */
   def withOrderedReplay[T](df: DataFrame, rangeCols: Seq[org.apache.spark.sql.Column],
                            nFiles: Int, prefix: String, flushes: Seq[DataFrame])
-                          (body: String => T): T = {
-    val tmp = java.nio.file.Files.createTempDirectory(prefix)
-    try {
+                          (body: String => T): T =
+    withTempDir(prefix) { tmp =>
       val in = s"$tmp/in"
       df.repartitionByRange(nFiles, rangeCols: _*).write.parquet(in)
       flushes.zipWithIndex.foreach { case (fl, i) =>
@@ -76,14 +86,7 @@ private[queries] object Staging {
         .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
         .zipWithIndex.foreach { case (f, i) => f.setLastModified(1000L * (i + 1)) }
       body(in)
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(tmp)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-      finally walk.close()
     }
-  }
 
   /** Run `run` (which starts and finishes a memory-sink streaming query
     * named `sink`), then copy the (bounded) sink out through `shape` into

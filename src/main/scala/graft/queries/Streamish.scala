@@ -34,19 +34,13 @@ object Streamish {
     * non-empty directories, so repeated harness runs would leak one temp
     * dir per run. The memory-sink result survives the cleanup — only the
     * staged input goes. */
-  private def withStagedEvents[T](d: String, label: String)(f: String => T): T = {
-    val tmp = java.nio.file.Files.createTempDirectory(s"graft_stream_$label")
-    java.nio.file.Files.createSymbolicLink(tmp.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$d/events.parquet"))
-    try f(tmp.toString)
-    finally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(tmp) // does not follow the symlink
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-      finally walk.close()
+  private def withStagedEvents[T](d: String, label: String)(f: String => T): T =
+    Staging.withTempDir(s"graft_stream_$label") { tmp =>
+      // the cleanup walk removes the symlink itself without following it
+      java.nio.file.Files.createSymbolicLink(tmp.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+      f(tmp.toString)
     }
-  }
 
   val all: Seq[Q] = Seq(
 
@@ -244,13 +238,7 @@ object Streamish {
         val q = sizedStart(s, 8)(agg.writeStream.outputMode("complete")
           .format("memory").queryName(sink).start())
         try q.processAllAvailable() finally q.stop()
-      } finally {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(root)
-        try walk.iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-        finally walk.close()
-      }
+      } finally Staging.deleteTree(root)
       s.table(sink).orderBy(col("day"), col("event_type"))
     },
 

@@ -827,8 +827,7 @@ object TextOps {
       val docs = Tables.documents(s, d).select(
         col("doc_id"), col("lang"), col("source"),
         TextFunctions.tokenCount(col("text")).as("n_tok"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_publish")
-      try {
+      Staging.withTempDir("graft_publish") { tmp =>
         val out = s"$tmp/corpus"
         docs.repartition(col("lang"))
           .write.partitionBy("lang").mode("overwrite").parquet(out)
@@ -839,12 +838,6 @@ object TextOps {
         // local copy: the published tree is deleted on the way out, so the
         // result must not keep a lineage onto it (bounded: langs × sources)
         s.createDataFrame(res.collectAsList(), res.schema)
-      } finally {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(tmp)
-        try walk.iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-        finally walk.close()
       }
     },
 

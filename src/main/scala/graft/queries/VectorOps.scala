@@ -452,9 +452,7 @@ object VectorOps {
           .select(col("vec_id").as("src"), col("v").as("va"))
         Staging.withStagedInput(probes, "src", nFiles = 4,
           prefix = "graft_stream_knn") { in =>
-          val tmpOut = java.nio.file.Files
-            .createTempDirectory("graft_stream_knn_out")
-          try {
+          Staging.withTempDir("graft_stream_knn_out") { tmpOut =>
             val outDir = s"$tmpOut/topk"
             val schema = s.read.parquet(in).schema
             val q = s.readStream.schema(schema)
@@ -477,12 +475,6 @@ object VectorOps {
             val res = s.read.parquet(outDir)
               .orderBy(col("src"), col("sim").desc, col("nbr"))
             s.createDataFrame(res.collectAsList(), res.schema)
-          } finally {
-            import scala.jdk.CollectionConverters._
-            val walk = java.nio.file.Files.walk(tmpOut)
-            try walk.iterator().asScala.toSeq.reverse
-              .foreach(java.nio.file.Files.deleteIfExists(_))
-            finally walk.close()
           }
         }
       } finally corpus.unpersist()
@@ -523,8 +515,7 @@ object VectorOps {
             .select(col("vec_id").as("src"), col("v").as("va"))
           val served = Staging.withStagedInput(probes, "src", nFiles = 4,
             prefix = "graft_stream_ann") { in =>
-            val tmpOut = java.nio.file.Files.createTempDirectory("graft_stream_ann_out")
-            try {
+            Staging.withTempDir("graft_stream_ann_out") { tmpOut =>
               val outDir = s"$tmpOut/ann"
               val schema = s.read.parquet(in).schema
               val q = s.readStream.schema(schema)
@@ -553,12 +544,6 @@ object VectorOps {
               try q.processAllAvailable() finally q.stop()
               val res = s.read.parquet(outDir)
               s.createDataFrame(res.collectAsList(), res.schema)
-            } finally {
-              import scala.jdk.CollectionConverters._
-              val walk = java.nio.file.Files.walk(tmpOut)
-              try walk.iterator().asScala.toSeq.reverse
-                .foreach(java.nio.file.Files.deleteIfExists(_))
-              finally walk.close()
             }
           }
           // recall verdict against the exact best similarity per query
