@@ -399,13 +399,24 @@ final class Channel private[channel] (
   /** Delete committed batch dirs every registered head has passed;
     * returns bytes pruned. Abort tombstones and reservation markers are
     * kept (strict-reader gap accounting below the floor stays exact for
-    * any out-of-contract reader). No registered readers ⇒ no-op. */
-  def pruneConsumed(): Long = synchronized {
+    * any out-of-contract reader). No registered readers ⇒ no-op.
+    *
+    * `graceMs`: only batches whose `_SUCCESS` is at least this old are
+    * eligible. A batch is "committed" the instant `_SUCCESS` exists, but
+    * the writer's commit epilogue (checksum perms, etc.) runs for a few
+    * more microseconds — pruning inside that window fails the WRITER
+    * (found by the seeded retention stress). Production retention runs
+    * minutes behind the head anyway; pass 0 only on a quiesced topic. */
+  def pruneConsumed(graceMs: Long = 5000): Long = synchronized {
     val heads = readerHeads
     if (heads.isEmpty) return 0L
+    val cutoff = System.currentTimeMillis() - graceMs
+    def oldEnough(p: Path): Boolean =
+      try Files.getLastModifiedTime(p.resolve("_SUCCESS")).toMillis <= cutoff
+      catch { case _: java.io.IOException => false } // vanished mid-check: skip
     val committed = Channel.listBatches(dir)
       .filter(p => !p.getFileName.toString.startsWith("compact_") &&
-        Files.exists(p.resolve("_SUCCESS")))
+        Files.exists(p.resolve("_SUCCESS")) && oldEnough(p))
     // keep the NEWEST committed batch even when every head passed it —
     // the same invariant Drop-mode eviction holds (batches.size > 1):
     // the on-disk seq history stays anchored for topics whose _HEAD

@@ -157,4 +157,86 @@ class ChannelStressSuite extends SparkSpec {
     val (strict, weak) = Channel.committedEnds(root)
     assert(strict == weak && Channel.readHead(root).contains((strict, weak)))
   }
+
+  test(s"retention pruning races writers and ackers safely (seed=$seed)") {
+    // consumption-driven retention under contention: writers append while
+    // an acker advances two reader heads (never past the strict committed
+    // cursor — the contract of acks derived from real progress) and a
+    // pruner on a SEPARATE handle prunes in a loop. Invariants: no op
+    // throws; only below-every-head history may vanish; the newest
+    // committed batch anchors the topic; the topic keeps serving writes
+    // and reads afterwards; heads never regress.
+    import spark.implicits._
+    val regRoot = tmpDir("chan_stress_prune")
+    val reg = new ChannelRegistry(spark, regRoot)
+    val ch = reg.create("stress_prune", Seq((1L, "x")).toDF("id", "s").schema)
+    ch.registerReader("r1")
+    ch.registerReader("r2")
+    val pruneHandle = reg.get("stress_prune") // cross-handle realism
+    val nWriters = 3
+    val each = 6
+    val start = new CountDownLatch(1)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writers = (0 until nWriters).map { w =>
+      new Thread(() => {
+        try {
+          start.await()
+          (0 until each).foreach { i =>
+            ch.write(Seq((w * 100L + i, s"w$w-$i")).toDF("id", "s"), writerId = w)
+          }
+        } catch { case t: Throwable => failures.add(t) }
+      }, s"prune-writer-$w")
+    }
+    val acker = new Thread(() => {
+      val rnd = new scala.util.Random(seed * 17 + 1)
+      try {
+        start.await()
+        while (!stop.get()) {
+          val end = ch.cursor() // strict committed end: acks never overreach
+          if (end > 0) {
+            ch.ackReader("r1", rnd.between(0L, end + 1))
+            ch.ackReader("r2", rnd.between(0L, end + 1))
+          }
+          Thread.`yield`()
+        }
+      } catch { case t: Throwable => failures.add(t) }
+    }, "prune-acker")
+    val pruner = new Thread(() => {
+      try {
+        start.await()
+        while (!stop.get()) {
+          pruneHandle.pruneConsumed(graceMs = 500)
+          Thread.`yield`()
+        }
+      } catch { case t: Throwable => failures.add(t) }
+    }, "prune-pruner")
+    (writers :+ acker :+ pruner).foreach(_.start())
+    start.countDown()
+    writers.foreach(_.join(120000))
+    stop.set(true)
+    acker.join(10000); pruner.join(10000)
+    assert(failures.isEmpty, s"stress failures: ${failures.asScala.toList}")
+
+    val heads = ch.readerHeads
+    assert(heads.keySet == Set("r1", "r2"))
+    // quiescent prune to a deterministic state, then check the floor law:
+    // every committed seq >= min(head floor, newest) survives
+    ch.ackReader("r1", ch.cursor())
+    pruneHandle.pruneConsumed(0) // quiesced: writers joined
+    val root = regRoot.resolve("stress_prune")
+    val remaining = Channel.listDir(root)
+      .filter(_.getFileName.toString.startsWith("batch_"))
+      .map(p => p.getFileName.toString.stripPrefix("batch_").take(12).toLong)
+    assert(remaining.nonEmpty, "pruning must keep the newest-batch anchor")
+    val floor = math.min(ch.readerHeads.values.min, remaining.max)
+    assert(remaining.forall(_ >= floor),
+      s"a batch below the final floor $floor survived as $remaining — or above it vanished")
+    // the topic still serves: a fresh write lands on a NEW seq (no reuse
+    // below the committed end) and reads back
+    val endBefore = ch.cursor()
+    ch.write(Seq((999L, "post")).toDF("id", "s"), writerId = 9)
+    assert(ch.cursor() == endBefore + 1, "pruned history must not recycle seqs")
+    assert(ch.read().select("id").as[Long].collect().contains(999L))
+  }
 }

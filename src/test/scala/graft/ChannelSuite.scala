@@ -31,20 +31,20 @@ class ChannelSuite extends SparkSpec {
     ch.write(Seq((1, "a")).toDF("id", "msg"), 1) // seq 0
     ch.write(Seq((2, "b")).toDF("id", "msg"), 1) // seq 1
     ch.write(Seq((3, "c")).toDF("id", "msg"), 1) // seq 2
-    assert(ch.pruneConsumed() == 0L, "no registered readers must mean no pruning")
+    assert(ch.pruneConsumed(0) == 0L, "no registered readers must mean no pruning")
     ch.registerReader("etl")
     ch.registerReader("audit")
     ch.ackReader("etl", 3)   // consumed everything
     ch.ackReader("audit", 1) // only seq 0
     assert(ch.readerHeads == Map("etl" -> 3L, "audit" -> 1L))
-    assert(ch.pruneConsumed() > 0L)
+    assert(ch.pruneConsumed(0) > 0L)
     assert(ch.read().select("id").as[Int].collect().sorted.toSeq == Seq(2, 3),
       "only the batch below BOTH heads may go")
     // a lower (retried/out-of-order) ack can never regress a head
     ch.ackReader("etl", 1)
     assert(ch.readerHeads("etl") == 3L)
     ch.ackReader("audit", 3)
-    ch.pruneConsumed()
+    ch.pruneConsumed(0)
     // the newest committed batch survives even a fully-passed topic
     // (same anchor invariant as Drop eviction's batches.size > 1)
     assert(ch.read().select("id").as[Int].collect().toSeq == Seq(3),

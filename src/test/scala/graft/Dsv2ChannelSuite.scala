@@ -151,7 +151,7 @@ class Dsv2ChannelSuite extends SparkSpec {
       ch.ackFromProgress("tail", q)
       assert(ch.readerHeads("tail") == 2L,
         s"head not advanced from progress: ${ch.readerHeads}")
-      assert(ch.pruneConsumed() > 0L)
+      assert(ch.pruneConsumed(0) > 0L)
       assert(ch.read().select("id").as[Int].collect().toSeq == Seq(2),
         "history below the head prunes; the newest batch anchors the topic")
       // the live subscription continues past the pruned history untouched
