@@ -165,6 +165,9 @@ final class Channel private[channel] (
     while (total > capacityBytes && batches.size > 1) {
       val oldest = batches.head
       val sz = dirSize(oldest)
+      // same floor-before-delete discipline as pruneConsumed: snapshot
+      // pins below an evicted seq must fail loudly, not shrink silently
+      advancePrunedFloor(dir, batchSeq(oldest) + 1)
       deleteRecursively(oldest)
       droppedBytesCount += sz
       batches = batches.tail
@@ -230,7 +233,9 @@ final class Channel private[channel] (
   /** Immutable snapshot read of seq range `[startSeq, endSeq)` via the
     * DSv2 connector: re-reads see the identical dataset regardless of
     * later appends (the reproducible-dataset pin a training run records).
-    * Fails if the range reaches into compacted history — re-pin after
+    * Fails if the range reaches into compacted history OR below the
+    * pruned floor (consumption retention / Drop eviction) — identical
+    * data or a loud error, never silently fewer rows; re-pin after
     * maintenance. */
   def readSnapshot(endSeq: Long, startSeq: Long = 0L): DataFrame = {
     if (isTerminated) throw ChannelClosed(name, "terminated")
@@ -424,8 +429,15 @@ final class Channel private[channel] (
     // on a real dir instead of a fully bare topic
     val lastSeq = committed.map(Channel.batchSeq).maxOption.getOrElse(0L)
     val floor = math.min(heads.values.min, lastSeq)
+    val toDelete = committed.filter(p => Channel.batchSeq(p) < floor)
+    if (toDelete.isEmpty) return 0L
+    // floor BEFORE delete: a crash between the two must leave the floor
+    // published, never deleted-but-unrecorded history (a snapshot pinned
+    // below it would silently shrink)
+    Channel.advancePrunedFloor(dir,
+      toDelete.map(Channel.batchSeq).max + 1)
     var pruned = 0L
-    committed.filter(p => Channel.batchSeq(p) < floor).foreach { p =>
+    toDelete.foreach { p =>
       pruned += Channel.dirSize(p)
       Channel.deleteRecursively(p)
     }
@@ -459,6 +471,33 @@ object Channel {
   private[graft] val ResPrefix = "_res_"
   private[graft] val HeadFile = "_HEAD"
   private[graft] val ReaderPrefix = "_rdr_"
+  private[graft] val PrunedFile = "_PRUNED"
+
+  /** One past the highest seq ever deleted WITHOUT a per-seq trace
+    * (consumption pruning, Drop-mode eviction). Snapshot reads starting
+    * below this floor fail loudly instead of silently returning fewer
+    * rows than the pinned range once held — the reproducible-dataset
+    * contract readSnapshot exists for. 0 when nothing was ever removed. */
+  private[graft] def prunedFloor(dir: Path): Long = {
+    val f = dir.resolve(PrunedFile)
+    if (Files.exists(f))
+      try Files.readString(f).trim.toLong catch { case _: Exception => 0L }
+    else 0L
+  }
+
+  /** Monotonically raise the pruned floor (atomic replace; a concurrent
+    * lower write can only under-state the floor, which fails SAFE — a
+    * too-low floor admits a snapshot that then reads fewer rows, caught
+    * by the next floor publish; raise-before-delete closes even that). */
+  private[graft] def advancePrunedFloor(dir: Path, floor: Long): Unit = {
+    if (floor > prunedFloor(dir)) {
+      val tmp = dir.resolve(PrunedFile + ".tmp")
+      Files.writeString(tmp, floor.toString)
+      Files.move(tmp, dir.resolve(PrunedFile),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
 
   /** Reader names become marker file names — reject anything that could
     * traverse or collide with topic internals (same hostile-input posture

@@ -188,6 +188,17 @@ final class ChannelScan(spark: SparkSession, dataSchema: StructType,
               s"reaches into compacted history (compact seq $c) on '$dir'; " +
               "re-pin the snapshot from the current visible end")
         }
+        // pruned/evicted history is deleted WITHOUT per-seq traces; the
+        // _PRUNED floor is its durable record. A pin below it must fail
+        // loudly — silently returning fewer rows than the pinned range
+        // once held is the exact failure readSnapshot exists to prevent
+        val pruned = Channel.prunedFloor(dir)
+        if (startSeq.getOrElse(0L) < pruned)
+          throw new IllegalStateException(
+            s"snapshot [${startSeq.getOrElse(0L)}, ${endSeq.fold("∞")(_.toString)}) " +
+              s"reaches below the pruned floor $pruned on '$dir' " +
+              "(consumption retention or Drop eviction removed that history); " +
+              "re-pin the snapshot at or above the floor")
         all.filter { p =>
           val s = Channel.batchSeq(p)
           !p.getFileName.toString.startsWith("compact_") &&

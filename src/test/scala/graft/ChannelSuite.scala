@@ -78,6 +78,11 @@ class ChannelSuite extends SparkSpec {
     assert(ch.droppedBytes > 0) // ReaderBehind parity: loss is reported
     val ids = ch.read().select("id").as[Int].collect().toSeq
     assert(ids.nonEmpty && ids == ids.sorted && ids.last == 5) // newest survive
+    // eviction publishes the pruned floor: a snapshot pinned below it is
+    // refused instead of silently returning fewer rows than it once held
+    val ex = intercept[Exception](ch.readSnapshot(endSeq = 6).collect())
+    assert(ex.getMessage != null && ex.getMessage.contains("pruned floor"),
+      s"wrong refusal: ${ex.getMessage}")
   }
 
   test("park mode rejects writes over capacity") {

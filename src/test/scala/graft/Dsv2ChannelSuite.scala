@@ -154,6 +154,14 @@ class Dsv2ChannelSuite extends SparkSpec {
       assert(ch.pruneConsumed(0) > 0L)
       assert(ch.read().select("id").as[Int].collect().toSeq == Seq(2),
         "history below the head prunes; the newest batch anchors the topic")
+      // a snapshot pinned below the pruned floor fails LOUDLY — the
+      // reproducible-dataset contract must never silently shrink
+      val ex = intercept[Exception](ch.readSnapshot(endSeq = 2).collect())
+      assert(ex.getMessage != null && ex.getMessage.contains("pruned floor"),
+        s"wrong refusal: ${ex.getMessage}")
+      // a pin at/above the floor still serves
+      assert(ch.readSnapshot(endSeq = 2, startSeq = 1)
+        .select("id").as[Int].collect().toSeq == Seq(2))
       // the live subscription continues past the pruned history untouched
       ch.write(Seq((3, "c")).toDF("id", "msg"), 1)
       q.processAllAvailable()
