@@ -161,17 +161,30 @@ final class Channel private[channel] (
       throw ChannelBackpressure(name, total, capacityBytes)
     }
     // Drop mode: evict oldest whole batches (frame-pruning parity,
-    // messaging/src/lib.rs:342-359) until under capacity.
+    // messaging/src/lib.rs:342-359) until under capacity. The eviction
+    // prefix is decided FIRST so the pruned floor publishes once (not a
+    // read+write+move per batch on the write hot path), then deletes
+    // follow — the same floor-before-delete discipline as pruneConsumed:
+    // snapshot pins below an evicted seq must fail loudly, not shrink.
+    val toEvict = Seq.newBuilder[(Path, Long)]
     while (total > capacityBytes && batches.size > 1) {
       val oldest = batches.head
       val sz = dirSize(oldest)
-      // same floor-before-delete discipline as pruneConsumed: snapshot
-      // pins below an evicted seq must fail loudly, not shrink silently
-      advancePrunedFloor(dir, batchSeq(oldest) + 1)
-      deleteRecursively(oldest)
-      droppedBytesCount += sz
+      toEvict += ((oldest, sz))
       batches = batches.tail
       total -= sz
+    }
+    val evicting = toEvict.result()
+    evicting.lastOption.foreach { case (last, _) =>
+      // a compact_N dir holds seqs < N (N itself is a benign hole), so
+      // its floor is N; a batch_N dir holds seq N, so its floor is N+1
+      val floor = batchSeq(last) +
+        (if (last.getFileName.toString.startsWith("compact_")) 0 else 1)
+      advancePrunedFloor(dir, floor)
+    }
+    evicting.foreach { case (p, sz) =>
+      deleteRecursively(p)
+      droppedBytesCount += sz
     }
   }
 
@@ -416,12 +429,21 @@ final class Channel private[channel] (
     val heads = readerHeads
     if (heads.isEmpty) return 0L
     val cutoff = System.currentTimeMillis() - graceMs
-    def oldEnough(p: Path): Boolean =
+    // committed AND old enough in one stat (a missing _SUCCESS reads as
+    // IOException → not committed); checking existence separately would
+    // double the per-batch I/O for the same answer
+    def committedAndOld(p: Path): Boolean =
       try Files.getLastModifiedTime(p.resolve("_SUCCESS")).toMillis <= cutoff
-      catch { case _: java.io.IOException => false } // vanished mid-check: skip
+      catch { case _: java.io.IOException => false }
+    // the STRUCTURAL commit-window guard (the grace window alone is
+    // wall-clock-fragile — a writer can stall mid-epilogue for longer
+    // than any grace): doWrite releases a batch's _res_ marker only
+    // AFTER write.parquet fully returns, so a live reservation marks
+    // the commit window exactly; those seqs are never prune-eligible
+    val reserved = Channel.resSeqs(dir).toSet
     val committed = Channel.listBatches(dir)
       .filter(p => !p.getFileName.toString.startsWith("compact_") &&
-        Files.exists(p.resolve("_SUCCESS")) && oldEnough(p))
+        !reserved.contains(Channel.batchSeq(p)) && committedAndOld(p))
     // keep the NEWEST committed batch even when every head passed it —
     // the same invariant Drop-mode eviction holds (batches.size > 1):
     // the on-disk seq history stays anchored for topics whose _HEAD
@@ -477,25 +499,64 @@ object Channel {
     * (consumption pruning, Drop-mode eviction). Snapshot reads starting
     * below this floor fail loudly instead of silently returning fewer
     * rows than the pinned range once held — the reproducible-dataset
-    * contract readSnapshot exists for. 0 when nothing was ever removed. */
+    * contract readSnapshot exists for. 0 when nothing was ever removed.
+    * An unparseable marker throws: "unknown floor" must refuse snapshot
+    * pins (fail LOUD), never admit them as "nothing was ever pruned" —
+    * the next [[advancePrunedFloor]] repairs the file. */
   private[graft] def prunedFloor(dir: Path): Long = {
     val f = dir.resolve(PrunedFile)
-    if (Files.exists(f))
-      try Files.readString(f).trim.toLong catch { case _: Exception => 0L }
-    else 0L
+    if (!Files.exists(f)) 0L
+    else {
+      val s = Files.readString(f).trim
+      try s.toLong catch {
+        case _: NumberFormatException => throw new IllegalStateException(
+          s"corrupt $PrunedFile on '$dir' ('${s.take(32)}'); pruned history " +
+            "is unknown — repair the marker (or run a prune/eviction, which " +
+            "re-publishes it) before snapshot reads")
+      }
+    }
   }
 
-  /** Monotonically raise the pruned floor (atomic replace; a concurrent
-    * lower write can only under-state the floor, which fails SAFE — a
-    * too-low floor admits a snapshot that then reads fewer rows, caught
-    * by the next floor publish; raise-before-delete closes even that). */
+  // per-topic monitors for the floor advance: FileLock is cross-JVM but
+  // throws OverlappingFileLockException for two threads of the SAME JVM,
+  // so intra-JVM racers must serialize on a shared monitor first
+  private val floorMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Monotonically raise the pruned floor. A retry-loop CAS is NOT
+    * enough here: a racer carrying a lower floor can land its replace
+    * after the higher advancer has verified-and-exited, regressing the
+    * floor with no guaranteed later publish to repair it — and a
+    * regressed floor re-admits snapshot pins over deleted history. So
+    * advances serialize: an intra-JVM monitor per topic, then a
+    * cross-JVM FileLock; inside the critical section read → compare →
+    * write a UNIQUE temp (a fixed tmp name would let racers steal each
+    * other's move) → atomic replace. A corrupt marker reads as -1 and
+    * is repaired by the rewrite. */
   private[graft] def advancePrunedFloor(dir: Path, floor: Long): Unit = {
-    if (floor > prunedFloor(dir)) {
-      val tmp = dir.resolve(PrunedFile + ".tmp")
-      Files.writeString(tmp, floor.toString)
-      Files.move(tmp, dir.resolve(PrunedFile),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val monitor = floorMonitors.computeIfAbsent(
+      dir.toAbsolutePath.toString, _ => new Object)
+    monitor.synchronized {
+      val lockCh = java.nio.channels.FileChannel.open(
+        dir.resolve(PrunedFile + ".lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = lockCh.lock()
+        try {
+          val current =
+            try prunedFloor(dir) catch { case _: IllegalStateException => -1L }
+          if (current < floor) {
+            val tmp = Files.createTempFile(dir, PrunedFile, ".tmp")
+            try {
+              Files.writeString(tmp, floor.toString)
+              Files.move(tmp, dir.resolve(PrunedFile),
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            } finally Files.deleteIfExists(tmp)
+          }
+        } finally lock.release()
+      } finally lockCh.close()
     }
   }
 

@@ -229,9 +229,15 @@ class ChannelStressSuite extends SparkSpec {
       .filter(_.getFileName.toString.startsWith("batch_"))
       .map(p => p.getFileName.toString.stripPrefix("batch_").take(12).toLong)
     assert(remaining.nonEmpty, "pruning must keep the newest-batch anchor")
+    // both directions of the floor law: nothing below the final floor
+    // survives AND nothing at or above it vanished — writers commit a
+    // contiguous seq range here (no aborts), so the survivors must be
+    // exactly [floor, max]
     val floor = math.min(ch.readerHeads.values.min, remaining.max)
-    assert(remaining.forall(_ >= floor),
-      s"a batch below the final floor $floor survived as $remaining — or above it vanished")
+    assert(remaining.toSet == (floor to remaining.max).toSet,
+      s"survivors $remaining are not exactly [$floor, ${remaining.max}]")
+    assert(graft.channel.Channel.prunedFloor(root) <= floor,
+      "published floor overstates what was pruned")
     // the topic still serves: a fresh write lands on a NEW seq (no reuse
     // below the committed end) and reads back
     val endBefore = ch.cursor()
