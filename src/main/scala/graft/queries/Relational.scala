@@ -514,6 +514,86 @@ object Relational {
         .orderBy($("c_nationkey"))
     },
 
+    // ---- National market share over a 5-way join (TPC-H Q8 shape): one
+    // nation's fraction of a part-type's revenue per year. The fact
+    // table crosses exactly one exchange (the final year rollup) — the
+    // type filter prunes at the part scan, all four dims broadcast, the
+    // numerator CASE folds into the map-side partial, and the share
+    // divides two exact decimal totals in identical op order on both
+    // engines.
+    Q("q8_market_share",
+      """WITH rev AS (
+        |  SELECT year(o.o_orderdate) AS yr,
+        |    CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)) AS volume,
+        |    n.n_name AS supp_nation
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  WHERE p.p_type = 'STANDARD' AND year(o.o_orderdate) IN (1996, 1997))
+        |SELECT yr,
+        |  CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END)
+        |       AS DOUBLE) / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+        |  COUNT(*) AS n
+        |FROM rev GROUP BY yr ORDER BY yr""".stripMargin) { (s, d) =>
+      val volume = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select($("o_orderkey"), $("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(year($("o_orderdate")).isin(1996, 1997))
+        .join(broadcast(Tables.part(s, d).filter($("p_type") === "STANDARD")
+          .select($("p_partkey"))), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d).select($("s_suppkey"), $("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d).select($("n_nationkey"), $("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(year($("o_orderdate")).as("yr"))
+        .agg(
+          (sum(when(col("n_name") === "NATION_1", volume).otherwise(lit(0)))
+            .cast("double")
+            / sum(volume).cast("double")).as("mkt_share"),
+          count(lit(1)).as("n"))
+        .orderBy(col("yr"))
+    },
+
+    // ---- Profit by nation and year over the full join tree (TPC-H Q9
+    // shape; supply cost approximated from p_retailprice — the schema
+    // carries no partsupp). Same scale posture as q8: dims broadcast,
+    // per-row amount computed once in the scan projection (identical
+    // double op order both engines, then a per-row decimal cast so the
+    // sums are order-independent), one exchange for the (nation, year)
+    // rollup.
+    Q("q9_nation_profit",
+      """WITH pr AS (
+        |  SELECT n.n_name AS nation, year(o.o_orderdate) AS yr,
+        |    CAST(l.l_extendedprice * (1 - l.l_discount)
+        |         - 0.4 * p.p_retailprice * l.l_quantity AS DECIMAL(18,4)) AS amount
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey)
+        |SELECT nation, yr, CAST(SUM(amount) AS DOUBLE) AS profit, COUNT(*) AS n
+        |FROM pr GROUP BY nation, yr ORDER BY nation, yr DESC""".stripMargin) { (s, d) =>
+      val amount = (col("l_extendedprice") * (lit(1) - col("l_discount"))
+        - lit(0.4) * col("p_retailprice") * col("l_quantity"))
+        .cast("decimal(18,4)")
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select($("o_orderkey"), $("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.part(s, d).select($("p_partkey"), $("p_retailprice"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d).select($("s_suppkey"), $("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d).select($("n_nationkey"), $("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year($("o_orderdate")).as("yr"))
+        .agg(sum(amount).cast("double").as("profit"), count(lit(1)).as("n"))
+        .orderBy(col("nation"), col("yr").desc)
+    },
+
     // ---- Outer join with null-group handling: every customer, including
     // the order-less, with order stats.
     Q("q_outer_join",
