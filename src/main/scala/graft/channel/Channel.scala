@@ -345,6 +345,41 @@ final class Channel private[channel] (
 
   /** Channel health/metrics row (ops surface; droppedBytes is the
     * ReaderBehind accounting, reference messaging/src/lib.rs:106-110). */
+  /** Release reservation markers older than `olderThanMs` — the
+    * maintenance action for CRASHED writers, whose pending `_res_` seq
+    * otherwise parks every strict subscription's visible end forever
+    * (blocked beats silently lossy, but an operator eventually has to
+    * unblock). A stale seq with NO committed batch is tombstoned
+    * (`_abort_`) BEFORE its marker is released, so strict readers see an
+    * aborted hole, never a trace-free gap; a stale marker whose batch DID
+    * commit (writer died between commit and marker release) just drops
+    * the marker — the data is valid. Returns the number swept.
+    *
+    * DANGER: declaring a writer dead is inherently wall-clock judgement —
+    * a merely-slow writer swept mid-write will commit data onto a seq
+    * already tombstoned, which strict readers may then skip. Only call
+    * with `olderThanMs` far above any plausible write duration (default
+    * 10 min), from a maintenance context. */
+  def sweepStale(olderThanMs: Long = 600000): Int = synchronized {
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    var swept = 0
+    Channel.resSeqs(dir).foreach { s =>
+      val marker = dir.resolve(f"${Channel.ResPrefix}$s%012d")
+      val stale =
+        try Files.getLastModifiedTime(marker).toMillis <= cutoff
+        catch { case _: java.io.IOException => false } // resolved mid-check
+      if (stale) {
+        val committed = Channel.listBatches(dir).exists(p =>
+          Channel.batchSeq(p) == s && Files.exists(p.resolve("_SUCCESS")))
+        if (!committed) Channel.markAborted(dir, s) // tombstone FIRST
+        Files.deleteIfExists(marker)
+        swept += 1
+      }
+    }
+    if (swept > 0) Channel.advanceHead(dir) // strict cursor may move now
+    swept
+  }
+
   /** Consumption-driven retention — the reference's frame pruning
     * ("frames dropped once all heads pass",
     * /root/reference/subsystem/messaging/src/lib.rs:342-359), adapted to

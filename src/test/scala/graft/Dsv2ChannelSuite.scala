@@ -169,6 +169,31 @@ class Dsv2ChannelSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sweepStale unblocks a strict stream parked on a crashed writer's reservation") {
+    val reg = new ChannelRegistry(spark, tmpDir("dsv2"))
+    val ch = reg.create("sw1", schema)
+    // simulated crashed writer: reserves seq 0, never commits or aborts
+    val dead = Channel.reserveSeq(ch.dir)
+    assert(dead == 0L)
+    ch.write(Seq((1, "a")).toDF("id", "msg"), 1) // lands at seq 1
+    sinkN += 1
+    val name = s"dsv2_sink_$sinkN"
+    val q = ch.readStreamV2().select("id").writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 0,
+        "strict visible end must park at the pending reservation")
+      assert(ch.sweepStale(0) == 1) // maintenance: declare the writer dead
+      q.processAllAvailable()
+      assert(spark.table(name).as[Int].collect().toSeq == Seq(1),
+        "after the sweep the stream must pass the tombstoned hole")
+      assert(Channel.abortSeqs(ch.dir) == Seq(0L),
+        "the swept seq must read as aborted, never as a trace-free gap")
+      assert(Channel.resSeqs(ch.dir).isEmpty)
+    } finally q.stop()
+  }
+
   test("maxBatchesPerTrigger paces ingestion one channel batch per micro-batch") {
     val reg = new ChannelRegistry(spark, tmpDir("dsv2"))
     val ch = reg.create("s3", schema)
