@@ -593,6 +593,65 @@ object Streamish {
       }
     },
 
+    // ---- FULL OUTER stream-stream interval join — the symmetric
+    // completion of the left-outer above: unmatched rows emit from BOTH
+    // state stores as their watermarks pass (unmatched purchases when the
+    // click side can no longer match them, unmatched clicks when the
+    // purchase side can't), alongside the inner matches. Same ordered
+    // replay + per-side sentinel contract; both null sides emit as -1
+    // (engines order NULLs differently), and (p_id, c_id) stays a unique
+    // total order because each unmatched row keeps its own real id.
+    Q("q_stream_full_join",
+      """SELECT coalesce(p.event_id, -1) AS p_id,
+        |  coalesce(c.event_id, -1) AS c_id,
+        |  coalesce(p.user_id, c.user_id) AS user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        |  AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000
+        |                         AND epoch_us(p.ts)
+        |ORDER BY p_id, c_id""".stripMargin) { (s, d) =>
+      Tables.ensureConf(s)
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      val maxTs = ev.agg(max(col("ts"))).head.getLong(0)
+      val hourNs = 3600L * 1000000000L
+      def flush(ts: Long) = s.createDataFrame(java.util.Arrays.asList(
+          org.apache.spark.sql.Row(-1L, -1L, "purchase", ts),
+          org.apache.spark.sql.Row(-2L, -1L, "click", ts)),
+        ev.schema)
+      val sink = s"graft_stream_fjoin_${streamRun.incrementAndGet()}"
+      Staging.withOrderedReplay(ev, Seq(col("ts"), col("event_id")), 4,
+        "graft_stream_fjoin",
+        Seq(flush(maxTs + 3 * hourNs), flush(maxTs + 48 * hourNs))) { in =>
+        val schema = s.read.parquet(in).schema
+        Staging.runAndDrain(s, sink) {
+          val src = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(in)
+          def side(tpe: String, prefix: String) =
+            src.filter(col("event_type") === tpe)
+              .select(col("event_id").as(s"${prefix}_id"),
+                col("user_id").as(s"${prefix}_user"),
+                expr("timestamp_micros(ts div 1000)").as(s"${prefix}_ts"))
+              .withWatermark(s"${prefix}_ts", "1 hour")
+          val joined = side("purchase", "p").join(side("click", "c"),
+            col("p_user") === col("c_user") &&
+              col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+              col("c_ts") <= col("p_ts"),
+            "full_outer")
+          val q = sizedStart(s, 8)(joined.writeStream.outputMode("append")
+            .format("memory").queryName(sink).start())
+          try q.processAllAvailable() finally q.stop()
+        } {
+          _.filter(coalesce(col("p_user"), col("c_user")) >= 0)
+            .select(coalesce(col("p_id"), lit(-1L)).as("p_id"),
+              coalesce(col("c_id"), lit(-1L)).as("c_id"),
+              coalesce(col("p_user"), col("c_user")).as("user_id"))
+            .orderBy(col("p_id"), col("c_id"))
+        }
+      }
+    },
+
     // ---- A4 as a REAL stateful streaming run: ConfigFold
     // (flatMapGroupsWithState) over the events stream — signups are
     // ConfigUpdates, purchases are WorkItems (same mapping as
