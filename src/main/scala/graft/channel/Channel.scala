@@ -362,21 +362,37 @@ final class Channel private[channel] (
     * 10 min), from a maintenance context. */
   def sweepStale(olderThanMs: Long = 600000): Int = synchronized {
     val cutoff = System.currentTimeMillis() - olderThanMs
+    // ONE listing up front: this is the maintenance path for possibly
+    // million-dir topics — a per-marker listBatches would be O(k·n)
+    val batchesBySeq = Channel.listBatches(dir).groupBy(Channel.batchSeq)
     var swept = 0
+    var markerOnlyDropped = false
     Channel.resSeqs(dir).foreach { s =>
       val marker = dir.resolve(f"${Channel.ResPrefix}$s%012d")
       val stale =
         try Files.getLastModifiedTime(marker).toMillis <= cutoff
         catch { case _: java.io.IOException => false } // resolved mid-check
       if (stale) {
-        val committed = Channel.listBatches(dir).exists(p =>
-          Channel.batchSeq(p) == s && Files.exists(p.resolve("_SUCCESS")))
-        if (!committed) Channel.markAborted(dir, s) // tombstone FIRST
-        Files.deleteIfExists(marker)
+        val dirs = batchesBySeq.getOrElse(s, Seq.empty)
+        if (dirs.exists(p => Files.exists(p.resolve("_SUCCESS")))) {
+          // writer died between commit and marker release: data is valid,
+          // only the marker goes
+          Files.deleteIfExists(marker)
+          markerOnlyDropped = true
+        } else {
+          // the common crash: a PARTIAL batch dir (task files, no
+          // _SUCCESS) parks the committed-prefix walk exactly like the
+          // marker does — tombstoning alone would leave the stream
+          // parked with the sweep reporting success. Partials go first
+          // (the marker still traces the seq), then markAborted
+          // tombstones, releases the marker, and advances the head.
+          dirs.foreach(Channel.deleteRecursively)
+          Channel.markAborted(dir, s)
+        }
         swept += 1
       }
     }
-    if (swept > 0) Channel.advanceHead(dir) // strict cursor may move now
+    if (markerOnlyDropped) Channel.advanceHead(dir) // cursor may move now
     swept
   }
 

@@ -537,8 +537,7 @@ object Relational {
         |       AS DOUBLE) / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
         |  COUNT(*) AS n
         |FROM rev GROUP BY yr ORDER BY yr""".stripMargin) { (s, d) =>
-      val volume = (col("l_extendedprice") * (lit(1) - col("l_discount")))
-        .cast("decimal(18,4)")
+      val volume = col("l_extendedprice") * (lit(1) - col("l_discount"))
       Tables.lineitem(s, d)
         .join(Tables.orders(s, d).select($("o_orderkey"), $("o_orderdate")),
           col("l_orderkey") === col("o_orderkey"))
@@ -551,9 +550,9 @@ object Relational {
           col("s_nationkey") === col("n_nationkey"))
         .groupBy(year($("o_orderdate")).as("yr"))
         .agg(
-          (sum(when(col("n_name") === "NATION_1", volume).otherwise(lit(0)))
-            .cast("double")
-            / sum(volume).cast("double")).as("mkt_share"),
+          (Tables.exactSum(when(col("n_name") === "NATION_1", volume)
+            .otherwise(lit(0)), 4)
+            / Tables.exactSum(volume, 4)).as("mkt_share"),
           count(lit(1)).as("n"))
         .orderBy(col("yr"))
     },
@@ -577,9 +576,8 @@ object Relational {
         |  JOIN nation n ON s.s_nationkey = n.n_nationkey)
         |SELECT nation, yr, CAST(SUM(amount) AS DOUBLE) AS profit, COUNT(*) AS n
         |FROM pr GROUP BY nation, yr ORDER BY nation, yr DESC""".stripMargin) { (s, d) =>
-      val amount = (col("l_extendedprice") * (lit(1) - col("l_discount"))
-        - lit(0.4) * col("p_retailprice") * col("l_quantity"))
-        .cast("decimal(18,4)")
+      val amount = col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        lit(0.4) * col("p_retailprice") * col("l_quantity")
       Tables.lineitem(s, d)
         .join(Tables.orders(s, d).select($("o_orderkey"), $("o_orderdate")),
           col("l_orderkey") === col("o_orderkey"))
@@ -590,7 +588,7 @@ object Relational {
         .join(broadcast(Tables.nation(s, d).select($("n_nationkey"), $("n_name"))),
           col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name").as("nation"), year($("o_orderdate")).as("yr"))
-        .agg(sum(amount).cast("double").as("profit"), count(lit(1)).as("n"))
+        .agg(Tables.exactSum(amount, 4).as("profit"), count(lit(1)).as("n"))
         .orderBy(col("nation"), col("yr").desc)
     },
 

@@ -42,6 +42,54 @@ object Streamish {
       f(tmp.toString)
     }
 
+  /** Shared scaffold for the OUTER stream-stream interval joins
+    * (purchases ⋈ preceding-hour clicks by user): event-time-ordered
+    * replay of the events table (4 range-staged batches), one source
+    * split into two filtered watermarked legs, two flush sentinels
+    * carrying one row PER SIDE (each leg computes its own watermark from
+    * its filtered rows; the global watermark is their min, so both legs
+    * must see sentinel event times), memory-sink drain through `shape`.
+    * The join family differs only in `joinType` and the drain, so the
+    * sentinel/watermark contract lives in exactly one place. */
+  private def intervalJoinStream(s: org.apache.spark.sql.SparkSession, d: String,
+                                 joinType: String, label: String)(
+      shape: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    Tables.ensureConf(s)
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val maxTs = ev.agg(max(col("ts"))).head.getLong(0)
+    val hourNs = 3600L * 1000000000L
+    def flush(ts: Long) = s.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row(-1L, -1L, "purchase", ts),
+        org.apache.spark.sql.Row(-2L, -1L, "click", ts)),
+      ev.schema)
+    val sink = s"graft_stream_${label}_${streamRun.incrementAndGet()}"
+    Staging.withOrderedReplay(ev, Seq(col("ts"), col("event_id")), 4,
+      s"graft_stream_$label",
+      Seq(flush(maxTs + 3 * hourNs), flush(maxTs + 48 * hourNs))) { in =>
+      val schema = s.read.parquet(in).schema
+      Staging.runAndDrain(s, sink) {
+        val src = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        def side(tpe: String, prefix: String) =
+          src.filter(col("event_type") === tpe)
+            .select(col("event_id").as(s"${prefix}_id"),
+              col("user_id").as(s"${prefix}_user"),
+              expr("timestamp_micros(ts div 1000)").as(s"${prefix}_ts"))
+            .withWatermark(s"${prefix}_ts", "1 hour")
+        val joined = side("purchase", "p").join(side("click", "c"),
+          col("p_user") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts"),
+          joinType)
+        val q = sizedStart(s, 8)(joined.writeStream.outputMode("append")
+          .format("memory").queryName(sink).start())
+        try q.processAllAvailable() finally q.stop()
+      }(shape)
+    }
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- T1/T2/J1: map → union → filter. Mirrors examples/data-pipeline
@@ -553,43 +601,11 @@ object Streamish {
         |  AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000
         |                         AND epoch_us(p.ts)
         |ORDER BY p_id, c_id""".stripMargin) { (s, d) =>
-      Tables.ensureConf(s)
-      val ev = Tables.events(s, d)
-        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
-      val maxTs = ev.agg(max(col("ts"))).head.getLong(0)
-      val hourNs = 3600L * 1000000000L
-      def flush(ts: Long) = s.createDataFrame(java.util.Arrays.asList(
-          org.apache.spark.sql.Row(-1L, -1L, "purchase", ts),
-          org.apache.spark.sql.Row(-2L, -1L, "click", ts)),
-        ev.schema)
-      val sink = s"graft_stream_ljoin_${streamRun.incrementAndGet()}"
-      Staging.withOrderedReplay(ev, Seq(col("ts"), col("event_id")), 4,
-        "graft_stream_ljoin",
-        Seq(flush(maxTs + 3 * hourNs), flush(maxTs + 48 * hourNs))) { in =>
-        val schema = s.read.parquet(in).schema
-        Staging.runAndDrain(s, sink) {
-          val src = s.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1).parquet(in)
-          def side(tpe: String, prefix: String) =
-            src.filter(col("event_type") === tpe)
-              .select(col("event_id").as(s"${prefix}_id"),
-                col("user_id").as(s"${prefix}_user"),
-                expr("timestamp_micros(ts div 1000)").as(s"${prefix}_ts"))
-              .withWatermark(s"${prefix}_ts", "1 hour")
-          val joined = side("purchase", "p").join(side("click", "c"),
-            col("p_user") === col("c_user") &&
-              col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-              col("c_ts") <= col("p_ts"),
-            "left_outer")
-          val q = sizedStart(s, 8)(joined.writeStream.outputMode("append")
-            .format("memory").queryName(sink).start())
-          try q.processAllAvailable() finally q.stop()
-        } {
-          _.filter(col("p_user") >= 0)
-            .select(col("p_id"), coalesce(col("c_id"), lit(-1L)).as("c_id"),
-              col("p_user").as("user_id"))
-            .orderBy(col("p_id"), col("c_id"))
-        }
+      intervalJoinStream(s, d, "left_outer", "ljoin") {
+        _.filter(col("p_user") >= 0)
+          .select(col("p_id"), coalesce(col("c_id"), lit(-1L)).as("c_id"),
+            col("p_user").as("user_id"))
+          .orderBy(col("p_id"), col("c_id"))
       }
     },
 
@@ -611,44 +627,12 @@ object Streamish {
         |  AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000
         |                         AND epoch_us(p.ts)
         |ORDER BY p_id, c_id""".stripMargin) { (s, d) =>
-      Tables.ensureConf(s)
-      val ev = Tables.events(s, d)
-        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
-      val maxTs = ev.agg(max(col("ts"))).head.getLong(0)
-      val hourNs = 3600L * 1000000000L
-      def flush(ts: Long) = s.createDataFrame(java.util.Arrays.asList(
-          org.apache.spark.sql.Row(-1L, -1L, "purchase", ts),
-          org.apache.spark.sql.Row(-2L, -1L, "click", ts)),
-        ev.schema)
-      val sink = s"graft_stream_fjoin_${streamRun.incrementAndGet()}"
-      Staging.withOrderedReplay(ev, Seq(col("ts"), col("event_id")), 4,
-        "graft_stream_fjoin",
-        Seq(flush(maxTs + 3 * hourNs), flush(maxTs + 48 * hourNs))) { in =>
-        val schema = s.read.parquet(in).schema
-        Staging.runAndDrain(s, sink) {
-          val src = s.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1).parquet(in)
-          def side(tpe: String, prefix: String) =
-            src.filter(col("event_type") === tpe)
-              .select(col("event_id").as(s"${prefix}_id"),
-                col("user_id").as(s"${prefix}_user"),
-                expr("timestamp_micros(ts div 1000)").as(s"${prefix}_ts"))
-              .withWatermark(s"${prefix}_ts", "1 hour")
-          val joined = side("purchase", "p").join(side("click", "c"),
-            col("p_user") === col("c_user") &&
-              col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-              col("c_ts") <= col("p_ts"),
-            "full_outer")
-          val q = sizedStart(s, 8)(joined.writeStream.outputMode("append")
-            .format("memory").queryName(sink).start())
-          try q.processAllAvailable() finally q.stop()
-        } {
-          _.filter(coalesce(col("p_user"), col("c_user")) >= 0)
-            .select(coalesce(col("p_id"), lit(-1L)).as("p_id"),
-              coalesce(col("c_id"), lit(-1L)).as("c_id"),
-              coalesce(col("p_user"), col("c_user")).as("user_id"))
-            .orderBy(col("p_id"), col("c_id"))
-        }
+      intervalJoinStream(s, d, "full_outer", "fjoin") {
+        _.filter(coalesce(col("p_user"), col("c_user")) >= 0)
+          .select(coalesce(col("p_id"), lit(-1L)).as("p_id"),
+            coalesce(col("c_id"), lit(-1L)).as("c_id"),
+            coalesce(col("p_user"), col("c_user")).as("user_id"))
+          .orderBy(col("p_id"), col("c_id"))
       }
     },
 

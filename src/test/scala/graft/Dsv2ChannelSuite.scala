@@ -191,6 +191,25 @@ class Dsv2ChannelSuite extends SparkSpec {
       assert(Channel.abortSeqs(ch.dir) == Seq(0L),
         "the swept seq must read as aborted, never as a trace-free gap")
       assert(Channel.resSeqs(ch.dir).isEmpty)
+
+      // the COMMON crash mode: the writer died mid-parquet-write, leaving
+      // a partial batch dir (task files, no _SUCCESS) plus its marker —
+      // the partial dir parks the committed-prefix walk exactly like the
+      // marker, so the sweep must remove it too, not just tombstone
+      val s2 = Channel.reserveSeq(ch.dir)
+      val partial = ch.dir.resolve(f"batch_$s2%012d" + "_w9_crashed")
+      Files.createDirectories(partial)
+      Files.createFile(partial.resolve("part-00000.parquet")) // no _SUCCESS
+      ch.write(Seq((2, "b")).toDF("id", "msg"), 1) // lands beyond the hole
+      q.processAllAvailable()
+      assert(spark.table(name).as[Int].collect().toSeq == Seq(1),
+        "stream must park on the mid-write crash before the sweep")
+      assert(ch.sweepStale(0) == 1)
+      q.processAllAvailable()
+      assert(spark.table(name).as[Int].collect().sorted.toSeq == Seq(1, 2),
+        "after the sweep the stream must pass the partial-dir hole")
+      assert(!Files.exists(partial), "the partial batch dir must be removed")
+      assert(Channel.abortSeqs(ch.dir).contains(s2))
     } finally q.stop()
   }
 
