@@ -636,6 +636,63 @@ object Streamish {
       }
     },
 
+    // ---- Versioned-dimension lookup AT EVENT TIME over a stream (the
+    // SCD-2 enrichment shape): signups form a versioned per-user
+    // dimension (each valid from its own event time until the user's
+    // next signup), and purchases streaming in pick up the version whose
+    // validity interval contains THEIR event time — not the latest
+    // version at processing time, which is what a naive stream-static
+    // equi-join would give after a replay. Stateless stream-static LEFT
+    // join (each row enriches immediately, no watermark or state store);
+    // the dimension is the bounded SCD table so it broadcasts onto every
+    // micro-batch — at dimension scale the same join degrades to a
+    // shuffle on the user key. Purchases with no prior signup emit -1
+    // (engines order NULLs differently). Oracle = the batch interval
+    // join over lead()-derived validity windows.
+    Q("q_stream_dim_lookup",
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |                  epoch_us(ts) AS t FROM events),
+        |sg AS (SELECT event_id, user_id, t, value,
+        |         lead(t, 1, 9223372036854775807) OVER (
+        |           PARTITION BY user_id ORDER BY t, event_id) AS t_to
+        |       FROM e WHERE event_type = 'signup'),
+        |p AS (SELECT event_id, user_id, t FROM e WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.t,
+        |  coalesce(sg.event_id, -1) AS dim_event_id,
+        |  round(coalesce(sg.value, -1), 6) AS dim_value
+        |FROM p LEFT JOIN sg ON p.user_id = sg.user_id
+        |  AND sg.t <= p.t AND p.t < sg.t_to
+        |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      Tables.ensureConf(s)
+      val e = Tables.events(s, d).withColumn("t", expr("ts div 1000"))
+      val w = Window.partitionBy(col("d_user")).orderBy(col("t_from"), col("dim_event_id"))
+      val dim = e.filter(col("event_type") === "signup")
+        .select(col("event_id").as("dim_event_id"), col("user_id").as("d_user"),
+          col("t").as("t_from"), col("value").as("dim_value"))
+        .withColumn("t_to", lead(col("t_from"), 1, Long.MaxValue).over(w))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("t"))
+      val sink = s"graft_stream_dim_${streamRun.incrementAndGet()}"
+      Staging.withOrderedReplay(purchases, Seq(col("t"), col("event_id")), 4,
+        "graft_stream_dim", Seq.empty) { in =>
+        val schema = s.read.parquet(in).schema
+        Staging.runAndDrain(s, sink) {
+          val enriched = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(in)
+            .join(broadcast(dim),
+              col("user_id") === col("d_user") &&
+                col("t_from") <= col("t") && col("t") < col("t_to"),
+              "left_outer")
+            .select(col("event_id"), col("user_id"), col("t"),
+              coalesce(col("dim_event_id"), lit(-1L)).as("dim_event_id"),
+              round(coalesce(col("dim_value"), lit(-1.0)), 6).as("dim_value"))
+          val q = enriched.writeStream.outputMode("append")
+            .format("memory").queryName(sink).start()
+          try q.processAllAvailable() finally q.stop()
+        }(_.orderBy(col("event_id")))
+      }
+    },
+
     // ---- A4 as a REAL stateful streaming run: ConfigFold
     // (flatMapGroupsWithState) over the events stream — signups are
     // ConfigUpdates, purchases are WorkItems (same mapping as
