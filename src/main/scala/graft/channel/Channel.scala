@@ -450,19 +450,25 @@ final class Channel private[channel] (
     * durably-checkpointed point a retention head may safely claim.
     * No-op when the query has no progress yet or no source on this
     * topic — acks must never guess. */
-  def ackFromProgress(reader: String, q: StreamingQuery): Unit = {
+  def ackFromProgress(reader: String, q: StreamingQuery): Unit =
+    Option(q.lastProgress).foreach(ackFromProgress(reader, _))
+
+  /** Same, from a progress object directly — the form a
+    * StreamingQueryListener holds (it sees events, not queries);
+    * [[graft.runtime.QueryManager.autoAck]] drives retention through
+    * this. */
+  def ackFromProgress(reader: String,
+      p: org.apache.spark.sql.streaming.StreamingQueryProgress): Unit = {
     Channel.validReaderName(reader)
-    Option(q.lastProgress).foreach { p =>
-      // exact-match the source description: a substring test on the bare
-      // dir path would also match a SIBLING topic whose path extends this
-      // one (events vs events_dlq) and ack — then prune — the wrong topic
-      p.sources.toSeq
-        .filter(sp => Option(sp.description).exists(_.contains(s"GraftChannel[$dir]")))
-        .flatMap(sp => Option(sp.endOffset))
-        .flatMap(off => scala.util.Try(off.trim.toLong).toOption)
-        .maxOption
-        .foreach(ackReader(reader, _))
-    }
+    // exact-match the source description: a substring test on the bare
+    // dir path would also match a SIBLING topic whose path extends this
+    // one (events vs events_dlq) and ack — then prune — the wrong topic
+    p.sources.toSeq
+      .filter(sp => Option(sp.description).exists(_.contains(s"GraftChannel[$dir]")))
+      .flatMap(sp => Option(sp.endOffset))
+      .flatMap(off => scala.util.Try(off.trim.toLong).toOption)
+      .maxOption
+      .foreach(ackReader(reader, _))
   }
 
   /** Delete committed batch dirs every registered head has passed;

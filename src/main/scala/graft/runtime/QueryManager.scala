@@ -128,6 +128,33 @@ final class QueryManager(val spark: SparkSession,
   def detachProgressLogger(l: org.apache.spark.sql.streaming.StreamingQueryListener): Unit =
     spark.streams.removeListener(l)
 
+  /** Hands-off consumption-driven retention: every progress event of the
+    * named pipeline advances `reader`'s head on `ch` from the query's OWN
+    * committed progress (Channel.ackFromProgress — acks never overreach
+    * what the subscription durably processed), so a periodic
+    * `ch.pruneConsumed()` follows the subscription with no manual ack
+    * loop. Registers the reader if absent. Ack failures are swallowed
+    * like progress-log failures: retention telemetry must never stall
+    * the pipeline it observes (a missed ack only retains MORE history).
+    * Returns the listener; detach with [[detachProgressLogger]]. */
+  def autoAck(name: String, ch: Channel, reader: String)
+      : org.apache.spark.sql.streaming.StreamingQueryListener = {
+    ch.registerReader(reader)
+    val l = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val mine = Option(running.get(name)).exists(_.id == e.progress.id)
+        if (mine)
+          try ch.ackFromProgress(reader, e.progress)
+          catch { case _: Exception => () }
+      }
+    }
+    spark.streams.addListener(l)
+    l
+  }
+
   /** Start a named pipeline. `build` constructs and starts the streaming
     * query only after the ACL check passes. */
   def start(name: String, session: Session,

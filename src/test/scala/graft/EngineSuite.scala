@@ -156,6 +156,42 @@ class EngineSuite extends SparkSpec {
     } finally qm.detachProgressLogger(listener)
   }
 
+  test("autoAck: a managed pipeline's progress drives retention hands-off") {
+    // the full production retention loop with no manual ack call: the
+    // pipeline subscribes to a topic under QueryManager, autoAck advances
+    // the reader head from each progress event, and pruneConsumed then
+    // follows the subscription
+    import graft.channel.ChannelRegistry
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val reg = new ChannelRegistry(spark, tmpDir("qmaa"))
+    val data = reg.create("aa_topic",
+      StructType(Seq(StructField("v", LongType))))
+    import spark.implicits._
+    data.write(Seq(1L, 2L).toDF("v"), writerId = 1)
+    data.write(Seq(3L).toDF("v"), writerId = 1)
+    val qm = new QueryManager(spark)
+    val listener = qm.autoAck("tailp", data, "tail")
+    try {
+      val q = qm.start("tailp", Session("ops", Set(Capability.ChannelRead)),
+        Set(Capability.ChannelRead)) { _ =>
+        data.readStreamV2().writeStream.format("memory")
+          .queryName("qm_autoack").start()
+      }
+      q.processAllAvailable()
+      // listener events deliver asynchronously — poll for the head
+      val deadline = System.currentTimeMillis() + 15000
+      while (data.readerHeads.getOrElse("tail", 0L) < 2L &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(data.readerHeads("tail") == 2L,
+        s"head not advanced by autoAck: ${data.readerHeads}")
+      assert(data.pruneConsumed(0) > 0L,
+        "retention must follow the auto-acked head")
+      assert(data.read().select("v").as[Long].collect().toSeq == Seq(3L),
+        "history below the auto-acked head prunes; newest batch anchors")
+      qm.stop("tailp")
+    } finally qm.detachProgressLogger(listener)
+  }
+
   test("query manager refuses pipelines lacking capabilities, logs lifecycle") {
     import graft.channel.ChannelRegistry
     val reg = new ChannelRegistry(spark, tmpDir("qml"))
