@@ -137,6 +137,48 @@ object MultimodalOps {
           lit("text/plain").as("mime"))
         .as[Multimodal.MediaRecord]
       Multimodal.decodePartitions(ds).toDF().orderBy(col("media_id"))
+    },
+
+    // ---- The COMPOSED media preprocessing plan — meta decode → frame
+    // gate → resize → frame sampling → per-output-shape stats, chained
+    // in ONE query the way a video-curation job runs it (the multimodal
+    // twin of q_curation_pipeline). Every stage is a per-row expression
+    // fused into the single scan; the only shuffle is the final
+    // (out_w, out_h) rollup — the shape that holds at any corpus size.
+    // Uses the REAL operators (fakeWidth/Height/Frames, resizeDims,
+    // sampleFrameIdx), so the composition itself is what the oracle
+    // checks, not a re-derivation.
+    Q("q_media_pipeline",
+      """WITH meta AS (SELECT doc_id,
+        |         CAST(octet_length(encode(text)) AS INT) AS n FROM documents),
+        |m2 AS (SELECT doc_id, (n % 64 + 1) * 16 AS w, (n % 48 + 1) * 16 AS h,
+        |              n % 30 + 1 AS fr FROM meta),
+        |kept AS (SELECT * FROM m2 WHERE fr >= 10),
+        |rs AS (SELECT doc_id,
+        |         CAST(w * 256 // GREATEST(w, h) AS INT) AS out_w,
+        |         CAST(h * 256 // GREATEST(w, h) AS INT) AS out_h, fr,
+        |         CAST(len(range(0, fr, 5)) AS BIGINT) AS n_sampled
+        |       FROM kept)
+        |SELECT out_w, out_h, COUNT(*) AS n_media,
+        |  CAST(SUM(fr) AS BIGINT) AS sum_frames,
+        |  CAST(SUM(n_sampled) AS BIGINT) AS sum_sampled
+        |FROM rs GROUP BY out_w, out_h ORDER BY out_w, out_h""".stripMargin) { (s, d) =>
+      val n = length(col("text").cast("binary"))
+      val meta = Tables.documents(s, d).select(
+        col("doc_id"),
+        Multimodal.fakeWidth(n).cast("int").as("w"),
+        Multimodal.fakeHeight(n).cast("int").as("h"),
+        Multimodal.fakeFrames(n).cast("int").as("fr"))
+      val kept = meta.filter(col("fr") >= 10)
+      val (ow, oh) = Multimodal.resizeDims(col("w"), col("h"), 256)
+      kept.select(col("fr"),
+          ow.cast("int").as("out_w"), oh.cast("int").as("out_h"),
+          size(Multimodal.sampleFrameIdx(col("fr"), 5)).cast("long").as("n_sampled"))
+        .groupBy(col("out_w"), col("out_h"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(col("fr")).as("sum_frames"),
+          sum(col("n_sampled")).as("sum_sampled"))
+        .orderBy(col("out_w"), col("out_h"))
     }
   )
 }

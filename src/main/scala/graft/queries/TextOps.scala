@@ -841,6 +841,32 @@ object TextOps {
       }
     },
 
+    // ---- Adjacent-pair (bigram) statistics — the first step of BPE
+    // merge selection and the core loop of tokenizer training prep: count
+    // every adjacent word pair across the corpus, keep the top 20. One
+    // explode + one map-side-combinable count; at 100 TB the pair space
+    // is Zipf-bounded and the rollup shuffles counts, not text. Ties at
+    // the cut break on the bigram string so the LIMIT is engine-stable.
+    Q("q_bigram_stats",
+      """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT w[i] || ' ' || w[i+1] AS bg
+        |      FROM t, unnest(range(1, len(w))) AS u(i))
+        |SELECT bg, COUNT(*) AS n FROM b
+        |GROUP BY bg ORDER BY n DESC, bg LIMIT 20""".stripMargin) { (s, d) =>
+      val w = TextFunctions.tokens(col("text"))
+      Tables.documents(s, d)
+        // guard BEFORE sequence(): Spark's sequence(0, -1) DESCENDS (it
+        // would fabricate a bigram from a 1-token doc and crash on the
+        // 0 index) where the oracle's range(1, 1) is simply empty
+        .filter(size(w) >= 2)
+        .select(explode(transform(sequence(lit(0), size(w) - 2),
+          i => concat(element_at(w, i + 1), lit(" "), element_at(w, i + 2))))
+          .as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bg"))
+        .limit(20)
+    },
+
     // ---- Content fingerprint (whitespace-insensitive dedup key; same idea
     // as the reference's BLAKE3-16 content ids,
     // system/userland/macros/src/schema.rs:44-50, with a public hash).
