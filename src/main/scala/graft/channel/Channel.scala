@@ -450,8 +450,13 @@ final class Channel private[channel] (
     * durably-checkpointed point a retention head may safely claim.
     * No-op when the query has no progress yet or no source on this
     * topic — acks must never guess. */
-  def ackFromProgress(reader: String, q: StreamingQuery): Unit =
+  def ackFromProgress(reader: String, q: StreamingQuery): Unit = {
+    // validate BEFORE the progress check: a malformed reader name must
+    // fail fast even when the query has produced no progress yet, not
+    // surface later (or never) as a silent no-op
+    Channel.validReaderName(reader)
     Option(q.lastProgress).foreach(ackFromProgress(reader, _))
+  }
 
   /** Same, from a progress object directly — the form a
     * StreamingQueryListener holds (it sees events, not queries);

@@ -100,25 +100,32 @@ final class QueryManager(val spark: SparkSession,
     * pipeline can subscribe to. Opt-in (a listener is session-global);
     * returns the listener so callers can detach. Only queries this
     * manager started are reported. */
-  def attachProgressLogger(): org.apache.spark.sql.streaming.StreamingQueryListener = {
-    val l = new org.apache.spark.sql.streaming.StreamingQueryListener {
+  /** Listener shell shared by the progress-driven features: empty
+    * lifecycle stubs, and the swallow-all-exceptions telemetry contract
+    * (observation must never stall or error the pipelines it observes —
+    * lossy like the reference's Drop-mode logging channel, 512 KiB,
+    * logging.rs:280) lives in exactly one place. */
+  private def progressListener(
+      f: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent => Unit)
+      : org.apache.spark.sql.streaming.StreamingQueryListener =
+    new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
-      override def onQueryProgress(e: QueryProgressEvent): Unit = {
-        val mine = running.entrySet().asScala
-          .find(_.getValue.id == e.progress.id).map(_.getKey)
-        mine.foreach { name =>
-          // lossy under pressure, like the reference's Drop-mode logging
-          // channel (512 KiB, logging.rs:280) — telemetry must never
-          // stall or error the pipelines it observes
-          try log("Info", "pipeline progress",
-            "pipeline" -> name,
-            "batch" -> e.progress.batchId.toString,
-            "input_rows" -> e.progress.numInputRows.toString,
-            "rows_per_sec" -> f"${e.progress.processedRowsPerSecond}%.1f")
-          catch { case _: Exception => () }
-        }
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        try f(e) catch { case _: Exception => () }
+    }
+
+  def attachProgressLogger(): org.apache.spark.sql.streaming.StreamingQueryListener = {
+    val l = progressListener { e =>
+      val mine = running.entrySet().asScala
+        .find(_.getValue.id == e.progress.id).map(_.getKey)
+      mine.foreach { name =>
+        log("Info", "pipeline progress",
+          "pipeline" -> name,
+          "batch" -> e.progress.batchId.toString,
+          "input_rows" -> e.progress.numInputRows.toString,
+          "rows_per_sec" -> f"${e.progress.processedRowsPerSecond}%.1f")
       }
     }
     spark.streams.addListener(l)
@@ -128,30 +135,29 @@ final class QueryManager(val spark: SparkSession,
   def detachProgressLogger(l: org.apache.spark.sql.streaming.StreamingQueryListener): Unit =
     spark.streams.removeListener(l)
 
-  /** Hands-off consumption-driven retention: every progress event of the
-    * named pipeline advances `reader`'s head on `ch` from the query's OWN
-    * committed progress (Channel.ackFromProgress — acks never overreach
-    * what the subscription durably processed), so a periodic
-    * `ch.pruneConsumed()` follows the subscription with no manual ack
-    * loop. Registers the reader if absent. Ack failures are swallowed
-    * like progress-log failures: retention telemetry must never stall
-    * the pipeline it observes (a missed ack only retains MORE history).
-    * Returns the listener; detach with [[detachProgressLogger]]. */
-  def autoAck(name: String, ch: Channel, reader: String)
+  /** Hands-off consumption-driven retention: every progress event of `q`
+    * advances `reader`'s head on `ch` from the query's OWN committed
+    * progress (Channel.ackFromProgress — acks never overreach what the
+    * subscription durably processed), so a periodic `ch.pruneConsumed()`
+    * follows the subscription with no manual ack loop. Takes the QUERY
+    * handle, not a pipeline name: listener events are async, so a
+    * name-to-running-map lookup would silently drop progress delivered
+    * before registration or after stop. Attach order doesn't matter
+    * either — acks are MONOTONE, so the synchronous catch-up from
+    * `lastProgress` at attach covers anything the bus already delivered,
+    * and callers of short-lived pipelines close the tail the same way
+    * (`ch.ackFromProgress(reader, q)` after the final batch). Registers
+    * the reader if absent; ack failures are swallowed (a missed ack only
+    * retains MORE history). Detach with [[detachProgressLogger]]. */
+  def autoAck(q: StreamingQuery, ch: Channel, reader: String)
       : org.apache.spark.sql.streaming.StreamingQueryListener = {
     ch.registerReader(reader)
-    val l = new org.apache.spark.sql.streaming.StreamingQueryListener {
-      import org.apache.spark.sql.streaming.StreamingQueryListener._
-      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
-      override def onQueryProgress(e: QueryProgressEvent): Unit = {
-        val mine = Option(running.get(name)).exists(_.id == e.progress.id)
-        if (mine)
-          try ch.ackFromProgress(reader, e.progress)
-          catch { case _: Exception => () }
-      }
+    val l = progressListener { e =>
+      if (e.progress.id == q.id) ch.ackFromProgress(reader, e.progress)
     }
     spark.streams.addListener(l)
+    try ch.ackFromProgress(reader, q) // catch up past already-fired events
+    catch { case _: Exception => () }
     l
   }
 

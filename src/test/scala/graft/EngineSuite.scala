@@ -170,26 +170,36 @@ class EngineSuite extends SparkSpec {
     data.write(Seq(1L, 2L).toDF("v"), writerId = 1)
     data.write(Seq(3L).toDF("v"), writerId = 1)
     val qm = new QueryManager(spark)
-    val listener = qm.autoAck("tailp", data, "tail")
+    val q = qm.start("tailp", Session("ops", Set(Capability.ChannelRead)),
+      Set(Capability.ChannelRead)) { _ =>
+      data.readStreamV2().writeStream.format("memory")
+        .queryName("qm_autoack").start()
+    }
+    var listener: org.apache.spark.sql.streaming.StreamingQueryListener = null
     try {
-      val q = qm.start("tailp", Session("ops", Set(Capability.ChannelRead)),
-        Set(Capability.ChannelRead)) { _ =>
-        data.readStreamV2().writeStream.format("memory")
-          .queryName("qm_autoack").start()
-      }
       q.processAllAvailable()
-      // listener events deliver asynchronously — poll for the head
-      val deadline = System.currentTimeMillis() + 15000
-      while (data.readerHeads.getOrElse("tail", 0L) < 2L &&
-        System.currentTimeMillis() < deadline) Thread.sleep(200)
+      // attach AFTER the batches ran: the synchronous catch-up from
+      // lastProgress must cover everything the bus already delivered —
+      // no poll, no race (acks are monotone, so order never matters)
+      listener = qm.autoAck(q, data, "tail")
       assert(data.readerHeads("tail") == 2L,
-        s"head not advanced by autoAck: ${data.readerHeads}")
+        s"catch-up ack did not land: ${data.readerHeads}")
       assert(data.pruneConsumed(0) > 0L,
         "retention must follow the auto-acked head")
       assert(data.read().select("v").as[Long].collect().toSeq == Seq(3L),
         "history below the auto-acked head prunes; newest batch anchors")
-      qm.stop("tailp")
-    } finally qm.detachProgressLogger(listener)
+      // the listener path: a LATER batch advances the head asynchronously
+      data.write(Seq(4L).toDF("v"), writerId = 1)
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 15000
+      while (data.readerHeads("tail") < 3L &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(data.readerHeads("tail") == 3L,
+        s"listener ack did not land: ${data.readerHeads}")
+    } finally {
+      qm.stop("tailp") // stop in finally: an assert above must not leak the stream
+      if (listener != null) qm.detachProgressLogger(listener)
+    }
   }
 
   test("query manager refuses pipelines lacking capabilities, logs lifecycle") {
