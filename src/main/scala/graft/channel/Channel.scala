@@ -531,9 +531,16 @@ final class Channel private[channel] (
   def metrics(): DataFrame = {
     import spark.implicits._
     val batches = listBatches(dir)
+    // retention observability: the pruned floor, the slowest registered
+    // head (what gates the next prune), and the head count — the three
+    // numbers an operator needs to see WHY history is (not) shrinking
+    val heads = readerHeads
     Seq((name, batches.size.toLong, batches.map(dirSize).sum,
-      droppedBytesCount, isDrained, isTerminated))
-      .toDF("channel", "n_batches", "bytes", "dropped_bytes", "drained", "terminated")
+      droppedBytesCount, isDrained, isTerminated,
+      (try Channel.prunedFloor(dir) catch { case _: IllegalStateException => -1L }),
+      heads.values.minOption.getOrElse(-1L), heads.size.toLong))
+      .toDF("channel", "n_batches", "bytes", "dropped_bytes", "drained",
+        "terminated", "pruned_floor", "min_reader_head", "n_readers")
   }
 
   /** Stop accepting new frames; readers may consume the tail

@@ -362,6 +362,11 @@ class EngineSuite extends SparkSpec {
     assert(m.getAs[Long]("n_batches") >= 1)
     assert(m.getAs[Long]("dropped_bytes") > 0)
     assert(!m.getAs[Boolean]("drained"))
+    // retention observability: Drop eviction already moved the pruned
+    // floor; no readers registered yet
+    assert(m.getAs[Long]("pruned_floor") > 0L)
+    assert(m.getAs[Long]("n_readers") == 0L &&
+      m.getAs[Long]("min_reader_head") == -1L)
   }
 
   test("salted join equals plain join under skew (scale pattern)") {
