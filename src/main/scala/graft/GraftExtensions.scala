@@ -15,7 +15,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in") // full ctor: the 5-arg one is deprecated
 
   override def apply(e: SparkSessionExtensions): Unit = {
     // whole-operator planning (TopKPerKey) — sessions built with these

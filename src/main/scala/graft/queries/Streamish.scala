@@ -58,7 +58,7 @@ object Streamish {
     Tables.ensureConf(s)
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
-    val maxTs = ev.agg(max(col("ts"))).head.getLong(0)
+    val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
     val hourNs = 3600L * 1000000000L
     def flush(ts: Long) = s.createDataFrame(java.util.Arrays.asList(
         org.apache.spark.sql.Row(-1L, -1L, "purchase", ts),
@@ -460,7 +460,7 @@ object Streamish {
         |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
       Tables.ensureConf(s)
       val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
-      val maxTs = ev.agg(max(col("ts"))).head.getLong(0) // watermark sentinel base
+      val maxTs = ev.agg(max(col("ts"))).head().getLong(0) // watermark sentinel base
       val hourNs = 3600L * 1000000000L
       def flush(ts: Long) = s.range(1).select(lit(-1L).as("event_id"),
         lit(-1L).as("user_id"), lit(ts).as("ts"))

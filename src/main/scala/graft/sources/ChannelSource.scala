@@ -255,11 +255,14 @@ final class ChannelReaderFactory(
       private val rows: Iterator[InternalRow] = files.iterator.flatMap { f =>
         readFunc(PartitionedFile(
           InternalRow.empty, SparkPath.fromPathString(f.path), 0, f.length))
-      }.flatMap {
+      }.flatMap { r =>
         // returning_batch is pinned false, but stay defensive about the
-        // cast-smuggled ColumnarBatch the parquet reader CAN emit
-        case b: ColumnarBatch => b.rowIterator().asScala
-        case r => Iterator.single(r)
+        // cast-smuggled ColumnarBatch the parquet reader CAN emit (the
+        // static element type is InternalRow, hence the Any indirection)
+        (r: Any) match {
+          case b: ColumnarBatch => b.rowIterator().asScala
+          case row: org.apache.spark.sql.catalyst.InternalRow => Iterator.single(row)
+        }
       }
       private var current: InternalRow = _
       override def next(): Boolean =

@@ -25,7 +25,7 @@ object WasmAssembler {
     * const-initialized globals `(mutable, init)`, active data segments
     * `(offset, bytes)`, and explicit value types (default all-i32).
     * Valtypes: 0x7f=i32 0x7e=i64 0x7d=f32 0x7c=f64. */
-  def module(export: String, nParams: Int, nLocals: Int, body: Seq[Byte],
+  def module(`export`: String, nParams: Int, nLocals: Int, body: Seq[Byte],
              globals: Seq[(Boolean, Long)] = Nil,
              data: Seq[(Int, Array[Byte])] = Nil,
              paramTypes: Seq[Int] = Nil,
@@ -47,7 +47,7 @@ object WasmAssembler {
         Seq(0x7f.toByte, (if (mut) 1 else 0).toByte, 0x41.toByte) ++
           sleb(init) :+ 0x0b.toByte
     }))
-    val exportSec = section(7, vec(Seq(name(export) ++ Seq(0x00.toByte) ++ uleb(0))))
+    val exportSec = section(7, vec(Seq(name(`export`) ++ Seq(0x00.toByte) ++ uleb(0))))
     val locals = vec(groups.map { case (cnt, t) => uleb(cnt.toLong) ++ Seq(t.toByte) })
     val code = locals ++ body :+ 0x0b.toByte
     val codeSec = section(10, vec(Seq(uleb(code.length.toLong) ++ code)))
@@ -68,8 +68,8 @@ object WasmAssembler {
     }))
 
   /** `f(x) = (x * a + b)` over i32 (wrapping) — the demo guest transform. */
-  def affineModule(export: String, a: Int, b: Int): Array[Byte] =
-    module(export, nParams = 1, nLocals = 0,
+  def affineModule(`export`: String, a: Int, b: Int): Array[Byte] =
+    module(`export`, nParams = 1, nLocals = 0,
       Seq[Byte](0x20, 0x00) ++                       // local.get 0
         (0x41.toByte +: sleb(a.toLong)) ++           // i32.const a
         Seq(0x6c.toByte) ++                          // i32.mul

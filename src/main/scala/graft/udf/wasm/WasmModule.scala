@@ -281,9 +281,9 @@ final class WasmModule(bytes: Array[Byte],
   }
 
   /** Invoke an exported function. i32 results are sign-extended Longs. */
-  def invoke(export: String, args: Long*): Option[Long] = {
-    val fIdx = exports.getOrElse(export,
-      throw new NoSuchMethodException(s"wasm export '$export'"))
+  def invoke(`export`: String, args: Long*): Option[Long] = {
+    val fIdx = exports.getOrElse(`export`,
+      throw new NoSuchMethodException(s"wasm export '${`export`}'"))
     var remainingFuel = fuel
 
     def callFunction(idx: Int, argv: Array[Long], depth: Int = 0): Option[Long] = {
