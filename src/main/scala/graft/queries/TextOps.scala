@@ -841,6 +841,43 @@ object TextOps {
       }
     },
 
+    // ---- The corpus-level DATASET CARD row — the one-line summary a
+    // published dataset ships (doc/token totals, language and source
+    // breadth, exact-dup rate, length-gate survival), complementing the
+    // per-document q_curation_scorecard. One scan; the distincts are the
+    // only non-trivial cost and each is a count-distinct the sketch
+    // family (q_approx_distinct) replaces at 100 TB when exactness isn't
+    // contractual. dup_rate divides two exact counts — engine-stable.
+    Q("q_dataset_card",
+      """WITH base AS (
+        |  SELECT doc_id, lang, source, string_split(text, ' ') AS t,
+        |    substring(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), 1, 16) AS fp
+        |  FROM documents)
+        |SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(len(t)) AS BIGINT) AS n_tokens,
+        |  COUNT(DISTINCT fp) AS n_unique,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  COUNT(DISTINCT source) AS n_sources,
+        |  CAST(1.0 - COUNT(DISTINCT fp) / CAST(COUNT(*) AS DOUBLE) AS DOUBLE)
+        |    AS dup_rate,
+        |  CAST(SUM(CASE WHEN len(t) BETWEEN 20 AND 1000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_len_ok
+        |FROM base""".stripMargin) { (s, d) =>
+      val toks = TextFunctions.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("lang"), col("source"),
+          size(toks).as("n_tok"),
+          TextFunctions.fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          countDistinct(col("fp")).as("n_unique"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          (lit(1.0) - countDistinct(col("fp")) / count(lit(1)).cast("double"))
+            .as("dup_rate"),
+          sum(when(col("n_tok").between(20, 1000), 1L).otherwise(0L)).as("n_len_ok"))
+    },
+
     // ---- Adjacent-pair (bigram) statistics — the first step of BPE
     // merge selection and the core loop of tokenizer training prep: count
     // every adjacent word pair across the corpus, keep the top 20. One
