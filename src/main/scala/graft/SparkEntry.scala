@@ -18,9 +18,11 @@ object SparkEntry {
   /** All verifiable queries, grouped by area. */
   val registry: Seq[Q] =
     qs.Relational.all ++
+    qs.TpchCanon.all ++
     qs.TemporalOps.all ++
     qs.Streamish.all ++
     qs.TextOps.all ++
+    qs.CurationOps.all ++
     qs.DedupOps.all ++
     qs.VectorOps.all ++
     qs.MultimodalOps.all ++

@@ -1,0 +1,152 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** Round-8 curation additions: the remaining document-preparation steps a
+  * pretraining pipeline runs between raw corpus and tokenizer —
+  * context-window chunking, duplicated-span removal (the sub-document
+  * analogue of Lee et al.'s exact substring dedup, re-expressed at
+  * token-segment granularity), and PII redaction auditing.
+  *
+  * Scale posture: chunking and redaction are pure map-side passes (zero
+  * shuffles — they stay inside WholeStageCodegen over the scan);
+  * span-dedup shuffles once on the segment hash with a map-side-combined
+  * `min` (hot segments — boilerplate repeated across millions of docs —
+  * partial-aggregate down to one row per (partition, hash) before the
+  * exchange, so a viral segment cannot skew a reducer), then once on
+  * doc_id to rebuild cleaned text.
+  */
+object CurationOps {
+
+  private def $(name: String) = col(name)
+
+  val all: Seq[Q] = Seq(
+
+    // ---- Context-window chunking: overlapping 64-token windows with
+    // stride 48 (16-token overlap), the RAG/pretraining chunker. Final
+    // window carries the tail remainder (never dropped); docs at or
+    // under one window emit exactly one chunk. Chunk boundaries are
+    // pure arithmetic over the token array — the whole query is one
+    // projection + explode inside codegen, no shuffle, embarrassingly
+    // parallel at any corpus size.
+    Q("q_doc_chunk",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |cc AS (SELECT doc_id, toks, len(toks) AS n_tok,
+        |  CASE WHEN len(toks) > 64
+        |       THEN CAST(ceil((len(toks)-64)/48.0) AS INT) ELSE 0 END AS n_extra
+        |  FROM t)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_id,
+        |  CAST(len(toks[CAST(i*48+1 AS INT) : CAST(least(i*48+64, n_tok) AS INT)]) AS INT) AS n_tokens,
+        |  md5(array_to_string(toks[CAST(i*48+1 AS INT) : CAST(least(i*48+64, n_tok) AS INT)], ' ')) AS chunk_md5
+        |FROM cc, unnest(range(0, n_extra+1)) AS u(i)
+        |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      val W = 64; val S = 48
+      val toks = col("toks")
+      Tables.documents(s, d)
+        .select($("doc_id"), TextFunctions.tokens($("text")).as("toks"))
+        .withColumn("n_extra",
+          when(size(toks) > W,
+            ceil((size(toks) - W).cast("double") / S).cast("int")).otherwise(0))
+        .select($("doc_id"), toks,
+          explode(sequence(lit(0), $("n_extra"))).as("chunk_id"))
+        .select($("doc_id"), $("chunk_id"),
+          slice(toks, $("chunk_id") * S + 1, lit(W)).as("chunk"))
+        .select($("doc_id"), $("chunk_id"),
+          size($("chunk")).as("n_tokens"),
+          md5(concat_ws(" ", $("chunk"))).as("chunk_md5"))
+        .orderBy($("doc_id"), $("chunk_id"))
+    },
+
+    // ---- Duplicated-span removal (exact substring dedup at 32-token
+    // segment granularity): every segment that appears verbatim anywhere
+    // earlier in the corpus is dropped, the FIRST occurrence (smallest
+    // (doc_id, seg_idx)) survives, and each document's cleaned text is
+    // rebuilt from its surviving segments in order. Unlike the doc-level
+    // dedup family (which keeps/drops whole documents) this rewrites
+    // document CONTENT — the boilerplate-stripping shape. The
+    // first-occurrence winner is a map-side-combinable min over a packed
+    // (doc_id, seg_idx) key, so the segment-hash shuffle carries one
+    // candidate per map partition per hash even when one segment
+    // repeats across the whole corpus.
+    Q("q_span_dedup",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |seg AS (
+        |  SELECT doc_id, CAST(i AS INT) AS seg_idx,
+        |    array_to_string(toks[CAST(i*32+1 AS INT) : CAST(least((i+1)*32, len(toks)) AS INT)], ' ') AS seg_text
+        |  FROM t, unnest(range(0, CAST(ceil(len(toks)/32.0) AS INT))) AS u(i)),
+        |occ AS (SELECT doc_id, seg_idx, seg_text, md5(seg_text) AS h,
+        |    doc_id*1000 + seg_idx AS pk FROM seg),
+        |fst AS (SELECT h, min(pk) AS first_pk FROM occ GROUP BY h)
+        |SELECT o.doc_id, CAST(COUNT(*) AS INT) AS n_seg,
+        |  CAST(SUM(CASE WHEN o.pk = f.first_pk THEN 1 ELSE 0 END) AS INT) AS n_kept,
+        |  md5(coalesce(string_agg(CASE WHEN o.pk = f.first_pk THEN o.seg_text END,
+        |      ' ' ORDER BY o.seg_idx), '')) AS clean_md5
+        |FROM occ o JOIN fst f ON o.h = f.h
+        |GROUP BY o.doc_id ORDER BY o.doc_id""".stripMargin) { (s, d) =>
+      val SEG = 32
+      val toks = col("toks")
+      val seg = Tables.documents(s, d)
+        .select($("doc_id"), TextFunctions.tokens($("text")).as("toks"))
+        .select($("doc_id"), toks,
+          explode(sequence(lit(0),
+            ceil(size(toks).cast("double") / SEG).cast("int") - 1)).as("seg_idx"))
+        .select($("doc_id"), $("seg_idx"),
+          concat_ws(" ", slice(toks, $("seg_idx") * SEG + 1, lit(SEG))).as("seg_text"))
+      // pk packs (doc_id, seg_idx) into one orderable long; seg_idx is
+      // bounded by the 1000-segment document cap the pack assumes (a
+      // 32k-token ceiling — far above the corpus; a production corpus
+      // with longer docs widens the pack, the shape is unchanged).
+      val occ = seg.select($("doc_id"), $("seg_idx"), $("seg_text"),
+        md5($("seg_text")).as("h"),
+        ($("doc_id") * 1000 + $("seg_idx")).as("pk"))
+      val fst = occ.groupBy($("h")).agg(min($("pk")).as("first_pk"))
+        .select(col("h").as("f_h"), col("first_pk"))
+      val kept = $("pk") === $("first_pk")
+      occ.join(fst, col("h") === col("f_h"))
+        .groupBy($("doc_id"))
+        .agg(
+          count(lit(1)).cast("int").as("n_seg"),
+          sum(when(kept, 1).otherwise(0)).cast("int").as("n_kept"),
+          md5(concat_ws(" ",
+            transform(
+              sort_array(collect_list(when(kept, struct($("seg_idx"), $("seg_text"))))),
+              x => x("seg_text")))).as("clean_md5"))
+        .orderBy($("doc_id"))
+    },
+
+    // ---- PII redaction audit: scrub emails, IPv4 addresses, and an
+    // entity denylist from every document, counting each category. The
+    // regex passes are codegen'd builtins applied in one map-side
+    // projection (no UDF, no shuffle); the md5 of the redacted text
+    // makes the rewrite itself oracle-checkable, not just the counts.
+    // On this synthetic corpus the email/IP categories are structural
+    // zeros (the patterns still execute); the denylist category
+    // exercises nonzero rewrites.
+    Q("q_pii_redact",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS INT) AS n_ip,
+        |  CAST(len(regexp_extract_all(text, '\b(customer|supplier)\b')) AS INT) AS n_entity,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{1,3}(\.\d{1,3}){3}\b', '[IP]', 'g'),
+        |    '\b(customer|supplier)\b', '[ENTITY]', 'g')) AS redacted_md5
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+      val entity = "\\b(customer|supplier)\\b"
+      Tables.documents(s, d).select(
+        $("doc_id"),
+        size(regexp_extract_all($("text"), lit(email), lit(0))).as("n_email"),
+        size(regexp_extract_all($("text"), lit(ip), lit(0))).as("n_ip"),
+        size(regexp_extract_all($("text"), lit(entity), lit(0))).as("n_entity"),
+        md5(regexp_replace(regexp_replace(regexp_replace($("text"),
+          lit(email), lit("[EMAIL]")),
+          lit(ip), lit("[IP]")),
+          lit(entity), lit("[ENTITY]"))).as("redacted_md5"))
+        .orderBy($("doc_id"))
+    }
+  )
+}

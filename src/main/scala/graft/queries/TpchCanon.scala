@@ -1,0 +1,411 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** The remaining TPC-H query shapes (Q2/4/6/11/12/13/15/16/18/19/20),
+  * completing the 22-query canon alongside Relational.scala's
+  * q1/3/5/7/8/9/10/14/17/21/22.
+  *
+  * The test schema carries no `partsupp` table and no
+  * shipmode/commitdate/receiptdate/container/comment columns, so the
+  * shapes that depend on them are re-expressed over the available
+  * columns while preserving the defining plan structure of each query:
+  * Q2's correlated-min subquery, Q4's correlated EXISTS with an
+  * inequality on the outer row, Q11's scalar-subquery fraction-of-total
+  * gate, Q13's outer join with a join-condition filter feeding a
+  * double aggregation, Q15's scalar-subquery max, Q16's NOT IN
+  * exclusion under COUNT DISTINCT, Q18's HAVING-driven semi join,
+  * Q19's disjunction of conjunctive range predicates, and Q20's
+  * nested-subquery supplier qualification. Where TPC-H reads
+  * `partsupp`, the distinct (l_partkey, l_suppkey) bridge derived from
+  * lineitem plays the part-supplier relation.
+  *
+  * Scale posture (same as Relational.scala): dims broadcast; fact-side
+  * aggregates are map-side combined before their single exchange;
+  * decorrelated subqueries become aggregate+join-back (never a window
+  * sort on a fact table); every money sum goes through per-row DECIMAL
+  * casts so results are order-independent across engines.
+  */
+object TpchCanon {
+
+  private def $(name: String) = col(name)
+
+  /** Distinct (l_partkey, l_suppkey) pairs — the partsupp stand-in.
+    * The distinct is one map-side-combined exchange on the pair key;
+    * at 100 TB it shuffles once and every consumer below reuses it. */
+  private def bridge(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.lineitem(s, d).select($("l_partkey"), $("l_suppkey")).distinct()
+
+  val all: Seq[Q] = Seq(
+
+    // ---- TPC-H Q2: minimum-cost supplier. The correlated MIN subquery
+    // (for each part, the lowest-balance qualifying supplier) is
+    // decorrelated into a per-part MIN aggregate joined back on
+    // (partkey, acctbal) — the q17 pattern. All of supplier/nation/
+    // region broadcast (tiny dims); the bridge distinct is the only
+    // fact-side exchange; part broadcasts into the final projection.
+    Q("q2_min_cost_supp",
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |cost AS (
+        |  SELECT ps.l_partkey, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+        |  FROM ps JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+        |    JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |    JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'EUROPE'),
+        |m AS (SELECT l_partkey, MIN(s_acctbal) AS min_bal FROM cost GROUP BY l_partkey)
+        |SELECT p.p_partkey, p.p_brand, c.s_name, c.n_name, c.s_acctbal
+        |FROM part p
+        |JOIN cost c ON c.l_partkey = p.p_partkey
+        |JOIN m ON m.l_partkey = c.l_partkey AND c.s_acctbal = m.min_bal
+        |WHERE p.p_size = 15
+        |ORDER BY c.s_acctbal DESC, c.n_name, c.s_name, p.p_partkey""".stripMargin) { (s, d) =>
+      val sup = Tables.supplier(s, d)
+      val nat = Tables.nation(s, d)
+      val reg = Tables.region(s, d).filter($("r_name") === "EUROPE")
+      val cost = bridge(s, d)
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .select($("l_partkey"), $("s_suppkey"), $("s_name"), $("s_acctbal"), $("n_name"))
+      val mins = cost.groupBy($("l_partkey"))
+        .agg(min($("s_acctbal")).as("min_bal"))
+        .select(col("l_partkey").as("m_partkey"), col("min_bal"))
+      cost
+        .join(broadcast(mins), col("l_partkey") === col("m_partkey") &&
+          col("s_acctbal") === col("min_bal"))
+        .join(broadcast(Tables.part(s, d).filter($("p_size") === 15)
+          .select($("p_partkey"), $("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select($("p_partkey"), $("p_brand"), $("s_name"), $("n_name"), $("s_acctbal"))
+        .orderBy(col("s_acctbal").desc, $("n_name"), $("s_name"), $("p_partkey"))
+    },
+
+    // ---- TPC-H Q4: order-priority checking. Correlated EXISTS whose
+    // predicate compares an inner column against the OUTER row
+    // (l_shipdate > o_orderdate + 30 days) — decorrelates to a left-semi
+    // join carrying the inequality alongside the equi-key, so Spark
+    // still plans a hash semi join on l_orderkey with the inequality as
+    // a post-probe filter; the date range pushes into the orders scan.
+    Q("q4_order_priority",
+      """SELECT o.o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+        .filter($("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          $("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val l = Tables.lineitem(s, d).select($("l_orderkey"), $("l_shipdate"))
+      o.join(l, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"), "left_semi")
+        .groupBy($("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy($("o_orderpriority"))
+    },
+
+    // ---- TPC-H Q6: forecasting revenue change. Pure scan-side query:
+    // every predicate (date range, discount band, quantity cap) pushes
+    // into the parquet scan, the projection reads two columns, and the
+    // whole aggregate is one map-side partial + a single-row final —
+    // zero data shuffled at any scale. The discount band compares
+    // against the same double literals on both engines.
+    Q("q6_forecast_revenue",
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+        |            AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter($("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          $("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          $("l_discount").between(0.05, 0.07) && $("l_quantity") < 24)
+        .agg(Tables.exactSum($("l_extendedprice") * $("l_discount"), 4).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // ---- TPC-H Q11: important stock identification. Per-part value
+    // from a nation group's suppliers, kept only where it exceeds a
+    // FRACTION OF THE GLOBAL TOTAL — the scalar-subquery threshold. The
+    // per-part aggregate is map-side combined; the total reduces the
+    // already-aggregated relation (one row per part) and broadcasts
+    // back as a one-row cross join. Threshold arithmetic is exact
+    // decimal summed, cast to double once, × 0.001 — identical op order
+    // on both engines, so the > gate is bit-stable.
+    Q("q11_important_parts",
+      """WITH v AS (
+        |  SELECT l.l_partkey,
+        |    SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS val
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |    JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  WHERE n.n_name IN ('NATION_1','NATION_2','NATION_3')
+        |  GROUP BY l.l_partkey),
+        |tot AS (SELECT CAST(SUM(val) AS DOUBLE) * 0.001 AS thresh FROM v)
+        |SELECT v.l_partkey AS partkey, CAST(v.val AS DOUBLE) AS val
+        |FROM v, tot WHERE CAST(v.val AS DOUBLE) > tot.thresh
+        |ORDER BY val DESC, partkey""".stripMargin) { (s, d) =>
+      val sup = Tables.supplier(s, d).select($("s_suppkey"), $("s_nationkey"))
+      val nat = Tables.nation(s, d)
+        .filter($("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+        .select($("n_nationkey"))
+      val v = Tables.lineitem(s, d).select($("l_partkey"), $("l_suppkey"), $("l_extendedprice"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy($("l_partkey"))
+        .agg(sum($("l_extendedprice").cast("decimal(18,2)")).as("val"))
+      val tot = v.agg((sum($("val")).cast("double") * lit(0.001)).as("thresh"))
+      v.crossJoin(broadcast(tot))
+        .filter($("val").cast("double") > $("thresh"))
+        .select(col("l_partkey").as("partkey"), col("val").cast("double").as("val"))
+        .orderBy(col("val").desc, col("partkey"))
+    },
+
+    // ---- TPC-H Q12: shipping-speed priority split (shipmode is absent;
+    // the mode dimension becomes a derived ship-latency bucket). The
+    // defining shape survives: join + two complementary conditional
+    // sums folded into the map-side partial, date range pushed to the
+    // lineitem scan, orders side carrying only (key, date, priority).
+    Q("q12_ship_buckets",
+      """SELECT CASE WHEN l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+        |       THEN 'FAST' ELSE 'SLOW' END AS ship_bucket,
+        |  SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+        |      THEN 1 ELSE 0 END) AS high_count,
+        |  SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+        |      THEN 0 ELSE 1 END) AS low_count
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY ship_bucket ORDER BY ship_bucket""".stripMargin) { (s, d) =>
+      val l = Tables.lineitem(s, d)
+        .filter($("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          $("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select($("l_orderkey"), $("l_shipdate"))
+      val o = Tables.orders(s, d)
+        .select($("o_orderkey"), $("o_orderdate"), $("o_orderpriority"))
+      val isHigh = $("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(when($("l_shipdate") < $("o_orderdate") + expr("INTERVAL 30 DAYS"), "FAST")
+          .otherwise("SLOW").as("ship_bucket"))
+        .agg(
+          sum(when(isHigh, 1L).otherwise(0L)).as("high_count"),
+          sum(when(isHigh, 0L).otherwise(1L)).as("low_count"))
+        .orderBy($("ship_bucket"))
+    },
+
+    // ---- TPC-H Q13: customer order-count distribution. LEFT OUTER join
+    // with a filter INSIDE the join condition (order-less customers must
+    // survive with count 0), then a second aggregation over the first —
+    // the two-level rollup. count(o_orderkey) counts matched rows only
+    // (null from the outer join ⇒ 0) on both engines.
+    Q("q13_cust_distribution",
+      """WITH c_orders AS (
+        |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o
+        |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+        |  GROUP BY c.c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM c_orders GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).select($("c_custkey"))
+      val o = Tables.orders(s, d)
+        .filter($("o_orderpriority") =!= "5-LOW")
+        .select($("o_custkey"), $("o_orderkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy($("c_custkey"))
+        .agg(count($("o_orderkey")).as("c_count"))
+        .groupBy($("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // ---- TPC-H Q15: top supplier. The revenue view aggregates once
+    // (map-side combined), the scalar MAX reduces that view's handful
+    // of rows, and the equality gate compares EXACT DECIMALS — revenue
+    // ties select every tied supplier identically on both engines
+    // (doubles here could tie-break differently). Supplier dim
+    // broadcasts into the survivors.
+    Q("q15_top_supplier",
+      """WITH rev AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_rev
+        |FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+        |WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+        |ORDER BY s.s_suppkey""".stripMargin) { (s, d) =>
+      val rev = Tables.lineitem(s, d)
+        .filter($("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          $("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum(($("l_extendedprice") * (lit(1) - $("l_discount")))
+          .cast("decimal(18,4)")).as("total_rev"))
+      val mx = rev.agg(max($("total_rev")).as("max_rev"))
+      rev.crossJoin(broadcast(mx))
+        .filter($("total_rev") === $("max_rev"))
+        .join(broadcast(Tables.supplier(s, d).select($("s_suppkey"), $("s_name"))),
+          col("supplier_no") === col("s_suppkey"))
+        .select($("s_suppkey"), $("s_name"), col("total_rev").cast("double").as("total_rev"))
+        .orderBy($("s_suppkey"))
+    },
+
+    // ---- TPC-H Q16: parts/supplier relationship. COUNT DISTINCT
+    // suppliers per part attribute over the bridge, EXCLUDING a
+    // supplier denylist (negative balance stands in for the complaint
+    // predicate) via NOT IN ⇒ left-anti against the 6-row broadcast
+    // set. The distinct count shuffles on the (brand, type) group key
+    // with partial distinct-aggregation map-side.
+    Q("q16_supplier_cnt",
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p.p_brand, p.p_type,
+        |  COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+        |FROM ps JOIN part p ON ps.l_partkey = p.p_partkey
+        |WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'PROMO'
+        |  AND p.p_size IN (1, 9, 19, 25, 36, 49)
+        |  AND ps.l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p.p_brand, p.p_type
+        |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type""".stripMargin) { (s, d) =>
+      val p = Tables.part(s, d)
+        .filter($("p_brand") =!= "Brand#5" && $("p_type") =!= "PROMO" &&
+          $("p_size").isin(1, 9, 19, 25, 36, 49))
+        .select($("p_partkey"), $("p_brand"), $("p_type"))
+      val deny = Tables.supplier(s, d).filter($("s_acctbal") < 0).select($("s_suppkey"))
+      bridge(s, d)
+        .join(broadcast(deny), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy($("p_brand"), $("p_type"))
+        .agg(countDistinct($("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, $("p_brand"), $("p_type"))
+    },
+
+    // ---- TPC-H Q18: large-volume customers. The HAVING subquery
+    // (orders whose line quantities sum past the threshold) becomes a
+    // map-side-combined aggregate → semi join on the orderkey; the
+    // surviving ~1% of orders then joins customer (broadcast) and
+    // re-aggregates the detail. Quantity sums are exact decimals so the
+    // > 250 gate is engine-stable.
+    Q("q18_large_orders",
+      """WITH big AS (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        |  strftime(o.o_orderdate, '%Y-%m-%d') AS order_day, o.o_totalprice,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+        |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, order_day, o.o_totalprice
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).select($("l_orderkey"), $("l_quantity"))
+      val big = li.groupBy($("l_orderkey"))
+        .agg(sum($("l_quantity").cast("decimal(18,2)")).as("qty"))
+        .filter($("qty") > 250)
+        .select(col("l_orderkey").as("big_orderkey"))
+      val o = Tables.orders(s, d)
+      li.join(big, col("l_orderkey") === col("big_orderkey"), "left_semi")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d).select($("c_custkey"), $("c_name"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy($("c_name"), $("c_custkey"), $("o_orderkey"),
+          date_format($("o_orderdate"), "yyyy-MM-dd").as("order_day"), $("o_totalprice"))
+        .agg(Tables.exactSum($("l_quantity")).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, $("o_orderkey"))
+        .limit(100)
+    },
+
+    // ---- TPC-H Q19: discounted revenue under a DISJUNCTION of
+    // conjunctive range predicates. The equi-key (l_partkey =
+    // p_partkey) is common to every branch so the plan stays a hash
+    // join (part broadcast) with the OR evaluated post-probe inside
+    // whole-stage codegen; no branch needs its own scan.
+    Q("q19_disjunctive_rev",
+      """SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+        |       AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 1 AND 10
+        |       AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin) { (s, d) =>
+      val l = Tables.lineitem(s, d)
+        .select($("l_partkey"), $("l_quantity"), $("l_extendedprice"), $("l_discount"))
+      val p = Tables.part(s, d).select($("p_partkey"), $("p_brand"), $("p_size"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          ($("p_brand") === "Brand#12" && $("p_size").between(1, 5) &&
+            $("l_quantity").between(1, 11)) ||
+          ($("p_brand") === "Brand#21" && $("p_size").between(1, 10) &&
+            $("l_quantity").between(10, 20)) ||
+          ($("p_brand") === "Brand#3" && $("p_size").between(1, 15) &&
+            $("l_quantity").between(20, 30)))
+        .agg(Tables.exactSum($("l_extendedprice") * (lit(1) - $("l_discount")), 4)
+          .as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // ---- TPC-H Q20: potential part promotion. The nested-subquery
+    // chain (suppliers qualified through a part-name filter and a
+    // quantity threshold derived from ANOTHER aggregate of the same
+    // fact data) becomes: shipped per (part, supplier) → per-part
+    // totals joined back → dominance gate → DISTINCT supplier set →
+    // semi join into the supplier dim filtered to one region. The
+    // dominance compare casts both exact decimal sums to double and
+    // multiplies by 0.5 in identical order on both engines.
+    Q("q20_dominant_supplier",
+      """WITH shipped AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY l_partkey, l_suppkey),
+        |tot AS (SELECT l_partkey, SUM(qty) AS tot_qty FROM shipped GROUP BY l_partkey),
+        |redparts AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+        |dominant AS (
+        |  SELECT DISTINCT sh.l_suppkey
+        |  FROM shipped sh JOIN tot t ON sh.l_partkey = t.l_partkey
+        |  JOIN redparts g ON sh.l_partkey = g.p_partkey
+        |  WHERE CAST(sh.qty AS DOUBLE) > 0.5 * CAST(t.tot_qty AS DOUBLE))
+        |SELECT s.s_suppkey, s.s_name FROM supplier s
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE s.s_suppkey IN (SELECT l_suppkey FROM dominant)
+        |  AND n.n_regionkey = 2
+        |ORDER BY s.s_suppkey""".stripMargin) { (s, d) =>
+      val red = Tables.part(s, d).filter($("p_name").like("red%")).select($("p_partkey"))
+      val shipped = Tables.lineitem(s, d)
+        .filter($("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          $("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        // the part-name gate applies before the aggregate: only red
+        // parts' rows reach the (part, supplier) rollup, shrinking the
+        // shuffle to the qualifying slice (DuckDB's optimizer pushes
+        // the same semi join; totals are per-part so the gate commutes)
+        .join(broadcast(red), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy($("l_partkey"), $("l_suppkey"))
+        .agg(sum($("l_quantity").cast("decimal(18,2)")).as("qty"))
+      val tot = shipped.groupBy(col("l_partkey").as("t_partkey"))
+        .agg(sum($("qty")).as("tot_qty"))
+      val dominant = shipped
+        .join(tot, col("l_partkey") === col("t_partkey"))
+        .filter($("qty").cast("double") > lit(0.5) * $("tot_qty").cast("double"))
+        .select($("l_suppkey")).distinct()
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).filter($("n_regionkey") === 2)
+          .select($("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(dominant), col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select($("s_suppkey"), $("s_name"))
+        .orderBy($("s_suppkey"))
+    }
+  )
+}

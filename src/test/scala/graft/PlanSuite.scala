@@ -176,6 +176,69 @@ class PlanSuite extends SparkSpec {
     }
   }
 
+  test("q2: correlated-min decorrelates to aggregate + join-back, dims broadcast") {
+    val df = SparkEntry.queries("q2_min_cost_supp")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("partial_min"),
+      s"per-part min not map-side combined:\n${plan.take(3000)}")
+    assert(!plan.contains("WindowExec") && !plan.contains("Window "),
+      "min-cost supplier computed via window sort")
+    assert(plan.contains("BroadcastHashJoin"), "dims not broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q18: HAVING subquery becomes a semi join fed by a combined aggregate") {
+    val df = SparkEntry.queries("q18_large_orders")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("LeftSemi"), s"big-order gate not a semi join:\n${plan.take(3000)}")
+    assert(plan.contains("partial_sum"), "quantity rollup not map-side combined")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q19: disjunctive ranges evaluate post-probe on one broadcast join") {
+    val df = SparkEntry.queries("q19_disjunctive_rev")(spark, sf)
+    df.collect()
+    // AQE renders Final + Initial plans; count scans in the final only
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), "part dim not broadcast")
+    // one part scan, one lineitem scan — the OR must not split the plan
+    // into per-branch scans
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 2, s"disjunction split into $scans scans")
+    // Catalyst derives each side's OR-projection and pushes it into that
+    // side's scan (quantity bands → lineitem, brand/size → part)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_partkey), Or("),
+      "derived quantity disjunction not pushed to the lineitem scan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("chunking and redaction are shuffle-free map-side passes") {
+    for (name <- Seq("q_doc_chunk", "q_pii_redact")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      // the presentation ORDER BY contributes the only exchange (range
+      // partitioning); the transformation itself must be scan→project —
+      // any hash exchange means the op picked up a shuffle
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$name shuffles:\n${plan.take(2000)}")
+      assert(!plan.contains("CartesianProduct"))
+    }
+  }
+
+  test("span dedup: first-occurrence winner is a combined aggregate, not a window") {
+    val df = SparkEntry.queries("q_span_dedup")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("partial_min"),
+      s"first-occurrence min not map-side combined:\n${plan.take(3000)}")
+    assert(!plan.contains("WindowExec") && !plan.contains("Window "),
+      "winner selection via window sort")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("scan-only queries stay inside WholeStageCodegen") {
     // AQE only materializes codegen stages in the FINAL plan — execute
     // first, then inspect
