@@ -22,7 +22,161 @@ object CurationOps {
 
   private def $(name: String) = col(name)
 
+  /** Number of BPE merge rounds for q_bpe_merges/q_bpe_encode. */
+  private val BpeRounds = 3
+
+  /** One BPE training round as oracle SQL: count adjacent symbol pairs
+    * (corpus-frequency weighted), pick the best (count desc, pair asc),
+    * then apply the merge with TRUE greedy left-to-right semantics —
+    * islands of consecutive match positions (which only arise for
+    * self-pairs like (x,x) inside runs of x) keep every other position.
+    * Generated per round so the Spark side and the oracle share one
+    * algorithm definition instead of a hand-unrolled SQL blob.
+    */
+  private def bpeRoundSql(i: Int): String = {
+    val (p, n) = (s"w$i", s"w${i + 1}")
+    s"""pairs$i AS (
+       |  SELECT w, freq, syms, CAST(u.i AS INT) AS i,
+       |    syms[CAST(u.i AS INT)] || ' ' || syms[CAST(u.i AS INT)+1] AS pr
+       |  FROM $p, unnest(range(1, len(syms))) AS u(i)),
+       |best$i AS (
+       |  SELECT pr, c FROM (SELECT pr, SUM(freq) AS c FROM pairs$i GROUP BY pr)
+       |  ORDER BY c DESC, pr LIMIT 1),
+       |pos$i AS (
+       |  SELECT p.w, p.i FROM pairs$i p JOIN best$i b ON p.pr = b.pr),
+       |kept$i AS (
+       |  SELECT w, list(i) AS kept FROM (
+       |    SELECT w, i, row_number() OVER (PARTITION BY w, island ORDER BY i) AS pio
+       |    FROM (SELECT w, i, i - row_number() OVER (PARTITION BY w ORDER BY i) AS island
+       |          FROM pos$i))
+       |  WHERE pio % 2 = 1 GROUP BY w),
+       |$n AS (
+       |  SELECT t.w, t.freq,
+       |    CASE WHEN k.kept IS NULL THEN t.syms
+       |    ELSE list_filter(list_transform(range(1, len(t.syms)+1),
+       |      i -> CASE WHEN list_contains(k.kept, i)
+       |                THEN t.syms[CAST(i AS INT)] || t.syms[CAST(i AS INT)+1]
+       |                WHEN list_contains(k.kept, i-1) THEN NULL
+       |                ELSE t.syms[CAST(i AS INT)] END),
+       |      x -> x IS NOT NULL) END AS syms
+       |  FROM $p t LEFT JOIN kept$i k ON t.w = k.w)""".stripMargin
+  }
+
+  /** Shared oracle prologue: distinct words with corpus frequency and
+    * their initial character-symbol sequences. */
+  private val bpeBaseSql: String =
+    """WITH w1 AS (
+      |  SELECT w, COUNT(*) AS freq,
+      |    string_split(trim(regexp_replace(w, '(.)', '\1 ', 'g')), ' ') AS syms
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY w),""".stripMargin
+
+  /** Run the BPE merge loop on the engine: returns the learned merges
+    * (pair, corpus count) and the per-word symbol table after all
+    * rounds. The per-round best pair is a single-row driver collect
+    * (like Lloyd centroid training — metadata-scale); everything else
+    * is per-word distributed work: the pair count is a map-side-combined
+    * aggregate, the greedy merge application joins kept positions back
+    * on the word key. Distinct words at 100 TB are ~1e7-1e8 rows — the
+    * word-partitioned windows and joins stay trivially balanced.
+    */
+  private def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String)
+      : (Seq[(String, Long)], org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    var w = Tables.documents(s, d)
+      .select(explode(TextFunctions.tokens($("text"))).as("w"))
+      .groupBy($("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("syms", split(trim(regexp_replace($("w"), "(.)", "$1 ")), " "))
+    val merges = scala.collection.mutable.Buffer.empty[(String, Long)]
+    var exhausted = false
+    for (_ <- 1 to BpeRounds if !exhausted) {
+      // guard: sequence(1, 0) counts DOWN (the shingles pitfall) and a
+      // 1-symbol word has no pairs — explode an empty index list for it
+      val pairs = w
+        .select($("w"), $("freq"), $("syms"),
+          explode(when(size($("syms")) >= 2, sequence(lit(1), size($("syms")) - 1))
+            .otherwise(array().cast("array<int>"))).as("i"))
+        .withColumn("pr", concat(
+          element_at($("syms"), $("i")), lit(" "),
+          element_at($("syms"), $("i") + 1)))
+      val bestRows = pairs.groupBy($("pr")).agg(sum($("freq")).as("c"))
+        .orderBy($("c").desc, $("pr")).limit(1).collect()
+      if (bestRows.isEmpty) { exhausted = true } // every word fully merged
+      else {
+      val best = bestRows(0)
+      val (bp, bc) = (best.getString(0), best.getLong(1))
+      merges += ((bp, bc))
+      val rn = row_number().over(Window.partitionBy($("w")).orderBy($("i")))
+      val kept = pairs.filter($("pr") === bp).select($("w"), $("i"))
+        .withColumn("island", $("i") - rn)
+        .withColumn("pio",
+          row_number().over(Window.partitionBy($("w"), $("island")).orderBy($("i"))))
+        .filter($("pio") % 2 === 1)
+        .groupBy($("w")).agg(collect_list($("i")).as("kept"))
+        .withColumnRenamed("w", "kw")
+      w = w.join(kept, $("w") === $("kw"), "left_outer")
+        .withColumn("syms", when($("kept").isNull, $("syms")).otherwise(
+          filter(transform(sequence(lit(1), size($("syms"))),
+            i => when(array_contains($("kept"), i),
+                concat(element_at($("syms"), i), element_at($("syms"), i + 1)))
+              .when(array_contains($("kept"), i - 1), lit(null))
+              .otherwise(element_at($("syms"), i))),
+            x => x.isNotNull)))
+        .select($("w"), $("freq"), $("syms"))
+      }
+    }
+    (merges.toSeq, w)
+  }
+
   val all: Seq[Q] = Seq(
+
+    // ---- BPE tokenizer training: the iterative merge-selection loop
+    // itself (q_bigram_stats is one round's counting step; this RUNS the
+    // loop). Each round counts corpus-weighted adjacent symbol pairs,
+    // merges the winner greedily left-to-right everywhere, and repeats —
+    // the learned merge table IS the tokenizer artifact. The oracle
+    // replays the identical algorithm (including the greedy-overlap
+    // islands rule for self-pairs) via generated SQL rounds.
+    Q("q_bpe_merges",
+      bpeBaseSql + (1 to BpeRounds).map(bpeRoundSql).mkString(",") + "\n" +
+        "SELECT * FROM (" +
+        (1 to BpeRounds).map(i =>
+          s"SELECT $i AS rank, pr AS pair, CAST(c AS BIGINT) AS cnt FROM best$i")
+          .mkString(" UNION ALL ") +
+        ") ORDER BY rank") { (s, d) =>
+      val (merges, _) = bpeTrain(s, d)
+      val rows = merges.zipWithIndex.map { case ((p, c), i) => (i + 1, p, c) }
+      import s.implicits._
+      rows.toDF("rank", "pair", "cnt").orderBy($("rank"))
+    },
+
+    // ---- BPE corpus encoding: apply the learned merges back to every
+    // document and report the per-doc symbol compression (chars in →
+    // tokens out). The trained per-word symbol table joins the exploded
+    // corpus on the word key — at 100 TB the table is a few hundred MB
+    // of distinct words (broadcast or co-shuffled on the word key), and
+    // the encode pass itself is embarrassingly parallel.
+    Q("q_bpe_encode",
+      bpeBaseSql + (1 to BpeRounds).map(bpeRoundSql).mkString(",") + s"""
+        |SELECT d.doc_id,
+        |  CAST(SUM(len(w1.syms)) AS INT) AS n_sym_before,
+        |  CAST(SUM(len(w${BpeRounds + 1}.syms)) AS INT) AS n_sym_after
+        |FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents) d
+        |JOIN w1 ON d.w = w1.w JOIN w${BpeRounds + 1} ON d.w = w${BpeRounds + 1}.w
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val (_, wFinal) = bpeTrain(s, d)
+      val table = wFinal.select(
+        col("w").as("tw"),
+        length($("w")).as("len_before"),
+        size($("syms")).as("len_after"))
+      Tables.documents(s, d)
+        .select($("doc_id"), explode(TextFunctions.tokens($("text"))).as("w"))
+        .join(table, col("w") === col("tw"))
+        .groupBy($("doc_id"))
+        .agg(sum($("len_before")).cast("int").as("n_sym_before"),
+          sum($("len_after")).cast("int").as("n_sym_after"))
+        .orderBy($("doc_id"))
+    },
 
     // ---- Context-window chunking: overlapping 64-token windows with
     // stride 48 (16-token overlap), the RAG/pretraining chunker. Final
