@@ -178,6 +178,63 @@ object CurationOps {
         .orderBy($("doc_id"))
     },
 
+    // ---- Tokenizer serving AT INGEST: the train-batch/apply-stream
+    // pair (the q_stream_ann pattern for tokenization). Merges are
+    // learned ONCE on the static corpus; the document intake stream
+    // then tokenizes each arriving micro-batch through a stream-static
+    // BROADCAST join against the trained per-word symbol table — the
+    // tiny-artifact-vs-100 TB-stream shape (at scale the word table is
+    // a few hundred MB: broadcast if it fits, else a co-shuffled join
+    // on the word key; either way the stream side never re-trains).
+    // Per-doc totals aggregate INSIDE each micro-batch via foreachBatch
+    // (docs are range-staged by doc_id, so a doc never straddles
+    // batches) and land as parquet — the drain is one row per doc, and
+    // the oracle is the same SQL as the batch q_bpe_encode, so a
+    // dropped batch, double emission, or stale merge table
+    // hash-mismatches.
+    Q("q_stream_bpe_encode",
+      bpeBaseSql + (1 to BpeRounds).map(bpeRoundSql).mkString(",") + s"""
+        |SELECT d.doc_id,
+        |  CAST(SUM(len(w1.syms)) AS INT) AS n_sym_before,
+        |  CAST(SUM(len(w${BpeRounds + 1}.syms)) AS INT) AS n_sym_after
+        |FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents) d
+        |JOIN w1 ON d.w = w1.w JOIN w${BpeRounds + 1} ON d.w = w${BpeRounds + 1}.w
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      Tables.ensureConf(s)
+      val (_, wFinal) = bpeTrain(s, d)
+      // materialize the trained table once — the stream would otherwise
+      // replay the 3-round training lineage on every micro-batch
+      val table = wFinal.select(col("w").as("tw"),
+        length($("w")).as("len_before"), size($("syms")).as("len_after"))
+        .persist()
+      table.count()
+      try {
+        Staging.withTempDir("graft_stream_bpe_out") { out =>
+          Staging.withStagedInput(
+            Tables.documents(s, d).select($("doc_id"), $("text")),
+            "doc_id", nFiles = 4, prefix = "graft_stream_bpe") { in =>
+            val schema = s.read.parquet(in).schema
+            val stream = s.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(in)
+              .select($("doc_id"), explode(TextFunctions.tokens($("text"))).as("w"))
+              .join(broadcast(table), col("w") === col("tw"))
+            val q = stream.writeStream.outputMode("append")
+              .option("checkpointLocation", s"$out/ck")
+              .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
+                bdf.groupBy($("doc_id"))
+                  .agg(sum($("len_before")).cast("int").as("n_sym_before"),
+                    sum($("len_after")).cast("int").as("n_sym_after"))
+                  .write.mode("append").parquet(s"$out/res")
+              }
+              .start()
+            try q.processAllAvailable() finally q.stop()
+          }
+          val res = s.read.parquet(s"$out/res").orderBy($("doc_id"))
+          s.createDataFrame(res.collectAsList(), res.schema)
+        }
+      } finally table.unpersist()
+    },
+
     // ---- Context-window chunking: overlapping 64-token windows with
     // stride 48 (16-token overlap), the RAG/pretraining chunker. Final
     // window carries the tail remainder (never dropped); docs at or
