@@ -413,6 +413,44 @@ object VectorOps {
         .orderBy(col("vec_id"))
     },
 
+    // ---- Contrastive hard-negative mining: for each anchor, the top-3
+    // nearest vectors carrying a DIFFERENT label — close in embedding
+    // space but wrong class, the negatives that actually teach a
+    // contrastive/metric-learning objective (random negatives are
+    // trivially separable). Same scale posture as the kNN family: the
+    // anchor subset broadcasts onto the corpus, the label-mismatch
+    // predicate filters in the join, and the bounded-heap TopKPerKey
+    // keeps ≤3 candidates per anchor per partition ahead of the
+    // exchange — no sort, no window. At 100 TB the exact pass is the
+    // baseline; the IVF postings bound the candidate set for the same
+    // mining loop.
+    Q("q_hard_negatives",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        |           FROM embeddings),
+        |a AS (SELECT vec_id AS src, v, label AS sl FROM e WHERE vec_id < 50),
+        |p AS (SELECT a.src, b.vec_id AS nbr, b.label AS nbr_label,
+        |        round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        |      FROM a JOIN e b ON b.vec_id <> a.src AND b.label <> a.sl)
+        |SELECT src, nbr, nbr_label, sim FROM (
+        |  SELECT src, nbr, nbr_label, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, nbr) AS rn
+        |  FROM p) WHERE rn <= 3
+        |ORDER BY src, sim DESC, nbr""".stripMargin) { (s, d) =>
+      val e = embedRel(s, d)
+      val anchors = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("src"), col("v").as("va"), col("label").as("sl"))
+      val cands = e.select(col("vec_id").as("nbr"), col("v").as("vb"),
+        col("label").as("nbr_label"))
+      val scored = broadcast(anchors).crossJoin(cands)
+        .filter(col("nbr") =!= col("src") && col("nbr_label") =!= col("sl"))
+        .select(col("src"), col("nbr"), col("nbr_label"),
+          round(VectorFunctions.cosine(col("va"), col("vb")), 6).as("sim"))
+      graft.plans.TopKPerKey(scored, Seq("src"),
+          Seq(col("sim").desc, col("nbr").asc), k = 3)
+        .select(col("src"), col("nbr"), col("nbr_label"), col("sim"))
+        .orderBy(col("src"), col("sim").desc, col("nbr"))
+    },
+
     // ---- ONLINE top-k retrieval serving: query vectors arrive as a
     // STREAM (4 micro-batches) and each trigger's batch is answered
     // against the static corpus — the retrieval-service shape (RAG /
