@@ -892,6 +892,12 @@ object TextOps {
         |GROUP BY bg ORDER BY n DESC, bg LIMIT 20""".stripMargin) { (s, d) =>
       val w = TextFunctions.tokens(col("text"))
       Tables.documents(s, d)
+        // the per-row explode work (≈55 bigram strings per doc) dwarfs
+        // the scan, and the bench parquet is one row group → one split —
+        // spread rows across the session width first (4 cpu-s single-core
+        // → 0.9 s wall at sf0.1; at 100 TB the scan has real splits and
+        // the exchange is noise against the explode CPU it balances)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
         // guard BEFORE sequence(): Spark's sequence(0, -1) DESCENDS (it
         // would fabricate a bigram from a 1-token doc and crash on the
         // 0 index) where the oracle's range(1, 1) is simply empty
