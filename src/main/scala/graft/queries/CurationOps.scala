@@ -327,6 +327,50 @@ object CurationOps {
         .orderBy($("doc_id"))
     },
 
+    // ---- Distribution-shift monitoring: per-source unigram KL
+    // divergence against the corpus distribution — the drift metric a
+    // pipeline watches to catch a source whose content changed under it
+    // (scraper broke, upstream mix shifted, encoding corrupted).
+    // Determinism follows the q_lm_quality pattern: each token's KL
+    // contribution rounds to 6dp and sums as DECIMAL(18,6), so the
+    // total is order-independent and engine-bit-stable. Scale: the only
+    // corpus-sized work is the (source, word) count (map-side combined,
+    // one exchange); the per-source totals, corpus vocabulary, and
+    // grand total are metadata-scale broadcasts onto it.
+    Q("q_source_drift",
+      """WITH tok AS (SELECT source, unnest(string_split(text,' ')) AS w
+        |             FROM documents),
+        |sw AS (SELECT source, w, COUNT(*) AS c FROM tok GROUP BY source, w),
+        |sn AS (SELECT source, SUM(c) AS n FROM sw GROUP BY source),
+        |cw AS (SELECT w, SUM(c) AS c FROM sw GROUP BY w),
+        |cn AS (SELECT SUM(c) AS n FROM cw)
+        |SELECT sw.source, CAST(sn.n AS BIGINT) AS n_tok,
+        |  CAST(SUM(CAST(round((sw.c / sn.n) * ln((sw.c / sn.n) / (cw.c / cn.n)), 6)
+        |      AS DECIMAL(18,6))) AS DOUBLE) AS kl
+        |FROM sw JOIN sn ON sw.source = sn.source
+        |JOIN cw ON sw.w = cw.w CROSS JOIN cn
+        |GROUP BY sw.source, sn.n ORDER BY sw.source""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+        .select($("source"), explode(TextFunctions.tokens($("text"))).as("w"))
+      val sw = tok.groupBy($("source"), $("w")).agg(count(lit(1)).as("c"))
+      val sn = sw.groupBy($("source")).agg(sum($("c")).as("n"))
+        .withColumnRenamed("source", "sn_source")
+      val cw = sw.groupBy($("w")).agg(sum($("c")).as("cc"))
+        .withColumnRenamed("w", "cw_w")
+      val cn = cw.agg(sum($("cc")).as("ncorp"))
+      val p = $("c").cast("double") / $("n").cast("double")
+      val q = $("cc").cast("double") / $("ncorp").cast("double")
+      sw.join(broadcast(sn), col("source") === col("sn_source"))
+        .join(broadcast(cw), col("w") === col("cw_w"))
+        .crossJoin(broadcast(cn))
+        .groupBy($("source"), $("n"))
+        .agg(sum(round(p * log(p / q), 6).cast("decimal(18,6)"))
+          .cast("double").as("kl"))
+        .select($("source"), $("n").as("n_tok"), $("kl"))
+        .orderBy($("source"))
+    },
+
     // ---- PII redaction audit: scrub emails, IPv4 addresses, and an
     // entity denylist from every document, counting each category. The
     // regex passes are codegen'd builtins applied in one map-side
