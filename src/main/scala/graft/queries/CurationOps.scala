@@ -80,13 +80,23 @@ object CurationOps {
     * on the word key. Distinct words at 100 TB are ~1e7-1e8 rows — the
     * word-partitioned windows and joins stay trivially balanced.
     */
-  private def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String)
+  private def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String,
+      needFinal: Boolean = true)
       : (Seq[(String, Long)], org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     var w = Tables.documents(s, d)
       .select(explode(TextFunctions.tokens($("text"))).as("w"))
       .groupBy($("w")).agg(count(lit(1)).as("freq"))
       .withColumn("syms", split(trim(regexp_replace($("w"), "(.)", "$1 ")), " "))
+    // Each round reads the previous round's table TWICE (best-pair count
+    // + merge application) and feeds the next — uncached, round k would
+    // recompute rounds 1..k-1 every time (2^k blowup at a real corpus).
+    // Persist per round, drop the previous round's cache as soon as the
+    // next is materialized by its best-pair collect. The FINAL round's
+    // cache is handed to the caller when needFinal (q_bpe_encode's join,
+    // the streaming encode's table build consume it, then unpersist or
+    // delegate to the harness sweep); otherwise it is dropped here.
+    w = w.persist()
     val merges = scala.collection.mutable.Buffer.empty[(String, Long)]
     var exhausted = false
     for (_ <- 1 to BpeRounds if !exhausted) {
@@ -114,6 +124,7 @@ object CurationOps {
         .filter($("pio") % 2 === 1)
         .groupBy($("w")).agg(collect_list($("i")).as("kept"))
         .withColumnRenamed("w", "kw")
+      val prev = w
       w = w.join(kept, $("w") === $("kw"), "left_outer")
         .withColumn("syms", when($("kept").isNull, $("syms")).otherwise(
           filter(transform(sequence(lit(1), size($("syms"))),
@@ -123,8 +134,12 @@ object CurationOps {
               .otherwise(element_at($("syms"), i))),
             x => x.isNotNull)))
         .select($("w"), $("freq"), $("syms"))
+        .persist()
+      w.count() // materialize before releasing the previous round
+      prev.unpersist()
       }
     }
+    if (!needFinal) w.unpersist()
     (merges.toSeq, w)
   }
 
@@ -144,7 +159,7 @@ object CurationOps {
           s"SELECT $i AS rank, pr AS pair, CAST(c AS BIGINT) AS cnt FROM best$i")
           .mkString(" UNION ALL ") +
         ") ORDER BY rank") { (s, d) =>
-      val (merges, _) = bpeTrain(s, d)
+      val (merges, _) = bpeTrain(s, d, needFinal = false)
       val rows = merges.zipWithIndex.map { case ((p, c), i) => (i + 1, p, c) }
       import s.implicits._
       rows.toDF("rank", "pair", "cnt").orderBy($("rank"))
@@ -165,6 +180,9 @@ object CurationOps {
         |JOIN w1 ON d.w = w1.w JOIN w${BpeRounds + 1} ON d.w = w${BpeRounds + 1}.w
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, d) =>
       val (_, wFinal) = bpeTrain(s, d)
+      // wFinal's round-cache backs this (lazy) result, so it cannot be
+      // unpersisted inside the closure — lifetime delegated to the
+      // harness sweep (the q_embed_clusters precedent)
       val table = wFinal.select(
         col("w").as("tw"),
         length($("w")).as("len_before"),
@@ -208,6 +226,7 @@ object CurationOps {
         length($("w")).as("len_before"), size($("syms")).as("len_after"))
         .persist()
       table.count()
+      wFinal.unpersist() // the derived table is materialized; drop the round cache
       try {
         Staging.withTempDir("graft_stream_bpe_out") { out =>
           Staging.withStagedInput(
