@@ -149,6 +149,18 @@ case class TopKPerKeyExec(grouping: Seq[Expression], order: Seq[SortOrder],
   // heap rows are per-row copies already — parents may buffer them safely
   override def needCopyResult: Boolean = false
 
+  // SortExec's contract: every input column is consumed through the packed
+  // rowVar (or the projection doConsume builds itself), never as an
+  // individual variable. Without this, consume() pre-evaluates the
+  // grouping/order columns from its COPIES of the child's ExprCodes while
+  // prepareRowVar already emitted the same code into the row — a child
+  // whose output vars carry deferred expression code (e.g. Project over
+  // BroadcastNestedLoopJoin computing a score) then emits the same locals
+  // twice and janino rejects the stage ("Redefinition of local variable"),
+  // silently dropping the whole fused stage to interpreted execution.
+  override def usedInputs: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet.empty
+
   override def inputRDDs(): Seq[RDD[InternalRow]] =
     child.asInstanceOf[CodegenSupport].inputRDDs()
 
@@ -203,13 +215,18 @@ case class TopKPerKeyExec(grouping: Seq[Expression], order: Seq[SortOrder],
        """.stripMargin
     } else {
       // children that hand exploded columns with no prepared row: pack
-      // them with a generated projection, then insert
+      // them with a generated projection, then insert. Deferred input
+      // codes are evaluated exactly once HERE (usedInputs is empty, so
+      // consume() has not already emitted them — the prepareRowVar
+      // pattern).
       val colExprs = child.output.zipWithIndex.map { case (attr, i) =>
         BoundReference(i, attr.dataType, attr.nullable)
       }
+      val evaluateInputs = evaluateVariables(input)
       ctx.currentVars = input
       val code = GenerateUnsafeProjection.createCode(ctx, colExprs)
       s"""
+         |$evaluateInputs
          |${code.code}
          |$stateTerm.insert(${code.value});
        """.stripMargin

@@ -71,6 +71,18 @@ object CurationOps {
       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
       |  GROUP BY w),""".stripMargin
 
+  /** The shared q_bpe_encode / q_stream_bpe_encode oracle: per-doc
+    * symbol counts before and after the learned merges. One definition —
+    * the batch and streaming variants must stay bit-identical. */
+  private lazy val bpeEncodeSql: String =
+    bpeBaseSql + (1 to BpeRounds).map(bpeRoundSql).mkString(",") + s"""
+        |SELECT d.doc_id,
+        |  CAST(SUM(len(w1.syms)) AS INT) AS n_sym_before,
+        |  CAST(SUM(len(w${BpeRounds + 1}.syms)) AS INT) AS n_sym_after
+        |FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents) d
+        |JOIN w1 ON d.w = w1.w JOIN w${BpeRounds + 1} ON d.w = w${BpeRounds + 1}.w
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   /** Run the BPE merge loop on the engine: returns the learned merges
     * (pair, corpus count) and the per-word symbol table after all
     * rounds. The per-round best pair is a single-row driver collect
@@ -171,14 +183,7 @@ object CurationOps {
     // corpus on the word key — at 100 TB the table is a few hundred MB
     // of distinct words (broadcast or co-shuffled on the word key), and
     // the encode pass itself is embarrassingly parallel.
-    Q("q_bpe_encode",
-      bpeBaseSql + (1 to BpeRounds).map(bpeRoundSql).mkString(",") + s"""
-        |SELECT d.doc_id,
-        |  CAST(SUM(len(w1.syms)) AS INT) AS n_sym_before,
-        |  CAST(SUM(len(w${BpeRounds + 1}.syms)) AS INT) AS n_sym_after
-        |FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents) d
-        |JOIN w1 ON d.w = w1.w JOIN w${BpeRounds + 1} ON d.w = w${BpeRounds + 1}.w
-        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    Q("q_bpe_encode", bpeEncodeSql) { (s, d) =>
       val (_, wFinal) = bpeTrain(s, d)
       // wFinal's round-cache backs this (lazy) result, so it cannot be
       // unpersisted inside the closure — lifetime delegated to the
@@ -210,14 +215,7 @@ object CurationOps {
     // the oracle is the same SQL as the batch q_bpe_encode, so a
     // dropped batch, double emission, or stale merge table
     // hash-mismatches.
-    Q("q_stream_bpe_encode",
-      bpeBaseSql + (1 to BpeRounds).map(bpeRoundSql).mkString(",") + s"""
-        |SELECT d.doc_id,
-        |  CAST(SUM(len(w1.syms)) AS INT) AS n_sym_before,
-        |  CAST(SUM(len(w${BpeRounds + 1}.syms)) AS INT) AS n_sym_after
-        |FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents) d
-        |JOIN w1 ON d.w = w1.w JOIN w${BpeRounds + 1} ON d.w = w${BpeRounds + 1}.w
-        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    Q("q_stream_bpe_encode", bpeEncodeSql) { (s, d) =>
       Tables.ensureConf(s)
       val (_, wFinal) = bpeTrain(s, d)
       // materialize the trained table once — the stream would otherwise

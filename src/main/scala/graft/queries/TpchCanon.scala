@@ -72,7 +72,10 @@ object TpchCanon {
         .agg(min($("s_acctbal")).as("min_bal"))
         .select(col("l_partkey").as("m_partkey"), col("min_bal"))
       cost
-        .join(broadcast(mins), col("l_partkey") === col("m_partkey") &&
+        // mins derives from the FACT side (one row per part) — like q17's
+        // threshold aggregate it joins back un-hinted: AQE broadcasts it
+        // at bench scale and degrades to the co-partitioned join at 100 TB
+        .join(mins, col("l_partkey") === col("m_partkey") &&
           col("s_acctbal") === col("min_bal"))
         .join(broadcast(Tables.part(s, d).filter($("p_size") === 15)
           .select($("p_partkey"), $("p_brand"))),
@@ -173,10 +176,10 @@ object TpchCanon {
     Q("q12_ship_buckets",
       """SELECT CASE WHEN l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
         |       THEN 'FAST' ELSE 'SLOW' END AS ship_bucket,
-        |  SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
-        |      THEN 1 ELSE 0 END) AS high_count,
-        |  SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
-        |      THEN 0 ELSE 1 END) AS low_count
+        |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+        |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS low_count
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l.l_shipdate < TIMESTAMP '1997-01-01'
