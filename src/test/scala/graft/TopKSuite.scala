@@ -50,4 +50,38 @@ class TopKSuite extends SparkSpec {
     assert("\\*\\(\\d+\\) TopKPerKey".r.findAllIn(plan).size >= 2,
       s"TopKPerKey not fused into whole-stage codegen:\n$plan")
   }
+
+  test("generated code COMPILES when the child defers expression code") {
+    // Regression: a child whose output vars carry deferred expression
+    // code (Project computing a score over a join) used to make the
+    // fused stage emit the same locals twice — janino rejected it and
+    // the stage silently fell back to interpreted execution. Compile
+    // the generated source directly so the failure is loud again.
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    // AQE wraps codegen stages in QueryStageExec nodes that hide them
+    // from collect(); plan without it so the stages are inspectable
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probes = (1 to 5).map(i => (i, Array.fill(4)(i.toDouble))).toDF("src", "va")
+      val cands = (1 to 50).map(i => (i, Array.fill(4)(1.0 / i))).toDF("nbr", "vb")
+      val scored = broadcast(probes).crossJoin(cands)
+        .filter(col("nbr") =!= col("src"))
+        .select(col("src"), col("nbr"),
+          round(graft.functions.VectorFunctions.cosine(col("va"), col("vb")), 6).as("sim"))
+      val out = TopKPerKey(scored, Seq("src"), Seq(col("sim").desc, col("nbr").asc), 3)
+      assert(out.collect().nonEmpty)
+      val stages = out.queryExecution.executedPlan.collect {
+        case w: WholeStageCodegenExec if w.toString.contains("TopKPerKey") => w
+      }
+      assert(stages.nonEmpty,
+        s"no fused TopKPerKey stage:\n${out.queryExecution.executedPlan}")
+      stages.foreach { st =>
+        val (_, source) = st.doCodeGen()
+        // throws CompileException on duplicate locals — the regression
+        org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+          .compile(source)
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
