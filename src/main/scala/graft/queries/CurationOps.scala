@@ -388,6 +388,73 @@ object CurationOps {
         .orderBy($("source"))
     },
 
+    // ---- Drift monitoring AT INGEST: the stream twin of q_source_drift
+    // (same oracle). The corpus unigram distribution is the trained
+    // BASELINE — computed once in batch and broadcast; the document
+    // intake stream then scores each arriving source against it inside
+    // foreachBatch (sources are range-staged, so a source's documents
+    // arrive within one micro-batch and its in-batch token counts are
+    // its full counts). This is the production monitoring shape: the
+    // baseline artifact is tiny and static, each trigger touches only
+    // its own rows, and a drifting source surfaces in the trigger that
+    // delivers it — here the per-source KL rows land in parquet and
+    // must reproduce the batch computation bit-for-bit.
+    Q("q_stream_drift",
+      """WITH tok AS (SELECT source, unnest(string_split(text,' ')) AS w
+        |             FROM documents),
+        |sw AS (SELECT source, w, COUNT(*) AS c FROM tok GROUP BY source, w),
+        |sn AS (SELECT source, SUM(c) AS n FROM sw GROUP BY source),
+        |cw AS (SELECT w, SUM(c) AS c FROM sw GROUP BY w),
+        |cn AS (SELECT SUM(c) AS n FROM cw)
+        |SELECT sw.source, CAST(sn.n AS BIGINT) AS n_tok,
+        |  CAST(SUM(CAST(round((sw.c / sn.n) * ln((sw.c / sn.n) / (cw.c / cn.n)), 6)
+        |      AS DECIMAL(18,6))) AS DOUBLE) AS kl
+        |FROM sw JOIN sn ON sw.source = sn.source
+        |JOIN cw ON sw.w = cw.w CROSS JOIN cn
+        |GROUP BY sw.source, sn.n ORDER BY sw.source""".stripMargin) { (s, d) =>
+      Tables.ensureConf(s)
+      // baseline: corpus word counts + total, trained in batch
+      val base = Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens($("text"))).as("w"))
+        .groupBy($("w")).agg(count(lit(1)).as("cc"))
+        .withColumnRenamed("w", "cw_w")
+        .persist()
+      val nCorp = base.agg(sum($("cc"))).collect()(0).getLong(0)
+      try {
+        Staging.withTempDir("graft_stream_drift_out") { out =>
+          Staging.withStagedInput(
+            Tables.documents(s, d).select($("source"), $("text")),
+            "source", nFiles = 4, prefix = "graft_stream_drift") { in =>
+            val schema = s.read.parquet(in).schema
+            val stream = s.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(in)
+            val q = stream.writeStream.outputMode("append")
+              .option("checkpointLocation", s"$out/ck")
+              .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
+                val sw = bdf
+                  .select($("source"), explode(TextFunctions.tokens($("text"))).as("w"))
+                  .groupBy($("source"), $("w")).agg(count(lit(1)).as("c"))
+                val sn = sw.groupBy($("source")).agg(sum($("c")).as("n"))
+                  .withColumnRenamed("source", "sn_source")
+                val p = $("c").cast("double") / $("n").cast("double")
+                val qq = $("cc").cast("double") / lit(nCorp).cast("double")
+                sw.join(broadcast(sn), col("source") === col("sn_source"))
+                  .join(broadcast(base), col("w") === col("cw_w"))
+                  .groupBy($("source"), $("n"))
+                  .agg(sum(round(p * log(p / qq), 6).cast("decimal(18,6)"))
+                    .cast("double").as("kl"))
+                  .select($("source"), $("n").as("n_tok"), $("kl"))
+                  .write.mode("append").parquet(s"$out/res")
+              }
+              .start()
+            try q.processAllAvailable() finally q.stop()
+          }
+          val res = s.read.parquet(s"$out/res").orderBy($("source"))
+          s.createDataFrame(res.collectAsList(), res.schema)
+        }
+      } finally base.unpersist()
+    },
+
     // ---- PII redaction audit: scrub emails, IPv4 addresses, and an
     // entity denylist from every document, counting each category. The
     // regex passes are codegen'd builtins applied in one map-side
