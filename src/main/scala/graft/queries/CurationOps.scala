@@ -246,8 +246,7 @@ object CurationOps {
               .start()
             try q.processAllAvailable() finally q.stop()
           }
-          val res = s.read.parquet(s"$out/res").orderBy($("doc_id"))
-          s.createDataFrame(res.collectAsList(), res.schema)
+          Staging.drainParquet(s, s"$out/res", $("doc_id"))
         }
       } finally table.unpersist()
     },
@@ -449,8 +448,7 @@ object CurationOps {
               .start()
             try q.processAllAvailable() finally q.stop()
           }
-          val res = s.read.parquet(s"$out/res").orderBy($("source"))
-          s.createDataFrame(res.collectAsList(), res.schema)
+          Staging.drainParquet(s, s"$out/res", $("source"))
         }
       } finally base.unpersist()
     },

@@ -88,6 +88,18 @@ private[queries] object Staging {
       body(in)
     }
 
+  /** Read a foreachBatch parquet drain back, order it, and copy it into
+    * a LOCAL relation — the staged tree is deleted on the way out, so
+    * the result must not keep lineage onto it. Bounded by construction:
+    * one row per entity the streaming query emitted. THE one copy of
+    * the drain contract (four streaming queries route through it). */
+  def drainParquet(s: SparkSession, dir: String,
+                   order: org.apache.spark.sql.Column*): DataFrame = {
+    val read = s.read.parquet(dir)
+    val res = if (order.isEmpty) read else read.orderBy(order: _*)
+    s.createDataFrame(res.collectAsList(), res.schema)
+  }
+
   /** Run `run` (which starts and finishes a memory-sink streaming query
     * named `sink`), then copy the (bounded) sink out through `shape` into
     * a LOCAL relation. The sink view is dropped in a finally that covers

@@ -510,9 +510,7 @@ object VectorOps {
               }
               .start()
             try q.processAllAvailable() finally q.stop()
-            val res = s.read.parquet(outDir)
-              .orderBy(col("src"), col("sim").desc, col("nbr"))
-            s.createDataFrame(res.collectAsList(), res.schema)
+            Staging.drainParquet(s, outDir, col("src"), col("sim").desc, col("nbr"))
           }
         }
       } finally corpus.unpersist()
@@ -580,8 +578,7 @@ object VectorOps {
                 }
                 .start()
               try q.processAllAvailable() finally q.stop()
-              val res = s.read.parquet(outDir)
-              s.createDataFrame(res.collectAsList(), res.schema)
+              Staging.drainParquet(s, outDir)
             }
           }
           // recall verdict against the exact best similarity per query
