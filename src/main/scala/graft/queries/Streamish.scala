@@ -636,6 +636,30 @@ object Streamish {
       }
     },
 
+    // ---- RIGHT OUTER stream-stream interval join — completes the
+    // interval-join matrix (inner/left/full/right). The null-extended
+    // side is the PURCHASE leg: a click with no purchase in its
+    // following hour emits with p_id = -1 once the purchase watermark
+    // passes its interval. Same ordered replay + per-side sentinel
+    // contract as its siblings, through the one intervalJoinStream
+    // scaffold.
+    Q("q_stream_right_join",
+      """SELECT coalesce(p.event_id, -1) AS p_id, c.event_id AS c_id,
+        |  c.user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |RIGHT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        |  AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000
+        |                         AND epoch_us(p.ts)
+        |ORDER BY c_id, p_id""".stripMargin) { (s, d) =>
+      intervalJoinStream(s, d, "right_outer", "rjoin") {
+        _.filter(col("c_user") >= 0)
+          .select(coalesce(col("p_id"), lit(-1L)).as("p_id"), col("c_id"),
+            col("c_user").as("user_id"))
+          .orderBy(col("c_id"), col("p_id"))
+      }
+    },
+
     // ---- Versioned-dimension lookup AT EVENT TIME over a stream (the
     // SCD-2 enrichment shape): signups form a versioned per-user
     // dimension (each valid from its own event time until the user's
