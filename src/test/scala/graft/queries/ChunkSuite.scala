@@ -55,12 +55,18 @@ class ChunkSuite extends SparkSpec {
         assert(md5 == wantMd5, s"len $n chunk $idx content drifted")
       }
     }
-    // coverage property: every token index lands in at least one chunk
-    // (no tail dropped) — implied by the reference, asserted explicitly
-    for (n <- lengths) {
-      val covered = refChunks((1 to n).map(i => s"t$i").toVector)
-        .flatten.toSet
-      assert(covered.size == n, s"len $n: tail dropped")
+    // coverage property ON ENGINE OUTPUT: chunk idx starts at idx*S, so
+    // the chunks are gap-free iff each start ≤ the previous chunk's end,
+    // and no tail is dropped iff the last chunk ends at n
+    for (((n, id)) <- lengths.zipWithIndex) {
+      val chunks = got(id.toLong).sortBy(_._2)
+      var prevEnd = 0
+      for ((_, chunkId, nTok, _) <- chunks) {
+        val start = chunkId * S
+        assert(start <= prevEnd, s"len $n: gap before chunk $chunkId")
+        prevEnd = start + nTok
+      }
+      assert(prevEnd == n, s"len $n: engine dropped the tail ($prevEnd != $n)")
     }
   }
 }
