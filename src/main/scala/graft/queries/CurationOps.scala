@@ -25,6 +25,60 @@ object CurationOps {
   /** Number of BPE merge rounds for q_bpe_merges/q_bpe_encode. */
   private val BpeRounds = 3
 
+  // -- shared redaction patterns (Java regex; the SQL twin below carries
+  // the same patterns single-escaped for DuckDB's RE2) --
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val IpRe = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  private val EntityRe = "\\b(customer|supplier)\\b"
+
+  /** The redaction rewrite as a Column — email → [EMAIL], IPv4 → [IP],
+    * denylist entity → [ENTITY]; three codegen'd regexp passes. */
+  private def redacted(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      lit(EmailRe), lit("[EMAIL]")),
+      lit(IpRe), lit("[IP]")),
+      lit(EntityRe), lit("[ENTITY]"))
+
+  /** The same rewrite as oracle SQL over a column named `text`. */
+  private val redactSqlExpr: String =
+    """regexp_replace(regexp_replace(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |    '\b\d{1,3}(\.\d{1,3}){3}\b', '[IP]', 'g'),
+      |    '\b(customer|supplier)\b', '[ENTITY]', 'g')""".stripMargin
+
+  /** Context-window chunking (64-token windows, stride 48) of a
+    * (doc_id, text) relation — one projection + explode, no shuffle.
+    * Shared by the batch chunker and the at-ingest prep composition. */
+  private def chunkRows(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val W = 64; val S = 48
+    val toks = col("toks")
+    df.select($("doc_id"), TextFunctions.tokens($("text")).as("toks"))
+      .withColumn("n_extra",
+        when(size(toks) > W,
+          ceil((size(toks) - W).cast("double") / S).cast("int")).otherwise(0))
+      .select($("doc_id"), toks,
+        explode(sequence(lit(0), $("n_extra"))).as("chunk_id"))
+      .select($("doc_id"), $("chunk_id"),
+        slice(toks, $("chunk_id") * S + 1, lit(W)).as("chunk"))
+      .select($("doc_id"), $("chunk_id"),
+        size($("chunk")).as("n_tokens"),
+        md5(concat_ws(" ", $("chunk"))).as("chunk_md5"))
+  }
+
+  /** Chunking oracle over any (doc_id, text)-shaped inner query. */
+  private def chunkSql(inner: String): String =
+    s"""WITH src AS ($inner),
+       |t AS (SELECT doc_id, string_split(text,' ') AS toks FROM src),
+       |cc AS (SELECT doc_id, toks, len(toks) AS n_tok,
+       |  CASE WHEN len(toks) > 64
+       |       THEN CAST(ceil((len(toks)-64)/48.0) AS INT) ELSE 0 END AS n_extra
+       |  FROM t)
+       |SELECT doc_id, CAST(i AS INT) AS chunk_id,
+       |  CAST(len(toks[CAST(i*48+1 AS INT) : CAST(least(i*48+64, n_tok) AS INT)]) AS INT) AS n_tokens,
+       |  md5(array_to_string(toks[CAST(i*48+1 AS INT) : CAST(least(i*48+64, n_tok) AS INT)], ' ')) AS chunk_md5
+       |FROM cc, unnest(range(0, n_extra+1)) AS u(i)
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
   /** One BPE training round as oracle SQL: count adjacent symbol pairs
     * (corpus-frequency weighted), pick the best (count desc, pair asc),
     * then apply the merge with TRUE greedy left-to-right semantics —
@@ -259,30 +313,8 @@ object CurationOps {
     // projection + explode inside codegen, no shuffle, embarrassingly
     // parallel at any corpus size.
     Q("q_doc_chunk",
-      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-        |cc AS (SELECT doc_id, toks, len(toks) AS n_tok,
-        |  CASE WHEN len(toks) > 64
-        |       THEN CAST(ceil((len(toks)-64)/48.0) AS INT) ELSE 0 END AS n_extra
-        |  FROM t)
-        |SELECT doc_id, CAST(i AS INT) AS chunk_id,
-        |  CAST(len(toks[CAST(i*48+1 AS INT) : CAST(least(i*48+64, n_tok) AS INT)]) AS INT) AS n_tokens,
-        |  md5(array_to_string(toks[CAST(i*48+1 AS INT) : CAST(least(i*48+64, n_tok) AS INT)], ' ')) AS chunk_md5
-        |FROM cc, unnest(range(0, n_extra+1)) AS u(i)
-        |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
-      val W = 64; val S = 48
-      val toks = col("toks")
-      Tables.documents(s, d)
-        .select($("doc_id"), TextFunctions.tokens($("text")).as("toks"))
-        .withColumn("n_extra",
-          when(size(toks) > W,
-            ceil((size(toks) - W).cast("double") / S).cast("int")).otherwise(0))
-        .select($("doc_id"), toks,
-          explode(sequence(lit(0), $("n_extra"))).as("chunk_id"))
-        .select($("doc_id"), $("chunk_id"),
-          slice(toks, $("chunk_id") * S + 1, lit(W)).as("chunk"))
-        .select($("doc_id"), $("chunk_id"),
-          size($("chunk")).as("n_tokens"),
-          md5(concat_ws(" ", $("chunk"))).as("chunk_md5"))
+      chunkSql("SELECT doc_id, text FROM documents")) { (s, d) =>
+      chunkRows(Tables.documents(s, d).select($("doc_id"), $("text")))
         .orderBy($("doc_id"), $("chunk_id"))
     },
 
@@ -462,28 +494,50 @@ object CurationOps {
     // zeros (the patterns still execute); the denylist category
     // exercises nonzero rewrites.
     Q("q_pii_redact",
-      """SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
-        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS INT) AS n_ip,
-        |  CAST(len(regexp_extract_all(text, '\b(customer|supplier)\b')) AS INT) AS n_entity,
-        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-        |    '\b\d{1,3}(\.\d{1,3}){3}\b', '[IP]', 'g'),
-        |    '\b(customer|supplier)\b', '[ENTITY]', 'g')) AS redacted_md5
+      s"""SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b')) AS INT) AS n_ip,
+        |  CAST(len(regexp_extract_all(text, '\\b(customer|supplier)\\b')) AS INT) AS n_entity,
+        |  md5($redactSqlExpr) AS redacted_md5
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val ip = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
-      val entity = "\\b(customer|supplier)\\b"
       Tables.documents(s, d).select(
         $("doc_id"),
-        size(regexp_extract_all($("text"), lit(email), lit(0))).as("n_email"),
-        size(regexp_extract_all($("text"), lit(ip), lit(0))).as("n_ip"),
-        size(regexp_extract_all($("text"), lit(entity), lit(0))).as("n_entity"),
-        md5(regexp_replace(regexp_replace(regexp_replace($("text"),
-          lit(email), lit("[EMAIL]")),
-          lit(ip), lit("[IP]")),
-          lit(entity), lit("[ENTITY]"))).as("redacted_md5"))
+        size(regexp_extract_all($("text"), lit(EmailRe), lit(0))).as("n_email"),
+        size(regexp_extract_all($("text"), lit(IpRe), lit(0))).as("n_ip"),
+        size(regexp_extract_all($("text"), lit(EntityRe), lit(0))).as("n_entity"),
+        md5(redacted($("text"))).as("redacted_md5"))
         .orderBy($("doc_id"))
+    },
+
+    // ---- Document prep AT INGEST: redaction → chunking composed in one
+    // append-mode streaming pass — the stateless front half of the
+    // ingest pipeline (the stateful half is q_stream_curation's
+    // dedup/decon chain). Each arriving micro-batch's documents are
+    // scrubbed and windowed map-side (no state, no shuffle inside the
+    // trigger beyond the drain write); the oracle is the batch
+    // composition (chunk the redacted text), so a missed batch, a stale
+    // pattern, or a chunk-boundary drift hash-mismatches.
+    Q("q_stream_ingest_prep",
+      chunkSql(s"SELECT doc_id, $redactSqlExpr AS text FROM documents")) { (s, d) =>
+      Tables.ensureConf(s)
+      Staging.withTempDir("graft_stream_prep_out") { out =>
+        Staging.withStagedInput(
+          Tables.documents(s, d).select($("doc_id"), $("text")),
+          "doc_id", nFiles = 4, prefix = "graft_stream_prep") { in =>
+          val schema = s.read.parquet(in).schema
+          val stream = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(in)
+          val q = stream.writeStream.outputMode("append")
+            .option("checkpointLocation", s"$out/ck")
+            .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
+              chunkRows(bdf.select($("doc_id"), redacted($("text")).as("text")))
+                .write.mode("append").parquet(s"$out/res")
+            }
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        Staging.drainParquet(s, s"$out/res", $("doc_id"), $("chunk_id"))
+      }
     }
   )
 }
