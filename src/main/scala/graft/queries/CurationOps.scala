@@ -291,11 +291,11 @@ object CurationOps {
               .join(broadcast(table), col("w") === col("tw"))
             val q = stream.writeStream.outputMode("append")
               .option("checkpointLocation", s"$out/ck")
-              .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
-                bdf.groupBy($("doc_id"))
+              .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, id: Long) =>
+                Staging.writeBatch(bdf.groupBy($("doc_id"))
                   .agg(sum($("len_before")).cast("int").as("n_sym_before"),
-                    sum($("len_after")).cast("int").as("n_sym_after"))
-                  .write.mode("append").parquet(s"$out/res")
+                    sum($("len_after")).cast("int").as("n_sym_after")),
+                  s"$out/res", id)
               }
               .start()
             try q.processAllAvailable() finally q.stop()
@@ -461,7 +461,7 @@ object CurationOps {
               .option("maxFilesPerTrigger", 1).parquet(in)
             val q = stream.writeStream.outputMode("append")
               .option("checkpointLocation", s"$out/ck")
-              .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
+              .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, id: Long) =>
                 val sw = bdf
                   .select($("source"), explode(TextFunctions.tokens($("text"))).as("w"))
                   .groupBy($("source"), $("w")).agg(count(lit(1)).as("c"))
@@ -469,13 +469,14 @@ object CurationOps {
                   .withColumnRenamed("source", "sn_source")
                 val p = $("c").cast("double") / $("n").cast("double")
                 val qq = $("cc").cast("double") / lit(nCorp).cast("double")
-                sw.join(broadcast(sn), col("source") === col("sn_source"))
-                  .join(broadcast(base), col("w") === col("cw_w"))
-                  .groupBy($("source"), $("n"))
-                  .agg(sum(round(p * log(p / qq), 6).cast("decimal(18,6)"))
-                    .cast("double").as("kl"))
-                  .select($("source"), $("n").as("n_tok"), $("kl"))
-                  .write.mode("append").parquet(s"$out/res")
+                Staging.writeBatch(
+                  sw.join(broadcast(sn), col("source") === col("sn_source"))
+                    .join(broadcast(base), col("w") === col("cw_w"))
+                    .groupBy($("source"), $("n"))
+                    .agg(sum(round(p * log(p / qq), 6).cast("decimal(18,6)"))
+                      .cast("double").as("kl"))
+                    .select($("source"), $("n").as("n_tok"), $("kl")),
+                  s"$out/res", id)
               }
               .start()
             try q.processAllAvailable() finally q.stop()
@@ -529,9 +530,10 @@ object CurationOps {
             .option("maxFilesPerTrigger", 1).parquet(in)
           val q = stream.writeStream.outputMode("append")
             .option("checkpointLocation", s"$out/ck")
-            .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
-              chunkRows(bdf.select($("doc_id"), redacted($("text")).as("text")))
-                .write.mode("append").parquet(s"$out/res")
+            .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, id: Long) =>
+              Staging.writeBatch(
+                chunkRows(bdf.select($("doc_id"), redacted($("text")).as("text"))),
+                s"$out/res", id)
             }
             .start()
           try q.processAllAvailable() finally q.stop()

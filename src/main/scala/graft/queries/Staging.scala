@@ -95,10 +95,19 @@ private[queries] object Staging {
     * the drain contract (four streaming queries route through it). */
   def drainParquet(s: SparkSession, dir: String,
                    order: org.apache.spark.sql.Column*): DataFrame = {
-    val read = s.read.parquet(dir)
+    val read = s.read.option("recursiveFileLookup", "true").parquet(dir)
     val res = if (order.isEmpty) read else read.orderBy(order: _*)
     s.createDataFrame(res.collectAsList(), res.schema)
   }
+
+  /** Exactly-once foreachBatch parquet write: each micro-batch OVERWRITES
+    * its own deterministic subdirectory, so a batch replayed after a
+    * failure/restart rewrites the same files instead of appending
+    * duplicates (plain `mode("append")` is not idempotent under
+    * foreachBatch's at-least-once contract). [[drainParquet]] reads the
+    * subdirectories back recursively. */
+  def writeBatch(df: DataFrame, dir: String, batchId: Long): Unit =
+    df.write.mode("overwrite").parquet(s"$dir/b$batchId")
 
   /** Run `run` (which starts and finishes a memory-sink streaming query
     * named `sink`), then copy the (bounded) sink out through `shape` into

@@ -496,16 +496,17 @@ object VectorOps {
             val q = s.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1).parquet(in)
               .writeStream.outputMode("append")
-              .foreachBatch { (batch: DataFrame, _: Long) =>
+              .foreachBatch { (batch: DataFrame, id: Long) =>
                 val scored = broadcast(batch).crossJoin(corpus)
                   .filter(col("nbr") =!= col("src"))
                   .select(col("src"), col("nbr"),
                     round(VectorFunctions.cosine(col("va"), col("vb")), 6)
                       .as("sim"))
-                graft.plans.TopKPerKey(scored, Seq("src"),
-                    Seq(col("sim").desc, col("nbr").asc), k = 3)
-                  .select(col("src"), col("nbr"), col("sim"))
-                  .write.mode("append").parquet(outDir)
+                Staging.writeBatch(
+                  graft.plans.TopKPerKey(scored, Seq("src"),
+                      Seq(col("sim").desc, col("nbr").asc), k = 3)
+                    .select(col("src"), col("nbr"), col("sim")),
+                  outDir, id)
                 () // Unit sink contract
               }
               .start()
@@ -557,23 +558,24 @@ object VectorOps {
               val q = s.readStream.schema(schema)
                 .option("maxFilesPerTrigger", 1).parquet(in)
                 .writeStream.outputMode("append")
-                .foreachBatch { (batch: DataFrame, _: Long) =>
+                .foreachBatch { (batch: DataFrame, id: Long) =>
                   val probed = batch.withColumn("probe_cells",
                       graft.functions.VectorExpressions.nearestCells(
                         col("va"), centroids, 6))
                     .withColumn("van", unitNorm(col("va")))
-                  broadcast(probed)
-                    .select(col("src"), col("van"),
-                      explode(col("probe_cells")).as("cell"))
-                    .join(postings, Seq("cell"))
-                    .filter(col("src") =!= col("nbr"))
-                    .select(col("src"), col("nbr"),
-                      VectorFunctions.dot(col("van"), col("vbn")).as("sim"))
-                    .groupBy(col("src"))
-                    .agg(min(struct((-col("sim")).as("ns"), col("nbr").as("nb"))).as("m"))
-                    .select(col("src"), col("m.nb").as("nbr"),
-                      round(-col("m.ns"), 6).as("sim"))
-                    .write.mode("append").parquet(outDir)
+                  Staging.writeBatch(
+                    broadcast(probed)
+                      .select(col("src"), col("van"),
+                        explode(col("probe_cells")).as("cell"))
+                      .join(postings, Seq("cell"))
+                      .filter(col("src") =!= col("nbr"))
+                      .select(col("src"), col("nbr"),
+                        VectorFunctions.dot(col("van"), col("vbn")).as("sim"))
+                      .groupBy(col("src"))
+                      .agg(min(struct((-col("sim")).as("ns"), col("nbr").as("nb"))).as("m"))
+                      .select(col("src"), col("m.nb").as("nbr"),
+                        round(-col("m.ns"), 6).as("sim")),
+                    outDir, id)
                   ()
                 }
                 .start()

@@ -65,4 +65,52 @@ class StagingSuite extends graft.SparkSpec {
     // the sink view is gone — the result must still be materializable
     assert(out.select("id").as[Long].collect().toSeq == Seq(1L, 2L))
   }
+
+  test("writeBatch is idempotent: a replayed batch id rewrites, never appends") {
+    import spark.implicits._
+    val dir = tmpDir("wb").toString
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    Staging.writeBatch(df, dir, 7L)
+    Staging.writeBatch(df, dir, 7L) // foreachBatch at-least-once replay
+    val out = Staging.drainParquet(spark, dir, col("id"))
+    assert(out.count() == 3, "replayed batch duplicated rows")
+    assert(out.select("id").as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("foreachBatch pipeline restarts from checkpoint exactly-once") {
+    import spark.implicits._
+    // 4 staged files → 4 micro-batches; kill after ≥2 committed, restart
+    // with the SAME checkpoint + out dir, and the drained result must be
+    // exactly the batch answer — nothing missing, nothing doubled.
+    val docs = (0L until 40L).map(i => (i, s"v$i")).toDF("doc_id", "text")
+    val outRoot = tmpDir("wb_restart").toString
+    Staging.withStagedInput(docs, "doc_id", nFiles = 4, prefix = "wb_restart_in") { in =>
+      val schema = spark.read.parquet(in).schema
+      def run(stopAfterBatches: Option[Int]): Unit = {
+        val q = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$outRoot/ck")
+          .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, id: Long) =>
+            Staging.writeBatch(
+              bdf.select(col("doc_id"), upper(col("text")).as("u")),
+              s"$outRoot/res", id)
+          }
+          .start()
+        try stopAfterBatches match {
+          case Some(n) =>
+            val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+            while (Option(q.lastProgress).forall(_.batchId < n - 1) &&
+              System.nanoTime < deadline) Thread.sleep(50)
+          case None => q.processAllAvailable()
+        } finally q.stop()
+      }
+      run(stopAfterBatches = Some(2)) // kill mid-stream
+      run(stopAfterBatches = None)    // restart, drain the rest
+      val out = Staging.drainParquet(spark, s"$outRoot/res", col("doc_id"))
+      val got = out.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got == (0L until 40L).map(i => (i, s"V$i")),
+        s"restart lost or duplicated rows: ${got.size} rows")
+    }
+  }
 }
