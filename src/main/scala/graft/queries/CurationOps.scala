@@ -65,6 +65,57 @@ object CurationOps {
         md5(concat_ws(" ", $("chunk"))).as("chunk_md5"))
   }
 
+  /** Segment rows for span dedup: 32-token non-overlapping segments of a
+    * (doc_id, text) relation with their md5 and a packed orderable
+    * (doc_id, seg_idx) key. Shared by the batch and at-ingest forms. */
+  private def segRows(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val SEG = 32
+    val toks = col("toks")
+    df.select($("doc_id"), TextFunctions.tokens($("text")).as("toks"))
+      .select($("doc_id"), toks,
+        explode(sequence(lit(0),
+          ceil(size(toks).cast("double") / SEG).cast("int") - 1)).as("seg_idx"))
+      .select($("doc_id"), $("seg_idx"),
+        concat_ws(" ", slice(toks, $("seg_idx") * SEG + 1, lit(SEG))).as("seg_text"))
+      .select($("doc_id"), $("seg_idx"), $("seg_text"),
+        md5($("seg_text")).as("h"),
+        ($("doc_id") * 1000 + $("seg_idx")).as("pk"))
+  }
+
+  /** Per-doc rebuild for span dedup from occurrence rows carrying a
+    * `first_pk` column: counts + cleaned-text md5 (kept segments in
+    * order, empty string when everything was dropped). */
+  private def spanRebuild(occWithFirst: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val kept = $("pk") === $("first_pk")
+    occWithFirst
+      .groupBy($("doc_id"))
+      .agg(
+        count(lit(1)).cast("int").as("n_seg"),
+        sum(when(kept, 1).otherwise(0)).cast("int").as("n_kept"),
+        md5(concat_ws(" ",
+          transform(
+            sort_array(collect_list(when(kept, struct($("seg_idx"), $("seg_text"))))),
+            x => x("seg_text")))).as("clean_md5"))
+  }
+
+  /** Shared q_span_dedup / q_stream_span_dedup oracle. */
+  private val spanDedupSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |seg AS (
+      |  SELECT doc_id, CAST(i AS INT) AS seg_idx,
+      |    array_to_string(toks[CAST(i*32+1 AS INT) : CAST(least((i+1)*32, len(toks)) AS INT)], ' ') AS seg_text
+      |  FROM t, unnest(range(0, CAST(ceil(len(toks)/32.0) AS INT))) AS u(i)),
+      |occ AS (SELECT doc_id, seg_idx, seg_text, md5(seg_text) AS h,
+      |    doc_id*1000 + seg_idx AS pk FROM seg),
+      |fst AS (SELECT h, min(pk) AS first_pk FROM occ GROUP BY h)
+      |SELECT o.doc_id, CAST(COUNT(*) AS INT) AS n_seg,
+      |  CAST(SUM(CASE WHEN o.pk = f.first_pk THEN 1 ELSE 0 END) AS INT) AS n_kept,
+      |  md5(coalesce(string_agg(CASE WHEN o.pk = f.first_pk THEN o.seg_text END,
+      |      ' ' ORDER BY o.seg_idx), '')) AS clean_md5
+      |FROM occ o JOIN fst f ON o.h = f.h
+      |GROUP BY o.doc_id ORDER BY o.doc_id""".stripMargin
+
   /** Chunking oracle over any (doc_id, text)-shaped inner query. */
   private def chunkSql(inner: String): String =
     s"""WITH src AS ($inner),
@@ -329,50 +380,73 @@ object CurationOps {
     // (doc_id, seg_idx) key, so the segment-hash shuffle carries one
     // candidate per map partition per hash even when one segment
     // repeats across the whole corpus.
-    Q("q_span_dedup",
-      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-        |seg AS (
-        |  SELECT doc_id, CAST(i AS INT) AS seg_idx,
-        |    array_to_string(toks[CAST(i*32+1 AS INT) : CAST(least((i+1)*32, len(toks)) AS INT)], ' ') AS seg_text
-        |  FROM t, unnest(range(0, CAST(ceil(len(toks)/32.0) AS INT))) AS u(i)),
-        |occ AS (SELECT doc_id, seg_idx, seg_text, md5(seg_text) AS h,
-        |    doc_id*1000 + seg_idx AS pk FROM seg),
-        |fst AS (SELECT h, min(pk) AS first_pk FROM occ GROUP BY h)
-        |SELECT o.doc_id, CAST(COUNT(*) AS INT) AS n_seg,
-        |  CAST(SUM(CASE WHEN o.pk = f.first_pk THEN 1 ELSE 0 END) AS INT) AS n_kept,
-        |  md5(coalesce(string_agg(CASE WHEN o.pk = f.first_pk THEN o.seg_text END,
-        |      ' ' ORDER BY o.seg_idx), '')) AS clean_md5
-        |FROM occ o JOIN fst f ON o.h = f.h
-        |GROUP BY o.doc_id ORDER BY o.doc_id""".stripMargin) { (s, d) =>
-      val SEG = 32
-      val toks = col("toks")
-      val seg = Tables.documents(s, d)
-        .select($("doc_id"), TextFunctions.tokens($("text")).as("toks"))
-        .select($("doc_id"), toks,
-          explode(sequence(lit(0),
-            ceil(size(toks).cast("double") / SEG).cast("int") - 1)).as("seg_idx"))
-        .select($("doc_id"), $("seg_idx"),
-          concat_ws(" ", slice(toks, $("seg_idx") * SEG + 1, lit(SEG))).as("seg_text"))
-      // pk packs (doc_id, seg_idx) into one orderable long; seg_idx is
-      // bounded by the 1000-segment document cap the pack assumes (a
-      // 32k-token ceiling — far above the corpus; a production corpus
-      // with longer docs widens the pack, the shape is unchanged).
-      val occ = seg.select($("doc_id"), $("seg_idx"), $("seg_text"),
-        md5($("seg_text")).as("h"),
-        ($("doc_id") * 1000 + $("seg_idx")).as("pk"))
+    Q("q_span_dedup", spanDedupSql) { (s, d) =>
+      // pk packs (doc_id, seg_idx) into one orderable long (segRows);
+      // seg_idx is bounded by the 1000-segment document cap the pack
+      // assumes (a 32k-token ceiling — far above the corpus; a
+      // production corpus with longer docs widens the pack).
+      val occ = segRows(Tables.documents(s, d).select($("doc_id"), $("text")))
       val fst = occ.groupBy($("h")).agg(min($("pk")).as("first_pk"))
         .select(col("h").as("f_h"), col("first_pk"))
-      val kept = $("pk") === $("first_pk")
-      occ.join(fst, col("h") === col("f_h"))
-        .groupBy($("doc_id"))
-        .agg(
-          count(lit(1)).cast("int").as("n_seg"),
-          sum(when(kept, 1).otherwise(0)).cast("int").as("n_kept"),
-          md5(concat_ws(" ",
-            transform(
-              sort_array(collect_list(when(kept, struct($("seg_idx"), $("seg_text"))))),
-              x => x("seg_text")))).as("clean_md5"))
+      spanRebuild(occ.join(fst, col("h") === col("f_h")))
         .orderBy($("doc_id"))
+    },
+
+    // ---- Duplicated-span removal AT INGEST: the streaming twin of
+    // q_span_dedup (same oracle). Cross-batch memory is an external
+    // SEEN-STORE of (segment hash, first packed position) rather than
+    // operator state — each micro-batch judges its segments against
+    // least(in-batch min, store min), rebuilds its documents' cleaned
+    // text, then checkpoints its own hash minima into the store via the
+    // idempotent per-batch write. Replay safety falls out of the min:
+    // a replayed batch re-reads its own earlier store entry, and
+    // least(pk, pk) changes nothing. Documents are range-staged by
+    // doc_id, so later batches always carry LARGER packed keys and the
+    // store min is always the global first occurrence. At 100 TB the
+    // store is the hash-keyed dedup ledger (compact-able like any
+    // channel topic); each trigger's join against it is hash-bucketed.
+    Q("q_stream_span_dedup", spanDedupSql) { (s, d) =>
+      Tables.ensureConf(s)
+      Staging.withTempDir("graft_stream_span_out") { out =>
+        Staging.withStagedInput(
+          Tables.documents(s, d).select($("doc_id"), $("text")),
+          "doc_id", nFiles = 4, prefix = "graft_stream_span") { in =>
+          val schema = s.read.parquet(in).schema
+          val stream = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(in)
+          val q = stream.writeStream.outputMode("append")
+            .option("checkpointLocation", s"$out/ck")
+            .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, id: Long) =>
+              val occ = segRows(bdf.select($("doc_id"), $("text"))).persist()
+              try {
+                val batchMin = occ.groupBy($("h")).agg(min($("pk")).as("bpk"))
+                val seenDir = new java.io.File(s"$out/seen")
+                val seenMin =
+                  if (seenDir.exists)
+                    s.read.option("recursiveFileLookup", "true")
+                      .parquet(seenDir.toString)
+                      .groupBy($("h")).agg(min($("spk")).as("spk"))
+                  else batchMin.select($("h"), $("bpk").as("spk")).limit(0)
+                val fst = batchMin
+                  .join(seenMin.withColumnRenamed("h", "sh"),
+                    col("h") === col("sh"), "left_outer")
+                  .select($("h").as("f_h"),
+                    least($("bpk"), coalesce($("spk"), $("bpk"))).as("first_pk"))
+                Staging.writeBatch(
+                  spanRebuild(occ.join(fst, col("h") === col("f_h"))),
+                  s"$out/res", id)
+                // checkpoint this batch's minima AFTER judging (replay
+                // re-reads them; least() makes that a no-op)
+                Staging.writeBatch(
+                  batchMin.select($("h"), $("bpk").as("spk")),
+                  s"$out/seen", id)
+              } finally occ.unpersist()
+            }
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        Staging.drainParquet(s, s"$out/res", $("doc_id"))
+      }
     },
 
     // ---- Distribution-shift monitoring: per-source unigram KL

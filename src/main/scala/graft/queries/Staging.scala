@@ -41,6 +41,16 @@ private[queries] object Staging {
     withTempDir(prefix) { tmp =>
       df.repartitionByRange(nFiles, col(rangeCol))
         .write.mode("overwrite").parquet(s"$tmp/in")
+      // Pin ARRIVAL order to range order: the file source replays files
+      // by mod-time (path only tie-breaks), and a same-millisecond write
+      // leaves the order effectively arbitrary — queries whose semantics
+      // depend on batch order (first-occurrence span dedup) silently
+      // judged later ranges first. Distinct ascending mod-times by path
+      // (= partition = range order) make every staged replay the
+      // ascending-key order the stagers assume.
+      new java.io.File(s"$tmp/in").listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (f, i) => f.setLastModified(1000L * (i + 1)) }
       body(s"$tmp/in")
     }
 
