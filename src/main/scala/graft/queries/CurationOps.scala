@@ -421,10 +421,16 @@ object CurationOps {
               try {
                 val batchMin = occ.groupBy($("h")).agg(min($("pk")).as("bpk"))
                 val seenDir = new java.io.File(s"$out/seen")
+                // prune the store to THIS batch's hashes before the min
+                // aggregate — only they can affect the join, and the
+                // semi-join keeps per-trigger store work bounded by batch
+                // size instead of shuffling every historical hash (the
+                // store itself is the compact-able dedup ledger at scale)
                 val seenMin =
                   if (seenDir.exists)
                     s.read.option("recursiveFileLookup", "true")
                       .parquet(seenDir.toString)
+                      .join(broadcast(batchMin.select($("h"))), Seq("h"), "left_semi")
                       .groupBy($("h")).agg(min($("spk")).as("spk"))
                   else batchMin.select($("h"), $("bpk").as("spk")).limit(0)
                 val fst = batchMin

@@ -45,14 +45,25 @@ private[queries] object Staging {
       // by mod-time (path only tie-breaks), and a same-millisecond write
       // leaves the order effectively arbitrary — queries whose semantics
       // depend on batch order (first-occurrence span dedup) silently
-      // judged later ranges first. Distinct ascending mod-times by path
-      // (= partition = range order) make every staged replay the
-      // ascending-key order the stagers assume.
-      new java.io.File(s"$tmp/in").listFiles()
-        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-        .zipWithIndex.foreach { case (f, i) => f.setLastModified(1000L * (i + 1)) }
+      // judged later ranges first.
+      pinArrivalOrder(s"$tmp/in")
       body(s"$tmp/in")
     }
+
+  /** THE one copy of the arrival-order pin: distinct ascending mod-times
+    * by file name (= partition = range order), so the file source's
+    * mod-time replay order equals ascending-key order. setLastModified
+    * returns false instead of throwing where utimes is not permitted —
+    * order-SENSITIVE queries (first-occurrence span dedup) would then
+    * nondeterministically mismatch their oracle with no hint why, so a
+    * failed pin is a loud staging failure instead. */
+  private def pinArrivalOrder(dir: String): Unit =
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) =>
+        require(f.setLastModified(1000L * (i + 1)),
+          s"cannot pin staged arrival order: setLastModified failed on $f")
+      }
 
   /** Start a streaming query with `spark.sql.shuffle.partitions` pinned
     * to `parts` for the duration of the start call — stateful operators
@@ -92,9 +103,7 @@ private[queries] object Staging {
         java.nio.file.Files.move(part.toPath,
           java.nio.file.Paths.get(in, f"part-zz-flush$i%02d.parquet"))
       }
-      new java.io.File(in).listFiles()
-        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-        .zipWithIndex.foreach { case (f, i) => f.setLastModified(1000L * (i + 1)) }
+      pinArrivalOrder(in)
       body(in)
     }
 
