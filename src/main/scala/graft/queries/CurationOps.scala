@@ -282,6 +282,25 @@ object CurationOps {
       rows.toDF("rank", "pair", "cnt").orderBy($("rank"))
     },
 
+    // ---- The trained BPE vocabulary: every symbol surviving the merge
+    // rounds with its corpus occurrence count — the third tokenizer
+    // artifact (merges = the rules, vocab = the unit inventory, encode =
+    // the application). One explode over the per-word symbol table with
+    // frequency-weighted counts; the aggregate is map-side combined on
+    // the symbol key.
+    Q("q_bpe_vocab",
+      bpeBaseSql + (1 to BpeRounds).map(bpeRoundSql).mkString(",") + s"""
+        |SELECT s AS symbol, CAST(SUM(freq) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(syms) AS s, freq FROM w${BpeRounds + 1})
+        |GROUP BY s ORDER BY cnt DESC, symbol""".stripMargin) { (s, d) =>
+      val (_, wFinal) = bpeTrain(s, d)
+      // consumed once into the aggregate below; round-cache lifetime
+      // delegated to the harness sweep (q_bpe_encode precedent)
+      wFinal.select(explode($("syms")).as("symbol"), $("freq"))
+        .groupBy($("symbol")).agg(sum($("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, $("symbol"))
+    },
+
     // ---- BPE corpus encoding: apply the learned merges back to every
     // document and report the per-doc symbol compression (chars in →
     // tokens out). The trained per-word symbol table joins the exploded
