@@ -179,6 +179,69 @@ object MultimodalOps {
           sum(col("fr")).as("sum_frames"),
           sum(col("n_sampled")).as("sum_sampled"))
         .orderBy(col("out_w"), col("out_h"))
+    },
+
+    // ---- Media preprocessing AT INGEST: the q_media_pipeline stages
+    // (meta → frame-count gate → resize → frame-sample) applied to each
+    // arriving micro-batch — the stateless multimodal twin of
+    // q_stream_ingest_prep. Per-doc media rows land through the
+    // idempotent per-batch write (one row per KEPT media item, bounded);
+    // the (out_w, out_h) rollup spans batches, so it aggregates over the
+    // drained local relation — at scale that rollup is the same one
+    // exchange the batch form pays, fed by the per-trigger map passes.
+    // Same oracle as the batch pipeline: a missed batch, a broken gate,
+    // or a drifted resize contract hash-mismatches.
+    Q("q_stream_media_prep",
+      """WITH meta AS (SELECT doc_id,
+        |         CAST(octet_length(encode(text)) AS INT) AS n FROM documents),
+        |m2 AS (SELECT doc_id, (n % 64 + 1) * 16 AS w, (n % 48 + 1) * 16 AS h,
+        |              n % 30 + 1 AS fr FROM meta),
+        |kept AS (SELECT * FROM m2 WHERE fr >= 10),
+        |rs AS (SELECT doc_id,
+        |         CAST(w * 256 // GREATEST(w, h) AS INT) AS out_w,
+        |         CAST(h * 256 // GREATEST(w, h) AS INT) AS out_h, fr,
+        |         CAST(len(range(0, fr, 5)) AS BIGINT) AS n_sampled
+        |       FROM kept)
+        |SELECT out_w, out_h, COUNT(*) AS n_media,
+        |  CAST(SUM(fr) AS BIGINT) AS sum_frames,
+        |  CAST(SUM(n_sampled) AS BIGINT) AS sum_sampled
+        |FROM rs GROUP BY out_w, out_h ORDER BY out_w, out_h""".stripMargin) { (s, d) =>
+      graft.Tables.ensureConf(s)
+      Staging.withTempDir("graft_stream_media_out") { out =>
+        Staging.withStagedInput(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", nFiles = 4, prefix = "graft_stream_media") { in =>
+          val schema = s.read.parquet(in).schema
+          val stream = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(in)
+          val q = stream.writeStream.outputMode("append")
+            .option("checkpointLocation", s"$out/ck")
+            .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, id: Long) =>
+              val n = length(col("text").cast("binary"))
+              val meta = bdf.select(
+                col("doc_id"),
+                Multimodal.fakeWidth(n).cast("int").as("w"),
+                Multimodal.fakeHeight(n).cast("int").as("h"),
+                Multimodal.fakeFrames(n).cast("int").as("fr"))
+              val kept = meta.filter(col("fr") >= 10)
+              val (ow, oh) = Multimodal.resizeDims(col("w"), col("h"), 256)
+              Staging.writeBatch(
+                kept.select(col("doc_id"), col("fr"),
+                  ow.cast("int").as("out_w"), oh.cast("int").as("out_h"),
+                  size(Multimodal.sampleFrameIdx(col("fr"), 5)).cast("long")
+                    .as("n_sampled")),
+                s"$out/res", id)
+            }
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        val perDoc = Staging.drainParquet(s, s"$out/res", col("doc_id"))
+        perDoc.groupBy(col("out_w"), col("out_h"))
+          .agg(count(lit(1)).as("n_media"),
+            sum(col("fr")).as("sum_frames"),
+            sum(col("n_sampled")).as("sum_sampled"))
+          .orderBy(col("out_w"), col("out_h"))
+      }
     }
   )
 }
