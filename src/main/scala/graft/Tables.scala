@@ -62,6 +62,25 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
+  /** Spread a narrow relation across the session width BEFORE a CPU-heavy
+    * map pass (explode / JSON parse / guest interpreter) — but ONLY when
+    * the plan actually under-parallelizes. The bench fixture's parquet
+    * tables are a single row group each, so the scan plans ONE split and
+    * the whole map pass runs on one core; a production multi-file table
+    * (a 100 TB input has thousands of splits) already parallelizes, and
+    * there an unconditional corpus-wide exchange before a map-only pass
+    * is a real, avoidable cost. The partition-count probe is plan-time
+    * only (`.rdd` builds the physical plan; no job runs). When `keys` are
+    * given the spread is hash-partitioned on them so a downstream
+    * groupBy/join on the same keys reuses the exchange. */
+  def spread(df: DataFrame, keys: Column*): DataFrame = {
+    val target =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions >= target) df
+    else if (keys.isEmpty) df.repartition(target)
+    else df.repartition(target, keys: _*)
+  }
+
   /** Exact-sum idiom: double sums are order-dependent (shuffle order is not
     * deterministic, and the oracle engine sums in its own order), so every
     * money/measure sum goes through a per-row DECIMAL cast — identical on

@@ -6,8 +6,8 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BoundReference, Expression, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, GenerateUnsafeProjection, LazilyGeneratedOrdering}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, LazilyGeneratedOrdering}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BlockingOperatorWithCodegen, CodegenSupport, SparkPlan, SparkStrategy, UnaryExecNode}
@@ -150,8 +150,8 @@ case class TopKPerKeyExec(grouping: Seq[Expression], order: Seq[SortOrder],
   override def needCopyResult: Boolean = false
 
   // SortExec's contract: every input column is consumed through the packed
-  // rowVar (or the projection doConsume builds itself), never as an
-  // individual variable. Without this, consume() pre-evaluates the
+  // rowVar consume()'s prepareRowVar builds, never as an individual
+  // variable. Without this, consume() pre-evaluates the
   // grouping/order columns from its COPIES of the child's ExprCodes while
   // prepareRowVar already emitted the same code into the row — a child
   // whose output vars carry deferred expression code (e.g. Project over
@@ -201,36 +201,22 @@ case class TopKPerKeyExec(grouping: Seq[Expression], order: Seq[SortOrder],
   }
 
   override def doConsume(ctx: CodegenContext, input: Seq[ExprCode],
-                         row: ExprCode): String =
-    if (row != null) {
-      // the row ExprCode's CODE populates the row (an UnsafeRowWriter
-      // projection when the child produced exploded columns) — it MUST be
-      // emitted before row.value is touched, or insert() sees an
-      // unwritten buffer (garbage lengths → segfault in downstream
-      // hashing). insert() normalizes generic rows, so cast to
-      // InternalRow, not UnsafeRow.
-      s"""
-         |${row.code}
-         |$stateTerm.insert((org.apache.spark.sql.catalyst.InternalRow) ${row.value});
-       """.stripMargin
-    } else {
-      // children that hand exploded columns with no prepared row: pack
-      // them with a generated projection, then insert. Deferred input
-      // codes are evaluated exactly once HERE (usedInputs is empty, so
-      // consume() has not already emitted them — the prepareRowVar
-      // pattern).
-      val colExprs = child.output.zipWithIndex.map { case (attr, i) =>
-        BoundReference(i, attr.dataType, attr.nullable)
-      }
-      val evaluateInputs = evaluateVariables(input)
-      ctx.currentVars = input
-      val code = GenerateUnsafeProjection.createCode(ctx, colExprs)
-      s"""
-         |$evaluateInputs
-         |${code.code}
-         |$stateTerm.insert(${code.value});
-       """.stripMargin
-    }
+                         row: ExprCode): String = {
+    // consume()'s prepareRowVar ALWAYS hands a non-null row ExprCode —
+    // when the child produced exploded columns it is an UnsafeRowWriter
+    // projection that also evaluates any deferred input codes (which is
+    // why usedInputs stays empty above). SortExec relies on the same
+    // contract. The row ExprCode's CODE populates the row — it MUST be
+    // emitted before row.value is touched, or insert() sees an unwritten
+    // buffer (garbage lengths → segfault in downstream hashing). insert()
+    // normalizes generic rows, so cast to InternalRow, not UnsafeRow.
+    assert(row != null,
+      "WholeStageCodegen consume() must prepare a row for a blocking op")
+    s"""
+       |${row.code}
+       |$stateTerm.insert((org.apache.spark.sql.catalyst.InternalRow) ${row.value});
+     """.stripMargin
+  }
 
   override protected def doExecute(): RDD[InternalRow] = {
     val numOutput = longMetric("numOutputRows")

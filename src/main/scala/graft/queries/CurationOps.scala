@@ -65,9 +65,17 @@ object CurationOps {
         md5(concat_ws(" ", $("chunk"))).as("chunk_md5"))
   }
 
+  /** Width of the seg_idx field in the packed (doc_id, seg_idx) key:
+    * 2^20 segments/doc = a 33M-token document ceiling (doc_id keeps 43
+    * bits — 8.8e12 documents). Shared by engine and oracle SQL. */
+  private val PackWidth = 1L << 20
+
   /** Segment rows for span dedup: 32-token non-overlapping segments of a
     * (doc_id, text) relation with their md5 and a packed orderable
-    * (doc_id, seg_idx) key. Shared by the batch and at-ingest forms. */
+    * (doc_id, seg_idx) key. Shared by the batch and at-ingest forms.
+    * A doc exceeding the pack width would alias into other documents'
+    * key space and silently corrupt first-occurrence ordering — the
+    * guard makes that a loud runtime error instead. */
   private def segRows(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val SEG = 32
     val toks = col("toks")
@@ -79,7 +87,10 @@ object CurationOps {
         concat_ws(" ", slice(toks, $("seg_idx") * SEG + 1, lit(SEG))).as("seg_text"))
       .select($("doc_id"), $("seg_idx"), $("seg_text"),
         md5($("seg_text")).as("h"),
-        ($("doc_id") * 1000 + $("seg_idx")).as("pk"))
+        ($("doc_id") * PackWidth +
+          when($("seg_idx") < PackWidth, $("seg_idx")).otherwise(raise_error(
+            format_string("span-dedup pack overflow: doc %d has seg_idx %d >= 2^20",
+              $("doc_id"), $("seg_idx"))))).as("pk"))
   }
 
   /** Per-doc rebuild for span dedup from occurrence rows carrying a
@@ -107,7 +118,7 @@ object CurationOps {
       |    array_to_string(toks[CAST(i*32+1 AS INT) : CAST(least((i+1)*32, len(toks)) AS INT)], ' ') AS seg_text
       |  FROM t, unnest(range(0, CAST(ceil(len(toks)/32.0) AS INT))) AS u(i)),
       |occ AS (SELECT doc_id, seg_idx, seg_text, md5(seg_text) AS h,
-      |    doc_id*1000 + seg_idx AS pk FROM seg),
+      |    doc_id*1048576 + seg_idx AS pk FROM seg),
       |fst AS (SELECT h, min(pk) AS first_pk FROM occ GROUP BY h)
       |SELECT o.doc_id, CAST(COUNT(*) AS INT) AS n_seg,
       |  CAST(SUM(CASE WHEN o.pk = f.first_pk THEN 1 ELSE 0 END) AS INT) AS n_kept,
@@ -209,10 +220,9 @@ object CurationOps {
     // + merge application) and feeds the next — uncached, round k would
     // recompute rounds 1..k-1 every time (2^k blowup at a real corpus).
     // Persist per round, drop the previous round's cache as soon as the
-    // next is materialized by its best-pair collect. The FINAL round's
-    // cache is handed to the caller when needFinal (q_bpe_encode's join,
-    // the streaming encode's table build consume it, then unpersist or
-    // delegate to the harness sweep); otherwise it is dropped here.
+    // next is materialized by its best-pair collect. When needFinal the
+    // caller receives a localCheckpoint of the final round (see below)
+    // and the round cache is dropped here either way.
     w = w.persist()
     val merges = scala.collection.mutable.Buffer.empty[(String, Long)]
     var exhausted = false
@@ -256,8 +266,21 @@ object CurationOps {
       prev.unpersist()
       }
     }
-    if (!needFinal) w.unpersist()
-    (merges.toSeq, w)
+    if (!needFinal) { w.unpersist(); (merges.toSeq, w) }
+    else {
+      // Hand the caller a LINEAGE-FREE materialized table and release the
+      // round cache HERE: localCheckpoint stores the per-word symbol
+      // table (distinct-words scale, the same footprint the round cache
+      // held) under ContextCleaner ownership, reclaimed when the caller's
+      // result is GC'd — unlike a handed-off persist(), which leaks
+      // executor memory per invocation unless every caller remembers to
+      // sweep. (On a real cluster an executor loss invalidates local
+      // checkpoint blocks — a production training job would use a
+      // reliable checkpoint dir; the artifact is metadata-scale.)
+      val fin = w.localCheckpoint()
+      w.unpersist()
+      (merges.toSeq, fin)
+    }
   }
 
   val all: Seq[Q] = Seq(
@@ -294,8 +317,8 @@ object CurationOps {
         |FROM (SELECT unnest(syms) AS s, freq FROM w${BpeRounds + 1})
         |GROUP BY s ORDER BY cnt DESC, symbol""".stripMargin) { (s, d) =>
       val (_, wFinal) = bpeTrain(s, d)
-      // consumed once into the aggregate below; round-cache lifetime
-      // delegated to the harness sweep (q_bpe_encode precedent)
+      // wFinal is a lineage-free localCheckpoint — storage is reclaimed
+      // with the result, no cache handoff
       wFinal.select(explode($("syms")).as("symbol"), $("freq"))
         .groupBy($("symbol")).agg(sum($("freq")).as("cnt"))
         .orderBy(col("cnt").desc, $("symbol"))
@@ -309,9 +332,8 @@ object CurationOps {
     // the encode pass itself is embarrassingly parallel.
     Q("q_bpe_encode", bpeEncodeSql) { (s, d) =>
       val (_, wFinal) = bpeTrain(s, d)
-      // wFinal's round-cache backs this (lazy) result, so it cannot be
-      // unpersisted inside the closure — lifetime delegated to the
-      // harness sweep (the q_embed_clusters precedent)
+      // wFinal is a lineage-free localCheckpoint — GC-reclaimed with the
+      // result, nothing to sweep
       val table = wFinal.select(
         col("w").as("tw"),
         length($("w")).as("len_before"),
@@ -342,18 +364,18 @@ object CurationOps {
     Q("q_stream_bpe_encode", bpeEncodeSql) { (s, d) =>
       Tables.ensureConf(s)
       val (_, wFinal) = bpeTrain(s, d)
-      // materialize the trained table once — the stream would otherwise
-      // replay the 3-round training lineage on every micro-batch
+      // cache the derived encode table once — wFinal is already a
+      // materialized localCheckpoint, but each micro-batch broadcast
+      // would re-project it otherwise
       val table = wFinal.select(col("w").as("tw"),
         length($("w")).as("len_before"), size($("syms")).as("len_after"))
         .persist()
       table.count()
-      wFinal.unpersist() // the derived table is materialized; drop the round cache
       try {
         Staging.withTempDir("graft_stream_bpe_out") { out =>
           Staging.withStagedInput(
             Tables.documents(s, d).select($("doc_id"), $("text")),
-            "doc_id", nFiles = 4, prefix = "graft_stream_bpe") { in =>
+            "doc_id", nFiles = 2, prefix = "graft_stream_bpe") { in =>
             val schema = s.read.parquet(in).schema
             val stream = s.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1).parquet(in)
@@ -401,9 +423,8 @@ object CurationOps {
     // repeats across the whole corpus.
     Q("q_span_dedup", spanDedupSql) { (s, d) =>
       // pk packs (doc_id, seg_idx) into one orderable long (segRows);
-      // seg_idx is bounded by the 1000-segment document cap the pack
-      // assumes (a 32k-token ceiling — far above the corpus; a
-      // production corpus with longer docs widens the pack).
+      // a doc beyond the 2^20-segment pack width (33M tokens) fails
+      // loudly at runtime instead of corrupting ordering.
       val occ = segRows(Tables.documents(s, d).select($("doc_id"), $("text")))
       val fst = occ.groupBy($("h")).agg(min($("pk")).as("first_pk"))
         .select(col("h").as("f_h"), col("first_pk"))
@@ -449,6 +470,8 @@ object CurationOps {
                   if (seenDir.exists)
                     s.read.option("recursiveFileLookup", "true")
                       .parquet(seenDir.toString)
+                      // per-trigger batch-sized broadcast; at very large
+                      // triggers drop the hint → shuffled semi-join
                       .join(broadcast(batchMin.select($("h"))), Seq("h"), "left_semi")
                       .groupBy($("h")).agg(min($("spk")).as("spk"))
                   else batchMin.select($("h"), $("bpk").as("spk")).limit(0)
@@ -497,8 +520,7 @@ object CurationOps {
         |FROM sw JOIN sn ON sw.source = sn.source
         |JOIN cw ON sw.w = cw.w CROSS JOIN cn
         |GROUP BY sw.source, sn.n ORDER BY sw.source""".stripMargin) { (s, d) =>
-      val tok = Tables.documents(s, d)
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      val tok = Tables.spread(Tables.documents(s, d))
         .select($("source"), explode(TextFunctions.tokens($("text"))).as("w"))
       val sw = tok.groupBy($("source"), $("w")).agg(count(lit(1)).as("c"))
       val sn = sw.groupBy($("source")).agg(sum($("c")).as("n"))
@@ -554,7 +576,7 @@ object CurationOps {
         Staging.withTempDir("graft_stream_drift_out") { out =>
           Staging.withStagedInput(
             Tables.documents(s, d).select($("source"), $("text")),
-            "source", nFiles = 4, prefix = "graft_stream_drift") { in =>
+            "source", nFiles = 2, prefix = "graft_stream_drift") { in =>
             val schema = s.read.parquet(in).schema
             val stream = s.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1).parquet(in)
@@ -623,7 +645,7 @@ object CurationOps {
       Staging.withTempDir("graft_stream_prep_out") { out =>
         Staging.withStagedInput(
           Tables.documents(s, d).select($("doc_id"), $("text")),
-          "doc_id", nFiles = 4, prefix = "graft_stream_prep") { in =>
+          "doc_id", nFiles = 2, prefix = "graft_stream_prep") { in =>
           val schema = s.read.parquet(in).schema
           val stream = s.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1).parquet(in)

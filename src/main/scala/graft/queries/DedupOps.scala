@@ -29,8 +29,7 @@ object DedupOps {
     * on one core; the keyed repartition spreads it (no-op at real
     * multi-file scale). */
   private def shingleRel(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
+    Tables.spread(Tables.documents(s, d), col("doc_id"))
       .select(col("doc_id"),
         explode(TextFunctions.shingleHashes(col("text"), 3)).as("s"))
       .distinct()
@@ -395,8 +394,7 @@ object DedupOps {
         |GROUP BY doc_a, doc_b
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       val L = 30 // k + w - 1: the winnowing guarantee length
-      val docs = Tables.documents(s, d)
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
+      val docs = Tables.spread(Tables.documents(s, d), col("doc_id"))
         .select(col("doc_id"), TextFunctions.normalize(col("text")).as("norm"))
         .cache()
       // ordered pair emission inside a key group (the ngramJaccardPairs
@@ -466,8 +464,7 @@ object DedupOps {
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
+      val docs = Tables.spread(Tables.documents(s, d), col("doc_id"))
       val sig = SimHash.signatures(docs, "doc_id", "text")
       SimHash.nearPairs(sig, "doc_id", maxDist = 3)
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))

@@ -210,7 +210,7 @@ object MultimodalOps {
       Staging.withTempDir("graft_stream_media_out") { out =>
         Staging.withStagedInput(
           Tables.documents(s, d).select(col("doc_id"), col("text")),
-          "doc_id", nFiles = 4, prefix = "graft_stream_media") { in =>
+          "doc_id", nFiles = 2, prefix = "graft_stream_media") { in =>
           val schema = s.read.parquet(in).schema
           val stream = s.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1).parquet(in)

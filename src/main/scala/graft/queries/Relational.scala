@@ -817,15 +817,12 @@ object Relational {
         |FROM (SELECT CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) AS k, value
         |      FROM events)
         |GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
-      // JSON parsing is the CPU hog here, and the test file is a single
-      // row group → the scan stage would run it on one core (9 CPU-s
-      // single-threaded at sf0.1). Shuffle the two raw columns first so
-      // the parse runs post-exchange on all cores; at real multi-file
-      // scale the scan parallelizes itself and this is a no-op-sized
-      // extra exchange relative to the parse it spreads.
-      Tables.events(s, d)
-        .select($("props"), $("value"))
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      // JSON parsing is the CPU hog here (9 CPU-s single-threaded at
+      // sf0.1 on the one-row-group bench file) — spread the two raw
+      // columns so the parse runs post-exchange on all cores;
+      // Tables.spread no-ops once the scan has real splits.
+      Tables.spread(Tables.events(s, d)
+        .select($("props"), $("value")))
         .select(get_json_object($("props"), "$.k").cast("int").as("k"), $("value"))
         .groupBy(($("k") % 10).cast("int").as("bucket"))
         .agg(count(lit(1)).as("n"), Tables.exactSum(col("value")).as("sum_value"))

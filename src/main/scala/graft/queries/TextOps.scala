@@ -210,8 +210,7 @@ object TextOps {
       // explodes only its ~20% of documents. Cold cost halves vs the
       // cached two-shuffle form — and the cache held 13-gram strings for
       // the whole corpus, the worst kind of block-manager tenant.
-      val docs = Tables.documents(s, d)
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
+      val docs = Tables.spread(Tables.documents(s, d), col("doc_id"))
         .select(col("doc_id"), col("text"),
           splitTag.as("split"))
       // shingles travel as xxhash64 keys: the distincts and the join
@@ -251,14 +250,12 @@ object TextOps {
         |SELECT te.doc_id, COUNT(*) AS n_hits
         |FROM te JOIN tr ON te.s = tr.s
         |GROUP BY te.doc_id ORDER BY te.doc_id""".stripMargin) { (s, d) =>
-      // the test file is a single row group, so without the repartition the
-      // whole explode+hash+bloom-probe pipeline runs on ONE core (profiled
-      // at 7 CPU-s single-task); at real multi-file scale the scan
-      // parallelizes itself and this exchange moves each doc once
-      val docs = Tables.documents(s, d)
+      // without the spread the whole explode+hash+bloom-probe pipeline
+      // runs on ONE core at bench scale (profiled at 7 CPU-s single-task);
+      // spread() no-ops once the scan has real splits
+      val docs = Tables.spread(Tables.documents(s, d)
         .select(col("doc_id"), col("text"),
-          splitTag.as("split"))
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+          splitTag.as("split")))
       // benchmark side: distinct (doc, shingle-hash) pairs — metadata-scale
       // in production, so persisting it for the two bloom-building jobs +
       // the verify join is a dimension-table cache, not a corpus cache.
@@ -334,7 +331,7 @@ object TextOps {
         Staging.runAndDrain(s, sink) {
           Staging.withStagedInput(
             docs.filter(col("split") === "train").select(col("doc_id"), col("text")),
-            "doc_id", nFiles = 4, prefix = "graft_stream_decon") { in =>
+            "doc_id", nFiles = 2, prefix = "graft_stream_decon") { in =>
             val schema = s.read.parquet(in).schema
             val matches = s.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1).parquet(in)
@@ -891,13 +888,10 @@ object TextOps {
         |SELECT bg, COUNT(*) AS n FROM b
         |GROUP BY bg ORDER BY n DESC, bg LIMIT 20""".stripMargin) { (s, d) =>
       val w = TextFunctions.tokens(col("text"))
-      Tables.documents(s, d)
-        // the per-row explode work (≈55 bigram strings per doc) dwarfs
-        // the scan, and the bench parquet is one row group → one split —
-        // spread rows across the session width first (4 cpu-s single-core
-        // → 0.9 s wall at sf0.1; at 100 TB the scan has real splits and
-        // the exchange is noise against the explode CPU it balances)
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      // the per-row explode work (≈55 bigram strings per doc) dwarfs the
+      // scan — spread() balances it at bench scale (4 cpu-s single-core
+      // → 0.9 s wall at sf0.1) and no-ops once the scan has real splits
+      Tables.spread(Tables.documents(s, d))
         // guard BEFORE sequence(): Spark's sequence(0, -1) DESCENDS (it
         // would fabricate a bigram from a 1-token doc and crash on the
         // 0 index) where the oracle's range(1, 1) is simply empty

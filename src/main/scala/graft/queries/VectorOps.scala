@@ -19,12 +19,12 @@ object VectorOps {
 
   private val Dim = 64
 
-  /** Embeddings as array<double> vectors, keyed-repartitioned (the test
-    * parquet is one row group → one partition otherwise). */
+  /** Embeddings as array<double> vectors, keyed-spread (the test parquet
+    * is one row group → one partition otherwise; Tables.spread no-ops
+    * once the scan has real splits). */
   private def embedRel(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .withColumn("v", col("embedding").cast("array<double>"))
-      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("vec_id"))
+    Tables.spread(Tables.embeddings(s, d)
+      .withColumn("v", col("embedding").cast("array<double>")), col("vec_id"))
 
   /** Recall-verdict row for an ANN result `(src, nbr, sim, …)`: compares
     * the ANN answer for the first 100 vectors against their exact top-1
@@ -100,8 +100,8 @@ object VectorOps {
         |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, nbr) AS rn
         |  FROM p) WHERE rn <= 3
         |ORDER BY src, sim DESC, nbr""".stripMargin) { (s, d) =>
-      val e = Tables.embeddings(s, d).withColumn("v", col("embedding").cast("array<double>"))
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("vec_id"))
+      val e = Tables.spread(Tables.embeddings(s, d)
+        .withColumn("v", col("embedding").cast("array<double>")), col("vec_id"))
       val probes = e.filter(col("vec_id") < 50).select(col("vec_id").as("src"), col("v").as("va"))
       val cands = e.select(col("vec_id").as("nbr"), col("v").as("vb"))
       // top-3 via the custom bounded-heap operator (plans.TopKPerKey):
@@ -129,15 +129,14 @@ object VectorOps {
         |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.8
         |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
-      // The stream side is repartitioned (explicit count — AQE would
-      // coalesce a tiny keyed shuffle back to one partition) because the
-      // test parquet is one row-group → one partition, which would run
-      // the O(n²) pair kernel on a single core. (The exact all-pairs form
-      // is the correctness baseline; LSH/IVF below are the scale path.)
-      val parallelism = s.conf.get("spark.sql.shuffle.partitions").toInt
+      // The stream side is spread because the test parquet is one
+      // row-group → one partition, which would run the O(n²) pair kernel
+      // on a single core; Tables.spread no-ops once the scan has real
+      // splits. (The exact all-pairs form is the correctness baseline;
+      // LSH/IVF below are the scale path.)
       val e = Tables.embeddings(s, d)
         .withColumn("v", col("embedding").cast("array<double>"))
-      val a = e.repartition(parallelism, col("vec_id"))
+      val a = Tables.spread(e, col("vec_id"))
         .select(col("vec_id").as("vec_a"), col("v").as("va"))
       val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
       // Both predicates live in the join condition, cheap one FIRST: left

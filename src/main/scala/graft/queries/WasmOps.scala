@@ -82,11 +82,11 @@ object WasmOps {
         |ORDER BY vec_id""".stripMargin) { (s, d) =>
       import s.implicits._
       val moduleBytes = l2normModule
-      Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        // single-row-group test file → one partition; spread the guest
-        // compute across cores (one interpreter instance per partition)
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("vec_id"))
+      // spread the guest compute across cores when the scan doesn't
+      // (one interpreter instance per partition)
+      Tables.spread(Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+          col("vec_id"))
         .as[(Long, Seq[Double])]
         .mapPartitions { rows =>
           val guest = new WasmModule(moduleBytes)
@@ -160,9 +160,8 @@ object WasmOps {
         |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
       import s.implicits._
       val moduleBytes = configShiftModule
-      Tables.events(s, d)
-        .select(col("event_id"))
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("event_id"))
+      Tables.spread(Tables.events(s, d).select(col("event_id")),
+          col("event_id"))
         .as[Long]
         .mapPartitions { ids =>
           val guest = new graft.udf.WasmHost.WasmModule.Interpreted(moduleBytes,

@@ -239,6 +239,28 @@ class PlanSuite extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("Tables.spread exchanges a one-split scan, no-ops a real multi-split one") {
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val dir = tmpDir("spread").toString
+    locally {
+      import spark.implicits._
+      val base = (0 until 4000).map(i => (i.toLong, s"row $i"))
+        .toDF("id", "payload")
+      // bench-fixture shape: one file, one row group → one planned split
+      base.coalesce(1).write.parquet(s"$dir/single")
+      val single = spark.read.parquet(s"$dir/single")
+      assert(single.rdd.getNumPartitions < parts, "fixture not single-split")
+      assert(Tables.spread(single).rdd.getNumPartitions == parts,
+        "spread did not exchange an under-parallelized scan")
+      // production shape: enough files that the scan parallelizes itself
+      base.repartition(parts).write.parquet(s"$dir/multi")
+      val multi = spark.read.parquet(s"$dir/multi")
+      assert(multi.rdd.getNumPartitions >= parts, "fixture not multi-split")
+      assert(Tables.spread(multi) eq multi,
+        "spread added a corpus-wide exchange to an already-parallel scan")
+    }
+  }
+
   test("scan-only queries stay inside WholeStageCodegen") {
     // AQE only materializes codegen stages in the FINAL plan — execute
     // first, then inspect

@@ -39,4 +39,28 @@ class SpanDedupSuite extends SparkSpec {
     // doc 2: untouched
     assert(got(2)._2 == 1 && got(2)._3 == 1, s"doc2: ${got(2)}")
   }
+
+  test("a >1000-segment document keeps correct first-occurrence order") {
+    // Regression for the packed (doc_id, seg_idx) key width: under the
+    // old doc_id*1000 pack, doc 0's segment 1040 packed to 1040 while
+    // doc 1's segment 0 packed to 1000 — doc 1 would silently win
+    // "first occurrence" of a segment doc 0 emitted earlier. The 2^20
+    // pack keeps every doc-0 key below every doc-1 key.
+    val dir = tmpDir("span_wide").toString
+    import spark.implicits._
+    val nSeg = 1050
+    val doc0 = (0 until nSeg).flatMap(s => (1 to 32).map(i => s"d0s${s}t$i"))
+      .mkString(" ")
+    // doc 1 = a verbatim copy of doc 0's segment #1040 (past the old cap)
+    val dup = (1 to 32).map(i => s"d0s1040t$i").mkString(" ")
+    Seq((0L, doc0, "en", "src0", 1L), (1L, dup, "en", "src0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = SparkEntry.queries("q_span_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .toSeq.sortBy(_._1)
+    assert(got(0) == ((0L, nSeg, nSeg)), s"doc0 lost segments: ${got(0)}")
+    assert(got(1) == ((1L, 1, 0)), s"doc1 should drop its copy: ${got(1)}")
+  }
 }
