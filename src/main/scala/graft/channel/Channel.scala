@@ -639,22 +639,30 @@ object Channel {
       s"invalid reader name '$reader' (allowed: [A-Za-z0-9._-], no leading dot)")
 
   /** Committed head cursor `(strictEnd, weakEnd)` from a full directory
-    * listing: `weakEnd` = one past the last seq of the fully committed
-    * `batch_*` prefix (every dir at a seq has `_SUCCESS`; gaps — evicted
-    * or aborted seqs — do not hold it back); `strictEnd` additionally
-    * parks at the lowest still-pending `_res_` reservation (an in-flight
-    * or crashed write whose batch dir may not exist yet). This is the
-    * ONE O(#dirs) computation of streaming offset planning; it runs on
-    * the WRITE path (see [[advanceHead]]) so triggers read the published
-    * cursor in O(1) instead of re-listing a possibly million-dir topic. */
+    * listing: `weakEnd` = one past the HIGHEST fully committed seq
+    * (every dir at the seq has `_SUCCESS`); gaps — evicted, aborted, or
+    * still in-flight seqs — do not hold it back. `strictEnd`
+    * additionally parks at the lowest still-pending `_res_` reservation
+    * (an in-flight or crashed write — its batch dir may not exist yet,
+    * or exist without `_SUCCESS`). An in-flight batch must only park
+    * STRICT: parking weak on an uncommitted dir made the listing-derived
+    * weak end non-monotone (a writer committing seq k+1 before a rival's
+    * slower seq k materialized its dir advanced weak to k+2, then the
+    * rival's bare dir appeared and a fresh listing regressed it to k —
+    * found by ChannelInterleavingSuite's exhaustive schedule
+    * enumeration; the published head, being max-merged, masked it on
+    * the O(1) path). This is the ONE O(#dirs) computation of streaming
+    * offset planning; it runs on the WRITE path (see [[advanceHead]]) so
+    * triggers read the published cursor in O(1) instead of re-listing a
+    * possibly million-dir topic. */
   private[graft] def committedEnds(dir: Path): (Long, Long) = {
     val dirs = listDir(dir)
       .filter(_.getFileName.toString.startsWith("batch_"))
       .groupBy(batchSeq).toSeq.sortBy(_._1)
     def committed(p: Path) = Files.exists(p.resolve("_SUCCESS"))
-    var end = dirs.headOption.map(_._1).getOrElse(nextSeq(dir))
-    dirs.takeWhile { case (_, ds) => ds.forall(committed) }
-      .foreach { case (seq, _) => end = seq + 1 }
+    val end = dirs.collect { case (seq, ds) if ds.forall(committed) => seq }
+      .lastOption.map(_ + 1)
+      .getOrElse(dirs.headOption.map(_._1).getOrElse(nextSeq(dir)))
     val dirMap = dirs.toMap
     val strict = resSeqs(dir)
       .filterNot(s => dirMap.get(s).exists(_.forall(committed)))

@@ -178,6 +178,129 @@ object CurationOps {
        |  FROM $p t LEFT JOIN kept$i k ON t.w = k.w)""".stripMargin
   }
 
+  /** Batched-BPE dials: rounds × up-to-m merges per round, selected
+    * greedily from the top-K pair ranking. K bounds the driver collect
+    * (metadata-scale) and is PART of the algorithm definition — the
+    * oracle ranks inside the same window, so both sides see the same
+    * candidate list. */
+  private val BatchedRounds = 2
+  private val BatchedM = 2
+  private val BatchedTopK = 8
+
+  /** One batched-BPE round as oracle SQL (m = 2 unrolled): rank the
+    * top-K pairs, greedily take the best plus the best SYMBOL-DISJOINT
+    * runner-up, and apply both merges simultaneously — disjoint symbol
+    * sets mean no two merges can claim overlapping token positions, so
+    * the combined kept-position list rebuilds with the same transform
+    * as the classic round (islands rule per pair for self-pairs). */
+  private def bpeBatchedRoundSql(r: Int): String = {
+    val (p, n) = (s"b$r", s"b${r + 1}")
+    s"""bpairs$r AS (
+       |  SELECT w, freq, syms, CAST(u.i AS INT) AS i,
+       |    syms[CAST(u.i AS INT)] || ' ' || syms[CAST(u.i AS INT)+1] AS pr
+       |  FROM $p, unnest(range(1, len(syms))) AS u(i)),
+       |brank$r AS (
+       |  SELECT pr, c FROM (SELECT pr, SUM(freq) AS c FROM bpairs$r GROUP BY pr)
+       |  ORDER BY c DESC, pr LIMIT $BatchedTopK),
+       |bsel${r}_1 AS (SELECT pr, c FROM brank$r ORDER BY c DESC, pr LIMIT 1),
+       |bsel${r}_2 AS (
+       |  SELECT pr, c FROM brank$r r2
+       |  WHERE NOT EXISTS (SELECT 1 FROM bsel${r}_1 s
+       |    WHERE list_contains(string_split(s.pr,' '), string_split(r2.pr,' ')[1])
+       |       OR list_contains(string_split(s.pr,' '), string_split(r2.pr,' ')[2]))
+       |  ORDER BY c DESC, pr LIMIT 1),
+       |bsel$r AS (SELECT 1 AS rk, pr, c FROM bsel${r}_1
+       |           UNION ALL SELECT 2 AS rk, pr, c FROM bsel${r}_2),
+       |bpos$r AS (SELECT p.w, p.i, p.pr FROM bpairs$r p JOIN bsel$r b ON p.pr = b.pr),
+       |bkept$r AS (
+       |  SELECT w, list(i) AS kept FROM (
+       |    SELECT w, i, row_number() OVER (PARTITION BY w, pr, island ORDER BY i) AS pio
+       |    FROM (SELECT w, i, pr, i - row_number() OVER (PARTITION BY w, pr ORDER BY i) AS island
+       |          FROM bpos$r))
+       |  WHERE pio % 2 = 1 GROUP BY w),
+       |$n AS (
+       |  SELECT t.w, t.freq,
+       |    CASE WHEN k.kept IS NULL THEN t.syms
+       |    ELSE list_filter(list_transform(range(1, len(t.syms)+1),
+       |      i -> CASE WHEN list_contains(k.kept, i)
+       |                THEN t.syms[CAST(i AS INT)] || t.syms[CAST(i AS INT)+1]
+       |                WHEN list_contains(k.kept, i-1) THEN NULL
+       |                ELSE t.syms[CAST(i AS INT)] END),
+       |      x -> x IS NOT NULL) END AS syms
+       |  FROM $p t LEFT JOIN bkept$r k ON t.w = k.w)""".stripMargin
+  }
+
+  /** Batched BPE training (the production merge-throughput mode, see
+    * SCALE.md): per round, greedily select up to `m` SYMBOL-DISJOINT
+    * pairs from the top-`topK` ranking (count desc, pair asc) and apply
+    * them in ONE simultaneous pass. Disjointness makes the batch
+    * order-independent: a kept position of one pair can never be
+    * adjacent-overlapping with another pair's (that would require a
+    * shared symbol), so the combined kept list feeds the same rebuild
+    * transform as the classic one-merge round. Each round costs the
+    * same two distributed jobs as a classic round but lands m merges —
+    * a 30k-merge vocabulary becomes ~30k/m rounds. The per-round
+    * collect is topK rows (metadata-scale). Returns
+    * (round, rank, pair, cnt) in selection order. */
+  private def bpeTrainBatched(s: org.apache.spark.sql.SparkSession, d: String,
+      rounds: Int, m: Int, topK: Int): Seq[(Int, Int, String, Long)] = {
+    import org.apache.spark.sql.expressions.Window
+    var w = Tables.documents(s, d)
+      .select(explode(TextFunctions.tokens($("text"))).as("w"))
+      .groupBy($("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("syms", split(trim(regexp_replace($("w"), "(.)", "$1 ")), " "))
+      .persist()
+    val merges = scala.collection.mutable.Buffer.empty[(Int, Int, String, Long)]
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
+      val pairs = w
+        .select($("w"), $("freq"), $("syms"),
+          explode(when(size($("syms")) >= 2, sequence(lit(1), size($("syms")) - 1))
+            .otherwise(array().cast("array<int>"))).as("i"))
+        .withColumn("pr", concat(
+          element_at($("syms"), $("i")), lit(" "),
+          element_at($("syms"), $("i") + 1)))
+      val rank = pairs.groupBy($("pr")).agg(sum($("freq")).as("c"))
+        .orderBy($("c").desc, $("pr")).limit(topK).collect()
+      // greedy symbol-disjoint selection over the bounded ranking — the
+      // driver-side twin of the oracle's bsel chain
+      val used = scala.collection.mutable.Set.empty[String]
+      val sel = scala.collection.mutable.Buffer.empty[(String, Long)]
+      for (row <- rank if sel.size < m) {
+        val syms = row.getString(0).split(' ')
+        if (!syms.exists(used)) { sel += ((row.getString(0), row.getLong(1))); used ++= syms }
+      }
+      if (sel.isEmpty) exhausted = true
+      else {
+        sel.zipWithIndex.foreach { case ((p, c), i) => merges += ((r, i + 1, p, c)) }
+        val rn = row_number().over(Window.partitionBy($("w"), $("pr")).orderBy($("i")))
+        val kept = pairs.filter($("pr").isin(sel.map(_._1).toSeq: _*))
+          .select($("w"), $("pr"), $("i"))
+          .withColumn("island", $("i") - rn)
+          .withColumn("pio", row_number()
+            .over(Window.partitionBy($("w"), $("pr"), $("island")).orderBy($("i"))))
+          .filter($("pio") % 2 === 1)
+          .groupBy($("w")).agg(collect_list($("i")).as("kept"))
+          .withColumnRenamed("w", "kw")
+        val prev = w
+        w = w.join(kept, $("w") === $("kw"), "left_outer")
+          .withColumn("syms", when($("kept").isNull, $("syms")).otherwise(
+            filter(transform(sequence(lit(1), size($("syms"))),
+              i => when(array_contains($("kept"), i),
+                  concat(element_at($("syms"), i), element_at($("syms"), i + 1)))
+                .when(array_contains($("kept"), i - 1), lit(null))
+                .otherwise(element_at($("syms"), i))),
+              x => x.isNotNull)))
+          .select($("w"), $("freq"), $("syms"))
+          .persist()
+        w.count()
+        prev.unpersist()
+      }
+    }
+    w.unpersist()
+    merges.toSeq
+  }
+
   /** Shared oracle prologue: distinct words with corpus frequency and
     * their initial character-symbol sequences. */
   private val bpeBaseSql: String =
@@ -322,6 +445,33 @@ object CurationOps {
       wFinal.select(explode($("syms")).as("symbol"), $("freq"))
         .groupBy($("symbol")).agg(sum($("freq")).as("cnt"))
         .orderBy(col("cnt").desc, $("symbol"))
+    },
+
+    // ---- Batched BPE merge selection: the production merge-throughput
+    // mode (SCALE.md §3). Classic BPE lands ONE merge per round — one
+    // distributed job pair per merge, a non-starter for a 30k-merge
+    // vocabulary. Here each round greedily selects up to m
+    // SYMBOL-DISJOINT pairs from the top-K ranking and applies them
+    // simultaneously (disjointness ⇒ no overlapping token positions ⇒
+    // order-independent batch), so a round of the same two jobs lands m
+    // merges. The oracle replays the identical bounded-K greedy chain
+    // and the simultaneous apply via generated SQL rounds.
+    Q("q_bpe_merges_batched",
+      """WITH b1 AS (
+        |  SELECT w, COUNT(*) AS freq,
+        |    string_split(trim(regexp_replace(w, '(.)', '\1 ', 'g')), ' ') AS syms
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),""".stripMargin +
+        (1 to BatchedRounds).map(bpeBatchedRoundSql).mkString(",") + "\n" +
+        "SELECT * FROM (" +
+        (1 to BatchedRounds).map(r =>
+          s"SELECT $r AS round, rk AS rank, pr AS pair, CAST(c AS BIGINT) AS cnt FROM bsel$r")
+          .mkString(" UNION ALL ") +
+        ") ORDER BY round, rank") { (s, d) =>
+      val merges = bpeTrainBatched(s, d, BatchedRounds, BatchedM, BatchedTopK)
+      import s.implicits._
+      merges.toDF("round", "rank", "pair", "cnt")
+        .orderBy($("round"), $("rank"))
     },
 
     // ---- BPE corpus encoding: apply the learned merges back to every
@@ -531,7 +681,8 @@ object CurationOps {
       val p = $("c").cast("double") / $("n").cast("double")
       val q = $("cc").cast("double") / $("ncorp").cast("double")
       sw.join(broadcast(sn), col("source") === col("sn_source"))
-        .join(broadcast(cw), col("w") === col("cw_w"))
+        // cw is vocab-scale — un-hinted, AQE decides (q2 pattern)
+        .join(cw, col("w") === col("cw_w"))
         .crossJoin(broadcast(cn))
         .groupBy($("source"), $("n"))
         .agg(sum(round(p * log(p / q), 6).cast("decimal(18,6)"))

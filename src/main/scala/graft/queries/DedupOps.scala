@@ -49,9 +49,12 @@ object DedupOps {
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
     val jac = col("shared").cast("double") /
       (col("n_a") + col("n_b") - col("shared"))
+    // counts is one row per DOC — fact-scale, not a dimension. Un-hinted
+    // (q2 pattern): AQE broadcasts it at bench scale, degrades to a
+    // shuffled join when the per-doc table outgrows the broadcast cap.
     shared
-      .join(broadcast(counts).withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
-      .join(broadcast(counts).withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"),
         jac.as("jaccard"))
   }
@@ -78,9 +81,10 @@ object DedupOps {
       .agg(count(lit(1)).as("shared"))
     val jac = col("shared").cast("double") /
       (col("n_a") + col("n_b") - col("shared"))
+    // per-doc counts un-hinted for the same reason as exactJaccard's
     pairs
-      .join(broadcast(counts).withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
-      .join(broadcast(counts).withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"),
         jac.as("jaccard"))
       .filter(col("jaccard") >= 0.8)

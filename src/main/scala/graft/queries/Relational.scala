@@ -327,7 +327,9 @@ object Relational {
       val avgs = o.groupBy(col("o_custkey").as("ck"))
         .agg(Tables.exactSum($("o_totalprice")).as("total"),
           count(lit(1)).as("n"))
-      o.join(broadcast(avgs), col("o_custkey") === col("ck"))
+      // avgs is one row per CUSTOMER (fact-derived, unbounded at scale) —
+      // un-hinted: AQE broadcasts at bench scale, shuffles at 100 TB
+      o.join(avgs, col("o_custkey") === col("ck"))
         .filter($("o_totalprice") * col("n") > col("total"))
         .select($("o_orderkey"), $("o_custkey"), $("o_totalprice"))
         .orderBy($("o_orderkey"))

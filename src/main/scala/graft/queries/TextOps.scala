@@ -141,8 +141,9 @@ object TextOps {
       // tf rows are already one-per-(doc,word): df is a plain count over
       // them — no second corpus explode, no COUNT DISTINCT expand
       val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      // df is vocab-scale — un-hinted (AQE broadcasts at bench scale)
       val top = graft.plans.TopKPerKey(
-        tf.join(broadcast(df), "word"), Seq("doc_id"),
+        tf.join(df, "word"), Seq("doc_id"),
         Seq(col("tf").desc, col("df").asc, col("word").asc), k = 3)
       top.select(col("doc_id"), col("word"), col("tf"), col("df"),
           round(col("tf").cast("double") * log(lit(nDocs) / col("df")), 6).as("tfidf"))
@@ -958,8 +959,10 @@ object TextOps {
       // orders of magnitude smaller than the corpus text it summarizes.
       // Lifetime is delegated to the harness sweep like every cached
       // relation in this file.
+      // tf is vocab-scale (distinct words — slow-growing but unbounded);
+      // un-hinted: AQE broadcasts while it fits, shuffles once it doesn't
       val scored = words
-        .join(broadcast(tf), "word")
+        .join(tf, "word")
         .crossJoin(broadcast(tot))
         .select(col("doc_id"),
           round(-log(col("tf").cast("double") / col("n")), 6).as("c"))

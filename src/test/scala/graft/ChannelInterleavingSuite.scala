@@ -1,0 +1,139 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import graft.channel.Channel
+
+/** EXHAUSTIVE interleaving check over the channel marker protocol's
+  * smallest concurrent core — the engine's parity with the reference's
+  * loom model-checking of its ring buffer
+  * (/root/reference/subsystem/messaging/src/lib.rs:1174-1199), where
+  * loom enumerates every schedule of a small model rather than sampling.
+  *
+  * The topic's shared structure is a DIRECTORY and its claimed atomicity
+  * unit is the single filesystem operation (atomic marker create /
+  * rename / delete). A writer's protocol is therefore a SEQUENCE of
+  * atomic steps, and exhaustively enumerating all interleavings of two
+  * writers' step sequences — executing steps one at a time in the
+  * enumerated order — explores exactly the schedules real threads could
+  * produce at that granularity. The 1-reader half of the model runs as
+  * an invariant check after EVERY step (equivalent to a reader observing
+  * at every interleaving point).
+  *
+  * Model: 2 writers × 1 op each, all four (commit|abort)² mixes.
+  * Commit = 5 steps (reserve, mkdir batch, _SUCCESS, drop reservation,
+  * advance head); abort = 2 steps (reserve, tombstone). Schedules:
+  * C(10,5) + 2·C(7,5) + C(4,2) = 300, each on a fresh directory.
+  * The randomized thread stress (ChannelStressSuite) keeps covering the
+  * large/racy end; this suite proves the small core has NO bad schedule.
+  */
+class ChannelInterleavingSuite extends SparkSpec {
+
+  /** One writer's op as its atomic step list. Steps close over the
+    * writer's reserved seq (data dependency: later steps need the seq
+    * the reserve step claimed). */
+  private def commitSteps(dir: Path, w: Int,
+      claimed: scala.collection.mutable.Map[Int, Long]): Vector[() => Unit] = Vector(
+    () => claimed(w) = Channel.reserveSeq(dir),
+    () => Files.createDirectories(
+      dir.resolve(f"batch_${claimed(w)}%012d_w$w")),
+    () => Files.createFile(
+      dir.resolve(f"batch_${claimed(w)}%012d_w$w").resolve("_SUCCESS")),
+    () => Files.deleteIfExists(
+      dir.resolve(f"${Channel.ResPrefix}${claimed(w)}%012d")),
+    () => Channel.advanceHead(dir))
+
+  private def abortSteps(dir: Path, w: Int,
+      claimed: scala.collection.mutable.Map[Int, Long]): Vector[() => Unit] = Vector(
+    () => claimed(w) = Channel.reserveSeq(dir),
+    () => Channel.markAborted(dir, claimed(w)))
+
+  /** All interleavings of two step counts as picks for writer 0. */
+  private def schedules(n0: Int, n1: Int): Seq[Seq[Int]] = {
+    def go(a: Int, b: Int): Seq[List[Int]] =
+      if (a == 0 && b == 0) Seq(Nil)
+      else {
+        val viaA = if (a > 0) go(a - 1, b).map(0 :: _) else Nil
+        val viaB = if (b > 0) go(a, b - 1).map(1 :: _) else Nil
+        viaA ++ viaB
+      }
+    go(n0, n1)
+  }
+
+  test("every interleaving of the 2-writer core upholds the protocol invariants") {
+    val mixes = Seq(
+      ("commit/commit", true, true), ("commit/abort", true, false),
+      ("abort/commit", false, true), ("abort/abort", false, false))
+    var total = 0
+    for ((label, c0, c1) <- mixes) {
+      val n0 = if (c0) 5 else 2
+      val n1 = if (c1) 5 else 2
+      for ((sched, k) <- schedules(n0, n1).zipWithIndex) {
+        val dir = Files.createTempDirectory("chan_ilv")
+        try {
+          val claimed = scala.collection.mutable.Map.empty[Int, Long]
+          val steps = Array(
+            if (c0) commitSteps(dir, 0, claimed) else abortSteps(dir, 0, claimed),
+            if (c1) commitSteps(dir, 1, claimed) else abortSteps(dir, 1, claimed))
+          val idx = Array(0, 0)
+          var lastHead: Option[(Long, Long)] = None
+          for (w <- sched) {
+            steps(w)(idx(w))(); idx(w) += 1
+            // the 1-reader half: observed at EVERY interleaving point
+            val (strict, weak) = Channel.committedEnds(dir)
+            assert(strict <= weak,
+              s"[$label #$k after $sched] strict $strict > weak $weak")
+            Channel.readHead(dir).foreach { case (hs, hw) =>
+              assert(hs <= hw, s"[$label #$k] head strict $hs > weak $hw")
+              assert(hs <= strict && hw <= weak,
+                s"[$label #$k] published head ($hs,$hw) ahead of true ends ($strict,$weak)")
+              lastHead.foreach { case (ps, pw) =>
+                assert(hs >= ps && hw >= pw,
+                  s"[$label #$k] head regressed ($ps,$pw) -> ($hs,$hw)")
+              }
+              lastHead = Some((hs, hw))
+            }
+          }
+          // schedule-independent final state: both seqs claimed uniquely,
+          // disk agrees with the op mix, no reservation survives, and the
+          // quiescent cursor equals the total op count
+          assert(claimed(0) != claimed(1), s"[$label #$k] double-claimed seq")
+          assert(Set(claimed(0), claimed(1)) == Set(0L, 1L))
+          val batches = Channel.listDir(dir)
+            .filter(_.getFileName.toString.startsWith("batch_"))
+            .map(_.getFileName.toString.stripPrefix("batch_").take(12).toLong)
+          val wantCommitted =
+            (if (c0) Set(claimed(0)) else Set.empty[Long]) ++
+              (if (c1) Set(claimed(1)) else Set.empty[Long])
+          assert(batches.toSet == wantCommitted, s"[$label #$k] batch set drifted")
+          val wantAborted =
+            (if (c0) Set.empty[Long] else Set(claimed(0))) ++
+              (if (c1) Set.empty[Long] else Set(claimed(1)))
+          assert(Channel.abortSeqs(dir).toSet == wantAborted,
+            s"[$label #$k] abort tombstones drifted")
+          assert(Channel.resSeqs(dir).isEmpty, s"[$label #$k] leaked reservation")
+          // quiescent cursor: strict == weak == one past the last
+          // COMMITTED batch (trailing aborts are benign holes past the
+          // end; 0 when everything aborted), and the published head has
+          // caught up exactly
+          Channel.advanceHead(dir)
+          val (strict, weak) = Channel.committedEnds(dir)
+          val wantWeak = wantCommitted.maxOption.map(_ + 1).getOrElse(0L)
+          assert(strict == weak && weak == wantWeak,
+            s"[$label #$k] quiescent ends ($strict,$weak) != $wantWeak")
+          assert(Channel.readHead(dir).contains((strict, weak)),
+            s"[$label #$k] head not caught up to ($strict,$weak)")
+          total += 1
+        } finally {
+          val walk = Files.walk(dir)
+          try {
+            import scala.jdk.CollectionConverters._
+            walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+          } finally walk.close()
+        }
+      }
+    }
+    info(s"$total schedules enumerated, all clean")
+    assert(total == 300)
+  }
+}

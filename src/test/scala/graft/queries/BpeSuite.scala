@@ -38,6 +38,45 @@ class BpeSuite extends SparkSpec {
       s"encode compression drifted: $enc")
   }
 
+  test("batched mode selects symbol-disjoint pairs and applies them at once") {
+    val dir = tmpDir("bpe3").toString
+    import spark.implicits._
+    // Word freqs: ab×6, bc×5, de×4, abde×2 →
+    // round-1 pair counts: (a b)=8, (d e)=6, (b c)=5, (b d)=2.
+    // Greedy m=2: take (a b); (d e) is disjoint → take it too. The
+    // conflict case comes in round 2: after ab→[ab], de→[de],
+    // abde→[ab,de] (BOTH merges land in one word, one pass),
+    // counts are (b c)=5 and (ab de)=2 — disjoint, both selected.
+    val text = (Seq.fill(6)("ab") ++ Seq.fill(5)("bc") ++
+      Seq.fill(4)("de") ++ Seq.fill(2)("abde")).mkString(" ")
+    Seq((0L, text, "en", "src0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val merges = SparkEntry.queries("q_bpe_merges_batched")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3))).toSeq
+    assert(merges == Seq((1, 1, "a b", 8L), (1, 2, "d e", 6L),
+      (2, 1, "b c", 5L), (2, 2, "ab de", 2L)),
+      s"batched selection drifted: $merges")
+  }
+
+  test("batched mode skips a runner-up that shares a symbol with the winner") {
+    val dir = tmpDir("bpe4").toString
+    import spark.implicits._
+    // (a b)=6 wins; (b c)=5 shares b → SKIPPED; (d e)=4 is rank 2.
+    val text = (Seq.fill(6)("ab") ++ Seq.fill(5)("bc") ++
+      Seq.fill(4)("de")).mkString(" ")
+    Seq((0L, text, "en", "src0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val merges = SparkEntry.queries("q_bpe_merges_batched")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3))).toSeq
+    assert(merges.take(2) == Seq((1, 1, "a b", 6L), (1, 2, "d e", 4L)),
+      s"conflict skip drifted: $merges")
+    // round 2: only (b c) remains selectable
+    assert(merges.drop(2) == Seq((2, 1, "b c", 5L)),
+      s"round-2 selection drifted: $merges")
+  }
+
   test("tie-break picks the lexicographically smallest pair") {
     val dir = tmpDir("bpe2").toString
     import spark.implicits._
