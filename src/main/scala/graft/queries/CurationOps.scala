@@ -245,21 +245,11 @@ object CurationOps {
   private def bpeTrainBatched(s: org.apache.spark.sql.SparkSession, d: String,
       rounds: Int, m: Int, topK: Int): Seq[(Int, Int, String, Long)] = {
     import org.apache.spark.sql.expressions.Window
-    var w = Tables.documents(s, d)
-      .select(explode(TextFunctions.tokens($("text"))).as("w"))
-      .groupBy($("w")).agg(count(lit(1)).as("freq"))
-      .withColumn("syms", split(trim(regexp_replace($("w"), "(.)", "$1 ")), " "))
-      .persist()
+    var w = wordSymsRel(Tables.documents(s, d)).persist()
     val merges = scala.collection.mutable.Buffer.empty[(Int, Int, String, Long)]
     var exhausted = false
     for (r <- 1 to rounds if !exhausted) {
-      val pairs = w
-        .select($("w"), $("freq"), $("syms"),
-          explode(when(size($("syms")) >= 2, sequence(lit(1), size($("syms")) - 1))
-            .otherwise(array().cast("array<int>"))).as("i"))
-        .withColumn("pr", concat(
-          element_at($("syms"), $("i")), lit(" "),
-          element_at($("syms"), $("i") + 1)))
+      val pairs = pairRows(w)
       val rank = pairs.groupBy($("pr")).agg(sum($("freq")).as("c"))
         .orderBy($("c").desc, $("pr")).limit(topK).collect()
       // greedy symbol-disjoint selection over the bounded ranking — the
@@ -301,6 +291,60 @@ object CurationOps {
     merges.toSeq
   }
 
+  /** One OOV-replay round as oracle SQL: apply the round's learned best
+    * pair (`best$i` from the training chain over the TRAIN split) to the
+    * test-word symbol table `tw$i` with the same greedy islands rule. */
+  private def bpeOovRoundSql(i: Int): String = {
+    val (p, n) = (s"tw$i", s"tw${i + 1}")
+    s"""tpairs$i AS (
+       |  SELECT w, CAST(u.i AS INT) AS i,
+       |    syms[CAST(u.i AS INT)] || ' ' || syms[CAST(u.i AS INT)+1] AS pr
+       |  FROM $p, unnest(range(1, len(syms))) AS u(i)),
+       |tpos$i AS (SELECT p.w, p.i FROM tpairs$i p JOIN best$i b ON p.pr = b.pr),
+       |tkept$i AS (
+       |  SELECT w, list(i) AS kept FROM (
+       |    SELECT w, i, row_number() OVER (PARTITION BY w, island ORDER BY i) AS pio
+       |    FROM (SELECT w, i, i - row_number() OVER (PARTITION BY w ORDER BY i) AS island
+       |          FROM tpos$i))
+       |  WHERE pio % 2 = 1 GROUP BY w),
+       |$n AS (
+       |  SELECT t.w, t.freq,
+       |    CASE WHEN k.kept IS NULL THEN t.syms
+       |    ELSE list_filter(list_transform(range(1, len(t.syms)+1),
+       |      i -> CASE WHEN list_contains(k.kept, i)
+       |                THEN t.syms[CAST(i AS INT)] || t.syms[CAST(i AS INT)+1]
+       |                WHEN list_contains(k.kept, i-1) THEN NULL
+       |                ELSE t.syms[CAST(i AS INT)] END),
+       |      x -> x IS NOT NULL) END AS syms
+       |  FROM $p t LEFT JOIN tkept$i k ON t.w = k.w)""".stripMargin
+  }
+
+  /** q_bpe_oov oracle: learn the merges on the train split, replay them
+    * over the test split's words. */
+  private lazy val bpeOovSql: String = {
+    val trainBase =
+      """WITH w1 AS (
+        |  SELECT w, COUNT(*) AS freq,
+        |    string_split(trim(regexp_replace(w, '(.)', '\1 ', 'g')), ' ') AS syms
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        |        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b')
+        |  GROUP BY w),""".stripMargin
+    val testBase =
+      """tw1 AS (
+        |  SELECT w, COUNT(*) AS freq,
+        |    string_split(trim(regexp_replace(w, '(.)', '\1 ', 'g')), ' ') AS syms
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        |        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) > 'd')
+        |  GROUP BY w),""".stripMargin
+    trainBase + (1 to BpeRounds).map(bpeRoundSql).mkString(",") + ",\n" +
+      testBase + (1 to BpeRounds).map(bpeOovRoundSql).mkString(",") + s"""
+        |SELECT t1.w AS word, CAST(t1.freq AS BIGINT) AS freq,
+        |  CAST(len(t1.syms) AS INT) AS n_sym_before,
+        |  CAST(len(f.syms) AS INT) AS n_sym_after
+        |FROM tw1 t1 JOIN tw${BpeRounds + 1} f ON t1.w = f.w
+        |ORDER BY word""".stripMargin
+  }
+
   /** Shared oracle prologue: distinct words with corpus frequency and
     * their initial character-symbol sequences. */
   private val bpeBaseSql: String =
@@ -331,14 +375,62 @@ object CurationOps {
     * on the word key. Distinct words at 100 TB are ~1e7-1e8 rows — the
     * word-partitioned windows and joins stay trivially balanced.
     */
-  private def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String,
-      needFinal: Boolean = true)
-      : (Seq[(String, Long)], org.apache.spark.sql.DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
-    var w = Tables.documents(s, d)
+  /** (word, freq, syms) per-word symbol table from a `text` relation —
+    * the BPE working set (distinct-words scale at any corpus size). */
+  private def wordSymsRel(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
       .select(explode(TextFunctions.tokens($("text"))).as("w"))
       .groupBy($("w")).agg(count(lit(1)).as("freq"))
       .withColumn("syms", split(trim(regexp_replace($("w"), "(.)", "$1 ")), " "))
+
+  /** Adjacent symbol pairs of a per-word symbol table (guard: a 1-symbol
+    * word has no pairs, and sequence(1, 0) counts DOWN — the shingles
+    * pitfall — so it explodes an empty index list instead). */
+  private def pairRows(w: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    w.select($("w"), $("freq"), $("syms"),
+        explode(when(size($("syms")) >= 2, sequence(lit(1), size($("syms")) - 1))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .withColumn("pr", concat(
+        element_at($("syms"), $("i")), lit(" "),
+        element_at($("syms"), $("i") + 1)))
+
+  /** Apply ONE learned merge `bp` to a per-word symbol table with the
+    * TRUE greedy left-to-right rule (islands of consecutive match
+    * positions — which only arise for self-pairs — keep every other
+    * position). Shared by the training loop and the OOV replay encode. */
+  private def applyMerge(w: org.apache.spark.sql.DataFrame, bp: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rn = row_number().over(Window.partitionBy($("w")).orderBy($("i")))
+    val kept = pairRows(w).filter($("pr") === bp).select($("w"), $("i"))
+      .withColumn("island", $("i") - rn)
+      .withColumn("pio",
+        row_number().over(Window.partitionBy($("w"), $("island")).orderBy($("i"))))
+      .filter($("pio") % 2 === 1)
+      .groupBy($("w")).agg(collect_list($("i")).as("kept"))
+      .withColumnRenamed("w", "kw")
+    w.join(kept, $("w") === $("kw"), "left_outer")
+      .withColumn("syms", when($("kept").isNull, $("syms")).otherwise(
+        filter(transform(sequence(lit(1), size($("syms"))),
+          i => when(array_contains($("kept"), i),
+              concat(element_at($("syms"), i), element_at($("syms"), i + 1)))
+            .when(array_contains($("kept"), i - 1), lit(null))
+            .otherwise(element_at($("syms"), i))),
+          x => x.isNotNull)))
+      .select($("w"), $("freq"), $("syms"))
+  }
+
+  private def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String,
+      needFinal: Boolean = true)
+      : (Seq[(String, Long)], org.apache.spark.sql.DataFrame) =
+    bpeTrainOn(Tables.documents(s, d), needFinal)
+
+  private def bpeTrainOn(docs: org.apache.spark.sql.DataFrame,
+      needFinal: Boolean)
+      : (Seq[(String, Long)], org.apache.spark.sql.DataFrame) = {
+    var w = wordSymsRel(docs)
     // Each round reads the previous round's table TWICE (best-pair count
     // + merge application) and feeds the next — uncached, round k would
     // recompute rounds 1..k-1 every time (2^k blowup at a real corpus).
@@ -350,41 +442,15 @@ object CurationOps {
     val merges = scala.collection.mutable.Buffer.empty[(String, Long)]
     var exhausted = false
     for (_ <- 1 to BpeRounds if !exhausted) {
-      // guard: sequence(1, 0) counts DOWN (the shingles pitfall) and a
-      // 1-symbol word has no pairs — explode an empty index list for it
-      val pairs = w
-        .select($("w"), $("freq"), $("syms"),
-          explode(when(size($("syms")) >= 2, sequence(lit(1), size($("syms")) - 1))
-            .otherwise(array().cast("array<int>"))).as("i"))
-        .withColumn("pr", concat(
-          element_at($("syms"), $("i")), lit(" "),
-          element_at($("syms"), $("i") + 1)))
-      val bestRows = pairs.groupBy($("pr")).agg(sum($("freq")).as("c"))
+      val bestRows = pairRows(w).groupBy($("pr")).agg(sum($("freq")).as("c"))
         .orderBy($("c").desc, $("pr")).limit(1).collect()
       if (bestRows.isEmpty) { exhausted = true } // every word fully merged
       else {
       val best = bestRows(0)
       val (bp, bc) = (best.getString(0), best.getLong(1))
       merges += ((bp, bc))
-      val rn = row_number().over(Window.partitionBy($("w")).orderBy($("i")))
-      val kept = pairs.filter($("pr") === bp).select($("w"), $("i"))
-        .withColumn("island", $("i") - rn)
-        .withColumn("pio",
-          row_number().over(Window.partitionBy($("w"), $("island")).orderBy($("i"))))
-        .filter($("pio") % 2 === 1)
-        .groupBy($("w")).agg(collect_list($("i")).as("kept"))
-        .withColumnRenamed("w", "kw")
       val prev = w
-      w = w.join(kept, $("w") === $("kw"), "left_outer")
-        .withColumn("syms", when($("kept").isNull, $("syms")).otherwise(
-          filter(transform(sequence(lit(1), size($("syms"))),
-            i => when(array_contains($("kept"), i),
-                concat(element_at($("syms"), i), element_at($("syms"), i + 1)))
-              .when(array_contains($("kept"), i - 1), lit(null))
-              .otherwise(element_at($("syms"), i))),
-            x => x.isNotNull)))
-        .select($("w"), $("freq"), $("syms"))
-        .persist()
+      w = applyMerge(w, bp).persist()
       w.count() // materialize before releasing the previous round
       prev.unpersist()
       }
@@ -472,6 +538,27 @@ object CurationOps {
       import s.implicits._
       merges.toDF("round", "rank", "pair", "cnt")
         .orderBy($("round"), $("rank"))
+    },
+
+    // ---- Out-of-vocabulary encode: the tokenizer-SERVING path for words
+    // the training corpus never produced a table entry for. Merges are
+    // learned on the TRAIN split, then REPLAYED in learned order over the
+    // test split's word set — exactly what a deployed tokenizer does for
+    // an unseen word. Scale posture: production serving encodes known
+    // words through the precomputed table join (q_bpe_encode) and runs
+    // this replay only on the OOV residue — a tiny distinct-word set per
+    // batch — so the per-merge window passes here cost m small passes
+    // over metadata-scale data, never the corpus.
+    Q("q_bpe_oov", bpeOovSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val h = substring(md5($("doc_id").cast("string").cast("binary")), 1, 1)
+      val (merges, _) = bpeTrainOn(docs.filter(h <= "b"), needFinal = false)
+      var tw = wordSymsRel(docs.filter(h > "d"))
+      for ((bp, _) <- merges) tw = applyMerge(tw, bp)
+      tw.select($("w").as("word"), $("freq").cast("long").as("freq"),
+          length($("w")).cast("int").as("n_sym_before"),
+          size($("syms")).cast("int").as("n_sym_after"))
+        .orderBy($("word"))
     },
 
     // ---- BPE corpus encoding: apply the learned merges back to every

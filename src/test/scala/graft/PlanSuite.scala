@@ -239,6 +239,21 @@ class PlanSuite extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("un-hinted fact-derived joins still broadcast at bench scale (AQE)") {
+    // the q2 pattern: the hint was dropped so 100 TB degrades to a
+    // shuffled join instead of failing at the broadcast cap — but at
+    // bench scale AQE must keep picking broadcast, or the gate pays
+    // sort-merge costs on tiny tables. Execute first: AQE decides in
+    // the FINAL plan.
+    for (name <- Seq("q_above_avg", "q_ngram_jaccard", "q_tfidf_top")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name lost its runtime broadcast:\n${plan.take(1500)}")
+    }
+  }
+
   test("Tables.spread exchanges a one-split scan, no-ops a real multi-split one") {
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val dir = tmpDir("spread").toString

@@ -77,6 +77,26 @@ class BpeSuite extends SparkSpec {
       s"round-2 selection drifted: $merges")
   }
 
+  test("OOV replay applies train-split merges to unseen test-split words") {
+    val dir = tmpDir("bpe5").toString
+    import spark.implicits._
+    // Hash-split gate (first md5 hex digit of the doc id): docs 4/6/7
+    // start 'a'/'1'/'8' → train; doc 3 starts 'e' → test. Train corpus
+    // "abab"×6 learns (a,b) then (ab,ab), then exhausts (<3 merges —
+    // the replay must tolerate that). Test word "abababab" was NEVER
+    // seen in training; replaying the two merges greedily gives
+    // [ab,ab,ab,ab] → (islands rule on the (ab,ab) run) → [abab,abab].
+    Seq((4L, "abab abab"), (6L, "abab abab"), (7L, "abab abab"),
+        (3L, "abababab cd"))
+      .map { case (id, t) => (id, t, "en", "src0", 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_bpe_oov")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(got == Seq(("abababab", 1L, 8, 2), ("cd", 1L, 2, 2)),
+      s"OOV replay drifted: $got")
+  }
+
   test("tie-break picks the lexicographically smallest pair") {
     val dir = tmpDir("bpe2").toString
     import spark.implicits._
