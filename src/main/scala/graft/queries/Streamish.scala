@@ -44,7 +44,9 @@ object Streamish {
 
   /** Shared scaffold for the OUTER stream-stream interval joins
     * (purchases ⋈ preceding-hour clicks by user): event-time-ordered
-    * replay of the events table (4 range-staged batches), one source
+    * replay of the events table (3 range-staged batches — the
+    * cross-batch join/eviction claims need >= 3 stateful triggers and
+    * get exactly that plus the two sentinels), one source
     * split into two filtered watermarked legs, two flush sentinels
     * carrying one row PER SIDE (each leg computes its own watermark from
     * its filtered rows; the global watermark is their min, so both legs
@@ -65,7 +67,7 @@ object Streamish {
         org.apache.spark.sql.Row(-2L, -1L, "click", ts)),
       ev.schema)
     val sink = s"graft_stream_${label}_${streamRun.incrementAndGet()}"
-    Staging.withOrderedReplay(ev, Seq(col("ts"), col("event_id")), 4,
+    Staging.withOrderedReplay(ev, Seq(col("ts"), col("event_id")), 3,
       s"graft_stream_$label",
       Seq(flush(maxTs + 3 * hourNs), flush(maxTs + 48 * hourNs))) { in =>
       val schema = s.read.parquet(in).schema

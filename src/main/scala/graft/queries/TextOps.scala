@@ -90,6 +90,44 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // ---- Deterministic epoch shuffle-shard (the data-loader handoff):
+    // each epoch's seed reshuffles the corpus into 16 shards with a
+    // stable within-shard order — hash-derived on BOTH engines (md5, no
+    // engine-specific RNG), so every run/cluster-size/engine produces
+    // the identical epoch layout. Assignment is a pure map; shard counts
+    // are map-side combined; the order check rides the bounded-heap
+    // TopKPerKey (first 3 docs per shard), never a full-shard sort — at
+    // 100 TB the actual shard files are written with
+    // repartition(shard) + sortWithinPartitions(h), and this query is
+    // the layout's verifiable fingerprint.
+    Q("q_epoch_shard",
+      """WITH t AS (SELECT doc_id,
+        |  md5(CAST(doc_id AS VARCHAR) || ':7') AS h FROM documents),
+        |s AS (SELECT substr(h, 1, 1) AS shard, doc_id, h FROM t),
+        |c AS (SELECT shard, COUNT(*) AS n_docs FROM s GROUP BY shard),
+        |r AS (SELECT shard, doc_id,
+        |        row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS rn
+        |      FROM s),
+        |hd AS (SELECT shard, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn) AS head
+        |       FROM r WHERE rn <= 3 GROUP BY shard)
+        |SELECT c.shard, c.n_docs, hd.head
+        |FROM c JOIN hd USING (shard) ORDER BY shard""".stripMargin) { (s, d) =>
+      val epochSeed = 7 // the epoch id IS the seed: epoch k ⇒ ':k'
+      val h = md5(concat(col("doc_id").cast("string"), lit(s":$epochSeed"))
+        .cast("binary"))
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), h.as("h"))
+        .withColumn("shard", substring(col("h"), 1, 1))
+      val counts = sh.groupBy(col("shard")).agg(count(lit(1)).as("n_docs"))
+      val heads = graft.plans.TopKPerKey(sh, Seq("shard"),
+          Seq(col("h").asc, col("doc_id").asc), k = 3)
+        .groupBy(col("shard"))
+        .agg(concat_ws(",", transform(
+          sort_array(collect_list(struct(col("h"), col("doc_id")))),
+          x => x("doc_id").cast("string"))).as("head"))
+      counts.join(heads, "shard").orderBy(col("shard"))
+    },
+
     // ---- Corpus vocabulary with document frequency (tokenizer-training
     // prerequisite): explode → two-level agg. The per-(doc,word) distinct
     // happens inside COUNT(DISTINCT …) — Spark plans it as partial

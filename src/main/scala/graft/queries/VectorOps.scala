@@ -487,7 +487,7 @@ object VectorOps {
         corpus.count() // materialize once: every trigger scans the cache
         val probes = e.filter(col("vec_id") < 50)
           .select(col("vec_id").as("src"), col("v").as("va"))
-        Staging.withStagedInput(probes, "src", nFiles = 4,
+        Staging.withStagedInput(probes, "src", nFiles = 2,
           prefix = "graft_stream_knn") { in =>
           Staging.withTempDir("graft_stream_knn_out") { tmpOut =>
             val outDir = s"$tmpOut/topk"
@@ -549,7 +549,7 @@ object VectorOps {
         try {
           val probes = e.filter(col("vec_id") < 100)
             .select(col("vec_id").as("src"), col("v").as("va"))
-          val served = Staging.withStagedInput(probes, "src", nFiles = 4,
+          val served = Staging.withStagedInput(probes, "src", nFiles = 2,
             prefix = "graft_stream_ann") { in =>
             Staging.withTempDir("graft_stream_ann_out") { tmpOut =>
               val outDir = s"$tmpOut/ann"

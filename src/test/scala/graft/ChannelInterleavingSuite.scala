@@ -136,4 +136,87 @@ class ChannelInterleavingSuite extends SparkSpec {
     info(s"$total schedules enumerated, all clean")
     assert(total == 300)
   }
+
+  /** A writer's multi-op step list: each op is commit (5 steps) or abort
+    * (2 steps); later steps of an op close over the seq its reserve step
+    * claimed (`claimed.last`). */
+  private def stepsFor(dir: Path, w: Int, ops: Seq[Boolean],
+      claimed: scala.collection.mutable.ArrayBuffer[(Long, Boolean)])
+      : Vector[() => Unit] = {
+    def batch = dir.resolve(f"batch_${claimed.last._1}%012d_w$w")
+    ops.toVector.flatMap { isCommit =>
+      if (isCommit) Vector[() => Unit](
+        () => claimed += ((Channel.reserveSeq(dir), true)),
+        () => Files.createDirectories(batch),
+        () => Files.createFile(batch.resolve("_SUCCESS")),
+        () => Files.deleteIfExists(
+          dir.resolve(f"${Channel.ResPrefix}${claimed.last._1}%012d")),
+        () => Channel.advanceHead(dir))
+      else Vector[() => Unit](
+        () => claimed += ((Channel.reserveSeq(dir), false)),
+        () => Channel.markAborted(dir, claimed.last._1))
+    }
+  }
+
+  test("multi-op writers: every schedule of commit→abort vs commit holds up") {
+    // Second exhaustive model: seq assignment must stay unique ACROSS a
+    // writer's successive ops under every interleaving (the reuse bugs
+    // the r7 double-claim race lived in), and the published head must
+    // stay monotone throughout. w0 = commit then abort (7 steps),
+    // w1 = commit (5 steps): C(12,5) = 792 schedules. Per-step checks
+    // read only the O(1) published head; the full-listing invariants
+    // run at the end of each schedule (the 1-op model above already
+    // checks listings at every step).
+    var total = 0
+    for ((sched, k) <- schedules(7, 5).zipWithIndex) {
+      val dir = Files.createTempDirectory("chan_ilv2")
+      try {
+        val claimed = Array.fill(2)(
+          scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)])
+        val steps = Array(
+          stepsFor(dir, 0, Seq(true, false), claimed(0)),
+          stepsFor(dir, 1, Seq(true), claimed(1)))
+        val idx = Array(0, 0)
+        var lastHead: Option[(Long, Long)] = None
+        for (w <- sched) {
+          steps(w)(idx(w))(); idx(w) += 1
+          Channel.readHead(dir).foreach { case (hs, hw) =>
+            assert(hs <= hw, s"[#$k] head strict $hs > weak $hw")
+            lastHead.foreach { case (ps, pw) =>
+              assert(hs >= ps && hw >= pw,
+                s"[#$k] head regressed ($ps,$pw) -> ($hs,$hw) in $sched")
+            }
+            lastHead = Some((hs, hw))
+          }
+        }
+        val all = claimed.flatten
+        assert(all.size == 3 && all.map(_._1).distinct.size == 3,
+          s"[#$k] seqs not unique: ${all.toSeq}")
+        assert(all.map(_._1).toSet == Set(0L, 1L, 2L),
+          s"[#$k] seqs not dense: ${all.toSeq}")
+        val committed = all.filter(_._2).map(_._1).toSet
+        val batches = Channel.listDir(dir)
+          .filter(_.getFileName.toString.startsWith("batch_"))
+          .map(_.getFileName.toString.stripPrefix("batch_").take(12).toLong)
+        assert(batches.toSet == committed, s"[#$k] batch set drifted")
+        assert(Channel.abortSeqs(dir).toSet ==
+          all.filterNot(_._2).map(_._1).toSet, s"[#$k] tombstones drifted")
+        assert(Channel.resSeqs(dir).isEmpty, s"[#$k] leaked reservation")
+        Channel.advanceHead(dir)
+        val (strict, weak) = Channel.committedEnds(dir)
+        assert(strict == weak && weak == committed.max + 1,
+          s"[#$k] quiescent ends ($strict,$weak) vs committed $committed")
+        assert(Channel.readHead(dir).contains((strict, weak)))
+        total += 1
+      } finally {
+        val walk = Files.walk(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        } finally walk.close()
+      }
+    }
+    info(s"$total multi-op schedules enumerated, all clean")
+    assert(total == 792)
+  }
 }
