@@ -598,6 +598,93 @@ object VectorOps {
               (col("n_hits").cast("double") / col("n_queries") >= 0.6).as("recall_ok"))
         } finally postings.unpersist()
       } finally e.unpersist()
+    },
+
+    // ---- Streaming INDEX MAINTENANCE: the other half of the serving
+    // story. q_stream_ann streams QUERIES over a static index; here the
+    // INDEX itself is built at ingest — the coarse quantizer is trained
+    // once on the bootstrap half of the corpus (centroid training is
+    // metadata-scale), then vectors arrive in micro-batches and each
+    // trigger assigns ONLY its batch to home cells and appends postings
+    // through the idempotent per-batch write (a replayed trigger
+    // rewrites the same files — the exactly-once contract every other
+    // foreachBatch sink here rides). Per-trigger work is O(batch), never
+    // a corpus re-index. The verdict row carries two EXACT counts — the
+    // corpus size and the index's distinct posting count, which must
+    // match it (a dropped or double-appended batch flips n_indexed) —
+    // plus the probe recall floor over the FINAL accumulated index.
+    Q("q_stream_index_update",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |  CAST(COUNT(*) AS BIGINT) AS n_indexed,
+        |  CAST(LEAST(COUNT(*), 100) AS BIGINT) AS n_queries,
+        |  true AS recall_ok
+        |FROM embeddings""".stripMargin) { (s, d) =>
+      Tables.ensureConf(s)
+      val e = embedRel(s, d).cache()
+      try {
+        val n = e.count()
+        // quantizer from the bootstrap half only — the STREAM owns all
+        // posting construction, including for vectors the quantizer
+        // never saw (the production shape: train once, index forever)
+        val centroids = ivfCentroids(e.filter(col("vec_id") < n / 2))
+        Staging.withTempDir("graft_stream_idx_out") { out =>
+          Staging.withStagedInput(e.select(col("vec_id"), col("v")),
+            "vec_id", nFiles = 2, prefix = "graft_stream_idx") { in =>
+            val schema = s.read.parquet(in).schema
+            val q = s.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(in)
+              .writeStream.outputMode("append")
+              .option("checkpointLocation", s"$out/ck")
+              .foreachBatch { (batch: DataFrame, id: Long) =>
+                Staging.writeBatch(batch.select(
+                  element_at(graft.functions.VectorExpressions.nearestCells(
+                    col("v"), centroids, 1), 1).as("cell"),
+                  col("vec_id").as("nbr"), unitNorm(col("v")).as("vbn")),
+                  s"$out/postings", id)
+                ()
+              }
+              .start()
+            try q.processAllAvailable() finally q.stop()
+          }
+          val postings = s.read.option("recursiveFileLookup", "true")
+            .parquet(s"$out/postings")
+          val probes = e.filter(col("vec_id") < 100)
+            .select(col("vec_id").as("src"), col("v").as("va"))
+          val probed = probes.withColumn("probe_cells",
+              graft.functions.VectorExpressions.nearestCells(col("va"), centroids, 6))
+            .withColumn("van", unitNorm(col("va")))
+          val served = broadcast(probed)
+            .select(col("src"), col("van"), explode(col("probe_cells")).as("cell"))
+            .join(postings, Seq("cell"))
+            .filter(col("src") =!= col("nbr"))
+            .select(col("src"),
+              VectorFunctions.dot(col("van"), col("vbn")).as("sim"))
+            .groupBy(col("src")).agg(max(col("sim")).as("sim"))
+          val exact1 = broadcast(probes.withColumn("van", unitNorm(col("va"))))
+            .crossJoin(e.select(col("vec_id").as("nbr"), unitNorm(col("v")).as("vbn")))
+            .filter(col("src") =!= col("nbr"))
+            .groupBy(col("src"))
+            .agg(max(VectorFunctions.dot(col("van"), col("vbn"))).as("best_sim"))
+          val stats = served.join(exact1, "src")
+            .agg(count(lit(1)).as("n_probed"),
+              sum(when(col("sim") >= col("best_sim") - 1e-5, 1L).otherwise(0L))
+                .as("n_hits"))
+          val verdict = e.agg(count(lit(1)).as("n_vectors"))
+            // plain COUNT, not countDistinct: range-staged batches are
+            // key-disjoint, so the total posting count equals the corpus
+            // size only if every batch landed EXACTLY once — a dropped
+            // batch undershoots it and a double-append overshoots it
+            // (countDistinct would mask the latter)
+            .crossJoin(postings.agg(count(lit(1)).as("n_indexed")))
+            .crossJoin(probes.agg(count(lit(1)).as("n_queries")))
+            .crossJoin(stats)
+            .select(col("n_vectors"), col("n_indexed"), col("n_queries"),
+              (col("n_hits").cast("double") / col("n_queries") >= 0.6).as("recall_ok"))
+          // the postings tree dies with the temp dir — copy the one-row
+          // verdict out as a LOCAL relation
+          s.createDataFrame(verdict.collectAsList(), verdict.schema)
+        }
+      } finally e.unpersist()
     }
   )
 
