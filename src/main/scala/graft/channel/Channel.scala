@@ -381,11 +381,13 @@ final class Channel private[channel] (
           markerOnlyDropped = true
         } else {
           // the common crash: a PARTIAL batch dir (task files, no
-          // _SUCCESS) parks the committed-prefix walk exactly like the
-          // marker does — tombstoning alone would leave the stream
-          // parked with the sweep reporting success. Partials go first
-          // (the marker still traces the seq), then markAborted
-          // tombstones, releases the marker, and advances the head.
+          // _SUCCESS). Its half-written files must never become
+          // readable: partials are deleted FIRST, while the reservation
+          // marker still parks the strict end at this seq (the marker
+          // is the invariant that keeps strong readers below any
+          // partial dir — see committedEnds/planInputPartitions), then
+          // markAborted tombstones the seq, releases the marker, and
+          // advances the head.
           dirs.foreach(Channel.deleteRecursively)
           Channel.markAborted(dir, s)
         }

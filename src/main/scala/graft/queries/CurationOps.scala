@@ -273,16 +273,7 @@ object CurationOps {
           .groupBy($("w")).agg(collect_list($("i")).as("kept"))
           .withColumnRenamed("w", "kw")
         val prev = w
-        w = w.join(kept, $("w") === $("kw"), "left_outer")
-          .withColumn("syms", when($("kept").isNull, $("syms")).otherwise(
-            filter(transform(sequence(lit(1), size($("syms"))),
-              i => when(array_contains($("kept"), i),
-                  concat(element_at($("syms"), i), element_at($("syms"), i + 1)))
-                .when(array_contains($("kept"), i - 1), lit(null))
-                .otherwise(element_at($("syms"), i))),
-              x => x.isNotNull)))
-          .select($("w"), $("freq"), $("syms"))
-          .persist()
+        w = rebuildSyms(w, kept).persist()
         w.count()
         prev.unpersist()
       }
@@ -396,6 +387,22 @@ object CurationOps {
         element_at($("syms"), $("i")), lit(" "),
         element_at($("syms"), $("i") + 1)))
 
+  /** Rebuild a per-word symbol table from a `(kw, kept)` relation of
+    * kept merge positions — THE one copy of the merge-application
+    * transform (single-merge apply, batched apply, and via them the
+    * training loops and the OOV replay all route through it). */
+  private def rebuildSyms(w: org.apache.spark.sql.DataFrame,
+      kept: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    w.join(kept, $("w") === $("kw"), "left_outer")
+      .withColumn("syms", when($("kept").isNull, $("syms")).otherwise(
+        filter(transform(sequence(lit(1), size($("syms"))),
+          i => when(array_contains($("kept"), i),
+              concat(element_at($("syms"), i), element_at($("syms"), i + 1)))
+            .when(array_contains($("kept"), i - 1), lit(null))
+            .otherwise(element_at($("syms"), i))),
+          x => x.isNotNull)))
+      .select($("w"), $("freq"), $("syms"))
+
   /** Apply ONE learned merge `bp` to a per-word symbol table with the
     * TRUE greedy left-to-right rule (islands of consecutive match
     * positions — which only arise for self-pairs — keep every other
@@ -411,15 +418,7 @@ object CurationOps {
       .filter($("pio") % 2 === 1)
       .groupBy($("w")).agg(collect_list($("i")).as("kept"))
       .withColumnRenamed("w", "kw")
-    w.join(kept, $("w") === $("kw"), "left_outer")
-      .withColumn("syms", when($("kept").isNull, $("syms")).otherwise(
-        filter(transform(sequence(lit(1), size($("syms"))),
-          i => when(array_contains($("kept"), i),
-              concat(element_at($("syms"), i), element_at($("syms"), i + 1)))
-            .when(array_contains($("kept"), i - 1), lit(null))
-            .otherwise(element_at($("syms"), i))),
-          x => x.isNotNull)))
-      .select($("w"), $("freq"), $("syms"))
+    rebuildSyms(w, kept)
   }
 
   private def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String,
@@ -553,9 +552,21 @@ object CurationOps {
       val docs = Tables.documents(s, d)
       val h = substring(md5($("doc_id").cast("string").cast("binary")), 1, 1)
       val (merges, _) = bpeTrainOn(docs.filter(h <= "b"), needFinal = false)
-      var tw = wordSymsRel(docs.filter(h > "d"))
-      for ((bp, _) <- merges) tw = applyMerge(tw, bp)
-      tw.select($("w").as("word"), $("freq").cast("long").as("freq"),
+      // per-merge materialize-and-release, like the training loop: each
+      // applyMerge references its input TWICE (kept + rebuild), so an
+      // uncached chain would duplicate the tokenize subtree 2^m-fold
+      var tw = wordSymsRel(docs.filter(h > "d")).persist()
+      for ((bp, _) <- merges) {
+        val prev = tw
+        tw = applyMerge(tw, bp).persist()
+        tw.count()
+        prev.unpersist()
+      }
+      // lineage-free handoff (the bpeTrain pattern): storage follows the
+      // result's GC lifetime instead of leaking a persist
+      val fin = tw.localCheckpoint()
+      tw.unpersist()
+      fin.select($("w").as("word"), $("freq").cast("long").as("freq"),
           length($("w")).cast("int").as("n_sym_before"),
           size($("syms")).cast("int").as("n_sym_after"))
         .orderBy($("word"))

@@ -48,16 +48,21 @@ import graft.channel.Channel
   *     `weak=false` (default, strong reader) fails on a gap instead of
   *     silently losing data.
   *
-  * Offsets only advance past FULLY COMMITTED prefixes: the visible end is
-  * the first sequence whose batch dir lacks `_SUCCESS` — or whose `_res_`
-  * reservation marker is still pending (writers claim their seq with an
-  * atomic createDirectory BEFORE writing, see [[Channel.reserveSeq]]), so
-  * a mid-write batch is never half-read, a not-yet-visible concurrent
-  * write can never be skipped, and a crashed write blocks (not corrupts)
-  * the stream until swept by `compact()`. Streaming planning reads
-  * `batch_*` dirs only — `compact_*` rewrites are invisible to
-  * subscriptions (same contract as [[Channel.readStream]]: a checkpointed
-  * subscriber already ingested the originals).
+  * Mid-write safety is mode-specific. STRONG readers plan only below the
+  * strict end, which parks at the lowest pending `_res_` reservation
+  * (writers claim their seq with an atomic createDirectory BEFORE
+  * writing, see [[Channel.reserveSeq]], and the marker provably outlives
+  * any partial batch dir), so a mid-write batch is never half-read, a
+  * not-yet-visible concurrent write can never be skipped, and a crashed
+  * write blocks (not corrupts) the stream until swept. WEAK readers plan
+  * up to the weak end, which deliberately advances past gaps — including
+  * a rival writer's still-in-flight lower seq — so the plan site itself
+  * filters any dir lacking `_SUCCESS` (see [[planInputPartitions]]); a
+  * batch that commits below an already-advanced weak offset is the same
+  * benign hole as an evicted seq (drop-mode semantics). Streaming
+  * planning reads `batch_*` dirs only — `compact_*` rewrites are
+  * invisible to subscriptions (same contract as [[Channel.readStream]]:
+  * a checkpointed subscriber already ingested the originals).
   *
   * Scale: batch scans bin-pack parquet files into input partitions by
   * `spark.sql.files.maxPartitionBytes`, so a long-lived topic with
@@ -363,17 +368,30 @@ final class ChannelMicroBatchStream(dir: Path, factory: PartitionReaderFactory,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ChannelSeqOffset].seq
     val e = end.asInstanceOf[ChannelSeqOffset].seq
-    val inRange = batchDirs().filter { case (seq, _) => seq >= s && seq < e }
+    // Only FULLY COMMITTED dirs are plannable. WEAK mode can plan past a
+    // rival's still-in-flight lower seq (the weak end advances past
+    // gaps, and the in-flight dir may already be on disk mid-write):
+    // reading it would deliver a partial batch as if whole, so the plan
+    // site filters on `_SUCCESS` — the cursor cannot carry this
+    // invariant. A batch committing below an already-advanced weak
+    // offset is then the same benign hole as an evicted seq. STRICT mode
+    // never reaches an uncommitted dir (its end parks at the live
+    // reservation marker, which outlives any partial dir) — if one ever
+    // shows up below the strict end anyway, it lands in the loss check
+    // below and fails LOUDLY instead of being half-read or skipped.
+    val planned = batchDirs()
+      .filter { case (seq, ds) => seq >= s && seq < e &&
+        ds.forall(p => Files.exists(p.resolve("_SUCCESS"))) }
     if (!weak) {
       // `_abort_` tombstones are holes that never held data (failed or
       // capacity-rejected writes), and a `compact_N` dir consumed seq N
       // without a batch (its content was already delivered as the
       // original batches) — neither is loss
       val benign = Channel.abortSeqs(dir).toSet ++ Channel.compactSeqs(dir)
-      val missing = (s until e).filterNot(inRange.map(_._1).toSet ++ benign)
+      val missing = (s until e).filterNot(planned.map(_._1).toSet ++ benign)
       if (missing.nonEmpty) throw ChannelDataLoss(dir.toString, missing)
     }
-    inRange.flatMap(_._2).flatMap(dataFiles)
+    planned.flatMap(_._2).flatMap(dataFiles)
       .map(p => ChannelInputPartition(Seq(FileSlice(p.toString, Files.size(p)))))
       .toArray
   }

@@ -273,6 +273,32 @@ class Dsv2ChannelSuite extends SparkSpec {
       "stream read into an uncommitted batch")
   }
 
+  test("weak reader skips a rival's in-flight batch below the committed end") {
+    // The round-9 exhaustive interleaving analysis: the weak end
+    // deliberately advances past a slower rival's still-in-flight lower
+    // seq, so the PLAN site must filter uncommitted dirs — otherwise the
+    // reader delivers a partial batch as if whole and the offset seals
+    // the loss. Construct the mid-write state: batch 0 loses its commit
+    // marker and regains its reservation (what a slow writer holds while
+    // a faster rival commits seq 1 and the head publishes weak end 2).
+    val reg = new ChannelRegistry(spark, tmpDir("dsv2"))
+    val ch = reg.create("s6", schema)
+    ch.write(Seq((1, "a")).toDF("id", "msg"), 1)
+    ch.write(Seq((2, "b")).toDF("id", "msg"), 2)
+    val b0 = Channel.listBatches(ch.dir).head
+    Files.delete(b0.resolve("_SUCCESS"))
+    Files.createDirectory(ch.dir.resolve(f"${Channel.ResPrefix}${0L}%012d"))
+
+    // listing-derived ends: strict parks at the reservation, weak stays
+    // past the in-flight seq (monotone — the r9 committedEnds fix)
+    val (strict, weak) = Channel.committedEnds(ch.dir)
+    assert(strict == 0 && weak == 2, s"ends ($strict,$weak)")
+
+    val name = runToSink(ch.readStreamV2(weak = true).select("id"))
+    assert(spark.table(name).as[Int].collect().toSeq == Seq(2),
+      "weak reader must skip the in-flight batch, and ONLY it")
+  }
+
   test("pending seq reservation parks the stream; release resumes it") {
     val reg = new ChannelRegistry(spark, tmpDir("dsv2"))
     val ch = reg.create("s6", schema)
