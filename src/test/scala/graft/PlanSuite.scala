@@ -239,6 +239,12 @@ class PlanSuite extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("epoch shard: heads via bounded heap, never a full-shard window sort") {
+    val plan = physical("q_epoch_shard")
+    assert(plan.contains("TopKPerKey"), s"bounded heap missing:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"), "epoch shard must not window-sort shards")
+  }
+
   test("un-hinted fact-derived joins still broadcast at bench scale (AQE)") {
     // the q2 pattern: the hint was dropped so 100 TB degrades to a
     // shuffled join instead of failing at the broadcast cap — but at
