@@ -31,15 +31,21 @@ import scala.jdk.CollectionConverters._
   * primitive, so this engine layers [[QuicTls]] — JDK `SSLEngine` over
   * each bidirectional stream — on top: stream payloads (the data a user
   * hands the transport) get the full TLS properties (confidentiality,
-  * integrity, cert-based peer refusal), while the QUIC-shaped packet
-  * headers and the domain field in INITIAL (where a ClientHello SNI
-  * would sit) remain cleartext. That residual divergence — transport
-  * metadata visible on the wire, no packet-number encryption — is the
-  * deliberate, stated gap from RFC 9001 packet protection; closing it
-  * would mean reimplementing QUIC-TLS key schedules the JDK doesn't
-  * expose. The packet layout keeps QUIC's shape (long-header handshake,
-  * short-header data) so a native crypto layer could replace [[QuicTls]]
-  * without touching stream/recovery logic.
+  * integrity, cert-based peer refusal). The INITIAL space additionally
+  * carries REAL RFC 9001 initial protection ([[QuicInitialCrypto]],
+  * key schedule vector-tested against RFC 9001 Appendix A.1): the
+  * domain field (where a ClientHello SNI would sit) travels AEAD-sealed
+  * under the client initial keys with a header-protected packet-number
+  * byte, ACCEPT is sealed under the server initial keys, and hostile or
+  * forged handshake datagrams fail the tag and are dropped statelessly.
+  * The residual divergence from full RFC 9001: Handshake/1-RTT packet
+  * protection needs the TLS traffic secrets, which `SSLEngine` does not
+  * export — so STREAM/ACK headers stay cleartext (payload
+  * confidentiality rides QuicTls) and the type byte stays visible
+  * (this transport demuxes 5 explicit types instead of QUIC's
+  * try-keys-then-parse). The packet layout keeps QUIC's shape so a
+  * native TLS layer could extend the same key schedule to the later
+  * spaces without touching stream/recovery logic.
   */
 object QuicLite {
 
@@ -57,6 +63,18 @@ object QuicLite {
 
   private val RtoMillis = 100L
   private val MaxRetries = 12
+
+  /** 8-byte big-endian DCID form of a connection id — the HKDF input for
+    * the RFC 9001 initial secrets (QuicInitialCrypto.initialSecrets). */
+  private def dcidOf(cid: Long): Array[Byte] =
+    ByteBuffer.allocate(8).putLong(cid).array()
+
+  /** AAD for an initial-space packet: the cleartext header bytes (type,
+    * cid, RAW pn) exactly as they precede the sealed payload on the wire
+    * (the pn byte travels header-protected; the AAD uses its true value,
+    * so a flipped pn fails the tag like any other header tamper). */
+  private def initialAad(tpe: Byte, cid: Long, pn: Byte): Array[Byte] =
+    ByteBuffer.allocate(10).put(tpe).putLong(cid).put(pn).array()
 
   /** Flow-control bounds — the memory limits real QUIC gets from
     * MAX_STREAM_DATA / MAX_STREAMS; a peer exceeding them has its
@@ -331,9 +349,20 @@ object QuicLite {
       val remote = new InetSocketAddress(host, port)
       val conn = new Connection(this, cid, remote, domain, isServerSide = false)
       conns.put(cid, conn)
-      val sni = domain.getBytes(UTF_8)
-      val buf = ByteBuffer.allocate(1 + 8 + 2 + sni.length)
-      buf.put(INITIAL).putLong(cid).putShort(sni.length.toShort).put(sni)
+      // RFC 9001 Initial protection (QuicInitialCrypto): the domain —
+      // where a ClientHello's SNI would sit — travels sealed under the
+      // client initial keys derived from the connection id, with the
+      // type+cid+pn header as AAD and the pn byte header-protected by a
+      // mask sampled from the ciphertext. Retransmissions resend the
+      // identical sealed bytes (same key/nonce/plaintext — a true
+      // retransmission, not a nonce reuse across plaintexts).
+      val ck = QuicInitialCrypto.keys(QuicInitialCrypto.initialSecrets(dcidOf(cid))._1)
+      val aad = initialAad(INITIAL, cid, pn = 0)
+      val sealedSni = QuicInitialCrypto.seal(ck, 0L, aad, domain.getBytes(UTF_8))
+      val mask = QuicInitialCrypto.hpMask(ck.hp, sealedSni.take(16))
+      val buf = ByteBuffer.allocate(1 + 8 + 1 + 2 + sealedSni.length)
+      buf.put(INITIAL).putLong(cid).put((0 ^ mask(1)).toByte)
+        .putShort(sealedSni.length.toShort).put(sealedSni)
       buf.flip()
       val initial = new Array[Byte](buf.remaining()); buf.get(initial)
       val deadline = System.nanoTime() + timeoutMs * 1000000L
@@ -372,7 +401,21 @@ object QuicLite {
     private def handle(buf: ByteBuffer, from: SocketAddress): Unit = buf.get() match {
       case INITIAL =>
         val cid = buf.getLong
-        val sni = new Array[Byte](buf.getShort & 0xffff); buf.get(sni)
+        val pnProt = buf.get()
+        val sealedSni = new Array[Byte](buf.getShort & 0xffff)
+        if (buf.remaining() < sealedSni.length || sealedSni.length < 16) return
+        buf.get(sealedSni)
+        // undo header protection, then AEAD-open under the client
+        // initial keys; a forged/hostile INITIAL fails the tag and is
+        // DROPPED (no close, no state) instead of parsed as garbage
+        val ck = QuicInitialCrypto.keys(
+          QuicInitialCrypto.initialSecrets(dcidOf(cid))._1)
+        val mask = QuicInitialCrypto.hpMask(ck.hp, sealedSni.take(16))
+        val pn = (pnProt ^ mask(1)).toByte
+        val sni =
+          try QuicInitialCrypto.open(ck, pn.toLong & 0xff,
+            initialAad(INITIAL, cid, pn), sealedSni)
+          catch { case _: javax.crypto.AEADBadTagException => return }
         val domain = new String(sni, UTF_8)
         listeners.get(domain) match {
           case null => // unrouted domain → close(0) parity (lib.rs:198)
@@ -387,14 +430,35 @@ object QuicLite {
             conns.computeIfAbsent(cid,
               _ => new Connection(this, cid, from, domain, isServerSide = true))
               .remote = from
-            val out = ByteBuffer.allocate(1 + 8)
-            out.put(ACCEPT).putLong(cid).flip()
+            // ACCEPT is sealed under the SERVER initial keys (empty
+            // payload → a bare 16-byte tag over the header AAD), so the
+            // handshake proves key directionality both ways and a
+            // forged ACCEPT cannot establish the client side
+            val sk = QuicInitialCrypto.keys(
+              QuicInitialCrypto.initialSecrets(dcidOf(cid))._2)
+            val tag = QuicInitialCrypto.seal(sk, 0L,
+              initialAad(ACCEPT, cid, pn = 0), Array.emptyByteArray)
+            val amask = QuicInitialCrypto.hpMask(sk.hp, tag.take(16))
+            val out = ByteBuffer.allocate(1 + 8 + 1 + 2 + tag.length)
+            out.put(ACCEPT).putLong(cid).put((0 ^ amask(1)).toByte)
+              .putShort(tag.length.toShort).put(tag).flip()
             val b = new Array[Byte](out.remaining()); out.get(b)
             transmit(b, from, -1L)
         }
 
       case ACCEPT =>
         val cid = buf.getLong
+        val pnProt = buf.get()
+        val tag = new Array[Byte](buf.getShort & 0xffff)
+        if (buf.remaining() < tag.length || tag.length < 16) return
+        buf.get(tag)
+        val sk = QuicInitialCrypto.keys(
+          QuicInitialCrypto.initialSecrets(dcidOf(cid))._2)
+        val mask = QuicInitialCrypto.hpMask(sk.hp, tag.take(16))
+        val pn = (pnProt ^ mask(1)).toByte
+        try QuicInitialCrypto.open(sk, pn.toLong & 0xff,
+          initialAad(ACCEPT, cid, pn), tag)
+        catch { case _: javax.crypto.AEADBadTagException => return }
         Option(conns.get(cid)).foreach(_.established.countDown())
 
       case STREAM =>
