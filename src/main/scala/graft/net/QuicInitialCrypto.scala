@@ -111,13 +111,34 @@ object QuicInitialCrypto {
     c.doFinal(sealed_)
   }
 
+  /** Keys for a transport-specific packet space derived from one
+    * direction's initial secret — [[QuicLite]] uses "graft data"
+    * (STREAM) and "graft ack" (ACK) spaces so the data plane gets the
+    * same AEAD + pn-masking treatment as INITIAL. Initial secrets are
+    * publicly derivable (the salt is public), so like QUIC's own
+    * Initial space this is ossification armor and tamper/garbage
+    * rejection, NOT confidentiality — that rides [[QuicTls]]; real
+    * Handshake/1-RTT keys would need TLS traffic secrets the JDK does
+    * not export. */
+  def spaceKeys(secret: Array[Byte], label: String): Keys =
+    keys(hkdfExpandLabel(secret, label, 32))
+
   /** 5-byte header-protection mask: AES-ECB of a 16-byte ciphertext
     * sample under the hp key (§5.4.1/§5.4.3). */
-  def hpMask(hp: Array[Byte], sample: Array[Byte]): Array[Byte] = {
+  def hpMask(hp: Array[Byte], sample: Array[Byte]): Array[Byte] =
+    hpBlock(hp, sample).take(5)
+
+  /** Widened 9-byte mask for this transport's fixed 8-byte packet-number
+    * field (RFC QUIC pns are ≤4 bytes, so §5.4.1 takes 5) — same single
+    * AES-ECB block, more of it used. */
+  def hpMaskWide(hp: Array[Byte], sample: Array[Byte]): Array[Byte] =
+    hpBlock(hp, sample).take(9)
+
+  private def hpBlock(hp: Array[Byte], sample: Array[Byte]): Array[Byte] = {
     require(sample.length == 16, "header-protection sample must be 16 bytes")
     val c = Cipher.getInstance("AES/ECB/NoPadding")
     c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(hp, "AES"))
-    c.doFinal(sample).take(5)
+    c.doFinal(sample)
   }
 
   /** Apply/remove header protection in place (§5.4.1): long-header

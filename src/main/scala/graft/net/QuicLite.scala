@@ -38,14 +38,22 @@ import scala.jdk.CollectionConverters._
   * under the client initial keys with a header-protected packet-number
   * byte, ACCEPT is sealed under the server initial keys, and hostile or
   * forged handshake datagrams fail the tag and are dropped statelessly.
-  * The residual divergence from full RFC 9001: Handshake/1-RTT packet
-  * protection needs the TLS traffic secrets, which `SSLEngine` does not
-  * export — so STREAM/ACK headers stay cleartext (payload
-  * confidentiality rides QuicTls) and the type byte stays visible
-  * (this transport demuxes 5 explicit types instead of QUIC's
-  * try-keys-then-parse). The packet layout keeps QUIC's shape so a
-  * native TLS layer could extend the same key schedule to the later
-  * spaces without touching stream/recovery logic.
+  * The DATA plane gets the same treatment from initial-DERIVED space
+  * keys ("graft data" / "graft ack", [[QuicInitialCrypto.spaceKeys]]):
+  * STREAM frame metadata (stream id, offset, fin) and payload bytes are
+  * AEAD-sealed per packet with masked packet numbers, ACKs likewise,
+  * each direction under its own role's keys so (key, nonce) pairs never
+  * collide across the two counters. Because initial secrets derive from
+  * the public salt + cid, this — like QUIC's own Initial space — is
+  * ossification armor plus garbage/tamper rejection, NOT secrecy: real
+  * confidentiality rides QuicTls, and true Handshake/1-RTT keys would
+  * need the TLS traffic secrets `SSLEngine` does not export. That key
+  * provenance is the residual divergence from full RFC 9001, along with
+  * the cleartext type byte (this transport demuxes 5 explicit types
+  * instead of QUIC's try-keys-then-parse) and the cleartext CLOSE (see
+  * `close()`). The packet layout keeps QUIC's shape so a native TLS
+  * layer could swap real traffic secrets into the same key schedule
+  * without touching stream/recovery logic.
   */
 object QuicLite {
 
@@ -75,6 +83,20 @@ object QuicLite {
     * so a flipped pn fails the tag like any other header tamper). */
   private def initialAad(tpe: Byte, cid: Long, pn: Byte): Array[Byte] =
     ByteBuffer.allocate(10).put(tpe).putLong(cid).put(pn).array()
+
+  /** AAD for a data-plane packet (STREAM/ACK): type, cid, RAW 64-bit
+    * packet number. */
+  private def dataAad(tpe: Byte, cid: Long, pkt: Long): Array[Byte] =
+    ByteBuffer.allocate(17).put(tpe).putLong(cid).putLong(pkt).array()
+
+  /** XOR an 8-byte packet number with bytes 1..8 of a wide hp mask —
+    * its own inverse (apply again to unprotect). */
+  private def maskPn(pkt: Long, mask: Array[Byte]): Long = {
+    var m = 0L
+    var i = 0
+    while (i < 8) { m = (m << 8) | (mask(1 + i) & 0xffL); i += 1 }
+    pkt ^ m
+  }
 
   /** Flow-control bounds — the memory limits real QUIC gets from
     * MAX_STREAM_DATA / MAX_STREAMS; a peer exceeding them has its
@@ -249,6 +271,19 @@ object QuicLite {
     private[net] val established = new CountDownLatch(1)
     private val nextStreamId = new AtomicLong(0L)
     private val nextPacket = new AtomicLong(0L)
+    // Data-plane packet spaces (QuicInitialCrypto.spaceKeys): each role
+    // seals with keys from ITS initial secret and opens with the peer's,
+    // so the two directions never share a (key, nonce) pair even though
+    // both sides count packets from 0. The nonce is the packet number;
+    // retransmissions resend the identical sealed bytes.
+    private[net] val (dataSendK, dataRecvK, ackSendK, ackRecvK) = {
+      val (cs, ss) = QuicInitialCrypto.initialSecrets(dcidOf(cid))
+      val (mine, theirs) = if (isServerSide) (ss, cs) else (cs, ss)
+      (QuicInitialCrypto.spaceKeys(mine, "graft data"),
+        QuicInitialCrypto.spaceKeys(theirs, "graft data"),
+        QuicInitialCrypto.spaceKeys(mine, "graft ack"),
+        QuicInitialCrypto.spaceKeys(theirs, "graft ack"))
+    }
     // pktNum -> (datagram bytes, last-send nanos, retries); the retransmit
     // loop resends entries past RTO and kills the connection at MaxRetries.
     private[net] val unacked = new ConcurrentHashMap[Long, (Array[Byte], Long, Int)]()
@@ -281,13 +316,40 @@ object QuicLite {
         streamId: Long, offset: Long, data: Array[Byte], fin: Boolean): Unit = {
       failure.foreach(f => throw QuicError(f))
       val pkt = nextPacket.getAndIncrement()
-      val buf = ByteBuffer.allocate(1 + 8 + 8 + 8 + 8 + 1 + 2 + data.length)
-      buf.put(STREAM).putLong(cid).putLong(pkt).putLong(streamId).putLong(offset)
-        .put(if (fin) 1.toByte else 0.toByte).putShort(data.length.toShort).put(data)
+      // frame metadata (stream id, offset, fin) rides INSIDE the sealed
+      // payload; the wire shows type, cid, and a masked packet number
+      val plain = ByteBuffer.allocate(8 + 8 + 1 + 2 + data.length)
+        .putLong(streamId).putLong(offset)
+        .put(if (fin) 1.toByte else 0.toByte)
+        .putShort(data.length.toShort).put(data).array()
+      val sealed_ = QuicInitialCrypto.seal(dataSendK, pkt,
+        dataAad(STREAM, cid, pkt), plain)
+      val mask = QuicInitialCrypto.hpMaskWide(dataSendK.hp, sealed_.take(16))
+      val buf = ByteBuffer.allocate(1 + 8 + 8 + 2 + sealed_.length)
+      buf.put(STREAM).putLong(cid).putLong(maskPn(pkt, mask))
+        .putShort(sealed_.length.toShort).put(sealed_)
       buf.flip()
       val bytes = new Array[Byte](buf.remaining()); buf.get(bytes)
       unacked.put(pkt, (bytes, System.nanoTime(), 0))
       endpoint.transmit(bytes, remote, pkt)
+    }
+
+    /** Seal-and-send an ACK for `ackedPkt` under the ack-space keys; the
+      * ACK consumes its own packet number for nonce uniqueness (spaces
+      * have distinct keys, so sharing the counter with STREAM is fine). */
+    private[net] def sendAck(ackedPkt: Long): Unit = {
+      val pkt = nextPacket.getAndIncrement()
+      val plain = ByteBuffer.allocate(2 + 8)
+        .putShort(1.toShort).putLong(ackedPkt).array()
+      val sealed_ = QuicInitialCrypto.seal(ackSendK, pkt,
+        dataAad(ACK, cid, pkt), plain)
+      val mask = QuicInitialCrypto.hpMaskWide(ackSendK.hp, sealed_.take(16))
+      val buf = ByteBuffer.allocate(1 + 8 + 8 + 2 + sealed_.length)
+      buf.put(ACK).putLong(cid).putLong(maskPn(pkt, mask))
+        .putShort(sealed_.length.toShort).put(sealed_)
+      buf.flip()
+      val bytes = new Array[Byte](buf.remaining()); buf.get(bytes)
+      endpoint.transmit(bytes, remote, -1L)
     }
 
     private[net] def fail(reason: String): Unit = {
@@ -301,6 +363,12 @@ object QuicLite {
       endpoint.dropConnection(cid)
     }
 
+    // CLOSE stays a cleartext control packet: it carries only a code and
+    // reason (no payload-secrecy claim), may legitimately repeat with
+    // differing reasons (which rules out the deterministic pn-as-nonce
+    // scheme the other spaces use), and a spoofed CLOSE was always part
+    // of the unauthenticated-close threat model here — QUIC itself only
+    // weakly protects CONNECTION_CLOSE in the initial space.
     def close(code: Int = 0, reason: String = "bye"): Unit = {
       val r = reason.getBytes(UTF_8)
       val buf = ByteBuffer.allocate(1 + 8 + 4 + 2 + r.length)
@@ -465,17 +533,25 @@ object QuicLite {
         val cid = buf.getLong
         val conn = conns.get(cid)
         if (conn != null) {
-          val pkt = buf.getLong
-          val streamId = buf.getLong
-          val offset = buf.getLong
-          val fin = buf.get() != 0
-          val data = new Array[Byte](buf.getShort & 0xffff); buf.get(data)
+          val pktProt = buf.getLong
+          val sealedLen = buf.getShort & 0xffff
+          if (buf.remaining() < sealedLen || sealedLen < 16) return
+          val sealed_ = new Array[Byte](sealedLen); buf.get(sealed_)
+          val mask = QuicInitialCrypto.hpMaskWide(
+            conn.dataRecvK.hp, sealed_.take(16))
+          val pkt = maskPn(pktProt, mask)
+          val plain =
+            try QuicInitialCrypto.open(conn.dataRecvK, pkt,
+              dataAad(STREAM, cid, pkt), sealed_)
+            catch { case _: javax.crypto.AEADBadTagException => return }
+          val pb = ByteBuffer.wrap(plain)
+          val streamId = pb.getLong
+          val offset = pb.getLong
+          val fin = pb.get() != 0
+          val data = new Array[Byte](pb.getShort & 0xffff); pb.get(data)
           // ACK every packet, duplicates included (the dup means our
           // previous ACK was lost).
-          val out = ByteBuffer.allocate(1 + 8 + 2 + 8)
-          out.put(ACK).putLong(cid).putShort(1).putLong(pkt).flip()
-          val b = new Array[Byte](out.remaining()); out.get(b)
-          transmit(b, conn.remote, -1L)
+          conn.sendAck(pkt)
           val s = conn.stream(streamId)
           s.offer(offset, data, fin)
           if (conn.isServerSide && conn.isOpen && s.markRouted()) {
@@ -492,8 +568,20 @@ object QuicLite {
         val cid = buf.getLong
         val conn = conns.get(cid)
         if (conn != null) {
-          val n = buf.getShort & 0xffff
-          (0 until n).foreach(_ => conn.unacked.remove(buf.getLong))
+          val pktProt = buf.getLong
+          val sealedLen = buf.getShort & 0xffff
+          if (buf.remaining() < sealedLen || sealedLen < 16) return
+          val sealed_ = new Array[Byte](sealedLen); buf.get(sealed_)
+          val mask = QuicInitialCrypto.hpMaskWide(
+            conn.ackRecvK.hp, sealed_.take(16))
+          val pkt = maskPn(pktProt, mask)
+          val plain =
+            try QuicInitialCrypto.open(conn.ackRecvK, pkt,
+              dataAad(ACK, cid, pkt), sealed_)
+            catch { case _: javax.crypto.AEADBadTagException => return }
+          val pb = ByteBuffer.wrap(plain)
+          val n = pb.getShort & 0xffff
+          (0 until n).foreach(_ => conn.unacked.remove(pb.getLong))
         }
 
       case CLOSE =>

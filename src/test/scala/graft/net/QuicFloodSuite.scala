@@ -14,13 +14,29 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class QuicFloodSuite extends AnyFunSuite {
 
-  /** Raw STREAM datagram: type(1) cid(8) pkt(8) streamId(8) offset(8)
-    * fin(1) len(2) data — the layout `handle` parses. */
+  /** CRYPTO-VALID hostile STREAM datagram: the data plane is sealed
+    * under initial-derived space keys (QuicLite data-plane protection),
+    * and those keys are PUBLICLY derivable from the cid — so a hostile
+    * peer can always speak the protocol, and the flow-control caps must
+    * bound it anyway (the claim these tests pin). Layout `handle`
+    * parses: type(1) cid(8) maskedPkt(8) len(2) sealed. */
   private def streamFrame(cid: Long, pkt: Long, streamId: Long, offset: Long,
                           data: Array[Byte]): ByteBuffer = {
-    val b = ByteBuffer.allocate(1 + 8 + 8 + 8 + 8 + 1 + 2 + data.length)
-    b.put(3.toByte).putLong(cid).putLong(pkt).putLong(streamId).putLong(offset)
-      .put(0.toByte).putShort(data.length.toShort).put(data)
+    val dcid = ByteBuffer.allocate(8).putLong(cid).array()
+    val k = QuicInitialCrypto.spaceKeys(
+      QuicInitialCrypto.initialSecrets(dcid)._1, "graft data") // client role
+    val plain = ByteBuffer.allocate(8 + 8 + 1 + 2 + data.length)
+      .putLong(streamId).putLong(offset).put(0.toByte)
+      .putShort(data.length.toShort).put(data).array()
+    val aad = ByteBuffer.allocate(17)
+      .put(3.toByte).putLong(cid).putLong(pkt).array()
+    val sealedBytes = QuicInitialCrypto.seal(k, pkt, aad, plain)
+    val mask = QuicInitialCrypto.hpMaskWide(k.hp, sealedBytes.take(16))
+    var m = 0L
+    (0 until 8).foreach(i => m = (m << 8) | (mask(1 + i) & 0xffL))
+    val b = ByteBuffer.allocate(1 + 8 + 8 + 2 + sealedBytes.length)
+    b.put(3.toByte).putLong(cid).putLong(pkt ^ m)
+      .putShort(sealedBytes.length.toShort).put(sealedBytes)
     b.flip(); b
   }
 

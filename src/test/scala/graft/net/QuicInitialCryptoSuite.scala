@@ -101,6 +101,55 @@ class QuicInitialCryptoSuite extends AnyFunSuite {
     } finally { sniffer.close(); ep.close() }
   }
 
+  test("wire capture: STREAM payloads and frame metadata travel sealed (relay MITM)") {
+    // a UDP relay sits between client and server, recording every
+    // datagram both ways; after a request/reply round-trip, no captured
+    // datagram may contain the application payload in cleartext
+    import java.net.InetSocketAddress
+    import java.nio.channels.DatagramChannel
+    val server = QuicLite.endpoint()
+    val handle = server.bind("relay.test")
+    val relay = DatagramChannel.open()
+      .bind(new InetSocketAddress("127.0.0.1", 0))
+    val relayPort = relay.getLocalAddress.asInstanceOf[InetSocketAddress].getPort
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[Array[Byte]]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val serverAddr = new InetSocketAddress("127.0.0.1", server.port)
+    @volatile var clientAddr: java.net.SocketAddress = null
+    val relayThread = new Thread(() => {
+      val buf = java.nio.ByteBuffer.allocate(4096)
+      try while (!stop.get()) {
+        buf.clear()
+        val from = relay.receive(buf)
+        buf.flip()
+        val pkt = new Array[Byte](buf.remaining()); buf.get(pkt)
+        captured.add(pkt)
+        val fromServer = from.asInstanceOf[InetSocketAddress].getPort == server.port
+        if (fromServer) { if (clientAddr != null) relay.send(java.nio.ByteBuffer.wrap(pkt), clientAddr) }
+        else { clientAddr = from; relay.send(java.nio.ByteBuffer.wrap(pkt), serverAddr) }
+      } catch { case _: Throwable => () }
+    })
+    relayThread.start()
+    val client = QuicLite.endpoint()
+    try {
+      val conn = client.connect("127.0.0.1", relayPort, "relay.test")
+      val secret = "TOPSECRET-payload-7f3a" * 8
+      val st = conn.openStream()
+      st.write(secret.getBytes("UTF-8"))
+      val got = handle.accept(5000).map(s => new String(s.readAll(), "UTF-8"))
+      assert(got.contains(secret), "relay round-trip failed")
+      val needle = secret.take(22).getBytes("UTF-8")
+      import scala.jdk.CollectionConverters._
+      val pkts = captured.asScala.toSeq
+      assert(pkts.exists(_.headOption.contains(3.toByte)), "no STREAM captured")
+      assert(!pkts.exists(_.sliding(needle.length).exists(_.sameElements(needle))),
+        "application payload visible in cleartext on the wire")
+    } finally {
+      stop.set(true); relay.close(); relayThread.join(2000)
+      client.close(); server.close()
+    }
+  }
+
   test("header protection is a masked involution and direction-keyed") {
     val (cs, ss) = QuicInitialCrypto.initialSecrets(dcid)
     val ck = QuicInitialCrypto.keys(cs)
