@@ -42,6 +42,14 @@ object QuicInitialCrypto {
     m.doFinal(data)
   }
 
+  // per-thread reusable Cipher instances: Cipher.getInstance is a JCE
+  // provider lookup + allocation — measurable at per-datagram rates on
+  // the transport hot path; init() re-keys the cached instance per call
+  private val gcmCipher = ThreadLocal.withInitial[Cipher](
+    () => Cipher.getInstance("AES/GCM/NoPadding"))
+  private val ecbCipher = ThreadLocal.withInitial[Cipher](
+    () => Cipher.getInstance("AES/ECB/NoPadding"))
+
   def hkdfExtract(salt: Array[Byte], ikm: Array[Byte]): Array[Byte] =
     hmac(salt, ikm)
 
@@ -93,7 +101,7 @@ object QuicInitialCrypto {
   /** AES-128-GCM seal: ciphertext || 16-byte tag, header bytes as AAD. */
   def seal(k: Keys, packetNumber: Long, header: Array[Byte],
            payload: Array[Byte]): Array[Byte] = {
-    val c = Cipher.getInstance("AES/GCM/NoPadding")
+    val c = gcmCipher.get()
     c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(k.key, "AES"),
       new GCMParameterSpec(128, nonce(k.iv, packetNumber)))
     c.updateAAD(header)
@@ -104,7 +112,7 @@ object QuicInitialCrypto {
     * ciphertext, tag, header (AAD), or packet number (nonce). */
   def open(k: Keys, packetNumber: Long, header: Array[Byte],
            sealed_ : Array[Byte]): Array[Byte] = {
-    val c = Cipher.getInstance("AES/GCM/NoPadding")
+    val c = gcmCipher.get()
     c.init(Cipher.DECRYPT_MODE, new SecretKeySpec(k.key, "AES"),
       new GCMParameterSpec(128, nonce(k.iv, packetNumber)))
     c.updateAAD(header)
@@ -136,9 +144,25 @@ object QuicInitialCrypto {
 
   private def hpBlock(hp: Array[Byte], sample: Array[Byte]): Array[Byte] = {
     require(sample.length == 16, "header-protection sample must be 16 bytes")
-    val c = Cipher.getInstance("AES/ECB/NoPadding")
+    val c = ecbCipher.get()
     c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(hp, "AES"))
     c.doFinal(sample)
+  }
+
+  /** XOR a packet-number byte sequence with mask bytes 1.. — the pn
+    * half of header protection, its own inverse. [[QuicLite]] routes
+    * its 1-byte (initial space) and 8-byte (data plane, via
+    * [[maskPn64]]) pn fields through this rule. */
+  def maskPnBytes(pnBytes: Array[Byte], mask: Array[Byte]): Array[Byte] =
+    pnBytes.zipWithIndex.map { case (b, i) => (b ^ mask(1 + i)).toByte }
+
+  /** [[maskPnBytes]] specialised to a big-endian 64-bit pn field with a
+    * wide mask (bytes 1..8) — allocation-free for the per-packet path. */
+  def maskPn64(pkt: Long, mask: Array[Byte]): Long = {
+    var m = 0L
+    var i = 0
+    while (i < 8) { m = (m << 8) | (mask(1 + i) & 0xffL); i += 1 }
+    pkt ^ m
   }
 
   /** Apply/remove header protection in place (§5.4.1): long-header
@@ -147,8 +171,7 @@ object QuicInitialCrypto {
   def protectHeader(firstByte: Byte, pnBytes: Array[Byte],
                     mask: Array[Byte]): (Byte, Array[Byte]) = {
     val fb = (firstByte ^ (mask(0) & 0x0f)).toByte
-    val pn = pnBytes.zipWithIndex.map { case (b, i) => (b ^ mask(1 + i)).toByte }
-    (fb, pn)
+    (fb, maskPnBytes(pnBytes, mask))
   }
 
   private def hex(s: String): Array[Byte] =

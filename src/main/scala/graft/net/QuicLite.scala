@@ -89,13 +89,64 @@ object QuicLite {
   private def dataAad(tpe: Byte, cid: Long, pkt: Long): Array[Byte] =
     ByteBuffer.allocate(17).put(tpe).putLong(cid).putLong(pkt).array()
 
-  /** XOR an 8-byte packet number with bytes 1..8 of a wide hp mask —
-    * its own inverse (apply again to unprotect). */
-  private def maskPn(pkt: Long, mask: Array[Byte]): Long = {
-    var m = 0L
-    var i = 0
-    while (i < 8) { m = (m << 8) | (mask(1 + i) & 0xffL); i += 1 }
-    pkt ^ m
+  /** Assemble one sealed DATA-plane packet — THE one copy of the
+    * seal → mask → frame dance for the 8-byte-pn spaces (STREAM, ACK):
+    * `tpe | cid | maskedPn(8) | len(2) | sealed`. */
+  private def sealedDataPacket(tpe: Byte, cid: Long, k: QuicInitialCrypto.Keys,
+      pkt: Long, plain: Array[Byte]): Array[Byte] = {
+    val sealedBytes = QuicInitialCrypto.seal(k, pkt, dataAad(tpe, cid, pkt), plain)
+    val mask = QuicInitialCrypto.hpMaskWide(k.hp, sealedBytes.take(16))
+    val buf = ByteBuffer.allocate(1 + 8 + 8 + 2 + sealedBytes.length)
+    buf.put(tpe).putLong(cid).putLong(QuicInitialCrypto.maskPn64(pkt, mask))
+      .putShort(sealedBytes.length.toShort).put(sealedBytes)
+    buf.flip()
+    val bytes = new Array[Byte](buf.remaining()); buf.get(bytes)
+    bytes
+  }
+
+  /** Unmask + AEAD-open a DATA-plane packet body positioned after the
+    * cid; None on truncation or a failed tag (drop the datagram). */
+  private def openDataPacket(tpe: Byte, cid: Long, k: QuicInitialCrypto.Keys,
+      buf: ByteBuffer): Option[(Long, ByteBuffer)] = {
+    val pktProt = buf.getLong
+    val sealedLen = buf.getShort & 0xffff
+    if (buf.remaining() < sealedLen || sealedLen < 16) return None
+    val sealedBytes = new Array[Byte](sealedLen); buf.get(sealedBytes)
+    val mask = QuicInitialCrypto.hpMaskWide(k.hp, sealedBytes.take(16))
+    val pkt = QuicInitialCrypto.maskPn64(pktProt, mask)
+    try Some((pkt, ByteBuffer.wrap(
+      QuicInitialCrypto.open(k, pkt, dataAad(tpe, cid, pkt), sealedBytes))))
+    catch { case _: javax.crypto.AEADBadTagException => None }
+  }
+
+  /** Same dance for the INITIAL space (1-byte pn, always 0):
+    * `tpe | cid | maskedPn(1) | len(2) | sealed`. */
+  private def sealedInitialPacket(tpe: Byte, cid: Long,
+      k: QuicInitialCrypto.Keys, plain: Array[Byte]): Array[Byte] = {
+    val sealedBytes = QuicInitialCrypto.seal(k, 0L, initialAad(tpe, cid, 0), plain)
+    val mask = QuicInitialCrypto.hpMask(k.hp, sealedBytes.take(16))
+    val buf = ByteBuffer.allocate(1 + 8 + 1 + 2 + sealedBytes.length)
+    buf.put(tpe).putLong(cid)
+      .put(QuicInitialCrypto.maskPnBytes(Array(0.toByte), mask)(0))
+      .putShort(sealedBytes.length.toShort).put(sealedBytes)
+    buf.flip()
+    val bytes = new Array[Byte](buf.remaining()); buf.get(bytes)
+    bytes
+  }
+
+  /** Unmask + open an INITIAL-space packet body positioned after the
+    * cid; None on truncation or a failed tag. */
+  private def openInitialPacket(tpe: Byte, cid: Long,
+      k: QuicInitialCrypto.Keys, buf: ByteBuffer): Option[Array[Byte]] = {
+    val pnProt = buf.get()
+    val sealedLen = buf.getShort & 0xffff
+    if (buf.remaining() < sealedLen || sealedLen < 16) return None
+    val sealedBytes = new Array[Byte](sealedLen); buf.get(sealedBytes)
+    val mask = QuicInitialCrypto.hpMask(k.hp, sealedBytes.take(16))
+    val pn = QuicInitialCrypto.maskPnBytes(Array(pnProt), mask)(0)
+    try Some(QuicInitialCrypto.open(k, pn.toLong & 0xff,
+      initialAad(tpe, cid, pn), sealedBytes))
+    catch { case _: javax.crypto.AEADBadTagException => None }
   }
 
   /** Flow-control bounds — the memory limits real QUIC gets from
@@ -276,13 +327,16 @@ object QuicLite {
     // so the two directions never share a (key, nonce) pair even though
     // both sides count packets from 0. The nonce is the packet number;
     // retransmissions resend the identical sealed bytes.
-    private[net] val (dataSendK, dataRecvK, ackSendK, ackRecvK) = {
+    private[net] val (dataSendK, dataRecvK, ackSendK, ackRecvK, initialPeerK) = {
       val (cs, ss) = QuicInitialCrypto.initialSecrets(dcidOf(cid))
       val (mine, theirs) = if (isServerSide) (ss, cs) else (cs, ss)
       (QuicInitialCrypto.spaceKeys(mine, "graft data"),
         QuicInitialCrypto.spaceKeys(theirs, "graft data"),
         QuicInitialCrypto.spaceKeys(mine, "graft ack"),
-        QuicInitialCrypto.spaceKeys(theirs, "graft ack"))
+        QuicInitialCrypto.spaceKeys(theirs, "graft ack"),
+        // the peer's INITIAL-space keys (the client caches the server's
+        // here for O(map-probe + open) ACCEPT verification)
+        QuicInitialCrypto.keys(theirs))
     }
     // pktNum -> (datagram bytes, last-send nanos, retries); the retransmit
     // loop resends entries past RTO and kills the connection at MaxRetries.
@@ -322,14 +376,7 @@ object QuicLite {
         .putLong(streamId).putLong(offset)
         .put(if (fin) 1.toByte else 0.toByte)
         .putShort(data.length.toShort).put(data).array()
-      val sealed_ = QuicInitialCrypto.seal(dataSendK, pkt,
-        dataAad(STREAM, cid, pkt), plain)
-      val mask = QuicInitialCrypto.hpMaskWide(dataSendK.hp, sealed_.take(16))
-      val buf = ByteBuffer.allocate(1 + 8 + 8 + 2 + sealed_.length)
-      buf.put(STREAM).putLong(cid).putLong(maskPn(pkt, mask))
-        .putShort(sealed_.length.toShort).put(sealed_)
-      buf.flip()
-      val bytes = new Array[Byte](buf.remaining()); buf.get(bytes)
+      val bytes = sealedDataPacket(STREAM, cid, dataSendK, pkt, plain)
       unacked.put(pkt, (bytes, System.nanoTime(), 0))
       endpoint.transmit(bytes, remote, pkt)
     }
@@ -341,15 +388,8 @@ object QuicLite {
       val pkt = nextPacket.getAndIncrement()
       val plain = ByteBuffer.allocate(2 + 8)
         .putShort(1.toShort).putLong(ackedPkt).array()
-      val sealed_ = QuicInitialCrypto.seal(ackSendK, pkt,
-        dataAad(ACK, cid, pkt), plain)
-      val mask = QuicInitialCrypto.hpMaskWide(ackSendK.hp, sealed_.take(16))
-      val buf = ByteBuffer.allocate(1 + 8 + 8 + 2 + sealed_.length)
-      buf.put(ACK).putLong(cid).putLong(maskPn(pkt, mask))
-        .putShort(sealed_.length.toShort).put(sealed_)
-      buf.flip()
-      val bytes = new Array[Byte](buf.remaining()); buf.get(bytes)
-      endpoint.transmit(bytes, remote, -1L)
+      endpoint.transmit(
+        sealedDataPacket(ACK, cid, ackSendK, pkt, plain), remote, -1L)
     }
 
     private[net] def fail(reason: String): Unit = {
@@ -424,15 +464,9 @@ object QuicLite {
       // mask sampled from the ciphertext. Retransmissions resend the
       // identical sealed bytes (same key/nonce/plaintext — a true
       // retransmission, not a nonce reuse across plaintexts).
-      val ck = QuicInitialCrypto.keys(QuicInitialCrypto.initialSecrets(dcidOf(cid))._1)
-      val aad = initialAad(INITIAL, cid, pn = 0)
-      val sealedSni = QuicInitialCrypto.seal(ck, 0L, aad, domain.getBytes(UTF_8))
-      val mask = QuicInitialCrypto.hpMask(ck.hp, sealedSni.take(16))
-      val buf = ByteBuffer.allocate(1 + 8 + 1 + 2 + sealedSni.length)
-      buf.put(INITIAL).putLong(cid).put((0 ^ mask(1)).toByte)
-        .putShort(sealedSni.length.toShort).put(sealedSni)
-      buf.flip()
-      val initial = new Array[Byte](buf.remaining()); buf.get(initial)
+      val initial = sealedInitialPacket(INITIAL, cid,
+        QuicInitialCrypto.keys(QuicInitialCrypto.initialSecrets(dcidOf(cid))._1),
+        domain.getBytes(UTF_8))
       val deadline = System.nanoTime() + timeoutMs * 1000000L
       transmit(initial, remote, -1L)
       while (!conn.established.await(RtoMillis, TimeUnit.MILLISECONDS)) {
@@ -469,21 +503,17 @@ object QuicLite {
     private def handle(buf: ByteBuffer, from: SocketAddress): Unit = buf.get() match {
       case INITIAL =>
         val cid = buf.getLong
-        val pnProt = buf.get()
-        val sealedSni = new Array[Byte](buf.getShort & 0xffff)
-        if (buf.remaining() < sealedSni.length || sealedSni.length < 16) return
-        buf.get(sealedSni)
-        // undo header protection, then AEAD-open under the client
-        // initial keys; a forged/hostile INITIAL fails the tag and is
-        // DROPPED (no close, no state) instead of parsed as garbage
-        val ck = QuicInitialCrypto.keys(
-          QuicInitialCrypto.initialSecrets(dcidOf(cid))._1)
-        val mask = QuicInitialCrypto.hpMask(ck.hp, sealedSni.take(16))
-        val pn = (pnProt ^ mask(1)).toByte
-        val sni =
-          try QuicInitialCrypto.open(ck, pn.toLong & 0xff,
-            initialAad(INITIAL, cid, pn), sealedSni)
-          catch { case _: javax.crypto.AEADBadTagException => return }
+        // AEAD-open under the client initial keys (derived per packet —
+        // a conn does not exist yet; real QUIC servers pay the same
+        // per-INITIAL derivation); a forged/hostile INITIAL fails the
+        // tag and is DROPPED (no close, no state) instead of parsed as
+        // garbage
+        val sni = openInitialPacket(INITIAL, cid,
+          QuicInitialCrypto.keys(QuicInitialCrypto.initialSecrets(dcidOf(cid))._1),
+          buf) match {
+          case Some(b) => b
+          case None => return
+        }
         val domain = new String(sni, UTF_8)
         listeners.get(domain) match {
           case null => // unrouted domain → close(0) parity (lib.rs:198)
@@ -502,49 +532,30 @@ object QuicLite {
             // payload → a bare 16-byte tag over the header AAD), so the
             // handshake proves key directionality both ways and a
             // forged ACCEPT cannot establish the client side
-            val sk = QuicInitialCrypto.keys(
-              QuicInitialCrypto.initialSecrets(dcidOf(cid))._2)
-            val tag = QuicInitialCrypto.seal(sk, 0L,
-              initialAad(ACCEPT, cid, pn = 0), Array.emptyByteArray)
-            val amask = QuicInitialCrypto.hpMask(sk.hp, tag.take(16))
-            val out = ByteBuffer.allocate(1 + 8 + 1 + 2 + tag.length)
-            out.put(ACCEPT).putLong(cid).put((0 ^ amask(1)).toByte)
-              .putShort(tag.length.toShort).put(tag).flip()
-            val b = new Array[Byte](out.remaining()); out.get(b)
-            transmit(b, from, -1L)
+            transmit(sealedInitialPacket(ACCEPT, cid,
+              QuicInitialCrypto.keys(QuicInitialCrypto.initialSecrets(dcidOf(cid))._2),
+              Array.emptyByteArray), from, -1L)
         }
 
       case ACCEPT =>
         val cid = buf.getLong
-        val pnProt = buf.get()
-        val tag = new Array[Byte](buf.getShort & 0xffff)
-        if (buf.remaining() < tag.length || tag.length < 16) return
-        buf.get(tag)
-        val sk = QuicInitialCrypto.keys(
-          QuicInitialCrypto.initialSecrets(dcidOf(cid))._2)
-        val mask = QuicInitialCrypto.hpMask(sk.hp, tag.take(16))
-        val pn = (pnProt ^ mask(1)).toByte
-        try QuicInitialCrypto.open(sk, pn.toLong & 0xff,
-          initialAad(ACCEPT, cid, pn), tag)
-        catch { case _: javax.crypto.AEADBadTagException => return }
-        Option(conns.get(cid)).foreach(_.established.countDown())
+        // conn lookup BEFORE any key work: an ACCEPT for an unknown cid
+        // must cost a map probe, not an HKDF derivation (unauthenticated
+        // CPU amplification otherwise); the expected peer initial keys
+        // were cached on the Connection at connect time
+        val conn = conns.get(cid)
+        if (conn == null) return
+        if (openInitialPacket(ACCEPT, cid, conn.initialPeerK, buf).isEmpty) return
+        conn.established.countDown()
 
       case STREAM =>
         val cid = buf.getLong
         val conn = conns.get(cid)
         if (conn != null) {
-          val pktProt = buf.getLong
-          val sealedLen = buf.getShort & 0xffff
-          if (buf.remaining() < sealedLen || sealedLen < 16) return
-          val sealed_ = new Array[Byte](sealedLen); buf.get(sealed_)
-          val mask = QuicInitialCrypto.hpMaskWide(
-            conn.dataRecvK.hp, sealed_.take(16))
-          val pkt = maskPn(pktProt, mask)
-          val plain =
-            try QuicInitialCrypto.open(conn.dataRecvK, pkt,
-              dataAad(STREAM, cid, pkt), sealed_)
-            catch { case _: javax.crypto.AEADBadTagException => return }
-          val pb = ByteBuffer.wrap(plain)
+          val (pkt, pb) = openDataPacket(STREAM, cid, conn.dataRecvK, buf) match {
+            case Some(r) => r
+            case None => return
+          }
           val streamId = pb.getLong
           val offset = pb.getLong
           val fin = pb.get() != 0
@@ -568,20 +579,10 @@ object QuicLite {
         val cid = buf.getLong
         val conn = conns.get(cid)
         if (conn != null) {
-          val pktProt = buf.getLong
-          val sealedLen = buf.getShort & 0xffff
-          if (buf.remaining() < sealedLen || sealedLen < 16) return
-          val sealed_ = new Array[Byte](sealedLen); buf.get(sealed_)
-          val mask = QuicInitialCrypto.hpMaskWide(
-            conn.ackRecvK.hp, sealed_.take(16))
-          val pkt = maskPn(pktProt, mask)
-          val plain =
-            try QuicInitialCrypto.open(conn.ackRecvK, pkt,
-              dataAad(ACK, cid, pkt), sealed_)
-            catch { case _: javax.crypto.AEADBadTagException => return }
-          val pb = ByteBuffer.wrap(plain)
-          val n = pb.getShort & 0xffff
-          (0 until n).foreach(_ => conn.unacked.remove(pb.getLong))
+          openDataPacket(ACK, cid, conn.ackRecvK, buf).foreach { case (_, pb) =>
+            val n = pb.getShort & 0xffff
+            (0 until n).foreach(_ => conn.unacked.remove(pb.getLong))
+          }
         }
 
       case CLOSE =>

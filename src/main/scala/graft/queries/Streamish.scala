@@ -585,7 +585,7 @@ object Streamish {
     // passes their interval (state eviction IS the emission trigger, a
     // different state machine from the inner join's match-only path, and
     // the production shape for "every request, correlated or not" feeds).
-    // The replay is event-time-ordered (4 range-staged batches), so
+    // The replay is event-time-ordered (3 range-staged batches), so
     // matches are never lost to late drops, and because clicks precede
     // their purchase in event time a matching click is always already in
     // state when its purchase arrives. The two sentinel files carry one

@@ -451,7 +451,7 @@ object VectorOps {
     },
 
     // ---- ONLINE top-k retrieval serving: query vectors arrive as a
-    // STREAM (4 micro-batches) and each trigger's batch is answered
+    // STREAM (2 micro-batches) and each trigger's batch is answered
     // against the static corpus — the retrieval-service shape (RAG /
     // nearest-neighbor lookup at inference time), complementing the
     // batch kNN join above. Per trigger: the arriving query batch
@@ -520,7 +520,7 @@ object VectorOps {
     // The IVF index is built ONCE before the stream starts (same
     // centroids as q_ann_ivf via [[ivfCentroids]]; postings = every
     // corpus vector unit-normed under its home cell, cached). Query
-    // vectors then arrive in 4 micro-batches and each trigger touches
+    // vectors then arrive in 2 micro-batches and each trigger touches
     // ONLY its candidate cells: the tiny probe batch broadcasts with its
     // 6 nearest cells exploded, equi-joins the postings on cell id, and
     // the bounded-heap min(struct) keeps the best neighbor per query —

@@ -54,12 +54,15 @@ import graft.channel.Channel
   * writing, see [[Channel.reserveSeq]], and the marker provably outlives
   * any partial batch dir), so a mid-write batch is never half-read, a
   * not-yet-visible concurrent write can never be skipped, and a crashed
-  * write blocks (not corrupts) the stream until swept. WEAK readers plan
-  * up to the weak end, which deliberately advances past gaps — including
-  * a rival writer's still-in-flight lower seq — so the plan site itself
-  * filters any dir lacking `_SUCCESS` (see [[planInputPartitions]]); a
-  * batch that commits below an already-advanced weak offset is the same
-  * benign hole as an evicted seq (drop-mode semantics). Streaming
+  * write blocks (not corrupts) the stream until swept. WEAK readers
+  * follow the published weak end (which deliberately advances past
+  * durable gaps — evicted and aborted seqs) but `latestOffset` CLAMPS
+  * each advance at the first still-in-flight batch dir in range: an
+  * offered offset range therefore never spans an uncommitted dir, which
+  * keeps `planInputPartitions` deterministic under failure replay (the
+  * rival commits → the NEXT trigger resumes past it; it crashes → the
+  * sweep tombstones it into a benign hole). The plan site additionally
+  * filters any dir lacking `_SUCCESS` as defense-in-depth. Streaming
   * planning reads `batch_*` dirs only — `compact_*` rewrites are
   * invisible to subscriptions (same contract as [[Channel.readStream]]:
   * a checkpointed subscriber already ingested the originals).
@@ -355,7 +358,27 @@ final class ChannelMicroBatchStream(dir: Path, factory: PartitionReaderFactory,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[ChannelSeqOffset].seq
-    val end = visibleEnd()
+    var end = visibleEnd()
+    // A WEAK advance must never SPAN an on-disk in-flight batch: the
+    // epoch's content would be re-decided from live filesystem state on
+    // failure replay (the dir commits in between → the replayed epoch
+    // contains rows the original dropped — non-deterministic replay).
+    // Clamp the offered end at the first uncommitted dir in range — the
+    // rival either commits (next trigger resumes past it) or is swept
+    // to a tombstone (benign hole). Costs one listing ONLY on non-idle
+    // triggers (idle offset planning stays O(1) off the published head,
+    // pinned by the Dsv2 suite); new reservations always land at or
+    // above the published weak end, so nothing can appear inside an
+    // already-offered range afterwards — which is what makes
+    // planInputPartitions deterministic for a fixed range.
+    if (weak && end > from) {
+      Channel.listDir(dir)
+        .filter(_.getFileName.toString.startsWith("batch_"))
+        .groupBy(Channel.batchSeq).toSeq.sortBy(_._1)
+        .find { case (seq, ds) => seq >= from && seq < end &&
+          !ds.forall(p => Files.exists(p.resolve("_SUCCESS"))) }
+        .foreach { case (seq, _) => end = seq }
+    }
     val capped = limit match {
       case m: ReadMaxFiles => math.min(end, from + m.maxFiles())
       case _ => end
@@ -368,17 +391,15 @@ final class ChannelMicroBatchStream(dir: Path, factory: PartitionReaderFactory,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ChannelSeqOffset].seq
     val e = end.asInstanceOf[ChannelSeqOffset].seq
-    // Only FULLY COMMITTED dirs are plannable. WEAK mode can plan past a
-    // rival's still-in-flight lower seq (the weak end advances past
-    // gaps, and the in-flight dir may already be on disk mid-write):
-    // reading it would deliver a partial batch as if whole, so the plan
-    // site filters on `_SUCCESS` — the cursor cannot carry this
-    // invariant. A batch committing below an already-advanced weak
-    // offset is then the same benign hole as an evicted seq. STRICT mode
-    // never reaches an uncommitted dir (its end parks at the live
-    // reservation marker, which outlives any partial dir) — if one ever
-    // shows up below the strict end anyway, it lands in the loss check
-    // below and fails LOUDLY instead of being half-read or skipped.
+    // Only FULLY COMMITTED dirs are plannable. By construction neither
+    // mode's offered end spans an uncommitted dir (STRICT parks at the
+    // live reservation marker, which outlives any partial dir; WEAK
+    // clamps at the first in-flight dir in latestOffset above), so this
+    // filter is defense-in-depth for the states offsets cannot rule out
+    // — retention/compaction racing the plan, or out-of-band damage. A
+    // weak plan drops such a dir as the benign hole weak semantics
+    // already tolerate; a strict plan counts it as loss below and fails
+    // LOUDLY instead of half-reading a mid-write batch.
     val planned = batchDirs()
       .filter { case (seq, ds) => seq >= s && seq < e &&
         ds.forall(p => Files.exists(p.resolve("_SUCCESS"))) }

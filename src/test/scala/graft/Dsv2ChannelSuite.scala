@@ -273,14 +273,18 @@ class Dsv2ChannelSuite extends SparkSpec {
       "stream read into an uncommitted batch")
   }
 
-  test("weak reader skips a rival's in-flight batch below the committed end") {
-    // The round-9 exhaustive interleaving analysis: the weak end
-    // deliberately advances past a slower rival's still-in-flight lower
-    // seq, so the PLAN site must filter uncommitted dirs — otherwise the
-    // reader delivers a partial batch as if whole and the offset seals
-    // the loss. Construct the mid-write state: batch 0 loses its commit
-    // marker and regains its reservation (what a slow writer holds while
-    // a faster rival commits seq 1 and the head publishes weak end 2).
+  test("weak reader parks at a rival's in-flight batch, then resumes past it") {
+    // The round-9 exhaustive interleaving analysis: the PUBLISHED weak
+    // end deliberately advances past a slower rival's still-in-flight
+    // lower seq — but a weak OFFSET advance must not span the in-flight
+    // dir (reading it would deliver a partial batch as if whole, and
+    // deciding the skip from live filesystem state replays
+    // non-deterministically). latestOffset clamps at the in-flight dir:
+    // the trigger delivers NOTHING while the rival is mid-write, and the
+    // next pass delivers both batches in order once it commits.
+    // Construct the mid-write state: batch 0 loses its commit marker and
+    // regains its reservation (what a slow writer holds while a faster
+    // rival commits seq 1 and the head publishes weak end 2).
     val reg = new ChannelRegistry(spark, tmpDir("dsv2"))
     val ch = reg.create("s6", schema)
     ch.write(Seq((1, "a")).toDF("id", "msg"), 1)
@@ -294,9 +298,16 @@ class Dsv2ChannelSuite extends SparkSpec {
     val (strict, weak) = Channel.committedEnds(ch.dir)
     assert(strict == 0 && weak == 2, s"ends ($strict,$weak)")
 
-    val name = runToSink(ch.readStreamV2(weak = true).select("id"))
-    assert(spark.table(name).as[Int].collect().toSeq == Seq(2),
-      "weak reader must skip the in-flight batch, and ONLY it")
+    val parked = runToSink(ch.readStreamV2(weak = true).select("id"))
+    assert(spark.table(parked).as[Int].collect().isEmpty,
+      "weak reader must PARK at the in-flight batch, not skip or read it")
+
+    // the rival finishes: commit marker lands, reservation resolves
+    Files.createFile(b0.resolve("_SUCCESS"))
+    Files.delete(ch.dir.resolve(f"${Channel.ResPrefix}${0L}%012d"))
+    val resumed = runToSink(ch.readStreamV2(weak = true).select("id"))
+    assert(spark.table(resumed).as[Int].collect().toSeq == Seq(1, 2),
+      "weak reader must resume past the committed batch in order")
   }
 
   test("pending seq reservation parks the stream; release resumes it") {
