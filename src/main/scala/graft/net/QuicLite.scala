@@ -341,6 +341,17 @@ object QuicLite {
     // pktNum -> (datagram bytes, last-send nanos, retries); the retransmit
     // loop resends entries past RTO and kills the connection at MaxRetries.
     private[net] val unacked = new ConcurrentHashMap[Long, (Array[Byte], Long, Int)]()
+    // Server side: the sealed ACCEPT datagram, cached for VERBATIM
+    // retransmission. A duplicate INITIAL means our ACCEPT was lost;
+    // re-SEALING it would re-init AES-GCM under the identical
+    // (key, nonce) pair — pn is fixed at 0 in the initial space — which
+    // the JCE rejects (InvalidAlgorithmParameterException: "Cannot reuse
+    // iv for GCM encryption"), and a swallowed throw would deterministically
+    // stall the handshake until the client's connect() timeout. Caching
+    // also mirrors the client's cached `initial`: handshake
+    // retransmissions are byte-identical, never a nonce reuse across
+    // plaintexts. Written only by the endpoint's single rx thread.
+    @volatile private[net] var acceptBytes: Array[Byte] = null
     @volatile private[net] var failure: Option[String] = None
 
     def isOpen: Boolean = failure.isEmpty
@@ -441,6 +452,13 @@ object QuicLite {
       * loss injection so recovery is testable deterministically). */
     @volatile var lossRule: (Long) => Boolean = _ => false
 
+    /** Test hook for the HANDSHAKE plane (datagrams sent with pkt = -1,
+      * which [[lossRule]] never sees): return true to drop, given the
+      * packet-type first byte. Covers the INITIAL/ACCEPT recovery path —
+      * a lost ACCEPT must be re-sent (verbatim) on the client's
+      * retransmitted INITIAL. */
+    @volatile var handshakeLossRule: (Byte) => Boolean = _ => false
+
     def port: Int = channel.getLocalAddress.asInstanceOf[InetSocketAddress].getPort
 
     /** Register a domain route (get_or_try_init + ensure_domain parity:
@@ -483,6 +501,7 @@ object QuicLite {
 
     private[net] def transmit(bytes: Array[Byte], to: SocketAddress, pkt: Long): Unit = {
       if (pkt >= 0 && lossRule(pkt)) return // dropped "on the wire"
+      if (pkt < 0 && bytes.length > 0 && handshakeLossRule(bytes(0))) return
       channel.send(ByteBuffer.wrap(bytes), to)
     }
 
@@ -524,17 +543,22 @@ object QuicLite {
             val b = new Array[Byte](out.remaining()); out.get(b)
             transmit(b, from, -1L)
           case _ =>
-            // idempotent: duplicate INITIAL (lost ACCEPT) re-sends ACCEPT
-            conns.computeIfAbsent(cid,
+            // idempotent: duplicate INITIAL (lost ACCEPT) re-sends the
+            // CACHED sealed ACCEPT verbatim — sealing exactly once per
+            // connection (see `acceptBytes` for why re-sealing would
+            // throw and stall the handshake)
+            val conn = conns.computeIfAbsent(cid,
               _ => new Connection(this, cid, from, domain, isServerSide = true))
-              .remote = from
+            conn.remote = from
             // ACCEPT is sealed under the SERVER initial keys (empty
             // payload → a bare 16-byte tag over the header AAD), so the
             // handshake proves key directionality both ways and a
             // forged ACCEPT cannot establish the client side
-            transmit(sealedInitialPacket(ACCEPT, cid,
-              QuicInitialCrypto.keys(QuicInitialCrypto.initialSecrets(dcidOf(cid))._2),
-              Array.emptyByteArray), from, -1L)
+            if (conn.acceptBytes == null)
+              conn.acceptBytes = sealedInitialPacket(ACCEPT, cid,
+                QuicInitialCrypto.keys(QuicInitialCrypto.initialSecrets(dcidOf(cid))._2),
+                Array.emptyByteArray)
+            transmit(conn.acceptBytes, from, -1L)
         }
 
       case ACCEPT =>

@@ -359,25 +359,48 @@ final class ChannelMicroBatchStream(dir: Path, factory: PartitionReaderFactory,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[ChannelSeqOffset].seq
     var end = visibleEnd()
-    // A WEAK advance must never SPAN an on-disk in-flight batch: the
-    // epoch's content would be re-decided from live filesystem state on
-    // failure replay (the dir commits in between → the replayed epoch
-    // contains rows the original dropped — non-deterministic replay).
-    // Clamp the offered end at the first uncommitted dir in range — the
-    // rival either commits (next trigger resumes past it) or is swept
-    // to a tombstone (benign hole). Costs one listing ONLY on non-idle
-    // triggers (idle offset planning stays O(1) off the published head,
-    // pinned by the Dsv2 suite); new reservations always land at or
-    // above the published weak end, so nothing can appear inside an
-    // already-offered range afterwards — which is what makes
-    // planInputPartitions deterministic for a fixed range.
+    // A WEAK advance must never SPAN an in-flight seq: the epoch's
+    // content would be re-decided from live filesystem state on failure
+    // replay (the seq commits in between → the replayed epoch contains
+    // rows the original dropped — non-deterministic replay), and once
+    // the offset passes the seq, its later-committed data is silently
+    // skipped forever (a REAL loss, unlike the evicted/aborted holes
+    // weak semantics advertise). "In-flight" has TWO on-disk shapes,
+    // both clamped at:
+    //  - a batch dir missing `_SUCCESS` (writer mid-parquet-job);
+    //  - a `_res_` reservation whose batch dir does not exist YET (the
+    //    window between reserveSeq and the parquet job creating the
+    //    target dir) — invisible to a batch_*-only listing, so it gets
+    //    its own minimum over the same single listing.
+    // Either way the rival commits (next trigger resumes past it) or
+    // is swept to an `_abort_` tombstone (benign hole — sweepStale
+    // bounds how long a crashed writer can park the clamp). Costs one
+    // listing ONLY on non-idle triggers (idle offset planning stays
+    // O(1) off the published head, pinned by the Dsv2 suite); new
+    // reservations always land at or above the published weak end, so
+    // nothing can appear inside an already-offered range afterwards —
+    // which is what makes planInputPartitions deterministic for a
+    // fixed range.
     if (weak && end > from) {
-      Channel.listDir(dir)
+      val entries = Channel.listDir(dir)
+      val bySeq = entries
         .filter(_.getFileName.toString.startsWith("batch_"))
-        .groupBy(Channel.batchSeq).toSeq.sortBy(_._1)
-        .find { case (seq, ds) => seq >= from && seq < end &&
-          !ds.forall(p => Files.exists(p.resolve("_SUCCESS"))) }
-        .foreach { case (seq, _) => end = seq }
+        .groupBy(Channel.batchSeq)
+      def committed(ds: Seq[Path]): Boolean =
+        ds.forall(p => Files.exists(p.resolve("_SUCCESS")))
+      val firstInFlightDir = bySeq.toSeq.sortBy(_._1)
+        .find { case (seq, ds) => seq >= from && seq < end && !committed(ds) }
+        .map(_._1)
+      // reservations whose seq already has a fully committed dir are
+      // release-lagged markers (commit happens before marker delete),
+      // not in-flight writes — same exclusion committedEnds applies
+      val firstPendingRes = entries
+        .filter(_.getFileName.toString.startsWith(Channel.ResPrefix))
+        .map(p => p.getFileName.toString.drop(Channel.ResPrefix.length).toLong)
+        .filter(s0 => s0 >= from && s0 < end)
+        .filterNot(s0 => bySeq.get(s0).exists(committed))
+        .minOption
+      end = (Seq(end) ++ firstInFlightDir ++ firstPendingRes).min
     }
     val capped = limit match {
       case m: ReadMaxFiles => math.min(end, from + m.maxFiles())

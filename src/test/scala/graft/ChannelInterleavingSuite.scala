@@ -29,6 +29,39 @@ import graft.channel.Channel
   */
 class ChannelInterleavingSuite extends SparkSpec {
 
+  /** A weak DSv2 offset planner over `dir` — the real latestOffset code
+    * path, driven directly so the clamp logic is model-checked at every
+    * interleaving point. */
+  private def offeredWeakEnd(dir: Path): Long = {
+    val stream = new graft.sources.ChannelMicroBatchStream(dir, null,
+      weak = true, startLatest = false, startSeq = None, maxBatches = None)
+    stream.latestOffset(graft.sources.ChannelSeqOffset(0L),
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+      .asInstanceOf[graft.sources.ChannelSeqOffset].seq
+  }
+
+  /** The weak determinism invariant: every seq inside an OFFERED weak
+    * range must be RESOLVED — a fully committed batch or an abort
+    * tombstone (this model has no eviction/compaction). An in-flight seq
+    * in range (uncommitted dir, or a bare `_res_` whose dir does not
+    * exist yet) means the epoch's content would be re-decided from live
+    * filesystem state on failure replay, and once the offset passes it,
+    * later-committed data is stranded behind the cursor forever. */
+  private def assertWeakOfferResolved(dir: Path, ctx: => String): Unit = {
+    val offered = offeredWeakEnd(dir)
+    val entries = Channel.listDir(dir)
+    val bySeq = entries
+      .filter(_.getFileName.toString.startsWith("batch_"))
+      .groupBy(Channel.batchSeq)
+    val aborted = Channel.abortSeqs(dir).toSet
+    (0L until offered).foreach { s =>
+      val committedSeq =
+        bySeq.get(s).exists(ds => ds.forall(p => Files.exists(p.resolve("_SUCCESS"))))
+      assert(committedSeq || aborted.contains(s),
+        s"$ctx weak offer $offered spans unresolved seq $s")
+    }
+  }
+
   /** One writer's op as its atomic step list. Steps close over the
     * writer's reserved seq (data dependency: later steps need the seq
     * the reserve step claimed). */
@@ -93,6 +126,9 @@ class ChannelInterleavingSuite extends SparkSpec {
               }
               lastHead = Some((hs, hw))
             }
+            // DSv2 weak-offset determinism at every interleaving point
+            // (the round-10 clamp: uncommitted dirs AND bare reservations)
+            assertWeakOfferResolved(dir, s"[$label #$k after $sched]")
           }
           // schedule-independent final state: both seqs claimed uniquely,
           // disk agrees with the op mix, no reservation survives, and the
@@ -188,6 +224,7 @@ class ChannelInterleavingSuite extends SparkSpec {
             }
             lastHead = Some((hs, hw))
           }
+          assertWeakOfferResolved(dir, s"[#$k in $sched]")
         }
         val all = claimed.flatten
         assert(all.size == 3 && all.map(_._1).distinct.size == 3,

@@ -321,11 +321,18 @@ class Dsv2ChannelSuite extends SparkSpec {
     val next = Channel.reserveSeq(ch.dir)
     ch.write(Seq((2, "b")).toDF("id", "msg"), 2) // lands BEYOND the reservation
 
-    // weak readers are lossy by contract: a stalled writer must not park
-    // them — they read everything committed and sail past the reservation
+    // weak readers skip evicted/aborted HOLES, but a LIVE reservation is
+    // not a hole — it is an in-flight write whose data may yet commit.
+    // Sailing past it would strand that data behind the offset forever
+    // (silent loss beyond the advertised weak semantics) and make the
+    // spanning epoch replay non-deterministically, so the weak advance
+    // clamps at the reservation exactly as it clamps at an uncommitted
+    // batch dir; the rival resolving (commit, abort, or sweepStale)
+    // unblocks it. The modes still diverge on RESOLVED seqs: weak skips
+    // tombstones and evictions silently, strict raises loss on evictions.
     val weakName = runToSink(ch.readStreamV2(weak = true).select("id"))
-    assert(spark.table(weakName).as[Int].collect().sorted.toSeq == Seq(1, 2),
-      "weak reader was parked by a pending reservation")
+    assert(spark.table(weakName).as[Int].collect().toSeq == Seq(1),
+      "weak reader must park at a live pending reservation")
 
     sinkN += 1
     val name = s"dsv2_sink_$sinkN"
@@ -342,11 +349,56 @@ class Dsv2ChannelSuite extends SparkSpec {
       assert(spark.table(name).as[Int].collect().sorted.toSeq == Seq(1, 2),
         "stream did not resume after the reservation aborted")
     } finally q.stop()
+    // the abort resolved the reservation: the parked WEAK reader resumes
+    // too, skipping the tombstone hole silently (no ChannelDataLoss)
+    val weakResumed = runToSink(ch.readStreamV2(weak = true).select("id"))
+    assert(spark.table(weakResumed).as[Int].collect().sorted.toSeq == Seq(1, 2),
+      "weak reader did not resume after the reservation aborted")
     // compact() sweeps stale markers (crashed writers)
     Channel.reserveSeq(ch.dir)
     ch.write(Seq((3, "c")).toDF("id", "msg"), 1)
     ch.compact()
     assert(Channel.resSeqs(ch.dir).isEmpty, "compact left stale reservations")
+  }
+
+  test("weak advance never spans a reservation whose batch dir does not exist yet") {
+    // The reservation WINDOW: between reserveSeq and the parquet job
+    // creating the target dir, the only on-disk trace of the in-flight
+    // seq is its `_res_` marker — a batch_*-only clamp is blind to it.
+    // If the weak offset sailed past, the rival's later-committed batch
+    // would sit BEHIND the stream's offset and be skipped forever (real
+    // silent loss, beyond the evicted/aborted holes weak advertises),
+    // and a failure replay of the spanning epoch would re-decide its
+    // content from live _SUCCESS state.
+    val reg = new ChannelRegistry(spark, tmpDir("dsv2"))
+    val ch = reg.create("s6b", schema)
+    ch.write(Seq((1, "a")).toDF("id", "msg"), 1)
+    val rival = Channel.reserveSeq(ch.dir) // marker only; dir not created yet
+    ch.write(Seq((3, "c")).toDF("id", "msg"), 1) // faster writer commits beyond
+    // the published weak end deliberately spans the window (weak ends
+    // ignore reservations so stalled writers can't regress the cursor)
+    assert(Channel.readHead(ch.dir).exists(_._2 == rival + 2))
+
+    val parked = runToSink(ch.readStreamV2(weak = true).select("id"))
+    assert(spark.table(parked).as[Int].collect().toSeq == Seq(1),
+      "weak reader must park at the reservation-only in-flight seq")
+
+    // the rival's parquet job lands: batch dir (with _SUCCESS) appears at
+    // the reserved seq, then the marker releases — the write path's own
+    // commit order, reproduced at a CHOSEN seq
+    val stage = tmpDir("dsv2").resolve("rival_stage")
+    Seq((2, "b")).toDF("id", "msg")
+      .withColumn(Channel.WriterIdCol, lit(9))
+      .withColumn(Channel.SeqCol, lit(rival))
+      .withColumn(Channel.OffsetCol, monotonically_increasing_id())
+      .coalesce(1).write.parquet(stage.toString)
+    Files.move(stage, ch.dir.resolve(f"batch_$rival%012d" + "_w9_rival"))
+    Files.delete(ch.dir.resolve(f"${Channel.ResPrefix}$rival%012d"))
+    Channel.advanceHead(ch.dir)
+
+    val resumed = runToSink(ch.readStreamV2(weak = true).select("id"))
+    assert(spark.table(resumed).as[Int].collect().toSeq == Seq(1, 2, 3),
+      "the rival's later-committed batch must be delivered in order, not skipped")
   }
 
   test("reserved seqs are distinct and monotone across interleaved writers") {

@@ -103,6 +103,39 @@ class QuicSuite extends SparkSpec {
     } finally { server.close(); client.close() }
   }
 
+  test("lost ACCEPT is re-sent verbatim on a duplicate INITIAL (handshake recovery)") {
+    // Regression: the server used to RE-SEAL the ACCEPT for every
+    // INITIAL — the second seal re-inits AES-GCM under the identical
+    // (key, nonce = pn 0) pair, which the JCE rejects
+    // (InvalidAlgorithmParameterException), and handle()'s catch-all
+    // swallowed it, so a lost ACCEPT was never replaced and the
+    // handshake deterministically stalled until connect()'s timeout.
+    // The sealed ACCEPT is now cached per connection and retransmitted
+    // byte-for-byte (mirroring the client's cached INITIAL).
+    val server = QuicLite.endpoint()
+    val client = QuicLite.endpoint()
+    try {
+      server.bind("accept-loss.test")
+      // drop the first TWO outbound ACCEPTs (type byte 2): recovery must
+      // survive repeated loss, which needs the third send to still be a
+      // valid sealed packet — three seals under the old code path, where
+      // already the first RE-seal threw
+      val dropped = new java.util.concurrent.atomic.AtomicInteger(0)
+      server.handshakeLossRule = tpe => tpe == 2 && dropped.incrementAndGet() <= 2
+      val conn = client.connect("127.0.0.1", server.port, "accept-loss.test",
+        timeoutMs = 5000)
+      assert(dropped.get() >= 2, "loss hook never saw the ACCEPTs")
+      // the recovered handshake yields a fully usable connection
+      val listener = server.bind("accept-loss.test")
+      val stream = conn.openStream()
+      stream.write("made it".getBytes(UTF_8))
+      val inbound = listener.accept(timeoutMs = 5000).getOrElse(fail("no stream"))
+      assert(s(inbound.readAll()) == "made it")
+      inbound.write("ack".getBytes(UTF_8))
+      assert(s(stream.readAll()) == "ack")
+    } finally { server.close(); client.close() }
+  }
+
   test("readAll surfaces connection failure as QuicError, not null") {
     val server = QuicLite.endpoint()
     val client = QuicLite.endpoint()
