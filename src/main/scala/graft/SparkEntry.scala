@@ -24,6 +24,7 @@ object SparkEntry {
     qs.TextOps.all ++
     qs.CurationOps.all ++
     qs.DedupOps.all ++
+    qs.RetrievalOps.all ++
     qs.VectorOps.all ++
     qs.MultimodalOps.all ++
     qs.CodecOps.all ++

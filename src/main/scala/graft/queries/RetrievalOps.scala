@@ -1,0 +1,173 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.{TextFunctions, VectorFunctions}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-retrieval ranking over `documents` + `embeddings`: Okapi BM25
+  * lexical scoring and hybrid lexical/vector fusion via reciprocal-rank
+  * fusion (RRF) — the retrieval layer a training-data pipeline uses for
+  * query-based corpus selection and the serving layer a RAG stack runs.
+  *
+  * Scale posture: BM25 never materializes a full inverted index here —
+  * the per-(doc, term) explode is filtered to the QUERY terms inside
+  * codegen before any shuffle, so the aggregated relation is
+  * O(docs-containing-a-query-term × |query|), not corpus-token-scale;
+  * document-length stats are one map-only pass (no explode, no shuffle)
+  * reduced to a single driver row. RRF fuses bounded top-k lists (the
+  * production shape: rank fusion is defined on retrieved lists, not
+  * corpora), so its windows run over ≤k rows.
+  */
+object RetrievalOps {
+
+  /** Okapi BM25 parameters (the standard defaults). */
+  private val K1 = 1.2
+  private val B = 0.75
+  /** RRF smoothing constant (Cormack et al.'s k = 60). */
+  private val RrfK = 60
+
+  /** Fixed query-term set: deterministic across scale factors, present in
+    * the synthetic corpus vocabulary. */
+  private val QueryTerms = Seq("vector", "query", "merge", "spark")
+
+  private def termsSqlList = QueryTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+
+  /** The BM25 scoring pipeline as SQL CTEs (shared by both oracles so the
+    * two queries cannot drift): yields `sc(doc_id, bm25)`. Per-term
+    * contributions are rounded to 6dp and summed as DECIMAL(18,6) — the
+    * order-independent exact-sum contract every double sum here follows. */
+  private val bm25Ctes =
+    s"""qt AS (SELECT unnest($termsSqlList) AS word),
+       |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |      FROM documents),
+       |ww AS (SELECT doc_id, word FROM w WHERE word <> ''),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM ww GROUP BY doc_id),
+       |stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+       |                 COUNT(*) AS n FROM dl),
+       |tf AS (SELECT ww.doc_id, ww.word, COUNT(*) AS tf
+       |       FROM ww JOIN qt USING (word) GROUP BY ww.doc_id, ww.word),
+       |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+       |sc AS (SELECT tf.doc_id,
+       |         round(CAST(SUM(CAST(round(
+       |           ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+       |           (tf * ${K1 + 1}) /
+       |           (tf + $K1 * (${1 - B} + $B * dl.dl / avgdl)), 6)
+       |           AS DECIMAL(18,6))) AS DOUBLE), 6) AS bm25
+       |       FROM tf JOIN df USING (word)
+       |         JOIN dl ON dl.doc_id = tf.doc_id
+       |         CROSS JOIN stats
+       |       GROUP BY tf.doc_id)""".stripMargin
+
+  /** (doc_id, bm25) for every document containing ≥1 query term. One
+    * corpus pass for length stats (map-only → single driver row), one for
+    * term frequencies (explode filtered to |QueryTerms| inside codegen);
+    * `df` is ≤|QueryTerms| rows and joins un-hinted (AQE broadcasts). */
+  private def bm25Scores(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, d), col("doc_id"))
+    val nonEmpty = filter(TextFunctions.tokens(col("text")), t => t =!= lit(""))
+    // document-length stats: no explode, no shuffle — reduced to one row
+    // (metadata-scale driver collect, the q_tfidf_top posture)
+    val Row(avgdl: Double, nDocs: Long) = docs
+      .select(size(nonEmpty).as("dl"))
+      .agg((sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+        count(lit(1)).as("n"))
+      .head()
+    // dl rides the tf groupBy as a grouping column (functionally dependent
+    // on doc_id) — no separate per-doc join
+    // cached: `df` below derives from tf — without it the corpus
+    // scan+explode lineage re-runs once per consumer (a second full
+    // corpus pass at 100 TB); the cached relation is
+    // O(matching docs × |QueryTerms|) narrow rows (q_tfidf_top posture)
+    val tf = docs
+      .select(col("doc_id"), size(nonEmpty).as("dl"),
+        explode(TextFunctions.tokens(col("text"))).as("word"))
+      .filter(col("word").isin(QueryTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .cache()
+    val df_ = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val contrib =
+      log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+        (col("tf") * (K1 + 1)) /
+        (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / avgdl))
+    tf.join(df_, "word")
+      .select(col("doc_id"), round(contrib, 6).cast("decimal(18,6)").as("c"))
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("s"))
+      .select(col("doc_id"), round(col("s").cast("double"), 6).as("bm25"))
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ---- Okapi BM25: score every document against a fixed query-term
+    // set, return the top 20. The global top-k is orderBy+limit
+    // (TakeOrderedAndProject — per-partition bounded heaps, never a full
+    // sort), so the only corpus-scale shuffle is the (doc, term) count.
+    Q("q_bm25",
+      s"""WITH $bm25Ctes
+         |SELECT doc_id, bm25 FROM sc
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      bm25Scores(s, d)
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    },
+
+    // ---- Hybrid retrieval via reciprocal-rank fusion: the lexical BM25
+    // top-30 and the embedding-cosine top-30 (query = vector 0) fuse as
+    // sum of 1/(60+rank), the rank-only combiner that needs no score
+    // calibration between the two retrievers. Both inputs are bounded
+    // top-k lists BEFORE any window runs — rank assignment and the full
+    // outer join touch ≤30 rows per side (rank fusion is defined on
+    // retrieved lists; corpus-scale work happens only inside each
+    // retriever, where it is heap-bounded top-k).
+    Q("q_hybrid_rrf",
+      s"""WITH $bm25Ctes,
+         |lr AS (SELECT doc_id AS id,
+         |         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rl
+         |       FROM sc WHERE doc_id <> 0
+         |       ORDER BY bm25 DESC, doc_id LIMIT 30),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         |      FROM embeddings WHERE vec_id = 0),
+         |vs AS (SELECT vec_id AS id,
+         |         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS sim
+         |       FROM embeddings, q WHERE vec_id <> 0),
+         |vr AS (SELECT id, row_number() OVER (ORDER BY sim DESC, id) AS rv
+         |       FROM vs ORDER BY sim DESC, id LIMIT 30),
+         |f AS (SELECT COALESCE(lr.id, vr.id) AS id, lr.rl, vr.rv,
+         |        round(COALESCE(1.0 / ($RrfK + lr.rl), 0) +
+         |              COALESCE(1.0 / ($RrfK + vr.rv), 0), 6) AS rrf
+         |      FROM lr FULL OUTER JOIN vr ON lr.id = vr.id)
+         |SELECT id, CAST(rl AS BIGINT) AS lex_rank, CAST(rv AS BIGINT) AS vec_rank, rrf
+         |FROM f ORDER BY rrf DESC, id LIMIT 15""".stripMargin) { (s, d) =>
+      // id 0 is the query on both sides (vector 0 IS the query vector;
+      // its paired document is excluded from the lexical list for
+      // symmetry — a self-match would always win the fusion)
+      val lexTop = bm25Scores(s, d).filter(col("doc_id") =!= 0)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(30)
+      val e = Tables.embeddings(s, d)
+        .withColumn("v", col("embedding").cast("array<double>"))
+      val qv = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val vecTop = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id").as("id"),
+          round(VectorFunctions.cosine(col("v"), col("qv")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("id")).limit(30)
+      // rank windows run over the 30-row lists, not the corpus — the
+      // single-partition window is bounded by construction
+      val lr = lexTop.select(col("doc_id").as("id"),
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+          .cast("long").as("rl"))
+      val vr = vecTop.select(col("id"),
+        row_number().over(Window.orderBy(col("sim").desc, col("id")))
+          .cast("long").as("rv"))
+      lr.join(vr, lr("id") === vr("id"), "full_outer")
+        .select(coalesce(lr("id"), vr("id")).as("id"),
+          col("rl").as("lex_rank"), col("rv").as("vec_rank"),
+          round(coalesce(lit(1.0) / (lit(RrfK) + col("rl")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + col("rv")), lit(0.0)), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("id"))
+        .limit(15)
+    }
+  )
+}

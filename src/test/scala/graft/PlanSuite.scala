@@ -260,6 +260,39 @@ class PlanSuite extends SparkSpec {
     }
   }
 
+  test("bm25: query-term filter precedes aggregation, global top-k never a full sort") {
+    val plan = physical("q_bm25")
+    // the (doc, term) relation is filtered to the query terms BEFORE any
+    // shuffle/aggregate — the corpus-token-scale inverted index is never
+    // materialized
+    assert(plan.contains("word#") && plan.contains("IN (vector,query,merge,spark)"),
+      s"query-term filter missing:\n${plan.take(2000)}")
+    // global top-20 is TakeOrderedAndProject (bounded per-partition
+    // heaps), not Sort + Limit
+    assert(plan.contains("TakeOrderedAndProject"), "top-k not heap-bounded")
+    assert(!plan.contains("Sort "), s"full sort on the fact path:\n${plan.take(2000)}")
+  }
+
+  test("hybrid rrf: rank windows run over bounded top-k lists, not the corpus") {
+    val df = SparkEntry.queries("q_hybrid_rrf")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    // each retriever contributes via a bounded TakeOrderedAndProject;
+    // the single-partition rank windows sit ABOVE those limits (≤30
+    // rows), so no Window ever consumes an unbounded relation
+    assert(plan.contains("TakeOrderedAndProject"), "retriever top-k not heap-bounded")
+    val windowIdx = plan.linesIterator.zipWithIndex
+      .filter(_._1.contains("Window")).map(_._2).toSeq
+    assert(windowIdx.nonEmpty, "rank windows missing")
+    // plans print parents above children: every Window must have a
+    // TakeOrderedAndProject BELOW it (greater line index)
+    val topkIdx = plan.linesIterator.zipWithIndex
+      .filter(_._1.contains("TakeOrderedAndProject")).map(_._2).toSeq
+    windowIdx.foreach { w =>
+      assert(topkIdx.exists(_ > w),
+        s"a Window has no bounding top-k beneath it:\n${plan.take(2500)}")
+    }
+  }
+
   test("Tables.spread exchanges a one-split scan, no-ops a real multi-split one") {
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val dir = tmpDir("spread").toString
