@@ -60,33 +60,20 @@ object RetrievalOps {
        |         CROSS JOIN stats
        |       GROUP BY tf.doc_id)""".stripMargin
 
-  /** (doc_id, bm25) for every document containing ≥1 query term. One
-    * corpus pass for length stats (map-only → single driver row), one for
-    * term frequencies (explode filtered to |QueryTerms| inside codegen);
-    * `df` is ≤|QueryTerms| rows and joins un-hinted (AQE broadcasts). */
-  private def bm25Scores(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.spread(Tables.documents(s, d), col("doc_id"))
-    val nonEmpty = filter(TextFunctions.tokens(col("text")), t => t =!= lit(""))
-    // document-length stats: no explode, no shuffle — reduced to one row
-    // (metadata-scale driver collect, the q_tfidf_top posture)
-    val Row(avgdl: Double, nDocs: Long) = docs
-      .select(size(nonEmpty).as("dl"))
-      .agg((sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
-        count(lit(1)).as("n"))
-      .head()
-    // dl rides the tf groupBy as a grouping column (functionally dependent
-    // on doc_id) — no separate per-doc join
-    // cached: `df` below derives from tf — without it the corpus
-    // scan+explode lineage re-runs once per consumer (a second full
-    // corpus pass at 100 TB); the cached relation is
-    // O(matching docs × |QueryTerms|) narrow rows (q_tfidf_top posture)
-    val tf = docs
-      .select(col("doc_id"), size(nonEmpty).as("dl"),
-        explode(TextFunctions.tokens(col("text"))).as("word"))
-      .filter(col("word").isin(QueryTerms: _*))
-      .groupBy(col("doc_id"), col("dl"), col("word"))
-      .agg(count(lit(1)).as("tf"))
-      .cache()
+  /** The non-empty token array of `text` (matches the oracle's
+    * `string_split` + `<> ''` filter). */
+  private def nonEmptyTokens =
+    filter(TextFunctions.tokens(col("text")), t => t =!= lit(""))
+
+  /** Score a `(doc_id, dl, word, tf)` relation to `(doc_id, bm25)` given
+    * the corpus stats. `df` is ≤|QueryTerms| rows and joins un-hinted
+    * (AQE broadcasts); per-term contributions round to 6dp and sum as
+    * DECIMAL(18,6) (order-independent exact sum). The input is cached —
+    * `df` derives from it, and without the cache its lineage (a corpus
+    * scan+explode on the batch path) re-runs once per consumer; the
+    * cached relation is O(matching docs × |QueryTerms|) narrow rows. */
+  private def scoreTf(tfIn: DataFrame, avgdl: Double, nDocs: Long): DataFrame = {
+    val tf = tfIn.cache()
     val df_ = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val contrib =
       log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
@@ -96,6 +83,29 @@ object RetrievalOps {
       .select(col("doc_id"), round(contrib, 6).cast("decimal(18,6)").as("c"))
       .groupBy(col("doc_id")).agg(sum(col("c")).as("s"))
       .select(col("doc_id"), round(col("s").cast("double"), 6).as("bm25"))
+  }
+
+  /** (doc_id, bm25) for every document containing ≥1 query term. One
+    * corpus pass for length stats (map-only → single driver row), one for
+    * term frequencies (explode filtered to |QueryTerms| inside codegen). */
+  private def bm25Scores(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, d), col("doc_id"))
+    // document-length stats: no explode, no shuffle — reduced to one row
+    // (metadata-scale driver collect, the q_tfidf_top posture)
+    val Row(avgdl: Double, nDocs: Long) = docs
+      .select(size(nonEmptyTokens).as("dl"))
+      .agg((sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+        count(lit(1)).as("n"))
+      .head()
+    // dl rides the tf groupBy as a grouping column (functionally dependent
+    // on doc_id) — no separate per-doc join
+    scoreTf(docs
+      .select(col("doc_id"), size(nonEmptyTokens).as("dl"),
+        explode(TextFunctions.tokens(col("text"))).as("word"))
+      .filter(col("word").isin(QueryTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("word"))
+      .agg(count(lit(1)).as("tf")),
+      avgdl, nDocs)
   }
 
   val all: Seq[Q] = Seq(
@@ -168,6 +178,66 @@ object RetrievalOps {
             coalesce(lit(1.0) / (lit(RrfK) + col("rv")), lit(0.0)), 6).as("rrf"))
         .orderBy(col("rrf").desc, col("id"))
         .limit(15)
+    },
+
+    // ---- Lexical index maintenance AT INGEST: documents stream in and
+    // each micro-batch appends its O(batch) index contribution — query-
+    // term postings (doc, word, tf) and the doc-length table (doc, dl),
+    // the two structures a real BM25 index keeps — via idempotent
+    // per-batch writes (Staging.writeBatch: replay overwrites, never
+    // duplicates). Serving then scores ONLY from the accumulated index;
+    // no document text is re-read. The oracle is the batch BM25 SQL
+    // verbatim, so the streamed index must reproduce the batch ranking
+    // BIT-FOR-BIT — a dropped or double-counted batch shifts df/avgdl
+    // and every score with them (hash mismatch), which makes exactly-
+    // once index maintenance observationally verified. Companion of
+    // q_stream_index_update (the vector-side IVF maintenance).
+    Q("q_stream_bm25",
+      s"""WITH $bm25Ctes
+         |SELECT doc_id, bm25 FROM sc
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.ensureConf(s)
+      Staging.withTempDir("graft_stream_bm25_out") { out =>
+        Staging.withStagedInput(Tables.documents(s, d).select("doc_id", "text"),
+          "doc_id", nFiles = 2, prefix = "graft_stream_bm25") { in =>
+          val schema = s.read.parquet(in).schema
+          val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(in)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", s"$out/ck")
+            .foreachBatch { (batch: DataFrame, id: Long) =>
+              Staging.writeBatch(batch.select(col("doc_id"),
+                size(nonEmptyTokens).as("dl")), s"$out/doclens", id)
+              Staging.writeBatch(batch
+                .select(col("doc_id"),
+                  explode(TextFunctions.tokens(col("text"))).as("word"))
+                .filter(col("word").isin(QueryTerms: _*))
+                .groupBy(col("doc_id"), col("word"))
+                .agg(count(lit(1)).as("tf")),
+                s"$out/postings", id)
+              ()
+            }
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        val doclens = s.read.option("recursiveFileLookup", "true")
+          .parquet(s"$out/doclens")
+        val postings = s.read.option("recursiveFileLookup", "true")
+          .parquet(s"$out/postings")
+        val Row(avgdl: Double, nDocs: Long) = doclens
+          .agg((sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+            count(lit(1)).as("n"))
+          .head()
+        // postings is the small side (term-matching docs only) — AQE
+        // broadcasts it onto the doc-length table
+        val top = scoreTf(postings.join(doclens, "doc_id")
+            .select(col("doc_id"), col("dl"), col("word"), col("tf")),
+            avgdl, nDocs)
+          .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+        // the index tree dies with the temp dir — copy the bounded
+        // top-k out as a LOCAL relation
+        s.createDataFrame(top.collectAsList(), top.schema)
+      }
     }
   )
 }
