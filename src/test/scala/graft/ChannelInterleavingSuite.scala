@@ -173,6 +173,86 @@ class ChannelInterleavingSuite extends SparkSpec {
     assert(total == 300)
   }
 
+  test("sweep-vs-writer: a stale sweep at any point of a commit never corrupts the seq") {
+    // Third model: the maintenance sweeper racing a LIVE (merely slow)
+    // writer — the one protocol actor the two writer-vs-writer models
+    // above do not cover. sweepStale is wall-clock judgement (its scaladoc
+    // says so); this pins what each outcome of that judgement call does
+    // to the seq: whichever point of the writer's commit sequence the
+    // sweep fires at, the final state must hold (a) no reservation marker
+    // survives, (b) no PARTIAL batch dir (files without _SUCCESS) is ever
+    // left readable, (c) the seq ends either fully committed (data
+    // delivered) or tombstoned — never a trace-free gap, (d) offered
+    // offsets stay inside resolved seqs, and (e) a strict plan over the
+    // strict end never raises data loss. The writer models Channel.write
+    // at file-op granularity: a step that throws (its dir swept from
+    // under it — exactly what the real parquet job would hit) takes the
+    // write path's catch and tombstones its seq.
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val schema = StructType(Seq(StructField("id", IntegerType)))
+    for (sweepAt <- 0 to 6) {
+      val reg = new graft.channel.ChannelRegistry(spark, tmpDir("chan_sweep"))
+      val ch = reg.create(s"sw$sweepAt", schema)
+      val dir = ch.dir
+      val claimed = scala.collection.mutable.Map.empty[Int, Long]
+      def marker = dir.resolve(f"${Channel.ResPrefix}${claimed(0)}%012d")
+      def batch = dir.resolve(f"batch_${claimed(0)}%012d_w0")
+      val steps: Vector[() => Unit] = Vector(
+        () => {
+          claimed(0) = Channel.reserveSeq(dir)
+          // the writer has been "stuck" since reservation: age the marker
+          // past any sweep threshold
+          Files.setLastModifiedTime(marker,
+            java.nio.file.attribute.FileTime.fromMillis(1L))
+        },
+        () => Files.createDirectories(batch),
+        () => Files.createFile(batch.resolve("part-0.parquet")),
+        () => Files.createFile(batch.resolve("_SUCCESS")),
+        () => Files.deleteIfExists(marker),
+        () => Channel.advanceHead(dir))
+      var failed = false
+      for ((st, i) <- steps.zipWithIndex) {
+        if (i == sweepAt) ch.sweepStale(3600000) // only the aged marker is stale
+        if (!failed) {
+          try st()
+          catch { case _: Exception =>
+            // Channel.write's catch path: tombstone and give up
+            Channel.markAborted(dir, claimed(0)); failed = true
+          }
+        }
+      }
+      if (sweepAt == steps.length) ch.sweepStale(3600000)
+
+      val ctx = s"[sweepAt=$sweepAt]"
+      assert(Channel.resSeqs(dir).isEmpty, s"$ctx leaked reservation")
+      val dirs = Channel.listDir(dir)
+        .filter(_.getFileName.toString.startsWith("batch_"))
+      dirs.foreach { p =>
+        assert(Files.exists(p.resolve("_SUCCESS")),
+          s"$ctx partial batch dir left readable: $p")
+      }
+      val committedHere = dirs.exists(p => Channel.batchSeq(p) == claimed(0))
+      val tombstoned = Channel.abortSeqs(dir).contains(claimed(0))
+      assert(committedHere || tombstoned, s"$ctx trace-free gap at ${claimed(0)}")
+      assertWeakOfferResolved(dir, ctx)
+      Channel.advanceHead(dir)
+      val (strict, weak) = Channel.committedEnds(dir)
+      assert(strict <= weak, s"$ctx ends inverted")
+      Channel.readHead(dir).foreach { case (hs, hw) =>
+        assert(hs <= strict && hw <= weak, s"$ctx head ahead of true ends")
+      }
+      // a strict plan over the full strict range must not raise loss —
+      // every hole in it is a tombstone the planner knows is benign
+      val stream = new graft.sources.ChannelMicroBatchStream(dir, null,
+        weak = false, startLatest = false, startSeq = None, maxBatches = None)
+      stream.planInputPartitions(graft.sources.ChannelSeqOffset(0L),
+        graft.sources.ChannelSeqOffset(strict)) // throws ChannelDataLoss on a bad hole
+      // if the batch survived, its data must actually be planned
+      if (committedHere)
+        assert(weak > claimed(0), s"$ctx committed batch not visible")
+    }
+  }
+
   /** A writer's multi-op step list: each op is commit (5 steps) or abort
     * (2 steps); later steps of an op close over the seq its reserve step
     * claimed (`claimed.last`). */
