@@ -33,6 +33,7 @@ object RetrievalOps {
   private val QueryTerms = Seq("vector", "query", "merge", "spark")
 
   private def termsSqlList = QueryTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+  private def termsSqlIn = QueryTerms.map(t => s"'$t'").mkString(", ")
 
   /** The BM25 scoring pipeline as SQL CTEs (shared by both oracles so the
     * two queries cannot drift): yields `sc(doc_id, bm25)`. Per-term
@@ -178,6 +179,71 @@ object RetrievalOps {
             coalesce(lit(1.0) / (lit(RrfK) + col("rv")), lit(0.0)), 6).as("rrf"))
         .orderBy(col("rrf").desc, col("id"))
         .limit(15)
+    },
+
+    // ---- Passage selection: for each of the BM25 top-5 documents, the
+    // 32-token window containing the most query-term hits (ties → the
+    // earliest window), with the passage text itself — the snippet/
+    // chunk-selection step a RAG stack runs between retrieval and
+    // generation. The optimal window can always be anchored at a hit, so
+    // candidates are windows starting at each hit position: a per-doc
+    // range self-join over the HIT lists (a handful of positions per
+    // doc), never over all token positions. Everything after the top-5
+    // gate is bounded by the retrieved list — the corpus-scale work is
+    // the BM25 scorer, already scale-audited; per-doc windows run
+    // partitioned by doc over ≤hits rows.
+    Q("q_best_passage",
+      s"""WITH $bm25Ctes,
+         |top5 AS (SELECT doc_id FROM sc ORDER BY bm25 DESC, doc_id LIMIT 5),
+         |toks AS (SELECT d.doc_id, string_split(text, ' ') AS tk
+         |         FROM documents d JOIN top5 USING (doc_id)),
+         |pos AS (SELECT doc_id, generate_subscripts(tk, 1) AS pos,
+         |          unnest(tk) AS word FROM toks),
+         |hits AS (SELECT doc_id, pos FROM pos
+         |         WHERE word IN ($termsSqlIn)),
+         |win AS (SELECT a.doc_id, a.pos AS start, COUNT(*) AS n_hits
+         |        FROM hits a JOIN hits b ON b.doc_id = a.doc_id
+         |          AND b.pos >= a.pos AND b.pos < a.pos + 32
+         |        GROUP BY a.doc_id, a.pos),
+         |best AS (SELECT doc_id, start, n_hits,
+         |           row_number() OVER (PARTITION BY doc_id
+         |             ORDER BY n_hits DESC, start) AS rn
+         |         FROM win)
+         |SELECT b.doc_id, CAST(b.start AS BIGINT) AS passage_start,
+         |  CAST(b.n_hits AS BIGINT) AS n_hits,
+         |  array_to_string(t.tk[b.start : b.start + 31], ' ') AS passage
+         |FROM best b JOIN toks t ON t.doc_id = b.doc_id
+         |WHERE rn = 1 ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+      val top5 = bm25Scores(s, d)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(5)
+        .select(col("doc_id"))
+      // the retrieved list gates the corpus scan — 5 docs survive
+      val toks = Tables.documents(s, d).join(broadcast(top5), "doc_id")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+        .cache()
+      // 1-based positions over ALL tokens (empties included) — the
+      // oracle's generate_subscripts numbering
+      val hits = toks
+        .select(col("doc_id"), posexplode(col("tk")).as(Seq("p0", "word")))
+        .filter(col("word").isin(QueryTerms: _*))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"))
+        .cache()
+      val a = hits.select(col("doc_id"), col("pos").as("start"))
+      val b = hits.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"))
+      val win = a.join(b, col("doc_b") === col("doc_id") &&
+          col("pos_b") >= col("start") && col("pos_b") < col("start") + 32)
+        .groupBy(col("doc_id"), col("start"))
+        .agg(count(lit(1)).as("n_hits"))
+      val best = win
+        .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("n_hits").desc, col("start"))))
+        .filter(col("rn") === 1)
+      best.join(toks, "doc_id")
+        .select(col("doc_id"),
+          col("start").cast("long").as("passage_start"),
+          col("n_hits").cast("long").as("n_hits"),
+          concat_ws(" ", slice(col("tk"), col("start"), lit(32))).as("passage"))
+        .orderBy(col("doc_id"))
     },
 
     // ---- Lexical index maintenance AT INGEST: documents stream in and
