@@ -724,6 +724,63 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // ---- Gopher n-gram repetition filters (Rae et al. 2021 §A1.1): the
+    // character fraction covered by the most frequent word 2-/3-gram,
+    // thresholded at the paper's 0.20/0.18. The top gram is computed by
+    // the native TopNgramStats expression in ONE map-side pass inside the
+    // scan stage — the composed form (explode n-grams → groupBy(doc,
+    // gram) → per-doc max, which the oracle runs) shuffles the corpus
+    // TOKEN stream for a per-document scalar, the single largest relation
+    // this filter could materialize at 100 TB. Per-row ops only; the
+    // total ORDER BY is the gate's determinism contract.
+    Q("q_gopher_repetition",
+      """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+        |              FROM documents),
+        |p AS (SELECT doc_id, tk, generate_subscripts(tk, 1) AS i FROM toks),
+        |c2 AS (SELECT doc_id, array_to_string(tk[i : i + 1], ' ') AS gram,
+        |         COUNT(*) AS c
+        |       FROM p WHERE i + 1 <= len(tk) GROUP BY doc_id, gram),
+        |t2 AS (SELECT doc_id, gram, c,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY c DESC, gram) AS rn
+        |       FROM c2),
+        |c3 AS (SELECT doc_id, array_to_string(tk[i : i + 2], ' ') AS gram,
+        |         COUNT(*) AS c
+        |       FROM p WHERE i + 2 <= len(tk) GROUP BY doc_id, gram),
+        |t3 AS (SELECT doc_id, gram, c,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY c DESC, gram) AS rn
+        |       FROM c3)
+        |SELECT d.doc_id, t2.gram AS top_2gram,
+        |  round(CAST(t2.c * length(t2.gram) AS DOUBLE) / length(d.text), 6)
+        |    AS frac_2gram,
+        |  round(CAST(t3.c * length(t3.gram) AS DOUBLE) / length(d.text), 6)
+        |    AS frac_3gram,
+        |  (COALESCE(round(CAST(t2.c * length(t2.gram) AS DOUBLE)
+        |     / length(d.text), 6), 0) <= 0.20
+        |   AND COALESCE(round(CAST(t3.c * length(t3.gram) AS DOUBLE)
+        |     / length(d.text), 6), 0) <= 0.18) AS keep
+        |FROM documents d
+        |LEFT JOIN t2 ON t2.doc_id = d.doc_id AND t2.rn = 1
+        |LEFT JOIN t3 ON t3.doc_id = d.doc_id AND t3.rn = 1
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      def frac(st: org.apache.spark.sql.Column) = round(
+        (st.getField("cnt") * length(st.getField("gram"))).cast("double") /
+          length(col("text")), 6)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          graft.functions.TopNgramStats(col("text"), 2).as("s2"),
+          graft.functions.TopNgramStats(col("text"), 3).as("s3"))
+        .select(col("doc_id"),
+          col("s2").getField("gram").as("top_2gram"),
+          frac(col("s2")).as("frac_2gram"),
+          frac(col("s3")).as("frac_3gram"))
+        .withColumn("keep",
+          coalesce(col("frac_2gram"), lit(0.0)) <= 0.20 &&
+            coalesce(col("frac_3gram"), lit(0.0)) <= 0.18)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- The full curation pipeline in one verifiable query: quality
     // filter → language filter → whitespace-insensitive dedup (keep lowest
     // doc_id per fingerprint) → keep-list. This is the composed shape a

@@ -404,6 +404,58 @@ class FunctionsSuite extends SparkSpec {
     assert(composedNull == Seq.empty && nativeNull == Seq.empty)
   }
 
+  test("top_ngram_stats: matches the exploded groupBy/top form, ties to smallest gram") {
+    // the map-only kernel must agree with the composed corpus-shuffle
+    // form it replaces (explode n-grams → groupBy → per-doc max, count
+    // ties broken by the lexicographically smallest gram) on every input
+    // shape: clear winners, full ties, empty-token edges, unicode, and
+    // seeded random docs over a tiny alphabet (dense tie structure)
+    val rnd = new scala.util.Random(20260814L)
+    val alphabet = Seq("aa", "b", "ccc", "dd", "")
+    val randomDocs = (1 to 30).map { _ =>
+      (1 to (1 + rnd.nextInt(40)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.size)))
+        .mkString(if (rnd.nextBoolean()) " " else "  ")
+    }
+    val docs = Seq(
+      "a b a b a c", "x y x y", "t t t t t t", "one two", "solo",
+      "", " ", "  ", "a  b  a  b",
+      "unicode café straße café straße 日本語 café straße",
+      (1 to 150).map(i => s"w${i % 7}").mkString(" ")) ++ randomDocs
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").cache()
+    for (n <- Seq(1, 2, 3)) {
+      val native = df
+        .select(col("doc_id"), graft.functions.TopNgramStats(col("text"), n).as("s"))
+        .select(col("doc_id"), col("s.gram").as("gram"), col("s.cnt").as("cnt"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some((r.getString(1), r.getLong(2)))))
+        .toMap
+      val composed = df
+        .select(col("doc_id"), explode(TextFunctions.shingles(col("text"), n)).as("gram"))
+        .groupBy(col("doc_id"), col("gram")).count()
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+            .orderBy(col("count").desc, col("gram"))))
+        .filter(col("rn") === 1)
+        .collect()
+        .map(r => r.getLong(0) -> Some((r.getString(1), r.getLong(2))))
+        .toMap
+      docs.indices.foreach { i =>
+        assert(native(i.toLong) == composed.getOrElse(i.toLong, None),
+          s"n=$n doc=$i '${docs(i).take(40)}': " +
+            s"native=${native(i.toLong)} composed=${composed.get(i.toLong)}")
+      }
+    }
+    // null text → null struct (the composed form emits no row)
+    val nullRow = Seq[String](null).toDF("text")
+      .select(graft.functions.TopNgramStats(col("text"), 2).as("s"))
+      .collect().head
+    assert(nullRow.isNullAt(0))
+    df.unpersist()
+  }
+
   test("ordered_pairs: identical to the HOF pair-emission it replaces") {
     // the pair-emission contract of the dedup group joins: for a sorted
     // id list, ordered_pairs must emit exactly the pairs (and the order)

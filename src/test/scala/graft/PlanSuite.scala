@@ -324,4 +324,24 @@ class PlanSuite extends SparkSpec {
     // codegen stages render as "*(n)" in the final-plan simple string
     assert(plan.contains("*("), s"no codegen span:\n${plan.take(1500)}")
   }
+
+  test("gopher repetition: map-only pass, no shuffle before the output sort") {
+    // the native TopNgramStats kernel keeps the whole filter inside the
+    // scan stage — the composed form's corpus-token groupBy would show
+    // here as extra Exchanges and aggregates
+    val df = SparkEntry.queries("q_gopher_repetition")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("top_ngram_stats"), "native expression missing")
+    assert(!plan.contains("HashAggregate"),
+      s"per-doc top gram fell back to an aggregate:\n${plan.take(2000)}")
+    // the only exchange is the range partitioning the total ORDER BY
+    // needs (the AQE string renders the plan twice — assert by KIND, not
+    // count: no hash-partitioned shuffle anywhere)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"hash shuffle on a map-only filter:\n${plan.take(2000)}")
+    // the kernel participates in whole-stage codegen (doGenCode, not a
+    // fallback that would split the scan→project span)
+    assert(plan.contains("*("), s"no codegen span:\n${plan.take(1500)}")
+  }
 }
