@@ -67,6 +67,80 @@ object TemporalOps {
       TemporalJoins.pointInterval(pts, iv, "price", "lo", "hi", bucketWidth = 10.0)
         .select(col("l_orderkey"), col("l_linenumber"), col("band_part"), col("price"))
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("band_part"))
+    },
+
+    // ---- CDC upsert / latest-state compaction: the merge primitive that
+    // turns a change feed into current table state — latest record per
+    // key by (ts, event_id), keys whose latest op is the tombstone
+    // ('error' here) deleted from the result. ONE map-side-combinable
+    // `max(struct(...))` aggregate — never a per-key window sort: at
+    // 100 TB the partial maxes reduce each partition to ≤|keys| rows
+    // before the single shuffle, where the row_number formulation (which
+    // the oracle states) would sort the whole feed.
+    Q("q_cdc_upsert",
+      """WITH r AS (SELECT user_id, event_id, event_type, value,
+        |             epoch_us(ts) AS ts_us,
+        |             row_number() OVER (PARTITION BY user_id
+        |               ORDER BY ts DESC, event_id DESC) AS rn
+        |           FROM events)
+        |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |  round(value, 6) AS last_value, CAST(ts_us AS BIGINT) AS last_ts_us
+        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+          col("value"))).as("last"))
+        .filter(col("last.event_type") =!= "error")
+        .select(col("user_id"), col("last.event_id").as("last_event_id"),
+          col("last.event_type").as("last_type"),
+          round(col("last.value"), 6).as("last_value"),
+          expr("last.ts div 1000").as("last_ts_us"))
+        .orderBy(col("user_id"))
+    },
+
+    // ---- The same upsert view MAINTAINED AT INGEST: a complete-mode
+    // streaming aggregation is Spark's materialized-view primitive — the
+    // per-key max(struct) state updates incrementally across triggers
+    // (3 staged micro-batches), and the final table must equal the batch
+    // compaction bit-for-bit (the shared oracle): state loss or a
+    // re-delivered batch would surface as a stale or shifted `last_*`
+    // column. The view is |keys| rows by construction (bounded sink).
+    Q("q_stream_upsert",
+      """WITH r AS (SELECT user_id, event_id, event_type, value,
+        |             epoch_us(ts) AS ts_us,
+        |             row_number() OVER (PARTITION BY user_id
+        |               ORDER BY ts DESC, event_id DESC) AS rn
+        |           FROM events)
+        |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |  round(value, 6) AS last_value, CAST(ts_us AS BIGINT) AS last_ts_us
+        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      Tables.ensureConf(s)
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      Staging.withStagedInput(ev, "event_id", nFiles = 3,
+        prefix = "graft_stream_upsert") { in =>
+        val schema = s.read.parquet(in).schema
+        Staging.runAndDrain(s, "stream_upsert_sink") {
+          val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(in)
+            .groupBy(col("user_id"))
+            .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+              col("value"))).as("last"))
+            .writeStream.outputMode("complete").format("memory")
+            .queryName("stream_upsert_sink").start()
+          try q.processAllAvailable() finally q.stop()
+        } { df =>
+          df.filter(col("last.event_type") =!= "error")
+            .select(col("user_id"), col("last.event_id").as("last_event_id"),
+              col("last.event_type").as("last_type"),
+              round(col("last.value"), 6).as("last_value"),
+              expr("last.ts div 1000").as("last_ts_us"))
+            .orderBy(col("user_id"))
+        }
+      }
     }
   )
 }
