@@ -810,6 +810,35 @@ object Relational {
         .orderBy($("user_id"), $("event_id"))
     },
 
+    // ---- Event-time RANGE frame: per-user trailing-1-hour count and
+    // exact-decimal sum — the VALUE-bounded window class (ROWS frames are
+    // q_running_sum above). Same-microsecond ties are all in-frame
+    // regardless of intra-tie order, so the frame content is
+    // deterministic; the DECIMAL cast keeps the sum order-independent.
+    // Scale: partitioned by user key — a pathologically hot key is
+    // re-bucketed by coarse time range first (the q_seq_pack note), which
+    // keeps frames intact because range frames only look backward within
+    // one hour.
+    Q("q_time_range_frame",
+      """SELECT user_id, event_id, CAST(t AS BIGINT) AS t,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+        |FROM (SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY t
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, t, event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy($("user_id")).orderBy($("t"))
+        .rangeBetween(-3600000000L, Window.currentRow)
+      Tables.events(s, d)
+        .select($("user_id"), $("event_id"), expr("ts div 1000").as("t"),
+          $("value"))
+        .select($("user_id"), $("event_id"), $("t"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("value").cast("decimal(18,2)")).over(w)
+            .cast("double").as("sum_1h"))
+        .orderBy($("user_id"), $("t"), $("event_id"))
+    },
+
     // ---- JSON extraction from the events.props column (SURVEY §2.7 JSON
     // row; reference: serde_json in examples/rest-api/src/lib.rs:113-121).
     Q("q_json_extract",
