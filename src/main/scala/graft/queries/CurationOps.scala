@@ -357,6 +357,22 @@ object CurationOps {
         |JOIN w1 ON d.w = w1.w JOIN w${BpeRounds + 1} ON d.w = w${BpeRounds + 1}.w
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
+  /** q_bpe_fertility oracle: per-language pieces-per-word and compression
+    * after the learned merges (same generated merge rounds as
+    * [[bpeEncodeSql]]; `len(w1.syms)` is the character baseline). */
+  private lazy val bpeFertilitySql: String =
+    bpeBaseSql + (1 to BpeRounds).map(bpeRoundSql).mkString(",") + s"""
+        |SELECT d.lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(len(w${BpeRounds + 1}.syms)) AS BIGINT) AS n_pieces,
+        |  round(CAST(SUM(len(w${BpeRounds + 1}.syms)) AS DOUBLE)
+        |    / COUNT(*), 6) AS fertility,
+        |  round(CAST(SUM(len(w${BpeRounds + 1}.syms)) AS DOUBLE)
+        |    / SUM(len(w1.syms)), 6) AS compression
+        |FROM (SELECT lang, unnest(string_split(text,' ')) AS w FROM documents) d
+        |JOIN w1 ON d.w = w1.w JOIN w${BpeRounds + 1} ON d.w = w${BpeRounds + 1}.w
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   /** Run the BPE merge loop on the engine: returns the learned merges
     * (pair, corpus count) and the per-word symbol table after all
     * rounds. The per-round best pair is a single-row driver collect
@@ -593,6 +609,31 @@ object CurationOps {
         .agg(sum($("len_before")).cast("int").as("n_sym_before"),
           sum($("len_after")).cast("int").as("n_sym_after"))
         .orderBy($("doc_id"))
+    },
+
+    // ---- Tokenizer fertility by language: pieces-per-word and the
+    // compression ratio vs the character baseline — the tokenizer-eval
+    // metric that decides whether a vocabulary serves a language well
+    // (high fertility = the language pays more sequence length per word).
+    // Same train-once artifact as q_bpe_encode; corpus side is one
+    // explode joined against the broadcast word table, aggregated to
+    // |langs| rows with integer sums (ratios of exact integers —
+    // deterministic without DECIMAL staging).
+    Q("q_bpe_fertility", bpeFertilitySql) { (s, d) =>
+      val (_, wFinal) = bpeTrain(s, d)
+      val table = wFinal.select(col("w").as("tw"),
+        length($("w")).as("len_before"), size($("syms")).as("len_after"))
+      Tables.documents(s, d)
+        .select($("lang"), explode(TextFunctions.tokens($("text"))).as("w"))
+        .join(table, col("w") === col("tw"))
+        .groupBy($("lang"))
+        .agg(count(lit(1)).as("n_words"),
+          sum($("len_after")).cast("long").as("n_pieces"),
+          round(sum($("len_after")).cast("double") / count(lit(1)), 6)
+            .as("fertility"),
+          round(sum($("len_after")).cast("double") / sum($("len_before")), 6)
+            .as("compression"))
+        .orderBy($("lang"))
     },
 
     // ---- Tokenizer serving AT INGEST: the train-batch/apply-stream
