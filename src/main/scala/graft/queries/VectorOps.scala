@@ -86,6 +86,40 @@ object VectorOps {
         .limit(10)
     },
 
+    // ---- Late-interaction (ColBERT-style) MaxSim retrieval: the query
+    // is a SET of vectors (vec_id < 4) and each candidate document is a
+    // label group; score = Σ over query vectors of the best cosine to
+    // any vector in the group. The query set broadcasts; per-(group,
+    // query-vector) maxes combine map-side, so the corpus crosses one
+    // narrow shuffle on the group key — the multi-vector analogue of
+    // q_embed_topk's single-vector scan. Per-query bests round to 6dp
+    // and sum as DECIMAL (order-independent).
+    Q("q_maxsim",
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 4),
+        |c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id >= 4),
+        |m AS (SELECT c.label, q.qid,
+        |        MAX(round(list_cosine_similarity(c.v, q.qv), 6)) AS best
+        |      FROM c CROSS JOIN q GROUP BY c.label, q.qid)
+        |SELECT label, round(CAST(SUM(CAST(best AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |  AS maxsim
+        |FROM m GROUP BY label ORDER BY maxsim DESC, label""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .withColumn("v", col("embedding").cast("array<double>"))
+      val q = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      e.filter(col("vec_id") >= 4).select(col("label"), col("v"))
+        .crossJoin(broadcast(q))
+        .select(col("label"), col("qid"),
+          round(VectorFunctions.cosine(col("v"), col("qv")), 6).as("sim"))
+        .groupBy(col("label"), col("qid")).agg(max(col("sim")).as("best"))
+        .select(col("label"), col("best").cast("decimal(18,6)").as("b"))
+        .groupBy(col("label")).agg(sum(col("b")).as("s"))
+        .select(col("label"), round(col("s").cast("double"), 6).as("maxsim"))
+        .orderBy(col("maxsim").desc, col("label"))
+    },
+
     // ---- Brute-force kNN join: top-3 neighbors for the first 50 vectors.
     // (Correctness baseline for the LSH path below; at scale the probe side
     // is the small/broadcast side.)
