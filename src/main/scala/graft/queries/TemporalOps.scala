@@ -99,6 +99,63 @@ object TemporalOps {
         .orderBy(col("user_id"))
     },
 
+    // ---- Snapshot diff between two versions of the upsert view: the
+    // data-versioning primitive (what changed between yesterday's and
+    // today's materialization — the audit row a dataset release ships).
+    // Each version is the same map-side-combinable max(struct) compaction
+    // as q_cdc_upsert at its cutoff; classification is one full outer
+    // join on the key. Both versions derive from ONE scan of the feed
+    // (the T1 state aggregates a filtered copy of the same relation —
+    // Spark plans two passes here, but at 100 TB the T1 state would be
+    // the PREVIOUS release's stored table, making this a pure
+    // state-vs-state join with no feed re-scan).
+    Q("q_upsert_diff",
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             epoch_us(ts) AS t FROM events),
+        |s1 AS (SELECT user_id, event_id FROM (
+        |         SELECT user_id, event_id, event_type,
+        |           row_number() OVER (PARTITION BY user_id
+        |             ORDER BY t DESC, event_id DESC) AS rn
+        |         FROM e WHERE t <= 1705276800000000)
+        |       WHERE rn = 1 AND event_type <> 'error'),
+        |s2 AS (SELECT user_id, event_id FROM (
+        |         SELECT user_id, event_id, event_type,
+        |           row_number() OVER (PARTITION BY user_id
+        |             ORDER BY t DESC, event_id DESC) AS rn
+        |         FROM e)
+        |       WHERE rn = 1 AND event_type <> 'error')
+        |SELECT COALESCE(s2.user_id, s1.user_id) AS user_id,
+        |  s1.event_id AS old_event_id, s2.event_id AS new_event_id,
+        |  CASE WHEN s1.user_id IS NULL THEN 'added'
+        |       WHEN s2.user_id IS NULL THEN 'deleted'
+        |       ELSE 'updated' END AS change
+        |FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+        |WHERE s1.user_id IS NULL OR s2.user_id IS NULL
+        |   OR s1.event_id <> s2.event_id
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      // 2024-01-15 00:00 UTC in feed nanos (the oracle compares µs)
+      val t1Nanos = 1705276800000000L * 1000L
+      def stateAt(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("last"))
+        .filter(col("last.event_type") =!= "error")
+        .select(col("user_id"), col("last.event_id").as("event_id"))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      val s1 = stateAt(ev.filter(col("ts") <= t1Nanos))
+        .withColumnRenamed("user_id", "u1").withColumnRenamed("event_id", "e1")
+      val s2 = stateAt(ev)
+        .withColumnRenamed("user_id", "u2").withColumnRenamed("event_id", "e2")
+      s1.join(s2, col("u1") === col("u2"), "full_outer")
+        .filter(col("u1").isNull || col("u2").isNull || col("e1") =!= col("e2"))
+        .select(coalesce(col("u2"), col("u1")).as("user_id"),
+          col("e1").as("old_event_id"), col("e2").as("new_event_id"),
+          when(col("u1").isNull, "added")
+            .when(col("u2").isNull, "deleted")
+            .otherwise("updated").as("change"))
+        .orderBy(col("user_id"))
+    },
+
     // ---- The same upsert view MAINTAINED AT INGEST: a complete-mode
     // streaming aggregation is Spark's materialized-view primitive — the
     // per-key max(struct) state updates incrementally across triggers
