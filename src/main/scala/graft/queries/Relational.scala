@@ -839,6 +839,47 @@ object Relational {
         .orderBy($("user_id"), $("t"), $("event_id"))
     },
 
+    // ---- Gap fill + LOCF resampling: densify each user's daily series
+    // over the full calendar spine and carry the last observation
+    // forward through the holes (0 before the first) — the resampling
+    // step monitoring/feature pipelines run before any rolling math.
+    // The spine is a 30-row broadcast literal; observed daily sums
+    // partial-combine before their shuffle; the fill window runs per
+    // key over |days| rows (never the raw feed). Exact-decimal daily
+    // sums make the carried values engine-bit-stable.
+    Q("q_gap_fill",
+      """WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10),
+        |days AS (SELECT strftime(d, '%Y-%m-%d') AS day
+        |         FROM generate_series(DATE '2024-01-01', DATE '2024-01-30',
+        |                              INTERVAL 1 DAY) t(d)),
+        |obs AS (SELECT user_id,
+        |          strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |        FROM events WHERE user_id < 10 GROUP BY 1, 2),
+        |g AS (SELECT u.user_id, days.day, obs.v FROM u CROSS JOIN days
+        |      LEFT JOIN obs ON obs.user_id = u.user_id AND obs.day = days.day)
+        |SELECT user_id, day, (v IS NOT NULL) AS observed,
+        |  COALESCE(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    0.0) AS filled
+        |FROM g ORDER BY user_id, day""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).filter($("user_id") < 10)
+      val users = ev.select($("user_id")).distinct()
+      val days = s.range(1).select(explode(expr(
+        "transform(sequence(to_date('2024-01-01'), to_date('2024-01-30')), " +
+          "d -> date_format(d, 'yyyy-MM-dd'))")).as("day"))
+      val obs = ev.groupBy($("user_id"), Tables.tsDay("ts").as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+      val w = Window.partitionBy($("user_id")).orderBy($("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      users.crossJoin(broadcast(days))
+        .join(obs, Seq("user_id", "day"), "left")
+        .select($("user_id"), $("day"), col("v").isNotNull.as("observed"),
+          coalesce(last(col("v"), ignoreNulls = true).over(w), lit(0.0))
+            .as("filled"))
+        .orderBy($("user_id"), $("day"))
+    },
+
     // ---- JSON extraction from the events.props column (SURVEY §2.7 JSON
     // row; reference: serde_json in examples/rest-api/src/lib.rs:113-121).
     Q("q_json_extract",
