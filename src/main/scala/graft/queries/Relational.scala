@@ -880,6 +880,92 @@ object Relational {
         .orderBy($("user_id"), $("day"))
     },
 
+    // ---- Cohort retention: users grouped by first-purchase week, then
+    // the fraction still purchasing at each day offset — the standard
+    // product-analytics matrix. First-touch is a map-side-combinable MIN
+    // per user; day offsets are exact integer µs division; the per-user
+    // first-touch table joins the feed un-hinted (fact-scale — AQE
+    // broadcasts at bench scale, shuffles beyond the cap at 100 TB).
+    Q("q_cohort_retention",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events
+        |           WHERE event_type = 'purchase'),
+        |f AS (SELECT user_id, MIN(t) AS first_t FROM e GROUP BY user_id),
+        |c AS (SELECT user_id, first_t,
+        |        strftime(date_trunc('week', make_timestamp(first_t)),
+        |                 '%Y-%m-%d') AS cohort
+        |      FROM f),
+        |n AS (SELECT cohort, COUNT(*) AS cohort_n FROM c GROUP BY cohort),
+        |a AS (SELECT DISTINCT c.cohort, e.user_id,
+        |        CAST((e.t - c.first_t) // 86400000000 AS INT) AS dayoff
+        |      FROM e JOIN c USING (user_id))
+        |SELECT a.cohort, a.dayoff, CAST(COUNT(*) AS BIGINT) AS n_active,
+        |  n.cohort_n,
+        |  round(CAST(COUNT(*) AS DOUBLE) / n.cohort_n, 6) AS retention
+        |FROM a JOIN n ON n.cohort = a.cohort
+        |GROUP BY a.cohort, a.dayoff, n.cohort_n
+        |ORDER BY a.cohort, a.dayoff""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).filter($("event_type") === "purchase")
+        .select($("user_id"), expr("ts div 1000").as("t"))
+      val c = e.groupBy($("user_id")).agg(min($("t")).as("first_t"))
+        .withColumn("cohort", date_format(
+          date_trunc("week", expr("timestamp_micros(first_t)")), "yyyy-MM-dd"))
+      val n = c.groupBy($("cohort")).agg(count(lit(1)).as("cohort_n"))
+      val a = e.join(c, "user_id")
+        .select($("cohort"), $("user_id"),
+          expr("(t - first_t) div 86400000000").cast("int").as("dayoff"))
+        .distinct()
+      a.join(n, "cohort")
+        .groupBy($("cohort"), $("dayoff"), $("cohort_n"))
+        .agg(count(lit(1)).as("n_active"))
+        .select($("cohort"), $("dayoff"), $("n_active"), $("cohort_n"),
+          round($("n_active").cast("double") / $("cohort_n"), 6).as("retention"))
+        .orderBy($("cohort"), $("dayoff"))
+    },
+
+    // ---- Ordered funnel with conversion windows: signup → first click
+    // within 24 h → first purchase within 24 h of that click. Each stage
+    // is a MIN-per-user aggregate gated on the previous stage's time
+    // (never a per-user event sort); the per-user stage tables join the
+    // feed un-hinted. One summary row.
+    Q("q_funnel",
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        |s AS (SELECT user_id, MIN(t) AS t0 FROM e
+        |      WHERE event_type = 'signup' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.t) AS t1 FROM e
+        |      JOIN s ON s.user_id = e.user_id
+        |      WHERE e.event_type = 'click' AND e.t > s.t0
+        |        AND e.t <= s.t0 + 86400000000
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.t) AS t2 FROM e
+        |      JOIN c ON c.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND e.t > c.t1
+        |        AND e.t <= c.t1 + 86400000000
+        |      GROUP BY e.user_id)
+        |SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_signup,
+        |  CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click,
+        |  CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase,
+        |  round(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+        |    / (SELECT COUNT(*) FROM s), 6) AS conv_click,
+        |  round(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+        |    / (SELECT COUNT(*) FROM c), 6) AS conv_purchase""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select($("user_id"), $("event_type"), expr("ts div 1000").as("t"))
+      val sStage = e.filter($("event_type") === "signup")
+        .groupBy($("user_id")).agg(min($("t")).as("t0"))
+      val cStage = e.filter($("event_type") === "click").join(sStage, "user_id")
+        .filter($("t") > $("t0") && $("t") <= $("t0") + 86400000000L)
+        .groupBy($("user_id")).agg(min($("t")).as("t1"))
+      val pStage = e.filter($("event_type") === "purchase").join(cStage, "user_id")
+        .filter($("t") > $("t1") && $("t") <= $("t1") + 86400000000L)
+        .groupBy($("user_id")).agg(min($("t")).as("t2"))
+      sStage.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(cStage.agg(count(lit(1)).as("n_click")))
+        .crossJoin(pStage.agg(count(lit(1)).as("n_purchase")))
+        .select($("n_signup"), $("n_click"), $("n_purchase"),
+          round($("n_click").cast("double") / $("n_signup"), 6).as("conv_click"),
+          round($("n_purchase").cast("double") / $("n_click"), 6).as("conv_purchase"))
+    },
+
     // ---- JSON extraction from the events.props column (SURVEY §2.7 JSON
     // row; reference: serde_json in examples/rest-api/src/lib.rs:113-121).
     Q("q_json_extract",
