@@ -719,6 +719,58 @@ object Streamish {
       }
     },
 
+    // ---- CEP pattern matching at ingest: the ordered funnel
+    // signup → click (≤24 h) → purchase (≤24 h of the click) recognized
+    // by a per-user state machine (streaming.FunnelMatch,
+    // flatMapGroupsWithState) ACROSS micro-batches — the
+    // MATCH_RECOGNIZE / Flink-CEP operator class. A completion record
+    // emits the moment the final stage matches; per-key state is three
+    // longs regardless of event volume. Delivery contract: per-key
+    // in-time-order arrival — here from range-staging the time-ordered
+    // event_id (3 batches = 3 time slices, so funnels genuinely
+    // straddle triggers); a production deployment gets the same
+    // guarantee from per-key ordered channel topics. The forward-only
+    // first-qualifying-event machine equals the declarative
+    // MIN-per-stage batch formulation, which is what the oracle states
+    // — so lost state or out-of-order stepping hash-mismatches.
+    Q("q_stream_funnel",
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        |s AS (SELECT user_id, MIN(t) AS t0 FROM e
+        |      WHERE event_type = 'signup' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.t) AS t1 FROM e
+        |      JOIN s ON s.user_id = e.user_id
+        |      WHERE e.event_type = 'click' AND e.t > s.t0
+        |        AND e.t <= s.t0 + 86400000000
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.t) AS t2 FROM e
+        |      JOIN c ON c.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND e.t > c.t1
+        |        AND e.t <= c.t1 + 86400000000
+        |      GROUP BY e.user_id)
+        |SELECT s.user_id, s.t0, c.t1, p.t2
+        |FROM p JOIN c ON c.user_id = p.user_id
+        |JOIN s ON s.user_id = p.user_id
+        |ORDER BY s.user_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.streaming.FunnelMatch
+      Tables.ensureConf(s)
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000").as("t"))
+      Staging.withStagedInput(ev, "event_id", nFiles = 3,
+        prefix = "graft_stream_funnel") { in =>
+        val schema = s.read.parquet(in).schema
+        val sink = s"graft_stream_funnel_${streamRun.incrementAndGet()}"
+        Staging.runAndDrain(s, sink) {
+          val src = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(in).as[FunnelMatch.Ev]
+          val q = sizedStart(s, 8)(FunnelMatch(src).writeStream
+            .outputMode("append").format("memory").queryName(sink).start())
+          try q.processAllAvailable() finally q.stop()
+        }(_.orderBy(col("user_id")))
+      }
+    },
+
     // ---- A4 as a REAL stateful streaming run: ConfigFold
     // (flatMapGroupsWithState) over the events stream — signups are
     // ConfigUpdates, purchases are WorkItems (same mapping as
