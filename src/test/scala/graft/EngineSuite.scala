@@ -658,6 +658,63 @@ class EngineSuite extends SparkSpec {
     assert(got.size == want.size, s"duplicate emissions: $got")
   }
 
+  test("streaming funnel: checkpoint restart carries stage state across the boundary") {
+    // The CEP analogue of the near-dup restart claim: a funnel whose
+    // stages STRADDLE the stop/restart boundary must complete through
+    // RESTORED per-user state (the pre-crash signup/click never re-enter
+    // the source), and a funnel completed pre-crash must not re-emit.
+    import spark.implicits._
+    import graft.streaming.FunnelMatch
+    val H = 3600000000L // 1 h in µs
+    def ev(id: Long, u: Long, tpe: String, t: Long) = (u, id, tpe, t)
+    val before = Seq(
+      Seq(ev(1, 10, "signup", 0L), ev(2, 20, "signup", 0L)),
+      Seq(ev(3, 10, "click", H), ev(4, 20, "click", H),
+        ev(5, 20, "purchase", 2 * H), // user 20 completes pre-crash
+        ev(6, 30, "signup", 0L)))
+    val after = Seq(
+      Seq(ev(7, 10, "purchase", 3 * H), // completes ONLY via restored state
+        ev(8, 30, "click", 30 * H))) // outside the 24 h window → no match
+    val in = tmpDir("funnel_restart_in")
+    val ck = tmpDir("funnel_restart_ck").toString
+    val out = tmpDir("funnel_restart_out").toString
+    var fileNo = 0
+    def stage(batches: Seq[Seq[(Long, Long, String, Long)]]): Unit =
+      batches.foreach { b =>
+        val scratch = tmpDir(s"funnel_restart_scratch$fileNo")
+        b.toDF("user_id", "event_id", "event_type", "t").coalesce(1)
+          .write.mode("overwrite").parquet(scratch.toString)
+        val listing = java.nio.file.Files.list(scratch)
+        val part =
+          try {
+            import scala.jdk.CollectionConverters._
+            listing.iterator().asScala
+              .find(_.getFileName.toString.endsWith(".parquet")).get
+          } finally listing.close()
+        java.nio.file.Files.move(part, in.resolve(f"f$fileNo%03d.parquet"))
+        fileNo += 1
+      }
+    def run(): Unit = {
+      val schema = spark.read.parquet(in.toString).schema
+      val q = FunnelMatch(spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(in.toString)
+          .as[FunnelMatch.Ev])
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ck).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    stage(before)
+    run() // first incarnation dies after user 20 completed
+    stage(after)
+    run() // restart: user 10's purchase meets restored (t0, t1) state
+    val got = spark.read.parquet(out)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val want = Set((20L, 0L, H, 2 * H), (10L, 0L, H, 3 * H))
+    assert(got.toSet == want, s"got ${got.toSet}")
+    assert(got.size == want.size, s"duplicate emissions: $got")
+  }
+
   test("streaming near-dup: event-time TTL drops beyond-horizon duplicates") {
     // pairsEventTime: the dedup horizon is watermark-driven — once the
     // WATERMARK passes a document's event time + horizon, its state is
