@@ -551,6 +551,37 @@ object TextOps {
         .orderBy(col("source"))
     },
 
+    // ---- Weighted sampling WITHOUT replacement in one pass
+    // (Efraimidis–Spirakis A-Res): each row gets key = ln(u)/w for a
+    // deterministic hash-derived uniform u (16-bit md5 slice → (0,1));
+    // the exact-size weighted sample is the top-k by key — here k = 50
+    // by document length. q_weighted_sample's Bernoulli gate thins
+    // sources to a RATE; this draws an exact-SIZE sample with
+    // probability ∝ weight, the data-mixing primitive when the token
+    // budget is fixed. One map-only pass + a bounded-heap
+    // TakeOrderedAndProject — no RNG coordination, no global sort, and
+    // reproducible across engines/machines because u is content-hash
+    // derived (the q_hash_split doctrine).
+    Q("q_priority_sample",
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 5, 4))
+        |      AS BIGINT) AS u16
+        |  FROM documents),
+        |k AS (SELECT doc_id, n_chars, u16,
+        |    round(ln((u16 + 0.5) / 65536.0) / n_chars, 9) AS skey FROM d)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(u16 AS BIGINT) AS u16, skey
+        |FROM k ORDER BY skey DESC, doc_id LIMIT 50""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          conv(substring(md5(col("doc_id").cast("string").cast("binary")), 5, 4),
+            16, 10).cast("long").as("u16"))
+        .select(col("doc_id"), col("n_chars"), col("u16"),
+          round(log((col("u16") + 0.5) / 65536.0) / col("n_chars"), 9).as("skey"))
+        .orderBy(col("skey").desc, col("doc_id"))
+        .limit(50)
+    },
+
     // ---- Corpus duplication-health report (the memorization-risk
     // metric a dataset card publishes): for every document, the fraction
     // of its distinct 13-gram shingles that are corpus-UNIQUE (df = 1).
