@@ -161,6 +161,16 @@ object QuicLite {
   private[net] var MaxPendingBytes = 16L * 1024 * 1024 // var: tests lower it
   private[net] var MaxStreamsPerConn = 4096 // var: tests lower it
   private[net] var MaxStreamBytes = 64L * 1024 * 1024 // var: tests lower it
+  /** Endpoint-level connection-table bounds (RFC 9000 §10.1 idle timeout
+    * + an anti-amplification cap): a spoofed-source INITIAL flood creates
+    * server-side Connection state per distinct cid, so without a cap the
+    * conns map is an unbounded-memory DoS. Beyond MaxConnections, new
+    * INITIALs are DROPPED statelessly (a legitimate client retries and
+    * lands once idle sweeps free a slot); a connection with no inbound
+    * datagram for IdleTimeoutMs is silently discarded (RFC 9000's
+    * idle-timeout posture — state vanishes, no close packet). */
+  private[net] var MaxConnections = 4096 // var: tests lower it
+  private[net] var IdleTimeoutMs = 120000L // var: tests lower it
 
   final case class QuicError(message: String) extends RuntimeException(message)
 
@@ -341,6 +351,10 @@ object QuicLite {
     // pktNum -> (datagram bytes, last-send nanos, retries); the retransmit
     // loop resends entries past RTO and kills the connection at MaxRetries.
     private[net] val unacked = new ConcurrentHashMap[Long, (Array[Byte], Long, Int)]()
+    // last INBOUND datagram (nanos) — the RFC 9000 §10.1 idle-timeout
+    // clock. Inbound-only deliberately: a hostile peer that never speaks
+    // again must age out no matter how much WE retransmit at it.
+    @volatile private[net] var lastSeen: Long = System.nanoTime()
     // Server side: the sealed ACCEPT datagram, cached for VERBATIM
     // retransmission. A duplicate INITIAL means our ACCEPT was lost;
     // re-SEALING it would re-init AES-GCM under the identical
@@ -543,6 +557,13 @@ object QuicLite {
             val b = new Array[Byte](out.remaining()); out.get(b)
             transmit(b, from, -1L)
           case _ =>
+            // connection-table cap: a spoofed-source INITIAL flood with
+            // distinct cids must not grow server memory without bound —
+            // beyond the cap, NEW connections are dropped statelessly
+            // (no state, no reply; retries land once idle sweeps free
+            // slots). Existing cids pass (ACCEPT retransmission).
+            if (!conns.containsKey(cid) && conns.size() >= MaxConnections)
+              return
             // idempotent: duplicate INITIAL (lost ACCEPT) re-sends the
             // CACHED sealed ACCEPT verbatim — sealing exactly once per
             // connection (see `acceptBytes` for why re-sealing would
@@ -550,6 +571,7 @@ object QuicLite {
             val conn = conns.computeIfAbsent(cid,
               _ => new Connection(this, cid, from, domain, isServerSide = true))
             conn.remote = from
+            conn.lastSeen = System.nanoTime()
             // ACCEPT is sealed under the SERVER initial keys (empty
             // payload → a bare 16-byte tag over the header AAD), so the
             // handshake proves key directionality both ways and a
@@ -570,6 +592,7 @@ object QuicLite {
         val conn = conns.get(cid)
         if (conn == null) return
         if (openInitialPacket(ACCEPT, cid, conn.initialPeerK, buf).isEmpty) return
+        conn.lastSeen = System.nanoTime()
         conn.established.countDown()
 
       case STREAM =>
@@ -580,6 +603,7 @@ object QuicLite {
             case Some(r) => r
             case None => return
           }
+          conn.lastSeen = System.nanoTime()
           val streamId = pb.getLong
           val offset = pb.getLong
           val fin = pb.get() != 0
@@ -604,6 +628,7 @@ object QuicLite {
         val conn = conns.get(cid)
         if (conn != null) {
           openDataPacket(ACK, cid, conn.ackRecvK, buf).foreach { case (_, pb) =>
+            conn.lastSeen = System.nanoTime()
             val n = pb.getShort & 0xffff
             (0 until n).foreach(_ => conn.unacked.remove(pb.getLong))
           }
@@ -624,7 +649,14 @@ object QuicLite {
         Thread.sleep(RtoMillis / 2)
         val now = System.nanoTime()
         conns.values().asScala.foreach { conn =>
-          conn.unacked.entrySet().asScala.foreach { e =>
+          // idle-timeout sweep (RFC 9000 §10.1): no inbound datagram for
+          // IdleTimeoutMs → discard the connection state. No close packet
+          // travels (the RFC's silent-discard posture); local blocked
+          // readers are woken with the failure instead of hanging. This
+          // is also what drains flood-created half-open server state.
+          if (now - conn.lastSeen > IdleTimeoutMs * 1000000L)
+            conn.fail("idle timeout")
+          else conn.unacked.entrySet().asScala.foreach { e =>
             val (bytes, sentAt, retries) = e.getValue
             if (now - sentAt > RtoMillis * 1000000L) {
               if (retries >= MaxRetries) conn.fail(s"packet ${e.getKey} lost after $MaxRetries retries")

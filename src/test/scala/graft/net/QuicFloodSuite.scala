@@ -40,6 +40,66 @@ class QuicFloodSuite extends AnyFunSuite {
     b.flip(); b
   }
 
+  /** CRYPTO-VALID INITIAL for `cid` (sealed under the client initial
+    * keys, pn 0 header-protected) — the datagram a protocol-speaking
+    * flood source sends to mint server-side connection state. */
+  private def initialFrame(cid: Long, domain: String): ByteBuffer = {
+    val dcid = ByteBuffer.allocate(8).putLong(cid).array()
+    val k = QuicInitialCrypto.keys(QuicInitialCrypto.initialSecrets(dcid)._1)
+    val aad = ByteBuffer.allocate(10).put(1.toByte).putLong(cid).put(0.toByte).array()
+    val sealedBytes = QuicInitialCrypto.seal(k, 0L, aad, domain.getBytes(UTF_8))
+    val mask = QuicInitialCrypto.hpMask(k.hp, sealedBytes.take(16))
+    val b = ByteBuffer.allocate(1 + 8 + 1 + 2 + sealedBytes.length)
+    b.put(1.toByte).putLong(cid).put((0 ^ mask(1)).toByte)
+      .putShort(sealedBytes.length.toShort).put(sealedBytes)
+    b.flip(); b
+  }
+
+  test("INITIAL flood is capped at MaxConnections; idle sweep frees the table") {
+    // Each distinct-cid INITIAL mints a server-side Connection — without
+    // a cap the conns map is an unbounded-memory DoS from a spoofed
+    // source. Beyond the cap new INITIALs are dropped STATELESSLY; the
+    // RFC 9000 idle timeout then discards the flood's half-open state,
+    // and a legitimate client lands afterwards.
+    val prevCap = QuicLite.MaxConnections
+    val prevIdle = QuicLite.IdleTimeoutMs
+    QuicLite.MaxConnections = 8
+    QuicLite.IdleTimeoutMs = 300
+    val server = QuicLite.endpoint()
+    val gun = DatagramChannel.open()
+    try {
+      server.bind("cap.test")
+      val target = new InetSocketAddress("127.0.0.1", server.port)
+      (1 to 200).foreach(i => gun.send(initialFrame(5000L + i, "cap.test"), target))
+      Thread.sleep(200) // drain the receive loop
+      val grown = server.conns.size()
+      assert(grown <= 8, s"connection table grew to $grown under the flood")
+      assert(grown > 0, "flood never reached the endpoint (test setup)")
+      // idle sweep: the half-open flood state ages out...
+      Thread.sleep(700) // > IdleTimeoutMs + sweep period
+      assert(server.conns.size() == 0,
+        s"idle sweep left ${server.conns.size()} flood connections")
+      // restore the production idle window BEFORE the legitimate
+      // exchange — a 300 ms window could race a slow scheduler
+      QuicLite.IdleTimeoutMs = prevIdle
+      // ...and a legitimate handshake + stream succeeds afterwards
+      val client = QuicLite.endpoint()
+      try {
+        val conn = client.connect("127.0.0.1", server.port, "cap.test",
+          timeoutMs = 5000)
+        val st = conn.openStream()
+        st.write("after the flood".getBytes(UTF_8))
+        val inbound = server.bind("cap.test").accept(timeoutMs = 5000)
+          .getOrElse(fail("no stream accepted"))
+        assert(new String(inbound.readAll(), UTF_8) == "after the flood")
+      } finally client.close()
+    } finally {
+      gun.close(); server.close()
+      QuicLite.MaxConnections = prevCap
+      QuicLite.IdleTimeoutMs = prevIdle
+    }
+  }
+
   test("far-offset frame spray trips the reassembly cap and fails the connection") {
     val prevCap = QuicLite.MaxPendingBytes
     QuicLite.MaxPendingBytes = 64 * 1024 // UDP drops most of a fast spray
