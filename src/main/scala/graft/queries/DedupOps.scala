@@ -170,6 +170,34 @@ object DedupOps {
 
   /** The n-gram-Jaccard pair subquery as oracle SQL (shared CTE prefix of
     * q_ngram_jaccard and q_dedup_clusters). */
+  /** q_dup_pagerank oracle: the verified ≥0.8 pair graph symmetrized,
+    * then three unrolled PageRank iterations with the same per-edge
+    * 9dp-round + DECIMAL-sum discipline the engine runs. */
+  private lazy val pagerankSql: String = {
+    val iters = (1 to 3).map { i =>
+      s"""r$i AS (SELECT e.v AS node,
+         |  round(CAST(0.15 AS DOUBLE) / nv + CAST(0.85 AS DOUBLE) *
+         |    CAST(SUM(CAST(round(r${i - 1}.r / deg.deg, 9)
+         |      AS DECIMAL(18,9))) AS DOUBLE), 9) AS r
+         |FROM e JOIN r${i - 1} ON r${i - 1}.node = e.u
+         |  JOIN deg ON deg.u = e.u CROSS JOIN nn
+         |GROUP BY e.v, nv)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $ngramPairsSql,
+       |jp AS (SELECT doc_a, doc_b
+       |       FROM p JOIN d da ON p.doc_a = da.doc_id
+       |         JOIN d db ON p.doc_b = db.doc_id
+       |       WHERE CAST(shared AS DOUBLE) / (da.n + db.n - shared) >= 0.8),
+       |e AS (SELECT doc_a AS u, doc_b AS v FROM jp
+       |      UNION ALL SELECT doc_b AS u, doc_a AS v FROM jp),
+       |deg AS (SELECT u, COUNT(*) AS deg FROM e GROUP BY u),
+       |nn AS (SELECT COUNT(*) AS nv FROM deg),
+       |r0 AS (SELECT u AS node, CAST(1.0 AS DOUBLE) / nv AS r FROM deg, nn),
+       |$iters
+       |SELECT r3.node AS doc_id, CAST(deg.deg AS BIGINT) AS degree, r3.r AS pr
+       |FROM r3 JOIN deg ON deg.u = r3.node ORDER BY doc_id""".stripMargin
+  }
+
   private val ngramPairsSql =
     """sh AS (
       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
@@ -204,6 +232,41 @@ object DedupOps {
         |WHERE CAST(shared AS DOUBLE) / (da.n + db.n - shared) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       ngramJaccardPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- Graph centrality over the near-dup graph: 3 PageRank
+    // iterations (d = 0.85) on the symmetric verified-pair edges — the
+    // centrality-based canonical-selection policy (keep the most
+    // "central" representative of a duplicate neighborhood, the
+    // alternative to keep-longest/keep-min that favors the version most
+    // connected to the others). Each iteration is ONE equi-join + one
+    // combinable aggregate on node keys (never materializing anything
+    // beyond the edge list); per-edge contributions round to 9dp and sum
+    // as DECIMAL so the ranks are order-independent and engine-bit-
+    // stable; the oracle unrolls the identical three iterations in
+    // generated SQL. |V| is a driver scalar (node count of the DUP
+    // graph — metadata-scale next to the corpus).
+    Q("q_dup_pagerank", pagerankSql) { (s, d) =>
+      val pairs = minhashVerifiedPairs(s, d).select(col("doc_a"), col("doc_b"))
+      val e = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+        .cache()
+      val deg = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val nv = deg.count()
+      var r = deg.select(col("u").as("node"), lit(1.0 / nv).as("r"))
+      for (_ <- 1 to 3) {
+        r = e.join(r, col("node") === col("u"))
+          .join(deg, "u")
+          .select(col("v"),
+            round(col("r") / col("deg"), 9).cast("decimal(18,9)").as("c"))
+          .groupBy(col("v")).agg(sum(col("c")).as("sc"))
+          .select(col("v").as("node"),
+            round(lit(0.15 / nv) + lit(0.85) * col("sc").cast("double"), 9).as("r"))
+      }
+      r.join(deg, col("node") === col("u"))
+        .select(col("node").as("doc_id"), col("deg").cast("long").as("degree"),
+          col("r").as("pr"))
+        .orderBy(col("doc_id"))
     },
 
     // ---- Near-dup GROUPS from the pair graph: alternating large-star /
