@@ -395,6 +395,26 @@ final class Channel private[channel] (
       }
     }
     if (markerOnlyDropped) Channel.advanceHead(dir) // cursor may move now
+    // Orphaned-partial cleanup: Channel.write's failure path tombstones
+    // its seq and releases the marker, but the half-written batch dir
+    // survives (the catch cannot assume the dir is deletable while the
+    // failed job's tasks may still hold files). A marker-less partial at
+    // a TOMBSTONED seq is abandoned storage garbage — readers already
+    // treat the seq as an aborted hole. Age-gated like the marker path:
+    // a sweep racing a still-alive writer (tombstoned by an earlier
+    // sweep, about to commit) must not delete a dir younger than the
+    // staleness cutoff.
+    val tombstoned = Channel.abortSeqs(dir).toSet
+    val liveRes = Channel.resSeqs(dir).toSet
+    Channel.listBatches(dir).foreach { p =>
+      val s = Channel.batchSeq(p)
+      if (tombstoned(s) && !liveRes(s) && !Files.exists(p.resolve("_SUCCESS"))) {
+        val old =
+          try Files.getLastModifiedTime(p).toMillis <= cutoff
+          catch { case _: java.io.IOException => false }
+        if (old) { Channel.deleteRecursively(p); swept += 1 }
+      }
+    }
     swept
   }
 

@@ -105,23 +105,40 @@ case class TopNgramStats(child: Expression, n: Int)
       }
       la - lb
     }
-    // stable sort over the gram indices (documents are O(100) grams;
-    // this is per-row CPU inside the scan stage, never a shuffle)
-    val boxed = Array.range(0, m).map(Int.box)
-    java.util.Arrays.sort(boxed, (a: Integer, b: Integer) => cmp(a, b))
-    var bestStart = 0 // position in `boxed` where the best run begins
+    // stable PRIMITIVE merge sort over the gram indices — this runs per
+    // ROW inside the fused scan stage (the whole point of the kernel),
+    // so no boxed Integers or megamorphic comparator dispatch in the
+    // hot path; two int arrays, O(m log m) byte-range compares
+    val idx = Array.range(0, m)
+    val tmp = new Array[Int](m)
+    def msort(lo: Int, hi: Int): Unit = {
+      if (hi - lo < 2) return
+      val mid = (lo + hi) >>> 1
+      msort(lo, mid); msort(mid, hi)
+      var a = lo; var b = mid; var k = lo
+      while (a < mid && b < hi) {
+        if (cmp(idx(a), idx(b)) <= 0) { tmp(k) = idx(a); a += 1 }
+        else { tmp(k) = idx(b); b += 1 }
+        k += 1
+      }
+      while (a < mid) { tmp(k) = idx(a); a += 1; k += 1 }
+      while (b < hi) { tmp(k) = idx(b); b += 1; k += 1 }
+      System.arraycopy(tmp, lo, idx, lo, hi - lo)
+    }
+    msort(0, m)
+    var bestStart = 0 // position in `idx` where the best run begins
     var bestCount = 0
     var runStart = 0
     i = 1
     while (i <= m) {
-      if (i == m || cmp(boxed(runStart), boxed(i)) != 0) {
+      if (i == m || cmp(idx(runStart), idx(i)) != 0) {
         val runLen = i - runStart
         if (runLen > bestCount) { bestCount = runLen; bestStart = runStart }
         runStart = i
       }
       i += 1
     }
-    val w = boxed(bestStart).intValue()
+    val w = idx(bestStart)
     val blen = ends(w) - starts(w)
     val bytes = new Array[Byte](blen)
     var k = 0

@@ -166,9 +166,10 @@ object QuicLite {
     * server-side Connection state per distinct cid, so without a cap the
     * conns map is an unbounded-memory DoS. Beyond MaxConnections, new
     * INITIALs are DROPPED statelessly (a legitimate client retries and
-    * lands once idle sweeps free a slot); a connection with no inbound
-    * datagram for IdleTimeoutMs is silently discarded (RFC 9000's
-    * idle-timeout posture — state vanishes, no close packet). */
+    * lands once idle sweeps free a slot); a SERVER-SIDE connection with
+    * no inbound datagram for IdleTimeoutMs is silently discarded
+    * (RFC 9000's idle-timeout posture — state vanishes, no close
+    * packet; client-side handles are app-managed and never swept). */
   private[net] var MaxConnections = 4096 // var: tests lower it
   private[net] var IdleTimeoutMs = 120000L // var: tests lower it
 
@@ -652,9 +653,15 @@ object QuicLite {
           // idle-timeout sweep (RFC 9000 §10.1): no inbound datagram for
           // IdleTimeoutMs → discard the connection state. No close packet
           // travels (the RFC's silent-discard posture); local blocked
-          // readers are woken with the failure instead of hanging. This
-          // is also what drains flood-created half-open server state.
-          if (now - conn.lastSeen > IdleTimeoutMs * 1000000L)
+          // readers are woken with the failure instead of hanging.
+          // SERVER-SIDE only: the sweep exists to bound REMOTE-initiated
+          // state (the INITIAL-flood DoS) — a client-side connection is
+          // app-managed (close() when done), and silently destroying a
+          // held-but-quiet handle would regress every request/response
+          // caller. The asymmetry mirrors real deployments: servers
+          // expire idle peers; clients that want to outlive the server's
+          // window must send periodic traffic (RFC 9000's PING posture).
+          if (conn.isServerSide && now - conn.lastSeen > IdleTimeoutMs * 1000000L)
             conn.fail("idle timeout")
           else conn.unacked.entrySet().asScala.foreach { e =>
             val (bytes, sentAt, retries) = e.getValue

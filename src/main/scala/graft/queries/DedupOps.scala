@@ -170,6 +170,17 @@ object DedupOps {
 
   /** The n-gram-Jaccard pair subquery as oracle SQL (shared CTE prefix of
     * q_ngram_jaccard and q_dedup_clusters). */
+  private val ngramPairsSql =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |       unnest(range(1, len(t) - 1)) AS u(i)
+      |  WHERE len(t) >= 3),
+      |d AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |      GROUP BY doc_a, doc_b)""".stripMargin
+
   /** q_dup_pagerank oracle: the verified ≥0.8 pair graph symmetrized,
     * then three unrolled PageRank iterations with the same per-edge
     * 9dp-round + DECIMAL-sum discipline the engine runs. */
@@ -197,17 +208,6 @@ object DedupOps {
        |SELECT r3.node AS doc_id, CAST(deg.deg AS BIGINT) AS degree, r3.r AS pr
        |FROM r3 JOIN deg ON deg.u = r3.node ORDER BY doc_id""".stripMargin
   }
-
-  private val ngramPairsSql =
-    """sh AS (
-      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |       unnest(range(1, len(t) - 1)) AS u(i)
-      |  WHERE len(t) >= 3),
-      |d AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-      |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      |      GROUP BY doc_a, doc_b)""".stripMargin
 
   val all: Seq[Q] = Seq(
 

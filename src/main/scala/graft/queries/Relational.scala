@@ -20,6 +20,26 @@ import org.apache.spark.sql.expressions.Window
   */
 object Relational {
 
+  /** Shared funnel-stage CTEs — q_funnel (below) and q_stream_funnel
+    * (Streamish). ONE definition: the CEP machine's equals-the-batch-
+    * formulation claim is only checkable while the two oracles are
+    * identical, so a threshold/window edit cannot diverge them (the
+    * bm25Ctes / bpeEncodeSql no-drift convention). */
+  private[queries] val funnelCtes: String =
+    """e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+      |s AS (SELECT user_id, MIN(t) AS t0 FROM e
+      |      WHERE event_type = 'signup' GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(e.t) AS t1 FROM e
+      |      JOIN s ON s.user_id = e.user_id
+      |      WHERE e.event_type = 'click' AND e.t > s.t0
+      |        AND e.t <= s.t0 + 86400000000
+      |      GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(e.t) AS t2 FROM e
+      |      JOIN c ON c.user_id = e.user_id
+      |      WHERE e.event_type = 'purchase' AND e.t > c.t1
+      |        AND e.t <= c.t1 + 86400000000
+      |      GROUP BY e.user_id)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ---- Full-scan aggregation (TPC-H Q1 shape): map-side partial agg,
@@ -928,19 +948,7 @@ object Relational {
     // (never a per-user event sort); the per-user stage tables join the
     // feed un-hinted. One summary row.
     Q("q_funnel",
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
-        |s AS (SELECT user_id, MIN(t) AS t0 FROM e
-        |      WHERE event_type = 'signup' GROUP BY user_id),
-        |c AS (SELECT e.user_id, MIN(e.t) AS t1 FROM e
-        |      JOIN s ON s.user_id = e.user_id
-        |      WHERE e.event_type = 'click' AND e.t > s.t0
-        |        AND e.t <= s.t0 + 86400000000
-        |      GROUP BY e.user_id),
-        |p AS (SELECT e.user_id, MIN(e.t) AS t2 FROM e
-        |      JOIN c ON c.user_id = e.user_id
-        |      WHERE e.event_type = 'purchase' AND e.t > c.t1
-        |        AND e.t <= c.t1 + 86400000000
-        |      GROUP BY e.user_id)
+      s"""WITH $funnelCtes
         |SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_signup,
         |  CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click,
         |  CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase,

@@ -92,9 +92,14 @@ object RetrievalOps {
   private def bm25Scores(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.spread(Tables.documents(s, d), col("doc_id"))
     // document-length stats: no explode, no shuffle — reduced to one row
-    // (metadata-scale driver collect, the q_tfidf_top posture)
+    // (metadata-scale driver collect, the q_tfidf_top posture). dl > 0
+    // matches the oracle's `ww`-derived stats: a document with no
+    // non-empty token contributes to NEITHER n nor avgdl (its absence
+    // would otherwise shift every IDF and length norm on corpora with
+    // empty/whitespace-only docs)
     val Row(avgdl: Double, nDocs: Long) = docs
       .select(size(nonEmptyTokens).as("dl"))
+      .filter(col("dl") > 0)
       .agg((sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
         count(lit(1)).as("n"))
       .head()
@@ -272,8 +277,11 @@ object RetrievalOps {
             .writeStream.outputMode("append")
             .option("checkpointLocation", s"$out/ck")
             .foreachBatch { (batch: DataFrame, id: Long) =>
+              // dl > 0: token-less docs are outside the oracle's
+              // ww-derived length stats (same contract as bm25Scores)
               Staging.writeBatch(batch.select(col("doc_id"),
-                size(nonEmptyTokens).as("dl")), s"$out/doclens", id)
+                size(nonEmptyTokens).as("dl")).filter(col("dl") > 0),
+                s"$out/doclens", id)
               Staging.writeBatch(batch
                 .select(col("doc_id"),
                   explode(TextFunctions.tokens(col("text"))).as("word"))

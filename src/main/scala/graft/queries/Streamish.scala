@@ -734,19 +734,7 @@ object Streamish {
     // MIN-per-stage batch formulation, which is what the oracle states
     // — so lost state or out-of-order stepping hash-mismatches.
     Q("q_stream_funnel",
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
-        |s AS (SELECT user_id, MIN(t) AS t0 FROM e
-        |      WHERE event_type = 'signup' GROUP BY user_id),
-        |c AS (SELECT e.user_id, MIN(e.t) AS t1 FROM e
-        |      JOIN s ON s.user_id = e.user_id
-        |      WHERE e.event_type = 'click' AND e.t > s.t0
-        |        AND e.t <= s.t0 + 86400000000
-        |      GROUP BY e.user_id),
-        |p AS (SELECT e.user_id, MIN(e.t) AS t2 FROM e
-        |      JOIN c ON c.user_id = e.user_id
-        |      WHERE e.event_type = 'purchase' AND e.t > c.t1
-        |        AND e.t <= c.t1 + 86400000000
-        |      GROUP BY e.user_id)
+      s"""WITH ${Relational.funnelCtes}
         |SELECT s.user_id, s.t0, c.t1, p.t2
         |FROM p JOIN c ON c.user_id = p.user_id
         |JOIN s ON s.user_id = p.user_id

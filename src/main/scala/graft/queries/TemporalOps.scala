@@ -11,6 +11,23 @@ import org.apache.spark.sql.functions._
   */
 object TemporalOps {
 
+  /** The shared q_cdc_upsert / q_stream_upsert oracle: latest non-
+    * tombstone record per key. ONE definition — the batch compaction and
+    * its streamed materialized view must stay bit-identical (the same
+    * no-drift convention as bm25Ctes / bpeEncodeSql). */
+  private val upsertViewSql: String =
+    """WITH r AS (SELECT user_id, event_id, event_type, value,
+      |             epoch_us(ts) AS ts_us,
+      |             row_number() OVER (PARTITION BY user_id
+      |               ORDER BY ts DESC, event_id DESC) AS rn
+      |           FROM events)
+      |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+      |  round(value, 6) AS last_value, CAST(ts_us AS BIGINT) AS last_ts_us
+      |FROM r WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+
+  private val upsertRun = new java.util.concurrent.atomic.AtomicInteger(0)
+
   val all: Seq[Q] = Seq(
 
     // ---- As-of join: each purchase event picks up the user's most recent
@@ -77,16 +94,7 @@ object TemporalOps {
     // 100 TB the partial maxes reduce each partition to ≤|keys| rows
     // before the single shuffle, where the row_number formulation (which
     // the oracle states) would sort the whole feed.
-    Q("q_cdc_upsert",
-      """WITH r AS (SELECT user_id, event_id, event_type, value,
-        |             epoch_us(ts) AS ts_us,
-        |             row_number() OVER (PARTITION BY user_id
-        |               ORDER BY ts DESC, event_id DESC) AS rn
-        |           FROM events)
-        |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
-        |  round(value, 6) AS last_value, CAST(ts_us AS BIGINT) AS last_ts_us
-        |FROM r WHERE rn = 1 AND event_type <> 'error'
-        |ORDER BY user_id""".stripMargin) { (s, d) =>
+    Q("q_cdc_upsert", upsertViewSql) { (s, d) =>
       Tables.events(s, d)
         .groupBy(col("user_id"))
         .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
@@ -163,31 +171,27 @@ object TemporalOps {
     // compaction bit-for-bit (the shared oracle): state loss or a
     // re-delivered batch would surface as a stale or shifted `last_*`
     // column. The view is |keys| rows by construction (bounded sink).
-    Q("q_stream_upsert",
-      """WITH r AS (SELECT user_id, event_id, event_type, value,
-        |             epoch_us(ts) AS ts_us,
-        |             row_number() OVER (PARTITION BY user_id
-        |               ORDER BY ts DESC, event_id DESC) AS rn
-        |           FROM events)
-        |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
-        |  round(value, 6) AS last_value, CAST(ts_us AS BIGINT) AS last_ts_us
-        |FROM r WHERE rn = 1 AND event_type <> 'error'
-        |ORDER BY user_id""".stripMargin) { (s, d) =>
+    Q("q_stream_upsert", upsertViewSql) { (s, d) =>
       Tables.ensureConf(s)
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
+      val sink = s"graft_stream_upsert_${upsertRun.incrementAndGet()}"
       Staging.withStagedInput(ev, "event_id", nFiles = 3,
         prefix = "graft_stream_upsert") { in =>
         val schema = s.read.parquet(in).schema
-        Staging.runAndDrain(s, "stream_upsert_sink") {
-          val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-            .parquet(in)
-            .groupBy(col("user_id"))
-            .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
-              col("value"))).as("last"))
-            .writeStream.outputMode("complete").format("memory")
-            .queryName("stream_upsert_sink").start()
+        Staging.runAndDrain(s, sink) {
+          // sizedStart: the per-key state store otherwise freezes the
+          // session's 32 shuffle partitions into the checkpoint — 32
+          // mostly-idle state tasks per trigger at bench batch sizes
+          val q = Staging.sizedStart(s, 8)(
+            s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+              .parquet(in)
+              .groupBy(col("user_id"))
+              .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+                col("value"))).as("last"))
+              .writeStream.outputMode("complete").format("memory")
+              .queryName(sink).start())
           try q.processAllAvailable() finally q.stop()
         } { df =>
           df.filter(col("last.event_type") =!= "error")

@@ -388,17 +388,28 @@ final class ChannelMicroBatchStream(dir: Path, factory: PartitionReaderFactory,
         .groupBy(Channel.batchSeq)
       def committed(ds: Seq[Path]): Boolean =
         ds.forall(p => Files.exists(p.resolve("_SUCCESS")))
+      // a TOMBSTONED seq is RESOLVED, not in-flight — Channel.write's
+      // failure path tombstones the seq but may leave its partial dir
+      // behind (only compact/sweep removes it), and parking on that
+      // dir would wedge every weak subscriber FOREVER on a hole that
+      // strict mode (planInputPartitions' benign set) correctly skips
+      val aborted = entries
+        .filter(_.getFileName.toString.startsWith(Channel.AbortPrefix))
+        .map(p => p.getFileName.toString.drop(Channel.AbortPrefix.length).toLong)
+        .toSet
       val firstInFlightDir = bySeq.toSeq.sortBy(_._1)
-        .find { case (seq, ds) => seq >= from && seq < end && !committed(ds) }
+        .find { case (seq, ds) => seq >= from && seq < end &&
+          !committed(ds) && !aborted(seq) }
         .map(_._1)
       // reservations whose seq already has a fully committed dir are
       // release-lagged markers (commit happens before marker delete),
-      // not in-flight writes — same exclusion committedEnds applies
+      // not in-flight writes — same exclusion committedEnds applies;
+      // tombstoned seqs are resolved holes as above
       val firstPendingRes = entries
         .filter(_.getFileName.toString.startsWith(Channel.ResPrefix))
         .map(p => p.getFileName.toString.drop(Channel.ResPrefix.length).toLong)
         .filter(s0 => s0 >= from && s0 < end)
-        .filterNot(s0 => bySeq.get(s0).exists(committed))
+        .filterNot(s0 => aborted(s0) || bySeq.get(s0).exists(committed))
         .minOption
       end = (Seq(end) ++ firstInFlightDir ++ firstPendingRes).min
     }

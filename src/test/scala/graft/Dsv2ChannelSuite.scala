@@ -401,6 +401,37 @@ class Dsv2ChannelSuite extends SparkSpec {
       "the rival's later-committed batch must be delivered in order, not skipped")
   }
 
+  test("weak reader skips an aborted seq whose partial dir was left behind") {
+    // Channel.write's failure path tombstones its seq and releases the
+    // marker but may leave the half-written batch dir on disk. A
+    // tombstoned seq is RESOLVED — the weak clamp must not park on its
+    // leftover partial (that would wedge every weak subscriber forever
+    // on a hole strict mode correctly skips), and the maintenance sweep
+    // reclaims the orphaned dir.
+    val reg = new ChannelRegistry(spark, tmpDir("dsv2"))
+    val ch = reg.create("s6c", schema)
+    ch.write(Seq((1, "a")).toDF("id", "msg"), 1)
+    // the failed write's debris at seq 1: partial dir, tombstone, no marker
+    val partial = ch.dir.resolve(f"batch_${1L}%012d" + "_w7_dead")
+    Files.createDirectories(partial)
+    Channel.markAborted(ch.dir, 1L)
+    ch.write(Seq((2, "b")).toDF("id", "msg"), 1) // lands at seq 2
+
+    val weakName = runToSink(ch.readStreamV2(weak = true).select("id"))
+    assert(spark.table(weakName).as[Int].collect().toSeq == Seq(1, 2),
+      "weak reader wedged on an aborted seq's leftover partial dir")
+    val strictName = runToSink(ch.readStreamV2().select("id"))
+    assert(spark.table(strictName).as[Int].collect().toSeq == Seq(1, 2),
+      "strict reader did not skip the aborted hole")
+
+    // sweepStale reclaims the orphan (age-gated: only stale debris goes)
+    assert(ch.sweepStale(3600000) == 0, "young partial must survive the sweep")
+    java.nio.file.Files.setLastModifiedTime(partial,
+      java.nio.file.attribute.FileTime.fromMillis(1L))
+    assert(ch.sweepStale(3600000) == 1, "stale orphaned partial not swept")
+    assert(!Files.exists(partial), "orphaned partial dir still on disk")
+  }
+
   test("reserved seqs are distinct and monotone across interleaved writers") {
     val reg = new ChannelRegistry(spark, tmpDir("dsv2"))
     val ch = reg.create("s7", schema)
