@@ -682,11 +682,25 @@ object Channel {
       .filter(_.getFileName.toString.startsWith("batch_"))
       .groupBy(batchSeq).toSeq.sortBy(_._1)
     def committed(p: Path) = Files.exists(p.resolve("_SUCCESS"))
+    val pendingRes = resSeqs(dir)
+    // No-committed-prefix fallback: the end is the LOWEST trace of an
+    // unresolved writer — batch dir OR bare `_res_` reservation. Taking
+    // only the first dir here was order-sensitive: a failed write's
+    // partial dir at seq 1 published weak end 1 while a slower rival's
+    // seq-0 reservation (dir not created yet) was still undecided, and
+    // the rival's dir then regressed a fresh listing to 0 — the
+    // published head overshot the true end (found by the exhaustive
+    // model once aborts became realistic failed writes). Monotone
+    // because every NEW trace lands above all existing ones
+    // (reserveSeq's floor spans batches, markers, tombstones, and the
+    // published cursor).
     val end = dirs.collect { case (seq, ds) if ds.forall(committed) => seq }
       .lastOption.map(_ + 1)
-      .getOrElse(dirs.headOption.map(_._1).getOrElse(nextSeq(dir)))
+      .getOrElse(
+        (dirs.headOption.map(_._1).toSeq ++ pendingRes.headOption.toSeq)
+          .minOption.getOrElse(nextSeq(dir)))
     val dirMap = dirs.toMap
-    val strict = resSeqs(dir)
+    val strict = pendingRes
       .filterNot(s => dirMap.get(s).exists(_.forall(committed)))
       .minOption.map(math.min(end, _)).getOrElse(end)
     (strict, end)

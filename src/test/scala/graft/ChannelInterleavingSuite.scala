@@ -76,9 +76,14 @@ class ChannelInterleavingSuite extends SparkSpec {
       dir.resolve(f"${Channel.ResPrefix}${claimed(w)}%012d")),
     () => Channel.advanceHead(dir))
 
+  /** A FAILED write, as it really happens: the parquet job creates the
+    * target dir, dies before `_SUCCESS`, and the catch path tombstones
+    * the seq — leaving the partial dir on disk (the round-10 weak-clamp
+    * wedge scenario, now exhaustively scheduled). */
   private def abortSteps(dir: Path, w: Int,
       claimed: scala.collection.mutable.Map[Int, Long]): Vector[() => Unit] = Vector(
     () => claimed(w) = Channel.reserveSeq(dir),
+    () => Files.createDirectories(dir.resolve(f"batch_${claimed(w)}%012d_w$w")),
     () => Channel.markAborted(dir, claimed(w)))
 
   /** All interleavings of two step counts as picks for writer 0. */
@@ -99,8 +104,8 @@ class ChannelInterleavingSuite extends SparkSpec {
       ("abort/commit", false, true), ("abort/abort", false, false))
     var total = 0
     for ((label, c0, c1) <- mixes) {
-      val n0 = if (c0) 5 else 2
-      val n1 = if (c1) 5 else 2
+      val n0 = if (c0) 5 else 3
+      val n1 = if (c1) 5 else 3
       for ((sched, k) <- schedules(n0, n1).zipWithIndex) {
         val dir = Files.createTempDirectory("chan_ilv")
         try {
@@ -135,18 +140,27 @@ class ChannelInterleavingSuite extends SparkSpec {
           // quiescent cursor equals the total op count
           assert(claimed(0) != claimed(1), s"[$label #$k] double-claimed seq")
           assert(Set(claimed(0), claimed(1)) == Set(0L, 1L))
-          val batches = Channel.listDir(dir)
+          val batchDirs = Channel.listDir(dir)
             .filter(_.getFileName.toString.startsWith("batch_"))
-            .map(_.getFileName.toString.stripPrefix("batch_").take(12).toLong)
+          val committedSeqs = batchDirs
+            .filter(p => Files.exists(p.resolve("_SUCCESS")))
+            .map(Channel.batchSeq).toSet
+          val partialSeqs = batchDirs
+            .filterNot(p => Files.exists(p.resolve("_SUCCESS")))
+            .map(Channel.batchSeq).toSet
           val wantCommitted =
             (if (c0) Set(claimed(0)) else Set.empty[Long]) ++
               (if (c1) Set(claimed(1)) else Set.empty[Long])
-          assert(batches.toSet == wantCommitted, s"[$label #$k] batch set drifted")
+          assert(committedSeqs == wantCommitted, s"[$label #$k] batch set drifted")
           val wantAborted =
             (if (c0) Set.empty[Long] else Set(claimed(0))) ++
               (if (c1) Set.empty[Long] else Set(claimed(1)))
           assert(Channel.abortSeqs(dir).toSet == wantAborted,
             s"[$label #$k] abort tombstones drifted")
+          // a failed write's debris may only sit at a TOMBSTONED seq —
+          // a partial dir anywhere else would be unresolved in-flight
+          assert(partialSeqs.subsetOf(wantAborted),
+            s"[$label #$k] partial dir outside the aborted set: $partialSeqs")
           assert(Channel.resSeqs(dir).isEmpty, s"[$label #$k] leaked reservation")
           // quiescent cursor: strict == weak == one past the last
           // COMMITTED batch (trailing aborts are benign holes past the
@@ -170,7 +184,8 @@ class ChannelInterleavingSuite extends SparkSpec {
       }
     }
     info(s"$total schedules enumerated, all clean")
-    assert(total == 300)
+    // C(10,5) + 2·C(8,5) + C(6,3): aborts are now 3-step failed writes
+    assert(total == 384)
   }
 
   test("sweep-vs-writer: a stale sweep at any point of a commit never corrupts the seq") {
@@ -253,9 +268,10 @@ class ChannelInterleavingSuite extends SparkSpec {
     }
   }
 
-  /** A writer's multi-op step list: each op is commit (5 steps) or abort
-    * (2 steps); later steps of an op close over the seq its reserve step
-    * claimed (`claimed.last`). */
+  /** A writer's multi-op step list: each op is commit (5 steps) or a
+    * FAILED write (3 steps — the dir lands, `_SUCCESS` never does, the
+    * catch tombstones); later steps of an op close over the seq its
+    * reserve step claimed (`claimed.last`). */
   private def stepsFor(dir: Path, w: Int, ops: Seq[Boolean],
       claimed: scala.collection.mutable.ArrayBuffer[(Long, Boolean)])
       : Vector[() => Unit] = {
@@ -270,6 +286,7 @@ class ChannelInterleavingSuite extends SparkSpec {
         () => Channel.advanceHead(dir))
       else Vector[() => Unit](
         () => claimed += ((Channel.reserveSeq(dir), false)),
+        () => Files.createDirectories(batch),
         () => Channel.markAborted(dir, claimed.last._1))
     }
   }
@@ -278,13 +295,13 @@ class ChannelInterleavingSuite extends SparkSpec {
     // Second exhaustive model: seq assignment must stay unique ACROSS a
     // writer's successive ops under every interleaving (the reuse bugs
     // the r7 double-claim race lived in), and the published head must
-    // stay monotone throughout. w0 = commit then abort (7 steps),
-    // w1 = commit (5 steps): C(12,5) = 792 schedules. Per-step checks
-    // read only the O(1) published head; the full-listing invariants
-    // run at the end of each schedule (the 1-op model above already
-    // checks listings at every step).
+    // stay monotone throughout. w0 = commit then failed-write (8 steps),
+    // w1 = commit (5 steps): C(13,5) = 1287 schedules. Per-step checks
+    // read the O(1) published head plus the weak-offer invariant; the
+    // full-listing invariants run at the end of each schedule (the 1-op
+    // model above already checks listings at every step).
     var total = 0
-    for ((sched, k) <- schedules(7, 5).zipWithIndex) {
+    for ((sched, k) <- schedules(8, 5).zipWithIndex) {
       val dir = Files.createTempDirectory("chan_ilv2")
       try {
         val claimed = Array.fill(2)(
@@ -312,12 +329,16 @@ class ChannelInterleavingSuite extends SparkSpec {
         assert(all.map(_._1).toSet == Set(0L, 1L, 2L),
           s"[#$k] seqs not dense: ${all.toSeq}")
         val committed = all.filter(_._2).map(_._1).toSet
-        val batches = Channel.listDir(dir)
+        val dirsBySuccess = Channel.listDir(dir)
           .filter(_.getFileName.toString.startsWith("batch_"))
-          .map(_.getFileName.toString.stripPrefix("batch_").take(12).toLong)
-        assert(batches.toSet == committed, s"[#$k] batch set drifted")
-        assert(Channel.abortSeqs(dir).toSet ==
-          all.filterNot(_._2).map(_._1).toSet, s"[#$k] tombstones drifted")
+          .partition(p => Files.exists(p.resolve("_SUCCESS")))
+        assert(dirsBySuccess._1.map(Channel.batchSeq).toSet == committed,
+          s"[#$k] batch set drifted")
+        val wantAborted = all.filterNot(_._2).map(_._1).toSet
+        assert(Channel.abortSeqs(dir).toSet == wantAborted,
+          s"[#$k] tombstones drifted")
+        assert(dirsBySuccess._2.map(Channel.batchSeq).toSet.subsetOf(wantAborted),
+          s"[#$k] partial dir outside the aborted set")
         assert(Channel.resSeqs(dir).isEmpty, s"[#$k] leaked reservation")
         Channel.advanceHead(dir)
         val (strict, weak) = Channel.committedEnds(dir)
@@ -334,6 +355,6 @@ class ChannelInterleavingSuite extends SparkSpec {
       }
     }
     info(s"$total multi-op schedules enumerated, all clean")
-    assert(total == 792)
+    assert(total == 1287)
   }
 }
