@@ -2,13 +2,15 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: one JSON line with per-query `[wall, cpu]` seconds and
-  * totals at the scale factor in SPARK_GRAFT_SF_DIR. A warmup pass at
+/** Benchmark main: one JSON line with per-query `[wall, cpu, gc]` seconds
+  * and totals at the scale factor in SPARK_GRAFT_SF_DIR. A warmup pass at
   * sf0.001 first JIT-compiles the generated code paths so the timings
   * measure the engine, not the JVM's first-run compilation; each query
   * then reports the faster of two interleaved full passes (steady-state),
   * with its process-CPU burn so host co-tenancy distortion is visible in
-  * the emitted JSON itself (busy ratio — see below).
+  * the emitted JSON itself (busy ratio — see below) and its in-window GC
+  * time so cross-query heap debt is attributable per query (see the
+  * reclaim note in `time`).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -39,13 +41,6 @@ object Bench {
     // block manager.
     def sweep(): Unit = spark.sharedState.cacheManager.clearCache()
 
-    // warmup at the smallest sf (JIT + parquet footer caches)
-    names.foreach { name =>
-      try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => () }
-      finally sweep()
-    }
-
     // Process-CPU seconds alongside wall seconds: this machine has shown
     // 5-60× wall-clock distortion from host co-tenancy (r5's driver bench),
     // and cpu/wall is the self-diagnosing signal — a query that burns
@@ -65,9 +60,26 @@ object Bench {
       } catch { case _: LinkageError => None }
     def cpuNanos(): Long = osBean.map(_.getProcessCpuTime).getOrElse(-1L)
 
-    /** (wall, cpu) seconds for one run, (-1, -1) on failure; cpu is -1
+    // Cumulative stop-the-world GC milliseconds across all collectors —
+    // the delta over a timed window attributes heap-debt burn to the
+    // query that PAID it, not the one that caused it. r10's driver run
+    // showed q_json_extract at 38.1 cpu-s vs 2.35 quiet and
+    // q_stream_bpe_encode at 45.6 vs 11.9 — pure cross-query GC pressure
+    // inside the one 162-query JVM, indistinguishable from a real
+    // regression in a [wall, cpu] row. The gc column makes the artifact
+    // self-diagnosing: inflated cpu WITH matching gc is session debt;
+    // inflated cpu with flat gc is a genuine regression.
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcMillis(): Long = {
+      var t = 0L
+      gcBeans.forEach(b => t += math.max(0L, b.getCollectionTime))
+      t
+    }
+
+    /** (wall, cpu, gc) seconds for one run, all −1 on failure; cpu is −1
       * when process-CPU time is unavailable. */
-    def time(name: String): (Double, Double) = {
+    def time(name: String): (Double, Double, Double) = {
+      val g0 = gcMillis()
       val c0 = cpuNanos()
       val t0 = System.nanoTime()
       val ok =
@@ -75,9 +87,26 @@ object Bench {
         catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       val dc = if (c0 < 0) -1.0 else (cpuNanos() - c0) / 1e9
+      val dg = (gcMillis() - g0) / 1e3
       sweep() // outside the timed window — blocks drop is bookkeeping
-      if (ok) (dt, dc) else (-1.0, -1.0)
+      // Reclaim the heap debt OUTSIDE the timed window too: without this,
+      // garbage from earlier queries gets collected inside LATER queries'
+      // windows and the 2× baseline contract rides on numbers that can
+      // inflate 12× in-session. One explicit full GC between runs costs
+      // ~0.1-0.3 s of untimed wall each and also ticks ContextCleaner
+      // (shuffle/broadcast cleanup is GC-triggered), so every timed
+      // window starts from a reclaimed heap.
+      System.gc()
+      if (ok) (dt, dc, dg) else (-1.0, -1.0, -1.0)
     }
+
+    // warmup at the smallest sf (JIT + parquet footer caches)
+    names.foreach { name =>
+      try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+      finally sweep()
+    }
+    System.gc() // drop the warmup's debris before the first timed window
 
     // Two FULL PASSES (not two consecutive runs): the first ~60-90s after
     // an 80-query warmup carry a decaying JVM transient (C2 compile
@@ -87,16 +116,17 @@ object Bench {
     // passes puts every query's second run in steady state, so
     // min(passA, passB) is transient-free for all of them.
     val passA = names.map(name => name -> time(name)).toMap
-    // keep the (wall, cpu) PAIR of the faster pass — mixing passes would
-    // pair a wall time with another run's CPU burn
+    // keep the (wall, cpu, gc) TRIPLE of the faster pass — mixing passes
+    // would pair a wall time with another run's CPU/GC burn
     val results = names.map { name =>
       val a = passA(name)
       val b = time(name)
-      name -> (if (a._1 < 0 || b._1 < 0) (-1.0, -1.0)
+      name -> (if (a._1 < 0 || b._1 < 0) (-1.0, -1.0, -1.0)
                else if (a._1 <= b._1) a else b)
     }
     // Full-precision per-query detail on its own (non-final) line for the log.
-    val fullQs = results.map { case (k, (w, c)) => "\"" + k + "\":[" + w + "," + c + "]" }
+    val fullQs = results
+      .map { case (k, (w, c, g)) => "\"" + k + "\":[" + w + "," + c + "," + g + "]" }
       .mkString("{", ",", "}")
     println(s"""BENCH_DETAIL {"queries":$fullQs,"sf":"$sfDir"}""")
 
@@ -108,14 +138,16 @@ object Bench {
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val cpuTotal = results.map(_._2._2).filter(_ >= 0).sum
+    val gcTotal = results.map(_._2._3).filter(_ >= 0).sum
     val cores = Runtime.getRuntime.availableProcessors()
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    def render(qs: Seq[(String, (Double, Double))]): String = {
-      // per-query rows are [wall, cpu] pairs — see the busy-ratio note above
-      val m = qs.map { case (k, (w, c)) => "\"" + k + "\":[" + r3(w) + "," + r3(c) + "]" }
+    def render(qs: Seq[(String, (Double, Double, Double))]): String = {
+      // per-query rows are [wall, cpu, gc] — busy-ratio + gc-debt notes above
+      val m = qs.map { case (k, (w, c, g)) =>
+        "\"" + k + "\":[" + r3(w) + "," + r3(c) + "," + r3(g) + "]" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpu_total":${r3(cpuTotal)},"cores":$cores,"load_avg":${r3(loadAvg)},"n_queries":${results.size},"queries":$m,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpu_total":${r3(cpuTotal)},"gc_total":${r3(gcTotal)},"cores":$cores,"load_avg":${r3(loadAvg)},"n_queries":${results.size},"queries":$m,"sf":"$sfDir"}"""
     }
     val budget = 1400
     var line = render(results)

@@ -262,7 +262,15 @@ final class Channel private[channel] (
     * maxBatchesPerTrigger admission control, data-loss detection).
     * Strong for concurrent multi-writer topics too: writers reserve their
     * seq atomically before writing and the stream's visible end waits on
-    * pending reservations. */
+    * pending reservations.
+    *
+    * Weak readers park at an in-flight seq rather than skipping it (a
+    * crashed writer must not cause silent loss), and SELF-HEAL: if the
+    * clamp sits at the same seq longer than `weakClampSweepMs` (source
+    * option, default 10 min), the planner runs the age-gated
+    * [[sweepStale]] itself — no external maintenance actor is required
+    * for liveness, though a topic-level sweep/compact cadence remains
+    * good hygiene. */
   def readStreamV2(weak: Boolean = false, startingLatest: Boolean = false,
                    maxBatchesPerTrigger: Option[Int] = None,
                    fromSeq: Option[Long] = None): DataFrame = {
@@ -361,61 +369,7 @@ final class Channel private[channel] (
     * with `olderThanMs` far above any plausible write duration (default
     * 10 min), from a maintenance context. */
   def sweepStale(olderThanMs: Long = 600000): Int = synchronized {
-    val cutoff = System.currentTimeMillis() - olderThanMs
-    // ONE listing up front: this is the maintenance path for possibly
-    // million-dir topics — a per-marker listBatches would be O(k·n)
-    val batchesBySeq = Channel.listBatches(dir).groupBy(Channel.batchSeq)
-    var swept = 0
-    var markerOnlyDropped = false
-    Channel.resSeqs(dir).foreach { s =>
-      val marker = dir.resolve(f"${Channel.ResPrefix}$s%012d")
-      val stale =
-        try Files.getLastModifiedTime(marker).toMillis <= cutoff
-        catch { case _: java.io.IOException => false } // resolved mid-check
-      if (stale) {
-        val dirs = batchesBySeq.getOrElse(s, Seq.empty)
-        if (dirs.exists(p => Files.exists(p.resolve("_SUCCESS")))) {
-          // writer died between commit and marker release: data is valid,
-          // only the marker goes
-          Files.deleteIfExists(marker)
-          markerOnlyDropped = true
-        } else {
-          // the common crash: a PARTIAL batch dir (task files, no
-          // _SUCCESS). Its half-written files must never become
-          // readable: partials are deleted FIRST, while the reservation
-          // marker still parks the strict end at this seq (the marker
-          // is the invariant that keeps strong readers below any
-          // partial dir — see committedEnds/planInputPartitions), then
-          // markAborted tombstones the seq, releases the marker, and
-          // advances the head.
-          dirs.foreach(Channel.deleteRecursively)
-          Channel.markAborted(dir, s)
-        }
-        swept += 1
-      }
-    }
-    if (markerOnlyDropped) Channel.advanceHead(dir) // cursor may move now
-    // Orphaned-partial cleanup: Channel.write's failure path tombstones
-    // its seq and releases the marker, but the half-written batch dir
-    // survives (the catch cannot assume the dir is deletable while the
-    // failed job's tasks may still hold files). A marker-less partial at
-    // a TOMBSTONED seq is abandoned storage garbage — readers already
-    // treat the seq as an aborted hole. Age-gated like the marker path:
-    // a sweep racing a still-alive writer (tombstoned by an earlier
-    // sweep, about to commit) must not delete a dir younger than the
-    // staleness cutoff.
-    val tombstoned = Channel.abortSeqs(dir).toSet
-    val liveRes = Channel.resSeqs(dir).toSet
-    Channel.listBatches(dir).foreach { p =>
-      val s = Channel.batchSeq(p)
-      if (tombstoned(s) && !liveRes(s) && !Files.exists(p.resolve("_SUCCESS"))) {
-        val old =
-          try Files.getLastModifiedTime(p).toMillis <= cutoff
-          catch { case _: java.io.IOException => false }
-        if (old) { Channel.deleteRecursively(p); swept += 1 }
-      }
-    }
-    swept
+    Channel.sweepStaleAt(dir, olderThanMs)
   }
 
   /** Consumption-driven retention — the reference's frame pruning
@@ -830,6 +784,95 @@ object Channel {
     listDir(dir).filter(_.getFileName.toString.startsWith(AbortPrefix))
       .map(p => p.getFileName.toString.drop(AbortPrefix.length).toLong)
       .sorted
+
+  /** Static body of [[Channel.sweepStale]] — also invoked by the weak
+    * DSv2 planner's age-gated self-sweep ([[graft.sources]]), which has
+    * only the topic dir, not a handle. Cross-JVM safety comes from the
+    * filesystem-atomic operations and the age gates, not a lock (two
+    * handles on one dir could always sweep concurrently). */
+  private[graft] def sweepStaleAt(dir: Path, olderThanMs: Long): Int = {
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    // ONE listing up front: this is the maintenance path for possibly
+    // million-dir topics — a per-marker listBatches would be O(k·n), and
+    // every set below (batches, reservations, tombstones, the orphan
+    // walk) derives from this single snapshot. The orphan pass therefore
+    // sees PRE-sweep reservation/tombstone state: a seq handled by the
+    // marker loop this call is conservatively skipped (its marker still
+    // counts as live) — its dir was already deleted by that loop, and
+    // anything genuinely missed waits one sweep cycle, never leaks.
+    val snapshot = Channel.listDir(dir)
+    def seqsWithPrefix(prefix: String): Seq[Long] = snapshot
+      .filter(_.getFileName.toString.startsWith(prefix))
+      .map(_.getFileName.toString.drop(prefix.length).toLong).sorted
+    // live data dirs with listBatches' compact-supersede filter (dirs
+    // below the newest compact_ seq are already-superseded leftovers
+    // owned by compact()'s lazy cleanup, not this sweep)
+    val batches = {
+      val all = snapshot.filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("batch_") || n.startsWith("compact_")
+      }.sortBy(Channel.batchSeq)
+      all.filter(_.getFileName.toString.startsWith("compact_"))
+        .map(Channel.batchSeq).maxOption match {
+        case Some(c) => all.filter(p => Channel.batchSeq(p) >= c)
+        case None => all
+      }
+    }
+    val batchesBySeq = batches.groupBy(Channel.batchSeq)
+    var swept = 0
+    var markerOnlyDropped = false
+    seqsWithPrefix(Channel.ResPrefix).foreach { s =>
+      val marker = dir.resolve(f"${Channel.ResPrefix}$s%012d")
+      val stale =
+        try Files.getLastModifiedTime(marker).toMillis <= cutoff
+        catch { case _: java.io.IOException => false } // resolved mid-check
+      if (stale) {
+        val dirs = batchesBySeq.getOrElse(s, Seq.empty)
+        if (dirs.exists(p => Files.exists(p.resolve("_SUCCESS")))) {
+          // writer died between commit and marker release: data is valid,
+          // only the marker goes
+          Files.deleteIfExists(marker)
+          markerOnlyDropped = true
+        } else {
+          // the common crash: a PARTIAL batch dir (task files, no
+          // _SUCCESS). Its half-written files must never become
+          // readable: partials are deleted FIRST, while the reservation
+          // marker still parks the strict end at this seq (the marker
+          // is the invariant that keeps strong readers below any
+          // partial dir — see committedEnds/planInputPartitions), then
+          // markAborted tombstones the seq, releases the marker, and
+          // advances the head.
+          dirs.foreach(Channel.deleteRecursively)
+          Channel.markAborted(dir, s)
+        }
+        swept += 1
+      }
+    }
+    if (markerOnlyDropped) Channel.advanceHead(dir) // cursor may move now
+    // Orphaned-partial cleanup: Channel.write's failure path tombstones
+    // its seq and releases the marker, but the half-written batch dir
+    // survives (the catch cannot assume the dir is deletable while the
+    // failed job's tasks may still hold files). A marker-less partial at
+    // a TOMBSTONED seq is abandoned storage garbage — readers already
+    // treat the seq as an aborted hole. Age-gated like the marker path:
+    // a sweep racing a still-alive writer (tombstoned by an earlier
+    // sweep, about to commit) must not delete a dir younger than the
+    // staleness cutoff. All three sets come from the up-front snapshot
+    // (see above) — no re-listing; a dir the marker loop just deleted
+    // fails the mtime stat and is skipped.
+    val tombstoned = seqsWithPrefix(Channel.AbortPrefix).toSet
+    val liveRes = seqsWithPrefix(Channel.ResPrefix).toSet
+    batches.foreach { p =>
+      val s = Channel.batchSeq(p)
+      if (tombstoned(s) && !liveRes(s) && !Files.exists(p.resolve("_SUCCESS"))) {
+        val old =
+          try Files.getLastModifiedTime(p).toMillis <= cutoff
+          catch { case _: java.io.IOException => false }
+        if (old) { Channel.deleteRecursively(p); swept += 1 }
+      }
+    }
+    swept
+  }
 
   /** Seqs consumed by `compact_*` dirs: each compaction claims a seq that
     * never holds a `batch_*` dir, so subscriptions must read it as a

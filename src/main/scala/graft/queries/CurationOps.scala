@@ -699,6 +699,126 @@ object CurationOps {
         .orderBy($("doc_id"), $("chunk_id"))
     },
 
+    // ---- HTML boilerplate extraction — the missing FIRST stage of a web
+    // corpus (the trafilatura/jusText step): strip markup, split into
+    // block-level elements, and gate each block on LINK DENSITY (chars
+    // inside <a> anchors vs total block text — nav bars and footers are
+    // mostly anchor text, body prose is not; keep iff link_chars × 2 ≤
+    // text_chars). The synthetic corpus has no HTML column, so both
+    // engines first wrap each document in the SAME deterministic page
+    // skeleton (nav + two <p> blocks carrying the doc's words + footer —
+    // one all-link block each side of real prose, one mixed block) and
+    // then run the extraction; the oracle states the identical synthesis
+    // in SQL, so the tag-strip regex, the anchor-text accounting, and
+    // the density gate are all hash-checked per document. Every step is
+    // a scalar codegen'd expression — ONE map-only projection over the
+    // scan, zero exchanges (plan-asserted), embarrassingly parallel at
+    // any corpus size.
+    Q("q_html_extract",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |b AS (SELECT doc_id,
+        |  ['<div class="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div>',
+        |   '<p>' || array_to_string(tk[1:greatest(1, len(tk)//2)], ' ') || '</p>',
+        |   '<p>See <a href="/w">' || tk[1] || '</a> ' ||
+        |     coalesce(array_to_string(tk[greatest(1, len(tk)//2)+1:len(tk)], ' '), '')
+        |     || '</p>',
+        |   '<footer><a href="/terms">Terms of Service</a> <a href="/privacy">Privacy Policy</a></footer>'
+        |  ] AS blks FROM t),
+        |u AS (SELECT doc_id, u.i AS bi, blks[CAST(u.i AS INT)] AS blk
+        |      FROM b, unnest(range(1, 5)) AS u(i)),
+        |s AS (SELECT doc_id, bi,
+        |        regexp_replace(blk, '<[^>]+>', '', 'g') AS txt,
+        |        -- coalesce: zero anchors → array_to_string([]) is NULL
+        |        coalesce(length(array_to_string(
+        |          regexp_extract_all(blk, '<a[^>]*>([^<]*)</a>', 1), '')), 0) AS lk
+        |      FROM u)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN lk*2 <= length(txt) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN lk*2 > length(txt) THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(length(coalesce(string_agg(CASE WHEN lk*2 <= length(txt) THEN txt END,
+        |    ' ' ORDER BY bi), '')) AS BIGINT) AS extract_chars,
+        |  md5(coalesce(string_agg(CASE WHEN lk*2 <= length(txt) THEN txt END,
+        |    ' ' ORDER BY bi), '')) AS extract_md5
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.Column
+      val m = greatest(lit(1), expr("size(tk) div 2"))
+      val nav = lit("<div class=\"nav\"><a href=\"/\">Home</a> " +
+        "<a href=\"/about\">About</a> <a href=\"/contact\">Contact</a></div>")
+      val p1 = concat(lit("<p>"),
+        array_join(slice($("tk"), lit(1), m), " "), lit("</p>"))
+      val p2 = concat(lit("<p>See <a href=\"/w\">"), element_at($("tk"), 1),
+        lit("</a> "),
+        array_join(slice($("tk"), m + lit(1), size($("tk")) - m), " "),
+        lit("</p>"))
+      val foot = lit("<footer><a href=\"/terms\">Terms of Service</a> " +
+        "<a href=\"/privacy\">Privacy Policy</a></footer>")
+      def strip(b: Column) = regexp_replace(b, "<[^>]+>", "")
+      def linkLen(b: Column) =
+        length(concat_ws("", regexp_extract_all(b, lit("<a[^>]*>([^<]*)</a>"), lit(1))))
+      val blocks = Seq(nav, p1, p2, foot)
+      val txts = blocks.map(strip)
+      val keeps = txts.zip(blocks.map(linkLen))
+        .map { case (t, l) => l * 2 <= length(t) }
+      // concat_ws drops NULL args on both engines — the dropped blocks
+      // vanish, kept block texts join in page order
+      val extract = concat_ws(" ",
+        txts.zip(keeps).map { case (t, k) => when(k, t) }: _*)
+      val nKept = keeps.map(_.cast("long")).reduce(_ + _)
+      Tables.spread(Tables.documents(s, d), $("doc_id"))
+        .select($("doc_id"), TextFunctions.tokens($("text")).as("tk"))
+        .select($("doc_id"), nKept.as("n_kept"),
+          (lit(4L) - nKept).as("n_dropped"),
+          length(extract).cast("long").as("extract_chars"),
+          md5(extract.cast("binary")).as("extract_md5"))
+        .orderBy($("doc_id"))
+    },
+
+    // ---- Doc-internal repeated-paragraph removal — the Gopher REWRITE
+    // rule complementing q_gopher_repetition's flags: duplicate
+    // newline-delimited paragraphs within one document are dropped
+    // (first occurrence survives), the text is rebuilt, and the result
+    // is md5-audited. Same rewrite discipline as q_span_dedup but
+    // paragraph-keyed WITHIN the doc — per-doc state only, so the whole
+    // operator is one map-side projection (array_distinct preserves
+    // first-occurrence order; zero corpus shuffle, plan-asserted). The
+    // corpus has no newlines, so both engines derive the same
+    // deterministic paragraph view first (five word-range paragraphs
+    // with the 1st and 2nd re-injected as known duplicates — every doc
+    // exercises the drop path); the oracle states the identical
+    // synthesis and a min-first-index rebuild, so the split, the
+    // first-wins policy, and the byte-exact rebuild are hash-checked.
+    Q("q_paragraph_dedup",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |p AS (SELECT doc_id,
+        |  -- coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+        |  -- array_join([]) is '' — short docs hit the empty slices
+        |  [coalesce(array_to_string(tk[1:12], ' '), ''),
+        |   coalesce(array_to_string(tk[13:24], ' '), ''),
+        |   coalesce(array_to_string(tk[1:12], ' '), ''),
+        |   coalesce(array_to_string(tk[25:len(tk)], ' '), ''),
+        |   coalesce(array_to_string(tk[13:24], ' '), '')] AS paras FROM t),
+        |e AS (SELECT doc_id, u.i AS idx, paras[CAST(u.i AS INT)] AS para
+        |      FROM p, unnest(range(1, 6)) AS u(i)),
+        |f AS (SELECT doc_id, para, min(idx) AS fidx FROM e GROUP BY doc_id, para)
+        |SELECT doc_id, CAST(5 AS BIGINT) AS n_paras,
+        |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(5 - COUNT(*) AS BIGINT) AS n_dropped,
+        |  md5(string_agg(para, chr(10) ORDER BY fidx)) AS clean_md5
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val p1 = array_join(slice($("tk"), 1, 12), " ")
+      val p2 = array_join(slice($("tk"), 13, 12), " ")
+      val p3 = array_join(slice($("tk"), lit(25),
+        greatest(lit(0), size($("tk")) - lit(24))), " ")
+      val kept = array_distinct(array(p1, p2, p1, p3, p2))
+      Tables.spread(Tables.documents(s, d), $("doc_id"))
+        .select($("doc_id"), TextFunctions.tokens($("text")).as("tk"))
+        .select($("doc_id"), lit(5L).as("n_paras"),
+          size(kept).cast("long").as("n_kept"),
+          (lit(5L) - size(kept)).as("n_dropped"),
+          md5(array_join(kept, "\n").cast("binary")).as("clean_md5"))
+        .orderBy($("doc_id"))
+    },
+
     // ---- Duplicated-span removal (exact substring dedup at 32-token
     // segment granularity): every segment that appears verbatim anywhere
     // earlier in the corpus is dropped, the FIRST occurrence (smallest

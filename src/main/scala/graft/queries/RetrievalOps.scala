@@ -67,42 +67,61 @@ object RetrievalOps {
     filter(TextFunctions.tokens(col("text")), t => t =!= lit(""))
 
   /** Score a `(doc_id, dl, word, tf)` relation to `(doc_id, bm25)` given
-    * the corpus stats. `df` is ≤|QueryTerms| rows and joins un-hinted
-    * (AQE broadcasts); per-term contributions round to 6dp and sum as
-    * DECIMAL(18,6) (order-independent exact sum). The input is cached —
-    * `df` derives from it, and without the cache its lineage (a corpus
-    * scan+explode on the batch path) re-runs once per consumer; the
-    * cached relation is O(matching docs × |QueryTerms|) narrow rows. */
-  private def scoreTf(tfIn: DataFrame, avgdl: Double, nDocs: Long): DataFrame = {
-    val tf = tfIn.cache()
-    val df_ = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    * the corpus stats and the per-term document frequencies. `df` is a
+    * driver map bounded by |QueryTerms| (each IDF precomputed with the
+    * SAME double ops the oracle's `ln((n-df+0.5)/(df+0.5)+1)` states —
+    * long subtraction, then the +0.5/divide/+1.0 in doubles, then
+    * Math.log — bit-equal results), folded into a codegen'd when-chain:
+    * the tf relation is consumed exactly ONCE, so nothing needs caching
+    * (the previous cache+self-derived-df form left an executor-cache
+    * residue per run and paid a join this shape doesn't). Per-term
+    * contributions round to 6dp and sum as DECIMAL(18,6)
+    * (order-independent exact sum). */
+  private def scoreTf(tf: DataFrame, avgdl: Double, nDocs: Long,
+      df: Map[String, Long]): DataFrame = {
+    val idf = df.map { case (w, n) =>
+      w -> math.log((nDocs - n + 0.5) / (n + 0.5) + 1.0) }
+    // terms with df = 0 never appear in tf rows; the fold's lit(0.0)
+    // base is unreachable by construction
+    val idfCol = QueryTerms.filter(idf.contains).foldLeft(lit(0.0)) {
+      (acc, t) => when(col("word") === t, idf(t)).otherwise(acc) }
     val contrib =
-      log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
-        (col("tf") * (K1 + 1)) /
+      idfCol * (col("tf") * (K1 + 1)) /
         (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / avgdl))
-    tf.join(df_, "word")
-      .select(col("doc_id"), round(contrib, 6).cast("decimal(18,6)").as("c"))
+    tf.select(col("doc_id"), round(contrib, 6).cast("decimal(18,6)").as("c"))
       .groupBy(col("doc_id")).agg(sum(col("c")).as("s"))
       .select(col("doc_id"), round(col("s").cast("double"), 6).as("bm25"))
   }
 
   /** (doc_id, bm25) for every document containing ≥1 query term. One
-    * corpus pass for length stats (map-only → single driver row), one for
-    * term frequencies (explode filtered to |QueryTerms| inside codegen). */
+    * corpus pass for length stats AND per-term document frequencies
+    * (map-only, no explode — `array_contains` flags per query term —
+    * reduced to a single driver row), one for term frequencies (explode
+    * filtered to |QueryTerms| inside codegen). */
   private def bm25Scores(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.spread(Tables.documents(s, d), col("doc_id"))
-    // document-length stats: no explode, no shuffle — reduced to one row
+    // corpus stats: no explode, no shuffle — reduced to one row
     // (metadata-scale driver collect, the q_tfidf_top posture). dl > 0
     // matches the oracle's `ww`-derived stats: a document with no
     // non-empty token contributes to NEITHER n nor avgdl (its absence
     // would otherwise shift every IDF and length norm on corpora with
-    // empty/whitespace-only docs)
-    val Row(avgdl: Double, nDocs: Long) = docs
-      .select(size(nonEmptyTokens).as("dl"))
+    // empty/whitespace-only docs). df per term rides the same pass: a
+    // token-less doc contains no query term, so the dl > 0 gate cannot
+    // change any df.
+    val dfAggs = QueryTerms.map(t =>
+      sum(when(array_contains(col("tk"), t), 1L).otherwise(0L)).as(s"df_$t"))
+    val statsRow = docs
+      .select(nonEmptyTokens.as("tk"))
+      .select(size(col("tk")).as("dl"), col("tk"))
       .filter(col("dl") > 0)
       .agg((sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
-        count(lit(1)).as("n"))
+        (count(lit(1)).as("n") +: dfAggs): _*)
       .head()
+    val avgdl = statsRow.getDouble(0)
+    val nDocs = statsRow.getLong(1)
+    val dfMap = QueryTerms.zipWithIndex
+      .map { case (t, i) => t -> statsRow.getLong(2 + i) }
+      .filter(_._2 > 0).toMap
     // dl rides the tf groupBy as a grouping column (functionally dependent
     // on doc_id) — no separate per-doc join
     scoreTf(docs
@@ -111,7 +130,7 @@ object RetrievalOps {
       .filter(col("word").isin(QueryTerms: _*))
       .groupBy(col("doc_id"), col("dl"), col("word"))
       .agg(count(lit(1)).as("tf")),
-      avgdl, nDocs)
+      avgdl, nDocs, dfMap)
   }
 
   val all: Seq[Q] = Seq(
@@ -233,22 +252,28 @@ object RetrievalOps {
         .filter(col("word").isin(QueryTerms: _*))
         .select(col("doc_id"), (col("p0") + 1).as("pos"))
         .cache()
-      val a = hits.select(col("doc_id"), col("pos").as("start"))
-      val b = hits.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"))
-      val win = a.join(b, col("doc_b") === col("doc_id") &&
-          col("pos_b") >= col("start") && col("pos_b") < col("start") + 32)
-        .groupBy(col("doc_id"), col("start"))
-        .agg(count(lit(1)).as("n_hits"))
-      val best = win
-        .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
-          .orderBy(col("n_hits").desc, col("start"))))
-        .filter(col("rn") === 1)
-      best.join(toks, "doc_id")
-        .select(col("doc_id"),
-          col("start").cast("long").as("passage_start"),
-          col("n_hits").cast("long").as("n_hits"),
-          concat_ws(" ", slice(col("tk"), col("start"), lit(32))).as("passage"))
-        .orderBy(col("doc_id"))
+      try {
+        val a = hits.select(col("doc_id"), col("pos").as("start"))
+        val b = hits.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"))
+        val win = a.join(b, col("doc_b") === col("doc_id") &&
+            col("pos_b") >= col("start") && col("pos_b") < col("start") + 32)
+          .groupBy(col("doc_id"), col("start"))
+          .agg(count(lit(1)).as("n_hits"))
+        val best = win
+          .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+            .orderBy(col("n_hits").desc, col("start"))))
+          .filter(col("rn") === 1)
+        val res = best.join(toks, "doc_id")
+          .select(col("doc_id"),
+            col("start").cast("long").as("passage_start"),
+            col("n_hits").cast("long").as("n_hits"),
+            concat_ws(" ", slice(col("tk"), col("start"), lit(32))).as("passage"))
+          .orderBy(col("doc_id"))
+        // both caches serve multi-consumer sub-plans of THIS query only;
+        // localize the ≤5-row answer so they can be dropped here instead
+        // of accumulating executor storage for the session lifetime
+        s.createDataFrame(res.collectAsList(), res.schema)
+      } finally { hits.unpersist(false); toks.unpersist(false); () }
     },
 
     // ---- Lexical index maintenance AT INGEST: documents stream in and
@@ -302,11 +327,16 @@ object RetrievalOps {
           .agg((sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
             count(lit(1)).as("n"))
           .head()
+        // per-term document frequencies straight off the index: each doc
+        // lands in exactly one batch's postings, so rows-per-word IS df
+        // (≤|QueryTerms| driver rows)
+        val dfMap = postings.groupBy(col("word")).agg(count(lit(1)).as("df"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         // postings is the small side (term-matching docs only) — AQE
         // broadcasts it onto the doc-length table
         val top = scoreTf(postings.join(doclens, "doc_id")
             .select(col("doc_id"), col("dl"), col("word"), col("tf")),
-            avgdl, nDocs)
+            avgdl, nDocs, dfMap)
           .orderBy(col("bm25").desc, col("doc_id")).limit(20)
         // the index tree dies with the temp dir — copy the bounded
         // top-k out as a LOCAL relation

@@ -141,16 +141,21 @@ object TemporalOps {
         |WHERE s1.user_id IS NULL OR s2.user_id IS NULL
         |   OR s1.event_id <> s2.event_id
         |ORDER BY user_id""".stripMargin) { (s, d) =>
-      // 2024-01-15 00:00 UTC in feed nanos (the oracle compares µs)
-      val t1Nanos = 1705276800000000L * 1000L
+      // 2024-01-15 00:00 UTC in µs — the oracle truncates to µs BEFORE
+      // both the cutoff and the (t, event_id) ordering, so the engine
+      // must too (q_asof_join doctrine: never order on raw nanos, the
+      // oracle only sees µs; a sub-µs tail at the cutoff or a same-µs
+      // tie where event_id order differs from nano order would diverge).
+      val t1Us = 1705276800000000L
       def stateAt(df: org.apache.spark.sql.DataFrame) = df
         .groupBy(col("user_id"))
-        .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("last"))
+        .agg(max(struct(col("t"), col("event_id"), col("event_type"))).as("last"))
         .filter(col("last.event_type") =!= "error")
         .select(col("user_id"), col("last.event_id").as("event_id"))
       val ev = Tables.events(s, d)
-        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
-      val s1 = stateAt(ev.filter(col("ts") <= t1Nanos))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000").as("t"))
+      val s1 = stateAt(ev.filter(col("t") <= t1Us))
         .withColumnRenamed("user_id", "u1").withColumnRenamed("event_id", "e1")
       val s2 = stateAt(ev)
         .withColumnRenamed("user_id", "u2").withColumnRenamed("event_id", "e2")

@@ -47,6 +47,30 @@ object TextOps {
     "es" -> Seq("el", "la", "de"),
     "fr" -> Seq("le", "la", "les"))
 
+  /** Shared q_priority_sample / q_stream_priority_sample oracle — the
+    * Efraimidis–Spirakis A-Res top-50 by length-weighted hash key. */
+  private val prioritySampleSql: String =
+    """WITH d AS (SELECT doc_id, n_chars,
+      |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 5, 4))
+      |      AS BIGINT) AS u16
+      |  FROM documents),
+      |k AS (SELECT doc_id, n_chars, u16,
+      |    round(ln((u16 + 0.5) / 65536.0) / n_chars, 9) AS skey FROM d)
+      |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+      |  CAST(u16 AS BIGINT) AS u16, skey
+      |FROM k ORDER BY skey DESC, doc_id LIMIT 50""".stripMargin
+
+  /** A-Res scoring of a (doc_id, n_chars)-bearing relation: key =
+    * ln(u)/w for the content-hash uniform u — one map-side projection,
+    * shared by the batch sampler and its at-ingest reservoir twin so the
+    * two cannot drift. */
+  private def priorityScored(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.select(col("doc_id"), col("n_chars"),
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 5, 4),
+          16, 10).cast("long").as("u16"))
+      .select(col("doc_id"), col("n_chars"), col("u16"),
+        round(log((col("u16") + 0.5) / 65536.0) / col("n_chars"), 9).as("skey"))
+
   val all: Seq[Q] = Seq(
 
     // ---- Deterministic content-hash train/val/test split (the canonical
@@ -562,24 +586,52 @@ object TextOps {
     // TakeOrderedAndProject — no RNG coordination, no global sort, and
     // reproducible across engines/machines because u is content-hash
     // derived (the q_hash_split doctrine).
-    Q("q_priority_sample",
-      """WITH d AS (SELECT doc_id, n_chars,
-        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 5, 4))
-        |      AS BIGINT) AS u16
-        |  FROM documents),
-        |k AS (SELECT doc_id, n_chars, u16,
-        |    round(ln((u16 + 0.5) / 65536.0) / n_chars, 9) AS skey FROM d)
-        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
-        |  CAST(u16 AS BIGINT) AS u16, skey
-        |FROM k ORDER BY skey DESC, doc_id LIMIT 50""".stripMargin) { (s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("n_chars"),
-          conv(substring(md5(col("doc_id").cast("string").cast("binary")), 5, 4),
-            16, 10).cast("long").as("u16"))
-        .select(col("doc_id"), col("n_chars"), col("u16"),
-          round(log((col("u16") + 0.5) / 65536.0) / col("n_chars"), 9).as("skey"))
+    Q("q_priority_sample", prioritySampleSql) { (s, d) =>
+      priorityScored(Tables.documents(s, d))
         .orderBy(col("skey").desc, col("doc_id"))
         .limit(50)
+    },
+
+    // ---- The same exact-size weighted sample MAINTAINED AT INGEST
+    // (reservoir semantics): documents stream in and each micro-batch
+    // contributes only its own bounded top-50 candidate set to an
+    // accumulated reservoir via idempotent per-batch writes (the
+    // q_stream_bm25 exactly-once pattern — replay overwrites, never
+    // duplicates). Correct by the A-Res key's independence: skey is a
+    // per-row content-hash function, so the global top-50 is a subset of
+    // the union of per-batch top-50s — each trigger's work is O(batch)
+    // map + a bounded heap, the reservoir grows by ≤50 rows per trigger,
+    // and the final cutoff reads ONLY the reservoir. Shares
+    // q_priority_sample's oracle verbatim, so a dropped or replayed
+    // batch shifts the sample and hash-mismatches.
+    Q("q_stream_priority_sample", prioritySampleSql) { (s, d) =>
+      Tables.ensureConf(s)
+      Staging.withTempDir("graft_stream_psample_out") { out =>
+        Staging.withStagedInput(
+          Tables.documents(s, d).select("doc_id", "n_chars"),
+          "doc_id", nFiles = 3, prefix = "graft_stream_psample") { in =>
+          val schema = s.read.parquet(in).schema
+          val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(in)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", s"$out/ck")
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+              Staging.writeBatch(
+                priorityScored(batch)
+                  .orderBy(col("skey").desc, col("doc_id")).limit(50),
+                s"$out/reservoir", id)
+              ()
+            }
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        val top = s.read.option("recursiveFileLookup", "true")
+          .parquet(s"$out/reservoir")
+          .orderBy(col("skey").desc, col("doc_id")).limit(50)
+        // the reservoir dies with the temp dir — copy the bounded top-k
+        // out as a LOCAL relation
+        s.createDataFrame(top.collectAsList(), top.schema)
+      }
     },
 
     // ---- Corpus duplication-health report (the memorization-risk

@@ -227,7 +227,9 @@ final class ChannelScan(spark: SparkSession, dataSchema: StructType,
       weak = options.getBoolean("weak", false),
       startLatest = Option(options.get("startingOffsets")).exists(_.equalsIgnoreCase("latest")),
       startSeq = Option(options.get("startingSeq")).map(_.toLong),
-      maxBatches = Option(options.get("maxBatchesPerTrigger")).map(_.toInt))
+      maxBatches = Option(options.get("maxBatchesPerTrigger")).map(_.toInt),
+      clampSweepMs = Option(options.get("weakClampSweepMs")).map(_.toLong)
+        .getOrElse(600000L))
 }
 
 private[graft] object ChannelScan {
@@ -296,9 +298,15 @@ final case class ChannelDataLoss(dir: String, missing: Seq[Long])
 final class ChannelMicroBatchStream(dir: Path, factory: PartitionReaderFactory,
                                     weak: Boolean, startLatest: Boolean,
                                     startSeq: Option[Long],
-                                    maxBatches: Option[Int])
+                                    maxBatches: Option[Int],
+                                    clampSweepMs: Long = 600000L)
     extends MicroBatchStream with SupportsAdmissionControl {
   import ChannelSource._
+
+  // weak-clamp persistence tracking (driver-side, one planner per query —
+  // latestOffset is never called concurrently for a given stream)
+  private var clampedSeq: Long = -1L
+  private var clampedSince: Long = 0L
 
   /** Surfaces the topic dir in StreamingQueryProgress.sources.description
     * so tooling (e.g. Channel.ackFromProgress) can match a source to its
@@ -411,7 +419,30 @@ final class ChannelMicroBatchStream(dir: Path, factory: PartitionReaderFactory,
         .filter(s0 => s0 >= from && s0 < end)
         .filterNot(s0 => aborted(s0) || bySeq.get(s0).exists(committed))
         .minOption
-      end = (Seq(end) ++ firstInFlightDir ++ firstPendingRes).min
+      val clampAt = (firstInFlightDir.toSeq ++ firstPendingRes).minOption
+      end = (Seq(end) ++ clampAt).min
+      // Self-healing: a weak-ONLY subscriber has no guarantee any
+      // maintenance actor ever runs sweepStale, so a crashed writer's
+      // reservation would park the clamp forever (the r10 clamp traded
+      // silent loss for liveness-by-maintenance). If the clamp has sat
+      // at the SAME seq for longer than clampSweepMs, the planner runs
+      // the age-gated sweep itself with that age as the cutoff — the
+      // same wall-clock judgement an operator cron would make, with the
+      // same documented risk profile (default 10 min; a writer slower
+      // than that is declared dead either way). Re-armed after each
+      // attempt so a sweep that finds nothing (e.g. the marker is
+      // younger than the clamp observation) retries one period later
+      // instead of hammering the listing.
+      clampAt match {
+        case Some(s) =>
+          val now = System.currentTimeMillis()
+          if (s != clampedSeq) { clampedSeq = s; clampedSince = now }
+          else if (now - clampedSince >= clampSweepMs) {
+            Channel.sweepStaleAt(dir, clampSweepMs)
+            clampedSince = now
+          }
+        case _ => clampedSeq = -1L
+      }
     }
     val capped = limit match {
       case m: ReadMaxFiles => math.min(end, from + m.maxFiles())

@@ -36,6 +36,14 @@ object FunnelMatch {
            state: GroupState[FunnelState]): Iterator[Completion] = {
     var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
     val out = Seq.newBuilder[Completion]
+    // Hot-key posture: this buffers and sorts ONE key's events from ONE
+    // micro-batch in task heap — the correct bound for keyed CEP (state
+    // itself stays three longs), but a single pathologically hot user
+    // can concentrate a whole trigger in one task. Salting is NOT an
+    // option here (the machine is ordered per user; splitting a user
+    // across tasks breaks sequence recognition) — the production lever
+    // is admission control, bounding the trigger (maxFilesPerTrigger /
+    // maxOffsetsPerTrigger) so batch-per-key stays heap-sized.
     it.toSeq.sortBy(e => (e.t, e.event_id)).foreach { e =>
       if (st.t2 < 0) e.event_type match {
         case "signup" if st.t0 < 0 =>

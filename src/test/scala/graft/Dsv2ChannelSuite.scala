@@ -432,6 +432,47 @@ class Dsv2ChannelSuite extends SparkSpec {
     assert(!Files.exists(partial), "orphaned partial dir still on disk")
   }
 
+  test("weak-only subscriber self-heals a stale reservation clamp (no maintenance actor)") {
+    // r10's clamp made weak readers park at a live reservation instead of
+    // silently losing a slow rival's data — but liveness then depended on
+    // SOMETHING calling sweepStale. A weak-only deployment has no such
+    // actor, so the planner itself runs the age-gated sweep once the
+    // clamp has sat at the same seq past weakClampSweepMs.
+    val reg = new ChannelRegistry(spark, tmpDir("dsv2"))
+    val ch = reg.create("s6d", schema)
+    ch.write(Seq((1, "a")).toDF("id", "msg"), 1)
+    val rival = Channel.reserveSeq(ch.dir) // crashed writer: marker only
+    ch.write(Seq((2, "b")).toDF("id", "msg"), 1) // commits beyond it
+    // the marker is genuinely stale (the sweep's cutoff must pass it);
+    // the CLAMP persistence gate is what the wait below exercises
+    Files.setLastModifiedTime(ch.dir.resolve(f"${Channel.ResPrefix}$rival%012d"),
+      java.nio.file.attribute.FileTime.fromMillis(1L))
+
+    sinkN += 1
+    val name = s"dsv2_sink_$sinkN"
+    val q = spark.readStream.format("graft-channel")
+      .option("weak", "true").option("weakClampSweepMs", "300")
+      .load(ch.dir.toString)
+      .select("id").writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).as[Int].collect().toSeq == Seq(1),
+        "weak reader must first park at the stale reservation")
+      // default trigger keeps planning; after ≥300 ms clamped on the same
+      // seq the planner sweeps, tombstones the seq, and the next trigger
+      // sails past the hole
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table(name).count() < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(spark.table(name).as[Int].collect().sorted.toSeq == Seq(1, 2),
+        "weak-only subscriber never self-healed the stale clamp")
+      assert(Channel.resSeqs(ch.dir).isEmpty, "stale marker survived the self-sweep")
+      assert(Channel.abortSeqs(ch.dir).contains(rival),
+        "swept seq must be tombstoned, not a trace-free gap")
+    } finally q.stop()
+  }
+
   test("reserved seqs are distinct and monotone across interleaved writers") {
     val reg = new ChannelRegistry(spark, tmpDir("dsv2"))
     val ch = reg.create("s7", schema)

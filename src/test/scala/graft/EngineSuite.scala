@@ -715,6 +715,71 @@ class EngineSuite extends SparkSpec {
     assert(got.size == want.size, s"duplicate emissions: $got")
   }
 
+  test("streaming funnel: one pathologically hot user concentrated in single triggers") {
+    // The hot-key posture under test: FunnelMatch.step buffers and sorts
+    // ONE key's events from ONE micro-batch in task heap, so a single
+    // hot user concentrates a whole trigger in one task. Correctness
+    // must hold under that concentration: the unordered group iterator
+    // (thousands of interleaved noise/decoy events, written shuffled)
+    // still steps the machine in (t, event_id) order, takes the FIRST
+    // qualifying event per stage, and emits exactly once — a second
+    // complete sequence after the match must not re-fire.
+    import spark.implicits._
+    import graft.streaming.FunnelMatch
+    val rnd = new scala.util.Random(7)
+    def ev(id: Long, u: Long, tpe: String, t: Long) = (u, id, tpe, t)
+    val noise1 = (1000L until 4000L).map(i =>
+      ev(i, 1L, if (i % 3 == 0) "noise" else "click", 1000000L + i))
+    val hotBatch1 = rnd.shuffle(noise1 ++ Seq(
+      ev(5L, 1L, "purchase", 15L), // before any click → ignored
+      ev(1L, 1L, "signup", 10L),
+      ev(2L, 1L, "click", 20L), // FIRST qualifying click (noise clicks are later)
+      ev(3L, 1L, "purchase", 30L), // completes
+      ev(7L, 2L, "signup", 10L))) // a cold user coexists in the trigger
+    val hotBatch2 = rnd.shuffle((5000L until 6000L).map(i =>
+      ev(i, 1L, "click", 2000000L + i)) ++ Seq(
+      ev(8L, 1L, "signup", 3000000L), // full second sequence post-match
+      ev(9L, 1L, "click", 3000010L),
+      ev(10L, 1L, "purchase", 3000020L),
+      ev(11L, 2L, "click", 40L),
+      ev(12L, 2L, "purchase", 60L))) // cold user completes normally
+    val in = tmpDir("funnel_hot_in")
+    var fileNo = 0
+    def stage(b: Seq[(Long, Long, String, Long)]): Unit = {
+      val scratch = tmpDir(s"funnel_hot_scratch$fileNo")
+      b.toDF("user_id", "event_id", "event_type", "t").coalesce(1)
+        .write.mode("overwrite").parquet(scratch.toString)
+      val listing = java.nio.file.Files.list(scratch)
+      val part =
+        try {
+          import scala.jdk.CollectionConverters._
+          listing.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+        } finally listing.close()
+      java.nio.file.Files.move(part, in.resolve(f"f$fileNo%03d.parquet"))
+      fileNo += 1
+    }
+    stage(hotBatch1); stage(hotBatch2)
+    val schema = spark.read.parquet(in.toString).schema
+    val got = scala.collection.mutable.Set[(Long, Long, Long, Long)]()
+    val dups = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    val q = FunnelMatch(spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+        .as[FunnelMatch.Ev])
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[FunnelMatch.Completion], _: Long) =>
+        b.collect().foreach { c =>
+          val row = (c.user_id, c.t0, c.t1, c.t2)
+          if (!got.add(row)) dups += row
+        }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(got.toSet == Set((1L, 10L, 20L, 30L), (2L, 10L, 40L, 60L)),
+      s"got $got")
+    assert(dups.isEmpty, s"re-emissions under hot-key concentration: $dups")
+  }
+
   test("streaming near-dup: event-time TTL drops beyond-horizon duplicates") {
     // pairsEventTime: the dedup horizon is watermark-driven — once the
     // WATERMARK passes a document's event time + horizon, its state is
