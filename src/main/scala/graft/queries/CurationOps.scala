@@ -764,7 +764,7 @@ object CurationOps {
       val extract = concat_ws(" ",
         txts.zip(keeps).map { case (t, k) => when(k, t) }: _*)
       val nKept = keeps.map(_.cast("long")).reduce(_ + _)
-      Tables.spread(Tables.documents(s, d), $("doc_id"))
+      Tables.documents(s, d)
         .select($("doc_id"), TextFunctions.tokens($("text")).as("tk"))
         .select($("doc_id"), nKept.as("n_kept"),
           (lit(4L) - nKept).as("n_dropped"),
@@ -810,7 +810,7 @@ object CurationOps {
       val p3 = array_join(slice($("tk"), lit(25),
         greatest(lit(0), size($("tk")) - lit(24))), " ")
       val kept = array_distinct(array(p1, p2, p1, p3, p2))
-      Tables.spread(Tables.documents(s, d), $("doc_id"))
+      Tables.documents(s, d)
         .select($("doc_id"), TextFunctions.tokens($("text")).as("tk"))
         .select($("doc_id"), lit(5L).as("n_paras"),
           size(kept).cast("long").as("n_kept"),

@@ -62,14 +62,16 @@ object TextOps {
 
   /** A-Res scoring of a (doc_id, n_chars)-bearing relation: key =
     * ln(u)/w for the content-hash uniform u — one map-side projection,
-    * shared by the batch sampler and its at-ingest reservoir twin so the
-    * two cannot drift. */
-  private def priorityScored(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    df.select(col("doc_id"), col("n_chars"),
+    * shared by the batch sampler, its at-ingest reservoir twin, and the
+    * stratified sampler so the three cannot drift. `extra` names
+    * additional input columns to carry through (e.g. the stratum key). */
+  private def priorityScored(df: org.apache.spark.sql.DataFrame,
+      extra: Seq[String] = Nil): org.apache.spark.sql.DataFrame =
+    df.select(col("doc_id") +: col("n_chars") +: extra.map(col) :+
         conv(substring(md5(col("doc_id").cast("string").cast("binary")), 5, 4),
-          16, 10).cast("long").as("u16"))
-      .select(col("doc_id"), col("n_chars"), col("u16"),
-        round(log((col("u16") + 0.5) / 65536.0) / col("n_chars"), 9).as("skey"))
+          16, 10).cast("long").as("u16"): _*)
+      .withColumn("skey",
+        round(log((col("u16") + 0.5) / 65536.0) / col("n_chars"), 9))
 
   val all: Seq[Q] = Seq(
 
@@ -604,6 +606,36 @@ object TextOps {
     // and the final cutoff reads ONLY the reservoir. Shares
     // q_priority_sample's oracle verbatim, so a dropped or replayed
     // batch shifts the sample and hash-mismatches.
+    // ---- Stratified exact-size sampling: k = 10 docs PER SOURCE by the
+    // same A-Res length-weighted key — the per-domain quota draw a
+    // data-mixing recipe executes (a global top-k over-samples whichever
+    // domain is largest; quotas are per-stratum). Runs through the
+    // native TopKPerKey physical operator: per-partition bounded heaps
+    // partial-prune the shuffle to ≤k rows per (source, partition), so
+    // the exchange carries O(k × strata × partitions) rows and NOTHING
+    // is ever sorted — where the oracle's row_number formulation
+    // shuffles and sorts the whole corpus. Hash-matching it proves the
+    // operator's semantics on a second real surface (q_topk_native's
+    // operator, a sampling workload).
+    Q("q_stratified_sample",
+      """WITH d AS (SELECT doc_id, source, n_chars,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 5, 4))
+        |      AS BIGINT) AS u16
+        |  FROM documents),
+        |k AS (SELECT doc_id, source, n_chars, u16,
+        |    round(ln((u16 + 0.5) / 65536.0) / n_chars, 9) AS skey FROM d),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |        ORDER BY skey DESC, doc_id) AS rn FROM k)
+        |SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars, skey
+        |FROM r WHERE rn <= 10
+        |ORDER BY source, skey DESC, doc_id""".stripMargin) { (s, d) =>
+      graft.plans.TopKPerKey(
+          priorityScored(Tables.documents(s, d), extra = Seq("source")),
+          Seq("source"), Seq(col("skey").desc, col("doc_id").asc), k = 10)
+        .select(col("source"), col("doc_id"), col("n_chars"), col("skey"))
+        .orderBy(col("source"), col("skey").desc, col("doc_id"))
+    },
+
     Q("q_stream_priority_sample", prioritySampleSql) { (s, d) =>
       Tables.ensureConf(s)
       Staging.withTempDir("graft_stream_psample_out") { out =>

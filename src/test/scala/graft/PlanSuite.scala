@@ -344,4 +344,23 @@ class PlanSuite extends SparkSpec {
     // fallback that would split the scan→project span)
     assert(plan.contains("*("), s"no codegen span:\n${plan.take(1500)}")
   }
+
+  test("html extract and paragraph dedup are map-only rewrites (zero hash exchanges)") {
+    // Both document-rewrite operators are pure per-doc scalar chains —
+    // synthesis, tag strip, density gate / first-wins dedup, md5 — so
+    // the ONLY exchange either plan may carry is the range partitioning
+    // of the output ORDER BY. A HashAggregate or hash exchange here
+    // means a per-block/per-paragraph explode+shuffle crept in (the
+    // formulation the oracles state but a 100 TB corpus can't pay).
+    for (name <- Seq("q_html_extract", "q_paragraph_dedup")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$name: hash shuffle in a map-only rewrite:\n${plan.take(2000)}")
+      assert(!plan.contains("HashAggregate"),
+        s"$name: aggregate in a map-only rewrite:\n${plan.take(2000)}")
+      assert(plan.contains("*("), s"$name: no codegen span:\n${plan.take(1500)}")
+    }
+  }
 }
