@@ -267,10 +267,13 @@ final class Channel private[channel] (
     * Weak readers park at an in-flight seq rather than skipping it (a
     * crashed writer must not cause silent loss), and SELF-HEAL: if the
     * clamp sits at the same seq longer than `weakClampSweepMs` (source
-    * option, default 10 min), the planner runs the age-gated
-    * [[sweepStale]] itself — no external maintenance actor is required
-    * for liveness, though a topic-level sweep/compact cadence remains
-    * good hygiene. */
+    * option, default 10 min, floored at 1 s), the planner runs the
+    * age-gated [[sweepStale]] itself — no external maintenance actor is
+    * required for liveness, though a topic-level sweep/compact cadence
+    * remains good hygiene. The option controls only the WAIT; the
+    * sweep's staleness cutoff never drops below sweepStale's safe
+    * default (10 min), so a snappy-liveness setting cannot declare a
+    * live writer dead. */
   def readStreamV2(weak: Boolean = false, startingLatest: Boolean = false,
                    maxBatchesPerTrigger: Option[Int] = None,
                    fromSeq: Option[Long] = None): DataFrame = {
@@ -804,24 +807,15 @@ object Channel {
     def seqsWithPrefix(prefix: String): Seq[Long] = snapshot
       .filter(_.getFileName.toString.startsWith(prefix))
       .map(_.getFileName.toString.drop(prefix.length).toLong).sorted
-    // live data dirs with listBatches' compact-supersede filter (dirs
-    // below the newest compact_ seq are already-superseded leftovers
-    // owned by compact()'s lazy cleanup, not this sweep)
-    val batches = {
-      val all = snapshot.filter { p =>
-        val n = p.getFileName.toString
-        n.startsWith("batch_") || n.startsWith("compact_")
-      }.sortBy(Channel.batchSeq)
-      all.filter(_.getFileName.toString.startsWith("compact_"))
-        .map(Channel.batchSeq).maxOption match {
-        case Some(c) => all.filter(p => Channel.batchSeq(p) >= c)
-        case None => all
-      }
-    }
+    // live data dirs via the SHARED compact-supersede rule (dirs below
+    // the newest compact_ seq are superseded leftovers owned by
+    // compact()'s lazy cleanup, not this sweep)
+    val batches = Channel.batchesFrom(snapshot)
     val batchesBySeq = batches.groupBy(Channel.batchSeq)
+    val resSeqsSnap = seqsWithPrefix(Channel.ResPrefix)
     var swept = 0
     var markerOnlyDropped = false
-    seqsWithPrefix(Channel.ResPrefix).foreach { s =>
+    resSeqsSnap.foreach { s =>
       val marker = dir.resolve(f"${Channel.ResPrefix}$s%012d")
       val stale =
         try Files.getLastModifiedTime(marker).toMillis <= cutoff
@@ -861,7 +855,7 @@ object Channel {
     // (see above) — no re-listing; a dir the marker loop just deleted
     // fails the mtime stat and is skipped.
     val tombstoned = seqsWithPrefix(Channel.AbortPrefix).toSet
-    val liveRes = seqsWithPrefix(Channel.ResPrefix).toSet
+    val liveRes = resSeqsSnap.toSet
     batches.foreach { p =>
       val s = Channel.batchSeq(p)
       if (tombstoned(s) && !liveRes(s) && !Files.exists(p.resolve("_SUCCESS"))) {
@@ -941,7 +935,16 @@ object Channel {
 
   private[graft] def listBatches(dir: Path): Seq[Path] = {
     if (!Files.exists(dir)) return Nil
-    val all = listDir(dir)
+    batchesFrom(listDir(dir))
+  }
+
+  /** [[listBatches]] over an already-fetched directory listing — THE one
+    * copy of the compact-supersede rule (dirs below the newest compact_
+    * seq are superseded leftovers), shared with [[sweepStaleAt]]'s
+    * single-snapshot walk so the sweep's and the readers' notions of
+    * "live batches" cannot drift. */
+  private[graft] def batchesFrom(entries: Seq[Path]): Seq[Path] = {
+    val all = entries
       .filter { p =>
         val n = p.getFileName.toString
         n.startsWith("batch_") || n.startsWith("compact_")

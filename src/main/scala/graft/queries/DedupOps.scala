@@ -122,11 +122,30 @@ object DedupOps {
     * touching blocks of a stopped one; each per-query ORACLE still
     * re-states the full derivation in SQL, so a stale or wrong artifact
     * hash-mismatches every consumer rather than hiding. */
-  private val pairArtifact =
-    new java.util.concurrent.ConcurrentHashMap[(Long, String), DataFrame]()
-  private def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame =
-    pairArtifact.computeIfAbsent((s.sparkContext.startTime, d),
-      _ => deriveVerifiedPairs(s, d))
+  private val pairArtifact = new java.util.concurrent.ConcurrentHashMap[
+    (Long, String), (org.apache.spark.SparkContext, DataFrame)]()
+  private val artifactLock = new Object
+  private def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame = {
+    // entries of STOPPED contexts can never be hit again (startTime
+    // differs) — purge them so session churn doesn't pin dead plans and
+    // checkpoint RDDs for the JVM lifetime
+    pairArtifact.forEach((k, v) => if (v._1.isStopped) { pairArtifact.remove(k); () })
+    val key = (s.sparkContext.startTime, d)
+    val hit = pairArtifact.get(key)
+    if (hit != null) hit._2
+    // derive OUTSIDE the map's bin lock (computeIfAbsent would hold it
+    // across the whole multi-job derivation); the dedicated lock bounds
+    // double-derivation without blocking unrelated keys' readers
+    else artifactLock.synchronized {
+      val again = pairArtifact.get(key)
+      if (again != null) again._2
+      else {
+        val v = deriveVerifiedPairs(s, d)
+        pairArtifact.put(key, (s.sparkContext, v))
+        v
+      }
+    }
+  }
 
   /** `(node, component)` labels over the verified near-dup pair graph —
     * the shared front half of ALL clustering queries: banded MinHash-LSH

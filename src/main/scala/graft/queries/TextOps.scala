@@ -657,12 +657,11 @@ object TextOps {
             .start()
           try q.processAllAvailable() finally q.stop()
         }
-        val top = s.read.option("recursiveFileLookup", "true")
-          .parquet(s"$out/reservoir")
-          .orderBy(col("skey").desc, col("doc_id")).limit(50)
-        // the reservoir dies with the temp dir — copy the bounded top-k
-        // out as a LOCAL relation
-        s.createDataFrame(top.collectAsList(), top.schema)
+        // the reservoir dies with the temp dir — the shared drain
+        // localizes it (≤50 rows × triggers by construction); the final
+        // cutoff is the limit on the ordered local relation
+        Staging.drainParquet(s, s"$out/reservoir",
+          col("skey").desc, col("doc_id")).limit(50)
       }
     },
 

@@ -436,9 +436,17 @@ final class ChannelMicroBatchStream(dir: Path, factory: PartitionReaderFactory,
       clampAt match {
         case Some(s) =>
           val now = System.currentTimeMillis()
+          // wait vs cutoff are SEPARATE dials: the option (floored at 1 s
+          // so a zero/negative setting can't sweep on every trigger)
+          // controls how long to stay parked before attempting
+          // maintenance; the sweep's staleness cutoff never drops below
+          // sweepStale's documented-safe default (10 min), so a reader
+          // configured for snappy liveness still cannot declare a LIVE
+          // writer dead and destroy its in-flight batch — only markers
+          // already older than the full cutoff are reclaimed.
           if (s != clampedSeq) { clampedSeq = s; clampedSince = now }
-          else if (now - clampedSince >= clampSweepMs) {
-            Channel.sweepStaleAt(dir, clampSweepMs)
+          else if (now - clampedSince >= math.max(clampSweepMs, 1000L)) {
+            Channel.sweepStaleAt(dir, math.max(clampSweepMs, 600000L))
             clampedSince = now
           }
         case _ => clampedSeq = -1L

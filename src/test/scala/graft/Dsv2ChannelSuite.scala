@@ -456,12 +456,14 @@ class Dsv2ChannelSuite extends SparkSpec {
       .select("id").writeStream.outputMode("append")
       .format("memory").queryName(name).start()
     try {
+      // NO "still parked" assertion here: the clamp wait (floored to
+      // 1 s) is armed at the FIRST latestOffset, so on a slow host the
+      // heal can complete inside the first processAllAvailable — the
+      // park-at-reservation behavior itself is pinned by the dedicated
+      // clamp tests above. Under test HERE: with no maintenance actor,
+      // the subscriber eventually delivers the blocked-behind data and
+      // leaves the swept seq tombstoned (never a trace-free gap).
       q.processAllAvailable()
-      assert(spark.table(name).as[Int].collect().toSeq == Seq(1),
-        "weak reader must first park at the stale reservation")
-      // default trigger keeps planning; after ≥300 ms clamped on the same
-      // seq the planner sweeps, tombstones the seq, and the next trigger
-      // sails past the hole
       val deadline = System.currentTimeMillis() + 30000
       while (spark.table(name).count() < 2 && System.currentTimeMillis() < deadline)
         Thread.sleep(100)

@@ -345,6 +345,17 @@ class PlanSuite extends SparkSpec {
     assert(plan.contains("*("), s"no codegen span:\n${plan.take(1500)}")
   }
 
+  test("stratified sample runs the native bounded-heap operator, never a window sort") {
+    // k-per-stratum through TopKPerKeyExec: partial heaps prune the
+    // shuffle to ≤k rows per (source, partition); the oracle's
+    // row_number formulation would show here as Window + full Sort
+    val df = SparkEntry.queries("q_stratified_sample")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("TopKPerKey"), s"native operator missing:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"), s"window crept in:\n${plan.take(1500)}")
+  }
+
   test("html extract and paragraph dedup are map-only rewrites (zero hash exchanges)") {
     // Both document-rewrite operators are pure per-doc scalar chains —
     // synthesis, tag strip, density gate / first-wins dedup, md5 — so
