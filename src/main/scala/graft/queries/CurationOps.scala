@@ -141,6 +141,76 @@ object CurationOps {
        |FROM cc, unnest(range(0, n_extra+1)) AS u(i)
        |ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** HTML boilerplate-extraction oracle — shared verbatim by
+    * q_html_extract and its streaming twin q_stream_html_extract (the
+    * per-batch projection is identical, so the batch SQL IS the stream's
+    * oracle — same contract as q_stream_bm25 / q_stream_upsert). */
+  private val htmlExtractSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |b AS (SELECT doc_id,
+      |  ['<div class="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div>',
+      |   '<p>' || array_to_string(tk[1:greatest(1, len(tk)//2)], ' ') || '</p>',
+      |   '<p>See <a href="/w">' || tk[1] || '</a> ' ||
+      |     coalesce(array_to_string(tk[greatest(1, len(tk)//2)+1:len(tk)], ' '), '')
+      |     || '</p>',
+      |   '<footer><a href="/terms">Terms of Service</a> <a href="/privacy">Privacy Policy</a></footer>'
+      |  ] AS blks FROM t),
+      |u AS (SELECT doc_id, u.i AS bi, blks[CAST(u.i AS INT)] AS blk
+      |      FROM b, unnest(range(1, 5)) AS u(i)),
+      |s AS (SELECT doc_id, bi,
+      |        regexp_replace(blk, '<[^>]+>', '', 'g') AS txt,
+      |        -- coalesce: zero anchors → array_to_string([]) is NULL
+      |        coalesce(length(array_to_string(
+      |          regexp_extract_all(blk, '<a[^>]*>([^<]*)</a>', 1), '')), 0) AS lk
+      |      FROM u)
+      |SELECT doc_id,
+      |  CAST(SUM(CASE WHEN lk*2 <= length(txt) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN lk*2 > length(txt) THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |  CAST(length(coalesce(string_agg(CASE WHEN lk*2 <= length(txt) THEN txt END,
+      |    ' ' ORDER BY bi), '')) AS BIGINT) AS extract_chars,
+      |  md5(coalesce(string_agg(CASE WHEN lk*2 <= length(txt) THEN txt END,
+      |    ' ' ORDER BY bi), '')) AS extract_md5
+      |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** The extraction itself over any (doc_id, text) relation: synthesize
+    * the deterministic page skeleton, strip tags, gate each block on link
+    * density. Pure scalar codegen'd expressions — ONE map-only projection
+    * (zero exchanges, plan-asserted in PlanSuite), so the batch operator
+    * and the per-micro-batch streaming application are the same code. */
+  private def htmlExtractRows(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Column
+    val m = greatest(lit(1), expr("size(tk) div 2"))
+    val nav = lit("<div class=\"nav\"><a href=\"/\">Home</a> " +
+      "<a href=\"/about\">About</a> <a href=\"/contact\">Contact</a></div>")
+    val p1 = concat(lit("<p>"),
+      array_join(slice($("tk"), lit(1), m), " "), lit("</p>"))
+    val p2 = concat(lit("<p>See <a href=\"/w\">"), element_at($("tk"), 1),
+      lit("</a> "),
+      array_join(slice($("tk"), m + lit(1), size($("tk")) - m), " "),
+      lit("</p>"))
+    val foot = lit("<footer><a href=\"/terms\">Terms of Service</a> " +
+      "<a href=\"/privacy\">Privacy Policy</a></footer>")
+    def strip(b: Column) = regexp_replace(b, "<[^>]+>", "")
+    def linkLen(b: Column) =
+      length(concat_ws("", regexp_extract_all(b, lit("<a[^>]*>([^<]*)</a>"), lit(1))))
+    val blocks = Seq(nav, p1, p2, foot)
+    val txts = blocks.map(strip)
+    val keeps = txts.zip(blocks.map(linkLen))
+      .map { case (t, l) => l * 2 <= length(t) }
+    // concat_ws drops NULL args on both engines — the dropped blocks
+    // vanish, kept block texts join in page order
+    val extract = concat_ws(" ",
+      txts.zip(keeps).map { case (t, k) => when(k, t) }: _*)
+    val nKept = keeps.map(_.cast("long")).reduce(_ + _)
+    docs
+      .select($("doc_id"), TextFunctions.tokens($("text")).as("tk"))
+      .select($("doc_id"), nKept.as("n_kept"),
+        (lit(4L) - nKept).as("n_dropped"),
+        length(extract).cast("long").as("extract_chars"),
+        md5(extract.cast("binary")).as("extract_md5"))
+  }
+
   /** One BPE training round as oracle SQL: count adjacent symbol pairs
     * (corpus-frequency weighted), pick the best (count desc, pair asc),
     * then apply the merge with TRUE greedy left-to-right semantics —
@@ -713,64 +783,40 @@ object CurationOps {
     // the density gate are all hash-checked per document. Every step is
     // a scalar codegen'd expression — ONE map-only projection over the
     // scan, zero exchanges (plan-asserted), embarrassingly parallel at
-    // any corpus size.
-    Q("q_html_extract",
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-        |b AS (SELECT doc_id,
-        |  ['<div class="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div>',
-        |   '<p>' || array_to_string(tk[1:greatest(1, len(tk)//2)], ' ') || '</p>',
-        |   '<p>See <a href="/w">' || tk[1] || '</a> ' ||
-        |     coalesce(array_to_string(tk[greatest(1, len(tk)//2)+1:len(tk)], ' '), '')
-        |     || '</p>',
-        |   '<footer><a href="/terms">Terms of Service</a> <a href="/privacy">Privacy Policy</a></footer>'
-        |  ] AS blks FROM t),
-        |u AS (SELECT doc_id, u.i AS bi, blks[CAST(u.i AS INT)] AS blk
-        |      FROM b, unnest(range(1, 5)) AS u(i)),
-        |s AS (SELECT doc_id, bi,
-        |        regexp_replace(blk, '<[^>]+>', '', 'g') AS txt,
-        |        -- coalesce: zero anchors → array_to_string([]) is NULL
-        |        coalesce(length(array_to_string(
-        |          regexp_extract_all(blk, '<a[^>]*>([^<]*)</a>', 1), '')), 0) AS lk
-        |      FROM u)
-        |SELECT doc_id,
-        |  CAST(SUM(CASE WHEN lk*2 <= length(txt) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        |  CAST(SUM(CASE WHEN lk*2 > length(txt) THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
-        |  CAST(length(coalesce(string_agg(CASE WHEN lk*2 <= length(txt) THEN txt END,
-        |    ' ' ORDER BY bi), '')) AS BIGINT) AS extract_chars,
-        |  md5(coalesce(string_agg(CASE WHEN lk*2 <= length(txt) THEN txt END,
-        |    ' ' ORDER BY bi), '')) AS extract_md5
-        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.Column
-      val m = greatest(lit(1), expr("size(tk) div 2"))
-      val nav = lit("<div class=\"nav\"><a href=\"/\">Home</a> " +
-        "<a href=\"/about\">About</a> <a href=\"/contact\">Contact</a></div>")
-      val p1 = concat(lit("<p>"),
-        array_join(slice($("tk"), lit(1), m), " "), lit("</p>"))
-      val p2 = concat(lit("<p>See <a href=\"/w\">"), element_at($("tk"), 1),
-        lit("</a> "),
-        array_join(slice($("tk"), m + lit(1), size($("tk")) - m), " "),
-        lit("</p>"))
-      val foot = lit("<footer><a href=\"/terms\">Terms of Service</a> " +
-        "<a href=\"/privacy\">Privacy Policy</a></footer>")
-      def strip(b: Column) = regexp_replace(b, "<[^>]+>", "")
-      def linkLen(b: Column) =
-        length(concat_ws("", regexp_extract_all(b, lit("<a[^>]*>([^<]*)</a>"), lit(1))))
-      val blocks = Seq(nav, p1, p2, foot)
-      val txts = blocks.map(strip)
-      val keeps = txts.zip(blocks.map(linkLen))
-        .map { case (t, l) => l * 2 <= length(t) }
-      // concat_ws drops NULL args on both engines — the dropped blocks
-      // vanish, kept block texts join in page order
-      val extract = concat_ws(" ",
-        txts.zip(keeps).map { case (t, k) => when(k, t) }: _*)
-      val nKept = keeps.map(_.cast("long")).reduce(_ + _)
-      Tables.documents(s, d)
-        .select($("doc_id"), TextFunctions.tokens($("text")).as("tk"))
-        .select($("doc_id"), nKept.as("n_kept"),
-          (lit(4L) - nKept).as("n_dropped"),
-          length(extract).cast("long").as("extract_chars"),
-          md5(extract.cast("binary")).as("extract_md5"))
+    // any corpus size. (Projection + oracle live in htmlExtractRows /
+    // htmlExtractSql above, shared with the streaming twin below.)
+    Q("q_html_extract", htmlExtractSql) { (s, d) =>
+      htmlExtractRows(Tables.documents(s, d).select($("doc_id"), $("text")))
         .orderBy($("doc_id"))
+    },
+
+    // ---- The same extraction AT INGEST: documents arrive as a file
+    // stream and each micro-batch runs the identical map-only projection
+    // (no state, no watermark — boilerplate removal is embarrassingly
+    // parallel per row, the first stage of a streaming web-corpus
+    // pipeline before any dedup/quality stage sees the text). Batches
+    // drain through the idempotent per-batch overwrite, so a replayed
+    // trigger rewrites its own files. The oracle is the batch SQL
+    // verbatim — a dropped batch, a double-applied batch, or any drift
+    // between the batch and stream projections hash-mismatches.
+    Q("q_stream_html_extract", htmlExtractSql) { (s, d) =>
+      Staging.withTempDir("graft_stream_html_out") { out =>
+        Staging.withStagedInput(
+          Tables.documents(s, d).select($("doc_id"), $("text")),
+          "doc_id", nFiles = 3, prefix = "graft_stream_html") { in =>
+          val schema = s.read.parquet(in).schema
+          val stream = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(in)
+          val q = stream.writeStream.outputMode("append")
+            .option("checkpointLocation", s"$out/ck")
+            .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, id: Long) =>
+              Staging.writeBatch(htmlExtractRows(bdf), s"$out/res", id)
+            }
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        Staging.drainParquet(s, s"$out/res", $("doc_id"))
+      }
     },
 
     // ---- Doc-internal repeated-paragraph removal — the Gopher REWRITE

@@ -611,6 +611,182 @@ object DedupOps {
           levenshtein(col("text_a"), col("text_b"), 20).cast("long").as("dist"))
         .filter(col("dist") >= 0) // banded variant returns -1 above the bound
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- CORPUS-LEVEL source-overlap matrix: exact Jaccard between each
+    // source pair's distinct-shingle VOCABULARIES — the mixing-recipe
+    // input ("how much of source B is already in source A?") that doc-
+    // level dedup never reports. Exact path: one shuffle on the shingle
+    // key; each shingle's group holds at most |sources| rows, so the
+    // pair expansion inside the join is bounded by |sources|² per key —
+    // linear in corpus shingles at any scale (|sources| is a catalogue
+    // constant, not data). Alongside the exact answer, a BOTTOM-K
+    // MinHash sketch (k=256 smallest hashes per source — the mergeable
+    // one-pass summary a 100 TB run would ship instead of the exact
+    // join) estimates the same Jaccard as |A∩B ∩ bottomK(A∪B)| / k;
+    // sketches are k·|sources| rows (metadata-scale, driver-combined),
+    // and the emitted verdict `sketch_ok` asserts the estimate lands
+    // within ±0.2 of the exact value (k=256 ⇒ σ ≈ 0.03, so the verdict
+    // is ~6σ slack — deterministic per corpus under xxhash64). The
+    // oracle states the exact matrix and TRUE: a broken sketch, not just
+    // a broken join, turns the gate red.
+    Q("q_source_overlap",
+      """WITH sh AS (
+        |  SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM (SELECT source, string_split(text, ' ') AS t FROM documents),
+        |       unnest(range(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |n AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        |      GROUP BY src_a, src_b)
+        |SELECT src_a, src_b, shared, na.n AS n_a, nb.n AS n_b,
+        |  round(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 6) AS jaccard,
+        |  TRUE AS sketch_ok
+        |FROM p JOIN n na ON p.src_a = na.source JOIN n nb ON p.src_b = nb.source
+        |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+      val sh = Tables.spread(Tables.documents(s, d), col("doc_id"))
+        .select(col("source"),
+          explode(TextFunctions.shingleHashes(col("text"), 3)).as("s"))
+        .distinct()
+        .persist()
+      try {
+        val n = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val a = sh.select(col("source").as("src_a"), col("s"))
+        val b = sh.select(col("source").as("src_b"), col("s"))
+        val shared = a.join(b, "s").filter(col("src_a") < col("src_b"))
+          .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("shared"))
+        // bottom-k sketch per source via the native bounded-heap top-k
+        // (ascending hash) — one pass, k rows per source out
+        val sk = graft.plans.TopKPerKey(sh, Seq("source"),
+            Seq(col("s").asc), k = 256)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+          .groupBy(_._1).map { case (src, rows) => src -> rows.map(_._2).toSet }
+        val est: Map[(String, String), Double] = {
+          val srcs = sk.keys.toSeq.sorted
+          (for {
+            (x, i) <- srcs.zipWithIndex; y <- srcs.drop(i + 1)
+          } yield {
+            val (ax, ay) = (sk(x), sk(y))
+            val union = (ax ++ ay).toSeq.sorted.take(256)
+            val inter = union.count(h => ax.contains(h) && ay.contains(h))
+            (x, y) -> inter.toDouble / union.size
+          }).toMap
+        }
+        val estDf = broadcast(s.createDataFrame(
+          est.toSeq.map { case ((x, y), e) => (x, y, e) })
+          .toDF("src_a", "src_b", "est"))
+        // per-source totals are |sources| rows — un-hinted, AQE broadcasts
+        shared
+          .join(n.withColumnRenamed("source", "src_a").withColumnRenamed("n", "n_a"), "src_a")
+          .join(n.withColumnRenamed("source", "src_b").withColumnRenamed("n", "n_b"), "src_b")
+          .join(estDf, Seq("src_a", "src_b"))
+          .select(col("src_a"), col("src_b"), col("shared"),
+            col("n_a"), col("n_b"),
+            round(col("shared").cast("double") /
+              (col("n_a") + col("n_b") - col("shared")), 6).as("jaccard"),
+            (abs(col("est") -
+              col("shared").cast("double") /
+                (col("n_a") + col("n_b") - col("shared"))) <= 0.2).as("sketch_ok"))
+          .orderBy(col("src_a"), col("src_b"))
+      } finally { sh.unpersist(false); () }
+    },
+
+    // ---- CONTAINMENT dedup — the near-dup class Jaccard-LSH structurally
+    // misses: a short document contained in a long one (a quote, an
+    // excerpt, a page wrapped in more boilerplate) has Jaccard
+    // |A∩B|/|A∪B| ≈ |A|/|B| (tiny) but containment |A∩B|/min(|A|,|B|)
+    // ≈ 1. MinHash bands key on Jaccard, so these pairs never become LSH
+    // candidates. Scale path: a RARE-SHINGLE inverted index — only
+    // shingles with document frequency in [2, 10] emit candidate pairs
+    // (df ≥ 2: a shingle in one doc pairs nothing; df ≤ 10 caps the
+    // per-shingle pair fan-out at 45 — boilerplate shingles shared by
+    // thousands of docs generate NOTHING instead of a quadratic blow-up),
+    // then the exact intersection runs on candidates only, the
+    // generation-bounds/verification-restores-exactness shape of every
+    // dedup here. A contained doc shares ALL its shingles with its
+    // container, so any of them that is rare corpus-wide witnesses the
+    // pair; both engines state the identical generation rule, so the
+    // (deliberate) miss of pairs with no rare shared shingle is part of
+    // the checked contract, not drift. The corpus has no true subset
+    // docs, so both engines synthesize the same quote view first (every
+    // 10th doc contributes its first half as doc_id+1000000 — each
+    // exercises the containment path); emitted pairs carry containment
+    // AND jaccard, showing exactly which pairs a 0.8-Jaccard gate misses.
+    Q("q_containment_dedup",
+      """WITH docs2 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(tk[1:greatest(3, len(tk)//2)], ' ') AS text
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+        |  WHERE doc_id % 10 = 0),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM docs2),
+        |       unnest(range(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |d AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM df JOIN sh a ON a.s = df.s JOIN sh b
+        |    ON b.s = df.s AND a.doc_id < b.doc_id
+        |  WHERE df.df BETWEEN 2 AND 10),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+        |  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+        |    JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+        |  GROUP BY c.doc_a, c.doc_b)
+        |SELECT doc_a, doc_b, shared, da.n AS n_a, db.n AS n_b,
+        |  round(CAST(shared AS DOUBLE) / least(da.n, db.n), 6) AS containment,
+        |  round(CAST(shared AS DOUBLE) / (da.n + db.n - shared), 6) AS jaccard
+        |FROM inter JOIN d da ON inter.doc_a = da.doc_id
+        |  JOIN d db ON inter.doc_b = db.doc_id
+        |WHERE CAST(shared AS DOUBLE) / least(da.n, db.n) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val base = Tables.spread(Tables.documents(s, d), col("doc_id"))
+        .select(col("doc_id"), col("text"))
+      val quotes = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          array_join(slice(TextFunctions.tokens(col("text")), lit(1),
+            greatest(lit(3), expr("size(split(text, ' ')) div 2"))), " ")
+            .as("text"))
+      val sh = base.union(quotes)
+        .select(col("doc_id"),
+          explode(TextFunctions.shingleHashes(col("text"), 3)).as("s"))
+        .distinct()
+        .persist()
+      try {
+        val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        // rare-shingle candidate pairs, emitted per shingle GROUP in
+        // place (the q_ngram_jaccard kernel) — the df gate both caps the
+        // fan-out and IS the index: common shingles never group-emit
+        val cands = sh.groupBy(col("s"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+          .filter(size(col("ds")).between(2, 10))
+          .select(explode(graft.functions.OrderedPairs(col("ds"))).as("p"))
+          .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+          .distinct()
+        val a = sh.select(col("doc_id").as("doc_a"), col("s"))
+        val b = sh.select(col("doc_id").as("doc_b"), col("s"))
+        // candidates are near-dup-pair-scale — broadcast onto the
+        // shingle relation for the exact intersection counts
+        val inter = broadcast(cands).join(a, "doc_a")
+          .join(b, Seq("doc_b", "s"))
+          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
+        inter
+          .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+          .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+          .filter(col("shared").cast("double") / least(col("n_a"), col("n_b")) >= 0.9)
+          .select(col("doc_a"), col("doc_b"), col("shared"),
+            col("n_a"), col("n_b"),
+            round(col("shared").cast("double") /
+              least(col("n_a"), col("n_b")), 6).as("containment"),
+            round(col("shared").cast("double") /
+              (col("n_a") + col("n_b") - col("shared")), 6).as("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      } finally { sh.unpersist(false); () }
     }
   )
 }

@@ -6,6 +6,26 @@ import org.apache.spark.sql.functions._
 class FunctionsSuite extends SparkSpec {
   import spark.implicits._
 
+  test("nfc_normalize: composes decomposed sequences, identity on NFC, null-safe") {
+    val decomposed = "cafe\u0301"           // e + combining acute
+    val composed = "caf\u00e9"              // precomposed e-acute
+    val multi = "a\u0301b\u0308c"          // two combining-mark sequences
+    val df = Seq(
+      ("d", decomposed), ("c", composed), ("a", "plain ascii"), ("m", multi))
+      .toDF("id", "text")
+      .select(col("id"), NfcNormalize(col("text")).as("n"))
+    val out = df.as[(String, String)].collect().toMap
+    assert(out("d") == composed)
+    assert(out("c") == composed)           // already NFC -> unchanged
+    assert(out("a") == "plain ascii")      // ASCII fast path
+    assert(out("m") ==
+      java.text.Normalizer.normalize(multi, java.text.Normalizer.Form.NFC))
+    // null flows through the standard null-safe codegen path
+    val n = Seq(Option.empty[String], Some(decomposed)).toDF("text")
+      .select(NfcNormalize(col("text"))).collect()
+    assert(n(0).isNullAt(0) && n(1).getString(0) == composed)
+  }
+
   test("tokenCount / shingles") {
     val df = Seq("a b c d", "x y", "solo").toDF("text")
     assert(df.select(TextFunctions.tokenCount(col("text"))).as[Int].collect().toSeq

@@ -374,4 +374,63 @@ class PlanSuite extends SparkSpec {
       assert(plan.contains("*("), s"$name: no codegen span:\n${plan.take(1500)}")
     }
   }
+
+  test("char-trigram LM: model joins broadcast onto the corpus scan, no window") {
+    // the trigram model is alphabet-bounded (≤|Σ|³): both its build join
+    // (counts × context totals) and its apply join (model × exploded
+    // corpus) must broadcast — a shuffled apply join would move the whole
+    // exploded character stream; the corpus mean is a broadcast scalar
+    val plan = physical("q_char_lm_perplexity")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"model join not broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("Window"), "per-doc score regressed to a window")
+  }
+
+  test("containment dedup: verify joins run on broadcast candidates, no cartesian") {
+    // candidate generation is the rare-shingle (df ∈ [2,10]) inverted
+    // index — per-group pair emission via OrderedPairs, never a doc×doc
+    // join; the exact-intersection verify must see the candidate set as
+    // a broadcast (pair-scale) probe onto the shingle relation
+    val plan = physical("q_containment_dedup")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate verify not broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("ordered_pairs"),
+      s"pair emission lost the native kernel:\n${plan.take(2000)}")
+  }
+
+  test("source overlap: pair counts key on the shingle hash, sketch via bounded heap") {
+    // the exact matrix's only corpus-scale shuffle is the equi-join on
+    // the 8-byte shingle hash (per-key groups ≤ |sources|); a cartesian
+    // or nested-loop source×source plan would be the quadratic shape
+    // this operator exists to avoid
+    val plan = physical("q_source_overlap")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pairwise overlap lost the shingle-key join:\n${plan.take(2000)}")
+    assert(!plan.contains("Window"))
+  }
+
+  test("text normalize and classifier scoring are map-only (zero hash exchanges)") {
+    // q_text_normalize is a per-row scalar chain through the native NFC
+    // expression; q_quality_classifier's RETURNED plan is scoring with
+    // literal trained weights (training ran as separate driver-scalar
+    // aggregates at construction) — neither may shuffle or aggregate
+    for (name <- Seq("q_text_normalize", "q_quality_classifier")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$name: hash shuffle in a map-only pass:\n${plan.take(2000)}")
+      assert(!plan.contains("HashAggregate"),
+        s"$name: aggregate in a map-only pass:\n${plan.take(2000)}")
+      assert(plan.contains("*("), s"$name: no codegen span:\n${plan.take(1500)}")
+    }
+    // the native NFC kernel must be IN the codegen span, not a fallback
+    val norm = physical("q_text_normalize")
+    assert(norm.contains("nfc_normalize"),
+      s"native NFC expression missing:\n${norm.take(1500)}")
+  }
 }
