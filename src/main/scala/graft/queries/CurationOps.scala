@@ -557,6 +557,67 @@ object CurationOps {
     }
   }
 
+  /** Shared q_line_dedup / q_stream_line_dedup oracle: cross-document
+    * boilerplate-line removal (df > 5 docs). ONE definition — the batch
+    * pass and the streamed ledger must stay bit-identical (the
+    * bm25Ctes / upsertViewSql no-drift convention). */
+  private val lineDedupSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |p AS (SELECT doc_id,
+      |  ['COPYRIGHT 2024 EXAMPLE CORP ALL RIGHTS RESERVED',
+      |   coalesce(array_to_string(tk[1:12], ' '), ''),
+      |   coalesce(array_to_string(tk[13:len(tk)], ' '), ''),
+      |   'SUBSCRIBE TO OUR NEWSLETTER FOR UPDATES'] AS paras FROM t),
+      |e AS (SELECT doc_id, u.i AS idx, paras[CAST(u.i AS INT)] AS para
+      |      FROM p, unnest(range(1, 5)) AS u(i)),
+      |df AS (SELECT para, COUNT(DISTINCT doc_id) AS dfd FROM e GROUP BY para),
+      |k AS (SELECT e.doc_id, e.idx, e.para, (df.dfd > 5) AS boiler
+      |      FROM e JOIN df USING (para))
+      |SELECT doc_id,
+      |  CAST(SUM(CASE WHEN NOT boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |  md5(coalesce(string_agg(CASE WHEN NOT boiler THEN para END,
+      |    chr(10) ORDER BY idx), '')) AS clean_md5
+      |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** The deterministic 4-line view of a (doc_id, text) relation:
+    * (doc_id, idx, para, h) with h = xxhash64(para) — lines shuffle as
+    * 8-byte hashes everywhere downstream. */
+  private def lineParas(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val hdr = lit("COPYRIGHT 2024 EXAMPLE CORP ALL RIGHTS RESERVED")
+    val ftr = lit("SUBSCRIBE TO OUR NEWSLETTER FOR UPDATES")
+    val p1 = array_join(slice($("tk"), 1, 12), " ")
+    val p2 = array_join(slice($("tk"), lit(13),
+      greatest(lit(0), size($("tk")) - lit(12))), " ")
+    docs
+      .select($("doc_id"), TextFunctions.tokens($("text")).as("tk"))
+      .select($("doc_id"), posexplode(array(hdr, p1, p2, ftr)))
+      .select($("doc_id"), col("pos").as("idx"), col("col").as("para"),
+        xxhash64(col("col")).as("h"))
+  }
+
+  /** Rebuild per-doc cleaned text from the line view and a line
+    * doc-frequency relation: lines with dfd > 5 are boilerplate. The
+    * boilerplate set is tiny by definition — broadcast removal join;
+    * the rebuild groups each doc's own ≤4 lines. */
+  private def lineRebuild(paras: org.apache.spark.sql.DataFrame,
+      dfc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val boiler = dfc.filter($("dfd") > 5).select($("h"), lit(true).as("isb"))
+    paras.join(broadcast(boiler), Seq("h"), "left")
+      .groupBy($("doc_id"))
+      .agg(
+        sum(when(col("isb").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("isb").isNull, 0L).otherwise(1L)).as("n_dropped"),
+        // collect_list skips the null branch, so only kept lines
+        // survive into the idx-ordered rebuild
+        md5(array_join(
+          transform(
+            sort_array(collect_list(when(col("isb").isNull,
+              struct($("idx"), $("para"))))),
+            p => p.getField("para")),
+          "\n").cast("binary")).as("clean_md5"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- BPE tokenizer training: the iterative merge-selection loop
@@ -863,6 +924,143 @@ object CurationOps {
           (lit(5L) - size(kept)).as("n_dropped"),
           md5(array_join(kept, "\n").cast("binary")).as("clean_md5"))
         .orderBy($("doc_id"))
+    },
+
+    // ---- CROSS-document repeated-line removal — the CCNet/RefinedWeb
+    // boilerplate step that complements q_paragraph_dedup's doc-INTERNAL
+    // rule: a line (paragraph) appearing in more than 5 distinct
+    // documents corpus-wide is boilerplate (copyright footers, nav
+    // text, subscribe banners) and is removed from EVERY document; text
+    // is rebuilt from the surviving lines and md5-audited. The corpus
+    // has no newlines, so both engines synthesize the same
+    // deterministic 4-line view (two constant chrome lines — df = all
+    // docs, always removed — plus two content slices that only cross
+    // the threshold inside real duplicate clusters; sf0.1 has one such
+    // cluster, so the content path is exercised). Scale: lines travel
+    // as xxhash64 (8-byte shuffle keys, never line text); the doc-
+    // frequency aggregate partial-combines map-side; the boilerplate
+    // set is BY DEFINITION tiny (lines repeated >5× are few distinct)
+    // so the removal join broadcasts it; the rebuild groups each doc's
+    // own ≤4 lines — per-doc state only. A 64-bit collision would fold
+    // two lines' df and the string-keyed oracle would hash-mismatch
+    // (red gate, not silent drift) — same posture as span dedup.
+    Q("q_line_dedup", lineDedupSql) { (s, d) =>
+      val paras = lineParas(Tables.documents(s, d).select($("doc_id"), $("text")))
+      val dfc = paras.select($("h"), $("doc_id")).distinct()
+        .groupBy($("h")).agg(count(lit(1)).as("dfd"))
+      lineRebuild(paras, dfc).orderBy($("doc_id"))
+    },
+
+    // ---- Repeated-line removal AT INGEST: the boilerplate LEDGER is
+    // maintained as documents stream in — each micro-batch appends its
+    // own line view and its per-batch line doc-frequencies via the
+    // idempotent per-batch write (replay overwrites, never
+    // double-counts), and the cleaned rebuild is served from the
+    // accumulated ledger (same maintenance/serving contract as
+    // q_stream_bm25). Batch df partials SUM to the global distinct-doc
+    // frequency because documents are range-staged by doc_id — a doc
+    // contributes to exactly one batch, so per-batch distinct counts
+    // are disjoint. The oracle is the batch SQL verbatim: a dropped
+    // batch shifts a line's df across the >5 threshold or loses a doc's
+    // rebuild row, a replayed batch would double its df — either way
+    // the md5-audited output hash-mismatches, so exactly-once ledger
+    // maintenance is observationally verified.
+    Q("q_stream_line_dedup", lineDedupSql) { (s, d) =>
+      Tables.ensureConf(s)
+      Staging.withTempDir("graft_stream_ldp_out") { out =>
+        Staging.withStagedInput(
+          Tables.documents(s, d).select($("doc_id"), $("text")),
+          "doc_id", nFiles = 3, prefix = "graft_stream_ldp") { in =>
+          val schema = s.read.parquet(in).schema
+          val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(in)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", s"$out/ck")
+            .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, id: Long) =>
+              val bp = lineParas(bdf.select($("doc_id"), $("text")))
+              Staging.writeBatch(bp, s"$out/paras", id)
+              Staging.writeBatch(
+                bp.select($("h"), $("doc_id")).distinct()
+                  .groupBy($("h")).agg(count(lit(1)).as("dfp")),
+                s"$out/dfs", id)
+              ()
+            }
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        val paras = s.read.option("recursiveFileLookup", "true")
+          .parquet(s"$out/paras")
+        val dfc = s.read.option("recursiveFileLookup", "true")
+          .parquet(s"$out/dfs")
+          .groupBy($("h")).agg(sum($("dfp")).as("dfd"))
+        // localize: the ledger dirs die with the temp dir, the ≤corpus
+        // answer is doc-scale (same close-out as q_stream_bm25)
+        val res = lineRebuild(paras, dfc).orderBy($("doc_id"))
+        s.createDataFrame(res.collectAsList(), res.schema)
+      }
+    },
+
+    // ---- Anchor-text aggregation per link target — the web-graph
+    // signal a search/pretraining corpus derives from HTML: what other
+    // pages CALL a page (in-degree, distinct referrers, dominant anchor
+    // phrase). Outlinks are synthesized deterministically from the
+    // corpus (three per document: first / middle / penultimate token →
+    // '/p/<token>' target with the token bigram as anchor), so both
+    // engines derive the identical edge list. Shape: the edge synth is
+    // one map-only projection (a 3-way unionAll of column slices — no
+    // explode state); per-(target, anchor) counts partial-combine
+    // map-side; the dominant anchor is the native bounded-heap
+    // TopKPerKey (k=1, never a window sort); distinct-referrer counts
+    // are a two-level aggregate (doc-distinct then count) — every
+    // shuffle is on the target key, which at web scale is the page URL
+    // (bucketable, never skewed past AQE's split threshold by one hot
+    // target because the per-anchor partials cap each mapper's emit).
+    Q("q_anchor_agg",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 4),
+        |l AS (
+        |  SELECT doc_id, '/p/' || tk[1] AS target,
+        |         tk[1] || ' ' || tk[2] AS anchor FROM t
+        |  UNION ALL
+        |  SELECT doc_id, '/p/' || tk[len(tk)//2] AS target,
+        |         tk[len(tk)//2] || ' ' || tk[len(tk)//2+1] AS anchor FROM t
+        |  UNION ALL
+        |  SELECT doc_id, '/p/' || tk[len(tk)-1] AS target,
+        |         tk[len(tk)-1] || ' ' || tk[len(tk)] AS anchor FROM t),
+        |c AS (SELECT target, anchor, COUNT(*) AS cnt FROM l GROUP BY target, anchor),
+        |top AS (SELECT target, anchor, cnt, row_number() OVER (
+        |          PARTITION BY target ORDER BY cnt DESC, anchor) AS rn FROM c),
+        |agg AS (SELECT target, COUNT(*) AS in_links,
+        |          COUNT(DISTINCT doc_id) AS n_src FROM l GROUP BY target)
+        |SELECT agg.target, agg.in_links, agg.n_src,
+        |  top.anchor AS top_anchor, top.cnt AS top_anchor_n
+        |FROM agg JOIN top ON top.target = agg.target AND top.rn = 1
+        |ORDER BY agg.target""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select($("doc_id"), TextFunctions.tokens($("text")).as("tk"))
+        .filter(size($("tk")) >= 4)
+      def edge(i: org.apache.spark.sql.Column) = t.select(
+        $("doc_id"),
+        concat(lit("/p/"), element_at($("tk"), i)).as("target"),
+        concat_ws(" ", element_at($("tk"), i),
+          element_at($("tk"), i + lit(1))).as("anchor"))
+      val links = edge(lit(1))
+        .unionAll(edge(expr("size(tk) div 2").cast("int")))
+        .unionAll(edge(size($("tk")) - 1))
+      val counts = links.groupBy($("target"), $("anchor"))
+        .agg(count(lit(1)).as("cnt"))
+      val top = graft.plans.TopKPerKey(counts, Seq("target"),
+          Seq(col("cnt").desc, col("anchor").asc), k = 1)
+        .select($("target"), col("anchor").as("top_anchor"),
+          col("cnt").as("top_anchor_n"))
+      val agg = links.groupBy($("target"))
+        .agg(count(lit(1)).as("in_links"))
+      val srcs = links.select($("target"), $("doc_id")).distinct()
+        .groupBy($("target")).agg(count(lit(1)).as("n_src"))
+      agg.join(srcs, "target").join(top, "target")
+        .select($("target"), $("in_links"), $("n_src"),
+          $("top_anchor"), $("top_anchor_n"))
+        .orderBy($("target"))
     },
 
     // ---- Duplicated-span removal (exact substring dedup at 32-token

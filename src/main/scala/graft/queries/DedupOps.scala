@@ -787,6 +787,100 @@ object DedupOps {
               (col("n_a") + col("n_b") - col("shared")), 6).as("jaccard"))
           .orderBy(col("doc_a"), col("doc_b"))
       } finally { sh.unpersist(false); () }
+    },
+
+    // ---- All-pairs TF-IDF cosine similarity (Bayardo/WHIRL family) —
+    // the WEIGHTED sparse-vector complement to q_ngram_jaccard's set
+    // overlap: documents as tf·idf-weighted shingle vectors, pair score
+    // = cosine. Candidate generation is the inverted-index prune every
+    // all-pairs system uses (pairs must share ≥4 shingles of document
+    // frequency 2–10 — rare features are the discriminative ones; a
+    // shingle in >10 docs is boilerplate that pairs everything with
+    // everything and indexes NOTHING). The oracle states the identical
+    // gate, so the prune is part of the verified contract — same
+    // posture as the MinHash bands. Exact kernel on candidates only.
+    // Determinism: weights round to 6dp then travel as DECIMAL(18,6);
+    // dot products and squared norms are exact decimal sums (order-
+    // independent across both engines' reduction trees); the one
+    // double op per pair (sqrt + divide) runs on identical inputs.
+    // Scale: shingles travel as xxhash64; tf/df partial-combine
+    // map-side; candidates are near-dup-pair-scale (264 pairs from
+    // 9.5k shingle rows at sf0.1) and broadcast onto the weight
+    // relation; no stage touches doc × doc.
+    Q("q_allpairs_sim",
+      """WITH sh AS (
+        |  SELECT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT)+1]
+        |           || ' ' || t[CAST(i AS INT)+2] AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |       unnest(range(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |tf AS (SELECT doc_id, s, COUNT(*) AS tf FROM sh GROUP BY doc_id, s),
+        |df AS (SELECT s, COUNT(*) AS dfd FROM tf GROUP BY s),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |w AS (SELECT doc_id, tf.s,
+        |        CAST(round(tf * ln(CAST(n.n AS DOUBLE) / df.dfd), 6)
+        |          AS DECIMAL(18,6)) AS w
+        |      FROM tf JOIN df ON tf.s = df.s, n),
+        |nm AS (SELECT doc_id, sqrt(CAST(SUM(w*w) AS DOUBLE)) AS nrm
+        |       FROM w GROUP BY doc_id),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM df JOIN tf a ON a.s = df.s
+        |           JOIN tf b ON b.s = df.s AND a.doc_id < b.doc_id
+        |         WHERE df.dfd BETWEEN 2 AND 10
+        |         GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 4),
+        |dot AS (SELECT c.doc_a, c.doc_b, SUM(a.w * b.w) AS dot
+        |        FROM cand c JOIN w a ON a.doc_id = c.doc_a
+        |          JOIN w b ON b.doc_id = c.doc_b AND b.s = a.s
+        |        GROUP BY c.doc_a, c.doc_b)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6) AS cosine
+        |FROM dot JOIN nm na ON na.doc_id = dot.doc_a
+        |  JOIN nm nb ON nb.doc_id = dot.doc_b
+        |WHERE round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val sh = Tables.spread(Tables.documents(s, d), col("doc_id"))
+        .select(col("doc_id"),
+          explode(TextFunctions.shingleHashes(col("text"), 3)).as("s"))
+        .groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("tf"))
+        .persist()
+      val nDocs = Tables.documents(s, d).count().toDouble
+      val dfc = sh.groupBy(col("s")).agg(count(lit(1)).as("dfd"))
+      // dfc is vocab-scale — un-hinted (AQE broadcasts at bench scale)
+      val w = sh.join(dfc, "s")
+        .select(col("doc_id"), col("s"),
+          round(col("tf").cast("double") * log(lit(nDocs) / col("dfd")), 6)
+            .cast("decimal(18,6)").as("w"))
+        .persist()
+      try {
+        val nm = w.groupBy(col("doc_id"))
+          .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
+        // rare-shingle candidates, emitted per shingle group in place
+        // (the q_ngram_jaccard kernel), then pruned to ≥4 shared
+        val cands = sh.join(dfc, "s").filter(col("dfd").between(2, 10))
+          .groupBy(col("s"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+          .filter(size(col("ds")) >= 2)
+          .select(explode(graft.functions.OrderedPairs(col("ds"))).as("p"))
+          .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+          .agg(count(lit(1)).as("nsh"))
+          .filter(col("nsh") >= 4)
+          .select(col("doc_a"), col("doc_b"))
+        val a = w.select(col("doc_id").as("doc_a"), col("s"), col("w").as("wa"))
+        val b = w.select(col("doc_id").as("doc_b"), col("s"), col("w").as("wb"))
+        val dot = broadcast(cands).join(a, "doc_a").join(b, Seq("doc_b", "s"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(sum(col("wa") * col("wb")).as("dot"))
+        dot
+          .join(nm.withColumnRenamed("doc_id", "doc_a")
+            .withColumnRenamed("nrm", "na"), "doc_a")
+          .join(nm.withColumnRenamed("doc_id", "doc_b")
+            .withColumnRenamed("nrm", "nb"), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            round(col("dot").cast("double") / (col("na") * col("nb")), 6)
+              .as("cosine"))
+          .filter(col("cosine") >= 0.5)
+          .orderBy(col("doc_a"), col("doc_b"))
+      } finally { sh.unpersist(false); w.unpersist(false); () }
     }
   )
 }

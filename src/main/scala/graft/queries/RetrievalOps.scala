@@ -342,6 +342,71 @@ object RetrievalOps {
         // top-k out as a LOCAL relation
         s.createDataFrame(top.collectAsList(), top.schema)
       }
+    },
+
+    // ---- Retrieval EVALUATION: nDCG@10 / MRR / precision@10 of the
+    // BM25 ranking against a deterministic graded relevance (rel = how
+    // many distinct query terms a document contains, 0–4; "relevant"
+    // for the binary metrics means rel ≥ 2). The judgment set every
+    // retrieval deployment keeps — here derived from the corpus itself
+    // so both engines label identically. Shape: relevance is one
+    // map-only array_contains pass (no explode); the candidate and
+    // ideal top-10s are TakeOrderedAndProject (never a corpus sort);
+    // the two rank windows run over exactly 10 rows each; DCG terms
+    // round to 6dp and sum as DECIMAL. At 100 TB nothing here scales
+    // past the scored-candidate relation q_bm25 already bounds.
+    Q("q_retrieval_eval",
+      s"""WITH $bm25Ctes,
+         |rel AS (SELECT doc_id, COUNT(*) AS rel FROM tf GROUP BY doc_id),
+         |top10 AS (SELECT sc.doc_id, bm25, rel.rel
+         |          FROM sc JOIN rel USING (doc_id)
+         |          ORDER BY bm25 DESC, sc.doc_id LIMIT 10),
+         |ranked AS (SELECT rel, ROW_NUMBER() OVER (
+         |             ORDER BY bm25 DESC, doc_id) AS r FROM top10),
+         |dcg AS (SELECT
+         |    SUM(CAST(round(rel / log2(r + 1.0), 6) AS DECIMAL(18,6))) AS dcg,
+         |    MIN(CASE WHEN rel >= 2 THEN r END) AS first_rel,
+         |    SUM(CASE WHEN rel >= 2 THEN 1 ELSE 0 END) AS n_rel
+         |  FROM ranked),
+         |itop AS (SELECT rel FROM rel ORDER BY rel DESC, doc_id LIMIT 10),
+         |iranked AS (SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC) AS r
+         |            FROM itop),
+         |idcg AS (SELECT
+         |    SUM(CAST(round(rel / log2(r + 1.0), 6) AS DECIMAL(18,6))) AS idcg
+         |  FROM iranked)
+         |SELECT round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS ndcg10,
+         |  CASE WHEN first_rel IS NULL THEN 0.0
+         |    ELSE round(1.0 / first_rel, 6) END AS mrr,
+         |  round(CAST(n_rel AS DOUBLE) / 10, 6) AS p_at_10
+         |FROM dcg CROSS JOIN idcg""".stripMargin) { (s, d) =>
+      val docs = Tables.spread(Tables.documents(s, d), col("doc_id"))
+      val relCol = QueryTerms.map(t =>
+        when(array_contains(nonEmptyTokens, t), 1).otherwise(0))
+        .reduce(_ + _)
+      val rel = docs.select(col("doc_id"), relCol.as("rel"))
+        .filter(col("rel") >= 1)
+      val top10 = bm25Scores(s, d).join(rel, "doc_id")
+        .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+      // rank windows over exactly the 10 retained rows — bounded
+      val ranked = top10.withColumn("r",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+      val dcgRow = ranked.agg(
+        sum(round(col("rel") / log2(col("r") + 1.0), 6)
+          .cast("decimal(18,6)")).as("dcg"),
+        min(when(col("rel") >= 2, col("r"))).as("first_rel"),
+        sum(when(col("rel") >= 2, 1L).otherwise(0L)).as("n_rel"))
+      val iranked = rel.orderBy(col("rel").desc, col("doc_id")).limit(10)
+        .withColumn("r",
+          row_number().over(Window.orderBy(col("rel").desc, col("doc_id"))))
+      val idcgRow = iranked.agg(
+        sum(round(col("rel") / log2(col("r") + 1.0), 6)
+          .cast("decimal(18,6)")).as("idcg"))
+      dcgRow.crossJoin(idcgRow).select(
+        round(col("dcg").cast("double") / col("idcg").cast("double"), 6)
+          .as("ndcg10"),
+        when(col("first_rel").isNull, 0.0)
+          .otherwise(round(lit(1.0) / col("first_rel"), 6)).as("mrr"),
+        round(col("n_rel").cast("double") / 10, 6).as("p_at_10"))
     }
   )
 }

@@ -79,30 +79,33 @@ object TextOps {
     * Per-row gradient contributions round to 6dp and sum as DECIMAL
     * (order-independent); weights round to 6dp per step, so both engines
     * carry bit-identical scalars into the next step's sigmoid. */
-  private lazy val qualityClassifierSql: String = {
-    // round-to-6dp as floor(x·10⁶ + 0.5)/10⁶ — NOT round(): Spark rounds
-    // the decimal string HALF_UP while DuckDB rounds the binary double,
-    // and they disagree on boundary doubles (one flipped weight rounding
-    // shifts every score). floor is exact on identical doubles, so this
-    // formulation is engine-agnostic; the engine states the same formula.
-    def r6(e: String) = s"floor(($e) * 1000000 + 0.5) / 1000000"
-    val z = "(w0 + w1*x1 + w2*x2 + w3*x3)"
-    val resid = s"(y - 1/(1+exp(-$z)))"
+  // round-to-6dp as floor(x·10⁶ + 0.5)/10⁶ — NOT round(): Spark rounds
+  // the decimal string HALF_UP while DuckDB rounds the binary double,
+  // and they disagree on boundary doubles (one flipped weight rounding
+  // shifts every score). floor is exact on identical doubles, so this
+  // formulation is engine-agnostic; the engine states the same formula.
+  private def r6Sql(e: String) = s"floor(($e) * 1000000 + 0.5) / 1000000"
+  private val zSql = "(w0 + w1*x1 + w2*x2 + w3*x3)"
+
+  /** Classifier CTE body (features + 3 unrolled GD steps) — shared by
+    * the batch scorer, the stream server, and the evaluation query. */
+  private lazy val qualityCtes: String = {
+    val resid = s"(y - 1/(1+exp(-$zSql)))"
     def contrib(x: String) =
-      if (x.isEmpty) r6(resid) else r6(s"$resid * $x")
+      if (x.isEmpty) r6Sql(resid) else r6Sql(s"$resid * $x")
     val steps = (1 to 3).map { t =>
       val gs = Seq("", "x1", "x2", "x3").zipWithIndex.map { case (x, k) =>
         val mean = s"""CAST(SUM(CAST(${contrib(x)} AS DECIMAL(18,6))) AS DOUBLE)
            |      / COUNT(*)""".stripMargin
-        s"${r6(mean)} AS g$k"
+        s"${r6Sql(mean)} AS g$k"
       }.mkString(",\n  ")
-      val ws = (0 to 3).map(k => s"${r6(s"w$k + 0.5*g$k")} AS w$k").mkString(", ")
+      val ws = (0 to 3).map(k => s"${r6Sql(s"w$k + 0.5*g$k")} AS w$k").mkString(", ")
       s"""g$t AS (SELECT
          |  $gs
          |FROM f CROSS JOIN i${t - 1}),
          |i$t AS (SELECT $ws FROM i${t - 1} CROSS JOIN g$t)""".stripMargin
     }.mkString(",\n")
-    s"""WITH f AS (SELECT doc_id,
+    s"""f AS (SELECT doc_id,
        |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
        |    CAST(n_stop AS DOUBLE) / n_tok AS x1,
        |    CAST(n_nospace AS DOUBLE) / n_tok / 10 AS x2,
@@ -115,12 +118,55 @@ object TextOps {
        |        FROM documents)),
        |i0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
        |              CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3),
-       |$steps
-       |SELECT doc_id, CAST(y AS BIGINT) AS label_en,
-       |  ${r6(s"1/(1+exp(-$z))")} AS p_en,
-       |  1/(1+exp(-$z)) >= 0.5 AS pred_en
-       |FROM f CROSS JOIN i3 ORDER BY doc_id""".stripMargin
+       |$steps,
+       |sc AS (SELECT doc_id, CAST(y AS BIGINT) AS label_en,
+       |  ${r6Sql(s"1/(1+exp(-$zSql))")} AS p_en,
+       |  1/(1+exp(-$zSql)) >= 0.5 AS pred_en
+       |FROM f CROSS JOIN i3)""".stripMargin
   }
+
+  private lazy val qualityClassifierSql: String =
+    s"""WITH $qualityCtes
+       |SELECT doc_id, label_en, p_en, pred_en FROM sc
+       |ORDER BY doc_id""".stripMargin
+
+  /** q_classifier_eval oracle: precision/recall/F1 at 0.5 plus ROC-AUC
+    * via the Mann-Whitney rank statistic over the QUANTIZED-score
+    * histogram — scores are 6dp-rounded, so the distinct-score domain is
+    * ≤10⁶+1 rows no matter the corpus size, and the one ordered pass
+    * (the cumulative-count window) runs on that bounded histogram, never
+    * on per-document rows. Tie handling is exact average-rank:
+    * 2·Σ_groups pos·(2·below + cnt + 1) keeps everything integer
+    * (DECIMAL(38,0) sums), so AUC divides identical integers on both
+    * engines. */
+  private lazy val classifierEvalSql: String =
+    s"""WITH $qualityCtes,
+       |g AS (SELECT p_en, COUNT(*) AS cnt, SUM(label_en) AS pos
+       |      FROM sc GROUP BY p_en),
+       |c AS (SELECT p_en, cnt, pos,
+       |        SUM(cnt) OVER (ORDER BY p_en
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+       |          AS below
+       |      FROM g),
+       |s2 AS (SELECT SUM(CAST(pos * (2*below + cnt + 1) AS DECIMAL(38,0)))
+       |         AS s2 FROM c),
+       |m AS (SELECT COUNT(*) AS n, SUM(label_en) AS np,
+       |        SUM(CASE WHEN pred_en AND label_en = 1 THEN 1 ELSE 0 END) AS tp,
+       |        SUM(CASE WHEN pred_en AND label_en = 0 THEN 1 ELSE 0 END) AS fp,
+       |        SUM(CASE WHEN NOT pred_en AND label_en = 1 THEN 1 ELSE 0 END) AS fn
+       |      FROM sc)
+       |SELECT CAST(n AS BIGINT) AS n, CAST(np AS BIGINT) AS n_pos,
+       |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       |  CAST(fn AS BIGINT) AS fn,
+       |  CASE WHEN tp + fp = 0 THEN 0.0
+       |    ELSE round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS prec,
+       |  CASE WHEN tp + fn = 0 THEN 0.0
+       |    ELSE round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS rec,
+       |  CASE WHEN 2*tp + fp + fn = 0 THEN 0.0
+       |    ELSE round(2.0 * tp / (2*tp + fp + fn), 6) END AS f1,
+       |  round((CAST(s2 AS DOUBLE) - CAST(np AS DOUBLE) * (CAST(np AS DOUBLE) + 1))
+       |    / (2.0 * np * (n - np)), 6) AS auc
+       |FROM m CROSS JOIN s2""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -221,6 +267,74 @@ object TextOps {
         .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
         .filter(col("df") >= 10)
         .orderBy(col("word"))
+    },
+
+    // ---- Zipf fit: least-squares slope of ln(freq) against ln(rank)
+    // over the top-1000 vocabulary head — the corpus-health metric that
+    // flags synthetic or degenerate text (natural corpora slope ≈ −1;
+    // template spam goes flat, boilerplate floods go steep). Shape: the
+    // term-frequency aggregate partial-combines map-side (the only
+    // corpus-scale stage); the rank order is TakeOrderedAndProject
+    // top-1000 (never a full vocab sort); the regression sums run over
+    // exactly those 1000 rows with 6dp-rounded log terms summed as
+    // DECIMAL, so the closed-form slope/intercept/R² divide identical
+    // numbers on both engines.
+    Q("q_zipf_fit",
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |tf AS (SELECT word, COUNT(*) AS freq FROM t WHERE word <> ''
+        |       GROUP BY word),
+        |v AS (SELECT COUNT(*) AS n_vocab FROM tf),
+        |top AS (SELECT word, freq FROM tf
+        |        ORDER BY freq DESC, word LIMIT 1000),
+        |r AS (SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, word)
+        |        AS rnk FROM top),
+        |p AS (SELECT round(ln(CAST(rnk AS DOUBLE)), 6) AS x,
+        |             round(ln(CAST(freq AS DOUBLE)), 6) AS y FROM r),
+        |sums AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(round(x*y, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(round(x*x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(round(y*y, 6) AS DECIMAL(18,6))) AS DOUBLE) AS syy
+        |  FROM p)
+        |SELECT CAST(v.n_vocab AS BIGINT) AS n_vocab, CAST(n AS BIGINT) AS n_fit,
+        |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+        |  round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6)
+        |    AS intercept,
+        |  round((n*sxy - sx*sy) * (n*sxy - sx*sy)
+        |    / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+        |FROM sums CROSS JOIN v""".stripMargin) { (s, d) =>
+      val tf = Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .cache()
+      try {
+        val nVocab = tf.count()
+        val top = tf.orderBy(col("freq").desc, col("word")).limit(1000)
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("freq").desc, col("word"))))
+        val p = top.select(
+          round(log(col("rnk").cast("double")), 6).as("x"),
+          round(log(col("freq").cast("double")), 6).as("y"))
+        def dsum(c: org.apache.spark.sql.Column) =
+          sum(c.cast("decimal(18,6)")).cast("double")
+        val sums = p.agg(count(lit(1)).as("n"),
+          dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+          dsum(round(col("x") * col("y"), 6)).as("sxy"),
+          dsum(round(col("x") * col("x"), 6)).as("sxx"),
+          dsum(round(col("y") * col("y"), 6)).as("syy"))
+        val beta = (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))
+        sums.select(lit(nVocab).as("n_vocab"), col("n").as("n_fit"),
+          round(beta, 6).as("slope"),
+          round((col("sy") - beta * col("sx")) / col("n"), 6).as("intercept"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) *
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+            ((col("n") * col("sxx") - col("sx") * col("sx")) *
+             (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+      } finally { tf.unpersist(false); () }
     },
 
     // ---- TF-IDF top-3 terms per document, selected by the native
@@ -1410,8 +1524,60 @@ object TextOps {
         }
         Staging.drainParquet(s, s"$out/res", col("doc_id"))
       }
+    },
+
+    // ---- Classifier EVALUATION — the metrics row that gates whether a
+    // trained filter ships: precision/recall/F1 at the 0.5 operating
+    // point plus ROC-AUC. AUC is the Mann-Whitney rank statistic with
+    // exact average-rank tie handling, computed over the QUANTIZED-score
+    // histogram: scores are 6dp-rounded, so the grouped domain is
+    // ≤10⁶+1 rows regardless of corpus size — the confusion counts are
+    // one map-side-combinable aggregate over the scan, and the single
+    // ordered pass (the cumulative window) runs on the bounded
+    // histogram, never on per-document rows. Everything stays integer
+    // until the final divisions (DECIMAL(38,0) rank sums), so both
+    // engines divide identical numbers.
+    Q("q_classifier_eval", classifierEvalSql) { (s, d) =>
+      classifierMetrics(scoreQuality(Tables.documents(s, d),
+        trainQualityWeights(s, d)))
     }
   )
+
+  /** One-row metric panel over a `(p_en, label_en, pred_en)` relation —
+    * factored out so the rank-statistic AUC is unit-testable against
+    * brute-force pair counting on crafted scores (EvalSuite). */
+  private[graft] def classifierMetrics(
+      scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val g = scored.groupBy(col("p_en"))
+      .agg(count(lit(1)).as("cnt"), sum(col("label_en")).as("pos"))
+    // single-partition window, justified: the 6dp-quantized score
+    // domain caps the input at ~1e6 rows at ANY corpus size
+    val wBelow = Window.orderBy(col("p_en"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s2 = g
+      .withColumn("below", sum(col("cnt")).over(wBelow) - col("cnt"))
+      .agg(sum((col("pos") * (lit(2) * col("below") + col("cnt") + 1))
+        .cast("decimal(38,0)")).as("s2"))
+    val m = scored.agg(
+      count(lit(1)).as("n"), sum(col("label_en")).as("np"),
+      sum(when(col("pred_en") && col("label_en") === 1, 1L).otherwise(0L)).as("tp"),
+      sum(when(col("pred_en") && col("label_en") === 0, 1L).otherwise(0L)).as("fp"),
+      sum(when(!col("pred_en") && col("label_en") === 1, 1L).otherwise(0L)).as("fn"))
+    // zero-denominator operating points (e.g. an all-negative
+    // predictor) define the ratio as 0.0 — mirrored in the oracle
+    def safeRatio(num: org.apache.spark.sql.Column,
+        den: org.apache.spark.sql.Column) =
+      when(den === 0, 0.0).otherwise(round(num.cast("double") / den, 6))
+    m.crossJoin(s2).select(
+      col("n"), col("np").as("n_pos"), col("tp"), col("fp"), col("fn"),
+      safeRatio(col("tp"), col("tp") + col("fp")).as("prec"),
+      safeRatio(col("tp"), col("tp") + col("fn")).as("rec"),
+      safeRatio(lit(2) * col("tp"),
+        lit(2) * col("tp") + col("fp") + col("fn")).as("f1"),
+      round((col("s2").cast("double") -
+          col("np").cast("double") * (col("np").cast("double") + 1)) /
+        (lit(2.0) * col("np") * (col("n") - col("np"))), 6).as("auc"))
+  }
 
   /** Surface features + label for the quality classifier — THE one
     * definition shared by training, batch scoring, and stream serving

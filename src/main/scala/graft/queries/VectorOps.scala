@@ -120,6 +120,122 @@ object VectorOps {
         .orderBy(col("maxsim").desc, col("label"))
     },
 
+    // ---- Margin-based bitext mining (the LASER/CCMatrix criterion):
+    // pair sentences across two languages by embedding similarity, but
+    // accept a pair only when its cosine stands OUT of the source's
+    // neighborhood — margin = best / mean(top-4) ≥ 1.1 — which kills
+    // the hubness false positives an absolute threshold lets through.
+    // Labels stand in for languages (label 0 = source, 1 = target).
+    // Shape: the target side broadcasts (the minority language's
+    // embedding table — at 100 TB the brute-force inner loop becomes
+    // the IVF probe-cell join of q_ann_ivf and the margin formula is
+    // unchanged); top-4 per source via the native bounded-heap
+    // TopKPerKey, never a window sort; the mean is an exact DECIMAL
+    // sum of 6dp-rounded sims, so the margin divides identical doubles
+    // on both engines.
+    Q("q_bitext_mining",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        |           FROM embeddings),
+        |a AS (SELECT vec_id, v FROM e WHERE label = 0),
+        |b AS (SELECT vec_id, v FROM e WHERE label = 1),
+        |p AS (SELECT a.vec_id AS src, b.vec_id AS tgt,
+        |        round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        |      FROM a CROSS JOIN b),
+        |t AS (SELECT src, tgt, sim, ROW_NUMBER() OVER (
+        |        PARTITION BY src ORDER BY sim DESC, tgt) AS rn FROM p),
+        |m AS (SELECT src,
+        |        MAX(CASE WHEN rn = 1 THEN tgt END) AS tgt,
+        |        MAX(CASE WHEN rn = 1 THEN sim END) AS sim,
+        |        CAST(SUM(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) / 4 AS avg4
+        |      FROM t WHERE rn <= 4 GROUP BY src)
+        |SELECT src, tgt, sim, round(sim / avg4, 6) AS margin FROM m
+        |WHERE round(sim / avg4, 6) >= 1.1 ORDER BY src""".stripMargin) { (s, d) =>
+      val e = Tables.spread(Tables.embeddings(s, d), col("vec_id"))
+        .withColumn("v", col("embedding").cast("array<double>"))
+      val a = e.filter(col("label") === 0)
+        .select(col("vec_id").as("src"), col("v").as("va"))
+      val b = e.filter(col("label") === 1)
+        .select(col("vec_id").as("tgt"), col("v").as("vb"))
+      val scored = a.crossJoin(broadcast(b))
+        .select(col("src"), col("tgt"),
+          round(VectorFunctions.cosine(col("va"), col("vb")), 6).as("sim"))
+      val top4 = graft.plans.TopKPerKey(scored, Seq("src"),
+        Seq(col("sim").desc, col("tgt").asc), k = 4)
+      top4.groupBy(col("src"))
+        .agg(
+          // min(struct(-sim, tgt)) = the (sim DESC, tgt ASC) winner
+          min(struct((-col("sim")).as("ns"), col("tgt").as("tg"))).as("m1"),
+          (sum(col("sim").cast("decimal(18,6)")).cast("double") / 4)
+            .as("avg4"))
+        .select(col("src"), col("m1.tg").as("tgt"), (-col("m1.ns")).as("sim"),
+          round((-col("m1.ns")) / col("avg4"), 6).as("margin"))
+        .filter(col("margin") >= 1.1)
+        .orderBy(col("src"))
+    },
+
+    // ---- Cluster-quality evaluation: simplified (centroid-based)
+    // silhouette per label — the metric that decides whether an
+    // embedding clustering is usable before anything downstream trusts
+    // it. True silhouette is point-to-point (quadratic); the centroid
+    // form is the standard at-scale variant: a(i) = dist to own
+    // centroid, b(i) = min dist to any other, s = (b-a)/max(a,b).
+    // Shape: centroids are one map-side-combinable per-(label, dim)
+    // aggregate (exact DECIMAL means of 6dp-rounded components — order-
+    // independent); the 640-row centroid table broadcasts; per-point
+    // distances expand each row ×|labels| map-side and re-aggregate on
+    // the point key. Squared diffs quantize at 6dp BEFORE the decimal
+    // sum — at O(10) magnitudes a 12dp round would sit within an ulp of
+    // half-integers often enough for the two engines' rounding paths to
+    // disagree; at 6dp the boundary probability is ~1e-8 per value.
+    Q("q_silhouette",
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |x AS (SELECT vec_id, label, CAST(u.i AS INT) AS i,
+        |        v[CAST(u.i AS INT)] AS x
+        |      FROM e, unnest(range(1, 65)) AS u(i)),
+        |cm AS (SELECT label AS clabel, i,
+        |         CAST(SUM(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |           / COUNT(*) AS m
+        |       FROM x GROUP BY label, i),
+        |d2 AS (SELECT x.vec_id, x.label, cm.clabel,
+        |         round(sqrt(CAST(SUM(CAST(round((x.x - cm.m)*(x.x - cm.m), 6)
+        |           AS DECIMAL(18,6))) AS DOUBLE)), 6) AS dist
+        |       FROM x JOIN cm ON cm.i = x.i
+        |       GROUP BY x.vec_id, x.label, cm.clabel),
+        |sil AS (SELECT vec_id, label,
+        |          MAX(CASE WHEN clabel = label THEN dist END) AS a,
+        |          MIN(CASE WHEN clabel <> label THEN dist END) AS b
+        |        FROM d2 GROUP BY vec_id, label)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(CAST(SUM(CAST(round((b - a) / greatest(a, b), 6)
+        |    AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_sil,
+        |  CAST(SUM(CASE WHEN round((b - a) / greatest(a, b), 6) < 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_misplaced
+        |FROM sil GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      val e = Tables.spread(Tables.embeddings(s, d), col("vec_id"))
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
+      val cm = e.groupBy(col("label").as("clabel"), col("i").as("ci"))
+        .agg((sum(round(col("x"), 6).cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("m"))
+      val d2 = e.join(broadcast(cm), col("i") === col("ci"))
+        .groupBy(col("vec_id"), col("label"), col("clabel"))
+        .agg(round(sqrt(
+          sum(round((col("x") - col("m")) * (col("x") - col("m")), 6)
+            .cast("decimal(18,6)")).cast("double")), 6).as("dist"))
+      val sCol = round((col("b") - col("a")) / greatest(col("a"), col("b")), 6)
+      d2.groupBy(col("vec_id"), col("label"))
+        .agg(max(when(col("clabel") === col("label"), col("dist"))).as("a"),
+          min(when(col("clabel") =!= col("label"), col("dist"))).as("b"))
+        .select(col("label"), sCol.as("sv"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("sv").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("mean_sil"),
+          sum(when(col("sv") < 0, 1L).otherwise(0L)).as("n_misplaced"))
+        .orderBy(col("label"))
+    },
+
     // ---- Brute-force kNN join: top-3 neighbors for the first 50 vectors.
     // (Correctness baseline for the LSH path below; at scale the probe side
     // is the small/broadcast side.)

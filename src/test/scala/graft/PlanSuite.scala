@@ -433,4 +433,35 @@ class PlanSuite extends SparkSpec {
     assert(norm.contains("nfc_normalize"),
       s"native NFC expression missing:\n${norm.take(1500)}")
   }
+
+  test("allpairs-sim: inverted-index candidates, no quadratic join, no window") {
+    // the exact kernel must only ever run on broadcast candidates — a
+    // doc×doc cross/nested-loop shape is what the df-gated index avoids
+    val plan = physical("q_allpairs_sim")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs went quadratic:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      "candidate set not broadcast onto the weight relation")
+    assert(!plan.contains("Window"))
+  }
+
+  test("anchor agg and bitext mining: dominant element via bounded heap, no window sort") {
+    for (name <- Seq("q_anchor_agg", "q_bitext_mining")) {
+      val plan = physical(name)
+      assert(plan.contains("TopKPerKey"),
+        s"$name: native bounded-heap operator missing:\n${plan.take(1500)}")
+      assert(!plan.contains("Window"),
+        s"$name: window sort crept in:\n${plan.take(1500)}")
+    }
+  }
+
+  test("line dedup: boilerplate removal join broadcasts, lines travel hashed") {
+    val plan = physical("q_line_dedup")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"boilerplate set not broadcast:\n${plan.take(2000)}")
+    assert(plan.contains("xxhash64"),
+      "line df must key on the 8-byte hash, not line text")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }

@@ -1,0 +1,61 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the evaluation operators' numeric kernels — the gate
+  * verifies them against DuckDB on the corpus, these pin the math on
+  * crafted inputs where the right answer is known in closed form.
+  */
+class EvalSuite extends SparkSpec {
+
+  /** Brute-force ROC-AUC: fraction of (pos, neg) pairs ranked correctly,
+    * ties at 0.5 — the definition the rank-statistic must equal. */
+  private def bruteAuc(scores: Seq[(Double, Int)]): Double = {
+    val pos = scores.filter(_._2 == 1).map(_._1)
+    val neg = scores.filter(_._2 == 0).map(_._1)
+    val s = (for { p <- pos; n <- neg } yield {
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0
+    }).sum
+    s / (pos.size * neg.size)
+  }
+
+  private def metricsFor(scores: Seq[(Double, Int)]) = {
+    import spark.implicits._
+    val df = scores.toDF("p_en", "label_en")
+      .withColumn("pred_en", col("p_en") >= 0.5)
+    TextOps.classifierMetrics(df).head()
+  }
+
+  test("histogram-AUC equals brute-force pair counting, with ties") {
+    // pos {0.9, 0.8}, neg {0.8, 0.3}: 3 correct pairs + 1 tie → 0.875
+    val scores = Seq((0.9, 1), (0.8, 0), (0.8, 1), (0.3, 0))
+    val r = metricsFor(scores)
+    assert(r.getAs[Double]("auc") == 0.875)
+    assert(math.abs(r.getAs[Double]("auc") - bruteAuc(scores)) < 1e-9)
+  }
+
+  test("histogram-AUC matches brute force on a deterministic pseudo-random set") {
+    // hash-derived scores/labels — no RNG, reproducible
+    val scores = (1 to 200).map { i =>
+      val h = ((i * 2654435761L) >>> 16) & 0xffff
+      val p = math.floor((h / 65536.0) * 1e6 + 0.5) / 1e6
+      (p, if (((i * 40503L) >>> 8) % 3 == 0) 1 else 0)
+    }
+    val r = metricsFor(scores)
+    assert(math.abs(r.getAs[Double]("auc") - bruteAuc(scores)) < 5e-7,
+      s"auc=${r.getAs[Double]("auc")} brute=${bruteAuc(scores)}")
+  }
+
+  test("confusion counts and operating-point metrics, including the all-negative guard") {
+    val r = metricsFor(Seq((0.9, 1), (0.7, 0), (0.4, 1), (0.1, 0)))
+    assert(r.getAs[Long]("tp") == 1 && r.getAs[Long]("fp") == 1 &&
+      r.getAs[Long]("fn") == 1)
+    assert(r.getAs[Double]("prec") == 0.5 && r.getAs[Double]("rec") == 0.5 &&
+      r.getAs[Double]("f1") == 0.5)
+    // all-negative predictor: precision is DEFINED as 0, not a crash/NaN
+    val z = metricsFor(Seq((0.2, 1), (0.1, 0)))
+    assert(z.getAs[Double]("prec") == 0.0 && z.getAs[Double]("rec") == 0.0 &&
+      z.getAs[Double]("f1") == 0.0)
+  }
+}
