@@ -27,5 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 181-query session generates thousands of whole-stage-codegen
+  // classes; the JDK default 240 MB code cache forces the sweeper to
+  // churn hot compiled methods late in the run (cpu inflation with flat
+  // gc). Headroom keeps JIT output resident for the whole session.
+  "-XX:ReservedCodeCacheSize=512m",
 )
 scalacOptions ++= Seq("-deprecation")

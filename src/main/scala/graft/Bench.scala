@@ -21,6 +21,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // STATIC conf, must be set at session build: the default 100-entry
+      // codegen class cache evicts every query's generated classes long
+      // before its second timed pass in a 181-query session (~900 codegen
+      // stages/pass), so pass B re-pays Janino compilation + fresh JIT
+      // for every stage — cpu inflation with flat gc, growing with query
+      // count. Sized to hold the whole session's stages.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.ensureConf(spark)
@@ -76,9 +83,38 @@ object Bench {
       t
     }
 
-    /** (wall, cpu, gc) seconds for one run, all −1 on failure; cpu is −1
-      * when process-CPU time is unavailable. */
-    def time(name: String): (Double, Double, Double) = {
+    // Attribution columns for the residual session inflation the gc
+    // protocol exposed in r11 (~1.7× cpu on common queries with FLAT gc —
+    // so not heap debt). The three candidate causes each get a direct
+    // per-query measurement in BENCH_DETAIL:
+    //  - host co-tenancy → 1-min load average snapshot at window start;
+    //  - JIT churn (181 queries × generated classes exceed the codegen
+    //    class cache AND pressure the JVM code cache, so compiler threads
+    //    burn process-CPU inside later windows) → delta of the JVM's
+    //    cumulative JIT compilation time over the window;
+    //  - code-cache occupancy → CodeHeap used MB at window end (a full
+    //    code cache disables compilation: cpu inflates, gc stays flat).
+    val compBean = java.lang.management.ManagementFactory.getCompilationMXBean
+    def jitMillis(): Long =
+      if (compBean != null && compBean.isCompilationTimeMonitoringSupported)
+        compBean.getTotalCompilationTime else -1L
+    val codeHeapPools = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith("CodeHeap")).toSeq
+    }
+    def codeCacheMb(): Double =
+      if (codeHeapPools.isEmpty) -1.0
+      else codeHeapPools.map(_.getUsage.getUsed).sum / 1048576.0
+    def loadAvg1m(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
+    /** (wall, cpu, gc, load, jit, codecache) for one run — seconds,
+      * seconds, seconds, 1-min load at start, JIT-compile seconds in
+      * window, CodeHeap used MB at end; wall/cpu/gc −1 on failure. */
+    def time(name: String): (Double, Double, Double, Double, Double, Double) = {
+      val l0 = loadAvg1m()
+      val j0 = jitMillis()
       val g0 = gcMillis()
       val c0 = cpuNanos()
       val t0 = System.nanoTime()
@@ -88,6 +124,8 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       val dc = if (c0 < 0) -1.0 else (cpuNanos() - c0) / 1e9
       val dg = (gcMillis() - g0) / 1e3
+      val dj = if (j0 < 0) -1.0 else (jitMillis() - j0) / 1e3
+      val cc = codeCacheMb()
       sweep() // outside the timed window — blocks drop is bookkeeping
       // Reclaim the heap debt OUTSIDE the timed window too: without this,
       // garbage from earlier queries gets collected inside LATER queries'
@@ -97,11 +135,20 @@ object Bench {
       // (shuffle/broadcast cleanup is GC-triggered), so every timed
       // window starts from a reclaimed heap.
       System.gc()
-      if (ok) (dt, dc, dg) else (-1.0, -1.0, -1.0)
+      if (ok) (dt, dc, dg, l0, dj, cc) else (-1.0, -1.0, -1.0, l0, dj, cc)
+    }
+
+    // Optional seeded order shuffle (local attribution runs only — the
+    // driver never sets it): a session-position effect (JIT/code-cache
+    // pressure growing with queries run) follows POSITION under reorder,
+    // while a genuinely slower query stays slow at any position.
+    val ordered = sys.env.get("SPARK_GRAFT_ORDER_SEED") match {
+      case Some(seed) => new scala.util.Random(seed.toLong).shuffle(names)
+      case None       => names
     }
 
     // warmup at the smallest sf (JIT + parquet footer caches)
-    names.foreach { name =>
+    ordered.foreach { name =>
       try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
       finally sweep()
@@ -115,18 +162,21 @@ object Bench {
     // the inflation to the other end of the alphabet. Interleaving whole
     // passes puts every query's second run in steady state, so
     // min(passA, passB) is transient-free for all of them.
-    val passA = names.map(name => name -> time(name)).toMap
-    // keep the (wall, cpu, gc) TRIPLE of the faster pass — mixing passes
-    // would pair a wall time with another run's CPU/GC burn
-    val results = names.map { name =>
+    val passA = ordered.map(name => name -> time(name)).toMap
+    // keep the full tuple of the faster pass — mixing passes would pair
+    // a wall time with another run's CPU/GC/JIT burn
+    val resultsFull = ordered.map { name =>
       val a = passA(name)
       val b = time(name)
-      name -> (if (a._1 < 0 || b._1 < 0) (-1.0, -1.0, -1.0)
+      name -> (if (a._1 < 0 || b._1 < 0) (-1.0, -1.0, -1.0, a._4, a._5, a._6)
                else if (a._1 <= b._1) a else b)
-    }
-    // Full-precision per-query detail on its own (non-final) line for the log.
-    val fullQs = results
-      .map { case (k, (w, c, g)) => "\"" + k + "\":[" + w + "," + c + "," + g + "]" }
+    }.sortBy(_._1)
+    val results = resultsFull.map { case (k, t) => k -> ((t._1, t._2, t._3)) }
+    // Full-precision per-query detail on its own (non-final) line for the
+    // log — rows are [wall, cpu, gc, load@start, jit_sec, codecache_mb].
+    val fullQs = resultsFull
+      .map { case (k, (w, c, g, l, j, cc)) =>
+        "\"" + k + "\":[" + w + "," + c + "," + g + "," + l + "," + j + "," + cc + "]" }
       .mkString("{", ",", "}")
     println(s"""BENCH_DETAIL {"queries":$fullQs,"sf":"$sfDir"}""")
 

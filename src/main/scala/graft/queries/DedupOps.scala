@@ -36,16 +36,23 @@ object DedupOps {
       .cache()
 
   /** Exact Jaccard over a GIVEN candidate pair set: two equi-joins against
-    * the shingle relation count the shared distinct shingles per pair
-    * (candidates are tiny vs the corpus, so these broadcast), then the
-    * per-doc totals join in. This is the "verify exactly on candidates
-    * only" half of every LSH dedup — generation bounds the pair count,
-    * verification restores exactness. */
+    * the shingle relation count the shared distinct shingles per pair,
+    * then the per-doc totals join in. This is the "verify exactly on
+    * candidates only" half of every LSH dedup — generation bounds the
+    * pair count, verification restores exactness.
+    *
+    * The candidate relation is deliberately UN-hinted: its size is
+    * data-dependent (on a 30-50%-near-duplicate web corpus the verified
+    * pair set grows linearly with the corpus — billions of rows at
+    * 100 TB), so a forced broadcast() would bypass AQE's size check and
+    * OOM the driver. AQE still converts these to broadcast joins at
+    * bench scale (PlanSuite pins this) and degrades to shuffled joins
+    * on doc_a/doc_b when the pair set outgrows the threshold. */
   private def exactJaccard(sh: DataFrame, cands: DataFrame): DataFrame = {
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("doc_a"), col("s"))
     val b = sh.select(col("doc_id").as("doc_b"), col("s"))
-    val shared = broadcast(cands).join(a, "doc_a").join(b, Seq("doc_b", "s"))
+    val shared = cands.join(a, "doc_a").join(b, Seq("doc_b", "s"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
     val jac = col("shared").cast("double") /
       (col("n_a") + col("n_b") - col("shared"))
@@ -536,12 +543,16 @@ object DedupOps {
       // (= count of emitted rows per pair) already counts DISTINCT shared
       // grams — a pre-distinct would only add a second full shuffle of
       // the largest intermediate for the same answer
-      val grams = docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      // candDocs/cands are candidate-pair-scale — data-dependent, so
+      // un-hinted (a forced broadcast OOMs on a duplicate-heavy corpus
+      // where pairs grow with the corpus); AQE broadcasts at bench
+      // scale (PlanSuite) and shuffles on the doc keys beyond the cap
+      val grams = docs.join(candDocs, Seq("doc_id"), "left_semi")
         .select(col("doc_id"),
           explode(TextFunctions.charGramHashes(col("norm"), L)).as("g"))
       pairsByKey(grams, "g")
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
-        .join(broadcast(cands), Seq("doc_a", "doc_b"))
+        .join(cands, Seq("doc_a", "doc_b"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
@@ -770,9 +781,11 @@ object DedupOps {
           .distinct()
         val a = sh.select(col("doc_id").as("doc_a"), col("s"))
         val b = sh.select(col("doc_id").as("doc_b"), col("s"))
-        // candidates are near-dup-pair-scale — broadcast onto the
-        // shingle relation for the exact intersection counts
-        val inter = broadcast(cands).join(a, "doc_a")
+        // candidates are near-dup-pair-scale — data-dependent, so
+        // un-hinted: AQE broadcasts at bench scale (PlanSuite pins it)
+        // and falls back to a shuffled join on doc_a when a duplicate-
+        // heavy corpus pushes the pair set past the threshold
+        val inter = cands.join(a, "doc_a")
           .join(b, Seq("doc_b", "s"))
           .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
         inter
@@ -867,7 +880,9 @@ object DedupOps {
           .select(col("doc_a"), col("doc_b"))
         val a = w.select(col("doc_id").as("doc_a"), col("s"), col("w").as("wa"))
         val b = w.select(col("doc_id").as("doc_b"), col("s"), col("w").as("wb"))
-        val dot = broadcast(cands).join(a, "doc_a").join(b, Seq("doc_b", "s"))
+        // cands is candidate-pair-scale (data-dependent) — un-hinted;
+        // AQE broadcasts at bench scale, shuffles past the threshold
+        val dot = cands.join(a, "doc_a").join(b, Seq("doc_b", "s"))
           .groupBy(col("doc_a"), col("doc_b"))
           .agg(sum(col("wa") * col("wb")).as("dot"))
         dot

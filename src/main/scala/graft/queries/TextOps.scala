@@ -148,7 +148,8 @@ object TextOps {
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
        |          AS below
        |      FROM g),
-       |s2 AS (SELECT SUM(CAST(pos * (2*below + cnt + 1) AS DECIMAL(38,0)))
+       |s2 AS (SELECT SUM(CAST(pos AS DECIMAL(19,0)) *
+       |           CAST(2*below + cnt + 1 AS DECIMAL(19,0)))
        |         AS s2 FROM c),
        |m AS (SELECT COUNT(*) AS n, SUM(label_en) AS np,
        |        SUM(CASE WHEN pred_en AND label_en = 1 THEN 1 ELSE 0 END) AS tp,
@@ -164,8 +165,9 @@ object TextOps {
        |    ELSE round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS rec,
        |  CASE WHEN 2*tp + fp + fn = 0 THEN 0.0
        |    ELSE round(2.0 * tp / (2*tp + fp + fn), 6) END AS f1,
-       |  round((CAST(s2 AS DOUBLE) - CAST(np AS DOUBLE) * (CAST(np AS DOUBLE) + 1))
-       |    / (2.0 * np * (n - np)), 6) AS auc
+       |  CASE WHEN np = 0 OR np = n THEN 0.0
+       |    ELSE round((CAST(s2 AS DOUBLE) - CAST(np AS DOUBLE) * (CAST(np AS DOUBLE) + 1))
+       |      / (2.0 * np * (n - np)), 6) END AS auc
        |FROM m CROSS JOIN s2""".stripMargin
 
   val all: Seq[Q] = Seq(
@@ -198,8 +200,10 @@ object TextOps {
     // DataFrame.sampleBy (seeded RNG, partition-order dependent, engine
     // specific), a hash gate is reproducible across engines/runs/cluster
     // sizes, pure scan+filter (no shuffle), and docs never flip split
-    // membership as the corpus grows.
-    Q("q_stratified_sample",
+    // membership as the corpus grows. (Named for the per-stratum *rate*
+    // semantics — distinct from q_stratified_sample's k-per-stratum
+    // quota draw; both are gated.)
+    Q("q_lang_downsample",
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
         |  CASE WHEN lang = 'en' THEN '4' ELSE '8' END
@@ -1319,27 +1323,34 @@ object TextOps {
         |               / COUNT(*), 6) AS mu FROM scored)
         |SELECT doc_id, n_tok, xent, xent <= mu AS keep
         |FROM scored CROSS JOIN m ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val words = Tables.documents(s, d)
-        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("word"))
-        .filter(col("word") =!= "")
-      val tf = words.groupBy(col("word")).agg(count(lit(1)).as("tf"))
-      val tot = tf.agg(sum(col("tf")).as("n"))
-      // persisted: the corpus-mean branch below reuses this relation —
-      // without it Spark duplicates the whole scan→explode→join→agg
-      // lineage under the broadcast scalar (a second full corpus pass at
-      // 100 TB); the cached table is one row per DOC (3 narrow columns),
-      // orders of magnitude smaller than the corpus text it summarizes.
-      // Lifetime is delegated to the harness sweep like every cached
-      // relation in this file.
+      // ONE explode pass reduced to (doc, word, n) counts and staged as a
+      // parquet artifact (the char-LM / dup-graph treatment): the vocab
+      // aggregate and the scoring join both scan the columnar artifact
+      // instead of each re-paying the corpus scan+explode. n × DECIMAL
+      // (6dp cost) is exact, so summing per-WORD weights equals the
+      // oracle's per-OCCURRENCE decimal sum bit-for-bit.
+      val dwc = Artifacts.parquet(s, d, "lm_dwc") {
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(TextFunctions.tokens(col("text"))).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("n"))
+      }
+      val tf = dwc.groupBy(col("word")).agg(sum(col("n")).as("tf"))
+      val tot = tf.agg(sum(col("tf")).as("ntot"))
+      // scored persisted: the corpus-mean branch reuses it — one row per
+      // DOC (3 narrow columns), orders of magnitude smaller than the
+      // corpus. Lifetime delegated to the harness sweep.
       // tf is vocab-scale (distinct words — slow-growing but unbounded);
       // un-hinted: AQE broadcasts while it fits, shuffles once it doesn't
-      val scored = words
+      val scored = dwc
         .join(tf, "word")
         .crossJoin(broadcast(tot))
-        .select(col("doc_id"),
-          round(-log(col("tf").cast("double") / col("n")), 6).as("c"))
+        .select(col("doc_id"), col("n"),
+          round(-log(col("tf").cast("double") / col("ntot")), 6).as("c"))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tok"), Tables.exactSum(col("c"), 6).as("s"))
+        .agg(sum(col("n")).as("n_tok"),
+          sum(col("c").cast("decimal(18,6)") * col("n")).cast("double").as("s"))
         .select(col("doc_id"), col("n_tok"),
           round(col("s") / col("n_tok"), 6).as("xent"))
         .persist()
@@ -1396,14 +1407,15 @@ object TextOps {
       // all consume this reduced relation instead of re-running the
       // scan+explode per branch (the naive two-pass form benched 7.2 s;
       // this is the per-doc-gram analogue of q_tfidf_top's tf reuse).
-      // Cached for its three consumers — lifetime delegated to the
-      // harness sweep like q_lm_quality's; a 100 TB gate run stages it
-      // as a parquet artifact the way the dup-graph edges are.
-      val dgc = Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(TextFunctions.charGrams(col("text"), 3)).as("g"))
-        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
-        .persist()
+      // Staged as a parquet ARTIFACT (the dup-graph treatment): each
+      // consumer gets a columnar, lineage-free scan — no executor-cache
+      // residue, no eviction re-paying the corpus pass at 100 TB.
+      val dgc = Artifacts.parquet(s, d, "charlm_dgc") {
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(TextFunctions.charGrams(col("text"), 3)).as("g"))
+          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+      }
       // trigram totals: alphabet-bounded (≤|Σ|³, vocab-scale)
       val c3 = dgc.groupBy(col("g")).agg(sum(col("n")).as("c3"))
       val c2 = c3.groupBy(substring(col("g"), 1, 2).as("ctx"))
@@ -1554,10 +1566,15 @@ object TextOps {
     // domain caps the input at ~1e6 rows at ANY corpus size
     val wBelow = Window.orderBy(col("p_en"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // operands cast to decimal BEFORE the multiply: pos·(2·below+cnt+1)
+    // ~ 2n² overflows int64 at n ≈ 3e9 docs, and Spark (non-ANSI) would
+    // wrap silently while DuckDB raises — the decimal product stays
+    // exact to n ≈ 7e18
     val s2 = g
       .withColumn("below", sum(col("cnt")).over(wBelow) - col("cnt"))
-      .agg(sum((col("pos") * (lit(2) * col("below") + col("cnt") + 1))
-        .cast("decimal(38,0)")).as("s2"))
+      .agg(sum(col("pos").cast("decimal(38,0)") *
+        (lit(2) * col("below") + col("cnt") + 1).cast("decimal(38,0)"))
+        .as("s2"))
     val m = scored.agg(
       count(lit(1)).as("n"), sum(col("label_en")).as("np"),
       sum(when(col("pred_en") && col("label_en") === 1, 1L).otherwise(0L)).as("tp"),
@@ -1574,9 +1591,13 @@ object TextOps {
       safeRatio(col("tp"), col("tp") + col("fn")).as("rec"),
       safeRatio(lit(2) * col("tp"),
         lit(2) * col("tp") + col("fp") + col("fn")).as("f1"),
-      round((col("s2").cast("double") -
-          col("np").cast("double") * (col("np").cast("double") + 1)) /
-        (lit(2.0) * col("np") * (col("n") - col("np"))), 6).as("auc"))
+      // single-class input (np=0 or np=n) leaves AUC undefined — pin it
+      // to 0.0 like the other zero-denominator operating points rather
+      // than let Spark emit NaN where DuckDB errors
+      when(col("np") === 0 || col("np") === col("n"), 0.0)
+        .otherwise(round((col("s2").cast("double") -
+            col("np").cast("double") * (col("np").cast("double") + 1)) /
+          (lit(2.0) * col("np") * (col("n") - col("np"))), 6)).as("auc"))
   }
 
   /** Surface features + label for the quality classifier — THE one

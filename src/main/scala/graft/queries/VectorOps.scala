@@ -123,7 +123,8 @@ object VectorOps {
     // ---- Margin-based bitext mining (the LASER/CCMatrix criterion):
     // pair sentences across two languages by embedding similarity, but
     // accept a pair only when its cosine stands OUT of the source's
-    // neighborhood — margin = best / mean(top-4) ≥ 1.1 — which kills
+    // neighborhood — margin = best / mean(top-k, k = actual retained
+    // ≤ 4) ≥ 1.1 — which kills
     // the hubness false positives an absolute threshold lets through.
     // Labels stand in for languages (label 0 = source, 1 = target).
     // Shape: the target side broadcasts (the minority language's
@@ -146,7 +147,7 @@ object VectorOps {
         |m AS (SELECT src,
         |        MAX(CASE WHEN rn = 1 THEN tgt END) AS tgt,
         |        MAX(CASE WHEN rn = 1 THEN sim END) AS sim,
-        |        CAST(SUM(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) / 4 AS avg4
+        |        CAST(SUM(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg4
         |      FROM t WHERE rn <= 4 GROUP BY src)
         |SELECT src, tgt, sim, round(sim / avg4, 6) AS margin FROM m
         |WHERE round(sim / avg4, 6) >= 1.1 ORDER BY src""".stripMargin) { (s, d) =>
@@ -165,8 +166,11 @@ object VectorOps {
         .agg(
           // min(struct(-sim, tgt)) = the (sim DESC, tgt ASC) winner
           min(struct((-col("sim")).as("ns"), col("tgt").as("tg"))).as("m1"),
-          (sum(col("sim").cast("decimal(18,6)")).cast("double") / 4)
-            .as("avg4"))
+          // mean over the ACTUAL retained k (≤4): when the minority side
+          // has <4 rows, dividing by the literal 4 understates the mean
+          // and inflates the margin past what LASER's criterion admits
+          (sum(col("sim").cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("avg4"))
         .select(col("src"), col("m1.tg").as("tgt"), (-col("m1.ns")).as("sim"),
           round((-col("m1.ns")) / col("avg4"), 6).as("margin"))
         .filter(col("margin") >= 1.1)

@@ -251,7 +251,8 @@ class PlanSuite extends SparkSpec {
     // bench scale AQE must keep picking broadcast, or the gate pays
     // sort-merge costs on tiny tables. Execute first: AQE decides in
     // the FINAL plan.
-    for (name <- Seq("q_above_avg", "q_ngram_jaccard", "q_tfidf_top")) {
+    for (name <- Seq("q_above_avg", "q_ngram_jaccard", "q_tfidf_top",
+                     "q_winnow_dedup")) {
       val df = SparkEntry.queries(name)(spark, sf)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString()
@@ -390,11 +391,15 @@ class PlanSuite extends SparkSpec {
   test("containment dedup: verify joins run on broadcast candidates, no cartesian") {
     // candidate generation is the rare-shingle (df ∈ [2,10]) inverted
     // index — per-group pair emission via OrderedPairs, never a doc×doc
-    // join; the exact-intersection verify must see the candidate set as
-    // a broadcast (pair-scale) probe onto the shingle relation
-    val plan = physical("q_containment_dedup")
+    // join; the candidate relation is UN-hinted (data-dependent size —
+    // a forced broadcast would OOM on a duplicate-heavy corpus), so the
+    // broadcast must come from AQE's runtime size check: execute first,
+    // assert on the FINAL plan
+    val df = SparkEntry.queries("q_containment_dedup")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
     assert(plan.contains("BroadcastHashJoin"),
-      s"candidate verify not broadcast:\n${plan.take(2000)}")
+      s"candidate verify lost its runtime broadcast:\n${plan.take(2000)}")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"))
     assert(plan.contains("ordered_pairs"),
@@ -435,14 +440,19 @@ class PlanSuite extends SparkSpec {
   }
 
   test("allpairs-sim: inverted-index candidates, no quadratic join, no window") {
-    // the exact kernel must only ever run on broadcast candidates — a
-    // doc×doc cross/nested-loop shape is what the df-gated index avoids
-    val plan = physical("q_allpairs_sim")
+    // the exact kernel must only ever run on candidates — a doc×doc
+    // cross/nested-loop shape is what the df-gated index avoids; the
+    // candidate relation is UN-hinted (its size is data-dependent), so
+    // the bench-scale broadcast is AQE's runtime call: execute, then
+    // assert on the final plan
+    val df = SparkEntry.queries("q_allpairs_sim")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"all-pairs went quadratic:\n${plan.take(2000)}")
     assert(plan.contains("BroadcastHashJoin"),
-      "candidate set not broadcast onto the weight relation")
+      "candidate set lost its runtime broadcast onto the weight relation")
     assert(!plan.contains("Window"))
   }
 

@@ -58,4 +58,28 @@ class EvalSuite extends SparkSpec {
     assert(z.getAs[Double]("prec") == 0.0 && z.getAs[Double]("rec") == 0.0 &&
       z.getAs[Double]("f1") == 0.0)
   }
+
+  test("single-class input pins AUC to 0.0 instead of NaN") {
+    // np = n (all positive) and np = 0 (all negative) leave the
+    // Mann-Whitney denominator at zero — the guard defines AUC as 0.0
+    // on both engines rather than Spark-NaN vs DuckDB-error divergence
+    val allPos = metricsFor(Seq((0.9, 1), (0.4, 1)))
+    assert(allPos.getAs[Double]("auc") == 0.0)
+    val allNeg = metricsFor(Seq((0.9, 0), (0.4, 0)))
+    assert(allNeg.getAs[Double]("auc") == 0.0)
+  }
+
+  test("rank-sum product is decimal-exact past the int64 overflow point") {
+    // pos·(2·below+cnt+1) with counts ~3e9 overflows int64 (~1.8e19 >
+    // 9.2e18); the decimal-cast operands must carry it exactly. Feed the
+    // histogram aggregate synthetic GROUP counts at that magnitude by
+    // checking the decimal arithmetic directly on crafted columns.
+    import spark.implicits._
+    // pos = 4e9, term = 8e9+1 → product 3.2e19+4e9, past int64 max 9.2e18
+    val df = Seq((4000000000L, 8000000001L)).toDF("pos", "term")
+    val prod = df.select((col("pos").cast("decimal(38,0)") *
+      col("term").cast("decimal(38,0)")).as("p")).head().getDecimal(0)
+    assert(prod.toBigInteger.toString == "32000000004000000000",
+      s"decimal product wrong: $prod")
+  }
 }
