@@ -668,7 +668,13 @@ object DedupOps {
         val shared = a.join(b, "s").filter(col("src_a") < col("src_b"))
           .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("shared"))
         // bottom-k sketch per source via the native bounded-heap top-k
-        // (ascending hash) — one pass, k rows per source out
+        // (ascending hash) — one pass, k rows per source out.
+        // DRIVER-SIDE by design, bounded by |sources|: this operator
+        // models corpus-LEVEL provenance sources (tens, not millions —
+        // the documents table carries 20), so the collect is 256×|sources|
+        // longs and the O(|sources|²) estimate loop is trivial; a
+        // DOMAIN-level overlap run must instead equi-join sketch rows on
+        // the hash key (the `shared` join above is exactly that shape).
         val sk = graft.plans.TopKPerKey(sh, Seq("source"),
             Seq(col("s").asc), k = 256)
           .collect().map(r => (r.getString(0), r.getLong(1)))

@@ -60,6 +60,112 @@ object TextOps {
       |  CAST(u16 AS BIGINT) AS u16, skey
       |FROM k ORDER BY skey DESC, doc_id LIMIT 50""".stripMargin
 
+  /** Shared q_stratified_sample / q_stream_stratified_sample oracle —
+    * the k=10-per-source A-Res quota draw by the same length-weighted
+    * hash key. */
+  private val stratifiedSampleSql: String =
+    """WITH d AS (SELECT doc_id, source, n_chars,
+      |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 5, 4))
+      |      AS BIGINT) AS u16
+      |  FROM documents),
+      |k AS (SELECT doc_id, source, n_chars, u16,
+      |    round(ln((u16 + 0.5) / 65536.0) / n_chars, 9) AS skey FROM d),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY source
+      |        ORDER BY skey DESC, doc_id) AS rn FROM k)
+      |SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars, skey
+      |FROM r WHERE rn <= 10
+      |ORDER BY source, skey DESC, doc_id""".stripMargin
+
+  /** Shared q_dsir_sample / q_stream_dsir oracle — 256-bucket hashed-
+    * unigram log-likelihood-ratio weights + Gumbel top-100. */
+  private val dsirSql: String =
+    """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      |             FROM documents),
+      |tw AS (SELECT doc_id, lang,
+      |         CAST(concat('0x', substr(md5(w), 1, 4)) AS BIGINT) % 256 AS b
+      |       FROM tok WHERE w <> ''),
+      |db AS (SELECT doc_id, lang, b, COUNT(*) AS n FROM tw
+      |       GROUP BY doc_id, lang, b),
+      |cr AS (SELECT b, SUM(n) AS cr FROM db GROUP BY b),
+      |ct AS (SELECT b, SUM(n) AS ct FROM db WHERE lang = 'en' GROUP BY b),
+      |nt AS (SELECT SUM(ct) AS nt FROM ct),
+      |nr AS (SELECT SUM(cr) AS nr FROM cr),
+      |lam AS (SELECT cr.b,
+      |          round(ln(((COALESCE(ct.ct, 0) + 1.0) / (nt.nt + 256)) /
+      |                   ((cr.cr + 1.0) / (nr.nr + 256))), 6) AS lam
+      |        FROM cr LEFT JOIN ct ON cr.b = ct.b
+      |        CROSS JOIN nt CROSS JOIN nr),
+      |lw AS (SELECT db.doc_id, db.lang,
+      |         CAST(SUM(CAST(lam AS DECIMAL(18,6)) * n) AS DOUBLE) AS logw
+      |       FROM db JOIN lam ON db.b = lam.b GROUP BY db.doc_id, db.lang),
+      |g AS (SELECT doc_id, lang, round(logw, 6) AS logw,
+      |        round(logw - ln(-ln(
+      |          (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 9, 4))
+      |             AS BIGINT) + 0.5) / 65536.0)), 6) AS gkey
+      |      FROM lw)
+      |SELECT doc_id, lang, logw, gkey FROM g
+      |ORDER BY gkey DESC, doc_id LIMIT 100""".stripMargin
+
+  /** (doc_id, lang, bucket, n) hashed-unigram counts of a (doc_id, lang,
+    * text) relation — ONE shared definition for DSIR training, batch
+    * scoring, and stream serving (feature skew would hash-mismatch). */
+  private def dsirBuckets(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"),
+        explode(TextFunctions.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("w").cast("binary")), 1, 4), 16, 10)
+          .cast("long") % 256).as("b"))
+      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Corpus (doc, bucket, n) — staged as a parquet artifact: three
+    * consumers (raw counts, target counts, the weight join) each scan
+    * the reduced columnar relation instead of re-paying the corpus
+    * explode (the lm_dwc / charlm_dgc pattern). */
+  private def dsirDb(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    Artifacts.parquet(s, d, "dsir_db") {
+      dsirBuckets(Tables.spread(Tables.documents(s, d), col("doc_id")))
+    }
+
+  /** The trained λ table: per-bucket log-likelihood ratio of the target
+    * (en) vs raw hashed-unigram models, add-1 smoothed. EXACTLY ≤256
+    * rows — hard-bounded by the hash modulus, so an explicit broadcast
+    * is safe at any corpus size (unlike the data-dependent candidate
+    * relations, which stay un-hinted). */
+  private def dsirLambda(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val db = dsirDb(s, d)
+    val cr = db.groupBy(col("b")).agg(sum(col("n")).as("cr"))
+    val ct = db.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(sum(col("n")).as("ct"))
+    val nt = ct.agg(sum(col("ct")).as("nt"))
+    val nr = cr.agg(sum(col("cr")).as("nr"))
+    cr.join(ct, Seq("b"), "left")
+      .crossJoin(nt).crossJoin(nr)
+      .select(col("b"),
+        round(log(((coalesce(col("ct"), lit(0L)) + 1.0) / (col("nt") + 256)) /
+          ((col("cr") + 1.0) / (col("nr") + 256))), 6).as("lam"))
+  }
+
+  /** Score a (doc_id, lang, b, n) relation by the λ model: per-doc
+    * decimal-exact log weight + content-hash Gumbel key. One broadcast
+    * join + one map-side-combinable aggregate. */
+  private def dsirScored(db: org.apache.spark.sql.DataFrame,
+      lam: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val u = (conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+      9, 4), 16, 10).cast("long") + 0.5) / 65536.0
+    db.join(broadcast(lam), "b")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("lam").cast("decimal(18,6)") * col("n"))
+        .cast("double").as("lw"))
+      .select(col("doc_id"), col("lang"), round(col("lw"), 6).as("logw"),
+        round(col("lw") - log(-log(u)), 6).as("gkey"))
+  }
+
   /** A-Res scoring of a (doc_id, n_chars)-bearing relation: key =
     * ln(u)/w for the content-hash uniform u — one map-side projection,
     * shared by the batch sampler, its at-ingest reservoir twin, and the
@@ -784,18 +890,7 @@ object TextOps {
     // shuffles and sorts the whole corpus. Hash-matching it proves the
     // operator's semantics on a second real surface (q_topk_native's
     // operator, a sampling workload).
-    Q("q_stratified_sample",
-      """WITH d AS (SELECT doc_id, source, n_chars,
-        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 5, 4))
-        |      AS BIGINT) AS u16
-        |  FROM documents),
-        |k AS (SELECT doc_id, source, n_chars, u16,
-        |    round(ln((u16 + 0.5) / 65536.0) / n_chars, 9) AS skey FROM d),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY source
-        |        ORDER BY skey DESC, doc_id) AS rn FROM k)
-        |SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars, skey
-        |FROM r WHERE rn <= 10
-        |ORDER BY source, skey DESC, doc_id""".stripMargin) { (s, d) =>
+    Q("q_stratified_sample", stratifiedSampleSql) { (s, d) =>
       graft.plans.TopKPerKey(
           priorityScored(Tables.documents(s, d), extra = Seq("source")),
           Seq("source"), Seq(col("skey").desc, col("doc_id").asc), k = 10)
@@ -829,6 +924,110 @@ object TextOps {
         // cutoff is the limit on the ordered local relation
         Staging.drainParquet(s, s"$out/reservoir",
           col("skey").desc, col("doc_id")).limit(50)
+      }
+    },
+
+    // ---- Stratified quota sampling AT INGEST — the streaming twin of
+    // q_stratified_sample (k = 10 docs per source, A-Res length-weighted
+    // key). Per-source top-k is an idempotent-mergeable sketch: the
+    // global top-10-per-source EQUALS top-10-per-source over the union
+    // of per-batch top-10s, so each trigger contributes ≤ 10×|strata|
+    // rows through the native bounded-heap TopKPerKey and the ledger
+    // stays O(strata × triggers) at any corpus size. Batch writes are
+    // idempotent per batch id (replay overwrites, never appends), and
+    // the oracle is the BATCH sampler's SQL verbatim — a dropped or
+    // double-counted trigger shifts the quota draw and hash-mismatches.
+    Q("q_stream_stratified_sample", stratifiedSampleSql) { (s, d) =>
+      Tables.ensureConf(s)
+      Staging.withTempDir("graft_stream_ssample_out") { out =>
+        Staging.withStagedInput(
+          Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+          "doc_id", nFiles = 3, prefix = "graft_stream_ssample") { in =>
+          val schema = s.read.parquet(in).schema
+          val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(in)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", s"$out/ck")
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+              Staging.writeBatch(
+                graft.plans.TopKPerKey(
+                  priorityScored(batch, extra = Seq("source")),
+                  Seq("source"), Seq(col("skey").desc, col("doc_id").asc),
+                  k = 10),
+                s"$out/quota", id)
+              ()
+            }
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        // final per-source cut over the bounded ledger (≤ 10 × strata ×
+        // triggers rows by construction — drained local)
+        graft.plans.TopKPerKey(
+            Staging.drainParquet(s, s"$out/quota"),
+            Seq("source"), Seq(col("skey").desc, col("doc_id").asc), k = 10)
+          .select(col("source"), col("doc_id"), col("n_chars"), col("skey"))
+          .orderBy(col("source"), col("skey").desc, col("doc_id"))
+      }
+    },
+
+    // ---- DSIR: Data Selection via Importance Resampling (Xie et al.
+    // 2023) — select raw-corpus documents that look like a TARGET
+    // distribution (here: the en slice stands in for the curated target)
+    // by hashed-feature importance weights. Features are word unigrams
+    // hashed into 256 buckets (the paper's hashed n-gram generative
+    // model); per-bucket log-likelihood ratio λ(b) = ln(p̂_target(b) /
+    // p̂_raw(b)) with add-1 smoothing; a document's log importance
+    // weight is Σ_b n_doc(b)·λ(b); selection is GUMBEL TOP-K — i.e.
+    // true sampling-without-replacement ∝ w(x), not a deterministic
+    // head — with the Gumbel noise derived from a content hash so both
+    // engines draw the identical sample. At 100 TB: the feature table
+    // is EXACTLY 256 rows (broadcast literal — hard-bounded by the hash
+    // modulus, unlike a vocab), the per-doc weight is one map-side-
+    // combinable aggregate over (doc, bucket, n), the Gumbel key is a
+    // per-row map expression, and the top-100 cut is a bounded heap
+    // (TakeOrderedAndProject), never a full sort. Determinism: λ rounds
+    // to 6dp, n·DECIMAL(λ) sums exactly (per-bucket weights ≡ the
+    // per-occurrence sum), the Gumbel key rounds to 6dp on identical
+    // doubles.
+    Q("q_dsir_sample", dsirSql) { (s, d) =>
+      dsirScored(dsirDb(s, d), dsirLambda(s, d))
+        .orderBy(col("gkey").desc, col("doc_id"))
+        .limit(100)
+    },
+
+    // ---- DSIR AT INGEST — the serving twin: the λ table is the MODEL a
+    // pipeline trains offline on yesterday's corpus and ships to the
+    // intake; every micro-batch is hashed, scored by the stream-static
+    // broadcast λ join, and cut to its top-100 Gumbel keys; the global
+    // selection is a top-100 ledger maintained by idempotent per-batch
+    // appends (gkey is content-derived, so per-batch top-k is
+    // mergeable — the reservoir-sampler argument verbatim). Shares the
+    // batch oracle: a dropped/replayed trigger or any train/serve
+    // feature skew shifts the drawn sample and hash-mismatches.
+    Q("q_stream_dsir", dsirSql) { (s, d) =>
+      Tables.ensureConf(s)
+      val lam = dsirLambda(s, d).localCheckpoint() // trained once, offline
+      Staging.withTempDir("graft_stream_dsir_out") { out =>
+        Staging.withStagedInput(
+          Tables.documents(s, d).select("doc_id", "lang", "text"),
+          "doc_id", nFiles = 3, prefix = "graft_stream_dsir") { in =>
+          val schema = s.read.parquet(in).schema
+          val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(in)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", s"$out/ck")
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+              Staging.writeBatch(
+                dsirScored(dsirBuckets(batch), lam)
+                  .orderBy(col("gkey").desc, col("doc_id")).limit(100),
+                s"$out/sel", id)
+              ()
+            }
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        Staging.drainParquet(s, s"$out/sel",
+          col("gkey").desc, col("doc_id")).limit(100)
       }
     },
 

@@ -240,6 +240,66 @@ object VectorOps {
         .orderBy(col("label"))
     },
 
+    // ---- Embedding whitening (Su et al. 2021, "Whitening Sentence
+    // Representations" — the diagonal/standardization variant): per-
+    // dimension standardize x' = (x − μ_i)/σ_i so downstream cosine
+    // retrieval isn't dominated by high-variance dimensions (anisotropy).
+    // Emitted per vector as the component-sum checksum and the whitened
+    // L2 norm, so the oracle pins every component without shipping 64
+    // doubles per row through the hash compare. At 100 TB: the moment
+    // pass is ONE map-side-combinable per-dimension aggregate (64 rows
+    // out — metadata-scale, broadcasts), the apply pass is a broadcast
+    // join + per-vector aggregate; nothing shuffles vector payloads.
+    // Determinism: components and squares round to 6dp then sum as
+    // DECIMAL (order-independent); σ rounds to 6dp; a zero-variance
+    // dimension is DEFINED as contributing 0 (Spark double-division
+    // yields Infinity where DuckDB NULLs — the CASE pins both).
+    Q("q_embed_whiten",
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |x AS (SELECT vec_id, label, CAST(u.i AS INT) AS i,
+        |        v[CAST(u.i AS INT)] AS x
+        |      FROM e, unnest(range(1, 65)) AS u(i)),
+        |mo AS (SELECT i,
+        |    CAST(SUM(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |      / COUNT(*) AS m,
+        |    CAST(SUM(CAST(round(x*x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |      / COUNT(*) AS m2
+        |  FROM x GROUP BY i),
+        |sd AS (SELECT i, m, round(sqrt(m2 - m*m), 6) AS sd FROM mo),
+        |w AS (SELECT x.vec_id, x.label,
+        |        CASE WHEN sd.sd = 0 THEN 0.0
+        |          ELSE round((x.x - sd.m) / sd.sd, 6) END AS w
+        |      FROM x JOIN sd ON x.i = sd.i)
+        |SELECT vec_id, label,
+        |  round(CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE), 6) AS chk,
+        |  round(sqrt(CAST(SUM(CAST(round(w*w, 6) AS DECIMAL(18,6)))
+        |    AS DOUBLE)), 6) AS nrm
+        |FROM w GROUP BY vec_id, label ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val x = Tables.spread(Tables.embeddings(s, d), col("vec_id"))
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
+      val sd = x.groupBy(col("i").as("si"))
+        .agg(
+          (sum(round(col("x"), 6).cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("m"),
+          (sum(round(col("x") * col("x"), 6).cast("decimal(18,6)"))
+            .cast("double") / count(lit(1))).as("m2"))
+        .select(col("si"), col("m"),
+          round(sqrt(col("m2") - col("m") * col("m")), 6).as("sd"))
+      // 64 rows — hard-bounded by the dimension, broadcast is safe
+      val w = x.join(broadcast(sd), col("i") === col("si"))
+        .select(col("vec_id"), col("label"),
+          when(col("sd") === 0, 0.0)
+            .otherwise(round((col("x") - col("m")) / col("sd"), 6)).as("w"))
+      w.groupBy(col("vec_id"), col("label"))
+        .agg(
+          round(sum(col("w").cast("decimal(18,6)")).cast("double"), 6).as("chk"),
+          round(sqrt(sum(round(col("w") * col("w"), 6).cast("decimal(18,6)"))
+            .cast("double")), 6).as("nrm"))
+        .orderBy(col("vec_id"))
+    },
+
     // ---- Brute-force kNN join: top-3 neighbors for the first 50 vectors.
     // (Correctness baseline for the LSH path below; at scale the probe side
     // is the small/broadcast side.)

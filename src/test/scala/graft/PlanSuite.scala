@@ -466,6 +466,29 @@ class PlanSuite extends SparkSpec {
     }
   }
 
+  test("dsir: 256-row feature table broadcasts, top-100 via bounded heap, no window") {
+    // the λ (log-likelihood-ratio) table is hard-bounded by the hash
+    // modulus at 256 rows — it must broadcast onto the (doc, bucket, n)
+    // scan; the final selection must plan as TakeOrderedAndProject
+    // (per-partition heaps), never Sort+Limit over the corpus
+    val plan = physical("q_dsir_sample")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"feature table not broadcast:\n${plan.take(2000)}")
+    assert(plan.contains("TakeOrderedAndProject"), "top-k not heap-bounded")
+    assert(!plan.contains("Window"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("embed whiten: 64-row moment table broadcasts, no window, no cartesian") {
+    val plan = physical("q_embed_whiten")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"moment table not broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("Window"))
+    assert(!plan.contains("CartesianProduct"))
+    // both passes must partial-aggregate before their exchanges
+    assert(plan.contains("HashAggregate"), "no map-side combine")
+  }
+
   test("line dedup: boilerplate removal join broadcasts, lines travel hashed") {
     val plan = physical("q_line_dedup")
     assert(plan.contains("BroadcastHashJoin"),

@@ -1,0 +1,47 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The parquet-artifact staging helper's contract: one derivation per
+  * (context, sf, name), fresh columnar reads on every call, and the
+  * second call must NOT re-run the derivation.
+  */
+class ArtifactsSuite extends SparkSpec {
+
+  test("derive runs once; later calls re-read the staged parquet") {
+    import spark.implicits._
+    var derivations = 0
+    def get() = Artifacts.parquet(spark, "art-suite-sf", "arts_once") {
+      derivations += 1
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    }
+    val first = get().orderBy("id").collect().map(_.toString).toSeq
+    val second = get().orderBy("id").collect().map(_.toString).toSeq
+    assert(derivations == 1, s"derivation ran $derivations times")
+    assert(first == second)
+    assert(first.size == 2)
+  }
+
+  test("artifacts are keyed by name and sf dir — no cross-talk") {
+    import spark.implicits._
+    val a = Artifacts.parquet(spark, "art-suite-sf", "arts_a") {
+      Seq(1L).toDF("x")
+    }
+    val b = Artifacts.parquet(spark, "art-suite-sf2", "arts_a") {
+      Seq(2L, 3L).toDF("x")
+    }
+    assert(a.count() == 1 && b.count() == 2)
+  }
+
+  test("the staged read is a plain parquet scan (no lineage onto the derivation)") {
+    import spark.implicits._
+    val df = Artifacts.parquet(spark, "art-suite-sf", "arts_scan") {
+      Seq((1L, "x")).toDF("id", "v")
+    }
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("FileScan parquet") || plan.contains("BatchScan"),
+      s"not a parquet scan:\n${plan.take(800)}")
+    assert(!plan.contains("LocalTableScan"), "lineage kept the in-memory relation")
+  }
+}
