@@ -19,6 +19,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * stale or corrupt artifact hash-mismatches the gate instead of hiding.
   * Artifact dirs of stopped contexts are swept on the next call from any
   * live one; a JVM shutdown hook removes whatever remains.
+  *
+  * Staging location: `java.io.tmpdir`, correct for local[*] (driver and
+  * executors share the filesystem). On a real cluster the staging root
+  * must be a shared filesystem (HDFS/S3/NFS) — the write/read protocol
+  * is unchanged, only the path policy moves to a config.
   */
 private[queries] object Artifacts {
 
