@@ -29,7 +29,11 @@ private[queries] object Artifacts {
 
   private val staged = new java.util.concurrent.ConcurrentHashMap[
     (Long, String), (org.apache.spark.SparkContext, java.nio.file.Path)]()
-  private val lock = new Object
+  // one monitor PER KEY: a first-time derivation of artifact X must not
+  // block an unrelated artifact Y's first request (each derivation is a
+  // whole Spark job); double-derivation of the SAME key stays bounded
+  private val keyLocks = new java.util.concurrent.ConcurrentHashMap[
+    (Long, String), Object]()
 
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
@@ -40,14 +44,16 @@ private[queries] object Artifacts {
 
   /** The staged relation named `name` for `(s.sparkContext, d)` — derived
     * and written on first request, a fresh parquet read on every call.
-    * `derive` runs outside the map's bin locks but under one derivation
-    * lock (bounded double-derivation, unrelated readers unblocked). */
+    * `derive` runs outside the map's bin locks, under the KEY's own
+    * derivation monitor — same-key double-derivation is bounded while
+    * unrelated artifacts derive concurrently. */
   def parquet(s: SparkSession, d: String, name: String)
       (derive: => DataFrame): DataFrame = {
     // stopped contexts' keys can never hit again (startTime differs) —
     // sweep their directories so session churn doesn't leak temp trees
     staged.forEach { (k, v) =>
       if (v._1.isStopped && staged.remove(k, v)) {
+        keyLocks.remove(k)
         try Staging.deleteTree(v._2)
         catch { case _: java.io.IOException => () }
       }
@@ -55,12 +61,19 @@ private[queries] object Artifacts {
     val key = (s.sparkContext.startTime, s"$name@$d")
     val hit = staged.get(key)
     if (hit != null) s.read.parquet(hit._2.toString)
-    else lock.synchronized {
+    else keyLocks.computeIfAbsent(key, _ => new Object).synchronized {
       val again = staged.get(key)
       if (again != null) s.read.parquet(again._2.toString)
       else {
         val dir = java.nio.file.Files.createTempDirectory(s"graft_art_${name}_")
-        derive.write.mode("overwrite").parquet(dir.toString)
+        // a FAILED derivation must not leak its directory: it is only
+        // registered (and thus sweepable / shutdown-removed) on success
+        try derive.write.mode("overwrite").parquet(dir.toString)
+        catch { case e: Throwable =>
+          try Staging.deleteTree(dir)
+          catch { case _: java.io.IOException => () }
+          throw e
+        }
         staged.put(key, (s.sparkContext, dir))
         s.read.parquet(dir.toString)
       }

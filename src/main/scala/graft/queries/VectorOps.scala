@@ -266,7 +266,8 @@ object VectorOps {
         |    CAST(SUM(CAST(round(x*x, 6) AS DECIMAL(18,6))) AS DOUBLE)
         |      / COUNT(*) AS m2
         |  FROM x GROUP BY i),
-        |sd AS (SELECT i, m, round(sqrt(m2 - m*m), 6) AS sd FROM mo),
+        |sd AS (SELECT i, m,
+        |         round(sqrt(greatest(m2 - m*m, 0)), 6) AS sd FROM mo),
         |w AS (SELECT x.vec_id, x.label,
         |        CASE WHEN sd.sd = 0 THEN 0.0
         |          ELSE round((x.x - sd.m) / sd.sd, 6) END AS w
@@ -285,8 +286,14 @@ object VectorOps {
             count(lit(1))).as("m"),
           (sum(round(col("x") * col("x"), 6).cast("decimal(18,6)"))
             .cast("double") / count(lit(1))).as("m2"))
+        // clamp before sqrt: x and x² round to 6dp INDEPENDENTLY, so a
+        // near-constant dimension can make m2 − m² fractionally negative
+        // (≈ −1e-12) — Spark would NaN where DuckDB errors; the clamp
+        // routes that case into the sd=0 zero-contribution branch on
+        // both engines
         .select(col("si"), col("m"),
-          round(sqrt(col("m2") - col("m") * col("m")), 6).as("sd"))
+          round(sqrt(greatest(col("m2") - col("m") * col("m"), lit(0.0))), 6)
+            .as("sd"))
       // 64 rows — hard-bounded by the dimension, broadcast is safe
       val w = x.join(broadcast(sd), col("i") === col("si"))
         .select(col("vec_id"), col("label"),

@@ -34,6 +34,24 @@ class ArtifactsSuite extends SparkSpec {
     assert(a.count() == 1 && b.count() == 2)
   }
 
+  test("a failed derivation leaks nothing and the next call retries") {
+    import spark.implicits._
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    def orphans() = tmp.listFiles()
+      .count(_.getName.startsWith("graft_art_arts_fail"))
+    val before = orphans()
+    var attempts = 0
+    def get(fail: Boolean) = Artifacts.parquet(spark, "art-suite-sf", "arts_fail") {
+      attempts += 1
+      if (fail) sys.error("synthetic derivation failure")
+      Seq(7L).toDF("x")
+    }
+    intercept[Exception] { get(fail = true) }
+    assert(orphans() == before, "failed derivation leaked its temp dir")
+    assert(get(fail = false).count() == 1, "retry after failure did not derive")
+    assert(attempts == 2)
+  }
+
   test("the staged read is a plain parquet scan (no lineage onto the derivation)") {
     import spark.implicits._
     val df = Artifacts.parquet(spark, "art-suite-sf", "arts_scan") {
