@@ -1751,6 +1751,46 @@ object TextOps {
     Q("q_classifier_eval", classifierEvalSql) { (s, d) =>
       classifierMetrics(scoreQuality(Tables.documents(s, d),
         trainQualityWeights(s, d)))
+    },
+
+    // ---- Calibration (reliability) table for the trained quality
+    // classifier — the eval-panel row that decides whether the gate's
+    // scores can be USED as probabilities (threshold tuning, expected-
+    // quality mixing, abstention): 10 fixed-width probability bins,
+    // per bin the mean predicted probability vs the observed positive
+    // rate and their gap (the summands of expected calibration error).
+    // A well-ranked (high AUC) model can still be badly calibrated —
+    // this catches it. Shape: one map expression (bin id) + one
+    // map-side-combinable aggregate over ≤10 groups; nothing shuffles
+    // more than 10×partitions rows at any corpus size. Determinism:
+    // p_en is already 6dp (shared scorer), the bin id is integer floor,
+    // per-bin means are DECIMAL sums of 6dp values over integer counts,
+    // and the gap subtracts two already-6dp-rounded doubles.
+    Q("q_classifier_calibration",
+      s"""WITH $qualityCtes,
+         |b AS (SELECT LEAST(CAST(floor(p_en * 10) AS INT), 9) AS bin,
+         |        p_en, label_en FROM sc),
+         |g AS (SELECT bin, COUNT(*) AS n, SUM(label_en) AS pos,
+         |        SUM(CAST(p_en AS DECIMAL(18,6))) AS sp
+         |      FROM b GROUP BY bin)
+         |SELECT bin, CAST(n AS BIGINT) AS n,
+         |  round(CAST(sp AS DOUBLE) / n, 6) AS mean_p,
+         |  round(CAST(pos AS DOUBLE) / n, 6) AS pos_rate,
+         |  round(abs(round(CAST(sp AS DOUBLE) / n, 6)
+         |    - round(CAST(pos AS DOUBLE) / n, 6)), 6) AS gap
+         |FROM g ORDER BY bin""".stripMargin) { (s, d) =>
+      val sc = scoreQuality(Tables.documents(s, d), trainQualityWeights(s, d))
+      sc.select(least(floor(col("p_en") * 10).cast("int"), lit(9)).as("bin"),
+          col("p_en"), col("label_en"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("label_en")).as("pos"),
+          sum(col("p_en").cast("decimal(18,6)")).as("sp"))
+        .select(col("bin"), col("n"),
+          round(col("sp").cast("double") / col("n"), 6).as("mean_p"),
+          round(col("pos").cast("double") / col("n"), 6).as("pos_rate"),
+          round(abs(round(col("sp").cast("double") / col("n"), 6) -
+            round(col("pos").cast("double") / col("n"), 6)), 6).as("gap"))
+        .orderBy(col("bin"))
     }
   )
 

@@ -26,6 +26,58 @@ object VectorOps {
     Tables.spread(Tables.embeddings(s, d)
       .withColumn("v", col("embedding").cast("array<double>")), col("vec_id"))
 
+  /** Shared oracle CTE body for the SemDeDup component labels: first-K
+    * quantizer, within-cell ≥0.4-cosine edges, recursive min-label walk.
+    * `lab` is (vec_id, cluster); `e` is (vec_id, v). Consumed by
+    * q_embed_clusters and q_semdedup_keep so the grouping the retention
+    * rule runs on is the SAME verified grouping. */
+  private val embedClusterCtes: String =
+    """e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |kk AS (SELECT GREATEST(COUNT(*) // 32, 1) AS kc FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e, kk WHERE vec_id < kc),
+      |asg AS (
+      |  SELECT vec_id, v, cid FROM (
+      |    SELECT e.vec_id, e.v, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+      |    FROM e CROSS JOIN c) WHERE rn = 1),
+      |p AS (SELECT a.vec_id AS va, b.vec_id AS vb
+      |      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      |      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4),
+      |edges AS (SELECT va AS ea, vb AS eb FROM p
+      |          UNION SELECT vb, va FROM p),
+      |walk(node, label) AS (
+      |  SELECT vec_id, vec_id FROM embeddings
+      |  UNION
+      |  SELECT eb, w.label FROM walk w JOIN edges ee ON ee.ea = w.node),
+      |lab AS (SELECT node AS vec_id, MIN(label) AS cluster FROM walk GROUP BY node)""".stripMargin
+
+  /** (vec_id, v, cluster) — the cell-blocked SemDeDup components (first-K
+    * quantizer, within-cell exact-cosine edges, alternating-star
+    * connected components). Cache lifetime: the cached relation is still
+    * consulted when the CALLER materializes the (lazy, per-vector — not
+    * collectable at scale) result, so it cannot be unpersisted here;
+    * both harnesses sweep the cache manager after each query. */
+  private def embedComponents(s: SparkSession, d: String): DataFrame = {
+    val e = embedRel(s, d).cache()
+    val k = math.max(1L, e.count() / 32L).toInt
+    val cents = e.filter(col("vec_id") < k).orderBy(col("vec_id"))
+      .select(col("v")).collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    val asg = e.withColumn("cell",
+      element_at(graft.functions.VectorExpressions.nearestCells(col("v"), cents, 1), 1))
+    val a = asg.select(col("cell"), col("vec_id").as("va"), col("v").as("xa"))
+    val b = asg.select(col("cell"), col("vec_id").as("vb"), col("v").as("xb"))
+    val edges = a.join(b, Seq("cell"))
+      .filter(col("va") < col("vb") &&
+        round(VectorFunctions.cosine(col("xa"), col("xb")), 6) >= 0.4)
+      .select(col("va").as("a"), col("vb").as("b"))
+    val nodes = e.select(col("vec_id").as("node"))
+    graft.ops.ConnectedComponents.components(edges, nodes)
+      .select(col("node").as("vec_id"), col("component").as("cluster"))
+      .join(e, "vec_id")
+  }
+
   /** Recall-verdict row for an ANN result `(src, nbr, sim, …)`: compares
     * the ANN answer for the first 100 vectors against their exact top-1
     * similarity (one linear broadcast pass — the probe subset keeps the
@@ -397,52 +449,86 @@ object VectorOps {
     // Collecting K centroid rows is codebook training, not a data collect
     // (same adjudication as annIvfNeighbors).
     Q("q_embed_clusters",
-      """WITH RECURSIVE e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |kk AS (SELECT GREATEST(COUNT(*) // 32, 1) AS kc FROM embeddings),
-        |c AS (SELECT vec_id AS cid, v AS cv FROM e, kk WHERE vec_id < kc),
-        |asg AS (
-        |  SELECT vec_id, v, cid FROM (
-        |    SELECT e.vec_id, e.v, c.cid,
-        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
-        |    FROM e CROSS JOIN c) WHERE rn = 1),
-        |p AS (SELECT a.vec_id AS va, b.vec_id AS vb
-        |      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
-        |      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4),
-        |edges AS (SELECT va AS ea, vb AS eb FROM p
-        |          UNION SELECT vb, va FROM p),
-        |walk(node, label) AS (
-        |  SELECT vec_id, vec_id FROM embeddings
-        |  UNION
-        |  SELECT eb, w.label FROM walk w JOIN edges ee ON ee.ea = w.node),
-        |lab AS (SELECT node AS vec_id, MIN(label) AS cluster FROM walk GROUP BY node)
-        |SELECT l.vec_id, l.cluster, CAST(c2.csize AS BIGINT) AS csize
-        |FROM lab l JOIN (SELECT cluster, COUNT(*) AS csize FROM lab GROUP BY cluster) c2
-        |  ON l.cluster = c2.cluster
-        |ORDER BY l.vec_id""".stripMargin) { (s, d) =>
-      // cache lifetime: the cached relation is still consulted when the
-      // CALLER materializes the (lazy, per-vector — not collectable at
-      // scale) result, so it cannot be unpersisted inside this closure;
-      // both harnesses sweep the cache manager after each query, which is
-      // the intended lifetime for direct invocations too
-      val e = embedRel(s, d).cache()
-      val k = math.max(1L, e.count() / 32L).toInt
-      val cents = e.filter(col("vec_id") < k).orderBy(col("vec_id"))
-        .select(col("v")).collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
-      val asg = e.withColumn("cell",
-        element_at(graft.functions.VectorExpressions.nearestCells(col("v"), cents, 1), 1))
-      val a = asg.select(col("cell"), col("vec_id").as("va"), col("v").as("xa"))
-      val b = asg.select(col("cell"), col("vec_id").as("vb"), col("v").as("xb"))
-      val edges = a.join(b, Seq("cell"))
-        .filter(col("va") < col("vb") &&
-          round(VectorFunctions.cosine(col("xa"), col("xb")), 6) >= 0.4)
-        .select(col("va").as("a"), col("vb").as("b"))
-      val nodes = e.select(col("vec_id").as("node"))
-      val comp = graft.ops.ConnectedComponents.components(edges, nodes)
-      val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("csize"))
-      comp.join(sizes, "component")
-        .select(col("node").as("vec_id"), col("component").as("cluster"), col("csize"))
+      s"""WITH RECURSIVE $embedClusterCtes
+         |SELECT l.vec_id, l.cluster, CAST(c2.csize AS BIGINT) AS csize
+         |FROM lab l JOIN (SELECT cluster, COUNT(*) AS csize FROM lab GROUP BY cluster) c2
+         |  ON l.cluster = c2.cluster
+         |ORDER BY l.vec_id""".stripMargin) { (s, d) =>
+      val comp = embedComponents(s, d)
+      val sizes = comp.groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
+      comp.join(sizes, "cluster")
+        .select(col("vec_id"), col("cluster"), col("csize"))
+        .orderBy(col("vec_id"))
+    },
+
+    // ---- SemDeDup RETENTION (the paper's actual keep rule — Abbas et
+    // al. 2023 §3): within each semantic-duplicate group, KEEP the
+    // example with the LOWEST cosine to the group centroid (the most
+    // atypical member — keeping the medoid would bias toward the mode;
+    // the paper measures this rule best for downstream quality) and
+    // drop the rest. Groups are q_embed_clusters' components (shared
+    // derivation — the two queries cannot drift). Shape at 100 TB:
+    // group centroids are one map-side-combinable (cluster, dim)
+    // aggregate; the per-member cosine re-joins on the (cluster, dim)
+    // key — co-partitioned with the centroid shuffle, never broadcast
+    // (cluster count is corpus-proportional); the winner is a
+    // min(struct) aggregate, no window sort on any corpus-scale path
+    // (the oracle's row_number states the same choice). Determinism:
+    // products round to 6dp then DECIMAL-sum, zero-norm sides pinned
+    // to 0 like q_embed_whiten.
+    Q("q_semdedup_keep",
+      s"""WITH RECURSIVE $embedClusterCtes,
+         |mm AS (SELECT l.cluster, e.vec_id, CAST(u.i AS INT) AS i,
+         |         e.v[CAST(u.i AS INT)] AS x
+         |       FROM lab l JOIN e ON e.vec_id = l.vec_id,
+         |            unnest(range(1, 65)) AS u(i)),
+         |cm AS (SELECT cluster, i,
+         |         CAST(SUM(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+         |           / COUNT(*) AS m
+         |       FROM mm GROUP BY cluster, i),
+         |d2 AS (SELECT mm.cluster, mm.vec_id,
+         |         CAST(SUM(CAST(round(mm.x * cm.m, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sd,
+         |         CAST(SUM(CAST(round(mm.x * mm.x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sa,
+         |         CAST(SUM(CAST(round(cm.m * cm.m, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sb
+         |       FROM mm JOIN cm ON mm.cluster = cm.cluster AND mm.i = cm.i
+         |       GROUP BY mm.cluster, mm.vec_id),
+         |sc2 AS (SELECT cluster, vec_id,
+         |          CASE WHEN sa = 0 OR sb = 0 THEN 0.0
+         |            ELSE round(sd / (sqrt(sa) * sqrt(sb)), 6) END AS cent_cos
+         |        FROM d2),
+         |r AS (SELECT cluster, vec_id, cent_cos,
+         |        ROW_NUMBER() OVER (PARTITION BY cluster
+         |          ORDER BY cent_cos, vec_id) AS rn
+         |      FROM sc2)
+         |SELECT vec_id, cluster, cent_cos, rn = 1 AS keep
+         |FROM r ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val x = embedComponents(s, d)
+        .select(col("cluster"), col("vec_id"),
+          posexplode(col("v")).as(Seq("i", "x")))
+      val cm = x.groupBy(col("cluster").as("cc"), col("i").as("ci"))
+        .agg((sum(round(col("x"), 6).cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("m"))
+      val d2 = x.join(cm, col("cluster") === col("cc") && col("i") === col("ci"))
+        .groupBy(col("cluster"), col("vec_id"))
+        .agg(
+          sum(round(col("x") * col("m"), 6).cast("decimal(18,6)"))
+            .cast("double").as("sd"),
+          sum(round(col("x") * col("x"), 6).cast("decimal(18,6)"))
+            .cast("double").as("sa"),
+          sum(round(col("m") * col("m"), 6).cast("decimal(18,6)"))
+            .cast("double").as("sb"))
+      val scd = d2.select(col("cluster"), col("vec_id"),
+        when(col("sa") === 0 || col("sb") === 0, 0.0)
+          .otherwise(round(col("sd") / (sqrt(col("sa")) * sqrt(col("sb"))), 6))
+          .as("cent_cos"))
+      // the (cent_cos ASC, vec_id ASC) winner per group as min(struct) —
+      // map-side combinable, matches the oracle's row_number choice
+      val keep = scd.groupBy(col("cluster").as("kc"))
+        .agg(min(struct(col("cent_cos").as("c"), col("vec_id").as("vv"))).as("k"))
+        .select(col("kc"), col("k.vv").as("keep_id"))
+      scd.join(keep, col("cluster") === col("kc"))
+        .select(col("vec_id"), col("cluster"), col("cent_cos"),
+          (col("vec_id") === col("keep_id")).as("keep"))
         .orderBy(col("vec_id"))
     },
 

@@ -489,6 +489,26 @@ class PlanSuite extends SparkSpec {
     assert(plan.contains("HashAggregate"), "no map-side combine")
   }
 
+  test("semdedup keep: winner is a min(struct) aggregate, never a window; no cartesian") {
+    // the oracle states the per-group argmin as row_number — the engine
+    // must NOT: a per-cluster window sort is the corpus-scale shape the
+    // combinable min(struct) exists to avoid; centroids re-join on the
+    // (cluster, dim) key, never broadcast (cluster count is
+    // corpus-proportional)
+    val plan = physical("q_semdedup_keep")
+    assert(!plan.contains("Window"), s"keep rule became a window:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("HashAggregate"), "no combinable aggregate")
+  }
+
+  test("classifier calibration: bounded-group aggregate, no window, no shuffle of scores") {
+    val plan = physical("q_classifier_calibration")
+    assert(!plan.contains("Window"))
+    assert(!plan.contains("CartesianProduct"))
+    // ≤10 bin groups: the aggregate must partial-combine map-side
+    assert(plan.contains("HashAggregate"), "no map-side combine")
+  }
+
   test("line dedup: boilerplate removal join broadcasts, lines travel hashed") {
     val plan = physical("q_line_dedup")
     assert(plan.contains("BroadcastHashJoin"),
