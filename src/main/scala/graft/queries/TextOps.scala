@@ -106,6 +106,53 @@ object TextOps {
       |SELECT doc_id, lang, logw, gkey FROM g
       |ORDER BY gkey DESC, doc_id LIMIT 100""".stripMargin
 
+  /** q_domain_reweight oracle: per-source mean token cross-entropy under
+    * the corpus unigram MLE, then 3 unrolled exponentiated-gradient
+    * steps (η=0.5) + uniform smoothing (c=0.1) — one Scala loop is the
+    * single algorithm definition for both engines (the classifier-GD /
+    * pagerank discipline). */
+  private lazy val domainReweightSql: String = {
+    val steps = (1 to 3).map { i =>
+      val prev = if (i == 1) "s0" else s"s${i - 1}"
+      s"""a$i AS (SELECT source, n_tok, xent, mu, k,
+         |  ${r6Sql("w * exp(0.5 * greatest(xent - mu, 0))")} AS a FROM $prev),
+         |z$i AS (SELECT CAST(SUM(CAST(a AS DECIMAL(18,6))) AS DOUBLE) AS z FROM a$i),
+         |s$i AS (SELECT source, n_tok, xent, mu, k, ${r6Sql("a / z")} AS w
+         |       FROM a$i CROSS JOIN z$i)"""
+    }.mkString(",\n")
+    s"""WITH t0 AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+       |            FROM documents),
+       |ww AS (SELECT source, tok FROM t0 WHERE tok <> ''),
+       |tf AS (SELECT tok, COUNT(*) AS tf FROM ww GROUP BY tok),
+       |tot AS (SELECT COUNT(*) AS n FROM ww),
+       |sx AS (SELECT source, COUNT(*) AS n_tok,
+       |         SUM(CAST(round(-ln(CAST(tf.tf AS DOUBLE) / n), 6)
+       |             AS DECIMAL(18,6))) AS sxs
+       |       FROM ww JOIN tf USING (tok) CROSS JOIN tot GROUP BY source),
+       |muk AS (SELECT round(CAST(SUM(sxs) AS DOUBLE) / SUM(n_tok), 6) AS mu,
+       |          COUNT(*) AS k FROM sx),
+       |s0 AS (SELECT source, CAST(n_tok AS BIGINT) AS n_tok,
+       |         round(CAST(sxs AS DOUBLE) / n_tok, 6) AS xent, mu, k,
+       |         ${r6Sql("1.0 / k")} AS w
+       |       FROM sx CROSS JOIN muk),
+       |$steps
+       |SELECT source, n_tok, xent, ${r6Sql("0.9 * w + 0.1 / k")} AS w
+       |FROM s3 ORDER BY source""".stripMargin
+  }
+
+  /** Corpus (doc, word, n) token counts — staged once as a parquet
+    * artifact; shared by q_lm_quality and q_domain_reweight (the unigram
+    * LM both score against is ONE relation, so they cannot drift). */
+  private def lmDwc(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    Artifacts.parquet(s, d, "lm_dwc") {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("n"))
+    }
+
   /** (doc_id, lang, bucket, n) hashed-unigram counts of a (doc_id, lang,
     * text) relation — ONE shared definition for DSIR training, batch
     * scoring, and stream serving (feature skew would hash-mismatch). */
@@ -1031,6 +1078,60 @@ object TextOps {
       }
     },
 
+    // ---- DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    // Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    // multiplicative-weights update over SOURCES driven by per-source
+    // EXCESS LOSS — domains whose mean token cross-entropy (under the
+    // shared corpus unigram LM, the lm_dwc artifact) exceeds the corpus
+    // mean get upweighted (they're under-learned), then the mixture is
+    // smoothed toward uniform (the paper's (1−c)·α + c·u). Complements
+    // q_mix_weights' SIZE-balancing recipe with the LOSS-driven one.
+    // 3 steps, η=0.5, c=0.1. At 100 TB: ONE corpus-scale pass (the
+    // per-source loss aggregate, map-side combinable); every iteration
+    // step runs on the |sources|-row relation with a broadcast scalar —
+    // the exponentiated-gradient loop costs nothing at any corpus size.
+    // Determinism: the classifier-GD discipline — per-occurrence costs
+    // round to 6dp and DECIMAL-sum; every iterated scalar rounds via
+    // floor(x·10⁶+0.5)/10⁶ (engine-exact on identical doubles); one
+    // Scala loop generates BOTH engines' step chains.
+    Q("q_domain_reweight", domainReweightSql) { (s, d) =>
+      val dwc = lmDwc(s, d)
+      val tf = dwc.groupBy(col("word")).agg(sum(col("n")).as("tf"))
+      val tot = tf.agg(sum(col("tf")).as("ntot"))
+      val srcOf = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val perSrc = dwc
+        .join(tf, "word")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("n"),
+          round(-log(col("tf").cast("double") / col("ntot")), 6).as("c"))
+        .join(srcOf, "doc_id")
+        .groupBy(col("source"))
+        .agg(sum(col("n")).as("n_tok"),
+          sum(col("c").cast("decimal(18,6)") * col("n")).as("sxs"))
+      val muk = perSrc.agg(
+        round(sum(col("sxs")).cast("double") / sum(col("n_tok")), 6).as("mu"),
+        count(lit(1)).as("k"))
+      var w = perSrc.crossJoin(broadcast(muk))
+        .select(col("source"), col("n_tok"),
+          round(col("sxs").cast("double") / col("n_tok"), 6).as("xent"),
+          col("mu"), col("k"),
+          r6(lit(1.0) / col("k")).as("w"))
+      for (_ <- 1 to 3) {
+        val a = w.select(col("source"), col("n_tok"), col("xent"),
+          col("mu"), col("k"),
+          r6(col("w") *
+            exp(lit(0.5) * greatest(col("xent") - col("mu"), lit(0.0))))
+            .as("a"))
+        val z = a.agg(sum(col("a").cast("decimal(18,6)")).cast("double").as("z"))
+        w = a.crossJoin(broadcast(z))
+          .select(col("source"), col("n_tok"), col("xent"),
+            col("mu"), col("k"), r6(col("a") / col("z")).as("w"))
+      }
+      w.select(col("source"), col("n_tok"), col("xent"),
+          r6(lit(0.9) * col("w") + lit(0.1) / col("k")).as("w"))
+        .orderBy(col("source"))
+    },
+
     // ---- Corpus duplication-health report (the memorization-risk
     // metric a dataset card publishes): for every document, the fraction
     // of its distinct 13-gram shingles that are corpus-UNIQUE (df = 1).
@@ -1528,13 +1629,7 @@ object TextOps {
       // instead of each re-paying the corpus scan+explode. n × DECIMAL
       // (6dp cost) is exact, so summing per-WORD weights equals the
       // oracle's per-OCCURRENCE decimal sum bit-for-bit.
-      val dwc = Artifacts.parquet(s, d, "lm_dwc") {
-        Tables.documents(s, d)
-          .select(col("doc_id"),
-            explode(TextFunctions.tokens(col("text"))).as("word"))
-          .filter(col("word") =!= "")
-          .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("n"))
-      }
+      val dwc = lmDwc(s, d)
       val tf = dwc.groupBy(col("word")).agg(sum(col("n")).as("tf"))
       val tot = tf.agg(sum(col("tf")).as("ntot"))
       // scored persisted: the corpus-mean branch reuses it — one row per

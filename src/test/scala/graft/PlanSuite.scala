@@ -509,6 +509,18 @@ class PlanSuite extends SparkSpec {
     assert(plan.contains("HashAggregate"), "no map-side combine")
   }
 
+  test("domain reweight: one corpus pass, iteration on |sources| rows, no window") {
+    // the exponentiated-gradient loop must run on the per-source
+    // relation with broadcast scalars — no window, no cartesian beyond
+    // the 1-row scalar cross joins, and the loss aggregate map-side
+    // combines before its exchange
+    val plan = physical("q_domain_reweight")
+    assert(!plan.contains("Window"))
+    assert(!plan.contains("CartesianProduct"),
+      s"scalar cross joins regressed to cartesian:\n${plan.take(2000)}")
+    assert(plan.contains("HashAggregate"), "no map-side combine")
+  }
+
   test("line dedup: boilerplate removal join broadcasts, lines travel hashed") {
     val plan = physical("q_line_dedup")
     assert(plan.contains("BroadcastHashJoin"),
