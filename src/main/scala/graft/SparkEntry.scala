@@ -34,10 +34,11 @@ object SparkEntry {
   // `queries` Map — its oracle entry would vanish from the correctness
   // gate without anything turning red (this happened in round 11 with two
   // q_stratified_sample definitions). Fail loudly at class-init instead.
-  locally {
-    val dups = registry.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }
+  private[graft] def requireUniqueNames(qs: Seq[Q]): Unit = {
+    val dups = qs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
     require(dups.isEmpty, s"duplicate query names in registry: ${dups.mkString(", ")}")
   }
+  requireUniqueNames(registry)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The log-analyser slice (SURVEY §7.2 M2): tumbling day window over the
