@@ -1132,6 +1132,53 @@ object TextOps {
         .orderBy(col("source"))
     },
 
+    // ---- Vocabulary coverage curve — the tokenizer-SIZING artifact:
+    // what fraction of corpus token occurrences the top-k most frequent
+    // words cover, at k ∈ {100, 1000, 10000}. The curve (with q_vocab's
+    // df table and q_zipf_fit's slope) is what decides a vocab budget
+    // before anyone trains a tokenizer. Shape at 100 TB: the tf
+    // aggregate is the one corpus-scale stage (map-side combined, reads
+    // the lm_dwc artifact); the head cut is a bounded heap
+    // (TakeOrderedAndProject, k=10000), and the ONLY window runs over
+    // those ≤10k rows — bounded at any corpus size (the
+    // classifier-histogram precedent). Boundary ties are deterministic:
+    // rank orders by (tf DESC, word ASC) on both engines. Integer
+    // cumulative sums; coverage divides identical integers.
+    Q("q_vocab_coverage",
+      """WITH t0 AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |            FROM documents),
+        |ww AS (SELECT tok FROM t0 WHERE tok <> ''),
+        |tf AS (SELECT tok, COUNT(*) AS tf FROM ww GROUP BY tok),
+        |tot AS (SELECT SUM(tf) AS ntot, COUNT(*) AS vocab FROM tf),
+        |top AS (SELECT tf, ROW_NUMBER() OVER (ORDER BY tf DESC, tok) AS rn
+        |        FROM tf),
+        |c AS (SELECT rn, SUM(tf) OVER (ORDER BY rn
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM top WHERE rn <= 10000)
+        |SELECT CAST(rn AS BIGINT) AS k, CAST(cum AS BIGINT) AS cum_tokens,
+        |  round(CAST(cum AS DOUBLE) / ntot, 6) AS coverage,
+        |  CAST(vocab AS BIGINT) AS vocab, CAST(ntot AS BIGINT) AS total_tokens
+        |FROM c CROSS JOIN tot WHERE rn IN (100, 1000, 10000)
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      val tf = lmDwc(s, d).groupBy(col("word")).agg(sum(col("n")).as("tf"))
+      val tot = tf.agg(sum(col("tf")).as("ntot"), count(lit(1)).as("vocab"))
+      // bounded head: TakeOrderedAndProject keeps ≤10k rows per
+      // partition heap — the full-vocab sort the oracle states never
+      // materializes on the engine
+      val top = tf.orderBy(col("tf").desc, col("word")).limit(10000)
+      val ord = Window.orderBy(col("tf").desc, col("word"))
+      val ranked = top
+        .withColumn("rn", row_number().over(ord))
+        .withColumn("cum", sum(col("tf")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      ranked.filter(col("rn").isin(100, 1000, 10000))
+        .crossJoin(broadcast(tot))
+        .select(col("rn").cast("long").as("k"), col("cum").as("cum_tokens"),
+          round(col("cum").cast("double") / col("ntot"), 6).as("coverage"),
+          col("vocab"), col("ntot").as("total_tokens"))
+        .orderBy(col("k"))
+    },
+
     // ---- Corpus duplication-health report (the memorization-risk
     // metric a dataset card publishes): for every document, the fraction
     // of its distinct 13-gram shingles that are corpus-UNIQUE (df = 1).

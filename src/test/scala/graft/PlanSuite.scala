@@ -521,6 +521,16 @@ class PlanSuite extends SparkSpec {
     assert(plan.contains("HashAggregate"), "no map-side combine")
   }
 
+  test("vocab coverage: head via bounded heap, window only over the limited head") {
+    // the full-vocab sort the oracle states must NOT materialize on the
+    // engine: the head cut is TakeOrderedAndProject (per-partition
+    // heaps) and the only window/cumsum runs over its ≤10k rows
+    val plan = physical("q_vocab_coverage")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"head cut not heap-bounded:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("line dedup: boilerplate removal join broadcasts, lines travel hashed") {
     val plan = physical("q_line_dedup")
     assert(plan.contains("BroadcastHashJoin"),
