@@ -1132,6 +1132,48 @@ object TextOps {
         .orderBy(col("source"))
     },
 
+    // ---- EXACT sequence-length quantiles — the packing/context-window
+    // planning artifact (pairs with q_seq_pack): p50/p90/p99/p100 of
+    // per-document token counts, EXACT at any corpus size. Spark's
+    // percentile() would sort the corpus and approx_percentile trades
+    // exactness; instead the per-doc count is a MAP expression (native
+    // tokenCount — the corpus never explodes), the histogram groups on
+    // the count VALUE (bounded by max doc length, corpus-independent),
+    // and the one ordered pass (cumulative counts → nearest-rank pick)
+    // runs on that bounded histogram — the q_classifier_eval
+    // quantized-histogram discipline applied to quantiles. Nearest-rank
+    // definition: smallest value with cum ≥ ceil(q·n), stated
+    // identically on both engines (identical doubles → identical ceil).
+    Q("q_seq_len_quantiles",
+      """WITH d AS (SELECT len(string_split(text, ' ')) AS n_tok
+        |           FROM documents),
+        |h AS (SELECT n_tok, COUNT(*) AS cnt FROM d GROUP BY n_tok),
+        |c AS (SELECT n_tok, SUM(cnt) OVER (ORDER BY n_tok
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM h),
+        |n AS (SELECT COUNT(*) AS n FROM d)
+        |SELECT q, CAST(MIN(n_tok) AS BIGINT) AS n_tok
+        |FROM c CROSS JOIN n
+        |CROSS JOIN (VALUES (0.5), (0.9), (0.99), (1.0)) t(q)
+        |WHERE cum >= ceil(q * n)
+        |GROUP BY q ORDER BY q""".stripMargin) { (s, d) =>
+      val counts = Tables.documents(s, d)
+        .select(TextFunctions.tokenCount(col("text")).as("n_tok"))
+      val h = counts.groupBy(col("n_tok")).agg(count(lit(1)).as("cnt"))
+      val n = counts.agg(count(lit(1)).as("n"))
+      // bounded single-partition window: the histogram has one row per
+      // DISTINCT length — value-bounded, corpus-size-independent
+      val wnd = Window.orderBy(col("n_tok"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = h.withColumn("cum", sum(col("cnt")).over(wnd))
+      val qs = s.createDataFrame(
+        Seq(0.5, 0.9, 0.99, 1.0).map(Tuple1(_))).toDF("q")
+      c.crossJoin(broadcast(n)).crossJoin(broadcast(qs))
+        .filter(col("cum") >= ceil(col("q") * col("n")))
+        .groupBy(col("q")).agg(min(col("n_tok")).as("n_tok"))
+        .orderBy(col("q"))
+    },
+
     // ---- Vocabulary coverage curve — the tokenizer-SIZING artifact:
     // what fraction of corpus token occurrences the top-k most frequent
     // words cover, at k ∈ {100, 1000, 10000}. The curve (with q_vocab's

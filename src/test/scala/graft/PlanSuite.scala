@@ -531,6 +531,16 @@ class PlanSuite extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("seq-len quantiles: no corpus explode/sort — map count + bounded histogram") {
+    // the per-doc count is a map expression and the only window runs
+    // over the value-bounded histogram; percentile()'s corpus sort and
+    // the token-stream explode must both be absent
+    val plan = physical("q_seq_len_quantiles")
+    assert(!plan.contains("Explode") && !plan.contains("Generate"),
+      s"token stream exploded for a per-doc scalar:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("line dedup: boilerplate removal join broadcasts, lines travel hashed") {
     val plan = physical("q_line_dedup")
     assert(plan.contains("BroadcastHashJoin"),
