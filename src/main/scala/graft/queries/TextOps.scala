@@ -140,6 +140,52 @@ object TextOps {
        |FROM s3 ORDER BY source""".stripMargin
   }
 
+  /** Shared oracle CTE chain producing `scored` = (doc_id, n_tok, xent):
+    * per-doc mean token cross-entropy under the corpus unigram MLE —
+    * consumed by q_lm_quality (mean-threshold keep) and
+    * q_curriculum_buckets (quartile tiers), so both read ONE scoring
+    * definition. */
+  private val lmScoredCtes: String =
+    """w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |           FROM documents),
+      |ww AS (SELECT doc_id, word FROM w WHERE word <> ''),
+      |tf AS (SELECT word, COUNT(*) AS tf FROM ww GROUP BY word),
+      |tot AS (SELECT COUNT(*) AS n FROM ww),
+      |sc AS (SELECT ww.doc_id, COUNT(*) AS n_tok,
+      |         SUM(CAST(round(-ln(CAST(tf.tf AS DOUBLE) / n), 6)
+      |             AS DECIMAL(18,6))) AS s
+      |       FROM ww JOIN tf USING (word) CROSS JOIN tot
+      |       GROUP BY ww.doc_id),
+      |scored AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+      |             round(CAST(s AS DOUBLE) / n_tok, 6) AS xent FROM sc)""".stripMargin
+
+  /** (doc_id, n_tok, xent) unigram-LM scores, persisted (one row per DOC,
+    * 3 narrow columns — orders of magnitude smaller than the corpus;
+    * lifetime delegated to the harness sweep). ONE explode pass reduced
+    * to the lm_dwc (doc, word, n) artifact: the vocab aggregate and the
+    * scoring join both scan the columnar artifact instead of each
+    * re-paying the corpus scan+explode. n × DECIMAL (6dp cost) is exact,
+    * so summing per-WORD weights equals the oracle's per-OCCURRENCE
+    * decimal sum bit-for-bit. tf is vocab-scale (slow-growing but
+    * unbounded) and stays un-hinted: AQE broadcasts while it fits. */
+  private def lmScored(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val dwc = lmDwc(s, d)
+    val tf = dwc.groupBy(col("word")).agg(sum(col("n")).as("tf"))
+    val tot = tf.agg(sum(col("tf")).as("ntot"))
+    dwc
+      .join(tf, "word")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n"),
+        round(-log(col("tf").cast("double") / col("ntot")), 6).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tok"),
+        sum(col("c").cast("decimal(18,6)") * col("n")).cast("double").as("s"))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("s") / col("n_tok"), 6).as("xent"))
+      .persist()
+  }
+
   /** Corpus (doc, word, n) token counts — staged once as a parquet
     * artifact; shared by q_lm_quality and q_domain_reweight (the unigram
     * LM both score against is ONE relation, so they cannot drift). */
@@ -1696,53 +1742,73 @@ object TextOps {
     // exact decimal sum over already-rounded doubles, and ln() feeds the
     // 6dp rounding on both engines (same contract as q_tfidf_top).
     Q("q_lm_quality",
-      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-        |           FROM documents),
-        |ww AS (SELECT doc_id, word FROM w WHERE word <> ''),
-        |tf AS (SELECT word, COUNT(*) AS tf FROM ww GROUP BY word),
-        |tot AS (SELECT COUNT(*) AS n FROM ww),
-        |sc AS (SELECT ww.doc_id, COUNT(*) AS n_tok,
-        |         SUM(CAST(round(-ln(CAST(tf.tf AS DOUBLE) / n), 6)
-        |             AS DECIMAL(18,6))) AS s
-        |       FROM ww JOIN tf USING (word) CROSS JOIN tot
-        |       GROUP BY ww.doc_id),
-        |scored AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
-        |             round(CAST(s AS DOUBLE) / n_tok, 6) AS xent FROM sc),
-        |m AS (SELECT round(CAST(SUM(CAST(xent AS DECIMAL(18,6))) AS DOUBLE)
-        |               / COUNT(*), 6) AS mu FROM scored)
-        |SELECT doc_id, n_tok, xent, xent <= mu AS keep
-        |FROM scored CROSS JOIN m ORDER BY doc_id""".stripMargin) { (s, d) =>
-      // ONE explode pass reduced to (doc, word, n) counts and staged as a
-      // parquet artifact (the char-LM / dup-graph treatment): the vocab
-      // aggregate and the scoring join both scan the columnar artifact
-      // instead of each re-paying the corpus scan+explode. n × DECIMAL
-      // (6dp cost) is exact, so summing per-WORD weights equals the
-      // oracle's per-OCCURRENCE decimal sum bit-for-bit.
-      val dwc = lmDwc(s, d)
-      val tf = dwc.groupBy(col("word")).agg(sum(col("n")).as("tf"))
-      val tot = tf.agg(sum(col("tf")).as("ntot"))
-      // scored persisted: the corpus-mean branch reuses it — one row per
-      // DOC (3 narrow columns), orders of magnitude smaller than the
-      // corpus. Lifetime delegated to the harness sweep.
-      // tf is vocab-scale (distinct words — slow-growing but unbounded);
-      // un-hinted: AQE broadcasts while it fits, shuffles once it doesn't
-      val scored = dwc
-        .join(tf, "word")
-        .crossJoin(broadcast(tot))
-        .select(col("doc_id"), col("n"),
-          round(-log(col("tf").cast("double") / col("ntot")), 6).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("n")).as("n_tok"),
-          sum(col("c").cast("decimal(18,6)") * col("n")).cast("double").as("s"))
-        .select(col("doc_id"), col("n_tok"),
-          round(col("s") / col("n_tok"), 6).as("xent"))
-        .persist()
+      s"""WITH $lmScoredCtes,
+         |m AS (SELECT round(CAST(SUM(CAST(xent AS DECIMAL(18,6))) AS DOUBLE)
+         |               / COUNT(*), 6) AS mu FROM scored)
+         |SELECT doc_id, n_tok, xent, xent <= mu AS keep
+         |FROM scored CROSS JOIN m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val scored = lmScored(s, d)
       val mu = scored.agg(
         round(Tables.exactSum(col("xent"), 6) / count(lit(1)), 6).as("mu"))
       scored.crossJoin(broadcast(mu))
         .select(col("doc_id"), col("n_tok"), col("xent"),
           (col("xent") <= col("mu")).as("keep"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- Difficulty-curriculum buckets: quartile the corpus by the
+    // unigram-LM cross-entropy (the SHARED lmScored relation — the
+    // curriculum orders by the same signal the quality gate thresholds,
+    // so the two cannot drift) into 4 difficulty tiers, with per-tier
+    // doc/token totals and the xent range — the artifact a
+    // difficulty-ordered pretraining schedule consumes. Thresholds are
+    // EXACT quartiles at any corpus size via the quantized-histogram
+    // discipline: xent is 6dp-rounded, so the histogram is value-
+    // bounded; the one ordered pass runs on it, and the nearest-rank
+    // pick is stated identically on both engines. Bucketing is then a
+    // broadcast-scalar map pass + a 4-group combinable aggregate.
+    Q("q_curriculum_buckets",
+      s"""WITH $lmScoredCtes,
+         |h AS (SELECT xent, COUNT(*) AS cnt FROM scored GROUP BY xent),
+         |cc AS (SELECT xent, SUM(cnt) OVER (ORDER BY xent
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |       FROM h),
+         |nn AS (SELECT COUNT(*) AS n FROM scored),
+         |th AS (SELECT
+         |    MIN(CASE WHEN cum >= ceil(0.25 * n) THEN xent END) AS t25,
+         |    MIN(CASE WHEN cum >= ceil(0.50 * n) THEN xent END) AS t50,
+         |    MIN(CASE WHEN cum >= ceil(0.75 * n) THEN xent END) AS t75
+         |  FROM cc CROSS JOIN nn),
+         |b AS (SELECT sc2.n_tok, sc2.xent,
+         |        CASE WHEN sc2.xent <= t25 THEN 0
+         |             WHEN sc2.xent <= t50 THEN 1
+         |             WHEN sc2.xent <= t75 THEN 2 ELSE 3 END AS bucket
+         |      FROM scored sc2 CROSS JOIN th)
+         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tok,
+         |  MIN(xent) AS xent_min, MAX(xent) AS xent_max
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      val scored = lmScored(s, d)
+      val h = scored.groupBy(col("xent")).agg(count(lit(1)).as("cnt"))
+      val nn = scored.agg(count(lit(1)).as("n"))
+      // bounded single-partition window: one histogram row per DISTINCT
+      // 6dp xent value — value-bounded, corpus-size-independent
+      val wnd = Window.orderBy(col("xent"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cc = h.withColumn("cum", sum(col("cnt")).over(wnd))
+      val th = cc.crossJoin(broadcast(nn)).agg(
+        min(when(col("cum") >= ceil(lit(0.25) * col("n")), col("xent"))).as("t25"),
+        min(when(col("cum") >= ceil(lit(0.50) * col("n")), col("xent"))).as("t50"),
+        min(when(col("cum") >= ceil(lit(0.75) * col("n")), col("xent"))).as("t75"))
+      scored.crossJoin(broadcast(th))
+        .select(col("n_tok"), col("xent"),
+          when(col("xent") <= col("t25"), 0)
+            .when(col("xent") <= col("t50"), 1)
+            .when(col("xent") <= col("t75"), 2).otherwise(3).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"),
+          min(col("xent")).as("xent_min"), max(col("xent")).as("xent_max"))
+        .orderBy(col("bucket"))
     },
 
     // ---- CONDITIONAL character-trigram LM perplexity — the KenLM-style

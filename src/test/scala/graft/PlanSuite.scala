@@ -541,6 +541,16 @@ class PlanSuite extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("curriculum buckets: bucketing is a scalar-broadcast map + combinable agg") {
+    // thresholds arrive as a 1-row broadcast (scalar cross join →
+    // BroadcastNestedLoopJoin, never CartesianProduct); the per-doc
+    // bucketing must not window-sort the scored relation
+    val plan = physical("q_curriculum_buckets")
+    assert(!plan.contains("CartesianProduct"),
+      s"scalar join regressed to cartesian:\n${plan.take(1500)}")
+    assert(plan.contains("HashAggregate"), "no combinable aggregate")
+  }
+
   test("line dedup: boilerplate removal join broadcasts, lines travel hashed") {
     val plan = physical("q_line_dedup")
     assert(plan.contains("BroadcastHashJoin"),
