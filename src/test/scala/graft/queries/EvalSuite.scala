@@ -69,6 +69,26 @@ class EvalSuite extends SparkSpec {
     assert(allNeg.getAs[Double]("auc") == 0.0)
   }
 
+  test("histogram nearest-rank quantiles equal a brute-force sorted pick") {
+    // the q_seq_len_quantiles / q_curriculum_buckets threshold rule:
+    // smallest value whose cumulative count reaches ceil(q·n) — must
+    // equal indexing the sorted values at ceil(q·n)-1, ties included
+    import spark.implicits._
+    val values = Seq(5L, 3L, 9L, 3L, 7L, 3L, 9L, 1L, 7L, 7L, 2L)
+    val sortedV = values.sorted
+    def brute(q: Double) = sortedV(math.ceil(q * values.size).toInt - 1)
+    val h = values.toDF("v").groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val wnd = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cc = h.withColumn("cum", sum(col("cnt")).over(wnd))
+    for (q <- Seq(0.25, 0.5, 0.75, 0.9, 0.99, 1.0)) {
+      val got = cc.filter(col("cum") >= math.ceil(q * values.size))
+        .agg(min(col("v"))).head().getLong(0)
+      assert(got == brute(q), s"q=$q: histogram=$got brute=${brute(q)}")
+    }
+  }
+
   test("rank-sum product is decimal-exact past the int64 overflow point") {
     // pos·(2·below+cnt+1) with counts ~3e9 overflows int64 (~1.8e19 >
     // 9.2e18); the decimal-cast operands must carry it exactly. Feed the
