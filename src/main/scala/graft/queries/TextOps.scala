@@ -1220,6 +1220,65 @@ object TextOps {
         .orderBy(col("q"))
     },
 
+    // ---- Sequence-length quantiles AT INGEST — the streaming twin:
+    // the value-bounded histogram is mergeable BY CONSTRUCTION (counts
+    // sum across micro-batches), so each trigger contributes its
+    // batch-local (n_tok, cnt) histogram through the idempotent
+    // per-batch write and the ledger stays O(distinct lengths ×
+    // triggers) at any corpus size; the drain re-sums and runs the same
+    // bounded nearest-rank pick. Shares the batch oracle verbatim — a
+    // dropped or double-counted trigger shifts every cumulative count
+    // and hash-mismatches.
+    Q("q_stream_seq_len_quantiles",
+      """WITH d AS (SELECT len(string_split(text, ' ')) AS n_tok
+        |           FROM documents),
+        |h AS (SELECT n_tok, COUNT(*) AS cnt FROM d GROUP BY n_tok),
+        |c AS (SELECT n_tok, SUM(cnt) OVER (ORDER BY n_tok
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM h),
+        |n AS (SELECT COUNT(*) AS n FROM d)
+        |SELECT q, CAST(MIN(n_tok) AS BIGINT) AS n_tok
+        |FROM c CROSS JOIN n
+        |CROSS JOIN (VALUES (0.5), (0.9), (0.99), (1.0)) t(q)
+        |WHERE cum >= ceil(q * n)
+        |GROUP BY q ORDER BY q""".stripMargin) { (s, d) =>
+      Tables.ensureConf(s)
+      Staging.withTempDir("graft_stream_slq_out") { out =>
+        Staging.withStagedInput(
+          Tables.documents(s, d).select("doc_id", "text"),
+          "doc_id", nFiles = 3, prefix = "graft_stream_slq") { in =>
+          val schema = s.read.parquet(in).schema
+          val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(in)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", s"$out/ck")
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+              Staging.writeBatch(
+                batch.select(TextFunctions.tokenCount(col("text")).as("n_tok"))
+                  .groupBy(col("n_tok")).agg(count(lit(1)).as("cnt")),
+                s"$out/hist", id)
+              ()
+            }
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        // merge the per-trigger histograms (counts sum) and run the
+        // identical bounded nearest-rank pick over the merged histogram
+        val h = Staging.drainParquet(s, s"$out/hist")
+          .groupBy(col("n_tok")).agg(sum(col("cnt")).as("cnt"))
+        val n = h.agg(sum(col("cnt")).as("n"))
+        val wnd = Window.orderBy(col("n_tok"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val c = h.withColumn("cum", sum(col("cnt")).over(wnd))
+        val qs = s.createDataFrame(
+          Seq(0.5, 0.9, 0.99, 1.0).map(Tuple1(_))).toDF("q")
+        c.crossJoin(broadcast(n)).crossJoin(broadcast(qs))
+          .filter(col("cum") >= ceil(col("q") * col("n")))
+          .groupBy(col("q")).agg(min(col("n_tok")).as("n_tok"))
+          .orderBy(col("q"))
+      }
+    },
+
     // ---- Vocabulary coverage curve — the tokenizer-SIZING artifact:
     // what fraction of corpus token occurrences the top-k most frequent
     // words cover, at k ∈ {100, 1000, 10000}. The curve (with q_vocab's
