@@ -23,6 +23,14 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Token count EXCLUDING empty tokens — the suite's canonical token
+    * definition (every LM/vocab/DSIR metric filters `w <> ''`). Use this
+    * where the count feeds packing/sizing decisions; `tokenCount` keeps
+    * the raw-split semantics for length heuristics where a run of spaces
+    * is itself a signal. */
+  def tokenCountNonEmpty(text: Column): Column =
+    size(filter(tokens(text), t => t =!= ""))
+
   /** Word n-gram shingles (space-joined). Empty array when the document is
     * shorter than n tokens — `sequence(1,0)` would otherwise count DOWN. */
   def shingles(text: Column, n: Int = 3): Column = {

@@ -66,6 +66,31 @@ object DedupOps {
         jac.as("jaccard"))
   }
 
+  /** Candidate pairs for the edit-distance dedup: prefix blocks on
+    * `(lang, blk)` df-gated to `[2, maxBlock]` BEFORE the pair expansion
+    * (the gate join runs on the block key, so a hot block is dropped as
+    * one grouped row, never expanded), then the within-block self-join
+    * with the `|len_a − len_b| ≤ lenBand` prefilter. Worst-case pairs
+    * per block: C(maxBlock, 2) — bounded regardless of input skew
+    * (DedupSkewSuite feeds thousands of docs sharing one boilerplate
+    * prefix and asserts zero candidates from that block). Expects
+    * columns (doc_id, lang, blk, len, text). */
+  private[graft] def editBlockCandidates(
+      docs: DataFrame, maxBlock: Int, lenBand: Int): DataFrame = {
+    val gated = docs.groupBy(col("lang"), col("blk"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxBlock))
+      .select(col("lang"), col("blk"))
+    val blocked = docs.join(gated, Seq("lang", "blk"), "left_semi")
+    val a = blocked.select(col("lang"), col("blk"), col("doc_id").as("doc_a"),
+      col("len").as("len_a"), col("text").as("text_a"))
+    val b = blocked.select(col("lang"), col("blk"), col("doc_id").as("doc_b"),
+      col("len").as("len_b"), col("text").as("text_b"))
+    a.join(b, Seq("lang", "blk"))
+      .filter(col("doc_a") < col("doc_b") &&
+        abs(col("len_a") - col("len_b")) <= lenBand)
+  }
+
   /** Exact n-gram Jaccard near-dup pairs ≥ 0.8 — the edge set shared by
     * q_ngram_jaccard (pair listing) and q_dedup_clusters (grouping).
     * Shape notes live on q_ngram_jaccard below. */
@@ -597,27 +622,35 @@ object DedupOps {
     // so the O(L²) DP only runs on survivors). Spark's banded
     // levenshtein(l, r, threshold) early-exits above the bound — the DP is
     // O(L·t) not O(L²). Same shape as the LSH candidates: generation is
-    // linear-ish, verification exact.
+    // linear-ish, verification exact. The BLOCK is df-GATED (df ∈ [2, 64],
+    // the containment-index discipline): on a real web corpus thousands
+    // of documents share a 16-char boilerplate prefix, and an ungated
+    // block is quadratic in that df — the gate caps every block at
+    // C(64,2) = 2016 pairs, and a skipped hot block is by construction a
+    // boilerplate prefix where the prefix key carries no near-dup signal
+    // (MinHash/SimHash own that regime — they block on CONTENT, not
+    // position). The gate is SEMANTICS, stated identically in the
+    // oracle — a silently ungated engine emits extra pairs and
+    // hash-mismatches. Skew regression: DedupSkewSuite.
     Q("q_edit_dedup",
-      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      """WITH d AS (SELECT doc_id, lang, substr(text, 1, 16) AS blk,
+        |             len(text) AS len, text FROM documents),
+        |g AS (SELECT lang, blk FROM d GROUP BY lang, blk
+        |      HAVING COUNT(*) BETWEEN 2 AND 64)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
-        |FROM documents a JOIN documents b
-        |  ON a.lang = b.lang AND substr(a.text, 1, 16) = substr(b.text, 1, 16)
+        |FROM d a JOIN g ON a.lang = g.lang AND a.blk = g.blk
+        |JOIN d b ON a.lang = b.lang AND a.blk = b.blk
         |  AND a.doc_id < b.doc_id
-        |  AND abs(len(a.text) - len(b.text)) <= 20
+        |  AND abs(a.len - b.len) <= 20
         |WHERE levenshtein(a.text, b.text) <= 20
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d).select(
-        col("doc_id"), col("lang"),
-        substring(col("text"), 1, 16).as("blk"),
-        length(col("text")).as("len"), col("text"))
-      val a = docs.select(col("lang"), col("blk"), col("doc_id").as("doc_a"),
-        col("len").as("len_a"), col("text").as("text_a"))
-      val b = docs.select(col("lang"), col("blk"), col("doc_id").as("doc_b"),
-        col("len").as("len_b"), col("text").as("text_b"))
-      a.join(b, Seq("lang", "blk"))
-        .filter(col("doc_a") < col("doc_b") &&
-          abs(col("len_a") - col("len_b")) <= 20)
+      editBlockCandidates(
+          Tables.documents(s, d).select(
+            col("doc_id"), col("lang"),
+            substring(col("text"), 1, 16).as("blk"),
+            length(col("text")).as("len"), col("text")),
+          maxBlock = 64, lenBand = 20)
         .select(col("doc_a"), col("doc_b"),
           levenshtein(col("text_a"), col("text_b"), 20).cast("long").as("dist"))
         .filter(col("dist") >= 0) // banded variant returns -1 above the bound

@@ -1190,8 +1190,12 @@ object TextOps {
     // quantized-histogram discipline applied to quantiles. Nearest-rank
     // definition: smallest value with cum ≥ ceil(q·n), stated
     // identically on both engines (identical doubles → identical ceil).
+    // Token definition: non-empty tokens only (tokenCountNonEmpty), the
+    // suite's canonical `w <> ''` semantics — packing plans must not
+    // overcount on texts with consecutive/trailing spaces.
     Q("q_seq_len_quantiles",
-      """WITH d AS (SELECT len(string_split(text, ' ')) AS n_tok
+      """WITH d AS (SELECT len(list_filter(string_split(text, ' '),
+        |                            x -> x <> '')) AS n_tok
         |           FROM documents),
         |h AS (SELECT n_tok, COUNT(*) AS cnt FROM d GROUP BY n_tok),
         |c AS (SELECT n_tok, SUM(cnt) OVER (ORDER BY n_tok
@@ -1204,7 +1208,7 @@ object TextOps {
         |WHERE cum >= ceil(q * n)
         |GROUP BY q ORDER BY q""".stripMargin) { (s, d) =>
       val counts = Tables.documents(s, d)
-        .select(TextFunctions.tokenCount(col("text")).as("n_tok"))
+        .select(TextFunctions.tokenCountNonEmpty(col("text")).as("n_tok"))
       val h = counts.groupBy(col("n_tok")).agg(count(lit(1)).as("cnt"))
       val n = counts.agg(count(lit(1)).as("n"))
       // bounded single-partition window: the histogram has one row per
@@ -1230,7 +1234,8 @@ object TextOps {
     // dropped or double-counted trigger shifts every cumulative count
     // and hash-mismatches.
     Q("q_stream_seq_len_quantiles",
-      """WITH d AS (SELECT len(string_split(text, ' ')) AS n_tok
+      """WITH d AS (SELECT len(list_filter(string_split(text, ' '),
+        |                            x -> x <> '')) AS n_tok
         |           FROM documents),
         |h AS (SELECT n_tok, COUNT(*) AS cnt FROM d GROUP BY n_tok),
         |c AS (SELECT n_tok, SUM(cnt) OVER (ORDER BY n_tok
@@ -1254,7 +1259,7 @@ object TextOps {
             .option("checkpointLocation", s"$out/ck")
             .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
               Staging.writeBatch(
-                batch.select(TextFunctions.tokenCount(col("text")).as("n_tok"))
+                batch.select(TextFunctions.tokenCountNonEmpty(col("text")).as("n_tok"))
                   .groupBy(col("n_tok")).agg(count(lit(1)).as("cnt")),
                 s"$out/hist", id)
               ()
@@ -1281,7 +1286,12 @@ object TextOps {
 
     // ---- Vocabulary coverage curve — the tokenizer-SIZING artifact:
     // what fraction of corpus token occurrences the top-k most frequent
-    // words cover, at k ∈ {100, 1000, 10000}. The curve (with q_vocab's
+    // words cover, at k ∈ {10, 25, 100, 1000, 10000} plus the
+    // max-available rank min(10000, |vocab|) — the small-k points and
+    // the terminal row keep the rank/tie-break/cumulative logic
+    // exercised even when the corpus vocabulary is below 100 (the
+    // driver testdata has ~31 distinct words; without them the gate
+    // would compare empty-to-empty). The curve (with q_vocab's
     // df table and q_zipf_fit's slope) is what decides a vocab budget
     // before anyone trains a tokenizer. Shape at 100 TB: the tf
     // aggregate is the one corpus-scale stage (map-side combined, reads
@@ -1305,7 +1315,8 @@ object TextOps {
         |SELECT CAST(rn AS BIGINT) AS k, CAST(cum AS BIGINT) AS cum_tokens,
         |  round(CAST(cum AS DOUBLE) / ntot, 6) AS coverage,
         |  CAST(vocab AS BIGINT) AS vocab, CAST(ntot AS BIGINT) AS total_tokens
-        |FROM c CROSS JOIN tot WHERE rn IN (100, 1000, 10000)
+        |FROM c CROSS JOIN tot
+        |WHERE rn IN (10, 25, 100, 1000, 10000) OR rn = least(10000, vocab)
         |ORDER BY k""".stripMargin) { (s, d) =>
       val tf = lmDwc(s, d).groupBy(col("word")).agg(sum(col("n")).as("tf"))
       val tot = tf.agg(sum(col("tf")).as("ntot"), count(lit(1)).as("vocab"))
@@ -1318,8 +1329,9 @@ object TextOps {
         .withColumn("rn", row_number().over(ord))
         .withColumn("cum", sum(col("tf")).over(
           ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      ranked.filter(col("rn").isin(100, 1000, 10000))
-        .crossJoin(broadcast(tot))
+      ranked.crossJoin(broadcast(tot))
+        .filter(col("rn").isin(10, 25, 100, 1000, 10000) ||
+          col("rn") === least(lit(10000), col("vocab")))
         .select(col("rn").cast("long").as("k"), col("cum").as("cum_tokens"),
           round(col("cum").cast("double") / col("ntot"), 6).as("coverage"),
           col("vocab"), col("ntot").as("total_tokens"))
@@ -2088,20 +2100,30 @@ object TextOps {
          |  round(abs(round(CAST(sp AS DOUBLE) / n, 6)
          |    - round(CAST(pos AS DOUBLE) / n, 6)), 6) AS gap
          |FROM g ORDER BY bin""".stripMargin) { (s, d) =>
-      val sc = scoreQuality(Tables.documents(s, d), trainQualityWeights(s, d))
-      sc.select(least(floor(col("p_en") * 10).cast("int"), lit(9)).as("bin"),
-          col("p_en"), col("label_en"))
-        .groupBy(col("bin"))
-        .agg(count(lit(1)).as("n"), sum(col("label_en")).as("pos"),
-          sum(col("p_en").cast("decimal(18,6)")).as("sp"))
-        .select(col("bin"), col("n"),
-          round(col("sp").cast("double") / col("n"), 6).as("mean_p"),
-          round(col("pos").cast("double") / col("n"), 6).as("pos_rate"),
-          round(abs(round(col("sp").cast("double") / col("n"), 6) -
-            round(col("pos").cast("double") / col("n"), 6)), 6).as("gap"))
-        .orderBy(col("bin"))
+      calibrationBins(
+        scoreQuality(Tables.documents(s, d), trainQualityWeights(s, d)))
     }
   )
+
+  /** Reliability-diagram bins over a `(p_en, label_en)` relation —
+    * factored out so the LEAST(floor(p·10), 9) clamp and the boundary
+    * behavior at p = 0.0 / p = 1.0 are unit-testable on synthetic scores
+    * spanning all 10 bins (EvalSuite); the driver testdata lands every
+    * p_en in one bin, so the gate alone would leave the clamp
+    * unexercised. */
+  private[graft] def calibrationBins(
+      sc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    sc.select(least(floor(col("p_en") * 10).cast("int"), lit(9)).as("bin"),
+        col("p_en"), col("label_en"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("label_en")).as("pos"),
+        sum(col("p_en").cast("decimal(18,6)")).as("sp"))
+      .select(col("bin"), col("n"),
+        round(col("sp").cast("double") / col("n"), 6).as("mean_p"),
+        round(col("pos").cast("double") / col("n"), 6).as("pos_rate"),
+        round(abs(round(col("sp").cast("double") / col("n"), 6) -
+          round(col("pos").cast("double") / col("n"), 6)), 6).as("gap"))
+      .orderBy(col("bin"))
 
   /** One-row metric panel over a `(p_en, label_en, pred_en)` relation —
     * factored out so the rank-statistic AUC is unit-testable against

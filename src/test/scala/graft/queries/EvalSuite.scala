@@ -102,4 +102,30 @@ class EvalSuite extends SparkSpec {
     assert(prod.toBigInteger.toString == "32000000004000000000",
       s"decimal product wrong: $prod")
   }
+
+  test("calibration bins span all 10 buckets; p=1.0 clamps into bin 9, p=0.0 into bin 0") {
+    // the gate's corpus lands every p_en in one bin, so the
+    // LEAST(floor(p·10), 9) clamp is pinned here on synthetic scores:
+    // two per decile (one at the lower boundary), plus exact 0.0/1.0
+    import spark.implicits._
+    val scores =
+      (0 until 10).flatMap { b =>
+        Seq((b / 10.0, b % 2), (b / 10.0 + 0.05, 1 - b % 2))
+      } ++ Seq((1.0, 1), (0.0, 0)) // boundary: 1.0 must NOT open bin 10
+    val bins = TextOps.calibrationBins(scores.toDF("p_en", "label_en"))
+      .collect()
+    assert(bins.map(_.getAs[Int]("bin")).toSeq == (0 until 10),
+      s"bins=${bins.map(_.getAs[Int]("bin")).mkString(",")}")
+    // bin 0 holds {0.0 (twice: boundary row + decile row), 0.05}; bin 9
+    // holds {0.9, 0.95, 1.0} — the clamp, not an 11th bin
+    val b0 = bins.find(_.getAs[Int]("bin") == 0).get
+    val b9 = bins.find(_.getAs[Int]("bin") == 9).get
+    assert(b0.getAs[Long]("n") == 3 && b9.getAs[Long]("n") == 3)
+    assert(b9.getAs[Double]("mean_p") == 0.95) // (0.9+0.95+1.0)/3 via decimal sum
+    // a middle bin's mean/pos_rate/gap agree with hand arithmetic:
+    // bin 4 = {(0.4, 0), (0.45, 1)} → mean 0.425, pos_rate 0.5, gap 0.075
+    val b4 = bins.find(_.getAs[Int]("bin") == 4).get
+    assert(b4.getAs[Double]("mean_p") == 0.425 &&
+      b4.getAs[Double]("pos_rate") == 0.5 && b4.getAs[Double]("gap") == 0.075)
+  }
 }
