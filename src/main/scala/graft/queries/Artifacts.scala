@@ -20,10 +20,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Artifact dirs of stopped contexts are swept on the next call from any
   * live one; a JVM shutdown hook removes whatever remains.
   *
-  * Staging location: `java.io.tmpdir`, correct for local[*] (driver and
-  * executors share the filesystem). On a real cluster the staging root
-  * must be a shared filesystem (HDFS/S3/NFS) — the write/read protocol
-  * is unchanged, only the path policy moves to a config.
+  * Staging location: the `graft.artifacts.root` session conf
+  * (default `java.io.tmpdir`, correct for local[*] where driver and
+  * executors share the filesystem). On a real cluster set it to a shared
+  * filesystem path (HDFS/S3/NFS) — the write/read protocol is unchanged.
+  * The root is created if absent; ArtifactsSuite exercises a
+  * non-default root including the failed-derivation sweep there.
   */
 private[queries] object Artifacts {
 
@@ -65,7 +67,10 @@ private[queries] object Artifacts {
       val again = staged.get(key)
       if (again != null) s.read.parquet(again._2.toString)
       else {
-        val dir = java.nio.file.Files.createTempDirectory(s"graft_art_${name}_")
+        val root = java.nio.file.Paths.get(
+          s.conf.get("graft.artifacts.root", System.getProperty("java.io.tmpdir")))
+        java.nio.file.Files.createDirectories(root)
+        val dir = java.nio.file.Files.createTempDirectory(root, s"graft_art_${name}_")
         // a FAILED derivation must not leak its directory: it is only
         // registered (and thus sweepable / shutdown-removed) on success
         try derive.write.mode("overwrite").parquet(dir.toString)

@@ -36,6 +36,9 @@ object WasmOps {
       resultType = 0x7c, localGroups = Seq((1, 0x7f), (1, 0x7c)))
   }
 
+  /** Module bytes for the interpreter microbenchmark (WasmMicro). */
+  private[graft] def l2normModuleForBench: Array[Byte] = l2normModule
+
   /** Guest `shift(ptr, len) → outLen`: reads the i64 at offset 0, adds
     * `env.config_get(0)` (an imported, capability-gated hostcall), stores
     * the result back at offset 0 and returns 8. Assembled by hand because

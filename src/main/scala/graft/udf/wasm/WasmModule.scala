@@ -305,96 +305,71 @@ final class WasmModule(bytes: Array[Byte],
       require(argv.length == ft.params.length, s"arity mismatch calling func $idx")
       val code = codes(local)
       val body = code.body
-      val locals = new Array[Long](ft.params.length + code.nLocals)
-      System.arraycopy(argv, 0, locals, 0, argv.length)
-      val stack = new mutable.ArrayDeque[Long]()
-      // frames: (opcode, startPc, endPc, entryDepth, labelArity)
-      val control = mutable.ArrayDeque[(Int, Int, Int, Int, Int)]()
-      var pc = 0
-      var returned: Option[Long] = None
-      var running = true
+      val f = new Frame(body, ft.params.length + code.nLocals, ft.results.nonEmpty)
+      System.arraycopy(argv, 0, f.locals, 0, argv.length)
 
-      def push(v: Long): Unit = stack.prepend(v)
-      def pop(): Long = stack.removeHead()
-      @inline def i32(v: Long): Long = v.toInt.toLong
-
-      def doReturn(): Unit = {
-        returned = if (ft.results.nonEmpty) Some(pop()) else None
-        running = false
-      }
-
-      def branch(depth: Int): Unit = {
-        if (depth >= control.size) { doReturn(); return } // function label
-        var d = depth
-        while (d > 0) { control.removeHead(); d -= 1 }
-        val (op, start, endPc2, entryDepth, arity) = control.head
-        if (op == 0x03) { // loop: target = start, label params none (MVP)
-          while (stack.length > entryDepth) pop()
-          pc = start
-        } else { // block/if: target = after end, carry label-arity results
-          control.removeHead()
-          val keep = Array.fill(arity)(pop())
-          while (stack.length > entryDepth) pop()
-          keep.reverseIterator.foreach(push)
-          pc = endPc2 + 1
-        }
-      }
-
-      while (running && pc < body.length) {
+      // Dispatch is SPLIT: control flow + calls + locals/globals here,
+      // everything else in the four opcode-family handlers below. A
+      // single method holding all ~140 cases exceeds HotSpot's
+      // HugeMethodLimit (8000 bytecode bytes, -XX:DontCompileHugeMethods
+      // default true) and is therefore NEVER JIT-compiled — measured 25×
+      // slower per invoke (535 µs vs 21 µs on the l2norm guest) and 300×
+      // inside a busy Spark session. Keeping every method well under the
+      // limit is a correctness-of-performance invariant; WasmPerfSuite
+      // pins it with a throughput floor.
+      while (f.running && f.pc < body.length) {
         remainingFuel -= 1
         if (remainingFuel <= 0) throw new IllegalStateException("wasm fuel exhausted")
-        val op = body(pc) & 0xff
-        pc += 1
-        @inline def immU(): Long = { val (v, np) = ulebAt(body, pc); pc = np; v }
-        @inline def immS(): Long = { val (v, np) = slebAt(body, pc); pc = np; v }
+        val op = body(f.pc) & 0xff
+        f.pc += 1
         op match {
           case 0x00 => throw new IllegalStateException("wasm trap: unreachable")
           case 0x01 => // nop
           case 0x02 | 0x03 => // block | loop
-            val bt = body(pc) & 0xff; pc += 1
+            val bt = body(f.pc) & 0xff; f.pc += 1
             val arity = if (bt == 0x40) 0 else 1
-            control.prepend((op, pc, code.endOf(pc - 2), stack.length, arity))
+            f.cPush(op, f.pc, code.endOf(f.pc - 2), f.sp, arity)
           case 0x04 => // if
-            val bt = body(pc) & 0xff; pc += 1
+            val bt = body(f.pc) & 0xff; f.pc += 1
             val arity = if (bt == 0x40) 0 else 1
-            val cond = pop()
-            val opening = pc - 2
-            control.prepend((0x02, pc, code.endOf(opening), stack.length, arity))
+            val cond = f.pop()
+            val opening = f.pc - 2
+            f.cPush(0x02, f.pc, code.endOf(opening), f.sp, arity)
             if (cond == 0) {
               val e = code.elseOf(opening)
-              pc = if (e >= 0) e + 1
-                   else { control.removeHead(); code.endOf(opening) + 1 }
+              f.pc = if (e >= 0) e + 1
+                     else { f.csp -= 1; code.endOf(opening) + 1 }
             }
           case 0x05 => // else reached = end of then-branch
-            val (_, _, endPc2, _, _) = control.removeHead()
-            pc = endPc2 + 1
+            f.csp -= 1
+            f.pc = f.cFrames(f.csp * 5 + 2) + 1
           case 0x0b => // end
-            if (control.nonEmpty) control.removeHead()
-            else running = false
-          case 0x0c => branch(immU().toInt)
-          case 0x0d => val d = immU().toInt; if (pop() != 0) branch(d)
+            if (f.csp > 0) f.csp -= 1
+            else f.running = false
+          case 0x0c => f.branch(f.immU().toInt)
+          case 0x0d => val d = f.immU().toInt; if (f.pop() != 0) f.branch(d)
           case 0x0e => // br_table: n labels + default, select by operand
-            val n = immU().toInt
+            val n = f.immU().toInt
             val labels = new Array[Int](n)
             var i = 0
-            while (i < n) { labels(i) = immU().toInt; i += 1 }
-            val dflt = immU().toInt
-            val idx = pop().toInt
-            branch(if (idx >= 0 && idx < n) labels(idx) else dflt)
-          case 0x0f => doReturn()
+            while (i < n) { labels(i) = f.immU().toInt; i += 1 }
+            val dflt = f.immU().toInt
+            val sel = f.pop().toInt
+            f.branch(if (sel >= 0 && sel < n) labels(sel) else dflt)
+          case 0x0f => f.doReturn()
           case 0x10 =>
-            val callee = immU().toInt
+            val callee = f.immU().toInt
             val calleeType =
               if (callee < importedFns.size) types(importedFns(callee)._2)
               else types(funcTypeIdx(callee - importedFns.size))
             val argv2 = new Array[Long](calleeType.params.length)
             var i = calleeType.params.length - 1
-            while (i >= 0) { argv2(i) = pop(); i -= 1 }
-            callFunction(callee, argv2, depth + 1).foreach(push)
+            while (i >= 0) { argv2(i) = f.pop(); i -= 1 }
+            callFunction(callee, argv2, depth + 1).foreach(f.push)
           case 0x11 => // call_indirect: (type imm, table imm 0x00)
-            val expectType = immU().toInt
-            pc += 1 // table index byte (always 0)
-            val slot = pop().toInt
+            val expectType = f.immU().toInt
+            f.pc += 1 // table index byte (always 0)
+            val slot = f.pop().toInt
             if (slot < 0 || slot >= table.length || table(slot) < 0)
               throw new IllegalStateException("wasm trap: undefined table element")
             val callee = table(slot)
@@ -405,399 +380,30 @@ final class WasmModule(bytes: Array[Byte],
               "wasm trap: indirect call type mismatch")
             val argv2 = new Array[Long](calleeType.params.length)
             var i = calleeType.params.length - 1
-            while (i >= 0) { argv2(i) = pop(); i -= 1 }
-            callFunction(callee, argv2, depth + 1).foreach(push)
-          case 0x1a => pop() // drop
-          case 0x1b =>
-            val c = pop(); val b = pop(); val a = pop(); push(if (c != 0) a else b)
-          case 0x20 => push(locals(immU().toInt))
-          case 0x21 => locals(immU().toInt) = pop()
-          case 0x22 => locals(immU().toInt) = stack.head
-          case 0x23 => push(globals(immU().toInt)) // global.get
+            while (i >= 0) { argv2(i) = f.pop(); i -= 1 }
+            callFunction(callee, argv2, depth + 1).foreach(f.push)
+          case 0x1a => f.pop() // drop
+          case 0x1b => // select
+            val c = f.pop(); val b = f.pop(); val a = f.pop()
+            f.push(if (c != 0) a else b)
+          case 0x20 => f.push(f.locals(f.immU().toInt))
+          case 0x21 => f.locals(f.immU().toInt) = f.pop()
+          case 0x22 => f.locals(f.immU().toInt) = f.vstack(f.sp - 1) // local.tee
+          case 0x23 => f.push(globals(f.immU().toInt)) // global.get
           case 0x24 => // global.set
-            val g = immU().toInt
+            val g = f.immU().toInt
             require(globalMutable(g), s"wasm trap: global $g immutable")
-            globals(g) = pop()
-          case 0x28 => // i32.load (canonical: sign-extended)
-            immU(); val off = immU()
-            val addr = checkAddr(pop() + off, 4)
-            push((((memory(addr) & 0xff)) | ((memory(addr + 1) & 0xff) << 8) |
-              ((memory(addr + 2) & 0xff) << 16) | ((memory(addr + 3) & 0xff) << 24)).toLong)
-          case 0x2d => // i32.load8_u (0..255 — canonical either way)
-            immU(); val off = immU()
-            val addr = checkAddr(pop() + off, 1)
-            push(memory(addr) & 0xffL)
-          case 0x36 => // i32.store
-            immU(); val off = immU()
-            val v = pop(); val addr = checkAddr(pop() + off, 4)
-            memory(addr) = v.toByte; memory(addr + 1) = (v >> 8).toByte
-            memory(addr + 2) = (v >> 16).toByte; memory(addr + 3) = (v >> 24).toByte
-          case 0x3a => // i32.store8
-            immU(); val off = immU()
-            val v = pop(); val addr = checkAddr(pop() + off, 1)
-            memory(addr) = v.toByte
-          case 0x3f => immU(); push(memory.length / PageSize) // memory.size
-          case 0x40 => // memory.grow
-            immU(); val delta = pop().toInt
-            val cur = memory.length / PageSize
-            if (delta >= 0 && cur + delta <= maxMemoryPages) {
-              growTo((cur + delta) * PageSize); push(cur)
-            } else push(-1L)
-          case 0xfc => // bulk-memory prefix (the memcpy/memset every
-            // compiled module emits); ranges bounds-checked IN FULL before
-            // any byte moves (spec: partial copies never happen)
-            def checkRange(a: Int, n: Int): Unit =
-              if (a < 0 || n < 0 || a.toLong + n > memory.length)
-                throw new IllegalStateException("wasm trap: out of bounds memory access")
-            // saturating float→int (trunc_sat, subops 0-7): NaN → 0,
-            // out-of-range clamps — the JVM's toInt/toLong semantics for
-            // the signed cases, explicit clamps for unsigned
-            def satU32(d: Double): Long =
-              if (d.isNaN || d <= -1.0) 0L
-              else if (d >= 4294967295.0) 0xffffffffL
-              else d.toLong & 0xffffffffL
-            def satU64(d: Double): Long =
-              if (d.isNaN || d <= -1.0) 0L
-              else if (d >= 1.8446744073709552e19) -1L // 2^64-1, all bits
-              else if (d < 9.223372036854776e18) d.toLong
-              else (d - 9.223372036854776e18).toLong | Long.MinValue
-            @inline def popF32: Double = java.lang.Float.intBitsToFloat(pop().toInt).toDouble
-            @inline def popF64: Double = java.lang.Double.longBitsToDouble(pop())
-            immU().toInt match {
-              case 0 => push(popF32.toInt.toLong)  // i32.trunc_sat_f32_s
-              case 1 => push(satU32(popF32))       // i32.trunc_sat_f32_u
-              case 2 => push(popF64.toInt.toLong)  // i32.trunc_sat_f64_s
-              case 3 => push(satU32(popF64))       // i32.trunc_sat_f64_u
-              case 4 => push(popF32.toLong)        // i64.trunc_sat_f32_s
-              case 5 => push(satU64(popF32))       // i64.trunc_sat_f32_u
-              case 6 => push(popF64.toLong)        // i64.trunc_sat_f64_s
-              case 7 => push(satU64(popF64))       // i64.trunc_sat_f64_u
-              case 10 => // memory.copy: dst src n (+ two reserved bytes)
-                pc += 2
-                val n = pop().toInt; val src = pop().toInt; val dst = pop().toInt
-                checkRange(src, n); checkRange(dst, n)
-                if (n > 0) System.arraycopy(memory, src, memory, dst, n)
-              case 11 => // memory.fill: dst value n (+ one reserved byte)
-                pc += 1
-                val n = pop().toInt; val v = pop().toByte; val dst = pop().toInt
-                checkRange(dst, n)
-                if (n > 0) java.util.Arrays.fill(memory, dst, dst + n, v)
-              case sub => throw new UnsupportedOperationException(
-                s"wasm 0xfc subopcode $sub unsupported")
-            }
-          case 0x2c => // i32.load8_s
-            immU(); val off = immU()
-            val addr = checkAddr(pop() + off, 1)
-            push(memory(addr).toLong)
-          case 0x2e => // i32.load16_s
-            immU(); val off = immU()
-            val addr = checkAddr(pop() + off, 2)
-            push((((memory(addr) & 0xff) | (memory(addr + 1) << 8))).toShort.toLong)
-          case 0x2f => // i32.load16_u
-            immU(); val off = immU()
-            val addr = checkAddr(pop() + off, 2)
-            push(((memory(addr) & 0xffL)) | ((memory(addr + 1) & 0xffL) << 8))
-          case 0x3b => // i32.store16
-            immU(); val off = immU()
-            val v = pop(); val addr = checkAddr(pop() + off, 2)
-            memory(addr) = v.toByte; memory(addr + 1) = (v >> 8).toByte
-          case 0x41 => push(i32(immS()))
-          case 0x42 => push(immS())
-          case 0x45 => push(if (pop() == 0) 1 else 0)
-          case 0x46 => push(if (pop() == pop()) 1 else 0)
-          case 0x47 => push(if (pop() != pop()) 1 else 0)
-          case 0x48 => val b = pop().toInt; val a = pop().toInt; push(if (a < b) 1 else 0)
-          case 0x49 => val b = pop(); val a = pop()
-            push(if (java.lang.Integer.compareUnsigned(a.toInt, b.toInt) < 0) 1 else 0)
-          case 0x4a => val b = pop().toInt; val a = pop().toInt; push(if (a > b) 1 else 0)
-          case 0x4b => val b = pop(); val a = pop()
-            push(if (java.lang.Integer.compareUnsigned(a.toInt, b.toInt) > 0) 1 else 0)
-          case 0x4c => val b = pop().toInt; val a = pop().toInt; push(if (a <= b) 1 else 0)
-          case 0x4d => val b = pop(); val a = pop()
-            push(if (java.lang.Integer.compareUnsigned(a.toInt, b.toInt) <= 0) 1 else 0)
-          case 0x4e => val b = pop().toInt; val a = pop().toInt; push(if (a >= b) 1 else 0)
-          case 0x4f => val b = pop(); val a = pop()
-            push(if (java.lang.Integer.compareUnsigned(a.toInt, b.toInt) >= 0) 1 else 0)
-          case 0x67 => push(java.lang.Integer.numberOfLeadingZeros(pop().toInt).toLong)
-          case 0x68 => push(java.lang.Integer.numberOfTrailingZeros(pop().toInt).toLong)
-          case 0x69 => push(java.lang.Integer.bitCount(pop().toInt).toLong)
-          case 0x6a => push(i32(pop() + pop()))
-          case 0x6b => val b = pop(); val a = pop(); push(i32(a - b))
-          case 0x6c => push(i32(pop().toInt * pop().toInt))
-          case 0x6d => val b = pop().toInt; val a = pop().toInt
-            if (b == 0) throw new IllegalStateException("wasm trap: div by zero")
-            // Wasm spec: INT_MIN / -1 overflows and must trap (JVM wraps).
-            if (a == Int.MinValue && b == -1)
-              throw new IllegalStateException("wasm trap: integer overflow")
-            push(i32(a / b))
-          case 0x6e => val b = pop().toInt; val a = pop().toInt
-            if (b == 0) throw new IllegalStateException("wasm trap: div by zero")
-            push(java.lang.Integer.divideUnsigned(a, b).toLong)
-          case 0x6f => val b = pop().toInt; val a = pop().toInt
-            if (b == 0) throw new IllegalStateException("wasm trap: rem by zero")
-            push(i32(a % b))
-          case 0x70 => val b = pop().toInt; val a = pop().toInt
-            if (b == 0) throw new IllegalStateException("wasm trap: rem by zero")
-            push(java.lang.Integer.remainderUnsigned(a, b).toLong)
-          case 0x71 => push(i32(pop() & pop()))
-          case 0x72 => push(i32(pop() | pop()))
-          case 0x73 => push(i32(pop() ^ pop()))
-          case 0x74 => val b = pop().toInt; val a = pop().toInt; push(i32(a << (b & 31)))
-          case 0x75 => val b = pop().toInt; val a = pop().toInt; push(i32(a >> (b & 31)))
-          case 0x76 => val b = pop().toInt; val a = pop().toInt; push(i32(a >>> (b & 31)))
-          case 0x77 => val b = pop().toInt; val a = pop().toInt
-            push(i32(java.lang.Integer.rotateLeft(a, b & 31).toLong))
-          case 0x78 => val b = pop().toInt; val a = pop().toInt
-            push(i32(java.lang.Integer.rotateRight(a, b & 31).toLong))
-
-          // ---- i64 ----
-          case 0x29 => // i64.load
-            immU(); val off = immU()
-            val addr = checkAddr(pop() + off, 8)
-            var v = 0L; var i = 7
-            while (i >= 0) { v = (v << 8) | (memory(addr + i) & 0xffL); i -= 1 }
-            push(v)
-          case 0x37 => // i64.store
-            immU(); val off = immU()
-            val v = pop(); val addr = checkAddr(pop() + off, 8)
-            var i = 0
-            while (i < 8) { memory(addr + i) = (v >> (8 * i)).toByte; i += 1 }
-          case 0x30 => // i64.load8_s
-            immU(); val off = immU()
-            push(memory(checkAddr(pop() + off, 1)).toLong)
-          case 0x31 => // i64.load8_u
-            immU(); val off = immU()
-            push(memory(checkAddr(pop() + off, 1)) & 0xffL)
-          case 0x32 => // i64.load16_s
-            immU(); val off = immU()
-            val a = checkAddr(pop() + off, 2)
-            push((((memory(a) & 0xff) | ((memory(a + 1) & 0xff) << 8)).toShort).toLong)
-          case 0x33 => // i64.load16_u
-            immU(); val off = immU()
-            val a = checkAddr(pop() + off, 2)
-            push(((memory(a) & 0xffL)) | ((memory(a + 1) & 0xffL) << 8))
-          case 0x34 => // i64.load32_s
-            immU(); val off = immU()
-            val a = checkAddr(pop() + off, 4)
-            push((((memory(a) & 0xff)) | ((memory(a + 1) & 0xff) << 8) |
-              ((memory(a + 2) & 0xff) << 16) | ((memory(a + 3) & 0xff) << 24)).toLong)
-          case 0x35 => // i64.load32_u
-            immU(); val off = immU()
-            val a = checkAddr(pop() + off, 4)
-            push(((memory(a) & 0xffL)) | ((memory(a + 1) & 0xffL) << 8) |
-              ((memory(a + 2) & 0xffL) << 16) | ((memory(a + 3) & 0xffL) << 24))
-          case 0x3c => // i64.store8
-            immU(); val off = immU()
-            val v = pop(); memory(checkAddr(pop() + off, 1)) = v.toByte
-          case 0x3d => // i64.store16
-            immU(); val off = immU()
-            val v = pop(); val a = checkAddr(pop() + off, 2)
-            memory(a) = v.toByte; memory(a + 1) = (v >> 8).toByte
-          case 0x3e => // i64.store32
-            immU(); val off = immU()
-            val v = pop(); val a = checkAddr(pop() + off, 4)
-            memory(a) = v.toByte; memory(a + 1) = (v >> 8).toByte
-            memory(a + 2) = (v >> 16).toByte; memory(a + 3) = (v >> 24).toByte
-          case 0x50 => push(if (pop() == 0) 1 else 0) // i64.eqz
-          case 0x51 => push(if (pop() == pop()) 1 else 0)
-          case 0x52 => push(if (pop() != pop()) 1 else 0)
-          case 0x53 => val b = pop(); val a = pop(); push(if (a < b) 1 else 0)
-          case 0x54 => val b = pop(); val a = pop()
-            push(if (java.lang.Long.compareUnsigned(a, b) < 0) 1 else 0)
-          case 0x55 => val b = pop(); val a = pop(); push(if (a > b) 1 else 0)
-          case 0x56 => val b = pop(); val a = pop()
-            push(if (java.lang.Long.compareUnsigned(a, b) > 0) 1 else 0)
-          case 0x57 => val b = pop(); val a = pop(); push(if (a <= b) 1 else 0)
-          case 0x58 => val b = pop(); val a = pop()
-            push(if (java.lang.Long.compareUnsigned(a, b) <= 0) 1 else 0)
-          case 0x59 => val b = pop(); val a = pop(); push(if (a >= b) 1 else 0)
-          case 0x5a => val b = pop(); val a = pop()
-            push(if (java.lang.Long.compareUnsigned(a, b) >= 0) 1 else 0)
-          case 0x79 => push(java.lang.Long.numberOfLeadingZeros(pop()).toLong)
-          case 0x7a => push(java.lang.Long.numberOfTrailingZeros(pop()).toLong)
-          case 0x7b => push(java.lang.Long.bitCount(pop()).toLong)
-          case 0x7c => push(pop() + pop())
-          case 0x7d => val b = pop(); val a = pop(); push(a - b)
-          case 0x7e => push(pop() * pop())
-          case 0x7f => val b = pop(); val a = pop()
-            if (b == 0) throw new IllegalStateException("wasm trap: div by zero")
-            if (a == Long.MinValue && b == -1L)
-              throw new IllegalStateException("wasm trap: integer overflow")
-            push(a / b)
-          case 0x80 => val b = pop(); val a = pop()
-            if (b == 0) throw new IllegalStateException("wasm trap: div by zero")
-            push(java.lang.Long.divideUnsigned(a, b))
-          case 0x81 => val b = pop(); val a = pop()
-            if (b == 0) throw new IllegalStateException("wasm trap: rem by zero")
-            push(a % b)
-          case 0x82 => val b = pop(); val a = pop()
-            if (b == 0) throw new IllegalStateException("wasm trap: rem by zero")
-            push(java.lang.Long.remainderUnsigned(a, b))
-          case 0x83 => push(pop() & pop())
-          case 0x84 => push(pop() | pop())
-          case 0x85 => push(pop() ^ pop())
-          case 0x86 => val b = pop(); val a = pop(); push(a << (b & 63))
-          case 0x87 => val b = pop(); val a = pop(); push(a >> (b & 63))
-          case 0x88 => val b = pop(); val a = pop(); push(a >>> (b & 63))
-          case 0x89 => val b = pop(); val a = pop()
-            push(java.lang.Long.rotateLeft(a, (b & 63).toInt))
-          case 0x8a => val b = pop(); val a = pop()
-            push(java.lang.Long.rotateRight(a, (b & 63).toInt))
-          case 0xa7 => push(i32(pop())) // i32.wrap_i64
-          case 0xac => push(pop().toInt.toLong) // i64.extend_i32_s
-          case 0xad => push(pop() & 0xffffffffL) // i64.extend_i32_u
-
-          // ---- f32/f64 (raw-bits-in-Long representation) ----
-          case 0x2a => // f32.load
-            immU(); val off = immU()
-            val addr = checkAddr(pop() + off, 4)
-            var v = 0L; var i = 3
-            while (i >= 0) { v = (v << 8) | (memory(addr + i) & 0xffL); i -= 1 }
-            push(v)
-          case 0x2b => // f64.load
-            immU(); val off = immU()
-            val addr = checkAddr(pop() + off, 8)
-            var v = 0L; var i = 7
-            while (i >= 0) { v = (v << 8) | (memory(addr + i) & 0xffL); i -= 1 }
-            push(v)
-          case 0x38 => // f32.store
-            immU(); val off = immU()
-            val v = pop(); val addr = checkAddr(pop() + off, 4)
-            var i = 0
-            while (i < 4) { memory(addr + i) = (v >> (8 * i)).toByte; i += 1 }
-          case 0x39 => // f64.store
-            immU(); val off = immU()
-            val v = pop(); val addr = checkAddr(pop() + off, 8)
-            var i = 0
-            while (i < 8) { memory(addr + i) = (v >> (8 * i)).toByte; i += 1 }
-          case 0x43 => // f32.const
-            var v = 0L; var i = 3
-            while (i >= 0) { v = (v << 8) | (body(pc + i) & 0xffL); i -= 1 }
-            pc += 4; push(v)
-          case 0x44 => // f64.const
-            var v = 0L; var i = 7
-            while (i >= 0) { v = (v << 8) | (body(pc + i) & 0xffL); i -= 1 }
-            pc += 8; push(v)
-          case fop if fop >= 0x5b && fop <= 0x60 => // f32 compare
-            val b = java.lang.Float.intBitsToFloat(pop().toInt)
-            val a = java.lang.Float.intBitsToFloat(pop().toInt)
-            val r = fop match {
-              case 0x5b => a == b; case 0x5c => a != b; case 0x5d => a < b
-              case 0x5e => a > b; case 0x5f => a <= b; case 0x60 => a >= b
-            }
-            push(if (r) 1 else 0)
-          case fop if fop >= 0x61 && fop <= 0x66 => // f64 compare
-            val b = java.lang.Double.longBitsToDouble(pop())
-            val a = java.lang.Double.longBitsToDouble(pop())
-            val r = fop match {
-              case 0x61 => a == b; case 0x62 => a != b; case 0x63 => a < b
-              case 0x64 => a > b; case 0x65 => a <= b; case 0x66 => a >= b
-            }
-            push(if (r) 1 else 0)
-          case fop if fop >= 0x8b && fop <= 0x97 => // f32 unary/binary
-            @inline def pf() = java.lang.Float.intBitsToFloat(pop().toInt)
-            @inline def pushF(f: Float): Unit =
-              push(java.lang.Float.floatToRawIntBits(f) & 0xffffffffL)
-            fop match {
-              case 0x8b => pushF(math.abs(pf()))
-              case 0x8c => pushF(-pf())
-              case 0x8d => pushF(math.ceil(pf().toDouble).toFloat)
-              case 0x8e => pushF(math.floor(pf().toDouble).toFloat)
-              case 0x8f => val x = pf()
-                pushF(if (x.isNaN || x.isInfinite) x
-                      else if (x < 0) math.ceil(x.toDouble).toFloat
-                      else math.floor(x.toDouble).toFloat)
-              case 0x90 => pushF(math.rint(pf().toDouble).toFloat)
-              case 0x91 => pushF(math.sqrt(pf().toDouble).toFloat)
-              case 0x92 => val b = pf(); val a = pf(); pushF(a + b)
-              case 0x93 => val b = pf(); val a = pf(); pushF(a - b)
-              case 0x94 => val b = pf(); val a = pf(); pushF(a * b)
-              case 0x95 => val b = pf(); val a = pf(); pushF(a / b)
-              case 0x96 => val b = pf(); val a = pf(); pushF(math.min(a, b))
-              case 0x97 => val b = pf(); val a = pf(); pushF(math.max(a, b))
-            }
-          case 0x98 => // f32.copysign
-            val b = java.lang.Float.intBitsToFloat(pop().toInt)
-            val a = java.lang.Float.intBitsToFloat(pop().toInt)
-            push(java.lang.Float.floatToRawIntBits(math.copySign(a, b)) & 0xffffffffL)
-          case 0xa6 => // f64.copysign
-            val b = java.lang.Double.longBitsToDouble(pop())
-            val a = java.lang.Double.longBitsToDouble(pop())
-            push(java.lang.Double.doubleToRawLongBits(math.copySign(a, b)))
-          case fop if fop >= 0x99 && fop <= 0xa5 => // f64 unary/binary
-            @inline def pd() = java.lang.Double.longBitsToDouble(pop())
-            @inline def pushD(d: Double): Unit =
-              push(java.lang.Double.doubleToRawLongBits(d))
-            fop match {
-              case 0x99 => pushD(math.abs(pd()))
-              case 0x9a => pushD(-pd())
-              case 0x9b => pushD(math.ceil(pd()))
-              case 0x9c => pushD(math.floor(pd()))
-              case 0x9d => val x = pd()
-                pushD(if (x.isNaN || x.isInfinite) x
-                      else if (x < 0) math.ceil(x) else math.floor(x))
-              case 0x9e => pushD(math.rint(pd()))
-              case 0x9f => pushD(math.sqrt(pd()))
-              case 0xa0 => val b = pd(); val a = pd(); pushD(a + b)
-              case 0xa1 => val b = pd(); val a = pd(); pushD(a - b)
-              case 0xa2 => val b = pd(); val a = pd(); pushD(a * b)
-              case 0xa3 => val b = pd(); val a = pd(); pushD(a / b)
-              case 0xa4 => val b = pd(); val a = pd(); pushD(math.min(a, b))
-              case 0xa5 => val b = pd(); val a = pd(); pushD(math.max(a, b))
-            }
-          case 0xa8 => // i32.trunc_f32_s
-            val d = java.lang.Float.intBitsToFloat(pop().toInt).toDouble
-            val t = if (d < 0) math.ceil(d) else math.floor(d)
-            if (d.isNaN || t < Int.MinValue.toDouble || t > Int.MaxValue.toDouble)
-              throw new IllegalStateException("wasm trap: invalid conversion")
-            push(t.toInt.toLong)
-          case 0xaa => // i32.trunc_f64_s
-            val d = java.lang.Double.longBitsToDouble(pop())
-            val t = if (d < 0) math.ceil(d) else math.floor(d)
-            if (d.isNaN || t < Int.MinValue.toDouble || t > Int.MaxValue.toDouble)
-              throw new IllegalStateException("wasm trap: invalid conversion")
-            push(t.toInt.toLong)
-          case 0xb2 => // f32.convert_i32_s
-            push(java.lang.Float.floatToRawIntBits(pop().toInt.toFloat) & 0xffffffffL)
-          case 0xb3 => // f32.convert_i32_u
-            push(java.lang.Float.floatToRawIntBits(
-              (pop() & 0xffffffffL).toFloat) & 0xffffffffL)
-          case 0xb4 => // f32.convert_i64_s
-            push(java.lang.Float.floatToRawIntBits(pop().toFloat) & 0xffffffffL)
-          case 0xb5 => // f32.convert_i64_u
-            val v = pop()
-            val d = if (v >= 0) v.toDouble else ((v >>> 1) | (v & 1)).toDouble * 2.0
-            push(java.lang.Float.floatToRawIntBits(d.toFloat) & 0xffffffffL)
-          case 0xb9 => // f64.convert_i64_s
-            push(java.lang.Double.doubleToRawLongBits(pop().toDouble))
-          case 0xba => // f64.convert_i64_u
-            val v = pop()
-            val d = if (v >= 0) v.toDouble else ((v >>> 1) | (v & 1)).toDouble * 2.0
-            push(java.lang.Double.doubleToRawLongBits(d))
-          case 0xb6 => // f32.demote_f64
-            push(java.lang.Float.floatToRawIntBits(
-              java.lang.Double.longBitsToDouble(pop()).toFloat) & 0xffffffffL)
-          case 0xb7 => // f64.convert_i32_s
-            push(java.lang.Double.doubleToRawLongBits(pop().toInt.toDouble))
-          case 0xb8 => // f64.convert_i32_u
-            push(java.lang.Double.doubleToRawLongBits((pop() & 0xffffffffL).toDouble))
-          case 0xbb => // f64.promote_f32
-            push(java.lang.Double.doubleToRawLongBits(
-              java.lang.Float.intBitsToFloat(pop().toInt).toDouble))
-          // reinterpret ops: the value stack already holds raw bits for
-          // floats, so all four are identity on the representation
-          case 0xbc | 0xbd | 0xbe | 0xbf => ()
-          // sign-extension ops (merged into core wasm; llvm emits by default)
-          case 0xc0 => push(pop().toByte.toLong)  // i32.extend8_s
-          case 0xc1 => push(pop().toShort.toLong) // i32.extend16_s
-          case 0xc2 => push(pop().toByte.toLong)  // i64.extend8_s
-          case 0xc3 => push(pop().toShort.toLong) // i64.extend16_s
-          case 0xc4 => push(pop().toInt.toLong)   // i64.extend32_s
+            globals(g) = f.pop()
+          case 0x41 => f.push(f.immS().toInt.toLong) // i32.const
+          case 0x42 => f.push(f.immS())              // i64.const
           case other =>
-            throw new UnsupportedOperationException(f"wasm opcode 0x$other%02x unsupported")
+            if (!execNum(f, other) && !execMem(f, other) &&
+                !execFp(f, other) && !execCvt(f, other))
+              throw new UnsupportedOperationException(
+                f"wasm opcode 0x$other%02x unsupported")
         }
       }
-      returned.orElse(if (ft.results.nonEmpty && stack.nonEmpty) Some(pop()) else None)
+      f.result
     }
 
     // A body that passed opcode validation can still carry hostile
@@ -822,10 +428,502 @@ final class WasmModule(bytes: Array[Byte],
         throw new IllegalStateException("wasm trap: call stack exhausted (jvm)", e)
     }
   }
+
+  /** Memory ops (0x28–0x40): loads, stores, memory.size/grow. */
+  private def execMem(f: Frame, op: Int): Boolean = {
+    import f._
+    op match {
+      case 0x28 => // i32.load (canonical: sign-extended)
+        immU(); val off = immU()
+        val addr = checkAddr(pop() + off, 4)
+        push((((memory(addr) & 0xff)) | ((memory(addr + 1) & 0xff) << 8) |
+          ((memory(addr + 2) & 0xff) << 16) | ((memory(addr + 3) & 0xff) << 24)).toLong)
+      case 0x29 => // i64.load
+        immU(); val off = immU()
+        val addr = checkAddr(pop() + off, 8)
+        var v = 0L; var i = 7
+        while (i >= 0) { v = (v << 8) | (memory(addr + i) & 0xffL); i -= 1 }
+        push(v)
+      case 0x2a => // f32.load
+        immU(); val off = immU()
+        val addr = checkAddr(pop() + off, 4)
+        var v = 0L; var i = 3
+        while (i >= 0) { v = (v << 8) | (memory(addr + i) & 0xffL); i -= 1 }
+        push(v)
+      case 0x2b => // f64.load
+        immU(); val off = immU()
+        val addr = checkAddr(pop() + off, 8)
+        var v = 0L; var i = 7
+        while (i >= 0) { v = (v << 8) | (memory(addr + i) & 0xffL); i -= 1 }
+        push(v)
+      case 0x2c => // i32.load8_s
+        immU(); val off = immU()
+        push(memory(checkAddr(pop() + off, 1)).toLong)
+      case 0x2d => // i32.load8_u (0..255 — canonical either way)
+        immU(); val off = immU()
+        push(memory(checkAddr(pop() + off, 1)) & 0xffL)
+      case 0x2e => // i32.load16_s
+        immU(); val off = immU()
+        val a = checkAddr(pop() + off, 2)
+        push((((memory(a) & 0xff) | (memory(a + 1) << 8))).toShort.toLong)
+      case 0x2f => // i32.load16_u
+        immU(); val off = immU()
+        val a = checkAddr(pop() + off, 2)
+        push(((memory(a) & 0xffL)) | ((memory(a + 1) & 0xffL) << 8))
+      case 0x30 => // i64.load8_s
+        immU(); val off = immU()
+        push(memory(checkAddr(pop() + off, 1)).toLong)
+      case 0x31 => // i64.load8_u
+        immU(); val off = immU()
+        push(memory(checkAddr(pop() + off, 1)) & 0xffL)
+      case 0x32 => // i64.load16_s
+        immU(); val off = immU()
+        val a = checkAddr(pop() + off, 2)
+        push((((memory(a) & 0xff) | ((memory(a + 1) & 0xff) << 8)).toShort).toLong)
+      case 0x33 => // i64.load16_u
+        immU(); val off = immU()
+        val a = checkAddr(pop() + off, 2)
+        push(((memory(a) & 0xffL)) | ((memory(a + 1) & 0xffL) << 8))
+      case 0x34 => // i64.load32_s
+        immU(); val off = immU()
+        val a = checkAddr(pop() + off, 4)
+        push((((memory(a) & 0xff)) | ((memory(a + 1) & 0xff) << 8) |
+          ((memory(a + 2) & 0xff) << 16) | ((memory(a + 3) & 0xff) << 24)).toLong)
+      case 0x35 => // i64.load32_u
+        immU(); val off = immU()
+        val a = checkAddr(pop() + off, 4)
+        push(((memory(a) & 0xffL)) | ((memory(a + 1) & 0xffL) << 8) |
+          ((memory(a + 2) & 0xffL) << 16) | ((memory(a + 3) & 0xffL) << 24))
+      case 0x36 => // i32.store
+        immU(); val off = immU()
+        val v = pop(); val addr = checkAddr(pop() + off, 4)
+        memory(addr) = v.toByte; memory(addr + 1) = (v >> 8).toByte
+        memory(addr + 2) = (v >> 16).toByte; memory(addr + 3) = (v >> 24).toByte
+      case 0x37 => // i64.store
+        immU(); val off = immU()
+        val v = pop(); val addr = checkAddr(pop() + off, 8)
+        var i = 0
+        while (i < 8) { memory(addr + i) = (v >> (8 * i)).toByte; i += 1 }
+      case 0x38 => // f32.store
+        immU(); val off = immU()
+        val v = pop(); val addr = checkAddr(pop() + off, 4)
+        var i = 0
+        while (i < 4) { memory(addr + i) = (v >> (8 * i)).toByte; i += 1 }
+      case 0x39 => // f64.store
+        immU(); val off = immU()
+        val v = pop(); val addr = checkAddr(pop() + off, 8)
+        var i = 0
+        while (i < 8) { memory(addr + i) = (v >> (8 * i)).toByte; i += 1 }
+      case 0x3a => // i32.store8
+        immU(); val off = immU()
+        val v = pop(); val addr = checkAddr(pop() + off, 1)
+        memory(addr) = v.toByte
+      case 0x3b => // i32.store16
+        immU(); val off = immU()
+        val v = pop(); val addr = checkAddr(pop() + off, 2)
+        memory(addr) = v.toByte; memory(addr + 1) = (v >> 8).toByte
+      case 0x3c => // i64.store8
+        immU(); val off = immU()
+        val v = pop(); memory(checkAddr(pop() + off, 1)) = v.toByte
+      case 0x3d => // i64.store16
+        immU(); val off = immU()
+        val v = pop(); val a = checkAddr(pop() + off, 2)
+        memory(a) = v.toByte; memory(a + 1) = (v >> 8).toByte
+      case 0x3e => // i64.store32
+        immU(); val off = immU()
+        val v = pop(); val a = checkAddr(pop() + off, 4)
+        memory(a) = v.toByte; memory(a + 1) = (v >> 8).toByte
+        memory(a + 2) = (v >> 16).toByte; memory(a + 3) = (v >> 24).toByte
+      case 0x3f => immU(); push(memory.length / PageSize) // memory.size
+      case 0x40 => // memory.grow
+        immU(); val delta = pop().toInt
+        val cur = memory.length / PageSize
+        if (delta >= 0 && cur + delta <= maxMemoryPages) {
+          growTo((cur + delta) * PageSize); push(cur)
+        } else push(-1L)
+      case _ => return false
+    }
+    true
+  }
+
+  /** Integer compare/arithmetic/bit ops (i32 + i64) and the pure
+    * integer width conversions. */
+  private def execNum(f: Frame, op: Int): Boolean = {
+    import f._
+    @inline def i32(v: Long): Long = v.toInt.toLong
+    op match {
+      // ---- i32 ----
+      case 0x45 => push(if (pop() == 0) 1 else 0)
+      case 0x46 => push(if (pop() == pop()) 1 else 0)
+      case 0x47 => push(if (pop() != pop()) 1 else 0)
+      case 0x48 => val b = pop().toInt; val a = pop().toInt; push(if (a < b) 1 else 0)
+      case 0x49 => val b = pop(); val a = pop()
+        push(if (java.lang.Integer.compareUnsigned(a.toInt, b.toInt) < 0) 1 else 0)
+      case 0x4a => val b = pop().toInt; val a = pop().toInt; push(if (a > b) 1 else 0)
+      case 0x4b => val b = pop(); val a = pop()
+        push(if (java.lang.Integer.compareUnsigned(a.toInt, b.toInt) > 0) 1 else 0)
+      case 0x4c => val b = pop().toInt; val a = pop().toInt; push(if (a <= b) 1 else 0)
+      case 0x4d => val b = pop(); val a = pop()
+        push(if (java.lang.Integer.compareUnsigned(a.toInt, b.toInt) <= 0) 1 else 0)
+      case 0x4e => val b = pop().toInt; val a = pop().toInt; push(if (a >= b) 1 else 0)
+      case 0x4f => val b = pop(); val a = pop()
+        push(if (java.lang.Integer.compareUnsigned(a.toInt, b.toInt) >= 0) 1 else 0)
+      case 0x67 => push(java.lang.Integer.numberOfLeadingZeros(pop().toInt).toLong)
+      case 0x68 => push(java.lang.Integer.numberOfTrailingZeros(pop().toInt).toLong)
+      case 0x69 => push(java.lang.Integer.bitCount(pop().toInt).toLong)
+      case 0x6a => push(i32(pop() + pop()))
+      case 0x6b => val b = pop(); val a = pop(); push(i32(a - b))
+      case 0x6c => push(i32(pop().toInt * pop().toInt))
+      case 0x6d => val b = pop().toInt; val a = pop().toInt
+        if (b == 0) throw new IllegalStateException("wasm trap: div by zero")
+        // Wasm spec: INT_MIN / -1 overflows and must trap (JVM wraps).
+        if (a == Int.MinValue && b == -1)
+          throw new IllegalStateException("wasm trap: integer overflow")
+        push(i32(a / b))
+      case 0x6e => val b = pop().toInt; val a = pop().toInt
+        if (b == 0) throw new IllegalStateException("wasm trap: div by zero")
+        push(java.lang.Integer.divideUnsigned(a, b).toLong)
+      case 0x6f => val b = pop().toInt; val a = pop().toInt
+        if (b == 0) throw new IllegalStateException("wasm trap: rem by zero")
+        push(i32(a % b))
+      case 0x70 => val b = pop().toInt; val a = pop().toInt
+        if (b == 0) throw new IllegalStateException("wasm trap: rem by zero")
+        push(java.lang.Integer.remainderUnsigned(a, b).toLong)
+      case 0x71 => push(i32(pop() & pop()))
+      case 0x72 => push(i32(pop() | pop()))
+      case 0x73 => push(i32(pop() ^ pop()))
+      case 0x74 => val b = pop().toInt; val a = pop().toInt; push(i32(a << (b & 31)))
+      case 0x75 => val b = pop().toInt; val a = pop().toInt; push(i32(a >> (b & 31)))
+      case 0x76 => val b = pop().toInt; val a = pop().toInt; push(i32(a >>> (b & 31)))
+      case 0x77 => val b = pop().toInt; val a = pop().toInt
+        push(i32(java.lang.Integer.rotateLeft(a, b & 31).toLong))
+      case 0x78 => val b = pop().toInt; val a = pop().toInt
+        push(i32(java.lang.Integer.rotateRight(a, b & 31).toLong))
+      // ---- i64 ----
+      case 0x50 => push(if (pop() == 0) 1 else 0) // i64.eqz
+      case 0x51 => push(if (pop() == pop()) 1 else 0)
+      case 0x52 => push(if (pop() != pop()) 1 else 0)
+      case 0x53 => val b = pop(); val a = pop(); push(if (a < b) 1 else 0)
+      case 0x54 => val b = pop(); val a = pop()
+        push(if (java.lang.Long.compareUnsigned(a, b) < 0) 1 else 0)
+      case 0x55 => val b = pop(); val a = pop(); push(if (a > b) 1 else 0)
+      case 0x56 => val b = pop(); val a = pop()
+        push(if (java.lang.Long.compareUnsigned(a, b) > 0) 1 else 0)
+      case 0x57 => val b = pop(); val a = pop(); push(if (a <= b) 1 else 0)
+      case 0x58 => val b = pop(); val a = pop()
+        push(if (java.lang.Long.compareUnsigned(a, b) <= 0) 1 else 0)
+      case 0x59 => val b = pop(); val a = pop(); push(if (a >= b) 1 else 0)
+      case 0x5a => val b = pop(); val a = pop()
+        push(if (java.lang.Long.compareUnsigned(a, b) >= 0) 1 else 0)
+      case 0x79 => push(java.lang.Long.numberOfLeadingZeros(pop()).toLong)
+      case 0x7a => push(java.lang.Long.numberOfTrailingZeros(pop()).toLong)
+      case 0x7b => push(java.lang.Long.bitCount(pop()).toLong)
+      case 0x7c => push(pop() + pop())
+      case 0x7d => val b = pop(); val a = pop(); push(a - b)
+      case 0x7e => push(pop() * pop())
+      case 0x7f => val b = pop(); val a = pop()
+        if (b == 0) throw new IllegalStateException("wasm trap: div by zero")
+        if (a == Long.MinValue && b == -1L)
+          throw new IllegalStateException("wasm trap: integer overflow")
+        push(a / b)
+      case 0x80 => val b = pop(); val a = pop()
+        if (b == 0) throw new IllegalStateException("wasm trap: div by zero")
+        push(java.lang.Long.divideUnsigned(a, b))
+      case 0x81 => val b = pop(); val a = pop()
+        if (b == 0) throw new IllegalStateException("wasm trap: rem by zero")
+        push(a % b)
+      case 0x82 => val b = pop(); val a = pop()
+        if (b == 0) throw new IllegalStateException("wasm trap: rem by zero")
+        push(java.lang.Long.remainderUnsigned(a, b))
+      case 0x83 => push(pop() & pop())
+      case 0x84 => push(pop() | pop())
+      case 0x85 => push(pop() ^ pop())
+      case 0x86 => val b = pop(); val a = pop(); push(a << (b & 63))
+      case 0x87 => val b = pop(); val a = pop(); push(a >> (b & 63))
+      case 0x88 => val b = pop(); val a = pop(); push(a >>> (b & 63))
+      case 0x89 => val b = pop(); val a = pop()
+        push(java.lang.Long.rotateLeft(a, (b & 63).toInt))
+      case 0x8a => val b = pop(); val a = pop()
+        push(java.lang.Long.rotateRight(a, (b & 63).toInt))
+      case 0xa7 => push(i32(pop())) // i32.wrap_i64
+      case 0xac => push(pop().toInt.toLong) // i64.extend_i32_s
+      case 0xad => push(pop() & 0xffffffffL) // i64.extend_i32_u
+      // sign-extension ops (merged into core wasm; llvm emits by default)
+      case 0xc0 => push(pop().toByte.toLong)  // i32.extend8_s
+      case 0xc1 => push(pop().toShort.toLong) // i32.extend16_s
+      case 0xc2 => push(pop().toByte.toLong)  // i64.extend8_s
+      case 0xc3 => push(pop().toShort.toLong) // i64.extend16_s
+      case 0xc4 => push(pop().toInt.toLong)   // i64.extend32_s
+      case _ => return false
+    }
+    true
+  }
+
+  /** Float consts, compares, and arithmetic (raw-bits-in-Long
+    * representation on the value stack). */
+  private def execFp(f: Frame, op: Int): Boolean = {
+    import f._
+    op match {
+      case 0x43 => // f32.const
+        var v = 0L; var i = 3
+        while (i >= 0) { v = (v << 8) | (body(pc + i) & 0xffL); i -= 1 }
+        pc += 4; push(v)
+      case 0x44 => // f64.const
+        var v = 0L; var i = 7
+        while (i >= 0) { v = (v << 8) | (body(pc + i) & 0xffL); i -= 1 }
+        pc += 8; push(v)
+      case fop if fop >= 0x5b && fop <= 0x60 => // f32 compare
+        val b = java.lang.Float.intBitsToFloat(pop().toInt)
+        val a = java.lang.Float.intBitsToFloat(pop().toInt)
+        val r = fop match {
+          case 0x5b => a == b; case 0x5c => a != b; case 0x5d => a < b
+          case 0x5e => a > b; case 0x5f => a <= b; case 0x60 => a >= b
+        }
+        push(if (r) 1 else 0)
+      case fop if fop >= 0x61 && fop <= 0x66 => // f64 compare
+        val b = java.lang.Double.longBitsToDouble(pop())
+        val a = java.lang.Double.longBitsToDouble(pop())
+        val r = fop match {
+          case 0x61 => a == b; case 0x62 => a != b; case 0x63 => a < b
+          case 0x64 => a > b; case 0x65 => a <= b; case 0x66 => a >= b
+        }
+        push(if (r) 1 else 0)
+      case fop if fop >= 0x8b && fop <= 0x97 => // f32 unary/binary
+        @inline def pf() = java.lang.Float.intBitsToFloat(pop().toInt)
+        @inline def pushF(x: Float): Unit =
+          push(java.lang.Float.floatToRawIntBits(x) & 0xffffffffL)
+        fop match {
+          case 0x8b => pushF(math.abs(pf()))
+          case 0x8c => pushF(-pf())
+          case 0x8d => pushF(math.ceil(pf().toDouble).toFloat)
+          case 0x8e => pushF(math.floor(pf().toDouble).toFloat)
+          case 0x8f => val x = pf()
+            pushF(if (x.isNaN || x.isInfinite) x
+                  else if (x < 0) math.ceil(x.toDouble).toFloat
+                  else math.floor(x.toDouble).toFloat)
+          case 0x90 => pushF(math.rint(pf().toDouble).toFloat)
+          case 0x91 => pushF(math.sqrt(pf().toDouble).toFloat)
+          case 0x92 => val b = pf(); val a = pf(); pushF(a + b)
+          case 0x93 => val b = pf(); val a = pf(); pushF(a - b)
+          case 0x94 => val b = pf(); val a = pf(); pushF(a * b)
+          case 0x95 => val b = pf(); val a = pf(); pushF(a / b)
+          case 0x96 => val b = pf(); val a = pf(); pushF(math.min(a, b))
+          case 0x97 => val b = pf(); val a = pf(); pushF(math.max(a, b))
+        }
+      case 0x98 => // f32.copysign
+        val b = java.lang.Float.intBitsToFloat(pop().toInt)
+        val a = java.lang.Float.intBitsToFloat(pop().toInt)
+        push(java.lang.Float.floatToRawIntBits(math.copySign(a, b)) & 0xffffffffL)
+      case fop if fop >= 0x99 && fop <= 0xa5 => // f64 unary/binary
+        @inline def pd() = java.lang.Double.longBitsToDouble(pop())
+        @inline def pushD(d: Double): Unit =
+          push(java.lang.Double.doubleToRawLongBits(d))
+        fop match {
+          case 0x99 => pushD(math.abs(pd()))
+          case 0x9a => pushD(-pd())
+          case 0x9b => pushD(math.ceil(pd()))
+          case 0x9c => pushD(math.floor(pd()))
+          case 0x9d => val x = pd()
+            pushD(if (x.isNaN || x.isInfinite) x
+                  else if (x < 0) math.ceil(x) else math.floor(x))
+          case 0x9e => pushD(math.rint(pd()))
+          case 0x9f => pushD(math.sqrt(pd()))
+          case 0xa0 => val b = pd(); val a = pd(); pushD(a + b)
+          case 0xa1 => val b = pd(); val a = pd(); pushD(a - b)
+          case 0xa2 => val b = pd(); val a = pd(); pushD(a * b)
+          case 0xa3 => val b = pd(); val a = pd(); pushD(a / b)
+          case 0xa4 => val b = pd(); val a = pd(); pushD(math.min(a, b))
+          case 0xa5 => val b = pd(); val a = pd(); pushD(math.max(a, b))
+        }
+      case 0xa6 => // f64.copysign
+        val b = java.lang.Double.longBitsToDouble(pop())
+        val a = java.lang.Double.longBitsToDouble(pop())
+        push(java.lang.Double.doubleToRawLongBits(math.copySign(a, b)))
+      case _ => return false
+    }
+    true
+  }
+
+  /** Float↔int conversions (trapping truncs, converts, demote/promote,
+    * reinterprets) and the 0xFC prefix (saturating truncs +
+    * memory.copy/fill). */
+  private def execCvt(f: Frame, op: Int): Boolean = {
+    import f._
+    op match {
+      case 0xa8 => // i32.trunc_f32_s
+        val d = java.lang.Float.intBitsToFloat(pop().toInt).toDouble
+        val t = if (d < 0) math.ceil(d) else math.floor(d)
+        if (d.isNaN || t < Int.MinValue.toDouble || t > Int.MaxValue.toDouble)
+          throw new IllegalStateException("wasm trap: invalid conversion")
+        push(t.toInt.toLong)
+      case 0xaa => // i32.trunc_f64_s
+        val d = java.lang.Double.longBitsToDouble(pop())
+        val t = if (d < 0) math.ceil(d) else math.floor(d)
+        if (d.isNaN || t < Int.MinValue.toDouble || t > Int.MaxValue.toDouble)
+          throw new IllegalStateException("wasm trap: invalid conversion")
+        push(t.toInt.toLong)
+      case 0xb2 => // f32.convert_i32_s
+        push(java.lang.Float.floatToRawIntBits(pop().toInt.toFloat) & 0xffffffffL)
+      case 0xb3 => // f32.convert_i32_u
+        push(java.lang.Float.floatToRawIntBits(
+          (pop() & 0xffffffffL).toFloat) & 0xffffffffL)
+      case 0xb4 => // f32.convert_i64_s
+        push(java.lang.Float.floatToRawIntBits(pop().toFloat) & 0xffffffffL)
+      case 0xb5 => // f32.convert_i64_u
+        val v = pop()
+        val d = if (v >= 0) v.toDouble else ((v >>> 1) | (v & 1)).toDouble * 2.0
+        push(java.lang.Float.floatToRawIntBits(d.toFloat) & 0xffffffffL)
+      case 0xb6 => // f32.demote_f64
+        push(java.lang.Float.floatToRawIntBits(
+          java.lang.Double.longBitsToDouble(pop()).toFloat) & 0xffffffffL)
+      case 0xb7 => // f64.convert_i32_s
+        push(java.lang.Double.doubleToRawLongBits(pop().toInt.toDouble))
+      case 0xb8 => // f64.convert_i32_u
+        push(java.lang.Double.doubleToRawLongBits((pop() & 0xffffffffL).toDouble))
+      case 0xb9 => // f64.convert_i64_s
+        push(java.lang.Double.doubleToRawLongBits(pop().toDouble))
+      case 0xba => // f64.convert_i64_u
+        val v = pop()
+        val d = if (v >= 0) v.toDouble else ((v >>> 1) | (v & 1)).toDouble * 2.0
+        push(java.lang.Double.doubleToRawLongBits(d))
+      case 0xbb => // f64.promote_f32
+        push(java.lang.Double.doubleToRawLongBits(
+          java.lang.Float.intBitsToFloat(pop().toInt).toDouble))
+      // reinterpret ops: the value stack already holds raw bits for
+      // floats, so all four are identity on the representation
+      case 0xbc | 0xbd | 0xbe | 0xbf => ()
+      case 0xfc => // bulk-memory prefix (the memcpy/memset every
+        // compiled module emits); ranges bounds-checked IN FULL before
+        // any byte moves (spec: partial copies never happen)
+        def checkRange(a: Int, n: Int): Unit =
+          if (a < 0 || n < 0 || a.toLong + n > memory.length)
+            throw new IllegalStateException("wasm trap: out of bounds memory access")
+        // saturating float→int (trunc_sat, subops 0-7): NaN → 0,
+        // out-of-range clamps — the JVM's toInt/toLong semantics for
+        // the signed cases, explicit clamps for unsigned
+        def satU32(d: Double): Long =
+          if (d.isNaN || d <= -1.0) 0L
+          else if (d >= 4294967295.0) 0xffffffffL
+          else d.toLong & 0xffffffffL
+        def satU64(d: Double): Long =
+          if (d.isNaN || d <= -1.0) 0L
+          else if (d >= 1.8446744073709552e19) -1L // 2^64-1, all bits
+          else if (d < 9.223372036854776e18) d.toLong
+          else (d - 9.223372036854776e18).toLong | Long.MinValue
+        @inline def popF32: Double = java.lang.Float.intBitsToFloat(pop().toInt).toDouble
+        @inline def popF64: Double = java.lang.Double.longBitsToDouble(pop())
+        immU().toInt match {
+          case 0 => push(popF32.toInt.toLong)  // i32.trunc_sat_f32_s
+          case 1 => push(satU32(popF32))       // i32.trunc_sat_f32_u
+          case 2 => push(popF64.toInt.toLong)  // i32.trunc_sat_f64_s
+          case 3 => push(satU32(popF64))       // i32.trunc_sat_f64_u
+          case 4 => push(popF32.toLong)        // i64.trunc_sat_f32_s
+          case 5 => push(satU64(popF32))       // i64.trunc_sat_f32_u
+          case 6 => push(popF64.toLong)        // i64.trunc_sat_f64_s
+          case 7 => push(satU64(popF64))       // i64.trunc_sat_f64_u
+          case 10 => // memory.copy: dst src n (+ two reserved bytes)
+            pc += 2
+            val n = pop().toInt; val src = pop().toInt; val dst = pop().toInt
+            checkRange(src, n); checkRange(dst, n)
+            if (n > 0) System.arraycopy(memory, src, memory, dst, n)
+          case 11 => // memory.fill: dst value n (+ one reserved byte)
+            pc += 1
+            val n = pop().toInt; val v = pop().toByte; val dst = pop().toInt
+            checkRange(dst, n)
+            if (n > 0) java.util.Arrays.fill(memory, dst, dst + n, v)
+          case sub => throw new UnsupportedOperationException(
+            s"wasm 0xfc subopcode $sub unsupported")
+        }
+      case _ => return false
+    }
+    true
+  }
+
 }
 
 object WasmModule {
   val PageSize = 65536
+
+  /** Per-call interpreter frame: primitive value stack (raw Array[Long]
+    * + top index — a generic ArrayDeque[Long] boxes every push/pop),
+    * control frames as one flat Int array (5 slots per frame: opcode,
+    * startPc, endPc, entry-sp, labelArity), locals, and pc. Shared
+    * mutable state between the split dispatch methods above; immediates
+    * decode allocation-free (bodies were bounds/overlength-checked at
+    * decode time by scanBlocks, so the invoke-boundary trap conversion
+    * covers the pathological leftovers). */
+  private[wasm] final class Frame(
+      val body: Array[Byte], nSlots: Int, val hasResult: Boolean) {
+    val locals = new Array[Long](nSlots)
+    var vstack = new Array[Long](64)
+    var sp = 0
+    var cFrames = new Array[Int](5 * 16)
+    var csp = 0
+    var pc = 0
+    var running = true
+    var returned: Option[Long] = None
+
+    def push(v: Long): Unit = {
+      if (sp == vstack.length)
+        vstack = java.util.Arrays.copyOf(vstack, vstack.length << 1)
+      vstack(sp) = v; sp += 1
+    }
+    def pop(): Long = {
+      sp -= 1
+      if (sp < 0) throw new IllegalStateException("wasm trap: value stack underflow")
+      vstack(sp)
+    }
+    def immU(): Long = {
+      var r = 0L; var shift = 0; var x = 0
+      do {
+        x = body(pc) & 0xff; pc += 1
+        r |= (x & 0x7fL) << shift; shift += 7
+      } while ((x & 0x80) != 0)
+      r
+    }
+    def immS(): Long = {
+      var r = 0L; var shift = 0; var x = 0
+      do {
+        x = body(pc) & 0xff; pc += 1
+        r |= (x & 0x7fL) << shift; shift += 7
+      } while ((x & 0x80) != 0)
+      if (shift < 64 && (x & 0x40) != 0) r |= -1L << shift
+      r
+    }
+    def cPush(op: Int, start: Int, end: Int, entrySp: Int, arity: Int): Unit = {
+      if (csp * 5 == cFrames.length)
+        cFrames = java.util.Arrays.copyOf(cFrames, cFrames.length << 1)
+      val b = csp * 5
+      cFrames(b) = op; cFrames(b + 1) = start; cFrames(b + 2) = end
+      cFrames(b + 3) = entrySp; cFrames(b + 4) = arity
+      csp += 1
+    }
+    def doReturn(): Unit = {
+      returned = if (hasResult) Some(pop()) else None
+      running = false
+    }
+    def branch(depth: Int): Unit = {
+      if (depth >= csp) { doReturn(); return } // function label
+      csp -= depth // discard the crossed frames
+      val b = (csp - 1) * 5
+      val op = cFrames(b); val start = cFrames(b + 1)
+      val endPc = cFrames(b + 2)
+      val entrySp = cFrames(b + 3); val arity = cFrames(b + 4)
+      if (op == 0x03) { // loop: target = start, label params none (MVP)
+        if (sp > entrySp) sp = entrySp
+        pc = start
+      } else { // block/if: target = after end, carry label-arity results
+        csp -= 1
+        if (sp - arity < 0)
+          throw new IllegalStateException("wasm trap: value stack underflow")
+        System.arraycopy(vstack, sp - arity, vstack, entrySp, arity)
+        sp = entrySp + arity
+        pc = endPc + 1
+      }
+    }
+    def result: Option[Long] =
+      returned.orElse(if (hasResult && sp > 0) Some(pop()) else None)
+  }
 
   /** Full function type: value-type lists (call_indirect compares these
     * for the spec type-mismatch trap; arity alone is not enough). */

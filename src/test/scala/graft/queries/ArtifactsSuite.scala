@@ -62,4 +62,34 @@ class ArtifactsSuite extends SparkSpec {
       s"not a parquet scan:\n${plan.take(800)}")
     assert(!plan.contains("LocalTableScan"), "lineage kept the in-memory relation")
   }
+
+  test("graft.artifacts.root relocates staging; failure sweep honors the configured root") {
+    import spark.implicits._
+    val root = tmpDir("arts_root").resolve("nested").resolve("staging")
+    spark.conf.set("graft.artifacts.root", root.toString)
+    try {
+      def stagedDirs() =
+        if (!java.nio.file.Files.isDirectory(root)) Array.empty[java.io.File]
+        else root.toFile.listFiles().filter(_.getName.startsWith("graft_art_arts_root"))
+      val df = Artifacts.parquet(spark, "art-suite-sf", "arts_root_ok") {
+        Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      }
+      assert(df.count() == 2)
+      // the artifact landed under the configured (auto-created) root,
+      // not java.io.tmpdir
+      assert(stagedDirs().count(_.getName.startsWith("graft_art_arts_root_ok")) == 1,
+        s"artifact not under configured root: ${stagedDirs().mkString(",")}")
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      assert(!tmp.listFiles().exists(_.getName.startsWith("graft_art_arts_root_ok")),
+        "artifact leaked into java.io.tmpdir despite configured root")
+      // a failed derivation must sweep its directory under THIS root too
+      intercept[Exception] {
+        Artifacts.parquet(spark, "art-suite-sf", "arts_root_fail") {
+          sys.error("synthetic failure under configured root")
+        }
+      }
+      assert(!stagedDirs().exists(_.getName.startsWith("graft_art_arts_root_fail")),
+        "failed derivation leaked under the configured root")
+    } finally spark.conf.unset("graft.artifacts.root")
+  }
 }
