@@ -559,4 +559,21 @@ class PlanSuite extends SparkSpec {
       "line df must key on the 8-byte hash, not line text")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("incremental dedup: historical side is an artifact scan, only the new batch is signed") {
+    val df = SparkEntry.queries("q_incremental_dedup")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    // the stored band index is read as plain parquet — no historical
+    // re-shingling/re-signing in this run's plan
+    assert(plan.contains("graft_art_inc_band_index"),
+      s"historical band index not read from the parquet artifact:\n${plan.take(2000)}")
+    // NO signature aggregate in this plan: the historical side comes
+    // from the artifact and the new batch was signed once, eagerly, at
+    // its localCheckpoint — a lazily re-signed historical corpus would
+    // put minhash_sig aggregates back into the final plan
+    val sigAggs = "minhash_sig".r.findAllIn(plan).length
+    assert(sigAggs == 0,
+      s"historical corpus re-signed lazily ($sigAggs minhash_sig aggregates):\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
