@@ -78,6 +78,77 @@ object VectorOps {
       .join(e, "vec_id")
   }
 
+
+  /** q_semdedup_keep / q_stream_semdedup oracle: the full derivation —
+    * grouping, centroid means, per-vector centroid cosine, per-cluster
+    * keeper by (cent_cos ASC, vec_id ASC). Stated once, consumed by both
+    * the batch query and its streaming twin. */
+  private lazy val semdedupKeepSql: String =
+    s"""WITH RECURSIVE $embedClusterCtes,
+         |mm AS (SELECT l.cluster, e.vec_id, CAST(u.i AS INT) AS i,
+         |         e.v[CAST(u.i AS INT)] AS x
+         |       FROM lab l JOIN e ON e.vec_id = l.vec_id,
+         |            unnest(range(1, 65)) AS u(i)),
+         |cm AS (SELECT cluster, i,
+         |         CAST(SUM(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+         |           / COUNT(*) AS m
+         |       FROM mm GROUP BY cluster, i),
+         |d2 AS (SELECT mm.cluster, mm.vec_id,
+         |         CAST(SUM(CAST(round(mm.x * cm.m, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sd,
+         |         CAST(SUM(CAST(round(mm.x * mm.x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sa,
+         |         CAST(SUM(CAST(round(cm.m * cm.m, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sb
+         |       FROM mm JOIN cm ON mm.cluster = cm.cluster AND mm.i = cm.i
+         |       GROUP BY mm.cluster, mm.vec_id),
+         |sc2 AS (SELECT cluster, vec_id,
+         |          CASE WHEN sa = 0 OR sb = 0 THEN 0.0
+         |            ELSE round(sd / (sqrt(sa) * sqrt(sb)), 6) END AS cent_cos
+         |        FROM d2),
+         |r AS (SELECT cluster, vec_id, cent_cos,
+         |        ROW_NUMBER() OVER (PARTITION BY cluster
+         |          ORDER BY cent_cos, vec_id) AS rn
+         |      FROM sc2)
+         |SELECT vec_id, cluster, cent_cos, rn = 1 AS keep
+         |FROM r ORDER BY vec_id""".stripMargin
+
+  /** Per-(cluster, dim) centroid means over the exploded (cluster,
+    * vec_id, i, x) relation — ONE map-side-combinable aggregate under
+    * the decimal discipline; output keys renamed (cc, ci) for the
+    * re-join. */
+  private def semdedupCentroids(x: DataFrame): DataFrame =
+    x.groupBy(col("cluster").as("cc"), col("i").as("ci"))
+      .agg((sum(round(col("x"), 6).cast("decimal(18,6)")).cast("double") /
+        count(lit(1))).as("m"))
+
+  /** Centroid cosine per (cluster, vec_id): co-partitioned re-join on
+    * the (cluster, dim) key — the centroid relation is corpus-
+    * proportional in cluster count and is deliberately NOT broadcast. */
+  private def semdedupCentCos(x: DataFrame, cm: DataFrame): DataFrame =
+    x.join(cm, col("cluster") === col("cc") && col("i") === col("ci"))
+      .groupBy(col("cluster"), col("vec_id"))
+      .agg(
+        sum(round(col("x") * col("m"), 6).cast("decimal(18,6)"))
+          .cast("double").as("sd"),
+        sum(round(col("x") * col("x"), 6).cast("decimal(18,6)"))
+          .cast("double").as("sa"),
+        sum(round(col("m") * col("m"), 6).cast("decimal(18,6)"))
+          .cast("double").as("sb"))
+      .select(col("cluster"), col("vec_id"),
+        when(col("sa") === 0 || col("sb") === 0, 0.0)
+          .otherwise(round(col("sd") / (sqrt(col("sa")) * sqrt(col("sb"))), 6))
+          .as("cent_cos"))
+
+  /** The (cent_cos ASC, vec_id ASC) winner per cluster as min(struct) —
+    * map-side combinable (matches the oracle's row_number choice), then
+    * joined back for the keep flag. No WindowExec (PlanSuite). */
+  private def semdedupDecision(scd: DataFrame): DataFrame = {
+    val keep = scd.groupBy(col("cluster").as("kc"))
+      .agg(min(struct(col("cent_cos").as("c"), col("vec_id").as("vv"))).as("k"))
+      .select(col("kc"), col("k.vv").as("keep_id"))
+    scd.join(keep, col("cluster") === col("kc"))
+      .select(col("vec_id"), col("cluster"), col("cent_cos"),
+        (col("vec_id") === col("keep_id")).as("keep"))
+  }
+
   /** Recall-verdict row for an ANN result `(src, nbr, sim, …)`: compares
     * the ANN answer for the first 100 vectors against their exact top-1
     * similarity (one linear broadcast pass — the probe subset keeps the
@@ -476,60 +547,62 @@ object VectorOps {
     // (the oracle's row_number states the same choice). Determinism:
     // products round to 6dp then DECIMAL-sum, zero-norm sides pinned
     // to 0 like q_embed_whiten.
-    Q("q_semdedup_keep",
-      s"""WITH RECURSIVE $embedClusterCtes,
-         |mm AS (SELECT l.cluster, e.vec_id, CAST(u.i AS INT) AS i,
-         |         e.v[CAST(u.i AS INT)] AS x
-         |       FROM lab l JOIN e ON e.vec_id = l.vec_id,
-         |            unnest(range(1, 65)) AS u(i)),
-         |cm AS (SELECT cluster, i,
-         |         CAST(SUM(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE)
-         |           / COUNT(*) AS m
-         |       FROM mm GROUP BY cluster, i),
-         |d2 AS (SELECT mm.cluster, mm.vec_id,
-         |         CAST(SUM(CAST(round(mm.x * cm.m, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sd,
-         |         CAST(SUM(CAST(round(mm.x * mm.x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sa,
-         |         CAST(SUM(CAST(round(cm.m * cm.m, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sb
-         |       FROM mm JOIN cm ON mm.cluster = cm.cluster AND mm.i = cm.i
-         |       GROUP BY mm.cluster, mm.vec_id),
-         |sc2 AS (SELECT cluster, vec_id,
-         |          CASE WHEN sa = 0 OR sb = 0 THEN 0.0
-         |            ELSE round(sd / (sqrt(sa) * sqrt(sb)), 6) END AS cent_cos
-         |        FROM d2),
-         |r AS (SELECT cluster, vec_id, cent_cos,
-         |        ROW_NUMBER() OVER (PARTITION BY cluster
-         |          ORDER BY cent_cos, vec_id) AS rn
-         |      FROM sc2)
-         |SELECT vec_id, cluster, cent_cos, rn = 1 AS keep
-         |FROM r ORDER BY vec_id""".stripMargin) { (s, d) =>
+    Q("q_semdedup_keep", semdedupKeepSql) { (s, d) =>
       val x = embedComponents(s, d)
         .select(col("cluster"), col("vec_id"),
           posexplode(col("v")).as(Seq("i", "x")))
-      val cm = x.groupBy(col("cluster").as("cc"), col("i").as("ci"))
-        .agg((sum(round(col("x"), 6).cast("decimal(18,6)")).cast("double") /
-          count(lit(1))).as("m"))
-      val d2 = x.join(cm, col("cluster") === col("cc") && col("i") === col("ci"))
-        .groupBy(col("cluster"), col("vec_id"))
-        .agg(
-          sum(round(col("x") * col("m"), 6).cast("decimal(18,6)"))
-            .cast("double").as("sd"),
-          sum(round(col("x") * col("x"), 6).cast("decimal(18,6)"))
-            .cast("double").as("sa"),
-          sum(round(col("m") * col("m"), 6).cast("decimal(18,6)"))
-            .cast("double").as("sb"))
-      val scd = d2.select(col("cluster"), col("vec_id"),
-        when(col("sa") === 0 || col("sb") === 0, 0.0)
-          .otherwise(round(col("sd") / (sqrt(col("sa")) * sqrt(col("sb"))), 6))
-          .as("cent_cos"))
-      // the (cent_cos ASC, vec_id ASC) winner per group as min(struct) —
-      // map-side combinable, matches the oracle's row_number choice
-      val keep = scd.groupBy(col("cluster").as("kc"))
-        .agg(min(struct(col("cent_cos").as("c"), col("vec_id").as("vv"))).as("k"))
-        .select(col("kc"), col("k.vv").as("keep_id"))
-      scd.join(keep, col("cluster") === col("kc"))
-        .select(col("vec_id"), col("cluster"), col("cent_cos"),
-          (col("vec_id") === col("keep_id")).as("keep"))
+      semdedupDecision(semdedupCentCos(x, semdedupCentroids(x)))
         .orderBy(col("vec_id"))
+    },
+
+    // ---- STREAMING SemDeDup twin — the retention rule SERVED at ingest
+    // per the established twin pattern: the offline snapshot's verified
+    // grouping (lab) and per-cluster centroids are computed once before
+    // the stream starts (on a refresh they come from the previous
+    // snapshot's run); vectors then arrive in micro-batches and each
+    // trigger joins its batch to the grouping, re-scores centroid cosine
+    // for ONLY the batch rows (the per-(cluster, vec_id) aggregate is
+    // batch-local by construction — every vector lives in exactly one
+    // trigger), and appends the scored rows to the ledger through the
+    // idempotent per-batch write. The drain applies the same
+    // min(struct) keeper decision over the merged ledger. Shares
+    // q_semdedup_keep's oracle verbatim — a dropped trigger, a stale
+    // centroid, or train/serve scoring skew hash-mismatches.
+    Q("q_stream_semdedup", semdedupKeepSql) { (s, d) =>
+      Tables.ensureConf(s)
+      val comp = embedComponents(s, d).persist()
+      try {
+        comp.count() // materialize: every trigger joins the snapshot
+        val lab = comp.select(col("vec_id"), col("cluster"))
+        val x0 = comp.select(col("cluster"), col("vec_id"),
+          posexplode(col("v")).as(Seq("i", "x")))
+        val cm = semdedupCentroids(x0).persist()
+        try {
+          cm.count()
+          Staging.withStagedInput(embedRel(s, d), "vec_id", nFiles = 3,
+            prefix = "graft_stream_semdedup") { in =>
+            Staging.withTempDir("graft_stream_semdedup_out") { out =>
+              val outDir = s"$out/scored"
+              val schema = s.read.parquet(in).schema
+              val q = s.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(in)
+                .writeStream.outputMode("append")
+                .option("checkpointLocation", s"$out/ck")
+                .foreachBatch { (batch: DataFrame, id: Long) =>
+                  val xb = batch.join(lab, "vec_id")
+                    .select(col("cluster"), col("vec_id"),
+                      posexplode(col("v")).as(Seq("i", "x")))
+                  Staging.writeBatch(semdedupCentCos(xb, cm), outDir, id)
+                  ()
+                }
+                .start()
+              try q.processAllAvailable() finally q.stop()
+              semdedupDecision(Staging.drainParquet(s, outDir))
+                .orderBy(col("vec_id"))
+            }
+          }
+        } finally cm.unpersist()
+      } finally comp.unpersist()
     },
 
     // ---- IVF-style ANN: coarse quantizer = 16 centroids SAMPLED from the
