@@ -85,4 +85,49 @@ object Multimodal {
       }
     }
   }
+  /** 60-bit perceptual aHash over the decoded payload — the image
+    * near-dup fingerprint computed at the partition-local decode seam
+    * (a real pipeline hashes the decoded luma plane here; the byte
+    * payload stands in, same shape). Blocks are FIXED 8-byte windows at
+    * absolute positions (first 60 blocks = first 480 bytes): absolute
+    * blocks keep the fingerprint stable under tail edits, which is how
+    * the corpus's near-dups differ — relative (i·60/L) blocks shift
+    * every boundary when the length changes and flipped ≥8 bits on true
+    * near-dup pairs, leaving a distance-3 gate vacuous. Bit b is set
+    * iff block b's mean byte exceeds the hashed-prefix mean, compared
+    * by integer cross-multiply (sum_b·n > total·n_b) so the signature
+    * is EXACT and the DuckDB oracle recomputes it bit-for-bit with
+    * ascii()/integer division. Empty payload → 0. */
+  def perceptualHash(payload: Array[Byte]): Long = {
+    val L = math.min(payload.length, 480)
+    if (L == 0) return 0L
+    val sums = new Array[Long](60)
+    val counts = new Array[Long](60)
+    var total = 0L
+    var i = 0
+    while (i < L) {
+      val b = i / 8
+      val v = payload(i) & 0xffL
+      sums(b) += v; counts(b) += 1; total += v
+      i += 1
+    }
+    var h = 0L
+    var b = 0
+    while (b < 60) {
+      if (sums(b) * L > total * counts(b)) h |= 1L << b
+      b += 1
+    }
+    h
+  }
+
+  case class MediaHash(media_id: Long, simhash: Long)
+
+  /** Per-partition perceptual hashing — one decode-seam pass emitting the
+    * (media_id, 60-bit aHash) relation the Hamming-LSH banding consumes. */
+  def perceptualPartitions(ds: Dataset[MediaRecord]): Dataset[MediaHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map(r => MediaHash(r.media_id, perceptualHash(r.payload)))
+    }
+  }
 }

@@ -117,6 +117,50 @@ object MultimodalOps {
         .limit(5)
     },
 
+    // ---- Perceptual-hash media NEAR-DUP — dedup extended beyond text:
+    // a 60-bit aHash per media row computed at the partition-local
+    // decode seam (fixed 8-byte blocks over the first 480 payload
+    // bytes; block-mean vs prefix-mean by integer cross-multiply, so
+    // the signature is exact and oracle-recomputable bit-for-bit),
+    // then the SimHash Hamming-LSH machinery takes over UNCHANGED: 4×15
+    // bit band candidates (pigeonhole-complete for distance ≤ 3), exact
+    // Hamming verify on candidates only — never an O(n²) cross join.
+    // The oracle restates signature + full pair listing from ascii()
+    // arithmetic, so a banding recall miss, a wrong block boundary, or a
+    // broken mean rule all hash-mismatch.
+    Q("q_media_dedup",
+      """WITH ch AS (
+        |  SELECT doc_id, CAST((i - 1) // 8 AS INT) AS blk,
+        |         ascii(substr(text, CAST(i AS INT), 1)) AS byte
+        |  FROM documents,
+        |       unnest(range(1, LEAST(len(text), 480) + 1)) AS u(i)),
+        |tot AS (SELECT doc_id, SUM(byte) AS total, COUNT(*) AS n
+        |        FROM ch GROUP BY doc_id),
+        |bs AS (SELECT doc_id, blk, SUM(byte) AS sb, COUNT(*) AS nb
+        |       FROM ch GROUP BY doc_id, blk),
+        |sig AS (SELECT bs.doc_id,
+        |         CAST(SUM(CASE WHEN bs.sb * t.n > t.total * bs.nb
+        |                  THEN (CAST(1 AS BIGINT) << CAST(bs.blk AS INT))
+        |                  ELSE 0 END) AS BIGINT) AS sh
+        |        FROM bs JOIN tot t ON bs.doc_id = t.doc_id GROUP BY bs.doc_id)
+        |SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        |ORDER BY media_a, media_b""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ds = Tables.spread(Tables.documents(s, d), col("doc_id"))
+        .select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("payload"),
+          lit("text/plain").as("mime"))
+        .as[Multimodal.MediaRecord]
+      val sig = Multimodal.perceptualPartitions(ds).toDF()
+      graft.functions.SimHash.nearPairs(sig, "media_id", maxDist = 3)
+        .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy(col("media_a"), col("media_b"))
+    },
+
     // ---- Partition-local decode via typed mapPartitions (one "codec"
     // instance per partition, rows streamed through it). The md5 content
     // checksum gives the decode row an exact SQL twin, so the whole
