@@ -23,6 +23,7 @@ object SparkEntry {
     qs.Streamish.all ++
     qs.TextOps.all ++
     qs.CurationOps.all ++
+    qs.UnigramOps.all ++
     qs.DedupOps.all ++
     qs.RetrievalOps.all ++
     qs.VectorOps.all ++

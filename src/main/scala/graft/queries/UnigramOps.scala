@@ -1,0 +1,274 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (SentencePiece-style) tokenizer training + serving — the
+  * second tokenizer family next to the BPE block (CurationOps): seed a
+  * candidate-piece vocabulary from frequent substrings, hard-EM over
+  * Viterbi segmentations (E: best segmentation of every word under the
+  * current piece log-probabilities; M: re-estimate counts from piece
+  * usage, single-character pieces floored at 1 for coverage), prune to a
+  * vocabulary budget, then serve by Viterbi-encoding the corpus.
+  *
+  * Determinism discipline: piece scores travel as INTEGER MICRO-NATS
+  * (round(ln(c/T)·1e6) as i64) so every DP sum is exact integer
+  * arithmetic on both engines; segmentation ties break by lexicographic
+  * minimum of the space-joined piece string. Segmentation strings of the
+  * same word share their character content and differ only in space
+  * placement, so prefix order is preserved under any common completion —
+  * which is what makes the engine's LOCAL DP tie-break equal the
+  * oracle's GLOBAL brute-force choice (the oracle enumerates every
+  * segmentation via a recursive CTE and picks max score / min string;
+  * the engine runs O(n·maxPiece) Viterbi — a DP bug mismatches).
+  *
+  * Scale posture: the distinct-word relation is corpus-derived and stays
+  * DISTRIBUTED (real corpora have millions of distinct words); only the
+  * piece table crosses the driver (bounded by the vocabulary budget +
+  * seed-substring cap — tokenizer-artifact scale, exactly what
+  * SentencePiece ships as a model file), and each E-step is one
+  * broadcast-map pass over the words with one map-side-combined count
+  * aggregate back.
+  */
+object UnigramOps {
+
+  /** Max candidate piece length (seed substrings 1..MaxPiece chars). */
+  private val MaxPiece = 4
+  /** Hard-EM rounds. */
+  private val Rounds = 2
+  /** Multi-char pieces kept after pruning (single chars always kept). */
+  private val Budget = 24
+  /** Loud parity bound: the oracle enumerates all segmentations of a
+    * word (2^(n-1) of them) — fine to 16 chars, absurd beyond. */
+  private val MaxWord = 16
+
+  // ---------- shared oracle SQL generation (one Scala builder emits the
+  // full unrolled EM chain both engines agree on) ----------
+
+  private def lpCte(r: Int, pc: String): String =
+    s"""t$r AS (SELECT SUM(c) AS t FROM $pc),
+       |lp$r AS (SELECT piece,
+       |    CAST(round(ln(CAST(c AS DOUBLE) / t) * 1000000, 0) AS BIGINT) AS lp
+       |  FROM $pc, t$r)""".stripMargin
+
+  private def walkCte(r: Int, lp: String): String =
+    s"""walk$r(w, f, pos, sc, seg) AS (
+       |  SELECT w, f, 0, CAST(0 AS BIGINT), '' FROM ww
+       |  UNION ALL
+       |  SELECT k.w, k.f, k.pos + len(p.piece), k.sc + p.lp,
+       |    CASE WHEN k.seg = '' THEN p.piece ELSE k.seg || ' ' || p.piece END
+       |  FROM walk$r k JOIN $lp p
+       |    ON p.piece = substr(k.w, k.pos + 1, len(p.piece))
+       |   AND k.pos + len(p.piece) <= len(k.w)),
+       |best$r AS (
+       |  SELECT w, f, seg FROM walk$r WHERE pos = len(w)
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY w ORDER BY sc DESC, seg) = 1)""".stripMargin
+
+  private def countsCte(r: Int): String =
+    s"""use$r AS (SELECT piece, SUM(f) AS c
+       |  FROM (SELECT unnest(string_split(seg, ' ')) AS piece, f FROM best$r)
+       |  GROUP BY piece),
+       |pc$r AS (
+       |  SELECT piece, c FROM use$r WHERE len(piece) > 1
+       |  UNION ALL
+       |  SELECT ch.piece, GREATEST(COALESCE(u.c, 0), 1) AS c
+       |  FROM chars ch LEFT JOIN use$r u ON u.piece = ch.piece)""".stripMargin
+
+  private val baseCtes: String =
+    s"""ww AS (
+       |  SELECT w, COUNT(*) AS f
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |pc0 AS (
+       |  SELECT piece, SUM(f) AS c FROM (
+       |    SELECT substr(w, CAST(st AS INT), CAST(L AS INT)) AS piece, f
+       |    FROM ww, unnest(range(1, ${MaxPiece + 1})) AS ul(L),
+       |         unnest(range(1, len(w) - L + 2)) AS us(st)
+       |    WHERE len(w) >= L)
+       |  GROUP BY piece),
+       |chars AS (SELECT DISTINCT piece FROM pc0 WHERE len(piece) = 1)""".stripMargin
+
+  /** Shared CTE chain through training: seed → EM rounds → kept vocab. */
+  private lazy val trainedCtes: String = {
+    val rounds = (1 to Rounds).map { r =>
+      walkCte(r, s"lp${r - 1}") + ",\n" + countsCte(r) +
+        (if (r < Rounds) ",\n" + lpCte(r, s"pc$r") else "")
+    }.mkString(",\n")
+    s"""$baseCtes,
+       |${lpCte(0, "pc0")},
+       |$rounds,
+       |kept AS (
+       |  SELECT piece, c FROM pc$Rounds WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, c FROM (
+       |    SELECT piece, c, ROW_NUMBER() OVER (ORDER BY c DESC, piece) AS rk
+       |    FROM pc$Rounds WHERE len(piece) > 1) WHERE rk <= $Budget),
+       |tf AS (SELECT SUM(c) AS t FROM kept)""".stripMargin
+  }
+
+  private lazy val tokenizerSql: String =
+    s"""WITH RECURSIVE $trainedCtes
+       |SELECT piece, CAST(c AS BIGINT) AS cnt,
+       |  round(ln(CAST(c AS DOUBLE) / t), 6) AS logp
+       |FROM kept, tf ORDER BY cnt DESC, piece""".stripMargin
+
+  private lazy val encodeSql: String =
+    s"""WITH RECURSIVE $trainedCtes,
+       |lpf AS (SELECT piece,
+       |    CAST(round(ln(CAST(c AS DOUBLE) / t) * 1000000, 0) AS BIGINT) AS lp
+       |  FROM kept, tf),
+       |${walkCte(Rounds + 1, "lpf")}
+       |SELECT w AS word, CAST(f AS BIGINT) AS freq, seg AS pieces,
+       |  CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_pieces
+       |FROM best${Rounds + 1} ORDER BY word""".stripMargin
+
+  // ---------- engine ----------
+
+  /** Distinct corpus words with frequency, spread across cores. */
+  private def wordRel(s: SparkSession, d: String): DataFrame =
+    Tables.spread(Tables.documents(s, d), col("doc_id"))
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+
+  /** Integer micro-nat log-probabilities from a (piece, c) count map:
+    * round(ln(c/T)·1e6). */
+  private def microNats(counts: Map[String, Long]): Map[String, Long] = {
+    val t = counts.valuesIterator.sum.toDouble
+    counts.map { case (p, c) => p -> math.round(math.log(c / t) * 1e6) }
+  }
+
+  /** Viterbi-best segmentation of `word` under micro-nat scores `lp`,
+    * ties by lexicographically smallest space-joined piece string (the
+    * oracle's global brute-force rule — see object doc for why the
+    * local tie-break composes). Every single char is in `lp`, so the DP
+    * always completes. */
+  private[graft] def viterbi(word: String, lp: Map[String, Long]): String = {
+    val n = word.length
+    require(n <= MaxWord,
+      s"unigram tokenizer parity bound: word of length $n exceeds $MaxWord " +
+        "(the oracle enumerates 2^(n-1) segmentations)")
+    val sc = Array.fill(n + 1)(Long.MinValue)
+    val seg = new Array[String](n + 1)
+    sc(0) = 0L; seg(0) = ""
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - MaxPiece)
+      while (j < i) {
+        if (sc(j) != Long.MinValue) {
+          val q = word.substring(j, i)
+          lp.get(q) match {
+            case Some(w) =>
+              val cand = sc(j) + w
+              val cseg = if (seg(j).isEmpty) q else seg(j) + " " + q
+              if (cand > sc(i) || (cand == sc(i) && cseg < seg(i))) {
+                sc(i) = cand; seg(i) = cseg
+              }
+            case None => ()
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    seg(n)
+  }
+
+  /** One E-step: Viterbi-segment every distinct word under `lp` (one
+    * broadcast-map pass — the words relation never leaves the cluster). */
+  private def segment(words: DataFrame, lp: Map[String, Long]): DataFrame = {
+    val s = words.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(lp)
+    words.select(col("w"), col("f")).as[(String, Long)]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map { case (w, f) => (w, f, viterbi(w, m)) }
+      }
+      .toDF("w", "f", "seg")
+  }
+
+  /** Piece usage counts from a segmented relation, with the single-char
+    * floor applied against `chars`. */
+  private def emCounts(segd: DataFrame, chars: Set[String]): Map[String, Long] = {
+    // piece table collect — tokenizer-artifact scale by construction:
+    // ≤ (chars + Budget + still-alive seed pieces), never corpus rows
+    val used = segd
+      .select(explode(split(col("seg"), " ")).as("piece"), col("f"))
+      .groupBy(col("piece")).agg(sum(col("f")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val multi = used.filter { case (p, c) => p.length > 1 && c > 0 }
+    val singles = chars.map(ch => ch -> math.max(used.getOrElse(ch, 0L), 1L))
+    multi ++ singles
+  }
+
+  /** Full training run: returns (kept piece counts, word relation). */
+  private def train(s: SparkSession, d: String): (Seq[(String, Long)], DataFrame) = {
+    val words = wordRel(s, d).persist()
+    words.count() // materialized once; every EM pass re-reads the cache
+    // seed: frequency-weighted substring occurrences, 1..MaxPiece chars
+    val seed = words
+      .select(col("w"), col("f"),
+        explode(sequence(lit(1), lit(MaxPiece))).as("L"))
+      .filter(length(col("w")) >= col("L"))
+      .select(col("w"), col("f"), col("L"),
+        explode(sequence(lit(1), length(col("w")) - col("L") + 1)).as("st"))
+      .select(expr("substring(w, st, L)").as("piece"), col("f"))
+      .groupBy(col("piece")).agg(sum(col("f")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val chars = seed.keySet.filter(_.length == 1)
+    var counts = seed
+    (1 to Rounds).foreach { _ =>
+      counts = emCounts(segment(words, microNats(counts)), chars)
+    }
+    // prune: all single chars + top-Budget multi-char by (c DESC, piece)
+    val keptMulti = counts.toSeq.filter(_._1.length > 1)
+      .sortBy { case (p, c) => (-c, p) }.take(Budget)
+    val kept = counts.toSeq.filter(_._1.length == 1) ++ keptMulti
+    (kept, words)
+  }
+
+  private def roundLogp(c: Long, t: Long): Double =
+    BigDecimal(math.log(c.toDouble / t))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  val all: Seq[Q] = Seq(
+
+    // ---- The trained tokenizer artifact: kept pieces with final counts
+    // and log-probabilities — what SentencePiece writes as the model
+    // file. The oracle replays the ENTIRE chain (seed substring counts,
+    // both hard-EM rounds with brute-force-enumerated best
+    // segmentations, the char floor, the prune, the final logp) in
+    // generated SQL, so a wrong DP, tie-break, floor, or prune rank all
+    // hash-mismatch.
+    Q("q_unigram_tokenizer", tokenizerSql) { (s, d) =>
+      import s.implicits._
+      val (kept, words) = train(s, d)
+      try {
+        val t = kept.map(_._2).sum
+        kept.map { case (p, c) => (p, c, roundLogp(c, t)) }
+          .toDF("piece", "cnt", "logp")
+          .orderBy(col("cnt").desc, col("piece"))
+      } finally { words.unpersist(); () }
+    },
+
+    // ---- Tokenizer SERVING: Viterbi-encode every distinct corpus word
+    // under the pruned vocabulary (the production shape: encode the
+    // distinct-word table once, then stream corpus tokens through the
+    // precomputed table — the q_bpe_encode discipline). Distributed
+    // broadcast-map pass; the oracle re-enumerates every segmentation
+    // of every word against the same final vocabulary.
+    Q("q_unigram_encode", encodeSql) { (s, d) =>
+      val (kept, words) = train(s, d)
+      try {
+        val lp = microNats(kept.toMap)
+        segment(words, lp)
+          .select(col("w").as("word"), col("f").as("freq"),
+            col("seg").as("pieces"),
+            size(split(col("seg"), " ")).cast("long").as("n_pieces"))
+          .orderBy(col("word"))
+      } finally { words.unpersist(); () }
+    }
+  )
+}
