@@ -576,4 +576,11 @@ class PlanSuite extends SparkSpec {
       s"historical corpus re-signed lazily ($sigAggs minhash_sig aggregates):\n${plan.take(2000)}")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("media dedup: banded candidates via equi-join, never a signature cross join") {
+    val plan = physical("q_media_dedup")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pHash pairs must come from the band equi-join:\n${plan.take(1500)}")
+  }
 }

@@ -50,4 +50,33 @@ class IncrementalDedupSuite extends SparkSpec {
         s"expected one stored band index, got ${artDirs.map(_.getName).mkString(",")}")
     } finally spark.conf.unset("graft.artifacts.root")
   }
+
+  test("index maintenance: appending an increment's bands closes the refresh loop") {
+    // the full production cycle: snapshot index → increment 1 deduped
+    // against it → increment 1's bands APPENDED (plain parquet append,
+    // no historical recompute) → increment 2 deduped against the grown
+    // index, finding pairs vs the ORIGINAL corpus and vs increment 1
+    import spark.implicits._
+    val mk = (id: Long, base: String) =>
+      (id, (1 to 40).map(i => s"$base$i").mkString(" "))
+    val hist = Seq(mk(1L, "tok"), mk(2L, "alt")) // snapshot corpus
+    val inc1 = Seq(mk(10L, "alt"), mk(11L, "new")) // 10 ≈ old 2
+    val inc2 = Seq(mk(20L, "tok"), mk(21L, "new")) // 20 ≈ old 1, 21 ≈ inc1's 11
+    def docsDf(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text")
+    val idx = tmpDir("incdedup_idx").resolve("bands").toString
+    DedupOps.bandIndex(docsDf(hist)).write.mode("overwrite").parquet(idx)
+
+    def step(inc: Seq[(Long, String)]): Set[(Long, Long)] = {
+      val newBands = DedupOps.bandIndex(docsDf(inc)).localCheckpoint()
+      val pairs = DedupOps.incrementalCandidatePairs(
+          spark.read.parquet(idx), newBands)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      newBands.write.mode("append").parquet(idx) // maintenance: grow the index
+      pairs
+    }
+    assert(step(inc1) == Set((2L, 10L)), "increment 1 must pair with the snapshot")
+    assert(step(inc2) == Set((1L, 20L), (11L, 21L)),
+      "increment 2 must pair with BOTH the original corpus and increment 1")
+  }
 }
