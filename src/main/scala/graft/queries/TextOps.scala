@@ -894,6 +894,48 @@ object TextOps {
         .orderBy(col("source"))
     },
 
+    // ---- Temperature-scaled mixture (the mT5/LLaMA α-sampling recipe,
+    // α = 0.3): up-weight small sources and down-weight dominant ones by
+    // p_i ∝ f_i^α over per-source token counts — the published
+    // pretraining mixing rule, complementing q_mix_weights' equal-share
+    // recipe and q_domain_reweight's loss-driven one. Determinism: the
+    // per-source pow() rounds to 6dp and sums as DECIMAL(18,6) so the
+    // normalizer is order-independent; `epochs` is how many passes over
+    // source i a budget of `total` sampled tokens implies (the >1 rows
+    // are the repetition-risk flag a dataset card carries). One
+    // |sources|-row aggregate — no corpus shuffle beyond the count.
+    Q("q_temperature_mix",
+      """WITH s AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY source),
+        |p AS (SELECT source, n_docs, toks,
+        |    CAST(round(pow(toks, 0.3), 6) AS DECIMAL(18,6)) AS pw FROM s),
+        |tot AS (SELECT SUM(pw) AS spw, CAST(SUM(toks) AS DOUBLE) AS total
+        |        FROM p)
+        |SELECT source, n_docs, toks,
+        |  round(toks / total, 6) AS natural_share,
+        |  round(CAST(pw AS DOUBLE) / CAST(spw AS DOUBLE), 6) AS temp_share,
+        |  round((CAST(pw AS DOUBLE) / CAST(spw AS DOUBLE)) * (total / toks), 6)
+        |    AS epochs
+        |FROM p, tot ORDER BY source""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text"))).cast("long").as("toks"))
+      val p = base.withColumn("pw",
+        round(pow(col("toks").cast("double"), 0.3), 6).cast("decimal(18,6)"))
+      val tot = p.agg(sum(col("pw")).as("spw"),
+        sum(col("toks")).cast("double").as("total"))
+      p.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("toks"),
+          round(col("toks") / col("total"), 6).as("natural_share"),
+          round(col("pw").cast("double") / col("spw").cast("double"), 6)
+            .as("temp_share"),
+          round((col("pw").cast("double") / col("spw").cast("double")) *
+            (col("total") / col("toks")), 6).as("epochs"))
+        .orderBy(col("source"))
+    },
+
     // ---- APPLY the mixing recipe (the materialization step after
     // q_mix_weights, sharing its [[mixWeightRel]] formula so the
     // published weight and the applied weight cannot drift):

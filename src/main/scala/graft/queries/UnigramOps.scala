@@ -253,6 +253,99 @@ object UnigramOps {
       } finally { words.unpersist(); () }
     },
 
+    // ---- Per-language fertility/compression under the trained unigram
+    // vocabulary — the tokenizer-selection diagnostic (pairs with
+    // q_bpe_fertility so the two families are comparable on identical
+    // metrics): pieces-per-word and pieces-per-character by language.
+    // The encode table is distinct-word scale and BROADCASTS onto the
+    // exploded corpus scan; sums are integer-exact.
+    Q("q_unigram_fertility",
+      s"""WITH RECURSIVE $trainedCtes,
+         |lpf AS (SELECT piece,
+         |    CAST(round(ln(CAST(c AS DOUBLE) / t) * 1000000, 0) AS BIGINT) AS lp
+         |  FROM kept, tf),
+         |${walkCte(Rounds + 1, "lpf")},
+         |e AS (SELECT w, len(string_split(seg, ' ')) AS np FROM best${Rounds + 1})
+         |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(np) AS BIGINT) AS n_pieces,
+         |  round(CAST(SUM(np) AS DOUBLE) / COUNT(*), 6) AS fertility,
+         |  round(CAST(SUM(np) AS DOUBLE) / SUM(len(d.w)), 6) AS compression
+         |FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+         |      FROM documents) d
+         |JOIN e ON d.w = e.w
+         |WHERE d.w <> ''
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin) { (s, d) =>
+      val (kept, words) = train(s, d)
+      try {
+        val enc = segment(words, microNats(kept.toMap))
+          .select(col("w").as("tw"), size(split(col("seg"), " ")).as("np"))
+        Tables.documents(s, d)
+          .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= "")
+          .join(broadcast(enc), col("w") === col("tw"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"),
+            sum(length(col("w"))).as("n_chars"))
+          .select(col("lang"), col("n_words"), col("n_pieces"),
+            round(col("n_pieces").cast("double") / col("n_words"), 6).as("fertility"),
+            round(col("n_pieces").cast("double") / col("n_chars"), 6).as("compression"))
+          .orderBy(col("lang"))
+      } finally { words.unpersist(); () }
+    },
+
+    // ---- Unigram encode AT INGEST — the q_stream_bpe_encode twin for
+    // this family: the vocabulary is trained offline, the distinct-word
+    // encode table broadcasts, and arriving documents are encoded per
+    // micro-batch (explode tokens → broadcast join → per-doc sums
+    // through the idempotent per-batch write). Shares the per-doc batch
+    // oracle: a dropped trigger or a stale vocabulary hash-mismatches.
+    Q("q_stream_unigram_encode",
+      s"""WITH RECURSIVE $trainedCtes,
+         |lpf AS (SELECT piece,
+         |    CAST(round(ln(CAST(c AS DOUBLE) / t) * 1000000, 0) AS BIGINT) AS lp
+         |  FROM kept, tf),
+         |${walkCte(Rounds + 1, "lpf")},
+         |e AS (SELECT w, len(string_split(seg, ' ')) AS np FROM best${Rounds + 1})
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(np) AS BIGINT) AS n_pieces
+         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |      FROM documents) d
+         |JOIN e ON d.w = e.w
+         |WHERE d.w <> ''
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.ensureConf(s)
+      val (kept, words) = train(s, d)
+      val enc = segment(words, microNats(kept.toMap))
+        .select(col("w").as("tw"), size(split(col("seg"), " ")).as("np"))
+        .persist()
+      try {
+        enc.count() // materialize once; each trigger broadcasts the table
+        Staging.withTempDir("graft_stream_uni_out") { out =>
+          Staging.withStagedInput(
+            Tables.documents(s, d).select(col("doc_id"), col("text")),
+            "doc_id", nFiles = 2, prefix = "graft_stream_uni") { in =>
+            val schema = s.read.parquet(in).schema
+            val q = s.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(in)
+              .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+              .filter(col("w") =!= "")
+              .join(broadcast(enc), col("w") === col("tw"))
+              .writeStream.outputMode("append")
+              .option("checkpointLocation", s"$out/ck")
+              .foreachBatch { (bdf: DataFrame, id: Long) =>
+                Staging.writeBatch(bdf.groupBy(col("doc_id"))
+                  .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces")),
+                  s"$out/res", id)
+                ()
+              }
+              .start()
+            try q.processAllAvailable() finally q.stop()
+          }
+          Staging.drainParquet(s, s"$out/res", col("doc_id"))
+        }
+      } finally { enc.unpersist(); words.unpersist(); () }
+    },
+
     // ---- Tokenizer SERVING: Viterbi-encode every distinct corpus word
     // under the pruned vocabulary (the production shape: encode the
     // distinct-word table once, then stream corpus tokens through the
