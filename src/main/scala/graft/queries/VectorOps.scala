@@ -548,11 +548,21 @@ object VectorOps {
     // products round to 6dp then DECIMAL-sum, zero-norm sides pinned
     // to 0 like q_embed_whiten.
     Q("q_semdedup_keep", semdedupKeepSql) { (s, d) =>
+      // x feeds BOTH the centroid aggregate and the cosine re-join, and
+      // scd feeds BOTH decision consumers (keeper agg + join back) —
+      // un-materialized, every consumer subtree re-derives the whole
+      // clustering (profiled at ~29 of 35 cpu-s re-derivation). x is
+      // cached (exploded, dims×corpus, dropped right after); scd is
+      // checkpointed (one narrow row per vector — the decision relation
+      // a production run materializes anyway).
       val x = embedComponents(s, d)
         .select(col("cluster"), col("vec_id"),
           posexplode(col("v")).as(Seq("i", "x")))
-      semdedupDecision(semdedupCentCos(x, semdedupCentroids(x)))
-        .orderBy(col("vec_id"))
+        .persist()
+      try {
+        val scd = semdedupCentCos(x, semdedupCentroids(x)).localCheckpoint()
+        semdedupDecision(scd).orderBy(col("vec_id"))
+      } finally { x.unpersist(); () }
     },
 
     // ---- STREAMING SemDeDup twin — the retention rule SERVED at ingest
