@@ -936,6 +936,68 @@ object TextOps {
         .orderBy(col("source"))
     },
 
+    // ---- Temperature mixing MAINTAINED AT INGEST — the streaming twin:
+    // per-source (n_docs, toks) partials are mergeable by construction
+    // (counts sum across micro-batches), so each trigger contributes its
+    // batch-local aggregate through the idempotent per-batch write and
+    // the ledger stays O(|sources| × triggers) at any corpus size; the
+    // drain re-sums and applies the identical α = 0.3 share/epoch
+    // formula. Shares the batch oracle verbatim — a dropped or replayed
+    // trigger shifts every count and hash-mismatches.
+    Q("q_stream_temperature_mix",
+      """WITH s AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY source),
+        |p AS (SELECT source, n_docs, toks,
+        |    CAST(round(pow(toks, 0.3), 6) AS DECIMAL(18,6)) AS pw FROM s),
+        |tot AS (SELECT SUM(pw) AS spw, CAST(SUM(toks) AS DOUBLE) AS total
+        |        FROM p)
+        |SELECT source, n_docs, toks,
+        |  round(toks / total, 6) AS natural_share,
+        |  round(CAST(pw AS DOUBLE) / CAST(spw AS DOUBLE), 6) AS temp_share,
+        |  round((CAST(pw AS DOUBLE) / CAST(spw AS DOUBLE)) * (total / toks), 6)
+        |    AS epochs
+        |FROM p, tot ORDER BY source""".stripMargin) { (s, d) =>
+      Tables.ensureConf(s)
+      Staging.withTempDir("graft_stream_tmix_out") { out =>
+        Staging.withStagedInput(
+          Tables.documents(s, d).select("doc_id", "source", "text"),
+          "doc_id", nFiles = 3, prefix = "graft_stream_tmix") { in =>
+          val schema = s.read.parquet(in).schema
+          val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(in)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", s"$out/ck")
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+              Staging.writeBatch(
+                batch.groupBy(col("source"))
+                  .agg(count(lit(1)).as("n_docs"),
+                    sum(TextFunctions.tokenCount(col("text"))).cast("long")
+                      .as("toks")),
+                s"$out/ledger", id)
+              ()
+            }
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        val base = Staging.drainParquet(s, s"$out/ledger")
+          .groupBy(col("source"))
+          .agg(sum(col("n_docs")).as("n_docs"), sum(col("toks")).as("toks"))
+        val p = base.withColumn("pw",
+          round(pow(col("toks").cast("double"), 0.3), 6).cast("decimal(18,6)"))
+        val tot = p.agg(sum(col("pw")).as("spw"),
+          sum(col("toks")).cast("double").as("total"))
+        p.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("toks"),
+            round(col("toks") / col("total"), 6).as("natural_share"),
+            round(col("pw").cast("double") / col("spw").cast("double"), 6)
+              .as("temp_share"),
+            round((col("pw").cast("double") / col("spw").cast("double")) *
+              (col("total") / col("toks")), 6).as("epochs"))
+          .orderBy(col("source"))
+      }
+    },
+
     // ---- APPLY the mixing recipe (the materialization step after
     // q_mix_weights, sharing its [[mixWeightRel]] formula so the
     // published weight and the applied weight cannot drift):
@@ -2003,6 +2065,113 @@ object TextOps {
       scored.crossJoin(broadcast(mu))
         .select(col("doc_id"), col("n_tri"), col("xent"),
           (col("xent") <= col("mu")).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Interpolated WORD-bigram LM perplexity — the missing rung of
+    // the LM ladder (char-trigram ← HERE → unigram): Jelinek–Mercer
+    // interpolation P(w₂|w₁) = λ·c(w₁w₂)/c(w₁·) + (1−λ)·c(w₂)/N with
+    // λ = 0.7, trained on the corpus itself, scoring each document by
+    // mean bigram cross-entropy with a below-mean keep flag. The
+    // interpolation backstops unseen-context mass the way a production
+    // KenLM filter does, and word-order structure (scrambled sentences,
+    // wrong-language word salad with a plausible unigram profile) is
+    // visible here but not to q_lm_quality. Shape at 100 TB: ONE corpus
+    // pass reduces to the (doc, bigram, n) artifact — bigrams derive
+    // array-side per row (slice + zip_with — never a self-join and never
+    // a Window over the token stream); the bigram/context/unigram tables
+    // are vocab-scale (c(w₁·) derives from the bigram counts themselves,
+    // the unigram side reads the shared lm_dwc artifact so this LM and
+    // the unigram LM cannot drift), the model joins stay un-hinted (AQE
+    // broadcasts while vocab² fits), and the per-doc score is one
+    // map-side-combinable aggregate. Determinism: per-bigram costs round
+    // to 6dp, convert EXACTLY to integer micro-nats (×1e6 through
+    // DECIMAL), and every later step stays in integer space — the
+    // per-doc mean is the half-up integer quotient (2S+n) div (2n), so
+    // no engine ever rounds a double at a .5-in-the-7th-digit boundary
+    // (round(s/n, 6) diverged between DuckDB's scaled round and the
+    // JVM's BigDecimal-of-double on exactly that boundary: 121.774590/36
+    // = 3.38262750). The keep compare divides identical exact integers
+    // as doubles (IEEE division of equal inputs is equal — only round()
+    // was engine-dependent).
+    Q("q_bigram_lm_perplexity",
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |bg AS (SELECT doc_id,
+        |         ws[CAST(u.i AS INT)] || ' ' || ws[CAST(u.i AS INT) + 1] AS g
+        |       FROM t, unnest(range(1, len(ws))) AS u(i)
+        |       WHERE len(ws) >= 2),
+        |c12 AS (SELECT g, COUNT(*) AS c12 FROM bg GROUP BY g),
+        |c1 AS (SELECT string_split(g, ' ')[1] AS w1, SUM(c12) AS c1
+        |       FROM c12 GROUP BY 1),
+        |ww AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |uni AS (SELECT word, COUNT(*) AS cu FROM ww WHERE word <> ''
+        |        GROUP BY word),
+        |nt AS (SELECT CAST(SUM(cu) AS DOUBLE) AS nt FROM uni),
+        |model AS (SELECT g,
+        |    CAST(CAST(round(-ln(0.7e0 * CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)
+        |            + 0.3e0 * CAST(cu AS DOUBLE) / nt), 6) AS DECIMAL(18,6))
+        |         * 1000000 AS BIGINT) AS mcost
+        |  FROM c12
+        |  JOIN c1 ON string_split(g, ' ')[1] = w1
+        |  JOIN uni ON string_split(g, ' ')[2] = word
+        |  CROSS JOIN nt),
+        |sc AS (SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bg,
+        |         CAST(SUM(mcost) AS BIGINT) AS smicro
+        |       FROM bg JOIN model USING (g) GROUP BY bg.doc_id),
+        |scored AS (SELECT doc_id, n_bg,
+        |             (2 * smicro + n_bg) // (2 * n_bg) AS xm FROM sc),
+        |m AS (SELECT COUNT(*) AS k, CAST(SUM(xm) AS BIGINT) AS txm FROM scored)
+        |SELECT doc_id, n_bg, CAST(xm AS DOUBLE) / 1000000.0 AS xent,
+        |  CAST(xm AS DOUBLE) <= CAST(txm AS DOUBLE) / k AS keep
+        |FROM scored CROSS JOIN m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // (doc, bigram, n) in ONE pass: bigrams assemble array-side (the
+      // two shifted slices zip into "w1 w2" strings) and reduce to
+      // occurrence counts immediately — staged as a parquet artifact so
+      // the model build and the scoring join each get a columnar,
+      // lineage-free scan (the charlm_dgc protocol).
+      val dbc = Artifacts.parquet(s, d, "bilm_dbc") {
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            filter(TextFunctions.tokens(col("text")), w => w =!= "").as("ws"))
+          .filter(size(col("ws")) >= 2)
+          .select(col("doc_id"), explode(zip_with(
+            slice(col("ws"), lit(1), size(col("ws")) - 1),
+            slice(col("ws"), lit(2), size(col("ws")) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("g"))
+          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+      }
+      // bigram totals and their prefix (context) totals — both derive
+      // from the reduced artifact, vocab-scale, never a second corpus pass
+      val c12 = dbc.groupBy(col("g")).agg(sum(col("n")).as("c12"))
+      val c1 = c12.groupBy(split(col("g"), " ").getItem(0).as("w1"))
+        .agg(sum(col("c12")).as("c1"))
+      // unigram backstop reads the SHARED lm_dwc artifact (the unigram
+      // LM's own token counts — one token definition across the ladder)
+      val uni = lmDwc(s, d).groupBy(col("word")).agg(sum(col("n")).as("cu"))
+      val nt = uni.agg(sum(col("cu")).cast("double").as("nt"))
+      val model = c12
+        .join(c1, split(col("g"), " ").getItem(0) === col("w1"))
+        .join(uni, split(col("g"), " ").getItem(1) === col("word"))
+        .crossJoin(broadcast(nt))
+        .select(col("g"),
+          (round(-log(lit(0.7) * col("c12").cast("double") / col("c1").cast("double")
+            + lit(0.3) * col("cu").cast("double") / col("nt")), 6)
+            .cast("decimal(18,6)") * 1000000).cast("long").as("mcost"))
+      val scored = dbc.join(model, "g")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_bg"),
+          sum(col("mcost") * col("n")).as("smicro"))
+        .select(col("doc_id"), col("n_bg"),
+          expr("(2 * smicro + n_bg) div (2 * n_bg)").as("xm"))
+        .persist()
+      val m = scored.agg(count(lit(1)).as("k"), sum(col("xm")).as("txm"))
+      scored.crossJoin(broadcast(m))
+        .select(col("doc_id"), col("n_bg"),
+          (col("xm").cast("double") / 1000000.0).as("xent"),
+          (col("xm").cast("double") <=
+            col("txm").cast("double") / col("k")).as("keep"))
         .orderBy(col("doc_id"))
     },
 
