@@ -25,6 +25,7 @@ object SparkEntry {
     qs.CurationOps.all ++
     qs.UnigramOps.all ++
     qs.DedupOps.all ++
+    qs.PrivacyOps.all ++
     qs.RetrievalOps.all ++
     qs.VectorOps.all ++
     qs.MultimodalOps.all ++

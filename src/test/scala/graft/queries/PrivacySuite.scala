@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.Row
+
+/** PII scan/redact pinned on crafted documents: known per-type counts,
+  * adjacency edges (multiple spans, span at end-of-string), the no-PII
+  * body, and the redacted BYTES — the expected md5 is recomputed here in
+  * pure Scala over the same injection + replacement policy, so a changed
+  * pattern, replacement order, or marker would fail byte-for-byte.
+  */
+class PrivacySuite extends SparkSpec {
+
+  private val emailRe = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+  private val phoneRe = """\b555-[0-9]{4}\b"""
+  private val ipRe = """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
+
+  private def inject(id: Long, text: String): String =
+    text + " contact user" + id + "@mail.example.com or call 555-" +
+      f"${id % 10000}%04d" +
+      (if (id % 3 == 0) s" from 10.${id % 200}.0.${(id / 7) % 250}" else "") +
+      (if (id % 5 == 0) " cc admin@corp.example.org" else "")
+
+  private def redact(raw: String): String = raw
+    .replaceAll(emailRe, "[EMAIL]")
+    .replaceAll(ipRe, "[IP]")
+    .replaceAll(phoneRe, "[PHONE]")
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("scan counts, redact counts, and redacted bytes on crafted inputs") {
+    import spark.implicits._
+    val dir = tmpDir("graft_pii").toString
+    val bodies = Map(
+      1L -> "reach me at bob.smith@host.example.net now",
+      2L -> "ping 192.168.0.1 and 10.20.30.40 twice",
+      3L -> "call 555-1234 or 555-9876",
+      4L -> "nothing sensitive here")
+    bodies.toSeq.map { case (id, t) => (id, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val scan = SparkEntry.queries("q_pii_scan")(spark, dir).collect()
+      .map { case Row(id: Long, ne: Long, np: Long, ni: Long, tot: Long, fe: String) =>
+        id -> ((ne, np, ni, tot, fe)) }.toMap
+    // every doc gets +1 injected email, +1 injected phone; id%3==0 adds
+    // an ip, id%5==0 adds a second email — on top of the body's spans
+    assert(scan(1L) === ((2L, 1L, 0L, 3L, "bob.smith@host.example.net")))
+    assert(scan(2L) === ((1L, 1L, 2L, 4L, "user2@mail.example.com")))
+    assert(scan(3L) === ((1L, 3L, 1L, 5L, "user3@mail.example.com")))
+    assert(scan(4L) === ((1L, 1L, 0L, 2L, "user4@mail.example.com")))
+
+    val red = SparkEntry.queries("q_pii_scrub")(spark, dir).collect()
+      .map { case Row(id: Long, nraw: Long, nred: Long, nr: Long, h: String) =>
+        id -> ((nraw, nred, nr, h)) }.toMap
+    bodies.foreach { case (id, body) =>
+      val raw = inject(id, body)
+      val want = redact(raw)
+      val (nraw, nred, nr, h) = red(id)
+      assert(nraw === raw.length.toLong, s"doc $id raw length")
+      assert(nred === want.length.toLong, s"doc $id redacted length")
+      assert(nr === scan(id)._4, s"doc $id redact count = scan total")
+      assert(h === md5hex(want), s"doc $id redacted bytes")
+      assert(!want.matches(s".*($emailRe|$phoneRe|$ipRe).*"),
+        s"doc $id residual PII")
+    }
+  }
+}
