@@ -199,6 +199,55 @@ object TextOps {
         .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("n"))
     }
 
+  /** (doc_id, g = "w1 w2", n) bigram occurrence counts of a (doc_id,
+    * text) relation — bigrams assemble ARRAY-side (two shifted slices
+    * zip into strings: never a self-join, never a Window over the token
+    * stream) and reduce to counts immediately. ONE definition shared by
+    * bigram-LM training, batch scoring, and stream serving. */
+  private def docBigrams(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"),
+        filter(TextFunctions.tokens(col("text")), w => w =!= "").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+
+  /** Corpus (doc, bigram, n) — staged as a parquet artifact (the
+    * charlm_dgc protocol): the model build and the scoring join each get
+    * a columnar, lineage-free scan. */
+  private def bilmDbc(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    Artifacts.parquet(s, d, "bilm_dbc") {
+      docBigrams(Tables.documents(s, d))
+    }
+
+  /** The trained interpolated-bigram model: (g, mcost) with mcost the
+    * 6dp-rounded Jelinek–Mercer cost in exact integer micro-nats.
+    * Context totals c(w₁·) derive from the bigram counts themselves;
+    * the unigram backstop reads the SHARED lm_dwc artifact (one token
+    * definition across the LM ladder). Vocab²-bounded — un-hinted joins
+    * (AQE broadcasts while it fits). */
+  private def bilmModel(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val c12 = bilmDbc(s, d).groupBy(col("g")).agg(sum(col("n")).as("c12"))
+    val c1 = c12.groupBy(split(col("g"), " ").getItem(0).as("w1"))
+      .agg(sum(col("c12")).as("c1"))
+    val uni = lmDwc(s, d).groupBy(col("word")).agg(sum(col("n")).as("cu"))
+    val nt = uni.agg(sum(col("cu")).cast("double").as("nt"))
+    c12
+      .join(c1, split(col("g"), " ").getItem(0) === col("w1"))
+      .join(uni, split(col("g"), " ").getItem(1) === col("word"))
+      .crossJoin(broadcast(nt))
+      .select(col("g"),
+        (round(-log(lit(0.7) * col("c12").cast("double") / col("c1").cast("double")
+          + lit(0.3) * col("cu").cast("double") / col("nt")), 6)
+          .cast("decimal(18,6)") * 1000000).cast("long").as("mcost"))
+  }
+
   /** (doc_id, lang, bucket, n) hashed-unigram counts of a (doc_id, lang,
     * text) relation — ONE shared definition for DSIR training, batch
     * scoring, and stream serving (feature skew would hash-mismatch). */
@@ -2126,40 +2175,7 @@ object TextOps {
         |SELECT doc_id, n_bg, CAST(xm AS DOUBLE) / 1000000.0 AS xent,
         |  CAST(xm AS DOUBLE) <= CAST(txm AS DOUBLE) / k AS keep
         |FROM scored CROSS JOIN m ORDER BY doc_id""".stripMargin) { (s, d) =>
-      // (doc, bigram, n) in ONE pass: bigrams assemble array-side (the
-      // two shifted slices zip into "w1 w2" strings) and reduce to
-      // occurrence counts immediately — staged as a parquet artifact so
-      // the model build and the scoring join each get a columnar,
-      // lineage-free scan (the charlm_dgc protocol).
-      val dbc = Artifacts.parquet(s, d, "bilm_dbc") {
-        Tables.documents(s, d)
-          .select(col("doc_id"),
-            filter(TextFunctions.tokens(col("text")), w => w =!= "").as("ws"))
-          .filter(size(col("ws")) >= 2)
-          .select(col("doc_id"), explode(zip_with(
-            slice(col("ws"), lit(1), size(col("ws")) - 1),
-            slice(col("ws"), lit(2), size(col("ws")) - 1),
-            (a, b) => concat(a, lit(" "), b))).as("g"))
-          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
-      }
-      // bigram totals and their prefix (context) totals — both derive
-      // from the reduced artifact, vocab-scale, never a second corpus pass
-      val c12 = dbc.groupBy(col("g")).agg(sum(col("n")).as("c12"))
-      val c1 = c12.groupBy(split(col("g"), " ").getItem(0).as("w1"))
-        .agg(sum(col("c12")).as("c1"))
-      // unigram backstop reads the SHARED lm_dwc artifact (the unigram
-      // LM's own token counts — one token definition across the ladder)
-      val uni = lmDwc(s, d).groupBy(col("word")).agg(sum(col("n")).as("cu"))
-      val nt = uni.agg(sum(col("cu")).cast("double").as("nt"))
-      val model = c12
-        .join(c1, split(col("g"), " ").getItem(0) === col("w1"))
-        .join(uni, split(col("g"), " ").getItem(1) === col("word"))
-        .crossJoin(broadcast(nt))
-        .select(col("g"),
-          (round(-log(lit(0.7) * col("c12").cast("double") / col("c1").cast("double")
-            + lit(0.3) * col("cu").cast("double") / col("nt")), 6)
-            .cast("decimal(18,6)") * 1000000).cast("long").as("mcost"))
-      val scored = dbc.join(model, "g")
+      val scored = bilmDbc(s, d).join(bilmModel(s, d), "g")
         .groupBy(col("doc_id"))
         .agg(sum(col("n")).as("n_bg"),
           sum(col("mcost") * col("n")).as("smicro"))
@@ -2172,6 +2188,141 @@ object TextOps {
           (col("xm").cast("double") / 1000000.0).as("xent"),
           (col("xm").cast("double") <=
             col("txm").cast("double") / col("k")).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- The bigram LM SERVED AT INGEST — the streaming twin
+    // (q_stream_dsir's offline-train / online-score shape): the model
+    // trains offline on the stored corpus (the relation above,
+    // persisted), each arriving micro-batch derives its own (doc,
+    // bigram, n) counts array-side and scores them against the
+    // broadcast-joined model, and only the per-doc integer partials
+    // (n_bg, smicro — mergeable by construction) ride the idempotent
+    // per-batch write. The drain applies the identical half-up quotient
+    // and mean-keep rule. Shares the batch oracle verbatim — a stale
+    // model, a dropped trigger, or train/serve feature skew (a different
+    // tokenization at serve time) hash-mismatches.
+    Q("q_stream_bigram_lm",
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |bg AS (SELECT doc_id,
+        |         ws[CAST(u.i AS INT)] || ' ' || ws[CAST(u.i AS INT) + 1] AS g
+        |       FROM t, unnest(range(1, len(ws))) AS u(i)
+        |       WHERE len(ws) >= 2),
+        |c12 AS (SELECT g, COUNT(*) AS c12 FROM bg GROUP BY g),
+        |c1 AS (SELECT string_split(g, ' ')[1] AS w1, SUM(c12) AS c1
+        |       FROM c12 GROUP BY 1),
+        |ww AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |uni AS (SELECT word, COUNT(*) AS cu FROM ww WHERE word <> ''
+        |        GROUP BY word),
+        |nt AS (SELECT CAST(SUM(cu) AS DOUBLE) AS nt FROM uni),
+        |model AS (SELECT g,
+        |    CAST(CAST(round(-ln(0.7e0 * CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)
+        |            + 0.3e0 * CAST(cu AS DOUBLE) / nt), 6) AS DECIMAL(18,6))
+        |         * 1000000 AS BIGINT) AS mcost
+        |  FROM c12
+        |  JOIN c1 ON string_split(g, ' ')[1] = w1
+        |  JOIN uni ON string_split(g, ' ')[2] = word
+        |  CROSS JOIN nt),
+        |sc AS (SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bg,
+        |         CAST(SUM(mcost) AS BIGINT) AS smicro
+        |       FROM bg JOIN model USING (g) GROUP BY bg.doc_id),
+        |scored AS (SELECT doc_id, n_bg,
+        |             (2 * smicro + n_bg) // (2 * n_bg) AS xm FROM sc),
+        |m AS (SELECT COUNT(*) AS k, CAST(SUM(xm) AS BIGINT) AS txm FROM scored)
+        |SELECT doc_id, n_bg, CAST(xm AS DOUBLE) / 1000000.0 AS xent,
+        |  CAST(xm AS DOUBLE) <= CAST(txm AS DOUBLE) / k AS keep
+        |FROM scored CROSS JOIN m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.ensureConf(s)
+      val model = bilmModel(s, d).persist()
+      try {
+        Staging.withTempDir("graft_stream_bilm_out") { out =>
+          Staging.withStagedInput(
+            Tables.documents(s, d).select("doc_id", "text"),
+            "doc_id", nFiles = 3, prefix = "graft_stream_bilm") { in =>
+            val schema = s.read.parquet(in).schema
+            val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+              .parquet(in)
+              .writeStream.outputMode("append")
+              .option("checkpointLocation", s"$out/ck")
+              .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+                Staging.writeBatch(
+                  docBigrams(batch).join(broadcast(model), "g")
+                    .groupBy(col("doc_id"))
+                    .agg(sum(col("n")).as("n_bg"),
+                      sum(col("mcost") * col("n")).as("smicro")),
+                  s"$out/scores", id)
+                ()
+              }
+              .start()
+            try q.processAllAvailable() finally q.stop()
+          }
+          val scored = Staging.drainParquet(s, s"$out/scores")
+            .select(col("doc_id"), col("n_bg"),
+              expr("(2 * smicro + n_bg) div (2 * n_bg)").as("xm"))
+            .persist()
+          val m = scored.agg(count(lit(1)).as("k"), sum(col("xm")).as("txm"))
+          scored.crossJoin(broadcast(m))
+            .select(col("doc_id"), col("n_bg"),
+              (col("xm").cast("double") / 1000000.0).as("xent"),
+              (col("xm").cast("double") <=
+                col("txm").cast("double") / col("k")).as("keep"))
+            .orderBy(col("doc_id"))
+        }
+      } finally { model.unpersist(false); () }
+    },
+
+    // ---- Per-document character-entropy — the quality signal that
+    // catches what token statistics can't: base64/hex blobs and
+    // compressed junk score HIGH (near-uniform characters), template
+    // spam and repeated-character runs score LOW; standard prose sits in
+    // a narrow band. The complement of the LM ladder (which needs a
+    // trained model) — entropy is model-free, one pass, and is the
+    // cheap first gate a crawl pipeline runs before anything learned.
+    // Shape at 100 TB: the corpus pass reduces to (doc, char, n) —
+    // alphabet-bounded per doc; the per-doc total joins back
+    // co-partitioned on doc_id (the groupBy's own exchange, reused);
+    // the per-doc sum is map-side-combinable; the corpus mean is a
+    // scalar. Determinism: per-char terms round to 6dp, sum as DECIMAL
+    // into exact integer micro-bits, and the low-entropy flag compares
+    // exact integers through IEEE division — no engine ever rounds a
+    // double at a boundary (the q_bigram_lm_perplexity discipline).
+    Q("q_char_entropy",
+      """WITH gr AS (SELECT doc_id, substr(text, CAST(u.i AS INT), 1) AS c
+        |            FROM documents, unnest(range(1, length(text) + 1)) AS u(i)),
+        |dcc AS (SELECT doc_id, c, COUNT(*) AS n FROM gr GROUP BY doc_id, c),
+        |ntab AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS nt FROM dcc
+        |         GROUP BY doc_id),
+        |h AS (SELECT dcc.doc_id,
+        |        CAST(SUM(CAST(round(-(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)
+        |               * log2(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))), 6)
+        |             AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS em,
+        |        MAX(nt) AS n_chars
+        |      FROM dcc JOIN ntab USING (doc_id) GROUP BY dcc.doc_id),
+        |m AS (SELECT COUNT(*) AS k, CAST(SUM(em) AS BIGINT) AS tem FROM h)
+        |SELECT doc_id, n_chars, CAST(em AS DOUBLE) / 1000000.0 AS entropy,
+        |  CAST(em AS DOUBLE) < CAST(tem AS DOUBLE) / k AS low_entropy
+        |FROM h CROSS JOIN m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val dcc = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextFunctions.charGrams(col("text"), 1)).as("c"))
+        .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("n"))
+      val ntab = dcc.groupBy(col("doc_id")).agg(sum(col("n")).as("nt"))
+      val p = col("n").cast("double") / col("nt").cast("double")
+      val h = dcc.join(ntab, "doc_id")
+        .select(col("doc_id"), col("nt"),
+          round(-(p * log2(p)), 6).as("t"))
+        .groupBy(col("doc_id"))
+        .agg((sum(col("t").cast("decimal(18,6)")) * 1000000).cast("long").as("em"),
+          max(col("nt")).as("n_chars"))
+        .persist()
+      val m = h.agg(count(lit(1)).as("k"), sum(col("em")).as("tem"))
+      h.crossJoin(broadcast(m))
+        .select(col("doc_id"), col("n_chars"),
+          (col("em").cast("double") / 1000000.0).as("entropy"),
+          (col("em").cast("double") <
+            col("tem").cast("double") / col("k")).as("low_entropy"))
         .orderBy(col("doc_id"))
     },
 
