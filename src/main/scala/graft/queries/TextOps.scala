@@ -204,6 +204,10 @@ object TextOps {
     * zip into strings: never a self-join, never a Window over the token
     * stream) and reduce to counts immediately. ONE definition shared by
     * bigram-LM training, batch scoring, and stream serving. */
+  /** Test seam: PlanSuite asserts the array-side assembly shape. */
+  private[graft] def docBigramsForTest(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = docBigrams(docs)
+
   private def docBigrams(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     docs

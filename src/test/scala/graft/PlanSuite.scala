@@ -498,7 +498,11 @@ class PlanSuite extends SparkSpec {
     val plan = physical("q_semdedup_keep")
     assert(!plan.contains("Window"), s"keep rule became a window:\n${plan.take(1500)}")
     assert(!plan.contains("CartesianProduct"))
-    assert(plan.contains("HashAggregate"), "no combinable aggregate")
+    // min(struct) plans as SortAggregate (struct buffers can't hash-agg);
+    // combinability is the partial_min below the exchange — asserting on
+    // the "HashAggregate" string was order-dependent (the shared-relation
+    // cache decides how much derivation remains in this plan)
+    assert(plan.contains("partial_min"), s"keeper not map-side combinable:\n${plan.take(1500)}")
   }
 
   test("classifier calibration: bounded-group aggregate, no window, no shuffle of scores") {
@@ -582,5 +586,53 @@ class PlanSuite extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"pHash pairs must come from the band equi-join:\n${plan.take(1500)}")
+  }
+
+  test("pii scan/scrub are map-only codegen'd regex passes (zero hash exchanges)") {
+    for (name <- Seq("q_pii_scan", "q_pii_scrub")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$name: hash shuffle in a map-only pass:\n${plan.take(2000)}")
+      assert(!plan.contains("HashAggregate"),
+        s"$name: aggregate in a map-only pass:\n${plan.take(2000)}")
+      assert(plan.contains("*("), s"$name: no codegen span:\n${plan.take(1500)}")
+    }
+  }
+
+  test("bigram LM: consumer scans the staged artifact, no window/cartesian") {
+    val df = SparkEntry.queries("q_bigram_lm_perplexity")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.toLowerCase.contains("window"),
+      s"no window may touch the token stream:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"))
+    // the (doc, bigram, n) reduction reads from the staged artifact —
+    // the zip_with assembly lives in the derivation plan, asserted below
+    assert(plan.contains("graft_art_bilm_dbc"),
+      s"scoring must scan the bilm_dbc artifact:\n${plan.take(2000)}")
+  }
+
+  test("bigram derivation assembles array-side: zip_with, no self-join, no window") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c a b")).toDF("doc_id", "text")
+    val plan = graft.queries.TextOps.docBigramsForTest(docs)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("zip_with"),
+      s"bigrams must derive array-side (slice+zip_with):\n${plan.take(1500)}")
+    assert(!plan.toLowerCase.contains("window") && !plan.contains("Join"),
+      s"token stream must not shuffle through a window/self-join:\n${plan.take(1500)}")
+  }
+
+  test("char entropy: per-doc stats via combinable aggregates, no window, no cartesian") {
+    val df = SparkEntry.queries("q_char_entropy")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.toLowerCase.contains("window"),
+      s"no window over the character stream:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
+      s"entropy terms must combine map-side:\n${plan.take(1500)}")
   }
 }
