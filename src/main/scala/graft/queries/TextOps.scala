@@ -2251,8 +2251,11 @@ object TextOps {
               .writeStream.outputMode("append")
               .option("checkpointLocation", s"$out/ck")
               .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+                // model stays UN-hinted: vocab²-bounded but unbounded —
+                // AQE broadcasts whichever side fits (per-trigger batches
+                // are small, so normally the batch side)
                 Staging.writeBatch(
-                  docBigrams(batch).join(broadcast(model), "g")
+                  docBigrams(batch).join(model, "g")
                     .groupBy(col("doc_id"))
                     .agg(sum(col("n")).as("n_bg"),
                       sum(col("mcost") * col("n")).as("smicro")),
