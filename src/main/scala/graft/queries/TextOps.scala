@@ -2287,14 +2287,21 @@ object TextOps {
     // a narrow band. The complement of the LM ladder (which needs a
     // trained model) — entropy is model-free, one pass, and is the
     // cheap first gate a crawl pipeline runs before anything learned.
-    // Shape at 100 TB: the corpus pass reduces to (doc, char, n) —
-    // alphabet-bounded per doc; the per-doc total joins back
-    // co-partitioned on doc_id (the groupBy's own exchange, reused);
-    // the per-doc sum is map-side-combinable; the corpus mean is a
-    // scalar. Determinism: per-char terms round to 6dp, sum as DECIMAL
-    // into exact integer micro-bits, and the low-entropy flag compares
+    // Shape at 100 TB: per-doc entropy is a ROW-LOCAL function, so it
+    // computes entirely inside the scan's codegen span — the per-doc
+    // char histogram builds array-side (array_distinct + filter counts
+    // over the char array, alphabet-bounded work per row) and
+    // accumulates into exact integer micro-bits with a long-typed
+    // aggregate() fold; NOTHING corpus-scale ever shuffles (an earlier
+    // formulation shuffled a (doc, char, n) relation — a corpus-wide
+    // exchange for a per-row metric). The only exchange left is the
+    // single-partition scalar mean. Determinism: per-char terms round
+    // to 6dp and convert exactly to integer micro-bits BEFORE the fold
+    // (long addition, order-free), and the low-entropy flag compares
     // exact integers through IEEE division — no engine ever rounds a
     // double at a boundary (the q_bigram_lm_perplexity discipline).
+    // The oracle states the equivalent grouped formulation; DECIMAL /
+    // integer sums make the two summation orders bit-equal.
     Q("q_char_entropy",
       """WITH gr AS (SELECT doc_id, substr(text, CAST(u.i AS INT), 1) AS c
         |            FROM documents, unnest(range(1, length(text) + 1)) AS u(i)),
@@ -2311,18 +2318,22 @@ object TextOps {
         |SELECT doc_id, n_chars, CAST(em AS DOUBLE) / 1000000.0 AS entropy,
         |  CAST(em AS DOUBLE) < CAST(tem AS DOUBLE) / k AS low_entropy
         |FROM h CROSS JOIN m ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val dcc = Tables.documents(s, d)
+      val h = Tables.documents(s, d)
         .select(col("doc_id"),
-          explode(TextFunctions.charGrams(col("text"), 1)).as("c"))
-        .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("n"))
-      val ntab = dcc.groupBy(col("doc_id")).agg(sum(col("n")).as("nt"))
-      val p = col("n").cast("double") / col("nt").cast("double")
-      val h = dcc.join(ntab, "doc_id")
-        .select(col("doc_id"), col("nt"),
-          round(-(p * log2(p)), 6).as("t"))
-        .groupBy(col("doc_id"))
-        .agg((sum(col("t").cast("decimal(18,6)")) * 1000000).cast("long").as("em"),
-          max(col("nt")).as("n_chars"))
+          TextFunctions.charGrams(col("text"), 1).as("cs"))
+        .select(col("doc_id"), col("cs"),
+          array_distinct(col("cs")).as("ds"),
+          size(col("cs")).cast("long").as("n_chars"))
+        .filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("n_chars"),
+          aggregate(
+            transform(col("ds"), c => {
+              val p = size(filter(col("cs"), x => x === c)).cast("double") /
+                col("n_chars").cast("double")
+              (round(-(p * log2(p)), 6).cast("decimal(18,6)") * 1000000)
+                .cast("long")
+            }),
+            lit(0L), (acc, x) => acc + x).as("em"))
         .persist()
       val m = h.agg(count(lit(1)).as("k"), sum(col("em")).as("tem"))
       h.crossJoin(broadcast(m))

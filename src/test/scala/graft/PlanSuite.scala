@@ -625,14 +625,18 @@ class PlanSuite extends SparkSpec {
       s"token stream must not shuffle through a window/self-join:\n${plan.take(1500)}")
   }
 
-  test("char entropy: per-doc stats via combinable aggregates, no window, no cartesian") {
+  test("char entropy: row-local compute, no corpus shuffle, no window, no cartesian") {
     val df = SparkEntry.queries("q_char_entropy")(spark, sf)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString()
     assert(!plan.toLowerCase.contains("window"),
       s"no window over the character stream:\n${plan.take(2000)}")
     assert(!plan.contains("CartesianProduct"))
-    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
-      s"entropy terms must combine map-side:\n${plan.take(1500)}")
+    // per-doc entropy is row-local: the only hash exchange allowed is
+    // none at all — the scalar mean travels through a single-partition
+    // exchange and the driver sort ranges; a (doc, char) shuffle is the
+    // corpus-scale shape this operator exists to avoid
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"corpus-wide shuffle for a per-row metric:\n${plan.take(2000)}")
   }
 }
