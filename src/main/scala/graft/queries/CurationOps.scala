@@ -443,6 +443,119 @@ object CurationOps {
         |JOIN w1 ON d.w = w1.w JOIN w${BpeRounds + 1} ON d.w = w${BpeRounds + 1}.w
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
+  /** Number of WordPiece merge rounds (the third tokenizer family). */
+  private val WpRounds = 3
+
+  private val wpBaseSql: String =
+    """WITH wp1 AS (
+      |  SELECT w, COUNT(*) AS freq,
+      |    string_split(trim(regexp_replace(w, '(.)', '\1 ', 'g')), ' ') AS syms
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY w),""".stripMargin
+
+  /** One WordPiece training round as oracle SQL: identical pair counting
+    * and greedy-apply machinery to [[bpeRoundSql]], but the winner
+    * maximizes the LIKELIHOOD score c(ab) / (c(a)·c(b)) over the current
+    * symbol table instead of the raw count — the WordPiece selection
+    * criterion (merge the pair whose fusion most increases corpus
+    * likelihood under a unigram-over-symbols model). The score ORDERS
+    * only (ties broken by pair asc); both engines derive it as one IEEE
+    * division of identical integers, and the emitted columns are the
+    * exact integer triple (cnt, c_left, c_right) that determines it —
+    * no double ever crosses the gate. c(a)·c(b) multiplies as DOUBLE
+    * (long·long overflows at ~1e9·1e9; corpus symbol counts reach 1e12
+    * at 100 TB). */
+  private def wpRoundSql(i: Int): String = {
+    val (p, n) = (s"wp$i", s"wp${i + 1}")
+    s"""wpr$i AS (
+       |  SELECT w, freq, syms, CAST(u.i AS INT) AS i,
+       |    syms[CAST(u.i AS INT)] || ' ' || syms[CAST(u.i AS INT)+1] AS pr
+       |  FROM $p, unnest(range(1, len(syms))) AS u(i)),
+       |wpc$i AS (SELECT pr, SUM(freq) AS cab FROM wpr$i GROUP BY pr),
+       |wsc$i AS (SELECT s, SUM(freq) AS c
+       |          FROM (SELECT freq, unnest(syms) AS s FROM $p) GROUP BY s),
+       |wbest$i AS (
+       |  SELECT pr, cab, a.c AS ca, b.c AS cb
+       |  FROM wpc$i p
+       |  JOIN wsc$i a ON string_split(p.pr, ' ')[1] = a.s
+       |  JOIN wsc$i b ON string_split(p.pr, ' ')[2] = b.s
+       |  ORDER BY CAST(cab AS DOUBLE) / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE))
+       |    DESC, pr
+       |  LIMIT 1),
+       |wpos$i AS (
+       |  SELECT p.w, p.i FROM wpr$i p JOIN wbest$i b ON p.pr = b.pr),
+       |wkept$i AS (
+       |  SELECT w, list(i) AS kept FROM (
+       |    SELECT w, i, row_number() OVER (PARTITION BY w, island ORDER BY i) AS pio
+       |    FROM (SELECT w, i, i - row_number() OVER (PARTITION BY w ORDER BY i) AS island
+       |          FROM wpos$i))
+       |  WHERE pio % 2 = 1 GROUP BY w),
+       |$n AS (
+       |  SELECT t.w, t.freq,
+       |    CASE WHEN k.kept IS NULL THEN t.syms
+       |    ELSE list_filter(list_transform(range(1, len(t.syms)+1),
+       |      i -> CASE WHEN list_contains(k.kept, i)
+       |                THEN t.syms[CAST(i AS INT)] || t.syms[CAST(i AS INT)+1]
+       |                WHEN list_contains(k.kept, i-1) THEN NULL
+       |                ELSE t.syms[CAST(i AS INT)] END),
+       |      x -> x IS NOT NULL) END AS syms
+       |  FROM $p t LEFT JOIN wkept$i k ON t.w = k.w)""".stripMargin
+  }
+
+  /** The shared q_wordpiece_encode oracle final select (over the last
+    * round's symbol table). */
+  private lazy val wpEncodeSql: String =
+    wpBaseSql + (1 to WpRounds).map(wpRoundSql).mkString(",") + s"""
+        |SELECT d.doc_id,
+        |  CAST(SUM(len(wp1.syms)) AS INT) AS n_sym_before,
+        |  CAST(SUM(len(wp${WpRounds + 1}.syms)) AS INT) AS n_sym_after
+        |FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents) d
+        |JOIN wp1 ON d.w = wp1.w JOIN wp${WpRounds + 1} ON d.w = wp${WpRounds + 1}.w
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  /** WordPiece training loop: per round, the best pair by likelihood
+    * score (one TakeOrderedAndProject over the pair-count/symbol-count
+    * join — a single-row driver collect, metadata-scale), then the SAME
+    * greedy merge application as BPE ([[applyMerge]] — one transform
+    * definition across both families). Returns (pair, cab, ca, cb) per
+    * merge and (when needFinal) the lineage-free final symbol table. */
+  private def wpTrainOn(docs: org.apache.spark.sql.DataFrame,
+      needFinal: Boolean)
+      : (Seq[(String, Long, Long, Long)], org.apache.spark.sql.DataFrame) = {
+    var w = wordSymsRel(docs).persist()
+    val merges = scala.collection.mutable.Buffer.empty[(String, Long, Long, Long)]
+    var exhausted = false
+    for (_ <- 1 to WpRounds if !exhausted) {
+      val sc = w.select($("freq"), explode($("syms")).as("s"))
+        .groupBy($("s")).agg(sum($("freq")).as("c"))
+      val score = col("cab").cast("double") /
+        (col("ca").cast("double") * col("cb").cast("double"))
+      val bestRows = pairRows(w).groupBy($("pr")).agg(sum($("freq")).as("cab"))
+        .join(sc.select(col("s").as("sa"), col("c").as("ca")),
+          split($("pr"), " ").getItem(0) === col("sa"))
+        .join(sc.select(col("s").as("sb"), col("c").as("cb")),
+          split($("pr"), " ").getItem(1) === col("sb"))
+        .orderBy(score.desc, $("pr"))
+        .limit(1)
+        .select($("pr"), $("cab"), $("ca"), $("cb")).collect()
+      if (bestRows.isEmpty) { exhausted = true }
+      else {
+        val r = bestRows(0)
+        merges += ((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        val prev = w
+        w = applyMerge(w, r.getString(0)).persist()
+        w.count()
+        prev.unpersist()
+      }
+    }
+    if (!needFinal) { w.unpersist(); (merges.toSeq, w) }
+    else {
+      val fin = w.localCheckpoint()
+      w.unpersist()
+      (merges.toSeq, fin)
+    }
+  }
+
   /** Run the BPE merge loop on the engine: returns the learned merges
     * (pair, corpus count) and the per-word symbol table after all
     * rounds. The per-round best pair is a single-row driver collect
@@ -765,6 +878,57 @@ object CurationOps {
           round(sum($("len_after")).cast("double") / sum($("len_before")), 6)
             .as("compression"))
         .orderBy($("lang"))
+    },
+
+    // ---- WordPiece tokenizer training — the THIRD tokenizer family
+    // (BPE merges by raw pair count; unigram-LM prunes a seeded
+    // vocabulary by likelihood loss; WordPiece merges by the LIKELIHOOD
+    // RATIO c(ab)/(c(a)·c(b)) — the BERT-lineage criterion that prefers
+    // pairs that co-occur beyond what their unigram frequencies
+    // predict). The counting, greedy-overlap islands rule, and merge
+    // application are the SAME machinery as BPE (one transform
+    // definition, [[applyMerge]]); only the per-round argmax differs —
+    // one extra symbol-count aggregate joined onto the pair counts,
+    // still vocab-scale, still a single-row driver collect per round.
+    // The emitted row is the exact integer triple that determines each
+    // winner's score, so the gate re-derives the selection without a
+    // double ever crossing engines.
+    Q("q_wordpiece_merges",
+      wpBaseSql + (1 to WpRounds).map(wpRoundSql).mkString(",") + "\n" +
+        "SELECT * FROM (" +
+        (1 to WpRounds).map(i =>
+          s"SELECT $i AS rank, pr AS pair, CAST(cab AS BIGINT) AS cnt, " +
+            s"CAST(ca AS BIGINT) AS c_left, CAST(cb AS BIGINT) AS c_right " +
+            s"FROM wbest$i")
+          .mkString(" UNION ALL ") +
+        ") ORDER BY rank") { (s, d) =>
+      val (merges, _) = wpTrainOn(Tables.documents(s, d), needFinal = false)
+      val rows = merges.zipWithIndex.map { case ((p, cab, ca, cb), i) =>
+        (i + 1, p, cab, ca, cb) }
+      import s.implicits._
+      rows.toDF("rank", "pair", "cnt", "c_left", "c_right").orderBy($("rank"))
+    },
+
+    // ---- WordPiece corpus encoding: the learned table applied back to
+    // every document (the q_bpe_encode shape — trained per-word symbol
+    // table joined onto the exploded corpus on the word key; the table
+    // is distinct-words scale, broadcast or co-shuffled at 100 TB).
+    // Emitting before/after symbol counts per doc makes the whole
+    // training trajectory oracle-checkable: a wrong round-2 winner
+    // changes some word's final segmentation and hash-mismatches.
+    Q("q_wordpiece_encode", wpEncodeSql) { (s, d) =>
+      val (_, wFinal) = wpTrainOn(Tables.documents(s, d), needFinal = true)
+      val table = wFinal.select(
+        col("w").as("tw"),
+        length($("w")).as("len_before"),
+        size($("syms")).as("len_after"))
+      Tables.documents(s, d)
+        .select($("doc_id"), explode(TextFunctions.tokens($("text"))).as("w"))
+        .join(table, col("w") === col("tw"))
+        .groupBy($("doc_id"))
+        .agg(sum($("len_before")).cast("int").as("n_sym_before"),
+          sum($("len_after")).cast("int").as("n_sym_after"))
+        .orderBy($("doc_id"))
     },
 
     // ---- Tokenizer serving AT INGEST: the train-batch/apply-stream
