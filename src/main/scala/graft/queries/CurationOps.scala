@@ -931,6 +931,41 @@ object CurationOps {
         .orderBy($("doc_id"))
     },
 
+    // ---- WordPiece fertility by language — completes the cross-family
+    // tokenizer-selection table: q_bpe_fertility, q_unigram_fertility,
+    // and this row measure pieces-per-word and compression for the three
+    // trained families over the SAME corpus, which is the comparison a
+    // vocab decision actually reads. Same shape as q_bpe_fertility
+    // (train-once artifact, one explode joined against the word table,
+    // |langs| output rows with exact-integer ratios).
+    Q("q_wordpiece_fertility",
+      wpBaseSql + (1 to WpRounds).map(wpRoundSql).mkString(",") + s"""
+        |SELECT d.lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(len(wp${WpRounds + 1}.syms)) AS BIGINT) AS n_pieces,
+        |  round(CAST(SUM(len(wp${WpRounds + 1}.syms)) AS DOUBLE)
+        |    / COUNT(*), 6) AS fertility,
+        |  round(CAST(SUM(len(wp${WpRounds + 1}.syms)) AS DOUBLE)
+        |    / SUM(len(wp1.syms)), 6) AS compression
+        |FROM (SELECT lang, unnest(string_split(text,' ')) AS w FROM documents) d
+        |JOIN wp1 ON d.w = wp1.w JOIN wp${WpRounds + 1} ON d.w = wp${WpRounds + 1}.w
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin) { (s, d) =>
+      val (_, wFinal) = wpTrainOn(Tables.documents(s, d), needFinal = true)
+      val table = wFinal.select(col("w").as("tw"),
+        length($("w")).as("len_before"), size($("syms")).as("len_after"))
+      Tables.documents(s, d)
+        .select($("lang"), explode(TextFunctions.tokens($("text"))).as("w"))
+        .join(table, col("w") === col("tw"))
+        .groupBy($("lang"))
+        .agg(count(lit(1)).as("n_words"),
+          sum($("len_after")).cast("long").as("n_pieces"),
+          round(sum($("len_after")).cast("double") / count(lit(1)), 6)
+            .as("fertility"),
+          round(sum($("len_after")).cast("double") / sum($("len_before")), 6)
+            .as("compression"))
+        .orderBy($("lang"))
+    },
+
     // ---- Tokenizer serving AT INGEST: the train-batch/apply-stream
     // pair (the q_stream_ann pattern for tokenization). Merges are
     // learned ONCE on the static corpus; the document intake stream
