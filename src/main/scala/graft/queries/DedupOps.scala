@@ -425,6 +425,92 @@ object DedupOps {
         .orderBy(col("cluster"))
     },
 
+    // ---- Leakage-safe splitting: assign train/val/test by near-dup
+    // CLUSTER, not by document — the split-repair step a pipeline runs
+    // after dedup so two near-duplicates can never straddle a split
+    // boundary (the q_hash_split per-doc gate leaks: a test document
+    // whose near-twin sits in train is memorization dressed as
+    // generalization). Same 12/2/2-by-first-md5-hex gate, keyed on the
+    // cluster label (= the component's min doc_id); singleton clusters
+    // reduce to the per-doc gate, so only near-dup docs can move. The
+    // `moved` flag is the audit column: every moved doc is a doc whose
+    // naive assignment differed from its cluster's. Scale: one gate
+    // expression over the (node, component) labels — the clustering is
+    // the shared dup-graph artifact; nothing new shuffles.
+    Q("q_leakage_safe_split",
+      s"""WITH RECURSIVE $ngramPairsSql,
+        |$clusterLabSql
+        |SELECT doc_id, cluster,
+        |  CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+        |       WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  (CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+        |        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+        |        ELSE 'test' END) <>
+        |  (CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+        |        WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+        |        ELSE 'test' END) AS moved
+        |FROM lab ORDER BY doc_id""".stripMargin) { (s, d) =>
+      def gate(c: org.apache.spark.sql.Column) = {
+        val h = substring(md5(c.cast("string").cast("binary")), 1, 1)
+        when(h <= "b", "train").when(h <= "d", "val").otherwise("test")
+      }
+      clusterComp(s, d)
+        .select(col("node").as("doc_id"), col("component").as("cluster"))
+        .select(col("doc_id"), col("cluster"), gate(col("cluster")).as("split"),
+          (gate(col("doc_id")) =!= gate(col("cluster"))).as("moved"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- The leakage VERDICT: for every verified near-dup pair, does
+    // the split assignment separate the twins? One row: pair count,
+    // pairs straddling a boundary under the naive per-doc gate
+    // (nonzero — each pair straddles with p ≈ 0.41 under the 12/2/2
+    // gate), and under the cluster gate (structurally ZERO — both ends
+    // share a component by construction; computing it through the same
+    // join PROVES the property instead of asserting it). The engine
+    // reads the shared pair artifact + component labels; the oracle
+    // restates pairs, labels, and both gates from scratch.
+    Q("q_split_leakage_audit",
+      s"""WITH RECURSIVE $ngramPairsSql,
+        |$clusterLabSql,
+        |g AS (SELECT p2.doc_a, p2.doc_b, la.cluster AS ca, lb.cluster AS cb,
+        |        CASE WHEN substr(md5(CAST(p2.doc_a AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+        |             WHEN substr(md5(CAST(p2.doc_a AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+        |             ELSE 'test' END AS na,
+        |        CASE WHEN substr(md5(CAST(p2.doc_b AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+        |             WHEN substr(md5(CAST(p2.doc_b AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+        |             ELSE 'test' END AS nb,
+        |        CASE WHEN substr(md5(CAST(la.cluster AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+        |             WHEN substr(md5(CAST(la.cluster AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+        |             ELSE 'test' END AS sa,
+        |        CASE WHEN substr(md5(CAST(lb.cluster AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+        |             WHEN substr(md5(CAST(lb.cluster AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+        |             ELSE 'test' END AS sb
+        |      FROM pairs p2 JOIN lab la ON p2.doc_a = la.doc_id
+        |                    JOIN lab lb ON p2.doc_b = lb.doc_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CASE WHEN na <> nb THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_leaky_naive,
+        |  CAST(SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_leaky_safe
+        |FROM g""".stripMargin) { (s, d) =>
+      val pairs = minhashVerifiedPairs(s, d).select(col("doc_a"), col("doc_b"))
+      val comp = clusterComp(s, d)
+      def gate(c: org.apache.spark.sql.Column) = {
+        val h = substring(md5(c.cast("string").cast("binary")), 1, 1)
+        when(h <= "b", "train").when(h <= "d", "val").otherwise("test")
+      }
+      pairs
+        .join(comp.select(col("node").as("doc_a"), col("component").as("ca")), "doc_a")
+        .join(comp.select(col("node").as("doc_b"), col("component").as("cb")), "doc_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((gate(col("doc_a")) =!= gate(col("doc_b"))).cast("long"))
+            .as("n_leaky_naive"),
+          sum((gate(col("ca")) =!= gate(col("cb"))).cast("long"))
+            .as("n_leaky_safe"))
+    },
+
     // ---- Corpus-health diagnostics: per-SOURCE duplication rate — how
     // many documents (and bytes) each source loses to near-dup retention
     // under the same keep-longest policy. A doc is dropped iff it is not
