@@ -588,6 +588,17 @@ class PlanSuite extends SparkSpec {
       s"pHash pairs must come from the band equi-join:\n${plan.take(1500)}")
   }
 
+  test("leakage audit: pair-artifact join, no cartesian, zero leaks under cluster gate") {
+    val df = SparkEntry.queries("q_split_leakage_audit")(spark, sf)
+    val row = df.collect()(0)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair gating must ride equi-joins:\n${plan.take(1500)}")
+    assert(row.getLong(2) === 0L, s"cluster gate leaked: $row")
+    assert(row.getLong(1) > 0L, "naive gate must leak (vacuity guard)")
+  }
+
   test("pii scan/scrub are map-only codegen'd regex passes (zero hash exchanges)") {
     for (name <- Seq("q_pii_scan", "q_pii_scrub")) {
       val df = SparkEntry.queries(name)(spark, sf)
