@@ -1016,6 +1016,45 @@ object CurationOps {
       } finally table.unpersist()
     },
 
+    // ---- WordPiece serving AT INGEST — completes the family symmetry
+    // (BPE and unigram-LM both serve their trained tables per trigger):
+    // the likelihood-trained per-word symbol table broadcasts onto each
+    // arriving micro-batch, per-doc totals aggregate inside the trigger,
+    // and the drain shares q_wordpiece_encode's oracle verbatim — a
+    // stale table or dropped batch hash-mismatches.
+    Q("q_stream_wordpiece_encode", wpEncodeSql) { (s, d) =>
+      Tables.ensureConf(s)
+      val (_, wFinal) = wpTrainOn(Tables.documents(s, d), needFinal = true)
+      val table = wFinal.select(col("w").as("tw"),
+        length($("w")).as("len_before"), size($("syms")).as("len_after"))
+        .persist()
+      table.count()
+      try {
+        Staging.withTempDir("graft_stream_wp_out") { out =>
+          Staging.withStagedInput(
+            Tables.documents(s, d).select($("doc_id"), $("text")),
+            "doc_id", nFiles = 2, prefix = "graft_stream_wp") { in =>
+            val schema = s.read.parquet(in).schema
+            val stream = s.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(in)
+              .select($("doc_id"), explode(TextFunctions.tokens($("text"))).as("w"))
+              .join(broadcast(table), col("w") === col("tw"))
+            val q = stream.writeStream.outputMode("append")
+              .option("checkpointLocation", s"$out/ck")
+              .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, id: Long) =>
+                Staging.writeBatch(bdf.groupBy($("doc_id"))
+                  .agg(sum($("len_before")).cast("int").as("n_sym_before"),
+                    sum($("len_after")).cast("int").as("n_sym_after")),
+                  s"$out/res", id)
+              }
+              .start()
+            try q.processAllAvailable() finally q.stop()
+          }
+          Staging.drainParquet(s, s"$out/res", $("doc_id"))
+        }
+      } finally table.unpersist()
+    },
+
     // ---- Context-window chunking: overlapping 64-token windows with
     // stride 48 (16-token overlap), the RAG/pretraining chunker. Final
     // window carries the tail remainder (never dropped); docs at or
