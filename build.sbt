@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver parses the LAST line of sbt output as JSON.
+// Default sbt wraps forked-process stdout in "[info] " and appends a
+// "[success] Total time" line — both defeat that parse (every
+// BENCH_r*.json so far carries "parsed": null). StdoutOutput passes the
+// forked JVM's stdout through verbatim, and showSuccess drops the
+// trailing [success] line, so the bench's final JSON line IS the final
+// line of output. (Bench.scala also writes bench_queries.json as a
+// file-based fallback.)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -207,6 +207,14 @@ object Bench {
       while (keep > 1 && render(bySlowest.take(keep).sortBy(_._1)).length > budget) keep -= 1
       line = render(bySlowest.take(keep).sortBy(_._1))
     }
+    // Machine-parseable artifact with the FULL per-query table (the
+    // stdout line is budgeted to the driver's tail window and may drop
+    // fast queries): one JSON object at a stable path in the repo root.
+    val full = render(results)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_queries.json"),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: java.io.IOException => () }
     println(line)
     spark.stop()
   }

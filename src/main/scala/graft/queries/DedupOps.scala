@@ -471,6 +471,16 @@ object DedupOps {
     // join PROVES the property instead of asserting it). The engine
     // reads the shared pair artifact + component labels; the oracle
     // restates pairs, labels, and both gates from scratch.
+    // LSH-RECALL ASSUMPTION (shared with every consumer of the
+    // minhashVerifiedPairs artifact): the engine's pair set comes from
+    // 16-band × 4-hash banding, whose miss probability at jaccard j is
+    // (1-j⁴)¹⁶ — ~4e-8 at the j≥0.9 pairs this corpus contains, but
+    // ~6e-2 at a hypothetical j=0.8 boundary pair. The oracle enumerates
+    // ALL ≥0.8 pairs exhaustively, so n_pairs/n_leaky_naive here (and
+    // the cluster labels everywhere) ride on that recall. If the
+    // band/hash scheme is ever retuned, re-check this margin (or gate
+    // the artifact with an exact-pair parity check at one SF) before
+    // trusting the sweep.
     Q("q_split_leakage_audit",
       s"""WITH RECURSIVE $ngramPairsSql,
         |$clusterLabSql,

@@ -37,8 +37,12 @@ import org.apache.spark.sql.functions._
 object PrivacyOps {
 
   /** Pattern literals shared by scan and redact (one policy definition).
-    * RE2 ∩ java.util.regex subset only. */
-  private val EmailRe = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+    * RE2 ∩ java.util.regex subset only. Email matches BOTH cases (the
+    * q_pii_redact policy) — a lowercase-only class would silently
+    * under-redact mixed-case addresses even though the synthetic
+    * injection below happens to be lowercase. */
+  private[graft] val EmailRe =
+    """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
   private val PhoneRe = """\b555-[0-9]{4}\b"""
   private val IpRe =
     """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
@@ -71,7 +75,7 @@ object PrivacyOps {
       "|| CASE WHEN doc_id % 5 = 0 " +
       "THEN ' cc admin@corp.example.org' ELSE '' END"
 
-  private def redactedCol: org.apache.spark.sql.Column =
+  private[graft] def redactedCol: org.apache.spark.sql.Column =
     regexp_replace(
       regexp_replace(
         regexp_replace(col("raw"), EmailRe, "[EMAIL]"),

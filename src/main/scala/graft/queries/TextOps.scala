@@ -2141,10 +2141,16 @@ object TextOps {
     // to 6dp, convert EXACTLY to integer micro-nats (×1e6 through
     // DECIMAL), and every later step stays in integer space — the
     // per-doc mean is the half-up integer quotient (2S+n) div (2n), so
-    // no engine ever rounds a double at a .5-in-the-7th-digit boundary
-    // (round(s/n, 6) diverged between DuckDB's scaled round and the
-    // JVM's BigDecimal-of-double on exactly that boundary: 121.774590/36
-    // = 3.38262750). The keep compare divides identical exact integers
+    // no POST-MODEL step ever rounds a double at a .5-in-the-7th-digit
+    // boundary (round(s/n, 6) diverged between DuckDB's scaled round and
+    // the JVM's BigDecimal-of-double on exactly that boundary:
+    // 121.774590/36 = 3.38262750). That guarantee is scoped to the
+    // integer-quotient arithmetic: the per-TERM round(cost, 6) still
+    // rounds a transcendental (ln/log2/pow) double, where the two libms
+    // could in principle differ by an ULP at a .5e-6 boundary — the same
+    // accepted residual risk as the pagerank/char-trigram rounds (never
+    // observed across the tri-SF sweeps). The keep compare divides
+    // identical exact integers
     // as doubles (IEEE division of equal inputs is equal — only round()
     // was engine-dependent).
     Q("q_bigram_lm_perplexity",

@@ -11,7 +11,7 @@ import org.apache.spark.sql.Row
   */
 class PrivacySuite extends SparkSpec {
 
-  private val emailRe = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+  private val emailRe = PrivacyOps.EmailRe
   private val phoneRe = """\b555-[0-9]{4}\b"""
   private val ipRe = """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
 
@@ -66,5 +66,18 @@ class PrivacySuite extends SparkSpec {
       assert(!want.matches(s".*($emailRe|$phoneRe|$ipRe).*"),
         s"doc $id residual PII")
     }
+  }
+
+  test("mixed- and upper-case emails are scrubbed (policy, not fixture)") {
+    import spark.implicits._
+    // exercised through the shared redact column directly: the corpus
+    // injection is lowercase by construction, so only a crafted body
+    // proves the pattern's case classes
+    val got = Seq(
+      "mail John.Doe@Example.COM today",
+      "or ADMIN@CORP.EXAMPLE.ORG, thanks")
+      .toDF("raw").select(PrivacyOps.redactedCol.as("red"))
+      .collect().map(_.getString(0))
+    assert(got === Array("mail [EMAIL] today", "or [EMAIL], thanks"))
   }
 }
