@@ -25,16 +25,28 @@ import org.apache.spark.sql.functions._
   *
   * Scale posture: the distinct-word relation is corpus-derived and stays
   * DISTRIBUTED (real corpora have millions of distinct words); only the
-  * piece table crosses the driver (bounded by the vocabulary budget +
-  * seed-substring cap — tokenizer-artifact scale, exactly what
-  * SentencePiece ships as a model file), and each E-step is one
-  * broadcast-map pass over the words with one map-side-combined count
-  * aggregate back.
+  * piece table crosses the driver, and its cardinality is CAPPED before
+  * the collect: single-char pieces are always kept (coverage floor,
+  * alphabet-bounded) and multi-char seed candidates keep only the
+  * top-[[SeedCap]] by corpus frequency — the rank-and-limit runs
+  * distributed (TakeOrderedAndProject: bounded per-partition heaps, a
+  * SeedCap-row driver merge), so the driver crossing is
+  * ≤ |alphabet| + SeedCap on ANY corpus (tokenizer-artifact scale,
+  * exactly what SentencePiece ships as a model file; SentencePiece caps
+  * its own seed the same way via seed_sentencepiece_size). Each E-step
+  * is one broadcast-map pass over the words with one map-side-combined
+  * count aggregate back.
   */
 object UnigramOps {
 
   /** Max candidate piece length (seed substrings 1..MaxPiece chars). */
   private val MaxPiece = 4
+  /** Seed-substring CARDINALITY cap: multi-char candidates keep only the
+    * top-SeedCap by (corpus frequency DESC, piece ASC) BEFORE the driver
+    * collect; single chars are always kept so Viterbi coverage never
+    * breaks. Part of the algorithm definition — the oracle ranks inside
+    * the same window, so both engines train on the identical seed. */
+  private[graft] val SeedCap = 512
   /** Hard-EM rounds. */
   private val Rounds = 2
   /** Multi-char pieces kept after pruning (single chars always kept). */
@@ -80,13 +92,19 @@ object UnigramOps {
        |  SELECT w, COUNT(*) AS f
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  WHERE w <> '' GROUP BY w),
-       |pc0 AS (
+       |pc0a AS (
        |  SELECT piece, SUM(f) AS c FROM (
        |    SELECT substr(w, CAST(st AS INT), CAST(L AS INT)) AS piece, f
        |    FROM ww, unnest(range(1, ${MaxPiece + 1})) AS ul(L),
        |         unnest(range(1, len(w) - L + 2)) AS us(st)
        |    WHERE len(w) >= L)
        |  GROUP BY piece),
+       |pc0 AS (
+       |  SELECT piece, c FROM pc0a WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, c FROM (
+       |    SELECT piece, c, ROW_NUMBER() OVER (ORDER BY c DESC, piece) AS rk
+       |    FROM pc0a WHERE len(piece) > 1) WHERE rk <= $SeedCap),
        |chars AS (SELECT DISTINCT piece FROM pc0 WHERE len(piece) = 1)""".stripMargin
 
   /** Shared CTE chain through training: seed → EM rounds → kept vocab. */
@@ -203,12 +221,15 @@ object UnigramOps {
     multi ++ singles
   }
 
-  /** Full training run: returns (kept piece counts, word relation). */
-  private def train(s: SparkSession, d: String): (Seq[(String, Long)], DataFrame) = {
-    val words = wordRel(s, d).persist()
-    words.count() // materialized once; every EM pass re-reads the cache
-    // seed: frequency-weighted substring occurrences, 1..MaxPiece chars
-    val seed = words
+  /** Capped seed piece counts from a (w, f) word relation: single-char
+    * pieces all kept; multi-char candidates top-[[SeedCap]] by
+    * (c DESC, piece ASC). Both limits run DISTRIBUTED (the cap is a
+    * TakeOrderedAndProject — bounded heaps, never a full sort or an
+    * uncapped collect), so the returned map is ≤ |alphabet| + SeedCap
+    * entries on any corpus. UnigramSuite asserts the bound binds on a
+    * corpus whose raw candidate set exceeds it. */
+  private[graft] def seedCounts(words: DataFrame): Map[String, Long] = {
+    val pieceCounts = words
       .select(col("w"), col("f"),
         explode(sequence(lit(1), lit(MaxPiece))).as("L"))
       .filter(length(col("w")) >= col("L"))
@@ -216,7 +237,21 @@ object UnigramOps {
         explode(sequence(lit(1), length(col("w")) - col("L") + 1)).as("st"))
       .select(expr("substring(w, st, L)").as("piece"), col("f"))
       .groupBy(col("piece")).agg(sum(col("f")).as("c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val singles = pieceCounts.filter(length(col("piece")) === 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val multis = pieceCounts.filter(length(col("piece")) > 1)
+      .orderBy(col("c").desc, col("piece")).limit(SeedCap)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    (singles ++ multis).toMap
+  }
+
+  /** Full training run: returns (kept piece counts, word relation). */
+  private def train(s: SparkSession, d: String): (Seq[(String, Long)], DataFrame) = {
+    val words = wordRel(s, d).persist()
+    words.count() // materialized once; every EM pass re-reads the cache
+    // seed: frequency-weighted substring occurrences, 1..MaxPiece chars,
+    // multi-char cardinality capped at SeedCap before the driver collect
+    val seed = seedCounts(words)
     val chars = seed.keySet.filter(_.length == 1)
     var counts = seed
     (1 to Rounds).foreach { _ =>

@@ -68,3 +68,46 @@ class UnigramSuite extends AnyFunSuite {
     }
   }
 }
+
+/** The seed cap binds: on a corpus whose raw 2..4-gram candidate set far
+  * exceeds SeedCap, the collected seed stays ≤ |alphabet| + SeedCap —
+  * the driver crossing is tokenizer-artifact scale by construction, not
+  * by fixture luck. Spark-backed (the cap runs as a distributed
+  * TakeOrderedAndProject, which is the thing under test).
+  */
+class UnigramSeedCapSuite extends graft.SparkSpec {
+
+  test("seed collect is capped at |alphabet| + SeedCap on an oversized corpus") {
+    import spark.implicits._
+    // 2000 distinct 8-char words over a 20-letter alphabet: ≥ 2000
+    // distinct 4-grams alone (hash-derived, no RNG) — far over SeedCap
+    val alpha = "abcdefghijklmnopqrst"
+    val words = (0 until 2000).map { i =>
+      val sb = new StringBuilder
+      var h = i.toLong * 2654435761L + 17
+      for (_ <- 0 until 8) { sb += alpha(((h >>> 7) % 20).toInt); h = h * 31 + 11 }
+      (sb.toString, 1L + (i % 7))
+    }
+    val rel = words.toDF("w", "f")
+    // precondition: the UNCAPPED candidate set really exceeds the cap
+    val raw = rel.select(org.apache.spark.sql.functions.expr(
+        "explode(flatten(transform(sequence(1, 4), " +
+          "L -> transform(sequence(1, greatest(length(w) - L + 1, 1)), " +
+          "st -> substring(w, st, L)))))").as("p"))
+      .filter(org.apache.spark.sql.functions.length($"p") > 1)
+      .distinct().count()
+    assert(raw > UnigramOps.SeedCap * 2L,
+      s"fixture too small to exercise the cap: $raw candidates")
+
+    val seed = UnigramOps.seedCounts(rel)
+    val singles = seed.keys.count(_.length == 1)
+    val multis = seed.keys.count(_.length > 1)
+    assert(singles <= alpha.length)
+    assert(multis == UnigramOps.SeedCap,
+      s"cap should BIND here: got $multis multi-char pieces")
+    assert(seed.size <= alpha.length + UnigramOps.SeedCap)
+    // coverage floor: every alphabet char that occurs is in the seed
+    val used = words.flatMap(_._1.toSeq).toSet
+    assert(used.forall(c => seed.contains(c.toString)))
+  }
+}
