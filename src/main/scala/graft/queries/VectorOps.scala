@@ -61,9 +61,25 @@ object VectorOps {
     * both harnesses sweep the cache manager after each query. */
   private def embedComponents(s: SparkSession, d: String): DataFrame = {
     val e = embedRel(s, d).cache()
+    componentsCells(e, quantCentroids(e))
+  }
+
+  /** First-k coarse-quantizer centroids of a (vec_id, v) relation
+    * (k = |e|/32 — the same codebook-scale collect every SemDeDup
+    * consumer shares; the oracle states `vec_id < kc`). */
+  private def quantCentroids(e: DataFrame): IndexedSeq[IndexedSeq[Double]] = {
     val k = math.max(1L, e.count() / 32L).toInt
-    val cents = e.filter(col("vec_id") < k).orderBy(col("vec_id"))
+    e.filter(col("vec_id") < k).orderBy(col("vec_id"))
       .select(col("v")).collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+  }
+
+  /** Cell-blocked SemDeDup components of `e` under a given quantizer:
+    * (vec_id, v, cell, cluster). Edges never cross cells, so every
+    * component lives in exactly ONE cell — `cell` rides along for
+    * consumers that need the cluster→cell map (the incremental refresh
+    * probes new vectors into their cell's clusters only). */
+  private def componentsCells(e: DataFrame,
+      cents: IndexedSeq[IndexedSeq[Double]]): DataFrame = {
     val asg = e.withColumn("cell",
       element_at(graft.functions.VectorExpressions.nearestCells(col("v"), cents, 1), 1))
     val a = asg.select(col("cell"), col("vec_id").as("va"), col("v").as("xa"))
@@ -75,7 +91,7 @@ object VectorOps {
     val nodes = e.select(col("vec_id").as("node"))
     graft.ops.ConnectedComponents.components(edges, nodes)
       .select(col("node").as("vec_id"), col("component").as("cluster"))
-      .join(e, "vec_id")
+      .join(asg, "vec_id")
   }
 
 
@@ -148,6 +164,92 @@ object VectorOps {
       .select(col("vec_id"), col("cluster"), col("cent_cos"),
         (col("vec_id") === col("keep_id")).as("keep"))
   }
+
+  /** q_incremental_semdedup oracle: the FULL recompute of the
+    * incremental refresh semantics — historical clustering/centroids/
+    * scores over the old snapshot (vec_id % 8 <> 0), each new vector
+    * probed into its quantizer cell and absorbed into that cell's
+    * best-centroid-cosine cluster (score DESC, cluster ASC), keeper
+    * re-decided over the merged ledger. The engine serves the
+    * historical side from stored artifacts; a stale artifact, wrong
+    * probe, or drifted absorption rule hash-mismatches here. */
+  private lazy val incSemdedupSql: String =
+    s"""WITH RECURSIVE
+       |eh AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |       FROM embeddings WHERE vec_id % 8 <> 0),
+       |kk AS (SELECT GREATEST(COUNT(*) // 32, 1) AS kc FROM eh),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM eh, kk WHERE vec_id < kc),
+       |asg AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT eh.vec_id, eh.v, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY eh.vec_id
+       |        ORDER BY list_distance(eh.v, c.cv), c.cid) AS rn
+       |    FROM eh CROSS JOIN c) WHERE rn = 1),
+       |p AS (SELECT a.vec_id AS va, b.vec_id AS vb
+       |      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4),
+       |edges AS (SELECT va AS ea, vb AS eb FROM p
+       |          UNION SELECT vb, va FROM p),
+       |walk(node, label) AS (
+       |  SELECT vec_id, vec_id FROM eh
+       |  UNION
+       |  SELECT eb, w.label FROM walk w JOIN edges ee ON ee.ea = w.node),
+       |lab AS (SELECT node AS vec_id, MIN(label) AS cluster FROM walk GROUP BY node),
+       |mm AS (SELECT l.cluster, e.vec_id, CAST(u.i AS INT) AS i,
+       |         e.v[CAST(u.i AS INT)] AS x
+       |       FROM lab l JOIN eh e ON e.vec_id = l.vec_id,
+       |            unnest(range(1, 65)) AS u(i)),
+       |cm AS (SELECT cluster, i,
+       |         CAST(SUM(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+       |           / COUNT(*) AS m
+       |       FROM mm GROUP BY cluster, i),
+       |d2 AS (SELECT mm.cluster, mm.vec_id,
+       |         CAST(SUM(CAST(round(mm.x * cm.m, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sd,
+       |         CAST(SUM(CAST(round(mm.x * mm.x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sa,
+       |         CAST(SUM(CAST(round(cm.m * cm.m, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sb
+       |       FROM mm JOIN cm ON mm.cluster = cm.cluster AND mm.i = cm.i
+       |       GROUP BY mm.cluster, mm.vec_id),
+       |sc2 AS (SELECT cluster, vec_id,
+       |          CASE WHEN sa = 0 OR sb = 0 THEN 0.0
+       |            ELSE round(sd / (sqrt(sa) * sqrt(sb)), 6) END AS cent_cos
+       |        FROM d2),
+       |ccell AS (SELECT DISTINCT l.cluster, a.cid
+       |          FROM lab l JOIN asg a ON a.vec_id = l.vec_id),
+       |en AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |       FROM embeddings WHERE vec_id % 8 = 0),
+       |nasg AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT en.vec_id, en.v, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY en.vec_id
+       |        ORDER BY list_distance(en.v, c.cv), c.cid) AS rn
+       |    FROM en CROSS JOIN c) WHERE rn = 1),
+       |nmm AS (SELECT cc.cluster, n.vec_id, CAST(u.i AS INT) AS i,
+       |          n.v[CAST(u.i AS INT)] AS x
+       |        FROM nasg n JOIN ccell cc ON cc.cid = n.cid,
+       |             unnest(range(1, 65)) AS u(i)),
+       |nd2 AS (SELECT nmm.cluster, nmm.vec_id,
+       |          CAST(SUM(CAST(round(nmm.x * cm.m, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sd,
+       |          CAST(SUM(CAST(round(nmm.x * nmm.x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sa,
+       |          CAST(SUM(CAST(round(cm.m * cm.m, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sb
+       |        FROM nmm JOIN cm ON nmm.cluster = cm.cluster AND nmm.i = cm.i
+       |        GROUP BY nmm.cluster, nmm.vec_id),
+       |nsc AS (SELECT cluster, vec_id,
+       |          CASE WHEN sa = 0 OR sb = 0 THEN 0.0
+       |            ELSE round(sd / (sqrt(sa) * sqrt(sb)), 6) END AS cent_cos
+       |        FROM nd2),
+       |npick AS (SELECT cluster, vec_id, cent_cos FROM (
+       |    SELECT cluster, vec_id, cent_cos,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |        ORDER BY cent_cos DESC, cluster) AS rn
+       |    FROM nsc) WHERE rn = 1),
+       |merged AS (SELECT cluster, vec_id, cent_cos FROM sc2
+       |           UNION ALL SELECT cluster, vec_id, cent_cos FROM npick),
+       |r AS (SELECT cluster, vec_id, cent_cos,
+       |        ROW_NUMBER() OVER (PARTITION BY cluster
+       |          ORDER BY cent_cos, vec_id) AS rn
+       |      FROM merged)
+       |SELECT vec_id, cluster, cent_cos, rn = 1 AS keep
+       |FROM r ORDER BY vec_id""".stripMargin
 
   /** Recall-verdict row for an ANN result `(src, nbr, sim, …)`: compares
     * the ANN answer for the first 100 vectors against their exact top-1
@@ -613,6 +715,95 @@ object VectorOps {
           }
         } finally cm.unpersist()
       } finally comp.unpersist()
+    },
+
+    // ---- INCREMENTAL SemDeDup — the embedding analogue of
+    // q_incremental_dedup (the corpus-refresh shape): a new embedding
+    // batch (vec_id % 8 = 0) is retained/dropped against the accumulated
+    // snapshot WITHOUT recomputing the old side. The previous run's
+    // quantizer codebook, per-cluster centroids, and scored member
+    // ledger persist as parquet artifacts (Artifacts protocol); this run
+    // only touches the NEW batch: each new vector probes its quantizer
+    // cell (the stored codebook — a k-row collect), meets ONLY that
+    // cell's clusters via an equi-join on the cluster→cell map (never a
+    // corpus scan, never all clusters), scores centroid cosine against
+    // the STORED centroids through the same decimal-discipline kernel as
+    // q_semdedup_keep, absorbs into its best cluster (score DESC,
+    // cluster ASC), and the keeper re-decides over the merged ledger via
+    // the shared min(struct) aggregate — a new member with a lower
+    // centroid cosine can displace a historical keeper, exactly like a
+    // production refresh. Old-vs-old work is never re-paid: at 100 TB
+    // the refresh is O(batch × cellClusters × dim) plus one
+    // ledger-scale aggregate. The oracle restates the FULL recompute
+    // (clustering, centroids, probe, absorption, merge), so a stale
+    // artifact, a wrong probe cell, or absorption drift all
+    // hash-mismatch. PlanSuite asserts the historical side enters the
+    // final plan as artifact scans with exactly one embeddings scan
+    // (the new batch's); IncrementalSemdedupSuite covers replay
+    // idempotence, single derivation, and keeper displacement.
+    Q("q_incremental_semdedup", incSemdedupSql) { (s, d) =>
+      val e = embedRel(s, d)
+      val isNew = col("vec_id") % 8 === 0
+      val hist = e.filter(!isNew).persist()
+      // shared snapshot derivation, built AT MOST ONCE and only if some
+      // artifact is missing (first snapshot run); on a refresh all three
+      // artifacts hit and the historical corpus is never scanned
+      var compCache: DataFrame = null
+      def comp: DataFrame = {
+        if (compCache == null) {
+          compCache = componentsCells(hist, quantCentroids(hist)).persist()
+          compCache.count()
+        }
+        compCache
+      }
+      def explodeX(c: DataFrame): DataFrame =
+        c.select(col("cluster"), col("vec_id"),
+          posexplode(col("v")).as(Seq("i", "x")))
+      try {
+        val quant = Artifacts.parquet(s, d, "inc_sem_quant") {
+          import s.implicits._
+          quantCentroids(hist).zipWithIndex
+            .map { case (v, i) => (i + 1, v.toArray) }.toDF("cell", "cv")
+        }
+        val cm = Artifacts.parquet(s, d, "inc_sem_centroids") {
+          semdedupCentroids(explodeX(comp))
+        }
+        val ledger = Artifacts.parquet(s, d, "inc_sem_ledger") {
+          // the centroid artifact just staged above feeds the scoring —
+          // derivations chain through parquet, not through lineage
+          semdedupCentCos(explodeX(comp), cm)
+            .join(comp.select(col("vec_id"), col("cell")), "vec_id")
+        }
+        // ---- refresh path: new batch only ----
+        val cents = quant.orderBy(col("cell")).collect()
+          .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+        val clCell = ledger.select(col("cluster").as("cl"), col("cell")).distinct()
+        val xn = e.filter(isNew)
+          .withColumn("cell", element_at(
+            graft.functions.VectorExpressions.nearestCells(col("v"), cents, 1), 1))
+          .join(clCell, Seq("cell"))
+          .select(col("cl").as("cluster"), col("vec_id"),
+            posexplode(col("v")).as(Seq("i", "x")))
+        // batch-scale decision rows, materialized ONCE eagerly (the
+        // newBands.localCheckpoint pattern from q_incremental_dedup):
+        // the keeper decision consumes the merged ledger TWICE (keeper
+        // agg + join back), and an un-materialized npick would re-score
+        // the whole batch per consumer
+        val npick = semdedupCentCos(xn, cm)
+          .groupBy(col("vec_id"))
+          .agg(max(struct(col("cent_cos").as("c"), (-col("cluster")).as("nc")))
+            .as("k"))
+          .select((-col("k.nc")).as("cluster"), col("vec_id"),
+            col("k.c").as("cent_cos"))
+          .localCheckpoint()
+        val merged = ledger.select(col("cluster"), col("vec_id"), col("cent_cos"))
+          .unionByName(npick)
+        semdedupDecision(merged).orderBy(col("vec_id"))
+      } finally {
+        hist.unpersist()
+        if (compCache != null) compCache.unpersist()
+        ()
+      }
     },
 
     // ---- IVF-style ANN: coarse quantizer = 16 centroids SAMPLED from the

@@ -581,6 +581,35 @@ class PlanSuite extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("incremental semdedup: historical side is artifact scans, one embeddings scan") {
+    // first call stages the snapshot artifacts; the plan under test is a
+    // SECOND build — the refresh-run shape
+    SparkEntry.queries("q_incremental_semdedup")(spark, sf).collect()
+    val df = SparkEntry.queries("q_incremental_semdedup")(spark, sf)
+    val plan = df.queryExecution.executedPlan
+    val str = plan.toString()
+    assert(str.contains("graft_art_inc_sem_ledger"),
+      s"historical scored ledger not read from the parquet artifact:\n${str.take(2000)}")
+    // ZERO embeddings scans in the final plan: the new batch was scored
+    // once, EAGERLY, at npick's localCheckpoint (the q_incremental_dedup
+    // newBands pattern), so the decision plan is ledger-artifact scans +
+    // an RDD scan of the batch decisions. A lazily re-scored batch — or
+    // a recomputed historical clustering — puts embeddings scans back.
+    // (Counted on the optimized LOGICAL plan: AQE wraps the physical
+    // tree and hides its children from collect.)
+    val embScans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if (r.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.exists(_.toString.contains("embeddings.parquet"))
+            case _ => false
+          }) => r
+    }
+    assert(embScans.isEmpty,
+      s"expected no embeddings scan in the refresh decision plan, got ${embScans.length}")
+    assert(!str.contains("CartesianProduct"))
+  }
+
   test("media dedup: banded candidates via equi-join, never a signature cross join") {
     val plan = physical("q_media_dedup")
     assert(!plan.contains("CartesianProduct") &&
