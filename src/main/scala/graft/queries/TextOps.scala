@@ -2294,14 +2294,19 @@ object TextOps {
     // trained model) — entropy is model-free, one pass, and is the
     // cheap first gate a crawl pipeline runs before anything learned.
     // Shape at 100 TB: per-doc entropy is a ROW-LOCAL function, so it
-    // computes entirely inside the scan's codegen span — the per-doc
-    // char histogram builds array-side (array_distinct + filter counts
-    // over the char array, alphabet-bounded work per row) and
-    // accumulates into exact integer micro-bits with a long-typed
-    // aggregate() fold; NOTHING corpus-scale ever shuffles (an earlier
-    // formulation shuffled a (doc, char, n) relation — a corpus-wide
-    // exchange for a per-row metric). The only exchange left is the
-    // single-partition scalar mean. Determinism: per-char terms round
+    // computes entirely inside the scan — the char array SORTS in place
+    // and one aggregate() fold walks the runs (each run = one distinct
+    // char), accumulating exact integer micro-bits per run boundary:
+    // O(n log n) per row instead of the earlier
+    // array_distinct × filter-count formulation's O(distinct · n) with
+    // a fresh array allocation per distinct char (that quadratic-ish
+    // kernel was 14 cpu-s at sf0.1 — the run-length fold removes the
+    // work instead of spreading it; the fixture is one parquet row
+    // group, so no split knob can parallelize it away). NOTHING
+    // corpus-scale ever shuffles (an earlier formulation shuffled a
+    // (doc, char, n) relation — a corpus-wide exchange for a per-row
+    // metric). The only exchange left is the single-partition scalar
+    // mean. Determinism: per-char terms round
     // to 6dp and convert exactly to integer micro-bits BEFORE the fold
     // (long addition, order-free), and the low-entropy flag compares
     // exact integers through IEEE division — no engine ever rounds a
@@ -2324,22 +2329,15 @@ object TextOps {
         |SELECT doc_id, n_chars, CAST(em AS DOUBLE) / 1000000.0 AS entropy,
         |  CAST(em AS DOUBLE) < CAST(tem AS DOUBLE) / k AS low_entropy
         |FROM h CROSS JOIN m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // the native one-pass kernel (functions/CharEntropy.scala): the
+      // per-char terms replicate Spark's own log2/round bit-for-bit, so
+      // this is the HOF chain's exact output at O(n) per row
       val h = Tables.documents(s, d)
         .select(col("doc_id"),
-          TextFunctions.charGrams(col("text"), 1).as("cs"))
-        .select(col("doc_id"), col("cs"),
-          array_distinct(col("cs")).as("ds"),
-          size(col("cs")).cast("long").as("n_chars"))
+          graft.functions.CharEntropyMicroBits(col("text")).as("st"))
+        .select(col("doc_id"), col("st.n_chars").as("n_chars"),
+          col("st.em").as("em"))
         .filter(col("n_chars") > 0)
-        .select(col("doc_id"), col("n_chars"),
-          aggregate(
-            transform(col("ds"), c => {
-              val p = size(filter(col("cs"), x => x === c)).cast("double") /
-                col("n_chars").cast("double")
-              (round(-(p * log2(p)), 6).cast("decimal(18,6)") * 1000000)
-                .cast("long")
-            }),
-            lit(0L), (acc, x) => acc + x).as("em"))
         .persist()
       val m = h.agg(count(lit(1)).as("k"), sum(col("em")).as("tem"))
       h.crossJoin(broadcast(m))
