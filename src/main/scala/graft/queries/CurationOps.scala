@@ -312,7 +312,7 @@ object CurationOps {
     * a 30k-merge vocabulary becomes ~30k/m rounds. The per-round
     * collect is topK rows (metadata-scale). Returns
     * (round, rank, pair, cnt) in selection order. */
-  private def bpeTrainBatched(s: org.apache.spark.sql.SparkSession, d: String,
+  private[graft] def bpeTrainBatched(s: org.apache.spark.sql.SparkSession, d: String,
       rounds: Int, m: Int, topK: Int): Seq[(Int, Int, String, Long)] = {
     import org.apache.spark.sql.expressions.Window
     var w = wordSymsRel(Tables.documents(s, d)).persist()
@@ -342,9 +342,14 @@ object CurationOps {
           .filter($("pio") % 2 === 1)
           .groupBy($("w")).agg(collect_list($("i")).as("kept"))
           .withColumnRenamed("w", "kw")
+        // localCheckpoint, NOT persist+count: the round materializes
+        // either way, but persist keeps the LOGICAL plan, and
+        // rebuildSyms references w twice — the plan doubles every round
+        // (2^rounds nodes; a production 30k/m-round loop OOMs building
+        // explain strings before any data moves — found by
+        // TokenizerScaleMain). Checkpointing resets it to an RDD scan.
         val prev = w
-        w = rebuildSyms(w, kept).persist()
-        w.count()
+        w = rebuildSyms(w, kept).localCheckpoint()
         prev.unpersist()
       }
     }
@@ -619,9 +624,14 @@ object CurationOps {
           .filter($("pio") % 2 === 1)
           .groupBy($("w")).agg(collect_list($("i")).as("kept"))
           .withColumnRenamed("w", "kw")
+        // localCheckpoint, NOT persist+count: the round materializes
+        // either way, but persist keeps the LOGICAL plan, and
+        // rebuildSyms references w twice — the plan doubles every round
+        // (2^rounds nodes; a production 30k/m-round loop OOMs building
+        // explain strings before any data moves — found by
+        // TokenizerScaleMain). Checkpointing resets it to an RDD scan.
         val prev = w
-        w = rebuildSyms(w, kept).persist()
-        w.count()
+        w = rebuildSyms(w, kept).localCheckpoint()
         prev.unpersist()
       }
     }
@@ -669,9 +679,10 @@ object CurationOps {
       else {
         val r = bestRows(0)
         merges += ((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        // localCheckpoint per round — lineage truncation, see the
+        // batched loop's note (the plan otherwise doubles per round)
         val prev = w
-        w = applyMerge(w, r.getString(0)).persist()
-        w.count()
+        w = applyMerge(w, r.getString(0)).localCheckpoint()
         prev.unpersist()
       }
     }
@@ -774,9 +785,12 @@ object CurationOps {
       val best = bestRows(0)
       val (bp, bc) = (best.getString(0), best.getLong(1))
       merges += ((bp, bc))
+      // localCheckpoint per round — materializes AND truncates lineage
+      // (applyMerge references w twice; a persist-only chain doubles the
+      // logical plan every round — 2^rounds nodes at production round
+      // counts, found by TokenizerScaleMain)
       val prev = w
-      w = applyMerge(w, bp).persist()
-      w.count() // materialize before releasing the previous round
+      w = applyMerge(w, bp).localCheckpoint()
       prev.unpersist()
       }
     }
@@ -945,8 +959,7 @@ object CurationOps {
       var tw = wordSymsRel(docs.filter(h > "d")).persist()
       for ((bp, _) <- merges) {
         val prev = tw
-        tw = applyMerge(tw, bp).persist()
-        tw.count()
+        tw = applyMerge(tw, bp).localCheckpoint() // lineage truncation per round
         prev.unpersist()
       }
       // lineage-free handoff (the bpeTrain pattern): storage follows the

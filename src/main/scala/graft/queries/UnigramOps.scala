@@ -162,7 +162,8 @@ object UnigramOps {
     * oracle's global brute-force rule — see object doc for why the
     * local tie-break composes). Every single char is in `lp`, so the DP
     * always completes. */
-  private[graft] def viterbi(word: String, lp: Map[String, Long]): String = {
+  private[graft] def viterbi(word: String, lp: Map[String, Long],
+      maxPiece: Int = MaxPiece): String = {
     val n = word.length
     require(n <= MaxWord,
       s"unigram tokenizer parity bound: word of length $n exceeds $MaxWord " +
@@ -172,7 +173,7 @@ object UnigramOps {
     sc(0) = 0L; seg(0) = ""
     var i = 1
     while (i <= n) {
-      var j = math.max(0, i - MaxPiece)
+      var j = math.max(0, i - maxPiece)
       while (j < i) {
         if (sc(j) != Long.MinValue) {
           val q = word.substring(j, i)
@@ -195,14 +196,15 @@ object UnigramOps {
 
   /** One E-step: Viterbi-segment every distinct word under `lp` (one
     * broadcast-map pass — the words relation never leaves the cluster). */
-  private def segment(words: DataFrame, lp: Map[String, Long]): DataFrame = {
+  private def segment(words: DataFrame, lp: Map[String, Long],
+      maxPiece: Int = MaxPiece): DataFrame = {
     val s = words.sparkSession
     import s.implicits._
     val bc = s.sparkContext.broadcast(lp)
     words.select(col("w"), col("f")).as[(String, Long)]
       .mapPartitions { it =>
         val m = bc.value
-        it.map { case (w, f) => (w, f, viterbi(w, m)) }
+        it.map { case (w, f) => (w, f, viterbi(w, m, maxPiece)) }
       }
       .toDF("w", "f", "seg")
   }
@@ -222,16 +224,17 @@ object UnigramOps {
   }
 
   /** Capped seed piece counts from a (w, f) word relation: single-char
-    * pieces all kept; multi-char candidates top-[[SeedCap]] by
+    * pieces all kept; multi-char candidates top-`seedCap` by
     * (c DESC, piece ASC). Both limits run DISTRIBUTED (the cap is a
     * TakeOrderedAndProject — bounded heaps, never a full sort or an
-    * uncapped collect), so the returned map is ≤ |alphabet| + SeedCap
+    * uncapped collect), so the returned map is ≤ |alphabet| + seedCap
     * entries on any corpus. UnigramSuite asserts the bound binds on a
     * corpus whose raw candidate set exceeds it. */
-  private[graft] def seedCounts(words: DataFrame): Map[String, Long] = {
+  private[graft] def seedCounts(words: DataFrame,
+      maxPiece: Int = MaxPiece, seedCap: Int = SeedCap): Map[String, Long] = {
     val pieceCounts = words
       .select(col("w"), col("f"),
-        explode(sequence(lit(1), lit(MaxPiece))).as("L"))
+        explode(sequence(lit(1), lit(maxPiece))).as("L"))
       .filter(length(col("w")) >= col("L"))
       .select(col("w"), col("f"), col("L"),
         explode(sequence(lit(1), length(col("w")) - col("L") + 1)).as("st"))
@@ -240,29 +243,40 @@ object UnigramOps {
     val singles = pieceCounts.filter(length(col("piece")) === 1)
       .collect().map(r => r.getString(0) -> r.getLong(1))
     val multis = pieceCounts.filter(length(col("piece")) > 1)
-      .orderBy(col("c").desc, col("piece")).limit(SeedCap)
+      .orderBy(col("c").desc, col("piece")).limit(seedCap)
       .collect().map(r => r.getString(0) -> r.getLong(1))
     (singles ++ multis).toMap
   }
 
-  /** Full training run: returns (kept piece counts, word relation). */
-  private def train(s: SparkSession, d: String): (Seq[(String, Long)], DataFrame) = {
+  /** Training loop at arbitrary dials — the gate queries run it at the
+    * demonstration constants (via [[train]], which the generated oracle
+    * SQL mirrors); TokenizerScaleMain runs it at production constants
+    * (MaxPiece 8, multi-kB budget, 10⁶ seed cap) to prove the loop
+    * structure beyond the demo dials. Returns (kept piece counts, the
+    * persisted word relation — caller unpersists). */
+  private[graft] def trainWith(s: SparkSession, d: String, maxPiece: Int,
+      rounds: Int, budget: Int, seedCap: Int): (Seq[(String, Long)], DataFrame) = {
     val words = wordRel(s, d).persist()
     words.count() // materialized once; every EM pass re-reads the cache
-    // seed: frequency-weighted substring occurrences, 1..MaxPiece chars,
-    // multi-char cardinality capped at SeedCap before the driver collect
-    val seed = seedCounts(words)
+    // seed: frequency-weighted substring occurrences, 1..maxPiece chars,
+    // multi-char cardinality capped at seedCap before the driver collect
+    val seed = seedCounts(words, maxPiece, seedCap)
     val chars = seed.keySet.filter(_.length == 1)
     var counts = seed
-    (1 to Rounds).foreach { _ =>
-      counts = emCounts(segment(words, microNats(counts)), chars)
+    (1 to rounds).foreach { _ =>
+      counts = emCounts(segment(words, microNats(counts), maxPiece), chars)
     }
-    // prune: all single chars + top-Budget multi-char by (c DESC, piece)
+    // prune: all single chars + top-budget multi-char by (c DESC, piece)
     val keptMulti = counts.toSeq.filter(_._1.length > 1)
-      .sortBy { case (p, c) => (-c, p) }.take(Budget)
+      .sortBy { case (p, c) => (-c, p) }.take(budget)
     val kept = counts.toSeq.filter(_._1.length == 1) ++ keptMulti
     (kept, words)
   }
+
+  /** Full training run at the gate constants: returns (kept piece
+    * counts, word relation). */
+  private def train(s: SparkSession, d: String): (Seq[(String, Long)], DataFrame) =
+    trainWith(s, d, MaxPiece, Rounds, Budget, SeedCap)
 
   private def roundLogp(c: Long, t: Long): Double =
     BigDecimal(math.log(c.toDouble / t))
