@@ -59,10 +59,21 @@ object VectorOps {
     * consulted when the CALLER materializes the (lazy, per-vector — not
     * collectable at scale) result, so it cannot be unpersisted here;
     * both harnesses sweep the cache manager after each query. */
-  private def embedComponents(s: SparkSession, d: String): DataFrame = {
-    val e = embedRel(s, d).cache()
-    componentsCells(e, quantCentroids(e))
-  }
+  private def embedComponents(s: SparkSession, d: String): DataFrame =
+    // staged ONCE per (context, sfDir) as a parquet artifact: FOUR gate
+    // consumers (q_embed_clusters, q_semdedup_keep, q_stream_semdedup,
+    // and their downstream relations) each re-derived the full
+    // clustering chain before — the harness sweeps executor cache
+    // between queries, so cache() shared nothing across them (~70
+    // combined cpu-s of re-derivation at sf0.1). Every consumer's
+    // oracle still states the full derivation, so a stale artifact
+    // hash-mismatches. The derive materializes via localCheckpoint so
+    // the corpus cache can release before the artifact write returns.
+    Artifacts.parquet(s, d, "sem_components") {
+      val e = embedRel(s, d).persist()
+      try componentsCells(e, quantCentroids(e)).localCheckpoint()
+      finally { e.unpersist(); () }
+    }
 
   /** First-k coarse-quantizer centroids of a (vec_id, v) relation
     * (k = |e|/32 — the same codebook-scale collect every SemDeDup
