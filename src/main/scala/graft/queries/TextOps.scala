@@ -252,6 +252,43 @@ object TextOps {
           .cast("decimal(18,6)") * 1000000).cast("long").as("mcost"))
   }
 
+  /** The trained interpolated Kneser–Ney bigram model: (g, mcost) with
+    * mcost the 6dp-rounded KN cost in exact integer micro-nats.
+    * P(w₂|w₁) = (c(w₁w₂)−D)/c(w₁·) + D·N₁₊(w₁·)/c(w₁·) · Pcont(w₂),
+    * Pcont(w₂) = N₁₊(·w₂)/|bigram types| — the absolute-discount
+    * smoothing KenLM-class production filters actually use (continuation
+    * counts, not raw unigram frequency, carry the backoff mass; "San
+    * Francisco" inflates c(francisco) but not N₁₊(·francisco)). D = 0.75
+    * (binary-exact, so both engines see the identical literal). Every
+    * count table derives from the SAME bilm_dbc artifact as the
+    * Jelinek–Mercer model — one bigram definition across the ladder;
+    * c(w₁·) and N₁₊(w₁·) come out of ONE grouped pass, the type totals
+    * are vocab-scale, joins stay un-hinted (AQE broadcasts while vocab²
+    * fits). Scoring only ever joins OCCURRING bigrams, so c−D > 0. */
+  private def knModel(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    // vocab-scale type table feeding FOUR consumers (ctx, left, the type
+    // total, the model join) — lineage-free materialization, not 4
+    // re-aggregations of the corpus-scale artifact scan
+    val c12 = bilmDbc(s, d).groupBy(col("g")).agg(sum(col("n")).as("c12"))
+      .localCheckpoint()
+    val ctx = c12.groupBy(split(col("g"), " ").getItem(0).as("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1c"))
+    val left = c12.groupBy(split(col("g"), " ").getItem(1).as("w2"))
+      .agg(count(lit(1)).as("n1l"))
+    val nbt = c12.agg(count(lit(1)).cast("double").as("nbt"))
+    c12
+      .join(ctx, split(col("g"), " ").getItem(0) === col("w1"))
+      .join(left, split(col("g"), " ").getItem(1) === col("w2"))
+      .crossJoin(broadcast(nbt))
+      .select(col("g"),
+        (round(-log(
+          (col("c12").cast("double") - lit(0.75)) / col("c1").cast("double")
+            + lit(0.75) * col("n1c").cast("double") / col("c1").cast("double")
+              * (col("n1l").cast("double") / col("nbt"))), 6)
+          .cast("decimal(18,6)") * 1000000).cast("long").as("mcost"))
+  }
+
   /** (doc_id, lang, bucket, n) hashed-unigram counts of a (doc_id, lang,
     * text) relation — ONE shared definition for DSIR training, batch
     * scoring, and stream serving (feature skew would hash-mismatch). */
@@ -2303,6 +2340,67 @@ object TextOps {
         |  CAST(xm AS DOUBLE) <= CAST(txm AS DOUBLE) / k AS keep
         |FROM scored CROSS JOIN m ORDER BY doc_id""".stripMargin) { (s, d) =>
       val scored = bilmDbc(s, d).join(bilmModel(s, d), "g")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_bg"),
+          sum(col("mcost") * col("n")).as("smicro"))
+        .select(col("doc_id"), col("n_bg"),
+          expr("(2 * smicro + n_bg) div (2 * n_bg)").as("xm"))
+        .persist()
+      val m = scored.agg(count(lit(1)).as("k"), sum(col("xm")).as("txm"))
+      scored.crossJoin(broadcast(m))
+        .select(col("doc_id"), col("n_bg"),
+          (col("xm").cast("double") / 1000000.0).as("xent"),
+          (col("xm").cast("double") <=
+            col("txm").cast("double") / col("k")).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Kneser–Ney rung of the LM ladder: the same scoring shape as
+    // q_bigram_lm_perplexity but under ABSOLUTE-DISCOUNT smoothing with
+    // continuation-count backoff (see [[knModel]]) — the smoothing the
+    // KenLM-class filters production pipelines run actually use, and a
+    // genuinely different ranking than Jelinek–Mercer (backoff mass
+    // follows type diversity, not token frequency). Same determinism
+    // discipline end-to-end: per-bigram costs round to 6dp and convert
+    // EXACTLY to integer micro-nats, per-doc means are half-up integer
+    // quotients, the keep flag compares exact integers through IEEE
+    // division. Same 100 TB shape: one corpus pass to the shared
+    // bilm_dbc artifact, vocab-scale model tables, map-side-combinable
+    // per-doc aggregate.
+    Q("q_kneser_ney_perplexity",
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |bg AS (SELECT doc_id,
+        |         ws[CAST(u.i AS INT)] || ' ' || ws[CAST(u.i AS INT) + 1] AS g
+        |       FROM t, unnest(range(1, len(ws))) AS u(i)
+        |       WHERE len(ws) >= 2),
+        |c12 AS (SELECT g, COUNT(*) AS c12 FROM bg GROUP BY g),
+        |ctx AS (SELECT string_split(g, ' ')[1] AS w1, SUM(c12) AS c1,
+        |          COUNT(*) AS n1c
+        |        FROM c12 GROUP BY 1),
+        |lft AS (SELECT string_split(g, ' ')[2] AS w2, COUNT(*) AS n1l
+        |        FROM c12 GROUP BY 1),
+        |nbt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nbt FROM c12),
+        |model AS (SELECT g,
+        |    CAST(CAST(round(-ln((CAST(c12 AS DOUBLE) - 0.75e0) / CAST(c1 AS DOUBLE)
+        |            + 0.75e0 * CAST(n1c AS DOUBLE) / CAST(c1 AS DOUBLE)
+        |              * (CAST(n1l AS DOUBLE) / nbt)), 6) AS DECIMAL(18,6))
+        |         * 1000000 AS BIGINT) AS mcost
+        |  FROM c12
+        |  JOIN ctx ON string_split(g, ' ')[1] = w1
+        |  JOIN lft ON string_split(g, ' ')[2] = w2
+        |  CROSS JOIN nbt),
+        |sc AS (SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bg,
+        |         CAST(SUM(mcost) AS BIGINT) AS smicro
+        |       FROM bg JOIN model USING (g) GROUP BY bg.doc_id),
+        |scored AS (SELECT doc_id, n_bg,
+        |             (2 * smicro + n_bg) // (2 * n_bg) AS xm FROM sc),
+        |m AS (SELECT COUNT(*) AS k, CAST(SUM(xm) AS BIGINT) AS txm FROM scored)
+        |SELECT doc_id, n_bg, CAST(xm AS DOUBLE) / 1000000.0 AS xent,
+        |  CAST(xm AS DOUBLE) <= CAST(txm AS DOUBLE) / k AS keep
+        |FROM scored CROSS JOIN m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val scored = bilmDbc(s, d).join(knModel(s, d), "g")
         .groupBy(col("doc_id"))
         .agg(sum(col("n")).as("n_bg"),
           sum(col("mcost") * col("n")).as("smicro"))
