@@ -459,6 +459,113 @@ object TextOps {
        |      / (2.0 * np * (n - np)), 6) END AS auc
        |FROM m CROSS JOIN s2""".stripMargin
 
+  /** Oracle for the Gopher rule bundle — shared verbatim by the batch
+    * query and its at-ingest twin. */
+  private lazy val gopherSql: String =
+    """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks0 FROM documents),
+        |t1 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        |         THEN list_concat(toks0, ['#','#','#','#','#','#','#','#','#','#','#','#','#','#','#'])
+        |         ELSE toks0 END AS toks FROM t0),
+        |t2 AS (SELECT doc_id, toks, len(toks) AS n_tok,
+        |        list_aggregate(list_transform(toks, t -> len(t)), 'sum') AS sum_wlen,
+        |        len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS n_alpha,
+        |        len(list_filter(toks, t -> t = '#')) AS n_sym,
+        |        len(list_filter(['the','a','an','of','to','and','in','is'],
+        |            sw -> list_contains(toks, sw))) AS n_stop
+        |       FROM t1),
+        |t3 AS (SELECT *, list_transform(range(0, (n_tok + 7) // 8),
+        |         i -> array_to_string(toks[(8*CAST(i AS INT)+1):(8*CAST(i AS INT)+8)], ' ')) AS lines0
+        |       FROM t2),
+        |t4 AS (SELECT *, CASE WHEN doc_id % 3 = 0
+        |         THEN list_transform(lines0, l -> '- ' || l) ELSE lines0 END AS l1 FROM t3),
+        |t5 AS (SELECT *, CASE WHEN doc_id % 5 = 0
+        |         THEN list_transform(l1, (l, i) ->
+        |           CASE WHEN (i - 1) % 2 = 1 THEN l || ' ...' ELSE l END)
+        |         ELSE l1 END AS l2 FROM t4),
+        |t6 AS (SELECT *, CASE WHEN doc_id % 11 = 0
+        |         THEN list_concat(l2, [l2[1],l2[1],l2[1],l2[1],l2[1],l2[1],l2[1]])
+        |         ELSE l2 END AS fin FROM t5),
+        |c AS (SELECT doc_id, n_tok, sum_wlen, n_alpha, n_sym, n_stop,
+        |        len(fin) AS n_lines,
+        |        len(list_filter(fin, l -> l LIKE '- %')) AS n_bullet,
+        |        len(list_filter(fin, l -> l LIKE '%...')) AS n_ellipsis,
+        |        len(fin) - len(list_distinct(fin)) AS n_dup
+        |      FROM t6)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST(n_lines AS BIGINT) AS n_lines,
+        |  n_tok BETWEEN 50 AND 100000 AS r_word_count,
+        |  (3 * n_tok <= sum_wlen AND sum_wlen <= 10 * n_tok) AS r_mean_word_len,
+        |  5 * n_alpha >= 4 * n_tok AS r_alpha_words,
+        |  10 * n_sym <= n_tok AS r_symbol_ratio,
+        |  10 * n_bullet <= 9 * n_lines AS r_bullet_lines,
+        |  10 * n_ellipsis <= 3 * n_lines AS r_ellipsis_lines,
+        |  10 * n_dup <= 3 * n_lines AS r_dup_lines,
+        |  n_stop >= 2 AS r_stopwords,
+        |  (n_tok BETWEEN 50 AND 100000
+        |   AND 3 * n_tok <= sum_wlen AND sum_wlen <= 10 * n_tok
+        |   AND 5 * n_alpha >= 4 * n_tok
+        |   AND 10 * n_sym <= n_tok
+        |   AND 10 * n_bullet <= 9 * n_lines
+        |   AND 10 * n_ellipsis <= 3 * n_lines
+        |   AND 10 * n_dup <= 3 * n_lines
+        |   AND n_stop >= 2) AS keep
+        |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Per-document Gopher rule row for a (doc_id, text) relation — the
+    * one definition the batch query and the streaming twin both apply
+    * (pure per-row compute: injection, line synthesis, counters, rules;
+    * array-side, zero exchanges). */
+  private def gopherRules(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val toks0 = split(col("text"), " ")
+    val toksC = when(col("doc_id") % 7 === 0,
+      concat(toks0, array_repeat(lit("#"), 15))).otherwise(toks0)
+    val stop = TextFunctions.Stopwords
+      .map(sw => array_contains(col("toks"), sw).cast("int"))
+      .reduce(_ + _)
+    // line synthesis: 8-token chunks, then the deterministic
+    // decorations in a fixed order (bullet -> ellipsis -> dup-repeat)
+    val withLines = docs
+      .select(col("doc_id"), toksC.as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("lines0", transform(
+        sequence(lit(0), (expr("(size(toks) + 7) div 8") - 1).cast("int")),
+        i => concat_ws(" ", slice(col("toks"), i * 8 + 1, lit(8)))))
+      .withColumn("l1", when(col("doc_id") % 3 === 0,
+        transform(col("lines0"), l => concat(lit("- "), l))).otherwise(col("lines0")))
+      .withColumn("l2", when(col("doc_id") % 5 === 0,
+        transform(col("l1"), (l, i) =>
+          when(i % 2 === 1, concat(l, lit(" ..."))).otherwise(l))).otherwise(col("l1")))
+      .withColumn("fin", when(col("doc_id") % 11 === 0,
+        concat(col("l2"), array_repeat(element_at(col("l2"), 1), 7))).otherwise(col("l2")))
+      .select(col("doc_id"), col("n_tok"),
+        aggregate(transform(col("toks"), t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x).as("sum_wlen"),
+        size(filter(col("toks"), t => t.rlike("[a-zA-Z]"))).cast("long").as("n_alpha"),
+        size(filter(col("toks"), t => t === "#")).cast("long").as("n_sym"),
+        stop.cast("long").as("n_stop"),
+        size(col("fin")).cast("long").as("n_lines"),
+        size(filter(col("fin"), l => l.startsWith("- "))).cast("long").as("n_bullet"),
+        size(filter(col("fin"), l => l.endsWith("..."))).cast("long").as("n_ellipsis"),
+        (size(col("fin")) - size(array_distinct(col("fin")))).cast("long").as("n_dup"))
+    val rWords = col("n_tok").between(50, 100000)
+    val rMean = (lit(3) * col("n_tok") <= col("sum_wlen")) &&
+      (col("sum_wlen") <= lit(10) * col("n_tok"))
+    val rAlpha = lit(5) * col("n_alpha") >= lit(4) * col("n_tok")
+    val rSym = lit(10) * col("n_sym") <= col("n_tok")
+    val rBullet = lit(10) * col("n_bullet") <= lit(9) * col("n_lines")
+    val rEllipsis = lit(10) * col("n_ellipsis") <= lit(3) * col("n_lines")
+    val rDup = lit(10) * col("n_dup") <= lit(3) * col("n_lines")
+    val rStop = col("n_stop") >= 2
+    withLines.select(col("doc_id"), col("n_tok"), col("n_lines"),
+      rWords.as("r_word_count"), rMean.as("r_mean_word_len"),
+      rAlpha.as("r_alpha_words"), rSym.as("r_symbol_ratio"),
+      rBullet.as("r_bullet_lines"), rEllipsis.as("r_ellipsis_lines"),
+      rDup.as("r_dup_lines"), rStop.as("r_stopwords"),
+      (rWords && rMean && rAlpha && rSym && rBullet && rEllipsis &&
+        rDup && rStop).as("keep"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- Deterministic content-hash train/val/test split (the canonical
@@ -1635,103 +1742,36 @@ object TextOps {
     // Shape at 100 TB: everything is array-side row-local inside the
     // scan (the char-entropy posture); the only exchange is the gate's
     // ORDER BY.
-    Q("q_gopher_quality",
-      """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks0 FROM documents),
-        |t1 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
-        |         THEN list_concat(toks0, ['#','#','#','#','#','#','#','#','#','#','#','#','#','#','#'])
-        |         ELSE toks0 END AS toks FROM t0),
-        |t2 AS (SELECT doc_id, toks, len(toks) AS n_tok,
-        |        list_aggregate(list_transform(toks, t -> len(t)), 'sum') AS sum_wlen,
-        |        len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS n_alpha,
-        |        len(list_filter(toks, t -> t = '#')) AS n_sym,
-        |        len(list_filter(['the','a','an','of','to','and','in','is'],
-        |            sw -> list_contains(toks, sw))) AS n_stop
-        |       FROM t1),
-        |t3 AS (SELECT *, list_transform(range(0, (n_tok + 7) // 8),
-        |         i -> array_to_string(toks[(8*CAST(i AS INT)+1):(8*CAST(i AS INT)+8)], ' ')) AS lines0
-        |       FROM t2),
-        |t4 AS (SELECT *, CASE WHEN doc_id % 3 = 0
-        |         THEN list_transform(lines0, l -> '- ' || l) ELSE lines0 END AS l1 FROM t3),
-        |t5 AS (SELECT *, CASE WHEN doc_id % 5 = 0
-        |         THEN list_transform(l1, (l, i) ->
-        |           CASE WHEN (i - 1) % 2 = 1 THEN l || ' ...' ELSE l END)
-        |         ELSE l1 END AS l2 FROM t4),
-        |t6 AS (SELECT *, CASE WHEN doc_id % 11 = 0
-        |         THEN list_concat(l2, [l2[1],l2[1],l2[1],l2[1],l2[1],l2[1],l2[1]])
-        |         ELSE l2 END AS fin FROM t5),
-        |c AS (SELECT doc_id, n_tok, sum_wlen, n_alpha, n_sym, n_stop,
-        |        len(fin) AS n_lines,
-        |        len(list_filter(fin, l -> l LIKE '- %')) AS n_bullet,
-        |        len(list_filter(fin, l -> l LIKE '%...')) AS n_ellipsis,
-        |        len(fin) - len(list_distinct(fin)) AS n_dup
-        |      FROM t6)
-        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
-        |  CAST(n_lines AS BIGINT) AS n_lines,
-        |  n_tok BETWEEN 50 AND 100000 AS r_word_count,
-        |  (3 * n_tok <= sum_wlen AND sum_wlen <= 10 * n_tok) AS r_mean_word_len,
-        |  5 * n_alpha >= 4 * n_tok AS r_alpha_words,
-        |  10 * n_sym <= n_tok AS r_symbol_ratio,
-        |  10 * n_bullet <= 9 * n_lines AS r_bullet_lines,
-        |  10 * n_ellipsis <= 3 * n_lines AS r_ellipsis_lines,
-        |  10 * n_dup <= 3 * n_lines AS r_dup_lines,
-        |  n_stop >= 2 AS r_stopwords,
-        |  (n_tok BETWEEN 50 AND 100000
-        |   AND 3 * n_tok <= sum_wlen AND sum_wlen <= 10 * n_tok
-        |   AND 5 * n_alpha >= 4 * n_tok
-        |   AND 10 * n_sym <= n_tok
-        |   AND 10 * n_bullet <= 9 * n_lines
-        |   AND 10 * n_ellipsis <= 3 * n_lines
-        |   AND 10 * n_dup <= 3 * n_lines
-        |   AND n_stop >= 2) AS keep
-        |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val toks0 = split(col("text"), " ")
-      val toksC = when(col("doc_id") % 7 === 0,
-        concat(toks0, array_repeat(lit("#"), 15))).otherwise(toks0)
-      val stop = TextFunctions.Stopwords
-        .map(sw => array_contains(col("toks"), sw).cast("int"))
-        .reduce(_ + _)
-      // line synthesis: 8-token chunks, then the deterministic
-      // decorations in a fixed order (bullet → ellipsis → dup-repeat)
-      val withLines = Tables.documents(s, d)
-        .select(col("doc_id"), toksC.as("toks"))
-        .withColumn("n_tok", size(col("toks")).cast("long"))
-        .withColumn("lines0", transform(
-          sequence(lit(0), (expr("(size(toks) + 7) div 8") - 1).cast("int")),
-          i => concat_ws(" ", slice(col("toks"), i * 8 + 1, lit(8)))))
-        .withColumn("l1", when(col("doc_id") % 3 === 0,
-          transform(col("lines0"), l => concat(lit("- "), l))).otherwise(col("lines0")))
-        .withColumn("l2", when(col("doc_id") % 5 === 0,
-          transform(col("l1"), (l, i) =>
-            when(i % 2 === 1, concat(l, lit(" ..."))).otherwise(l))).otherwise(col("l1")))
-        .withColumn("fin", when(col("doc_id") % 11 === 0,
-          concat(col("l2"), array_repeat(element_at(col("l2"), 1), 7))).otherwise(col("l2")))
-        .select(col("doc_id"), col("n_tok"),
-          aggregate(transform(col("toks"), t => length(t).cast("long")),
-            lit(0L), (a, x) => a + x).as("sum_wlen"),
-          size(filter(col("toks"), t => t.rlike("[a-zA-Z]"))).cast("long").as("n_alpha"),
-          size(filter(col("toks"), t => t === "#")).cast("long").as("n_sym"),
-          stop.cast("long").as("n_stop"),
-          size(col("fin")).cast("long").as("n_lines"),
-          size(filter(col("fin"), l => l.startsWith("- "))).cast("long").as("n_bullet"),
-          size(filter(col("fin"), l => l.endsWith("..."))).cast("long").as("n_ellipsis"),
-          (size(col("fin")) - size(array_distinct(col("fin")))).cast("long").as("n_dup"))
-      val rWords = col("n_tok").between(50, 100000)
-      val rMean = (lit(3) * col("n_tok") <= col("sum_wlen")) &&
-        (col("sum_wlen") <= lit(10) * col("n_tok"))
-      val rAlpha = lit(5) * col("n_alpha") >= lit(4) * col("n_tok")
-      val rSym = lit(10) * col("n_sym") <= col("n_tok")
-      val rBullet = lit(10) * col("n_bullet") <= lit(9) * col("n_lines")
-      val rEllipsis = lit(10) * col("n_ellipsis") <= lit(3) * col("n_lines")
-      val rDup = lit(10) * col("n_dup") <= lit(3) * col("n_lines")
-      val rStop = col("n_stop") >= 2
-      withLines.select(col("doc_id"), col("n_tok"), col("n_lines"),
-        rWords.as("r_word_count"), rMean.as("r_mean_word_len"),
-        rAlpha.as("r_alpha_words"), rSym.as("r_symbol_ratio"),
-        rBullet.as("r_bullet_lines"), rEllipsis.as("r_ellipsis_lines"),
-        rDup.as("r_dup_lines"), rStop.as("r_stopwords"),
-        (rWords && rMean && rAlpha && rSym && rBullet && rEllipsis &&
-          rDup && rStop).as("keep"))
-        .orderBy(col("doc_id"))
+    Q("q_gopher_quality", gopherSql) { (s, d) =>
+      gopherRules(Tables.documents(s, d)).orderBy(col("doc_id"))
+    },
+
+    // ---- The Gopher bundle AT INGEST — the quality gate's streaming
+    // twin (the q_stream_pii_scrub shape): documents arrive in
+    // micro-batches and every trigger applies the SAME per-row rule
+    // definition ([[gopherRules]]) through the idempotent per-batch
+    // write; the drain shares the batch oracle verbatim, so a dropped
+    // trigger or a train/serve rule drift hash-mismatches.
+    Q("q_stream_gopher_quality", gopherSql) { (s, d) =>
+      Tables.ensureConf(s)
+      Staging.withTempDir("graft_stream_gopher_out") { out =>
+        Staging.withStagedInput(
+          Tables.documents(s, d).select("doc_id", "text"),
+          "doc_id", nFiles = 3, prefix = "graft_stream_gopher") { in =>
+          val schema = s.read.parquet(in).schema
+          val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(in)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", s"$out/ck")
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+              Staging.writeBatch(gopherRules(batch), s"$out/rules", id)
+              ()
+            }
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        Staging.drainParquet(s, s"$out/rules").orderBy(col("doc_id"))
+      }
     },
 
     // ---- Language-ID confusion matrix: marker-token voting vs the labeled
