@@ -38,12 +38,14 @@ object TokenizerScaleMain {
     val bpe = timed("bpe_batched m=16 topK=64") {
       queries.CurationOps.bpeTrainBatched(spark, sfDir, rounds = 2000, m = 16, topK = 64)
     }
-    println(s"SCALE bpe_batched merges=${bpe.size} rounds=${bpe.map(_._1).max}")
+    println(s"SCALE bpe_batched merges=${bpe.size} " +
+      s"rounds=${bpe.map(_._1).maxOption.getOrElse(0)}")
 
     val wp = timed("wordpiece_batched m=16 topK=64") {
       queries.CurationOps.wpTrainBatched(spark, sfDir, rounds = 2000, m = 16, topK = 64)
     }
-    println(s"SCALE wordpiece_batched merges=${wp.size} rounds=${wp.map(_._1).max}")
+    println(s"SCALE wordpiece_batched merges=${wp.size} " +
+      s"rounds=${wp.map(_._1).maxOption.getOrElse(0)}")
 
     val (kept, words) = timed("unigram maxPiece=8 budget=8192 seedCap=1000000") {
       queries.UnigramOps.trainWith(spark, sfDir,

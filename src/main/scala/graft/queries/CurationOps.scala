@@ -248,6 +248,24 @@ object CurationOps {
        |  FROM $p t LEFT JOIN kept$i k ON t.w = k.w)""".stripMargin
   }
 
+  /** Eagerly release a per-round table's storage. Dataset.unpersist
+    * only covers CacheManager entries (round 1's persisted seed
+    * relation); a localCheckpoint's MEMORY_AND_DISK blocks otherwise
+    * wait for driver GC + ContextCleaner — GC-timing-dependent peak
+    * storage over a production 30k/m-round loop instead of a bounded
+    * two live rounds. The checkpoint RDD lives behind the plan's
+    * LogicalRDD leaf. Safe only once nothing will re-read `df` (every
+    * call site releases the PREVIOUS round after the next round's
+    * checkpoint has materialized). */
+  private def releaseRound(df: org.apache.spark.sql.DataFrame): Unit = {
+    df.unpersist()
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(false); ()
+      case _ => ()
+    }
+  }
+
   /** Batched-BPE dials: rounds × up-to-m merges per round, selected
     * greedily from the top-K pair ranking. K bounds the driver collect
     * (metadata-scale) and is PART of the algorithm definition — the
@@ -303,11 +321,19 @@ object CurationOps {
   /** Batched BPE training (the production merge-throughput mode, see
     * SCALE.md): per round, greedily select up to `m` SYMBOL-DISJOINT
     * pairs from the top-`topK` ranking (count desc, pair asc) and apply
-    * them in ONE simultaneous pass. Disjointness makes the batch
-    * order-independent: a kept position of one pair can never be
-    * adjacent-overlapping with another pair's (that would require a
-    * shared symbol), so the combined kept list feeds the same rebuild
-    * transform as the classic one-merge round. Each round costs the
+    * them in ONE simultaneous PRE-ROUND pass — the batch's positions
+    * are all computed on the round's input table, which IS the batch
+    * semantics (stated identically in the oracle's generated rounds).
+    * Disjointness guarantees the combined kept list is well-defined (a
+    * kept position of one pair can never be adjacent-overlapping with
+    * another pair's — that would require a shared symbol), so it feeds
+    * the same rebuild transform as the classic one-merge round. NOTE:
+    * the batch is NOT always equal to applying the m merges
+    * sequentially — a pair that consumes another selected pair's OUTPUT
+    * symbol (reachable, e.g. co-selecting (a,ab) and (aab,q) once 'aab'
+    * exists via (aa,b)) would chain under sequential apply; the batch
+    * deliberately defers such chained adjacencies to the NEXT round's
+    * counts. Each round costs the
     * same two distributed jobs as a classic round but lands m merges —
     * a 30k-merge vocabulary becomes ~30k/m rounds. The per-round
     * collect is topK rows (metadata-scale). Returns
@@ -350,10 +376,10 @@ object CurationOps {
         // TokenizerScaleMain). Checkpointing resets it to an RDD scan.
         val prev = w
         w = rebuildSyms(w, kept).localCheckpoint()
-        prev.unpersist()
+        releaseRound(prev)
       }
     }
-    w.unpersist()
+    releaseRound(w)
     merges.toSeq
   }
 
@@ -511,9 +537,11 @@ object CurationOps {
     * ported to the likelihood criterion: rank the top-K pairs by
     * c(ab)/(c(a)·c(b)) over the CURRENT symbol table, greedily take the
     * best plus the best SYMBOL-DISJOINT runner-up, and apply both merges
-    * simultaneously (disjoint symbol sets ⇒ no overlapping token
-    * positions ⇒ order-independent batch — the same argument as BPE;
-    * the islands rule per pair handles self-pairs). Scores order only;
+    * simultaneously on the PRE-round table (disjoint symbol sets ⇒ no
+    * overlapping position claims, so the combined kept list is
+    * well-defined — the same batch semantics as BPE, incl. deferring
+    * produces-consumes chains to the next round; the islands rule per
+    * pair handles self-pairs). Scores order only;
     * the emitted rows carry the exact integer triples behind each
     * winner, so no double crosses the gate. */
   private def wpBatchedRoundSql(r: Int): String = {
@@ -632,10 +660,10 @@ object CurationOps {
         // TokenizerScaleMain). Checkpointing resets it to an RDD scan.
         val prev = w
         w = rebuildSyms(w, kept).localCheckpoint()
-        prev.unpersist()
+        releaseRound(prev)
       }
     }
-    w.unpersist()
+    releaseRound(w)
     merges.toSeq
   }
 
@@ -683,13 +711,13 @@ object CurationOps {
         // batched loop's note (the plan otherwise doubles per round)
         val prev = w
         w = applyMerge(w, r.getString(0)).localCheckpoint()
-        prev.unpersist()
+        releaseRound(prev)
       }
     }
-    if (!needFinal) { w.unpersist(); (merges.toSeq, w) }
+    if (!needFinal) { releaseRound(w); (merges.toSeq, w) }
     else {
       val fin = w.localCheckpoint()
-      w.unpersist()
+      releaseRound(w)
       (merges.toSeq, fin)
     }
   }
@@ -791,10 +819,10 @@ object CurationOps {
       // counts, found by TokenizerScaleMain)
       val prev = w
       w = applyMerge(w, bp).localCheckpoint()
-      prev.unpersist()
+      releaseRound(prev)
       }
     }
-    if (!needFinal) { w.unpersist(); (merges.toSeq, w) }
+    if (!needFinal) { releaseRound(w); (merges.toSeq, w) }
     else {
       // Hand the caller a LINEAGE-FREE materialized table and release the
       // round cache HERE: localCheckpoint stores the per-word symbol
@@ -806,7 +834,7 @@ object CurationOps {
       // checkpoint blocks — a production training job would use a
       // reliable checkpoint dir; the artifact is metadata-scale.)
       val fin = w.localCheckpoint()
-      w.unpersist()
+      releaseRound(w)
       (merges.toSeq, fin)
     }
   }
@@ -918,10 +946,13 @@ object CurationOps {
     // distributed job pair per merge, a non-starter for a 30k-merge
     // vocabulary. Here each round greedily selects up to m
     // SYMBOL-DISJOINT pairs from the top-K ranking and applies them
-    // simultaneously (disjointness ⇒ no overlapping token positions ⇒
-    // order-independent batch), so a round of the same two jobs lands m
-    // merges. The oracle replays the identical bounded-K greedy chain
-    // and the simultaneous apply via generated SQL rounds.
+    // simultaneously on the PRE-round table (disjointness ⇒ no
+    // overlapping position claims ⇒ the combined kept list is
+    // well-defined; produces-consumes chains between selected pairs are
+    // deferred to the next round — see bpeTrainBatched's note), so a
+    // round of the same two jobs lands m merges. The oracle replays the
+    // identical bounded-K greedy chain and the simultaneous apply via
+    // generated SQL rounds.
     Q("q_bpe_merges_batched",
       """WITH b1 AS (
         |  SELECT w, COUNT(*) AS freq,
@@ -960,12 +991,12 @@ object CurationOps {
       for ((bp, _) <- merges) {
         val prev = tw
         tw = applyMerge(tw, bp).localCheckpoint() // lineage truncation per round
-        prev.unpersist()
+        releaseRound(prev)
       }
       // lineage-free handoff (the bpeTrain pattern): storage follows the
       // result's GC lifetime instead of leaking a persist
       val fin = tw.localCheckpoint()
-      tw.unpersist()
+      releaseRound(tw)
       fin.select($("w").as("word"), $("freq").cast("long").as("freq"),
           length($("w")).cast("int").as("n_sym_before"),
           size($("syms")).cast("int").as("n_sym_after"))

@@ -2549,19 +2549,17 @@ object TextOps {
     // trained model) — entropy is model-free, one pass, and is the
     // cheap first gate a crawl pipeline runs before anything learned.
     // Shape at 100 TB: per-doc entropy is a ROW-LOCAL function, so it
-    // computes entirely inside the scan — the char array SORTS in place
-    // and one aggregate() fold walks the runs (each run = one distinct
-    // char), accumulating exact integer micro-bits per run boundary:
-    // O(n log n) per row instead of the earlier
-    // array_distinct × filter-count formulation's O(distinct · n) with
-    // a fresh array allocation per distinct char (that quadratic-ish
-    // kernel was 14 cpu-s at sf0.1 — the run-length fold removes the
-    // work instead of spreading it; the fixture is one parquet row
-    // group, so no split knob can parallelize it away). NOTHING
-    // corpus-scale ever shuffles (an earlier formulation shuffled a
-    // (doc, char, n) relation — a corpus-wide exchange for a per-row
-    // metric). The only exchange left is the single-partition scalar
-    // mean. Determinism: per-char terms round
+    // computes entirely inside the scan — the native
+    // CharEntropyMicroBits kernel builds a code-point histogram in ONE
+    // O(n) pass per row and emits exact integer micro-bits, replacing
+    // the earlier array_distinct × filter-count HOF chain whose
+    // O(distinct · n) work and per-distinct-char allocations cost
+    // 14 cpu-s at sf0.1 (the kernel removes the work instead of
+    // spreading it; the fixture is one parquet row group, so no split
+    // knob could parallelize it away). NOTHING corpus-scale ever
+    // shuffles (an earlier formulation shuffled a (doc, char, n)
+    // relation — a corpus-wide exchange for a per-row metric). The only
+    // exchange left is the single-partition scalar mean. Determinism: per-char terms round
     // to 6dp and convert exactly to integer micro-bits BEFORE the fold
     // (long addition, order-free), and the low-entropy flag compares
     // exact integers through IEEE division — no engine ever rounds a

@@ -240,12 +240,17 @@ object UnigramOps {
         explode(sequence(lit(1), length(col("w")) - col("L") + 1)).as("st"))
       .select(expr("substring(w, st, L)").as("piece"), col("f"))
       .groupBy(col("piece")).agg(sum(col("f")).as("c"))
-    val singles = pieceCounts.filter(length(col("piece")) === 1)
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-    val multis = pieceCounts.filter(length(col("piece")) > 1)
-      .orderBy(col("c").desc, col("piece")).limit(seedCap)
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-    (singles ++ multis).toMap
+      // two actions (singles collect + capped multis) — persisted so the
+      // substring explosion and its aggregate run once, not twice
+      .persist()
+    try {
+      val singles = pieceCounts.filter(length(col("piece")) === 1)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val multis = pieceCounts.filter(length(col("piece")) > 1)
+        .orderBy(col("c").desc, col("piece")).limit(seedCap)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      (singles ++ multis).toMap
+    } finally { pieceCounts.unpersist(); () }
   }
 
   /** Training loop at arbitrary dials — the gate queries run it at the

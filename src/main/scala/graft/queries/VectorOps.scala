@@ -759,10 +759,15 @@ object VectorOps {
       // shared snapshot derivation, built AT MOST ONCE and only if some
       // artifact is missing (first snapshot run); on a refresh all three
       // artifacts hit and the historical corpus is never scanned
+      // evaluated at most once, and ONLY inside the derive closures (a
+      // refresh run with all artifacts staged never scans the
+      // historical corpus); shared between the quant artifact and the
+      // clustering so the first snapshot build pays one count + collect
+      lazy val histCents = quantCentroids(hist)
       var compCache: DataFrame = null
       def comp: DataFrame = {
         if (compCache == null) {
-          compCache = componentsCells(hist, quantCentroids(hist)).persist()
+          compCache = componentsCells(hist, histCents).persist()
           compCache.count()
         }
         compCache
@@ -773,7 +778,7 @@ object VectorOps {
       try {
         val quant = Artifacts.parquet(s, d, "inc_sem_quant") {
           import s.implicits._
-          quantCentroids(hist).zipWithIndex
+          histCents.zipWithIndex
             .map { case (v, i) => (i + 1, v.toArray) }.toDF("cell", "cv")
         }
         val cm = Artifacts.parquet(s, d, "inc_sem_centroids") {

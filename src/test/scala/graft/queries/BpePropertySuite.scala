@@ -58,6 +58,39 @@ class BpePropertySuite extends SparkSpec {
     merges.toSeq
   }
 
+  /** SIMULTANEOUS pre-round application of a symbol-disjoint batch —
+    * the engine/oracle semantics. Kept positions are computed per pair
+    * on the PRE-batch table (greedy islands per pair), then one rebuild.
+    * NOT always equal to sequential application: a pair that consumes
+    * another selected pair's OUTPUT symbol (reachable: select (a,ab) and
+    * (aab,q) in one round once 'aab' exists via (aa,b)) creates
+    * post-apply adjacencies that the batch deliberately defers to the
+    * next round. Disjointness does guarantee no two pairs claim
+    * overlapping positions, so the combined rebuild is well-defined. */
+  private def applyBatch(syms: List[String],
+      pairs: Seq[(String, String)]): List[String] = {
+    val kept = scala.collection.mutable.Set.empty[Int]
+    for ((a, b) <- pairs) {
+      val pos = (0 until syms.length - 1)
+        .filter(i => syms(i) == a && syms(i + 1) == b)
+      var i = 0
+      while (i < pos.length) {
+        var j = i
+        while (j + 1 < pos.length && pos(j + 1) == pos(j) + 1) j += 1
+        var k = i // island pos(i..j): keep alternating from the left
+        while (k <= j) { kept += pos(k); k += 2 }
+        i = j + 1
+      }
+    }
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (kept(i)) { out += (syms(i) + syms(i + 1)); i += 2 }
+      else { out += syms(i); i += 1 }
+    }
+    out.toList
+  }
+
   private def refBatched(words: Seq[String]): Seq[(Int, Int, String, Long)] = {
     var tab = words.groupBy(identity).toSeq
       .map { case (w, ws) => (w.map(_.toString).toList, ws.size.toLong) }
@@ -74,11 +107,8 @@ class BpePropertySuite extends SparkSpec {
         sel.zipWithIndex.foreach { case (((a, b), c), i) =>
           merges += ((r, i + 1, s"$a $b", c))
         }
-        // disjoint symbol sets ⇒ sequential application in any order ==
-        // the engine's simultaneous combined-kept apply
-        sel.foreach { case ((a, b), _) =>
-          tab = tab.map { case (syms, f) => (applyGreedy(syms, a, b), f) }
-        }
+        tab = tab.map { case (syms, f) =>
+          (applyBatch(syms, sel.map(_._1).toSeq), f) }
       }
     }
     merges.toSeq

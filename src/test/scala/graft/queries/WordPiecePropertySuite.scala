@@ -73,6 +73,34 @@ class WordPiecePropertySuite extends SparkSpec {
     merges.toSeq
   }
 
+  /** SIMULTANEOUS pre-round application of a symbol-disjoint batch —
+    * the engine/oracle semantics (see BpePropertySuite.applyBatch for
+    * why sequential application is NOT equivalent when one pair
+    * consumes another selected pair's output symbol). */
+  private def applyBatch(syms: List[String],
+      pairs: Seq[(String, String)]): List[String] = {
+    val kept = scala.collection.mutable.Set.empty[Int]
+    for ((a, b) <- pairs) {
+      val pos = (0 until syms.length - 1)
+        .filter(i => syms(i) == a && syms(i + 1) == b)
+      var i = 0
+      while (i < pos.length) {
+        var j = i
+        while (j + 1 < pos.length && pos(j + 1) == pos(j) + 1) j += 1
+        var k = i // island pos(i..j): keep alternating from the left
+        while (k <= j) { kept += pos(k); k += 2 }
+        i = j + 1
+      }
+    }
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (kept(i)) { out += (syms(i) + syms(i + 1)); i += 2 }
+      else { out += syms(i); i += 1 }
+    }
+    out.toList
+  }
+
   private def refBatched(words: Seq[String], rounds: Int, m: Int, topK: Int)
       : Seq[(Int, Int, String, Long, Long, Long)] = {
     var tab = words.groupBy(identity).toSeq
@@ -91,11 +119,8 @@ class WordPiecePropertySuite extends SparkSpec {
         sel.zipWithIndex.foreach { case (((a, b), cab, ca, cb), i) =>
           merges += ((r, i + 1, s"$a $b", cab, ca, cb))
         }
-        // disjoint symbol sets ⇒ sequential application in any order ==
-        // the engine's simultaneous combined-kept apply
-        sel.foreach { case ((a, b), _, _, _) =>
-          tab = tab.map { case (syms, f) => (applyGreedy(syms, a, b), f) }
-        }
+        tab = tab.map { case (syms, f) =>
+          (applyBatch(syms, sel.map(_._1).toSeq), f) }
       }
     }
     merges.toSeq
