@@ -1774,6 +1774,85 @@ object TextOps {
       }
     },
 
+    // ---- The C4 CLEANING RULESET (Raffel et al. 2020 §2.2 — the other
+    // canonical hard-filter suite next to [[gopherRules]]): keep only
+    // lines that end in terminal punctuation AND have ≥5 words AND don't
+    // mention "javascript"; drop any document containing "lorem ipsum"
+    // or "{"; require ≥3 retained lines per kept document. (C4's
+    // three-sentence cross-doc span dedup is q_span_dedup's job.) The
+    // synthetic corpus is punctuation-free token soup, so — the PII /
+    // gopher injection discipline — both engines first synthesize the
+    // SAME deterministic structure: 8-token lines; every line ends '.'
+    // EXCEPT odd lines of doc_id % 4 = 1 docs (period rule fires both
+    // ways), line 0 of every 6th doc gains a "javascript" lead token,
+    // every 9th doc's text gains " lorem ipsum" and every 13th a " {"
+    // (the doc-kill rules fire both ways; detection runs on the TEXT,
+    // not the doc_id arithmetic). The cleaned document's BYTES are
+    // md5-checked, so both engines' retained-line content and order
+    // match exactly. Everything is array-side row-local inside the
+    // scan (the q_pii_scrub posture); the only exchange is the gate's
+    // ORDER BY.
+    Q("q_c4_clean",
+      """WITH r AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 9 = 0 THEN ' lorem ipsum' ELSE '' END
+        |         || CASE WHEN doc_id % 13 = 0 THEN ' {' ELSE '' END AS t2
+        |  FROM documents),
+        |tk AS (SELECT doc_id, t2, string_split(t2, ' ') AS toks FROM r),
+        |ln AS (SELECT doc_id, t2, list_transform(range(0, (len(toks) + 7) // 8),
+        |         i -> array_to_string(toks[(8*CAST(i AS INT)+1):(8*CAST(i AS INT)+8)], ' ')) AS lines0
+        |       FROM tk),
+        |dec AS (SELECT doc_id, t2, list_transform(
+        |         CASE WHEN doc_id % 6 = 0
+        |              THEN list_concat(['javascript ' || lines0[1]], lines0[2:])
+        |              ELSE lines0 END,
+        |         (l, i) -> CASE WHEN doc_id % 4 = 1 AND (i - 1) % 2 = 1
+        |                        THEN l ELSE l || '.' END) AS lines
+        |        FROM ln),
+        |c AS (SELECT doc_id,
+        |        contains(t2, 'lorem ipsum') AS has_lorem,
+        |        contains(t2, '{') AS has_brace,
+        |        len(lines) AS n_lines,
+        |        list_filter(lines, l -> ends_with(l, '.')
+        |          AND len(string_split(l, ' ')) >= 5
+        |          AND NOT contains(l, 'javascript')) AS kept
+        |      FROM dec)
+        |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  has_lorem, has_brace,
+        |  (NOT has_lorem AND NOT has_brace AND len(kept) >= 3) AS keep,
+        |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val t2 = concat(col("text"),
+        when(col("doc_id") % 9 === 0, lit(" lorem ipsum")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit(" {")).otherwise(lit("")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), t2.as("t2"))
+        .withColumn("toks", split(col("t2"), " "))
+        .withColumn("lines0", transform(
+          sequence(lit(0), (expr("(size(toks) + 7) div 8") - 1).cast("int")),
+          i => concat_ws(" ", slice(col("toks"), i * 8 + 1, lit(8)))))
+        .withColumn("lines", transform(
+          when(col("doc_id") % 6 === 0,
+            concat(array(concat(lit("javascript "), element_at(col("lines0"), 1))),
+              slice(col("lines0"), lit(2), size(col("lines0")))))
+            .otherwise(col("lines0")),
+          (l, i) => when(col("doc_id") % 4 === 1 && i % 2 === 1, l)
+            .otherwise(concat(l, lit(".")))))
+        .select(col("doc_id"),
+          col("t2").contains("lorem ipsum").as("has_lorem"),
+          col("t2").contains("{").as("has_brace"),
+          size(col("lines")).cast("long").as("n_lines"),
+          filter(col("lines"), l => l.endsWith(".") &&
+            size(split(l, " ")) >= 5 && !l.contains("javascript")).as("kept"))
+        .select(col("doc_id"), col("n_lines"),
+          size(col("kept")).cast("long").as("n_kept"),
+          col("has_lorem"), col("has_brace"),
+          (!col("has_lorem") && !col("has_brace") && size(col("kept")) >= 3)
+            .as("keep"),
+          md5(concat_ws("\n", col("kept")).cast("binary")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- Language-ID confusion matrix: marker-token voting vs the labeled
     // lang column. Ties broken in fixed lang order, no-match → 'und'.
     Q("q_lang_id",
