@@ -148,6 +148,88 @@ object RetrievalOps {
         .limit(20)
     },
 
+    // ---- INCREMENTAL BM25 — the retrieval analogue of
+    // q_incremental_dedup / q_incremental_semdedup (the refresh trilogy's
+    // third seam): a new crawl batch (doc_id % 8 = 0) becomes searchable
+    // WITHOUT re-tokenizing the accumulated corpus. The historical
+    // query-term postings (doc, dl, term, tf) and the frozen corpus
+    // stats (avgdl, N, per-term df) persist as parquet artifacts from
+    // the previous snapshot's run; this run tokenizes ONLY the new
+    // batch, appends its postings, and serves the union under the
+    // STORED stats — the production stale-IDF contract between full
+    // index rebuilds (new docs are scored and ranked immediately; IDF,
+    // avgdl and N refresh at the next rebuild, and a query term the
+    // snapshot never saw contributes zero until then — the oracle
+    // states exactly that via its historical-df inner join). The oracle
+    // restates the FULL recompute (historical stats, all-corpus term
+    // frequencies, frozen-stats scoring), so a stale posting, a
+    // re-derived stat, or drift in the stale-IDF rule hash-mismatches.
+    // PlanSuite asserts the historical side enters the serving plan as
+    // an artifact scan with exactly one documents scan (the new
+    // batch's).
+    Q("q_incremental_bm25",
+      s"""WITH qt AS (SELECT unnest($termsSqlList) AS word),
+         |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |      FROM documents),
+         |ww AS (SELECT doc_id, word FROM w WHERE word <> ''),
+         |dlh AS (SELECT doc_id, COUNT(*) AS dl FROM ww
+         |        WHERE doc_id % 8 <> 0 GROUP BY doc_id),
+         |stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+         |                 COUNT(*) AS n FROM dlh),
+         |dla AS (SELECT doc_id, COUNT(*) AS dl FROM ww GROUP BY doc_id),
+         |tf AS (SELECT ww.doc_id, ww.word, COUNT(*) AS tf
+         |       FROM ww JOIN qt USING (word) GROUP BY ww.doc_id, ww.word),
+         |df AS (SELECT word, COUNT(*) AS df FROM tf
+         |       WHERE doc_id % 8 <> 0 GROUP BY word),
+         |sc AS (SELECT tf.doc_id,
+         |         round(CAST(SUM(CAST(round(
+         |           ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+         |           (tf * ${K1 + 1}) /
+         |           (tf + $K1 * (${1 - B} + $B * dla.dl / avgdl)), 6)
+         |           AS DECIMAL(18,6))) AS DOUBLE), 6) AS bm25
+         |       FROM tf JOIN df USING (word)
+         |         JOIN dla ON dla.doc_id = tf.doc_id
+         |         CROSS JOIN stats
+         |       GROUP BY tf.doc_id)
+         |SELECT doc_id, bm25 FROM sc
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      val docs = Tables.spread(Tables.documents(s, d), col("doc_id"))
+      val isNew = col("doc_id") % 8 === 0
+      def tfRel(src: DataFrame): DataFrame = src
+        .select(col("doc_id"), size(nonEmptyTokens).as("dl"),
+          explode(TextFunctions.tokens(col("text"))).as("word"))
+        .filter(col("word").isin(QueryTerms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+      val histTf = Artifacts.parquet(s, d, "inc_bm25_postings") {
+        tfRel(docs.filter(!isNew))
+      }
+      val stats = Artifacts.parquet(s, d, "inc_bm25_stats") {
+        val dfAggs = QueryTerms.map(t =>
+          sum(when(array_contains(col("tk"), t), 1L).otherwise(0L)).as(s"df_$t"))
+        docs.filter(!isNew)
+          .select(nonEmptyTokens.as("tk"))
+          .select(size(col("tk")).as("dl"), col("tk"))
+          .filter(col("dl") > 0)
+          .agg((sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+            (count(lit(1)).as("n") +: dfAggs): _*)
+      }
+      val srow = stats.head() // 1 row — the frozen snapshot stats
+      val avgdl = srow.getDouble(0)
+      val nDocs = srow.getLong(1)
+      val dfMap = QueryTerms.zipWithIndex
+        .map { case (t, i) => t -> srow.getLong(2 + i) }
+        .filter(_._2 > 0).toMap
+      // terms the snapshot never saw have no stored idf — dropped, like
+      // the oracle's historical-df inner join (they score at the next
+      // full rebuild)
+      val allTf = histTf.unionByName(tfRel(docs.filter(isNew)))
+        .filter(col("word").isin(dfMap.keys.toSeq: _*))
+      scoreTf(allTf, avgdl, nDocs, dfMap)
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    },
+
     // ---- Hybrid retrieval via reciprocal-rank fusion: the lexical BM25
     // top-30 and the embedding-cosine top-30 (query = vector 0) fuse as
     // sum of 1/(60+rank), the rank-only combiner that needs no score

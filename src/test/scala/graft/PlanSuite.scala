@@ -610,6 +610,27 @@ class PlanSuite extends SparkSpec {
     assert(!str.contains("CartesianProduct"))
   }
 
+  test("incremental bm25: stored postings are an artifact scan, one documents scan") {
+    SparkEntry.queries("q_incremental_bm25")(spark, sf).collect()
+    val df = SparkEntry.queries("q_incremental_bm25")(spark, sf)
+    val str = df.queryExecution.executedPlan.toString()
+    assert(str.contains("graft_art_inc_bm25_postings"),
+      s"historical postings not read from the parquet artifact:\n${str.take(2000)}")
+    // exactly ONE documents scan — the new batch's tokenize; a
+    // re-tokenized historical corpus would put a second one back
+    val docScans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if (r.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.exists(_.toString.contains("documents.parquet"))
+            case _ => false
+          }) => r
+    }
+    assert(docScans.length == 1,
+      s"expected exactly one documents scan (the new batch), got ${docScans.length}")
+    assert(!str.contains("CartesianProduct"))
+  }
+
   test("media dedup: banded candidates via equi-join, never a signature cross join") {
     val plan = physical("q_media_dedup")
     assert(!plan.contains("CartesianProduct") &&
