@@ -566,6 +566,75 @@ object TextOps {
         rDup && rStop).as("keep"))
   }
 
+  /** Oracle for the C4 cleaning ruleset — shared verbatim by the batch
+    * query and its at-ingest twin. */
+  private lazy val c4Sql: String =
+    """WITH r AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 9 = 0 THEN ' lorem ipsum' ELSE '' END
+        |         || CASE WHEN doc_id % 13 = 0 THEN ' {' ELSE '' END AS t2
+        |  FROM documents),
+        |tk AS (SELECT doc_id, t2, string_split(t2, ' ') AS toks FROM r),
+        |ln AS (SELECT doc_id, t2, list_transform(range(0, (len(toks) + 7) // 8),
+        |         i -> array_to_string(toks[(8*CAST(i AS INT)+1):(8*CAST(i AS INT)+8)], ' ')) AS lines0
+        |       FROM tk),
+        |dec AS (SELECT doc_id, t2, list_transform(
+        |         CASE WHEN doc_id % 6 = 0
+        |              THEN list_concat(['javascript ' || lines0[1]], lines0[2:])
+        |              ELSE lines0 END,
+        |         (l, i) -> CASE WHEN doc_id % 4 = 1 AND (i - 1) % 2 = 1
+        |                        THEN l ELSE l || '.' END) AS lines
+        |        FROM ln),
+        |c AS (SELECT doc_id,
+        |        contains(t2, 'lorem ipsum') AS has_lorem,
+        |        contains(t2, '{') AS has_brace,
+        |        len(lines) AS n_lines,
+        |        list_filter(lines, l -> ends_with(l, '.')
+        |          AND len(string_split(l, ' ')) >= 5
+        |          AND NOT contains(l, 'javascript')) AS kept
+        |      FROM dec)
+        |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  has_lorem, has_brace,
+        |  (NOT has_lorem AND NOT has_brace AND len(kept) >= 3) AS keep,
+        |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
+        |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Per-document C4 rule row for a (doc_id, text) relation — the one
+    * definition the batch query and the streaming twin both apply
+    * (pure per-row compute: injection, line synthesis, retention,
+    * cleaned-bytes md5; array-side, zero exchanges). */
+  private def c4Rows(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+      val t2 = concat(col("text"),
+        when(col("doc_id") % 9 === 0, lit(" lorem ipsum")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit(" {")).otherwise(lit("")))
+      docs
+        .select(col("doc_id"), t2.as("t2"))
+        .withColumn("toks", split(col("t2"), " "))
+        .withColumn("lines0", transform(
+          sequence(lit(0), (expr("(size(toks) + 7) div 8") - 1).cast("int")),
+          i => concat_ws(" ", slice(col("toks"), i * 8 + 1, lit(8)))))
+        .withColumn("lines", transform(
+          when(col("doc_id") % 6 === 0,
+            concat(array(concat(lit("javascript "), element_at(col("lines0"), 1))),
+              slice(col("lines0"), lit(2), size(col("lines0")))))
+            .otherwise(col("lines0")),
+          (l, i) => when(col("doc_id") % 4 === 1 && i % 2 === 1, l)
+            .otherwise(concat(l, lit(".")))))
+        .select(col("doc_id"),
+          col("t2").contains("lorem ipsum").as("has_lorem"),
+          col("t2").contains("{").as("has_brace"),
+          size(col("lines")).cast("long").as("n_lines"),
+          filter(col("lines"), l => l.endsWith(".") &&
+            size(split(l, " ")) >= 5 && !l.contains("javascript")).as("kept"))
+        .select(col("doc_id"), col("n_lines"),
+          size(col("kept")).cast("long").as("n_kept"),
+          col("has_lorem"), col("has_brace"),
+          (!col("has_lorem") && !col("has_brace") && size(col("kept")) >= 3)
+            .as("keep"),
+          md5(concat_ws("\n", col("kept")).cast("binary")).as("clean_md5"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- Deterministic content-hash train/val/test split (the canonical
@@ -1792,65 +1861,36 @@ object TextOps {
     // match exactly. Everything is array-side row-local inside the
     // scan (the q_pii_scrub posture); the only exchange is the gate's
     // ORDER BY.
-    Q("q_c4_clean",
-      """WITH r AS (SELECT doc_id,
-        |    text || CASE WHEN doc_id % 9 = 0 THEN ' lorem ipsum' ELSE '' END
-        |         || CASE WHEN doc_id % 13 = 0 THEN ' {' ELSE '' END AS t2
-        |  FROM documents),
-        |tk AS (SELECT doc_id, t2, string_split(t2, ' ') AS toks FROM r),
-        |ln AS (SELECT doc_id, t2, list_transform(range(0, (len(toks) + 7) // 8),
-        |         i -> array_to_string(toks[(8*CAST(i AS INT)+1):(8*CAST(i AS INT)+8)], ' ')) AS lines0
-        |       FROM tk),
-        |dec AS (SELECT doc_id, t2, list_transform(
-        |         CASE WHEN doc_id % 6 = 0
-        |              THEN list_concat(['javascript ' || lines0[1]], lines0[2:])
-        |              ELSE lines0 END,
-        |         (l, i) -> CASE WHEN doc_id % 4 = 1 AND (i - 1) % 2 = 1
-        |                        THEN l ELSE l || '.' END) AS lines
-        |        FROM ln),
-        |c AS (SELECT doc_id,
-        |        contains(t2, 'lorem ipsum') AS has_lorem,
-        |        contains(t2, '{') AS has_brace,
-        |        len(lines) AS n_lines,
-        |        list_filter(lines, l -> ends_with(l, '.')
-        |          AND len(string_split(l, ' ')) >= 5
-        |          AND NOT contains(l, 'javascript')) AS kept
-        |      FROM dec)
-        |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
-        |  CAST(len(kept) AS BIGINT) AS n_kept,
-        |  has_lorem, has_brace,
-        |  (NOT has_lorem AND NOT has_brace AND len(kept) >= 3) AS keep,
-        |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
-        |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val t2 = concat(col("text"),
-        when(col("doc_id") % 9 === 0, lit(" lorem ipsum")).otherwise(lit("")),
-        when(col("doc_id") % 13 === 0, lit(" {")).otherwise(lit("")))
-      Tables.documents(s, d)
-        .select(col("doc_id"), t2.as("t2"))
-        .withColumn("toks", split(col("t2"), " "))
-        .withColumn("lines0", transform(
-          sequence(lit(0), (expr("(size(toks) + 7) div 8") - 1).cast("int")),
-          i => concat_ws(" ", slice(col("toks"), i * 8 + 1, lit(8)))))
-        .withColumn("lines", transform(
-          when(col("doc_id") % 6 === 0,
-            concat(array(concat(lit("javascript "), element_at(col("lines0"), 1))),
-              slice(col("lines0"), lit(2), size(col("lines0")))))
-            .otherwise(col("lines0")),
-          (l, i) => when(col("doc_id") % 4 === 1 && i % 2 === 1, l)
-            .otherwise(concat(l, lit(".")))))
-        .select(col("doc_id"),
-          col("t2").contains("lorem ipsum").as("has_lorem"),
-          col("t2").contains("{").as("has_brace"),
-          size(col("lines")).cast("long").as("n_lines"),
-          filter(col("lines"), l => l.endsWith(".") &&
-            size(split(l, " ")) >= 5 && !l.contains("javascript")).as("kept"))
-        .select(col("doc_id"), col("n_lines"),
-          size(col("kept")).cast("long").as("n_kept"),
-          col("has_lorem"), col("has_brace"),
-          (!col("has_lorem") && !col("has_brace") && size(col("kept")) >= 3)
-            .as("keep"),
-          md5(concat_ws("\n", col("kept")).cast("binary")).as("clean_md5"))
-        .orderBy(col("doc_id"))
+    Q("q_c4_clean", c4Sql) { (s, d) =>
+      c4Rows(Tables.documents(s, d)).orderBy(col("doc_id"))
+    },
+
+    // ---- The C4 ruleset AT INGEST — the cleaning gate's streaming
+    // twin (the q_stream_gopher_quality shape): every trigger applies
+    // the SAME per-row rule definition ([[c4Rows]]) through the
+    // idempotent per-batch write; the drain shares the batch oracle
+    // verbatim, so a dropped trigger or train/serve rule drift
+    // hash-mismatches.
+    Q("q_stream_c4_clean", c4Sql) { (s, d) =>
+      Tables.ensureConf(s)
+      Staging.withTempDir("graft_stream_c4_out") { out =>
+        Staging.withStagedInput(
+          Tables.documents(s, d).select("doc_id", "text"),
+          "doc_id", nFiles = 3, prefix = "graft_stream_c4") { in =>
+          val schema = s.read.parquet(in).schema
+          val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(in)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", s"$out/ck")
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+              Staging.writeBatch(c4Rows(batch), s"$out/rows", id)
+              ()
+            }
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        Staging.drainParquet(s, s"$out/rows").orderBy(col("doc_id"))
+      }
     },
 
     // ---- Language-ID confusion matrix: marker-token voting vs the labeled
