@@ -210,7 +210,18 @@ object Bench {
     // Machine-parseable artifact with the FULL per-query table (the
     // stdout line is budgeted to the driver's tail window and may drop
     // fast queries): one JSON object at a stable path in the repo root.
-    val full = render(results)
+    // Rows here carry the full 6-element attribution detail
+    // [wall, cpu, gc, load@start, jit_sec, codecache_mb] — the stdout
+    // BENCH_DETAIL line is truncated by the driver's 2000-char capture,
+    // so this file is the artifact that makes a builder-vs-driver bench
+    // disagreement self-diagnosing (r14's q_allpairs_sim breach had no
+    // surviving load/JIT columns to attribute it with).
+    val fullRows = resultsFull.map { case (k, (w, c, g, l, j, cc)) =>
+      "\"" + k + "\":[" + r3(w) + "," + r3(c) + "," + r3(g) + "," +
+        r3(l) + "," + r3(j) + "," + r3(cc) + "]" }
+      .mkString("{", ",", "}")
+    val full =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpu_total":${r3(cpuTotal)},"gc_total":${r3(gcTotal)},"cores":$cores,"load_avg":${r3(loadAvg)},"n_queries":${results.size},"detail_cols":["wall","cpu","gc","load","jit_sec","codecache_mb"],"queries":$fullRows,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_queries.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -1048,6 +1048,59 @@ object TextOps {
       } finally te.unpersist()
     },
 
+    // ---- INCREMENTAL decontamination — the refresh-quartet seam for the
+    // most common refresh event in practice: a NEW benchmark suite
+    // arrives and a 100 TB corpus must be re-flagged against it. The
+    // corpus-side 13-gram shingle index (distinct train shingle HASHES —
+    // 8 bytes per unique shingle, columnar) persists ONCE as a parquet
+    // artifact via the Artifacts protocol (on a real refresh it was
+    // written by the previous run / maintained by the ingest stream);
+    // this run shingles ONLY the new benchmark and probes the stored
+    // index with a shingle equi-join — zero corpus rescan, zero train
+    // re-shingle. The benchmark side is metadata-scale by definition, so
+    // it broadcasts: the probe is a map-side hash-join over a pruned scan
+    // of the stored index, one pass, no corpus-side shuffle. Output and
+    // oracle are IDENTICAL to q_decontaminate (the full recompute), so a
+    // stale, truncated, or wrongly-keyed index hash-mismatches the gate
+    // instead of hiding. Plan-asserted (PlanSuite): the train side is an
+    // artifact scan; exactly one documents scan (the benchmark's) exists
+    // in the refresh plan. Completes the incremental quartet:
+    // q_incremental_dedup / _semdedup / _bm25 / _decon.
+    Q("q_incremental_decon",
+      """WITH tt AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, split, array_to_string(t[i:i+12], ' ') AS s
+        |       FROM tt, unnest(range(1, len(t) - 11)) AS u(i) WHERE len(t) >= 13),
+        |tr AS (SELECT DISTINCT s FROM sh WHERE split = 'train'),
+        |te AS (SELECT doc_id, s FROM sh WHERE split = 'test')
+        |SELECT te.doc_id, COUNT(*) AS n_hits
+        |FROM te JOIN tr ON te.s = tr.s
+        |GROUP BY te.doc_id ORDER BY te.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.spread(Tables.documents(s, d), col("doc_id"))
+        .select(col("doc_id"), col("text"), splitTag.as("split"))
+      // the stored corpus-side index: derived on first request (a real
+      // deployment inherits it from the previous snapshot), then a plain
+      // parquet scan forever after — the refresh run never re-shingles it
+      val trainIdx = Artifacts.parquet(s, d, "inc_decon_index") {
+        docs.filter(col("split") === "train")
+          .select(explode(TextFunctions.shingleHashes(col("text"), 13)).as("s"))
+          .distinct()
+      }
+      // the NEW benchmark: the only side shingled in this run
+      val te = docs.filter(col("split") === "test")
+        .select(col("doc_id"),
+          explode(TextFunctions.shingleHashes(col("text"), 13)).as("s"))
+        .distinct()
+      // benchmark broadcasts (metadata-scale); the stored index streams
+      // through the map-side join — the one-scan posture at 100 TB
+      broadcast(te).join(trainIdx, "s")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- The composed AT-INGEST curation pipeline: quality gate →
     // exact-hash dedup → decontamination check, chained in ONE streaming
     // query over the document intake stream (4 micro-batches). This is

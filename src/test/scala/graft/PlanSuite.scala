@@ -631,6 +631,29 @@ class PlanSuite extends SparkSpec {
     assert(!str.contains("CartesianProduct"))
   }
 
+  test("incremental decon: stored shingle index is an artifact scan, one documents scan") {
+    // first call stages the corpus-side index; the plan under test is a
+    // SECOND build — the new-benchmark refresh shape
+    SparkEntry.queries("q_incremental_decon")(spark, sf).collect()
+    val df = SparkEntry.queries("q_incremental_decon")(spark, sf)
+    val str = df.queryExecution.executedPlan.toString()
+    assert(str.contains("graft_art_inc_decon_index"),
+      s"corpus shingle index not read from the parquet artifact:\n${str.take(2000)}")
+    // exactly ONE documents scan — the new benchmark's shingling; a
+    // re-shingled train corpus would put a second one back
+    val docScans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if (r.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.exists(_.toString.contains("documents.parquet"))
+            case _ => false
+          }) => r
+    }
+    assert(docScans.length == 1,
+      s"expected exactly one documents scan (the new benchmark), got ${docScans.length}")
+    assert(!str.contains("CartesianProduct"))
+  }
+
   test("media dedup: banded candidates via equi-join, never a signature cross join") {
     val plan = physical("q_media_dedup")
     assert(!plan.contains("CartesianProduct") &&
