@@ -88,26 +88,44 @@ object SimHash {
     agg.select(col(idCol), simhash.as("simhash"))
   }
 
-  /** Hamming-LSH candidate pairs: band the 60 bits into 4×15-bit chunks;
-    * pairs within Hamming distance 3 must collide on ≥1 chunk (pigeonhole);
-    * verify exact Hamming ≤ maxDist on candidates only. Avoids the O(n²)
-    * cross join at scale. */
-  def nearPairs(sig: DataFrame, idCol: String, maxDist: Int = 6): DataFrame = {
+  /** Hamming-LSH band rows for a `(idCol, simhash)` relation: the 60 bits
+    * split into 4×15-bit chunks — `(idCol, simhash, chunk, ck)`. Pairs
+    * within Hamming distance 3 must collide on ≥1 chunk (pigeonhole).
+    * The signature rides along so the exact verify is a pure column
+    * expression on the collision row — this is also the SCHEMA the
+    * incremental media dedup stores as its historical band index (no
+    * historical re-decode at verify time). */
+  def chunkRows(sig: DataFrame, idCol: String): DataFrame = {
     val chunks = (0 until 4).map { c =>
       struct(lit(c).as("chunk"),
         shiftright(col("simhash"), c * 15).bitwiseAND(0x7FFF).as("ck"))
     }
-    val banded = sig.select(col(idCol), col("simhash"), explode(array(chunks: _*)).as("b"))
+    sig.select(col(idCol), col("simhash"), explode(array(chunks: _*)).as("b"))
       .select(col(idCol), col("simhash"), col("b.chunk"), col("b.ck"))
-    val a = banded.select(col("chunk"), col("ck"),
+  }
+
+  /** Exact-Hamming verify over banded candidate collisions: `a` and `b`
+    * are [[chunkRows]]-shaped relations; emits distinct ordered pairs
+    * with Hamming ≤ maxDist. */
+  def verifiedPairs(a: DataFrame, b: DataFrame, idCol: String,
+                    maxDist: Int): DataFrame = {
+    val l = a.select(col("chunk"), col("ck"),
       col(idCol).as("doc_a"), col("simhash").as("sim_a"))
-    val b = banded.select(col("chunk"), col("ck"),
+    val r = b.select(col("chunk"), col("ck"),
       col(idCol).as("doc_b"), col("simhash").as("sim_b"))
-    a.join(b, Seq("chunk", "ck"))
+    l.join(r, Seq("chunk", "ck"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(sim_a ^ sim_b)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+  }
+
+  /** Hamming-LSH candidate pairs: [[chunkRows]] banding, exact Hamming
+    * ≤ maxDist verified on candidates only. Avoids the O(n²) cross join
+    * at scale. */
+  def nearPairs(sig: DataFrame, idCol: String, maxDist: Int = 6): DataFrame = {
+    val banded = chunkRows(sig, idCol)
+    verifiedPairs(banded, banded, idCol, maxDist)
   }
 }

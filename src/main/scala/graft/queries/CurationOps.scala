@@ -274,6 +274,15 @@ object CurationOps {
   private val BatchedRounds = 2
   private val BatchedM = 2
   private val BatchedTopK = 8
+  // Both batched-round ORACLE builders (bpeBatchedRoundSql /
+  // wpBatchedRoundSql) unroll exactly TWO greedy selections
+  // (…sel_1/…sel_2) while the engine trainers honor the m parameter —
+  // the dial and the SQL only agree at m = 2, and bumping the constant
+  // without regenerating the selection chain would silently drift the
+  // oracle. Fail at class-init instead (ADVICE r14 #3).
+  require(BatchedM == 2,
+    s"batched-round oracle SQL unrolls m=2 selections; regenerate the " +
+    s"…sel chain in bpeBatchedRoundSql/wpBatchedRoundSql before setting BatchedM=$BatchedM")
 
   /** One batched-BPE round as oracle SQL (m = 2 unrolled): rank the
     * top-K pairs, greedily take the best plus the best SYMBOL-DISJOINT
@@ -339,12 +348,24 @@ object CurationOps {
     * collect is topK rows (metadata-scale). Returns
     * (round, rank, pair, cnt) in selection order. */
   private[graft] def bpeTrainBatched(s: org.apache.spark.sql.SparkSession, d: String,
-      rounds: Int, m: Int, topK: Int): Seq[(Int, Int, String, Long)] = {
+      rounds: Int, m: Int, topK: Int): Seq[(Int, Int, String, Long)] =
+    bpeTrainBatchedOn(wordSymsRel(Tables.documents(s, d)), rounds, m, topK)
+
+  /** [[bpeTrainBatched]] over a PRE-BUILT `(w, freq, syms)` relation —
+    * the seam the vocabulary-scale fixture (TokenizerVocabScaleMain)
+    * drives with a synthetic wide-vocab word table. `onRound` observes
+    * `(round, merges-so-far, round wall seconds)` so the per-round cost
+    * curve is measurable at production round counts. */
+  private[graft] def bpeTrainBatchedOn(w0: org.apache.spark.sql.DataFrame,
+      rounds: Int, m: Int, topK: Int,
+      onRound: (Int, Int, Double) => Unit = (_, _, _) => ())
+      : Seq[(Int, Int, String, Long)] = {
     import org.apache.spark.sql.expressions.Window
-    var w = wordSymsRel(Tables.documents(s, d)).persist()
+    var w = w0.persist()
     val merges = scala.collection.mutable.Buffer.empty[(Int, Int, String, Long)]
     var exhausted = false
     for (r <- 1 to rounds if !exhausted) {
+      val tRound = System.nanoTime()
       val pairs = pairRows(w)
       val rank = pairs.groupBy($("pr")).agg(sum($("freq")).as("c"))
         .orderBy($("c").desc, $("pr")).limit(topK).collect()
@@ -378,6 +399,7 @@ object CurationOps {
         w = rebuildSyms(w, kept).localCheckpoint()
         releaseRound(prev)
       }
+      onRound(r, merges.size, (System.nanoTime() - tRound) / 1e9)
     }
     releaseRound(w)
     merges.toSeq
@@ -683,10 +705,13 @@ object CurationOps {
     * join — a single-row driver collect, metadata-scale), then the SAME
     * greedy merge application as BPE ([[applyMerge]] — one transform
     * definition across both families). Returns (pair, cab, ca, cb) per
-    * merge and (when needFinal) the lineage-free final symbol table. */
+    * merge and (when needFinal) the lineage-free final symbol table —
+    * None otherwise: the last round's frame has had its localCheckpoint
+    * blocks released, so returning it would hand the caller a frame
+    * that fails with 'checkpoint block not found' on first evaluation. */
   private def wpTrainOn(docs: org.apache.spark.sql.DataFrame,
       needFinal: Boolean)
-      : (Seq[(String, Long, Long, Long)], org.apache.spark.sql.DataFrame) = {
+      : (Seq[(String, Long, Long, Long)], Option[org.apache.spark.sql.DataFrame]) = {
     var w = wordSymsRel(docs).persist()
     val merges = scala.collection.mutable.Buffer.empty[(String, Long, Long, Long)]
     var exhausted = false
@@ -714,11 +739,11 @@ object CurationOps {
         releaseRound(prev)
       }
     }
-    if (!needFinal) { releaseRound(w); (merges.toSeq, w) }
+    if (!needFinal) { releaseRound(w); (merges.toSeq, None) }
     else {
       val fin = w.localCheckpoint()
       releaseRound(w)
-      (merges.toSeq, fin)
+      (merges.toSeq, Some(fin))
     }
   }
 
@@ -788,12 +813,14 @@ object CurationOps {
 
   private def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String,
       needFinal: Boolean = true)
-      : (Seq[(String, Long)], org.apache.spark.sql.DataFrame) =
+      : (Seq[(String, Long)], Option[org.apache.spark.sql.DataFrame]) =
     bpeTrainOn(Tables.documents(s, d), needFinal)
 
+  // final table is Some only when needFinal — see wpTrainOn's note on
+  // the released-blocks trap
   private def bpeTrainOn(docs: org.apache.spark.sql.DataFrame,
       needFinal: Boolean)
-      : (Seq[(String, Long)], org.apache.spark.sql.DataFrame) = {
+      : (Seq[(String, Long)], Option[org.apache.spark.sql.DataFrame]) = {
     var w = wordSymsRel(docs)
     // Each round reads the previous round's table TWICE (best-pair count
     // + merge application) and feeds the next — uncached, round k would
@@ -822,7 +849,7 @@ object CurationOps {
       releaseRound(prev)
       }
     }
-    if (!needFinal) { releaseRound(w); (merges.toSeq, w) }
+    if (!needFinal) { releaseRound(w); (merges.toSeq, None) }
     else {
       // Hand the caller a LINEAGE-FREE materialized table and release the
       // round cache HERE: localCheckpoint stores the per-word symbol
@@ -835,7 +862,7 @@ object CurationOps {
       // reliable checkpoint dir; the artifact is metadata-scale.)
       val fin = w.localCheckpoint()
       releaseRound(w)
-      (merges.toSeq, fin)
+      (merges.toSeq, Some(fin))
     }
   }
 
@@ -933,7 +960,7 @@ object CurationOps {
         |SELECT s AS symbol, CAST(SUM(freq) AS BIGINT) AS cnt
         |FROM (SELECT unnest(syms) AS s, freq FROM w${BpeRounds + 1})
         |GROUP BY s ORDER BY cnt DESC, symbol""".stripMargin) { (s, d) =>
-      val (_, wFinal) = bpeTrain(s, d)
+      val (_, Some(wFinal)) = (bpeTrain(s, d): @unchecked)
       // wFinal is a lineage-free localCheckpoint — storage is reclaimed
       // with the result, no cache handoff
       wFinal.select(explode($("syms")).as("symbol"), $("freq"))
@@ -1010,7 +1037,7 @@ object CurationOps {
     // of distinct words (broadcast or co-shuffled on the word key), and
     // the encode pass itself is embarrassingly parallel.
     Q("q_bpe_encode", bpeEncodeSql) { (s, d) =>
-      val (_, wFinal) = bpeTrain(s, d)
+      val (_, Some(wFinal)) = (bpeTrain(s, d): @unchecked)
       // wFinal is a lineage-free localCheckpoint — GC-reclaimed with the
       // result, nothing to sweep
       val table = wFinal.select(
@@ -1035,7 +1062,7 @@ object CurationOps {
     // |langs| rows with integer sums (ratios of exact integers —
     // deterministic without DECIMAL staging).
     Q("q_bpe_fertility", bpeFertilitySql) { (s, d) =>
-      val (_, wFinal) = bpeTrain(s, d)
+      val (_, Some(wFinal)) = (bpeTrain(s, d): @unchecked)
       val table = wFinal.select(col("w").as("tw"),
         length($("w")).as("len_before"), size($("syms")).as("len_after"))
       Tables.documents(s, d)
@@ -1121,7 +1148,7 @@ object CurationOps {
     // training trajectory oracle-checkable: a wrong round-2 winner
     // changes some word's final segmentation and hash-mismatches.
     Q("q_wordpiece_encode", wpEncodeSql) { (s, d) =>
-      val (_, wFinal) = wpTrainOn(Tables.documents(s, d), needFinal = true)
+      val (_, Some(wFinal)) = wpTrainOn(Tables.documents(s, d), needFinal = true): @unchecked
       val table = wFinal.select(
         col("w").as("tw"),
         length($("w")).as("len_before"),
@@ -1154,7 +1181,7 @@ object CurationOps {
         |FROM (SELECT lang, unnest(string_split(text,' ')) AS w FROM documents) d
         |JOIN wp1 ON d.w = wp1.w JOIN wp${WpRounds + 1} ON d.w = wp${WpRounds + 1}.w
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin) { (s, d) =>
-      val (_, wFinal) = wpTrainOn(Tables.documents(s, d), needFinal = true)
+      val (_, Some(wFinal)) = wpTrainOn(Tables.documents(s, d), needFinal = true): @unchecked
       val table = wFinal.select(col("w").as("tw"),
         length($("w")).as("len_before"), size($("syms")).as("len_after"))
       Tables.documents(s, d)
@@ -1186,7 +1213,7 @@ object CurationOps {
     // hash-mismatches.
     Q("q_stream_bpe_encode", bpeEncodeSql) { (s, d) =>
       Tables.ensureConf(s)
-      val (_, wFinal) = bpeTrain(s, d)
+      val (_, Some(wFinal)) = (bpeTrain(s, d): @unchecked)
       // cache the derived encode table once — wFinal is already a
       // materialized localCheckpoint, but each micro-batch broadcast
       // would re-project it otherwise
@@ -1228,7 +1255,7 @@ object CurationOps {
     // stale table or dropped batch hash-mismatches.
     Q("q_stream_wordpiece_encode", wpEncodeSql) { (s, d) =>
       Tables.ensureConf(s)
-      val (_, wFinal) = wpTrainOn(Tables.documents(s, d), needFinal = true)
+      val (_, Some(wFinal)) = wpTrainOn(Tables.documents(s, d), needFinal = true): @unchecked
       val table = wFinal.select(col("w").as("tw"),
         length($("w")).as("len_before"), size($("syms")).as("len_after"))
         .persist()

@@ -161,6 +161,75 @@ object MultimodalOps {
         .orderBy(col("media_a"), col("media_b"))
     },
 
+    // ---- INCREMENTAL media dedup — the refresh seam extended to the
+    // media modality (q_incremental_dedup's shape on the aHash path): a
+    // new image batch (media_id % 8 = 0) deduped against the accumulated
+    // historical media WITHOUT re-decoding or re-hashing the old side.
+    // The historical Hamming-LSH band index — (media_id, simhash, chunk,
+    // ck), the signature riding along so the exact verify never touches
+    // a historical payload — persists once as a parquet artifact; this
+    // run decodes ONLY the new batch at the partition-local seam, probes
+    // the stored index via the (chunk, ck) equi-join (new-vs-old), adds
+    // the batch's own chunk collisions (new-vs-new), and verifies exact
+    // Hamming ≤ 3 on collision rows only. Old-vs-old pairs are never
+    // generated. Recall is structural, not probabilistic: 4×15-bit
+    // chunks are pigeonhole-complete for distance ≤ 3, stored or fresh.
+    // The oracle states the FULL recompute restricted to pairs touching
+    // a new media row, so a stale index or dropped probe turns the gate
+    // red. Plan-asserted: the historical side is an artifact scan and
+    // exactly one documents scan (the new batch's) exists (PlanSuite).
+    Q("q_incremental_media_dedup",
+      """WITH ch AS (
+        |  SELECT doc_id, CAST((i - 1) // 8 AS INT) AS blk,
+        |         ascii(substr(text, CAST(i AS INT), 1)) AS byte
+        |  FROM documents,
+        |       unnest(range(1, LEAST(len(text), 480) + 1)) AS u(i)),
+        |tot AS (SELECT doc_id, SUM(byte) AS total, COUNT(*) AS n
+        |        FROM ch GROUP BY doc_id),
+        |bs AS (SELECT doc_id, blk, SUM(byte) AS sb, COUNT(*) AS nb
+        |       FROM ch GROUP BY doc_id, blk),
+        |sig AS (SELECT bs.doc_id,
+        |         CAST(SUM(CASE WHEN bs.sb * t.n > t.total * bs.nb
+        |                  THEN (CAST(1 AS BIGINT) << CAST(bs.blk AS INT))
+        |                  ELSE 0 END) AS BIGINT) AS sh
+        |        FROM bs JOIN tot t ON bs.doc_id = t.doc_id GROUP BY bs.doc_id)
+        |SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        |  AND (a.doc_id % 8 = 0 OR b.doc_id % 8 = 0)
+        |ORDER BY media_a, media_b""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.functions.SimHash
+      val docs = Tables.documents(s, d)
+      def chunksOf(part: org.apache.spark.sql.DataFrame) = {
+        val ds = Tables.spread(part, col("doc_id"))
+          .select(col("doc_id").as("media_id"),
+            col("text").cast("binary").as("payload"),
+            lit("text/plain").as("mime"))
+          .as[Multimodal.MediaRecord]
+        SimHash.chunkRows(Multimodal.perceptualPartitions(ds).toDF(), "media_id")
+      }
+      val isNew = col("doc_id") % 8 === 0
+      // the stored historical index: on a real refresh it was written by
+      // the previous snapshot's run — this run never re-decodes it
+      val hist = Artifacts.parquet(s, d, "inc_media_band_index") {
+        chunksOf(docs.filter(!isNew))
+      }
+      // decode + hash the new batch ONCE (it feeds the stored-index probe
+      // and the self-collision join) — the q_incremental_dedup newBands
+      // pattern
+      val newChunks = chunksOf(docs.filter(isNew)).localCheckpoint()
+      // new-vs-(old ∪ new) covers new<old and new-vs-new ordered pairs;
+      // old-vs-new covers old<new — the three cases are disjoint under
+      // the a<b ordering, so the union is duplicate-free
+      SimHash.verifiedPairs(newChunks, hist.union(newChunks), "media_id", maxDist = 3)
+        .union(SimHash.verifiedPairs(hist, newChunks, "media_id", maxDist = 3))
+        .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy(col("media_a"), col("media_b"))
+    },
+
     // ---- Partition-local decode via typed mapPartitions (one "codec"
     // instance per partition, rows streamed through it). The md5 content
     // checksum gives the decode row an exact SQL twin, so the whole

@@ -215,8 +215,14 @@ object RetrievalOps {
             (count(lit(1)).as("n") +: dfAggs): _*)
       }
       val srow = stats.head() // 1 row — the frozen snapshot stats
-      val avgdl = srow.getDouble(0)
+      // zero historical docs ⇒ NULL avgdl (getDouble would NPE) and an
+      // undefined stored-stats contract — unreachable on the shipped
+      // fixtures, but fail with the contract named rather than an NPE
       val nDocs = srow.getLong(1)
+      require(nDocs > 0,
+        "q_incremental_bm25: historical snapshot is empty — no frozen " +
+        "avgdl/N/df to serve under; run a full build instead of a refresh")
+      val avgdl = srow.getDouble(0)
       val dfMap = QueryTerms.zipWithIndex
         .map { case (t, i) => t -> srow.getLong(2 + i) }
         .filter(_._2 > 0).toMap

@@ -528,9 +528,16 @@ object TextOps {
     val withLines = docs
       .select(col("doc_id"), toksC.as("toks"))
       .withColumn("n_tok", size(col("toks")).cast("long"))
-      .withColumn("lines0", transform(
-        sequence(lit(0), (expr("(size(toks) + 7) div 8") - 1).cast("int")),
-        i => concat_ws(" ", slice(col("toks"), i * 8 + 1, lit(8)))))
+      // empty-token guard: sequence(0, -1) is a DESCENDING [0,-1] in
+      // Spark while the oracle's range(0,0) is empty — two phantom lines
+      // per empty doc. Unreachable today (split() always yields ≥1
+      // element) but a future tokenization change (e.g. filtering empty
+      // tokens first) must degrade to zero lines in BOTH engines.
+      .withColumn("lines0", when(size(col("toks")) === 0,
+          array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), (expr("(size(toks) + 7) div 8") - 1).cast("int")),
+          i => concat_ws(" ", slice(col("toks"), i * 8 + 1, lit(8))))))
       .withColumn("l1", when(col("doc_id") % 3 === 0,
         transform(col("lines0"), l => concat(lit("- "), l))).otherwise(col("lines0")))
       .withColumn("l2", when(col("doc_id") % 5 === 0,
@@ -611,9 +618,12 @@ object TextOps {
       docs
         .select(col("doc_id"), t2.as("t2"))
         .withColumn("toks", split(col("t2"), " "))
-        .withColumn("lines0", transform(
-          sequence(lit(0), (expr("(size(toks) + 7) div 8") - 1).cast("int")),
-          i => concat_ws(" ", slice(col("toks"), i * 8 + 1, lit(8)))))
+        // empty-token guard — see gopherRules' lines0 note
+        .withColumn("lines0", when(size(col("toks")) === 0,
+            array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0), (expr("(size(toks) + 7) div 8") - 1).cast("int")),
+            i => concat_ws(" ", slice(col("toks"), i * 8 + 1, lit(8))))))
         .withColumn("lines", transform(
           when(col("doc_id") % 6 === 0,
             concat(array(concat(lit("javascript "), element_at(col("lines0"), 1))),
@@ -2734,8 +2744,13 @@ object TextOps {
     // exchange left is the single-partition scalar mean. Determinism: per-char terms round
     // to 6dp and convert exactly to integer micro-bits BEFORE the fold
     // (long addition, order-free), and the low-entropy flag compares
-    // exact integers through IEEE division — no engine ever rounds a
-    // double at a boundary (the q_bigram_lm_perplexity discipline).
+    // exact integers through IEEE division. The no-boundary-rounding
+    // guarantee is scoped to the INTEGER-QUOTIENT steps (the fold, the
+    // mean, the flag — the q_bigram_lm_perplexity discipline); the
+    // per-TERM round(-p·log2(p), 6) still rounds a transcendental
+    // double, where DuckDB's libm and the JVM could in principle differ
+    // by an ULP at a .5e-6 boundary — the same accepted residual risk
+    // as the pagerank/char-trigram rounds (never observed tri-SF).
     // The oracle states the equivalent grouped formulation; DECIMAL /
     // integer sums make the two summation orders bit-equal.
     Q("q_char_entropy",

@@ -654,6 +654,29 @@ class PlanSuite extends SparkSpec {
     assert(!str.contains("CartesianProduct"))
   }
 
+  test("incremental media dedup: stored band index is an artifact scan, one documents scan") {
+    SparkEntry.queries("q_incremental_media_dedup")(spark, sf).collect()
+    val df = SparkEntry.queries("q_incremental_media_dedup")(spark, sf)
+    val str = df.queryExecution.executedPlan.toString()
+    assert(str.contains("graft_art_inc_media_band_index"),
+      s"historical band index not read from the parquet artifact:\n${str.take(2000)}")
+    // ZERO documents scans in the refresh plan: the new batch was decoded
+    // once, EAGERLY, at its localCheckpoint (the q_incremental_semdedup
+    // pattern) — a lazily re-decoded batch or a re-decoded historical
+    // corpus would put a documents scan back
+    val docScans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if (r.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.exists(_.toString.contains("documents.parquet"))
+            case _ => false
+          }) => r
+    }
+    assert(docScans.isEmpty,
+      s"expected no documents scan in the refresh decision plan, got ${docScans.length}")
+    assert(!str.contains("CartesianProduct"))
+  }
+
   test("media dedup: banded candidates via equi-join, never a signature cross join") {
     val plan = physical("q_media_dedup")
     assert(!plan.contains("CartesianProduct") &&
