@@ -73,22 +73,30 @@ object TokenizerVocabScaleMain {
       .repartition(cpus.toInt)
       .withColumn("syms", split(trim(regexp_replace(col("w"), "(.)", "$1 ")), " "))
 
-    val walls = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
-    val merges = queries.CurationOps.bpeTrainBatchedOn(w0, rounds, m = 16, topK = 64,
-      onRound = (r, n, s) => {
-        walls += ((r, n, s))
-        if (r % 25 == 0 || r == 1) println(f"VOCABSCALE round=$r%4d merges=$n%6d wall=$s%.3fs")
+    def drive(family: String)(train: ((Int, Int, Double) => Unit) => Int): Unit = {
+      val walls = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val nMerges = train((r, n, s) => {
+        walls += s
+        if (r % 25 == 0 || r == 1)
+          println(f"VOCABSCALE $family round=$r%4d merges=$n%6d wall=$s%.3fs")
       })
-
-    // the curve, bucketed: per-100-round median/p90 — flat is the claim
-    walls.grouped(100).zipWithIndex.foreach { case (b, i) =>
-      val ws = b.map(_._3).sorted
-      println(f"VOCABSCALE bucket=${i * 100 + 1}%4d-${i * 100 + b.size}%4d " +
-        f"p50=${ws(ws.size / 2)}%.3fs p90=${ws((ws.size * 9) / 10 min (ws.size - 1))}%.3fs " +
-        f"sum=${ws.sum}%.1fs")
+      // the curve, bucketed: per-100-round median/p90 — flat is the claim
+      walls.grouped(100).zipWithIndex.foreach { case (b, i) =>
+        val ws = b.sorted
+        println(f"VOCABSCALE $family bucket=${i * 100 + 1}%4d-${i * 100 + b.size}%4d " +
+          f"p50=${ws(ws.size / 2)}%.3fs p90=${ws((ws.size * 9) / 10 min (ws.size - 1))}%.3fs " +
+          f"sum=${ws.sum}%.1fs")
+      }
+      println(f"VOCABSCALE $family total rounds=${walls.size} merges=$nMerges " +
+        f"wall=${walls.sum}%.1fs")
     }
-    println(f"VOCABSCALE total rounds=${walls.size} merges=${merges.size} " +
-      f"wall=${walls.map(_._3).sum}%.1fs")
+
+    drive("bpe") { cb =>
+      queries.CurationOps.bpeTrainBatchedOn(w0, rounds, m = 16, topK = 64, cb).size
+    }
+    drive("wordpiece") { cb =>
+      queries.CurationOps.wpTrainBatchedOn(w0, rounds, m = 16, topK = 64, cb).size
+    }
     spark.stop()
   }
 }

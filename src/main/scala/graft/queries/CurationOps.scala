@@ -631,13 +631,23 @@ object CurationOps {
     * Returns (round, rank, pair, cab, ca, cb) in selection order. */
   private[graft] def wpTrainBatched(s: org.apache.spark.sql.SparkSession,
       d: String, rounds: Int, m: Int, topK: Int)
+      : Seq[(Int, Int, String, Long, Long, Long)] =
+    wpTrainBatchedOn(wordSymsRel(Tables.documents(s, d)), rounds, m, topK)
+
+  /** [[wpTrainBatched]] over a PRE-BUILT `(w, freq, syms)` relation —
+    * the bpeTrainBatchedOn seam for the likelihood-criterion family;
+    * `onRound` observes `(round, merges-so-far, round wall seconds)`. */
+  private[graft] def wpTrainBatchedOn(w0: org.apache.spark.sql.DataFrame,
+      rounds: Int, m: Int, topK: Int,
+      onRound: (Int, Int, Double) => Unit = (_, _, _) => ())
       : Seq[(Int, Int, String, Long, Long, Long)] = {
     import org.apache.spark.sql.expressions.Window
-    var w = wordSymsRel(Tables.documents(s, d)).persist()
+    var w = w0.persist()
     val merges =
       scala.collection.mutable.Buffer.empty[(Int, Int, String, Long, Long, Long)]
     var exhausted = false
     for (r <- 1 to rounds if !exhausted) {
+      val tRound = System.nanoTime()
       val pairs = pairRows(w)
       val sc = w.select($("freq"), explode($("syms")).as("s"))
         .groupBy($("s")).agg(sum($("freq")).as("c"))
@@ -684,6 +694,7 @@ object CurationOps {
         w = rebuildSyms(w, kept).localCheckpoint()
         releaseRound(prev)
       }
+      onRound(r, merges.size, (System.nanoTime() - tRound) / 1e9)
     }
     releaseRound(w)
     merges.toSeq
