@@ -199,6 +199,34 @@ object TextOps {
         .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("n"))
     }
 
+  /** Distinct 13-gram shingle HASHES of a (…, text) corpus slice — the
+    * stored decontamination index relation (single column `s`). ONE
+    * definition shared by q_incremental_decon's artifact derivation and
+    * the maintenance loop's increments (IncrementalDeconSuite): an index
+    * grown by appending a new batch's NOVEL shingles (left_anti against
+    * the stored index) serves the same probe as a full rebuild. */
+  private[graft] def deconShingleIndex(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(explode(TextFunctions.shingleHashes(col("text"), 13)).as("s"))
+      .distinct()
+
+  /** Probe a stored shingle index with a benchmark: per-doc count of
+    * distinct benchmark shingles present in the index. The benchmark is
+    * metadata-scale by definition, so it broadcasts — the probe is one
+    * map-side pass over the index scan. Correct ONLY while the index
+    * holds each shingle once (the maintenance contract above); a
+    * duplicate index row would double-count its hits, which is exactly
+    * what IncrementalDeconSuite's re-probe assertion pins. */
+  private[graft] def deconProbe(index: org.apache.spark.sql.DataFrame,
+      bench: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val te = bench.select(col("doc_id"),
+        explode(TextFunctions.shingleHashes(col("text"), 13)).as("s"))
+      .distinct()
+    broadcast(te).join(index, "s")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
   /** (doc_id, g = "w1 w2", n) bigram occurrence counts of a (doc_id,
     * text) relation — bigrams assemble ARRAY-side (two shifted slices
     * zip into strings: never a self-join, never a Window over the token
@@ -1092,23 +1120,17 @@ object TextOps {
       val docs = Tables.spread(Tables.documents(s, d), col("doc_id"))
         .select(col("doc_id"), col("text"), splitTag.as("split"))
       // the stored corpus-side index: derived on first request (a real
-      // deployment inherits it from the previous snapshot), then a plain
-      // parquet scan forever after — the refresh run never re-shingles it
+      // deployment inherits it from the previous snapshot and GROWS it
+      // by appending each ingest batch's novel shingles — the
+      // IncrementalDeconSuite maintenance loop), then a plain parquet
+      // scan forever after — the refresh run never re-shingles it
       val trainIdx = Artifacts.parquet(s, d, "inc_decon_index") {
-        docs.filter(col("split") === "train")
-          .select(explode(TextFunctions.shingleHashes(col("text"), 13)).as("s"))
-          .distinct()
+        deconShingleIndex(docs.filter(col("split") === "train"))
       }
-      // the NEW benchmark: the only side shingled in this run
-      val te = docs.filter(col("split") === "test")
-        .select(col("doc_id"),
-          explode(TextFunctions.shingleHashes(col("text"), 13)).as("s"))
-        .distinct()
-      // benchmark broadcasts (metadata-scale); the stored index streams
-      // through the map-side join — the one-scan posture at 100 TB
-      broadcast(te).join(trainIdx, "s")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
-        .orderBy(col("doc_id"))
+      // the NEW benchmark is the only side shingled in this run; it
+      // broadcasts (metadata-scale) and the stored index streams through
+      // the map-side join — the one-scan posture at 100 TB
+      deconProbe(trainIdx, docs.filter(col("split") === "test"))
     },
 
     // ---- The composed AT-INGEST curation pipeline: quality gate →
