@@ -172,13 +172,16 @@ object Bench {
                else if (a._1 <= b._1) a else b)
     }.sortBy(_._1)
     val results = resultsFull.map { case (k, t) => k -> ((t._1, t._2, t._3)) }
-    // Full-precision per-query detail on its own (non-final) line for the
-    // log — rows are [wall, cpu, gc, load@start, jit_sec, codecache_mb].
-    val fullQs = resultsFull
+    // ONE row builder for both 6-element emissions (the stdout
+    // BENCH_DETAIL line and the bench_queries.json artifact) — they must
+    // stay structurally identical, differing only in value formatting.
+    // Rows are [wall, cpu, gc, load@start, jit_sec, codecache_mb].
+    def rows6(fmt: Double => String): String = resultsFull
       .map { case (k, (w, c, g, l, j, cc)) =>
-        "\"" + k + "\":[" + w + "," + c + "," + g + "," + l + "," + j + "," + cc + "]" }
+        "\"" + k + "\":[" + Seq(w, c, g, l, j, cc).map(fmt).mkString(",") + "]" }
       .mkString("{", ",", "}")
-    println(s"""BENCH_DETAIL {"queries":$fullQs,"sf":"$sfDir"}""")
+    // full precision on the (non-final) log line
+    println(s"""BENCH_DETAIL {"queries":${rows6(_.toString)},"sf":"$sfDir"}""")
 
     // The driver captures only the last ~2000 chars of output and parses the
     // final JSON line from it. Keep that line comfortably under the window:
@@ -216,10 +219,7 @@ object Bench {
     // so this file is the artifact that makes a builder-vs-driver bench
     // disagreement self-diagnosing (r14's q_allpairs_sim breach had no
     // surviving load/JIT columns to attribute it with).
-    val fullRows = resultsFull.map { case (k, (w, c, g, l, j, cc)) =>
-      "\"" + k + "\":[" + r3(w) + "," + r3(c) + "," + r3(g) + "," +
-        r3(l) + "," + r3(j) + "," + r3(cc) + "]" }
-      .mkString("{", ",", "}")
+    val fullRows = rows6(r3)
     val full =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpu_total":${r3(cpuTotal)},"gc_total":${r3(gcTotal)},"cores":$cores,"load_avg":${r3(loadAvg)},"n_queries":${results.size},"detail_cols":["wall","cpu","gc","load","jit_sec","codecache_mb"],"queries":$fullRows,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(

@@ -220,11 +220,23 @@ object MultimodalOps {
       // and the self-collision join) — the q_incremental_dedup newBands
       // pattern
       val newChunks = chunksOf(docs.filter(isNew)).localCheckpoint()
-      // new-vs-(old ∪ new) covers new<old and new-vs-new ordered pairs;
-      // old-vs-new covers old<new — the three cases are disjoint under
-      // the a<b ordering, so the union is duplicate-free
-      SimHash.verifiedPairs(newChunks, hist.union(newChunks), "media_id", maxDist = 3)
-        .union(SimHash.verifiedPairs(hist, newChunks, "media_id", maxDist = 3))
+      // ONE probe of the stored index (the incrementalCandidatePairs
+      // posture: history is the dominant side at production scale, so it
+      // is scanned/joined exactly once): new-vs-old pairs order by
+      // least/greatest since either side may hold the smaller id
+      val n = newChunks.select(col("chunk"), col("ck"),
+        col("media_id").as("doc_n"), col("simhash").as("sim_n"))
+      val h = hist.select(col("chunk"), col("ck"),
+        col("media_id").as("doc_h"), col("simhash").as("sim_h"))
+      val newOld = n.join(h, Seq("chunk", "ck"))
+        .select(least(col("doc_n"), col("doc_h")).as("doc_a"),
+          greatest(col("doc_n"), col("doc_h")).as("doc_b"),
+          expr("bit_count(sim_n ^ sim_h)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+      // new-vs-new batch self-collisions; disjoint from newOld (one end
+      // of every newOld pair is historical), so plain union
+      newOld.union(SimHash.verifiedPairs(newChunks, newChunks, "media_id", maxDist = 3))
         .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
           col("hamming").cast("long").as("hamming"))
         .orderBy(col("media_a"), col("media_b"))

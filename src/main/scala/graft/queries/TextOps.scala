@@ -539,6 +539,21 @@ object TextOps {
         |   AND n_stop >= 2) AS keep
         |FROM c ORDER BY doc_id""".stripMargin
 
+  /** 8-token line synthesis for a token-array column — the ONE copy of
+    * the rule bundles' line chunking (gopherRules + c4Rows). Empty-token
+    * guard: sequence(0, -1) is a DESCENDING [0,-1] in Spark while the
+    * oracle's range(0,0) is empty — two phantom lines per empty doc.
+    * Unreachable today (split() always yields ≥1 element) but a future
+    * tokenization change (e.g. filtering empty tokens first) must
+    * degrade to zero lines in BOTH engines. */
+  private def lines8(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        // ceil(size/8) via floor((size+7)/8) — exact integer arithmetic
+        // (doubles are exact far past any array size here)
+        sequence(lit(0), floor((size(toks) + lit(7)) / lit(8)).cast("int") - 1),
+        i => concat_ws(" ", slice(toks, i * 8 + 1, lit(8)))))
+
   /** Per-document Gopher rule row for a (doc_id, text) relation — the
     * one definition the batch query and the streaming twin both apply
     * (pure per-row compute: injection, line synthesis, counters, rules;
@@ -556,16 +571,7 @@ object TextOps {
     val withLines = docs
       .select(col("doc_id"), toksC.as("toks"))
       .withColumn("n_tok", size(col("toks")).cast("long"))
-      // empty-token guard: sequence(0, -1) is a DESCENDING [0,-1] in
-      // Spark while the oracle's range(0,0) is empty — two phantom lines
-      // per empty doc. Unreachable today (split() always yields ≥1
-      // element) but a future tokenization change (e.g. filtering empty
-      // tokens first) must degrade to zero lines in BOTH engines.
-      .withColumn("lines0", when(size(col("toks")) === 0,
-          array().cast("array<string>"))
-        .otherwise(transform(
-          sequence(lit(0), (expr("(size(toks) + 7) div 8") - 1).cast("int")),
-          i => concat_ws(" ", slice(col("toks"), i * 8 + 1, lit(8))))))
+      .withColumn("lines0", lines8(col("toks")))
       .withColumn("l1", when(col("doc_id") % 3 === 0,
         transform(col("lines0"), l => concat(lit("- "), l))).otherwise(col("lines0")))
       .withColumn("l2", when(col("doc_id") % 5 === 0,
@@ -646,12 +652,7 @@ object TextOps {
       docs
         .select(col("doc_id"), t2.as("t2"))
         .withColumn("toks", split(col("t2"), " "))
-        // empty-token guard — see gopherRules' lines0 note
-        .withColumn("lines0", when(size(col("toks")) === 0,
-            array().cast("array<string>"))
-          .otherwise(transform(
-            sequence(lit(0), (expr("(size(toks) + 7) div 8") - 1).cast("int")),
-            i => concat_ws(" ", slice(col("toks"), i * 8 + 1, lit(8))))))
+        .withColumn("lines0", lines8(col("toks")))
         .withColumn("lines", transform(
           when(col("doc_id") % 6 === 0,
             concat(array(concat(lit("javascript "), element_at(col("lines0"), 1))),
@@ -951,10 +952,10 @@ object TextOps {
       // shingles travel as xxhash64 keys: the distincts and the join
       // shuffle 8 bytes per shingle instead of ~90-char strings (distinct
       // hashes = distinct shingles modulo the negligible 64-bit collision
-      // rate, which the exact-count oracle would expose)
-      val tr = docs.filter(col("split") === "train")
-        .select(explode(TextFunctions.shingleHashes(col("text"), 13)).as("s"))
-        .distinct()
+      // rate, which the exact-count oracle would expose). The train side
+      // IS the stored-index relation (deconShingleIndex — the one
+      // definition q_incremental_decon's artifact shares)
+      val tr = deconShingleIndex(docs.filter(col("split") === "train"))
       val te = docs.filter(col("split") === "test")
         .select(col("doc_id"),
           explode(TextFunctions.shingleHashes(col("text"), 13)).as("s"))

@@ -48,14 +48,17 @@ class RuleNonVacuitySuite extends SparkSpec {
     bothValues(df, Seq("has_lorem", "has_brace", "keep"))
     // the per-LINE rules (terminal period, ≥5 words, no 'javascript')
     // aggregate into n_kept — they fire iff some doc loses lines while
-    // some doc keeps lines; a doc that loses EVERY line and one that
-    // keeps every line pin both edges of the filter
+    // some doc keeps lines
     val r = df.agg(
       sum((col("n_kept") < col("n_lines")).cast("long")).as("dropped_some"),
-      sum((col("n_kept") === col("n_lines")).cast("long")).as("kept_all"),
-      sum((col("n_kept") === 0).cast("long")).as("kept_none"),
-      count(lit(1)).as("n")).collect()(0)
+      sum((col("n_kept") === col("n_lines")).cast("long")).as("kept_all")).collect()(0)
     assert(r.getAs[Long]("dropped_some") > 0, "line rules never dropped a line")
     assert(r.getAs[Long]("kept_all") > 0, "line rules dropped lines from every doc")
+    // the lose-EVERY-line edge exists only at sf0.001 on the shipped
+    // fixtures (2 docs there, 0 at sf0.01) — pin it where it lives
+    val r001 = graft.SparkEntry.queries("q_c4_clean")(spark, "/root/testdata/sf0.001")
+      .agg(sum((col("n_kept") === 0).cast("long")).as("kept_none")).collect()(0)
+    assert(r001.getAs[Long]("kept_none") > 0,
+      "no doc loses every line at sf0.001 — the all-dropped edge is unexercised")
   }
 }
