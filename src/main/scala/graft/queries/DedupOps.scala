@@ -122,6 +122,77 @@ object DedupOps {
     MinHash.bands(sig, "doc_id", numBands = 16, numHashes = 64)
   }
 
+  /** The incremental-dedup pair derivation (shape notes on
+    * q_incremental_dedup below): stored band-index probe + batch
+    * self-collisions, exact verify on candidate docs only. Shared by
+    * q_incremental_dedup (pair listing) and
+    * q_incremental_dedup_clusters (label maintenance). */
+  private def incrementalVerifiedPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isNew = col("doc_id") % 8 === 0
+    val histBands = Artifacts.parquet(s, d, "inc_band_index") {
+      bandIndex(Tables.spread(docs.filter(!isNew), col("doc_id")))
+    }
+    // the new batch's bands feed two consumers (the stored-index probe
+    // and the batch self-collision join): checkpoint so the batch is
+    // signed ONCE — batch-scale, the same eager-materialize pattern as
+    // deriveVerifiedPairs
+    val newBands = bandIndex(Tables.spread(docs.filter(isNew), col("doc_id")))
+      .localCheckpoint()
+    val cands = incrementalCandidatePairs(histBands, newBands)
+    val candDocs = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = docs.join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        explode(TextFunctions.shingleHashes(col("text"), 3)).as("s"))
+      .distinct()
+    exactJaccard(sh, cands).filter(col("jaccard") >= 0.8)
+  }
+
+  /** The label-merge step of incremental clustering, factored for
+    * crafted-graph tests (IncrementalCcSuite): stored `(node, component)`
+    * labels + a new batch's verified pairs + the new doc ids → the full
+    * updated label table. Exactness rides on min-labeling being
+    * associative over graph unions: each pair end maps to its GROUP id
+    * (stored label for historical ends — a left join miss means the end
+    * is new — own id for new ends), components run on the
+    * metadata-scale group graph, and only touched components relabel
+    * (broadcast join; untouched rows coalesce to themselves). */
+  private[graft] def mergeIncrementalLabels(histLabels: DataFrame,
+      newPairs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val la = histLabels.select(col("node").as("doc_a"), col("component").as("ga"))
+    val lb = histLabels.select(col("node").as("doc_b"), col("component").as("gb"))
+    val e = newPairs
+      .join(la, Seq("doc_a"), "left_outer")
+      .join(lb, Seq("doc_b"), "left_outer")
+      .select(coalesce(col("ga"), col("doc_a")).as("a"),
+        coalesce(col("gb"), col("doc_b")).as("b"))
+    // mini-graph nodes: every group an edge touches, plus ALL new docs
+    // (so an isolated new doc labels itself)
+    val miniNodes = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .union(newDocs.select(col("node")))
+      .distinct()
+    // (group id → merged label); min over group ids IS the min doc_id of
+    // the merged component, since stored labels are their components'
+    // min ids and new ids enter the min directly. Metadata-scale —
+    // checkpointed so its two consumers below read a materialized
+    // relation instead of each re-embedding the mini-graph derivation
+    val mini = ConnectedComponents.components(e, miniNodes)
+      .select(col("node").as("grp"), col("component").as("merged"))
+      .localCheckpoint()
+    val relabeledHist = histLabels
+      .join(broadcast(mini.withColumnRenamed("grp", "component")),
+        Seq("component"), "left_outer")
+      .select(col("node").as("doc_id"),
+        coalesce(col("merged"), col("component")).as("cluster"))
+    val newLabels = newDocs
+      .join(broadcast(mini.withColumnRenamed("grp", "node")), Seq("node"), "left_outer")
+      .select(col("node").as("doc_id"),
+        coalesce(col("merged"), col("node")).as("cluster"))
+    relabeledHist.union(newLabels)
+  }
+
   /** Exact n-gram Jaccard near-dup pairs ≥ 0.8 — the edge set shared by
     * q_ngram_jaccard (pair listing) and q_dedup_clusters (grouping).
     * Shape notes live on q_ngram_jaccard below. */
@@ -603,26 +674,56 @@ object DedupOps {
         |WHERE CAST(shared AS DOUBLE) / (da.n + db.n - shared) >= 0.8
         |  AND (doc_a % 8 = 0 OR doc_b % 8 = 0)
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      incrementalVerifiedPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- INCREMENTAL cluster maintenance — the refresh seam for the
+    // dedup END-STATE: the stored (node, component) label table is
+    // UPDATED by a new batch's verified pairs without re-clustering the
+    // historical corpus. The algebra that makes this exact: component
+    // labels are the MIN doc_id of each component, and min-labeling is
+    // associative over graph unions — so it suffices to (1) map each new
+    // pair's ends to their GROUP id (historical doc → its stored label,
+    // new doc → itself), (2) run connected components on that
+    // metadata-scale group graph (touched components + new docs only),
+    // and (3) relabel just the touched components via a broadcast join
+    // over the stored label table. A new doc BRIDGING two historical
+    // clusters merges them to the global min label — the hard case, and
+    // exactly what the full recompute produces (IncrementalCcSuite pins
+    // it on crafted graphs; the oracle is the full recursive-CTE
+    // relabeling of the whole corpus, so any divergence hash-mismatches).
+    // At 100 TB: historical work is one labels-artifact scan + one
+    // broadcast join; the mini graph is pair-scale; nothing re-shingles,
+    // re-signs, or re-clusters the old side (plan-asserted).
+    Q("q_incremental_dedup_clusters",
+      s"""WITH RECURSIVE $ngramPairsSql,
+        |$clusterLabSql
+        |SELECT doc_id, cluster FROM lab ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val isNew = col("doc_id") % 8 === 0
-      val histBands = Artifacts.parquet(s, d, "inc_band_index") {
-        bandIndex(Tables.spread(docs.filter(!isNew), col("doc_id")))
+      // the stored label table: on a real refresh it was written by the
+      // previous snapshot's clustering run
+      val histLabels = Artifacts.parquet(s, d, "inc_cc_labels") {
+        val hd = Tables.spread(docs.filter(!isNew), col("doc_id"))
+        val sh = hd.select(col("doc_id"),
+            explode(TextFunctions.shingleHashes(col("text"), 3)).as("s"))
+          .distinct()
+        val sig = sh.groupBy(col("doc_id"))
+          .agg(graft.functions.MinHashSignature.minhashSig(col("s"), 64).as("sig"))
+        val cands = MinHash.candidates(
+          MinHash.bands(sig, "doc_id", numBands = 16, numHashes = 64), "doc_id")
+        val pairs = exactJaccard(sh, cands).filter(col("jaccard") >= 0.8)
+        ConnectedComponents.components(
+          pairs.select(col("doc_a").as("a"), col("doc_b").as("b")),
+          hd.select(col("doc_id").as("node")))
       }
-      // the new batch's bands feed two consumers (the stored-index probe
-      // and the batch self-collision join): checkpoint so the batch is
-      // signed ONCE — batch-scale, the same eager-materialize pattern as
-      // deriveVerifiedPairs
-      val newBands = bandIndex(Tables.spread(docs.filter(isNew), col("doc_id")))
-        .localCheckpoint()
-      val cands = incrementalCandidatePairs(histBands, newBands)
-      val candDocs = cands.select(col("doc_a").as("doc_id"))
-        .union(cands.select(col("doc_b").as("doc_id"))).distinct()
-      val sh = docs.join(candDocs, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"),
-          explode(TextFunctions.shingleHashes(col("text"), 3)).as("s"))
-        .distinct()
-      exactJaccard(sh, cands).filter(col("jaccard") >= 0.8)
-        .orderBy(col("doc_a"), col("doc_b"))
+      // pair-scale: sever lineage so the mini graph below reads a
+      // materialized relation, not the whole candidate derivation twice
+      val newPairs = incrementalVerifiedPairs(s, d)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val newDocs = docs.filter(isNew).select(col("doc_id").as("node"))
+      mergeIncrementalLabels(histLabels, newPairs, newDocs)
+        .orderBy(col("doc_id"))
     },
 
     // ---- Streaming near-dup detection: the same MinHash-LSH + exact

@@ -581,6 +581,31 @@ class PlanSuite extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("incremental dedup clusters: stored labels are an artifact scan, no historical re-cluster") {
+    SparkEntry.queries("q_incremental_dedup_clusters")(spark, sf).collect()
+    val df = SparkEntry.queries("q_incremental_dedup_clusters")(spark, sf)
+    val str = df.queryExecution.executedPlan.toString()
+    assert(str.contains("graft_art_inc_cc_labels"),
+      s"stored labels not read from the parquet artifact:\n${str.take(2000)}")
+    // nothing re-signs or re-clusters history in the refresh plan: the
+    // new pairs were checkpointed, the mini-CC ran at build time (RDD
+    // leaves), so no minhash aggregate may appear
+    assert("minhash_sig".r.findAllIn(str).isEmpty,
+      s"historical corpus re-signed in the label-merge plan:\n${str.take(2000)}")
+    // exactly ONE documents scan — the new-batch id projection
+    val docScans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if (r.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.exists(_.toString.contains("documents.parquet"))
+            case _ => false
+          }) => r
+    }
+    assert(docScans.length == 1,
+      s"expected exactly one documents scan (the new-batch ids), got ${docScans.length}")
+    assert(!str.contains("CartesianProduct"))
+  }
+
   test("incremental semdedup: historical side is artifact scans, one embeddings scan") {
     // first call stages the snapshot artifacts; the plan under test is a
     // SECOND build — the refresh-run shape
