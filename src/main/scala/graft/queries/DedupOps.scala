@@ -160,27 +160,7 @@ object DedupOps {
     * (broadcast join; untouched rows coalesce to themselves). */
   private[graft] def mergeIncrementalLabels(histLabels: DataFrame,
       newPairs: DataFrame, newDocs: DataFrame): DataFrame = {
-    val la = histLabels.select(col("node").as("doc_a"), col("component").as("ga"))
-    val lb = histLabels.select(col("node").as("doc_b"), col("component").as("gb"))
-    val e = newPairs
-      .join(la, Seq("doc_a"), "left_outer")
-      .join(lb, Seq("doc_b"), "left_outer")
-      .select(coalesce(col("ga"), col("doc_a")).as("a"),
-        coalesce(col("gb"), col("doc_b")).as("b"))
-    // mini-graph nodes: every group an edge touches, plus ALL new docs
-    // (so an isolated new doc labels itself)
-    val miniNodes = e.select(col("a").as("node"))
-      .union(e.select(col("b").as("node")))
-      .union(newDocs.select(col("node")))
-      .distinct()
-    // (group id → merged label); min over group ids IS the min doc_id of
-    // the merged component, since stored labels are their components'
-    // min ids and new ids enter the min directly. Metadata-scale —
-    // checkpointed so its two consumers below read a materialized
-    // relation instead of each re-embedding the mini-graph derivation
-    val mini = ConnectedComponents.components(e, miniNodes)
-      .select(col("node").as("grp"), col("component").as("merged"))
-      .localCheckpoint()
+    val mini = miniComponents(histLabels, newPairs, newDocs)
     val relabeledHist = histLabels
       .join(broadcast(mini.withColumnRenamed("grp", "component")),
         Seq("component"), "left_outer")
@@ -192,6 +172,55 @@ object DedupOps {
         coalesce(col("merged"), col("node")).as("cluster"))
     relabeledHist.union(newLabels)
   }
+
+  /** The mini component graph of an incremental refresh: each new-pair
+    * end maps to its GROUP id (stored label for historical ends — a
+    * left-join miss means the end is new — own id for new ends), and
+    * connected components run on that metadata-scale graph alone.
+    * Returns `(grp, merged)`, checkpointed (consumers re-embed it
+    * otherwise): min over group ids IS the min doc_id of the merged
+    * component, since stored labels are their components' min ids and
+    * new ids enter the min directly. Every group in this relation is a
+    * TOUCHED group — plus all new docs, so isolated new docs label
+    * themselves. */
+  private[graft] def miniComponents(histLabels: DataFrame,
+      newPairs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val la = histLabels.select(col("node").as("doc_a"), col("component").as("ga"))
+    val lb = histLabels.select(col("node").as("doc_b"), col("component").as("gb"))
+    val e = newPairs
+      .join(la, Seq("doc_a"), "left_outer")
+      .join(lb, Seq("doc_b"), "left_outer")
+      .select(coalesce(col("ga"), col("doc_a")).as("a"),
+        coalesce(col("gb"), col("doc_b")).as("b"))
+    val miniNodes = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .union(newDocs.select(col("node")))
+      .distinct()
+    ConnectedComponents.components(e, miniNodes)
+      .select(col("node").as("grp"), col("component").as("merged"))
+      .localCheckpoint()
+  }
+
+  /** The stored historical label table (the inc_cc_labels artifact):
+    * CC over the historical corpus's own verified pairs — on a real
+    * refresh it was written by the previous snapshot's clustering run.
+    * Shared by q_incremental_dedup_clusters and q_incremental_dedup_keep. */
+  private def histCcLabels(s: SparkSession, d: String): DataFrame =
+    Artifacts.parquet(s, d, "inc_cc_labels") {
+      val docs = Tables.documents(s, d)
+      val hd = Tables.spread(docs.filter(!(col("doc_id") % 8 === 0)), col("doc_id"))
+      val sh = hd.select(col("doc_id"),
+          explode(TextFunctions.shingleHashes(col("text"), 3)).as("s"))
+        .distinct()
+      val sig = sh.groupBy(col("doc_id"))
+        .agg(graft.functions.MinHashSignature.minhashSig(col("s"), 64).as("sig"))
+      val cands = MinHash.candidates(
+        MinHash.bands(sig, "doc_id", numBands = 16, numHashes = 64), "doc_id")
+      val pairs = exactJaccard(sh, cands).filter(col("jaccard") >= 0.8)
+      ConnectedComponents.components(
+        pairs.select(col("doc_a").as("a"), col("doc_b").as("b")),
+        hd.select(col("doc_id").as("node")))
+    }
 
   /** Exact n-gram Jaccard near-dup pairs ≥ 0.8 — the edge set shared by
     * q_ngram_jaccard (pair listing) and q_dedup_clusters (grouping).
@@ -700,30 +729,79 @@ object DedupOps {
         |$clusterLabSql
         |SELECT doc_id, cluster FROM lab ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val isNew = col("doc_id") % 8 === 0
-      // the stored label table: on a real refresh it was written by the
-      // previous snapshot's clustering run
-      val histLabels = Artifacts.parquet(s, d, "inc_cc_labels") {
-        val hd = Tables.spread(docs.filter(!isNew), col("doc_id"))
-        val sh = hd.select(col("doc_id"),
-            explode(TextFunctions.shingleHashes(col("text"), 3)).as("s"))
-          .distinct()
-        val sig = sh.groupBy(col("doc_id"))
-          .agg(graft.functions.MinHashSignature.minhashSig(col("s"), 64).as("sig"))
-        val cands = MinHash.candidates(
-          MinHash.bands(sig, "doc_id", numBands = 16, numHashes = 64), "doc_id")
-        val pairs = exactJaccard(sh, cands).filter(col("jaccard") >= 0.8)
-        ConnectedComponents.components(
-          pairs.select(col("doc_a").as("a"), col("doc_b").as("b")),
-          hd.select(col("doc_id").as("node")))
-      }
       // pair-scale: sever lineage so the mini graph below reads a
       // materialized relation, not the whole candidate derivation twice
       val newPairs = incrementalVerifiedPairs(s, d)
         .select(col("doc_a"), col("doc_b")).localCheckpoint()
-      val newDocs = docs.filter(isNew).select(col("doc_id").as("node"))
-      mergeIncrementalLabels(histLabels, newPairs, newDocs)
+      val newDocs = docs.filter(col("doc_id") % 8 === 0)
+        .select(col("doc_id").as("node"))
+      mergeIncrementalLabels(histCcLabels(s, d), newPairs, newDocs)
         .orderBy(col("doc_id"))
+    },
+
+    // ---- INCREMENTAL retention maintenance — the refresh seam for the
+    // dedup END-STATE's manifest (q_dedup_keep's output): per-cluster
+    // keeper rows are recomputed ONLY for clusters the new batch
+    // touches. Two stored artifacts carry the historical state: the
+    // per-cluster keeper stats (the previous manifest) and the per-doc
+    // (doc_id, cluster, n_chars) ledger. A refresh derives the touched
+    // group graph (miniComponents — every touched historical cluster
+    // appears as a grp there), recomputes keepers over ONLY the touched
+    // clusters' ledger members (broadcast semi-join) plus the new
+    // batch's rows, and passes every untouched manifest row through via
+    // a broadcast anti-join — exactness because untouched clusters have
+    // identical membership by definition of touched, and min-struct
+    // keepers are a per-cluster function of membership. Historical work:
+    // two artifact scans + broadcast joins; the only documents scan is
+    // the new batch's (doc_id, n_chars) projection (plan-asserted). The
+    // oracle is the FULL q_dedup_keep recompute, so a stale ledger,
+    // wrong touch set, or dropped merge hash-mismatches.
+    Q("q_incremental_dedup_keep",
+      s"""WITH RECURSIVE $ngramPairsSql,
+        |$clusterLabSql,
+        |${clusterRankSql()},
+        |cs AS (SELECT cluster, COUNT(*) AS n_members,
+        |         CAST(SUM(n_chars) AS BIGINT) AS chars_total
+        |       FROM m GROUP BY cluster)
+        |SELECT r.cluster, r.doc_id AS keep_id, r.n_chars AS keep_chars,
+        |  cs.n_members, cs.chars_total
+        |FROM r JOIN cs ON r.cluster = cs.cluster
+        |WHERE r.rn = 1 ORDER BY r.cluster""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val isNew = col("doc_id") % 8 === 0
+      def keeperRows(members: DataFrame): DataFrame = members
+        .groupBy(col("cluster"))
+        .agg(keeperStruct.as("k"), count(lit(1)).as("n_members"),
+          sum(col("n_chars")).as("chars_total"))
+        .select(col("cluster"), col("k.id").as("keep_id"),
+          (-col("k.nc")).as("keep_chars"), col("n_members"), col("chars_total"))
+      // stored per-doc ledger + per-cluster manifest of the historical
+      // corpus — written by the previous snapshot's retention run
+      val ledger = Artifacts.parquet(s, d, "inc_keep_ledger") {
+        histCcLabels(s, d)
+          .select(col("node").as("doc_id"), col("component").as("cluster"))
+          .join(docs.filter(!isNew).select(col("doc_id"), col("n_chars")), "doc_id")
+      }
+      val stats = Artifacts.parquet(s, d, "inc_keep_stats") { keeperRows(ledger) }
+      val newPairs = incrementalVerifiedPairs(s, d)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val newDocs = docs.filter(isNew).select(col("doc_id").as("node"))
+      val mini = miniComponents(histCcLabels(s, d), newPairs, newDocs)
+      // untouched manifest rows pass through (their membership is
+      // unchanged); touched clusters' historical members relabel to the
+      // merged component; new docs label via their own group id
+      // (historical labels are ≢0 mod 8, new ids ≡0 — no collision)
+      val untouched = stats.join(
+        broadcast(mini.select(col("grp").as("cluster"))), Seq("cluster"), "left_anti")
+      val touchedHist = ledger
+        .join(broadcast(mini.withColumnRenamed("grp", "cluster")), Seq("cluster"))
+        .select(col("doc_id"), col("merged").as("cluster"), col("n_chars"))
+      val newMembers = docs.filter(isNew).select(col("doc_id"), col("n_chars"))
+        .join(broadcast(mini.withColumnRenamed("grp", "doc_id")), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("merged"), col("doc_id")).as("cluster"),
+          col("n_chars"))
+      untouched.union(keeperRows(touchedHist.union(newMembers)))
+        .orderBy(col("cluster"))
     },
 
     // ---- Streaming near-dup detection: the same MinHash-LSH + exact

@@ -606,6 +606,29 @@ class PlanSuite extends SparkSpec {
     assert(!str.contains("CartesianProduct"))
   }
 
+  test("incremental dedup keep: manifest + ledger are artifact scans, one documents scan") {
+    SparkEntry.queries("q_incremental_dedup_keep")(spark, sf).collect()
+    val df = SparkEntry.queries("q_incremental_dedup_keep")(spark, sf)
+    val str = df.queryExecution.executedPlan.toString()
+    assert(str.contains("graft_art_inc_keep_stats") &&
+      str.contains("graft_art_inc_keep_ledger"),
+      s"stored manifest/ledger not read from parquet artifacts:\n${str.take(2000)}")
+    assert("minhash_sig".r.findAllIn(str).isEmpty,
+      s"historical corpus re-signed in the retention refresh plan:\n${str.take(2000)}")
+    // exactly ONE documents scan — the new batch's (doc_id, n_chars)
+    val docScans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if (r.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.exists(_.toString.contains("documents.parquet"))
+            case _ => false
+          }) => r
+    }
+    assert(docScans.length == 1,
+      s"expected exactly one documents scan (the new batch), got ${docScans.length}")
+    assert(!str.contains("CartesianProduct"))
+  }
+
   test("incremental semdedup: historical side is artifact scans, one embeddings scan") {
     // first call stages the snapshot artifacts; the plan under test is a
     // SECOND build — the refresh-run shape
