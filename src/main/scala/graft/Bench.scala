@@ -180,8 +180,13 @@ object Bench {
       .map { case (k, (w, c, g, l, j, cc)) =>
         "\"" + k + "\":[" + Seq(w, c, g, l, j, cc).map(fmt).mkString(",") + "]" }
       .mkString("{", ",", "}")
-    // full precision on the (non-final) log line
-    println(s"""BENCH_DETAIL {"queries":${rows6(_.toString)},"sf":"$sfDir"}""")
+    // fixed 6-decimal format on the (non-final) log line — NOT
+    // Double.toString, whose scientific notation (1.0E-4) trips naive
+    // decimal-regex line parsers and diverges from the r3-formatted
+    // artifact rows (ADVICE r15 #4); 6dp loses nothing at seconds/MB scale
+    def r6d(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
+    println(s"""BENCH_DETAIL {"queries":${rows6(r6d)},"sf":"$sfDir"}""")
 
     // The driver captures only the last ~2000 chars of output and parses the
     // final JSON line from it. Keep that line comfortably under the window:

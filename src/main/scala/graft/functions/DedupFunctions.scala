@@ -123,8 +123,15 @@ object SimHash {
 
   /** Hamming-LSH candidate pairs: [[chunkRows]] banding, exact Hamming
     * ≤ maxDist verified on candidates only. Avoids the O(n²) cross join
-    * at scale. */
-  def nearPairs(sig: DataFrame, idCol: String, maxDist: Int = 6): DataFrame = {
+    * at scale. The 4×15-bit banding is pigeonhole-complete only for
+    * maxDist ≤ 3 (4 disjoint chunks, ≤3 flipped bits ⇒ some chunk is
+    * untouched and collides); a larger radius could flip a bit in every
+    * chunk and the pair would never become a candidate — refuse it
+    * rather than return silently incomplete recall. */
+  def nearPairs(sig: DataFrame, idCol: String, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3,
+      s"4x15-bit banding is candidate-complete only for Hamming <= 3; " +
+      s"maxDist=$maxDist would silently miss pairs that differ in every chunk")
     val banded = chunkRows(sig, idCol)
     verifiedPairs(banded, banded, idCol, maxDist)
   }

@@ -15,6 +15,20 @@ object DedupOps {
 
   private[queries] val neardupRun = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** THE new-batch membership predicate of every incremental-dedup seam
+    * in this file — one definition on purpose: the exactness of
+    * mergeIncrementalLabels (and the untouched/touched manifest split in
+    * q_incremental_dedup_keep) rides on the stored-label domain (min
+    * doc_ids of HISTORICAL components) being disjoint from the new-batch
+    * id domain. With a single predicate that disjointness holds BY
+    * CONSTRUCTION for any predicate — labels are hist doc_ids, hist =
+    * ¬isNewDoc, new = isNewDoc, doc_ids unique — so the only way to
+    * corrupt a merge is two call sites drifting apart. Keep every
+    * engine-side split reading this val (the oracle SQL literals must
+    * track it; IncrementalCcSuite pins the disjointness at sf0.001).
+    * (ADVICE r15 #2.) */
+  private[graft] def isNewDoc = col("doc_id") % 8 === 0
+
   /** Distinct (doc_id, shingle-hash) relation, cached — it feeds
     * self-joins and per-doc counts multiple times per query; without the
     * cache the explode+distinct subtree (a shuffle each) re-runs per
@@ -129,7 +143,7 @@ object DedupOps {
     * q_incremental_dedup_clusters (label maintenance). */
   private def incrementalVerifiedPairs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val isNew = col("doc_id") % 8 === 0
+    val isNew = isNewDoc
     val histBands = Artifacts.parquet(s, d, "inc_band_index") {
       bandIndex(Tables.spread(docs.filter(!isNew), col("doc_id")))
     }
@@ -205,10 +219,10 @@ object DedupOps {
     * CC over the historical corpus's own verified pairs — on a real
     * refresh it was written by the previous snapshot's clustering run.
     * Shared by q_incremental_dedup_clusters and q_incremental_dedup_keep. */
-  private def histCcLabels(s: SparkSession, d: String): DataFrame =
+  private[graft] def histCcLabels(s: SparkSession, d: String): DataFrame =
     Artifacts.parquet(s, d, "inc_cc_labels") {
       val docs = Tables.documents(s, d)
-      val hd = Tables.spread(docs.filter(!(col("doc_id") % 8 === 0)), col("doc_id"))
+      val hd = Tables.spread(docs.filter(!isNewDoc), col("doc_id"))
       val sh = hd.select(col("doc_id"),
           explode(TextFunctions.shingleHashes(col("text"), 3)).as("s"))
         .distinct()
@@ -733,7 +747,7 @@ object DedupOps {
       // materialized relation, not the whole candidate derivation twice
       val newPairs = incrementalVerifiedPairs(s, d)
         .select(col("doc_a"), col("doc_b")).localCheckpoint()
-      val newDocs = docs.filter(col("doc_id") % 8 === 0)
+      val newDocs = docs.filter(isNewDoc)
         .select(col("doc_id").as("node"))
       mergeIncrementalLabels(histCcLabels(s, d), newPairs, newDocs)
         .orderBy(col("doc_id"))
@@ -768,7 +782,7 @@ object DedupOps {
         |FROM r JOIN cs ON r.cluster = cs.cluster
         |WHERE r.rn = 1 ORDER BY r.cluster""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val isNew = col("doc_id") % 8 === 0
+      val isNew = isNewDoc
       def keeperRows(members: DataFrame): DataFrame = members
         .groupBy(col("cluster"))
         .agg(keeperStruct.as("k"), count(lit(1)).as("n_members"),

@@ -78,9 +78,14 @@ class FunctionsSuite extends SparkSpec {
     assert(sig(0L) == sig(1L))
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(sig(0L), sig(2L)) < ham(sig(0L), sig(3L)))
-    val pairs = SimHash.nearPairs(SimHash.signatures(docs, "doc_id", "text"), "doc_id", 6)
+    val pairs = SimHash.nearPairs(SimHash.signatures(docs, "doc_id", "text"), "doc_id", 3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 1L)))
+    // the banding is candidate-complete only for Hamming <= 3 — a wider
+    // radius must be refused, not silently recall-incomplete
+    intercept[IllegalArgumentException] {
+      SimHash.nearPairs(SimHash.signatures(docs, "doc_id", "text"), "doc_id", 6)
+    }
   }
 
   test("vector cosine: identity 1, orthogonal 0; LSH buckets stable") {

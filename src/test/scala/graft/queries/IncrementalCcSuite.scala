@@ -52,6 +52,32 @@ class IncrementalCcSuite extends SparkSpec {
     assert(got == Map(7L -> 7L, 8L -> 7L, 24L -> 7L, 11L -> 11L, 12L -> 11L), s"$got")
   }
 
+  test("stored-label and new-id domains are disjoint at sf0.001 (real predicate)") {
+    // The merge algebra maps a pair end to its GROUP id — stored label
+    // for historical ends, own id for new ends — and a collision between
+    // the two domains would conflate a new doc with a historical cluster
+    // in the mini graph. Disjointness holds by construction as long as
+    // every engine-side split reads the ONE isNewDoc predicate (labels
+    // are min ids of ¬isNewDoc docs; new ids satisfy isNewDoc); this
+    // pins it against a future predicate edit drifting one call site
+    // (ADVICE r15 #2). Runs the REAL artifact derivation at sf0.001.
+    val d = "/root/testdata/sf0.001"
+    val root = tmpDir("inccc_art")
+    spark.conf.set("graft.artifacts.root", root.toString)
+    try {
+      val labels = DedupOps.histCcLabels(spark, d)
+        .select(org.apache.spark.sql.functions.col("component")).distinct()
+      val newIds = graft.Tables.documents(spark, d)
+        .filter(DedupOps.isNewDoc)
+        .select(org.apache.spark.sql.functions.col("doc_id").as("component"))
+      assert(newIds.limit(1).count() == 1L, "vacuous: no new-batch docs at sf0.001")
+      val clash = labels.join(newIds, Seq("component"), "left_semi").count()
+      assert(clash == 0L,
+        s"$clash stored labels collide with new-batch ids — the incremental " +
+        "label merge would conflate them; did a call site's batch predicate drift?")
+    } finally spark.conf.unset("graft.artifacts.root")
+  }
+
   test("no pairs: historical labels unchanged, new docs label themselves") {
     val got = labels(
       hist = Seq((1L, 1L), (2L, 1L)),
