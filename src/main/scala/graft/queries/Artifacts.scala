@@ -61,12 +61,20 @@ private[queries] object Artifacts {
       }
     }
     val key = (s.sparkContext.startTime, s"$name@$d")
+    // a staged dir can vanish UNDER a live context — a tmp sweeper, or a
+    // caller-owned artifacts root deleted after its scope (test suites
+    // sharing one getOrCreate context do exactly this) — so a hit is
+    // only a hit while its directory still exists; otherwise drop the
+    // key and re-derive instead of serving a dead path
+    def live(v: (org.apache.spark.SparkContext, java.nio.file.Path)): Boolean =
+      java.nio.file.Files.exists(v._2)
     val hit = staged.get(key)
-    if (hit != null) s.read.parquet(hit._2.toString)
+    if (hit != null && live(hit)) s.read.parquet(hit._2.toString)
     else keyLocks.computeIfAbsent(key, _ => new Object).synchronized {
       val again = staged.get(key)
-      if (again != null) s.read.parquet(again._2.toString)
+      if (again != null && live(again)) s.read.parquet(again._2.toString)
       else {
+        if (again != null) staged.remove(key, again)
         val root = java.nio.file.Paths.get(
           s.conf.get("graft.artifacts.root", System.getProperty("java.io.tmpdir")))
         java.nio.file.Files.createDirectories(root)

@@ -147,16 +147,27 @@ object DedupOps {
     val histBands = Artifacts.parquet(s, d, "inc_band_index") {
       bandIndex(Tables.spread(docs.filter(!isNew), col("doc_id")))
     }
+    refreshVerifiedPairs(histBands, docs.filter(isNew), docs)
+  }
+
+  /** The refresh-pair kernel with EXPLICIT state: stored band index +
+    * this batch's docs → verified ≥0.8 pairs touching the batch.
+    * `corpus` is where candidate payloads re-shingle from (the ingested
+    * store — only candidate docs are touched, left_semi). Factored so
+    * the multi-batch lifecycle (SnapshotLifecycleSuite) drives the SAME
+    * code the single-refresh query runs. */
+  private[graft] def refreshVerifiedPairs(histBands: DataFrame,
+      newBatch: DataFrame, corpus: DataFrame): DataFrame = {
     // the new batch's bands feed two consumers (the stored-index probe
     // and the batch self-collision join): checkpoint so the batch is
     // signed ONCE — batch-scale, the same eager-materialize pattern as
     // deriveVerifiedPairs
-    val newBands = bandIndex(Tables.spread(docs.filter(isNew), col("doc_id")))
+    val newBands = bandIndex(Tables.spread(newBatch, col("doc_id")))
       .localCheckpoint()
     val cands = incrementalCandidatePairs(histBands, newBands)
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id"))).distinct()
-    val sh = docs.join(candDocs, Seq("doc_id"), "left_semi")
+    val sh = corpus.join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         explode(TextFunctions.shingleHashes(col("text"), 3)).as("s"))
       .distinct()
@@ -352,6 +363,49 @@ object DedupOps {
     * shuffle+sort. Read the keeper back as `k.id` / `-k.nc`. */
   private val keeperStruct =
     min(struct((-col("n_chars")).as("nc"), col("doc_id").as("id")))
+
+  /** Per-cluster keeper manifest of a (doc_id, cluster, n_chars) member
+    * relation — the q_dedup_keep output shape via the map-side
+    * [[keeperStruct]] aggregate. Shared by the retention queries and the
+    * incremental manifest maintenance. */
+  private[graft] def keeperRows(members: DataFrame): DataFrame = members
+    .groupBy(col("cluster"))
+    .agg(keeperStruct.as("k"), count(lit(1)).as("n_members"),
+      sum(col("n_chars")).as("chars_total"))
+    .select(col("cluster"), col("k.id").as("keep_id"),
+      (-col("k.nc")).as("keep_chars"), col("n_members"), col("chars_total"))
+
+  /** The retention-refresh kernel with EXPLICIT state: stored labels +
+    * per-doc (doc_id, cluster, n_chars) ledger + per-cluster manifest,
+    * updated by one batch's verified pairs and member rows. Returns
+    * (manifest', ledger') — the two artifacts the NEXT refresh reads.
+    * Untouched manifest rows pass through (their membership is unchanged
+    * by definition of touched); touched clusters' historical members
+    * relabel to the merged component; new docs label via their own group
+    * id (the ledger-label and new-id domains are disjoint — see
+    * [[isNewDoc]]). Factored so the multi-batch lifecycle
+    * (SnapshotLifecycleSuite) drives the SAME algebra the
+    * single-refresh query runs. */
+  private[graft] def refreshKeeperState(histLabels: DataFrame,
+      ledger: DataFrame, stats: DataFrame, newPairs: DataFrame,
+      newDocs: DataFrame, newMembers: DataFrame): (DataFrame, DataFrame) = {
+    val mini = miniComponents(histLabels, newPairs, newDocs)
+    val untouched = stats.join(
+      broadcast(mini.select(col("grp").as("cluster"))), Seq("cluster"), "left_anti")
+    val touchedHist = ledger
+      .join(broadcast(mini.withColumnRenamed("grp", "cluster")), Seq("cluster"))
+      .select(col("doc_id"), col("merged").as("cluster"), col("n_chars"))
+    val newLedgerRows = newMembers
+      .join(broadcast(mini.withColumnRenamed("grp", "doc_id")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("merged"), col("doc_id")).as("cluster"),
+        col("n_chars"))
+    val untouchedLedger = ledger.join(
+        broadcast(mini.select(col("grp").as("cluster"))), Seq("cluster"), "left_anti")
+      .select(col("doc_id"), col("cluster"), col("n_chars"))
+    val manifest = untouched.union(keeperRows(touchedHist.union(newLedgerRows)))
+    (manifest, untouchedLedger.union(touchedHist).union(newLedgerRows))
+  }
 
   /** Oracle twin of [[keeperStruct]]: ranks each cluster's members under
     * the same keep-longest policy (`rn = 1` ⇔ keeper). Expects `lab` (from
@@ -783,12 +837,6 @@ object DedupOps {
         |WHERE r.rn = 1 ORDER BY r.cluster""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val isNew = isNewDoc
-      def keeperRows(members: DataFrame): DataFrame = members
-        .groupBy(col("cluster"))
-        .agg(keeperStruct.as("k"), count(lit(1)).as("n_members"),
-          sum(col("n_chars")).as("chars_total"))
-        .select(col("cluster"), col("k.id").as("keep_id"),
-          (-col("k.nc")).as("keep_chars"), col("n_members"), col("chars_total"))
       // stored per-doc ledger + per-cluster manifest of the historical
       // corpus — written by the previous snapshot's retention run
       val ledger = Artifacts.parquet(s, d, "inc_keep_ledger") {
@@ -800,21 +848,9 @@ object DedupOps {
       val newPairs = incrementalVerifiedPairs(s, d)
         .select(col("doc_a"), col("doc_b")).localCheckpoint()
       val newDocs = docs.filter(isNew).select(col("doc_id").as("node"))
-      val mini = miniComponents(histCcLabels(s, d), newPairs, newDocs)
-      // untouched manifest rows pass through (their membership is
-      // unchanged); touched clusters' historical members relabel to the
-      // merged component; new docs label via their own group id
-      // (historical labels are ≢0 mod 8, new ids ≡0 — no collision)
-      val untouched = stats.join(
-        broadcast(mini.select(col("grp").as("cluster"))), Seq("cluster"), "left_anti")
-      val touchedHist = ledger
-        .join(broadcast(mini.withColumnRenamed("grp", "cluster")), Seq("cluster"))
-        .select(col("doc_id"), col("merged").as("cluster"), col("n_chars"))
       val newMembers = docs.filter(isNew).select(col("doc_id"), col("n_chars"))
-        .join(broadcast(mini.withColumnRenamed("grp", "doc_id")), Seq("doc_id"), "left_outer")
-        .select(col("doc_id"), coalesce(col("merged"), col("doc_id")).as("cluster"),
-          col("n_chars"))
-      untouched.union(keeperRows(touchedHist.union(newMembers)))
+      refreshKeeperState(histCcLabels(s, d), ledger, stats, newPairs,
+        newDocs, newMembers)._1
         .orderBy(col("cluster"))
     },
 

@@ -12,6 +12,50 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalOps {
 
+  /** Decode + aHash + 4×15-bit chunk rows of a documents-shaped media
+    * batch — the band-index schema the incremental media dedup stores
+    * per snapshot ((media_id, simhash, chunk, ck); the signature rides
+    * along so the exact verify never touches a historical payload). */
+  private[graft] def mediaChunks(s: org.apache.spark.sql.SparkSession,
+      part: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val ds = Tables.spread(part, col("doc_id"))
+      .select(col("doc_id").as("media_id"),
+        col("text").cast("binary").as("payload"),
+        lit("text/plain").as("mime"))
+      .as[Multimodal.MediaRecord]
+    graft.functions.SimHash.chunkRows(
+      Multimodal.perceptualPartitions(ds).toDF(), "media_id")
+  }
+
+  /** The media refresh-pair kernel with EXPLICIT state: stored chunk
+    * index + one decoded batch's chunk rows → exact Hamming ≤ 3 pairs
+    * touching the batch. ONE probe of the stored index (the
+    * incrementalCandidatePairs posture: history is the dominant side at
+    * production scale, so it is scanned/joined exactly once); new-vs-old
+    * pairs order by least/greatest since either side may hold the
+    * smaller id; new-vs-new self-collisions are disjoint from new-old
+    * (one end of every new-old pair is historical), so plain union.
+    * Factored so the multi-batch lifecycle (SnapshotLifecycleSuite)
+    * drives the SAME kernel as the single-refresh query. */
+  private[graft] def mediaRefreshPairs(hist: org.apache.spark.sql.DataFrame,
+      newChunks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.functions.SimHash
+    val n = newChunks.select(col("chunk"), col("ck"),
+      col("media_id").as("doc_n"), col("simhash").as("sim_n"))
+    val h = hist.select(col("chunk"), col("ck"),
+      col("media_id").as("doc_h"), col("simhash").as("sim_h"))
+    val newOld = n.join(h, Seq("chunk", "ck"))
+      .select(least(col("doc_n"), col("doc_h")).as("doc_a"),
+        greatest(col("doc_n"), col("doc_h")).as("doc_b"),
+        expr("bit_count(sim_n ^ sim_h)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+    newOld.union(SimHash.verifiedPairs(newChunks, newChunks, "media_id", maxDist = 3))
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming").cast("long").as("hamming"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- Metadata extraction over a binary payload column. The arithmetic
@@ -199,46 +243,18 @@ object MultimodalOps {
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
         |  AND (a.doc_id % 8 = 0 OR b.doc_id % 8 = 0)
         |ORDER BY media_a, media_b""".stripMargin) { (s, d) =>
-      import s.implicits._
-      import graft.functions.SimHash
       val docs = Tables.documents(s, d)
-      def chunksOf(part: org.apache.spark.sql.DataFrame) = {
-        val ds = Tables.spread(part, col("doc_id"))
-          .select(col("doc_id").as("media_id"),
-            col("text").cast("binary").as("payload"),
-            lit("text/plain").as("mime"))
-          .as[Multimodal.MediaRecord]
-        SimHash.chunkRows(Multimodal.perceptualPartitions(ds).toDF(), "media_id")
-      }
       val isNew = col("doc_id") % 8 === 0
       // the stored historical index: on a real refresh it was written by
       // the previous snapshot's run — this run never re-decodes it
       val hist = Artifacts.parquet(s, d, "inc_media_band_index") {
-        chunksOf(docs.filter(!isNew))
+        mediaChunks(s, docs.filter(!isNew))
       }
       // decode + hash the new batch ONCE (it feeds the stored-index probe
       // and the self-collision join) — the q_incremental_dedup newBands
       // pattern
-      val newChunks = chunksOf(docs.filter(isNew)).localCheckpoint()
-      // ONE probe of the stored index (the incrementalCandidatePairs
-      // posture: history is the dominant side at production scale, so it
-      // is scanned/joined exactly once): new-vs-old pairs order by
-      // least/greatest since either side may hold the smaller id
-      val n = newChunks.select(col("chunk"), col("ck"),
-        col("media_id").as("doc_n"), col("simhash").as("sim_n"))
-      val h = hist.select(col("chunk"), col("ck"),
-        col("media_id").as("doc_h"), col("simhash").as("sim_h"))
-      val newOld = n.join(h, Seq("chunk", "ck"))
-        .select(least(col("doc_n"), col("doc_h")).as("doc_a"),
-          greatest(col("doc_n"), col("doc_h")).as("doc_b"),
-          expr("bit_count(sim_n ^ sim_h)").as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 3)
-      // new-vs-new batch self-collisions; disjoint from newOld (one end
-      // of every newOld pair is historical), so plain union
-      newOld.union(SimHash.verifiedPairs(newChunks, newChunks, "media_id", maxDist = 3))
-        .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
-          col("hamming").cast("long").as("hamming"))
+      val newChunks = mediaChunks(s, docs.filter(isNew)).localCheckpoint()
+      mediaRefreshPairs(hist, newChunks)
         .orderBy(col("media_a"), col("media_b"))
     },
 

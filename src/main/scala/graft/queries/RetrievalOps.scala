@@ -93,6 +93,54 @@ object RetrievalOps {
       .select(col("doc_id"), round(col("s").cast("double"), 6).as("bm25"))
   }
 
+  /** Query-term postings (doc_id, dl, word, tf) of a documents relation —
+    * the posting-list schema the incremental BM25 stores per snapshot and
+    * appends per batch. */
+  private[graft] def bm25QueryTf(src: DataFrame): DataFrame = src
+    .select(col("doc_id"), size(nonEmptyTokens).as("dl"),
+      explode(TextFunctions.tokens(col("text"))).as("word"))
+    .filter(col("word").isin(QueryTerms: _*))
+    .groupBy(col("doc_id"), col("dl"), col("word"))
+    .agg(count(lit(1)).as("tf"))
+
+  /** The frozen snapshot stats row (avgdl, n, df_<term>…) of a historical
+    * corpus — derived once per snapshot, served until the next full
+    * rebuild (the stale-IDF contract). */
+  private[graft] def bm25SnapshotStats(hist: DataFrame): DataFrame = {
+    val dfAggs = QueryTerms.map(t =>
+      sum(when(array_contains(col("tk"), t), 1L).otherwise(0L)).as(s"df_$t"))
+    hist
+      .select(nonEmptyTokens.as("tk"))
+      .select(size(col("tk")).as("dl"), col("tk"))
+      .filter(col("dl") > 0)
+      .agg((sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+        (count(lit(1)).as("n") +: dfAggs): _*)
+  }
+
+  /** Serve merged postings under a FROZEN stats row: terms the snapshot
+    * never saw have no stored idf — dropped, like the oracle's
+    * historical-df inner join (they score at the next full rebuild).
+    * Factored so the multi-batch lifecycle (SnapshotLifecycleSuite)
+    * serves through the SAME path as the single-refresh query. */
+  private[graft] def bm25ServeFrozen(allTf: DataFrame,
+      srow: org.apache.spark.sql.Row): DataFrame = {
+    // zero historical docs ⇒ NULL avgdl (getDouble would NPE) and an
+    // undefined stored-stats contract — unreachable on the shipped
+    // fixtures, but fail with the contract named rather than an NPE
+    val nDocs = srow.getLong(1)
+    require(nDocs > 0,
+      "q_incremental_bm25: historical snapshot is empty — no frozen " +
+      "avgdl/N/df to serve under; run a full build instead of a refresh")
+    val avgdl = srow.getDouble(0)
+    val dfMap = QueryTerms.zipWithIndex
+      .map { case (t, i) => t -> srow.getLong(2 + i) }
+      .filter(_._2 > 0).toMap
+    scoreTf(allTf.filter(col("word").isin(dfMap.keys.toSeq: _*)),
+        avgdl, nDocs, dfMap)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** (doc_id, bm25) for every document containing ≥1 query term. One
     * corpus pass for length stats AND per-term document frequencies
     * (map-only, no explode — `array_contains` flags per query term —
@@ -195,45 +243,14 @@ object RetrievalOps {
          |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
       val docs = Tables.spread(Tables.documents(s, d), col("doc_id"))
       val isNew = col("doc_id") % 8 === 0
-      def tfRel(src: DataFrame): DataFrame = src
-        .select(col("doc_id"), size(nonEmptyTokens).as("dl"),
-          explode(TextFunctions.tokens(col("text"))).as("word"))
-        .filter(col("word").isin(QueryTerms: _*))
-        .groupBy(col("doc_id"), col("dl"), col("word"))
-        .agg(count(lit(1)).as("tf"))
       val histTf = Artifacts.parquet(s, d, "inc_bm25_postings") {
-        tfRel(docs.filter(!isNew))
+        bm25QueryTf(docs.filter(!isNew))
       }
       val stats = Artifacts.parquet(s, d, "inc_bm25_stats") {
-        val dfAggs = QueryTerms.map(t =>
-          sum(when(array_contains(col("tk"), t), 1L).otherwise(0L)).as(s"df_$t"))
-        docs.filter(!isNew)
-          .select(nonEmptyTokens.as("tk"))
-          .select(size(col("tk")).as("dl"), col("tk"))
-          .filter(col("dl") > 0)
-          .agg((sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
-            (count(lit(1)).as("n") +: dfAggs): _*)
+        bm25SnapshotStats(docs.filter(!isNew))
       }
-      val srow = stats.head() // 1 row — the frozen snapshot stats
-      // zero historical docs ⇒ NULL avgdl (getDouble would NPE) and an
-      // undefined stored-stats contract — unreachable on the shipped
-      // fixtures, but fail with the contract named rather than an NPE
-      val nDocs = srow.getLong(1)
-      require(nDocs > 0,
-        "q_incremental_bm25: historical snapshot is empty — no frozen " +
-        "avgdl/N/df to serve under; run a full build instead of a refresh")
-      val avgdl = srow.getDouble(0)
-      val dfMap = QueryTerms.zipWithIndex
-        .map { case (t, i) => t -> srow.getLong(2 + i) }
-        .filter(_._2 > 0).toMap
-      // terms the snapshot never saw have no stored idf — dropped, like
-      // the oracle's historical-df inner join (they score at the next
-      // full rebuild)
-      val allTf = histTf.unionByName(tfRel(docs.filter(isNew)))
-        .filter(col("word").isin(dfMap.keys.toSeq: _*))
-      scoreTf(allTf, avgdl, nDocs, dfMap)
-        .orderBy(col("bm25").desc, col("doc_id"))
-        .limit(20)
+      bm25ServeFrozen(histTf.unionByName(bm25QueryTf(docs.filter(isNew))),
+        stats.head())
     },
 
     // ---- Hybrid retrieval via reciprocal-rank fusion: the lexical BM25

@@ -18,7 +18,7 @@ object TextOps {
   /** Deterministic content-hash train/val/test tag (12/16, 2/16, 2/16 by
     * the first md5 hex digit of the doc id) — the split gate shared by
     * every split-aware query here; each oracle carries the same CASE. */
-  private def splitTag: org.apache.spark.sql.Column = {
+  private[graft] def splitTag: org.apache.spark.sql.Column = {
     val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
     when(h <= "b", "train").when(h <= "d", "val").otherwise("test")
   }
@@ -320,7 +320,7 @@ object TextOps {
   /** (doc_id, lang, bucket, n) hashed-unigram counts of a (doc_id, lang,
     * text) relation — ONE shared definition for DSIR training, batch
     * scoring, and stream serving (feature skew would hash-mismatch). */
-  private def dsirBuckets(docs: org.apache.spark.sql.DataFrame)
+  private[graft] def dsirBuckets(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     docs
       .select(col("doc_id"), col("lang"),
@@ -348,8 +348,16 @@ object TextOps {
     * is safe at any corpus size (unlike the data-dependent candidate
     * relations, which stay un-hinted). */
   private def dsirLambda(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    dsirLambdaOn(dsirDb(s, d))
+
+  /** [[dsirLambda]] over a GIVEN (doc_id, lang, b, n) relation — the
+    * seam q_incremental_dsir trains through (its db combines the stored
+    * hist artifact with the new batch's counts). Exact because both
+    * per-bucket models are pure count sums — additive over disjoint
+    * document sets. */
+  private[graft] def dsirLambdaOn(db: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val db = dsirDb(s, d)
     val cr = db.groupBy(col("b")).agg(sum(col("n")).as("cr"))
     val ct = db.filter(col("lang") === "en")
       .groupBy(col("b")).agg(sum(col("n")).as("ct"))
@@ -365,7 +373,7 @@ object TextOps {
   /** Score a (doc_id, lang, b, n) relation by the λ model: per-doc
     * decimal-exact log weight + content-hash Gumbel key. One broadcast
     * join + one map-side-combinable aggregate. */
-  private def dsirScored(db: org.apache.spark.sql.DataFrame,
+  private[graft] def dsirScored(db: org.apache.spark.sql.DataFrame,
       lam: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val u = (conv(substring(md5(col("doc_id").cast("string").cast("binary")),
       9, 4), 16, 10).cast("long") + 0.5) / 65536.0
@@ -1578,6 +1586,34 @@ object TextOps {
         Staging.drainParquet(s, s"$out/sel",
           col("gkey").desc, col("doc_id")).limit(100)
       }
+    },
+
+    // ---- INCREMENTAL DSIR — the refresh seam for the second trained
+    // artifact class (r15 verdict #6): a corpus refresh re-trains the
+    // 256-bucket λ model and re-draws the Gumbel top-100 WITHOUT
+    // re-tokenizing the historical corpus. State: the historical
+    // (doc_id, lang, bucket, n) count table — DSIR's sufficient
+    // statistic (λ is per-bucket count ratios, per-doc weights are
+    // count-weighted λ sums; both additive over disjoint document
+    // sets), persisted once as a parquet artifact. This run hashes ONLY
+    // the new batch (eagerly, at one localCheckpoint — it feeds the two
+    // λ aggregates and the scorer), unions it with the artifact, and
+    // trains + scores over the combined counts. The oracle is
+    // q_dsir_sample's FULL-corpus derivation verbatim, so a stale
+    // artifact or a dropped batch shifts λ — and with it the drawn
+    // sample — and hash-mismatches.
+    Q("q_incremental_dsir", dsirSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val isNew = col("doc_id") % 8 === 0
+      val hist = Artifacts.parquet(s, d, "inc_dsir_db") {
+        dsirBuckets(Tables.spread(docs.filter(!isNew), col("doc_id")))
+      }
+      val newDb = dsirBuckets(Tables.spread(docs.filter(isNew), col("doc_id")))
+        .localCheckpoint()
+      val db = hist.union(newDb)
+      dsirScored(db, dsirLambdaOn(db))
+        .orderBy(col("gkey").desc, col("doc_id"))
+        .limit(100)
     },
 
     // ---- DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
@@ -2876,6 +2912,39 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // ---- INCREMENTAL classifier training — the refresh seam for the
+    // trained quality gate (r15 verdict #6): a corpus refresh re-trains
+    // the logistic model and re-scores WITHOUT re-deriving historical
+    // features from text. State: the historical (doc_id, y, x1, x2, x3)
+    // feature table — full-batch GD's sufficient statistic (each
+    // gradient step is a mean of per-ROW contributions over the feature
+    // table, and per-doc rows over disjoint document sets union to the
+    // full table), persisted once as a parquet artifact. This run
+    // featurizes ONLY the new batch (eagerly, at one localCheckpoint —
+    // it feeds 3 gradient aggregates and the scorer), unions it with
+    // the artifact, runs the identical 3 GD steps on the combined
+    // table, and scores it with the refreshed weights. Training
+    // restarts from w=0 ON PURPOSE: warm-starting from the stored
+    // weights is NOT the full derivation (the oracle's 3 steps start at
+    // zero on the union), and the steps were never the corpus-scale
+    // cost — each is one map-side-combinable aggregate over the
+    // doc-scale feature table; the avoided work is the historical
+    // text-feature scan. Oracle = qualityClassifierSql verbatim: a
+    // stale artifact, dropped batch, or drifted combine shifts a
+    // gradient sum — and every downstream score — and hash-mismatches.
+    Q("q_incremental_quality_classifier", qualityClassifierSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val isNew = col("doc_id") % 8 === 0
+      val hist = Artifacts.parquet(s, d, "inc_quality_features") {
+        qualityFeatures(Tables.spread(docs.filter(!isNew), col("doc_id")))
+      }
+      val newFeats = qualityFeatures(
+        Tables.spread(docs.filter(isNew), col("doc_id"))).localCheckpoint()
+      val feats = hist.union(newFeats)
+      scoreQualityFeats(feats, trainQualityWeightsOn(feats))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- The trained model SERVED AT INGEST — the deployment pattern
     // complementing q_stream_bm25's index-serving: train once on the
     // reference corpus (the identical 3 GD steps), then score every
@@ -3021,7 +3090,7 @@ object TextOps {
     * definition shared by training, batch scoring, and stream serving
     * (feature drift between train and serve is the classic production
     * failure; here it would hash-mismatch the gate). */
-  private def qualityFeatures(docs: org.apache.spark.sql.DataFrame)
+  private[graft] def qualityFeatures(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     docs.select(
       col("doc_id"),
@@ -3052,8 +3121,18 @@ object TextOps {
     * scalars entering the next sigmoid are bit-identical to the oracle's
     * unrolled CTEs (qualityClassifierSql). */
   private def trainQualityWeights(s: org.apache.spark.sql.SparkSession,
-      d: String): Array[Double] = {
-    val feats = qualityFeatures(Tables.documents(s, d)).persist()
+      d: String): Array[Double] =
+    trainQualityWeightsOn(qualityFeatures(Tables.documents(s, d)))
+
+  /** The 3 GD steps over a GIVEN (doc_id, y, x1, x2, x3) feature table —
+    * the seam q_incremental_quality_classifier trains through (its
+    * features combine the stored hist artifact with the new batch's).
+    * Exact because full-batch GD is a function of the feature TABLE
+    * alone, and per-doc feature rows over disjoint document sets union
+    * to the full table. */
+  private[graft] def trainQualityWeightsOn(
+      featsIn: org.apache.spark.sql.DataFrame): Array[Double] = {
+    val feats = featsIn.persist()
     val w = Array(0.0, 0.0, 0.0, 0.0)
     try {
       for (_ <- 1 to 3) {
@@ -3077,7 +3156,14 @@ object TextOps {
     * per-micro-batch stream serving. */
   private def scoreQuality(docs: org.apache.spark.sql.DataFrame,
       w: Array[Double]): org.apache.spark.sql.DataFrame =
-    qualityFeatures(docs)
+    scoreQualityFeats(qualityFeatures(docs), w)
+
+  /** Scoring over a PRE-BUILT feature table — shared by [[scoreQuality]]
+    * and the incremental refresh path (which must not re-derive hist
+    * features from text). */
+  private[graft] def scoreQualityFeats(feats: org.apache.spark.sql.DataFrame,
+      w: Array[Double]): org.apache.spark.sql.DataFrame =
+    feats
       .select(col("doc_id"), col("y").cast("long").as("label_en"),
         r6(sigmoidCol(w)).as("p_en"),
         (sigmoidCol(w) >= 0.5).as("pred_en"))

@@ -40,7 +40,7 @@ import org.apache.spark.sql.functions._
 object UnigramOps {
 
   /** Max candidate piece length (seed substrings 1..MaxPiece chars). */
-  private val MaxPiece = 4
+  private[graft] val MaxPiece = 4
   /** Seed-substring CARDINALITY cap: multi-char candidates keep only the
     * top-SeedCap by (corpus frequency DESC, piece ASC) BEFORE the driver
     * collect; single chars are always kept so Viterbi coverage never
@@ -48,9 +48,9 @@ object UnigramOps {
     * the same window, so both engines train on the identical seed. */
   private[graft] val SeedCap = 512
   /** Hard-EM rounds. */
-  private val Rounds = 2
+  private[graft] val Rounds = 2
   /** Multi-char pieces kept after pruning (single chars always kept). */
-  private val Budget = 24
+  private[graft] val Budget = 24
   /** Loud parity bound: the oracle enumerates all segmentations of a
     * word (2^(n-1) of them) — fine to 16 chars, absurd beyond. */
   private val MaxWord = 16
@@ -145,10 +145,34 @@ object UnigramOps {
 
   /** Distinct corpus words with frequency, spread across cores. */
   private def wordRel(s: SparkSession, d: String): DataFrame =
-    Tables.spread(Tables.documents(s, d), col("doc_id"))
+    wordRelOf(Tables.spread(Tables.documents(s, d), col("doc_id")))
+
+  /** (w, f) word-frequency table of a documents relation — the unigram
+    * trainer's SUFFICIENT STATISTIC (seed substring counts are f-weighted
+    * sums over distinct words; the EM passes and the prune read nothing
+    * else), which is what makes the q_incremental_unigram_tokenizer
+    * refresh exact: f is additive over disjoint document sets. */
+  private[graft] def wordRelOf(docs: DataFrame): DataFrame =
+    docs
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
+
+  /** The refresh-combined (w, f) table behind
+    * q_incremental_unigram_tokenizer: stored historical word-frequency
+    * artifact + the new batch's counts, summed on the word key (the
+    * incTokWordFreq pattern — separate artifact because the unigram
+    * tokenize drops empty words). Exposed for PlanSuite: one artifact
+    * scan, exactly one documents scan (the new batch's). */
+  private[graft] def incUnigramWords(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isNew = col("doc_id") % 8 === 0
+    val hist = Artifacts.parquet(s, d, "inc_unigram_wordfreq") {
+      wordRelOf(Tables.spread(docs.filter(!isNew), col("doc_id")))
+    }
+    hist.union(wordRelOf(Tables.spread(docs.filter(isNew), col("doc_id"))))
+      .groupBy(col("w")).agg(sum(col("f")).as("f"))
+  }
 
   /** Integer micro-nat log-probabilities from a (piece, c) count map:
     * round(ln(c/T)·1e6). */
@@ -260,8 +284,14 @@ object UnigramOps {
     * structure beyond the demo dials. Returns (kept piece counts, the
     * persisted word relation — caller unpersists). */
   private[graft] def trainWith(s: SparkSession, d: String, maxPiece: Int,
+      rounds: Int, budget: Int, seedCap: Int): (Seq[(String, Long)], DataFrame) =
+    trainWithWords(wordRel(s, d), maxPiece, rounds, budget, seedCap)
+
+  /** [[trainWith]] over a PRE-BUILT (w, f) table — the seam
+    * q_incremental_unigram_tokenizer trains through. */
+  private[graft] def trainWithWords(wordsIn: DataFrame, maxPiece: Int,
       rounds: Int, budget: Int, seedCap: Int): (Seq[(String, Long)], DataFrame) = {
-    val words = wordRel(s, d).persist()
+    val words = wordsIn.persist()
     words.count() // materialized once; every EM pass re-reads the cache
     // seed: frequency-weighted substring occurrences, 1..maxPiece chars,
     // multi-char cardinality capped at seedCap before the driver collect
@@ -299,6 +329,29 @@ object UnigramOps {
     Q("q_unigram_tokenizer", tokenizerSql) { (s, d) =>
       import s.implicits._
       val (kept, words) = train(s, d)
+      try {
+        val t = kept.map(_._2).sum
+        kept.map { case (p, c) => (p, c, roundLogp(c, t)) }
+          .toDF("piece", "cnt", "logp")
+          .orderBy(col("cnt").desc, col("piece"))
+      } finally { words.unpersist(); () }
+    },
+
+    // ---- INCREMENTAL unigram training — the third tokenizer family on
+    // the refresh seam (q_incremental_bpe_merges / _wordpiece_merges
+    // pattern): the unigram trainer's sufficient statistic is its own
+    // (w, f) word-frequency table (the seed substring counts, every
+    // hard-EM pass, and the prune read nothing else), so a stored
+    // historical word-frequency artifact + the new batch's counts
+    // retrain EXACTLY the full-corpus model with zero historical
+    // tokenize. Training re-runs from the seed on purpose (EM winners
+    // and prune ranks can flip under new counts); the oracle is
+    // q_unigram_tokenizer's full derivation verbatim, so a stale
+    // artifact or drifted combine hash-mismatches.
+    Q("q_incremental_unigram_tokenizer", tokenizerSql) { (s, d) =>
+      import s.implicits._
+      val (kept, words) = trainWithWords(incUnigramWords(s, d),
+        MaxPiece, Rounds, Budget, SeedCap)
       try {
         val t = kept.map(_._2).sum
         kept.map { case (p, c) => (p, c, roundLogp(c, t)) }

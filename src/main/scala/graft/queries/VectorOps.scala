@@ -22,7 +22,7 @@ object VectorOps {
   /** Embeddings as array<double> vectors, keyed-spread (the test parquet
     * is one row group → one partition otherwise; Tables.spread no-ops
     * once the scan has real splits). */
-  private def embedRel(s: SparkSession, d: String): DataFrame =
+  private[graft] def embedRel(s: SparkSession, d: String): DataFrame =
     Tables.spread(Tables.embeddings(s, d)
       .withColumn("v", col("embedding").cast("array<double>")), col("vec_id"))
 
@@ -78,7 +78,7 @@ object VectorOps {
   /** First-k coarse-quantizer centroids of a (vec_id, v) relation
     * (k = |e|/32 — the same codebook-scale collect every SemDeDup
     * consumer shares; the oracle states `vec_id < kc`). */
-  private def quantCentroids(e: DataFrame): IndexedSeq[IndexedSeq[Double]] = {
+  private[graft] def quantCentroids(e: DataFrame): IndexedSeq[IndexedSeq[Double]] = {
     val k = math.max(1L, e.count() / 32L).toInt
     e.filter(col("vec_id") < k).orderBy(col("vec_id"))
       .select(col("v")).collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
@@ -89,7 +89,7 @@ object VectorOps {
     * component lives in exactly ONE cell — `cell` rides along for
     * consumers that need the cluster→cell map (the incremental refresh
     * probes new vectors into their cell's clusters only). */
-  private def componentsCells(e: DataFrame,
+  private[graft] def componentsCells(e: DataFrame,
       cents: IndexedSeq[IndexedSeq[Double]]): DataFrame = {
     val asg = e.withColumn("cell",
       element_at(graft.functions.VectorExpressions.nearestCells(col("v"), cents, 1), 1))
@@ -141,7 +141,7 @@ object VectorOps {
     * vec_id, i, x) relation — ONE map-side-combinable aggregate under
     * the decimal discipline; output keys renamed (cc, ci) for the
     * re-join. */
-  private def semdedupCentroids(x: DataFrame): DataFrame =
+  private[graft] def semdedupCentroids(x: DataFrame): DataFrame =
     x.groupBy(col("cluster").as("cc"), col("i").as("ci"))
       .agg((sum(round(col("x"), 6).cast("decimal(18,6)")).cast("double") /
         count(lit(1))).as("m"))
@@ -149,7 +149,7 @@ object VectorOps {
   /** Centroid cosine per (cluster, vec_id): co-partitioned re-join on
     * the (cluster, dim) key — the centroid relation is corpus-
     * proportional in cluster count and is deliberately NOT broadcast. */
-  private def semdedupCentCos(x: DataFrame, cm: DataFrame): DataFrame =
+  private[graft] def semdedupCentCos(x: DataFrame, cm: DataFrame): DataFrame =
     x.join(cm, col("cluster") === col("cc") && col("i") === col("ci"))
       .groupBy(col("cluster"), col("vec_id"))
       .agg(
@@ -167,13 +167,44 @@ object VectorOps {
   /** The (cent_cos ASC, vec_id ASC) winner per cluster as min(struct) —
     * map-side combinable (matches the oracle's row_number choice), then
     * joined back for the keep flag. No WindowExec (PlanSuite). */
-  private def semdedupDecision(scd: DataFrame): DataFrame = {
+  private[graft] def semdedupDecision(scd: DataFrame): DataFrame = {
     val keep = scd.groupBy(col("cluster").as("kc"))
       .agg(min(struct(col("cent_cos").as("c"), col("vec_id").as("vv"))).as("k"))
       .select(col("kc"), col("k.vv").as("keep_id"))
     scd.join(keep, col("cluster") === col("kc"))
       .select(col("vec_id"), col("cluster"), col("cent_cos"),
         (col("vec_id") === col("keep_id")).as("keep"))
+  }
+
+  /** The absorption kernel of the incremental SemDeDup refresh, with
+    * EXPLICIT frozen state: each new (vec_id, v) row probes its quantizer
+    * cell (stored codebook `cents`), meets ONLY that cell's clusters via
+    * the cluster→cell map `clCell` (cl, cell), scores centroid cosine
+    * against the STORED centroids `cm`, and absorbs into its best
+    * cluster (score DESC, cluster ASC). Returns batch-scale
+    * (cluster, vec_id, cent_cos) decision rows, materialized ONCE
+    * eagerly (the newBands.localCheckpoint pattern) — the keeper
+    * decision consumes the merged ledger twice, and an un-materialized
+    * result would re-score the whole batch per consumer. Factored so the
+    * multi-batch lifecycle (SnapshotLifecycleSuite) absorbs through the
+    * SAME kernel as the single-refresh query; per-vector absorption
+    * reads only frozen state, so batch composition is associative. */
+  private[graft] def semdedupAbsorb(newE: DataFrame,
+      cents: IndexedSeq[IndexedSeq[Double]], cm: DataFrame,
+      clCell: DataFrame): DataFrame = {
+    val xn = newE
+      .withColumn("cell", element_at(
+        graft.functions.VectorExpressions.nearestCells(col("v"), cents, 1), 1))
+      .join(clCell, Seq("cell"))
+      .select(col("cl").as("cluster"), col("vec_id"),
+        posexplode(col("v")).as(Seq("i", "x")))
+    semdedupCentCos(xn, cm)
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cent_cos").as("c"), (-col("cluster")).as("nc")))
+        .as("k"))
+      .select((-col("k.nc")).as("cluster"), col("vec_id"),
+        col("k.c").as("cent_cos"))
+      .localCheckpoint()
   }
 
   /** q_incremental_semdedup oracle: the FULL recompute of the
@@ -794,24 +825,7 @@ object VectorOps {
         val cents = quant.orderBy(col("cell")).collect()
           .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
         val clCell = ledger.select(col("cluster").as("cl"), col("cell")).distinct()
-        val xn = e.filter(isNew)
-          .withColumn("cell", element_at(
-            graft.functions.VectorExpressions.nearestCells(col("v"), cents, 1), 1))
-          .join(clCell, Seq("cell"))
-          .select(col("cl").as("cluster"), col("vec_id"),
-            posexplode(col("v")).as(Seq("i", "x")))
-        // batch-scale decision rows, materialized ONCE eagerly (the
-        // newBands.localCheckpoint pattern from q_incremental_dedup):
-        // the keeper decision consumes the merged ledger TWICE (keeper
-        // agg + join back), and an un-materialized npick would re-score
-        // the whole batch per consumer
-        val npick = semdedupCentCos(xn, cm)
-          .groupBy(col("vec_id"))
-          .agg(max(struct(col("cent_cos").as("c"), (-col("cluster")).as("nc")))
-            .as("k"))
-          .select((-col("k.nc")).as("cluster"), col("vec_id"),
-            col("k.c").as("cent_cos"))
-          .localCheckpoint()
+        val npick = semdedupAbsorb(e.filter(isNew), cents, cm, clCell)
         val merged = ledger.select(col("cluster"), col("vec_id"), col("cent_cos"))
           .unionByName(npick)
         semdedupDecision(merged).orderBy(col("vec_id"))

@@ -725,6 +725,92 @@ class PlanSuite extends SparkSpec {
     assert(!str.contains("CartesianProduct"))
   }
 
+  test("incremental bpe: stored word-freq is an artifact scan, one documents scan") {
+    // first call stages the historical word-frequency artifact; the
+    // relation under test is a SECOND build — the refresh-run shape.
+    // The assertable plan is the COMBINED (w, freq) relation the merge
+    // loop trains over (the loop itself is per-round jobs on its
+    // checkpointed descendants).
+    graft.queries.CurationOps.incTokWordFreq(spark, sf).collect()
+    val df = graft.queries.CurationOps.incTokWordFreq(spark, sf)
+    val str = df.queryExecution.executedPlan.toString()
+    assert(str.contains("graft_art_inc_tok_wordfreq"),
+      s"historical word counts not read from the parquet artifact:\n${str.take(2000)}")
+    // exactly ONE documents scan — the new batch's tokenize; a
+    // re-tokenized historical corpus would put a second one back
+    val docScans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if (r.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.exists(_.toString.contains("documents.parquet"))
+            case _ => false
+          }) => r
+    }
+    assert(docScans.length == 1,
+      s"expected exactly one documents scan (the new batch), got ${docScans.length}")
+    assert(!str.contains("CartesianProduct"))
+  }
+
+  test("incremental unigram: stored word-freq is an artifact scan, one documents scan") {
+    graft.queries.UnigramOps.incUnigramWords(spark, sf).collect()
+    val df = graft.queries.UnigramOps.incUnigramWords(spark, sf)
+    val str = df.queryExecution.executedPlan.toString()
+    assert(str.contains("graft_art_inc_unigram_wordfreq"),
+      s"historical word counts not read from the parquet artifact:\n${str.take(2000)}")
+    val docScans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if (r.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.exists(_.toString.contains("documents.parquet"))
+            case _ => false
+          }) => r
+    }
+    assert(docScans.length == 1,
+      s"expected exactly one documents scan (the new batch), got ${docScans.length}")
+    assert(!str.contains("CartesianProduct"))
+  }
+
+  test("incremental dsir: stored counts are an artifact scan, zero documents scans") {
+    SparkEntry.queries("q_incremental_dsir")(spark, sf).collect()
+    val df = SparkEntry.queries("q_incremental_dsir")(spark, sf)
+    val str = df.queryExecution.executedPlan.toString()
+    assert(str.contains("graft_art_inc_dsir_db"),
+      s"historical bucket counts not read from the parquet artifact:\n${str.take(2000)}")
+    // ZERO documents scans: the new batch was hashed once, EAGERLY, at
+    // its localCheckpoint — a lazily re-hashed batch or a re-tokenized
+    // historical corpus would put a documents scan back
+    val docScans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if (r.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.exists(_.toString.contains("documents.parquet"))
+            case _ => false
+          }) => r
+    }
+    assert(docScans.isEmpty,
+      s"expected no documents scan in the refresh plan, got ${docScans.length}")
+    assert(!str.contains("CartesianProduct"))
+  }
+
+  test("incremental quality classifier: stored features are an artifact scan, zero documents scans") {
+    SparkEntry.queries("q_incremental_quality_classifier")(spark, sf).collect()
+    val df = SparkEntry.queries("q_incremental_quality_classifier")(spark, sf)
+    val str = df.queryExecution.executedPlan.toString()
+    assert(str.contains("graft_art_inc_quality_features"),
+      s"historical features not read from the parquet artifact:\n${str.take(2000)}")
+    val docScans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if (r.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.exists(_.toString.contains("documents.parquet"))
+            case _ => false
+          }) => r
+    }
+    assert(docScans.isEmpty,
+      s"expected no documents scan in the refresh scoring plan, got ${docScans.length}")
+    assert(!str.contains("CartesianProduct"))
+  }
+
   test("media dedup: banded candidates via equi-join, never a signature cross join") {
     val plan = physical("q_media_dedup")
     assert(!plan.contains("CartesianProduct") &&
