@@ -62,6 +62,40 @@ class IncrementalBpeSuite extends SparkSpec {
     } finally spark.conf.unset("graft.artifacts.root")
   }
 
+  test("wordpiece refresh == full retrain when the new batch flips the likelihood winner") {
+    // WordPiece picks by c(ab)/(c(a)·c(b)) — rare-UNIT pairs score high,
+    // so a new batch can demote a winner by inflating its unit counts
+    // without touching the pair itself. hist: "a b" scores 1/(1·1)=1,
+    // "c d" scores 1/(6·6). New batch adds 20 bare "a" and "b" words:
+    // union "a b" drops to 1/(21·21) < 1/36 — the winner flips to "c d".
+    val hist = Seq(
+      1L -> "ab cd",
+      2L -> "c c c c c d d d d d")
+    val newBatch = Seq(8L -> (("a " * 20) + ("b " * 20)).trim)
+
+    val union = tmpDir("incwp_union").toString
+    writeDocs(union, hist ++ newBatch)
+    val histOnly = tmpDir("incwp_hist").toString
+    writeDocs(histOnly, hist)
+
+    val root = tmpDir("incwp_art")
+    spark.conf.set("graft.artifacts.root", root.toString)
+    try {
+      def rows(name: String, dir: String): Seq[String] =
+        SparkEntry.queries(name)(spark, dir).collect().map(_.toString).toSeq
+      val refresh = rows("q_incremental_wordpiece_merges", union)
+      val full = rows("q_wordpiece_merges", union)
+      assert(refresh == full,
+        s"wp refresh diverged from full retrain:\n$refresh\nvs\n$full")
+      def firstPair(dir: String): String =
+        SparkEntry.queries("q_wordpiece_merges")(spark, dir)
+          .collect().head.getString(1)
+      assert(firstPair(histOnly) == "a b" && firstPair(union) == "c d",
+        s"crafted flip missing: hist-only first=${firstPair(histOnly)}, " +
+        s"union first=${firstPair(union)}")
+    } finally spark.conf.unset("graft.artifacts.root")
+  }
+
   test("refresh == full retrain on the real sf0.001 corpus — all three trainer families") {
     val d = "/root/testdata/sf0.001"
     val root = tmpDir("incbpe_sf").toString
