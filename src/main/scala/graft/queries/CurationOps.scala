@@ -495,7 +495,7 @@ object CurationOps {
   private[graft] def incTokWordFreq(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val docs = graft.Tables.documents(s, d)
-    val isNew = $("doc_id") % 8 === 0
+    val isNew = DedupOps.isNewDoc
     val hist = Artifacts.parquet(s, d, "inc_tok_wordfreq") {
       wordFreqRel(graft.Tables.spread(docs.filter(!isNew), $("doc_id")))
     }
@@ -1025,7 +1025,13 @@ object CurationOps {
           "\n").cast("binary")).as("clean_md5"))
   }
 
-  val all: Seq[Q] = Seq(
+  // LAZY on purpose: the batched-round oracle builders guard their
+  // BatchedM=2 unrolling with a require, and a strict `all` would run
+  // them inside the object initializer — surfacing the guard as an
+  // opaque ExceptionInInitializerError, exactly what moving the require
+  // out of object init was meant to avoid (ADVICE r15 #3). Lazy, the
+  // require's own message reaches whoever first reads the registry.
+  lazy val all: Seq[Q] = Seq(
 
     // ---- BPE tokenizer training: the iterative merge-selection loop
     // itself (q_bigram_stats is one round's counting step; this RUNS the

@@ -244,7 +244,7 @@ object MultimodalOps {
         |  AND (a.doc_id % 8 = 0 OR b.doc_id % 8 = 0)
         |ORDER BY media_a, media_b""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val isNew = col("doc_id") % 8 === 0
+      val isNew = DedupOps.isNewDoc
       // the stored historical index: on a real refresh it was written by
       // the previous snapshot's run — this run never re-decodes it
       val hist = Artifacts.parquet(s, d, "inc_media_band_index") {

@@ -242,7 +242,7 @@ object RetrievalOps {
          |SELECT doc_id, bm25 FROM sc
          |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
       val docs = Tables.spread(Tables.documents(s, d), col("doc_id"))
-      val isNew = col("doc_id") % 8 === 0
+      val isNew = DedupOps.isNewDoc
       val histTf = Artifacts.parquet(s, d, "inc_bm25_postings") {
         bm25QueryTf(docs.filter(!isNew))
       }

@@ -1604,7 +1604,7 @@ object TextOps {
     // sample — and hash-mismatches.
     Q("q_incremental_dsir", dsirSql) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val isNew = col("doc_id") % 8 === 0
+      val isNew = DedupOps.isNewDoc
       val hist = Artifacts.parquet(s, d, "inc_dsir_db") {
         dsirBuckets(Tables.spread(docs.filter(!isNew), col("doc_id")))
       }
@@ -2934,7 +2934,7 @@ object TextOps {
     // gradient sum — and every downstream score — and hash-mismatches.
     Q("q_incremental_quality_classifier", qualityClassifierSql) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val isNew = col("doc_id") % 8 === 0
+      val isNew = DedupOps.isNewDoc
       val hist = Artifacts.parquet(s, d, "inc_quality_features") {
         qualityFeatures(Tables.spread(docs.filter(!isNew), col("doc_id")))
       }

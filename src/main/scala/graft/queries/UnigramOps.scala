@@ -166,7 +166,7 @@ object UnigramOps {
     * scan, exactly one documents scan (the new batch's). */
   private[graft] def incUnigramWords(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val isNew = col("doc_id") % 8 === 0
+    val isNew = DedupOps.isNewDoc
     val hist = Artifacts.parquet(s, d, "inc_unigram_wordfreq") {
       wordRelOf(Tables.spread(docs.filter(!isNew), col("doc_id")))
     }

@@ -53,12 +53,18 @@ class IncrementalBpeSuite extends SparkSpec {
       val histFirst = merges("q_bpe_merges", histOnly).head._2
       assert(histFirst == "x y" && full.head._2 == "z w",
         s"crafted flip missing: hist-only first=$histFirst, union first=${full.head._2}")
-      // replay idempotence + the hist artifact derived exactly once
+      // replay idempotence + the hist artifact derived exactly once —
+      // and SHARED with the WordPiece refresh (asserted here, on this
+      // test's unique dataset dir: the sf0.001 key can be staged by
+      // another suite under the default root, so an artifact count
+      // there would be test-order dependent)
       assert(merges("q_incremental_bpe_merges", union) == refresh)
+      SparkEntry.queries("q_incremental_wordpiece_merges")(spark, union).collect()
       val artDirs = root.toFile.listFiles()
         .filter(_.getName.startsWith("graft_art_inc_tok_wordfreq"))
       assert(artDirs.length == 1,
-        s"expected one stored word-freq artifact, got ${artDirs.map(_.getName).mkString(",")}")
+        s"bpe+wordpiece must share one stored word-freq artifact, got " +
+        artDirs.map(_.getName).mkString(","))
     } finally spark.conf.unset("graft.artifacts.root")
   }
 
@@ -117,11 +123,6 @@ class IncrementalBpeSuite extends SparkSpec {
       val ugF = rows("q_unigram_tokenizer")
       assert(ugR.nonEmpty && ugR == ugF,
         s"unigram refresh diverged at sf0.001:\n$ugR\nvs\n$ugF")
-      // the bpe and wordpiece refreshes share ONE stored artifact
-      val tokArts = new java.io.File(root).listFiles()
-        .filter(_.getName.startsWith("graft_art_inc_tok_wordfreq"))
-      assert(tokArts.length == 1,
-        s"bpe+wordpiece must share one word-freq artifact, got ${tokArts.length}")
     } finally spark.conf.unset("graft.artifacts.root")
   }
 }

@@ -246,7 +246,8 @@ class SnapshotLifecycleSuite extends SparkSpec {
       for (t <- 1 to 2)
         uw = store("uwf", uw.union(UnigramOps.wordRelOf(batch(t)))
           .groupBy(col("w")).agg(sum(col("f")).as("f")))
-      val (kept, words) = UnigramOps.trainWithWords(uw, 4, 2, 24, UnigramOps.SeedCap)
+      val (kept, words) = UnigramOps.trainWithWords(uw, UnigramOps.MaxPiece,
+        UnigramOps.Rounds, UnigramOps.Budget, UnigramOps.SeedCap)
       try {
         val wantUg = SparkEntry.queries("q_unigram_tokenizer")(spark, d)
           .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
