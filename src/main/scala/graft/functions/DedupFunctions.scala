@@ -89,16 +89,29 @@ object SimHash {
   }
 
   /** Hamming-LSH band rows for a `(idCol, simhash)` relation: the 60 bits
-    * split into 4×15-bit chunks — `(idCol, simhash, chunk, ck)`. Pairs
-    * within Hamming distance 3 must collide on ≥1 chunk (pigeonhole).
-    * The signature rides along so the exact verify is a pure column
-    * expression on the collision row — this is also the SCHEMA the
-    * incremental media dedup stores as its historical band index (no
-    * historical re-decode at verify time). */
-  def chunkRows(sig: DataFrame, idCol: String): DataFrame = {
-    val chunks = (0 until 4).map { c =>
+    * split into `nChunks` near-equal contiguous chunks —
+    * `(idCol, simhash, chunk, ck)`. Pairs within Hamming distance
+    * `nChunks - 1` must collide on ≥1 chunk (pigeonhole: fewer flipped
+    * bits than chunks ⇒ some chunk is untouched). The signature rides
+    * along so the exact verify is a pure column expression on the
+    * collision row. The 4-chunk default (4×15 bits, complete for ≤3) is
+    * also the SCHEMA the incremental media dedup stores as its
+    * historical band index (no historical re-decode at verify time) —
+    * a stored index bands once and is complete for every radius below
+    * its chunk count, so widening a QUERY radius past 3 needs a
+    * re-banded index, not a schema change. */
+  def chunkRows(sig: DataFrame, idCol: String, nChunks: Int = 4): DataFrame = {
+    require(nChunks >= 1 && nChunks <= SimHash.Bits,
+      s"nChunks=$nChunks outside [1, ${SimHash.Bits}]")
+    // widths differ by at most 1 (e.g. 7 chunks over 60 bits = 9,9,9,9,8,8,8)
+    val base = SimHash.Bits / nChunks
+    val extra = SimHash.Bits % nChunks
+    val widths = (0 until nChunks).map(c => base + (if (c < extra) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val chunks = (0 until nChunks).map { c =>
       struct(lit(c).as("chunk"),
-        shiftright(col("simhash"), c * 15).bitwiseAND(0x7FFF).as("ck"))
+        shiftright(col("simhash"), offsets(c))
+          .bitwiseAND((1L << widths(c)) - 1).as("ck"))
     }
     sig.select(col(idCol), col("simhash"), explode(array(chunks: _*)).as("b"))
       .select(col(idCol), col("simhash"), col("b.chunk"), col("b.ck"))
@@ -121,18 +134,24 @@ object SimHash {
       .filter(col("hamming") <= maxDist)
   }
 
-  /** Hamming-LSH candidate pairs: [[chunkRows]] banding, exact Hamming
-    * ≤ maxDist verified on candidates only. Avoids the O(n²) cross join
-    * at scale. The 4×15-bit banding is pigeonhole-complete only for
-    * maxDist ≤ 3 (4 disjoint chunks, ≤3 flipped bits ⇒ some chunk is
-    * untouched and collides); a larger radius could flip a bit in every
-    * chunk and the pair would never become a candidate — refuse it
-    * rather than return silently incomplete recall. */
+  /** Hamming-LSH candidate pairs: [[chunkRows]] banding into
+    * `max(4, maxDist + 1)` chunks (pigeonhole-complete for the requested
+    * radius — recall is structural at EVERY supported radius, never
+    * probabilistic), exact Hamming ≤ maxDist verified on candidates
+    * only. Avoids the O(n²) cross join at scale. Radii ≤ 3 keep the
+    * historical 4×15-bit banding (the stored-index schema); wider radii
+    * band finer, which is the selectivity trade: chunk width shrinks as
+    * 60/(k+1), so each band key carries fewer bits and the candidate
+    * set grows — at maxDist 15 the chunks are 3–4 bits and banding
+    * degrades toward all-pairs, hence the cap (an r16 `require`
+    * refused >3 outright; widening-by-banding supersedes it,
+    * ADVICE r16 #3). */
   def nearPairs(sig: DataFrame, idCol: String, maxDist: Int = 3): DataFrame = {
-    require(maxDist <= 3,
-      s"4x15-bit banding is candidate-complete only for Hamming <= 3; " +
-      s"maxDist=$maxDist would silently miss pairs that differ in every chunk")
-    val banded = chunkRows(sig, idCol)
+    require(maxDist >= 0 && maxDist <= 15,
+      s"maxDist=$maxDist outside [0, 15]: beyond 15 the ${SimHash.Bits}-bit " +
+      "signature bands into chunks of < 4 bits and candidate generation " +
+      "degrades toward the all-pairs cross join banding exists to avoid")
+    val banded = chunkRows(sig, idCol, math.max(4, maxDist + 1))
     verifiedPairs(banded, banded, idCol, maxDist)
   }
 }

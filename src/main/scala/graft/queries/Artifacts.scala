@@ -64,16 +64,34 @@ private[queries] object Artifacts {
     // a staged dir can vanish UNDER a live context — a tmp sweeper, or a
     // caller-owned artifacts root deleted after its scope (test suites
     // sharing one getOrCreate context do exactly this) — so a hit is
-    // only a hit while its directory still exists; otherwise drop the
-    // key and re-derive instead of serving a dead path
+    // only a hit while its COMPLETION MARKER still exists: parquet's
+    // _SUCCESS file distinguishes a fully-written artifact from a
+    // partially-swept one (part files gone, dir shell left), which a
+    // bare Files.exists(dir) would still count as live. And because the
+    // dir can vanish BETWEEN the marker check and the parquet footer
+    // read, a failed fast-path read invalidates the key and falls
+    // through to the locked re-derivation branch instead of surfacing a
+    // confusing path-not-found to the caller. Residual window (known,
+    // accepted): a dir swept AFTER read.parquet returned its DataFrame
+    // but before a consumer job executes still fails that job — closing
+    // it would require eager materialization per call, and the gate's
+    // oracle hash-compare keeps any such failure loud, never wrong.
     def live(v: (org.apache.spark.SparkContext, java.nio.file.Path)): Boolean =
-      java.nio.file.Files.exists(v._2)
+      java.nio.file.Files.exists(v._2.resolve("_SUCCESS"))
+    def tryRead(v: (org.apache.spark.SparkContext, java.nio.file.Path)): Option[DataFrame] =
+      if (!live(v)) None
+      else try Some(s.read.parquet(v._2.toString))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
     val hit = staged.get(key)
-    if (hit != null && live(hit)) s.read.parquet(hit._2.toString)
-    else keyLocks.computeIfAbsent(key, _ => new Object).synchronized {
+    val fast = if (hit == null) None else {
+      val r = tryRead(hit)
+      if (r.isEmpty) staged.remove(key, hit)
+      r
+    }
+    fast.getOrElse(keyLocks.computeIfAbsent(key, _ => new Object).synchronized {
       val again = staged.get(key)
-      if (again != null && live(again)) s.read.parquet(again._2.toString)
-      else {
+      val cached = if (again == null) None else tryRead(again)
+      cached.getOrElse {
         if (again != null) staged.remove(key, again)
         val root = java.nio.file.Paths.get(
           s.conf.get("graft.artifacts.root", System.getProperty("java.io.tmpdir")))
@@ -90,6 +108,6 @@ private[queries] object Artifacts {
         staged.put(key, (s.sparkContext, dir))
         s.read.parquet(dir.toString)
       }
-    }
+    })
   }
 }

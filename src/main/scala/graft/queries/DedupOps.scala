@@ -26,8 +26,21 @@ object DedupOps {
     * corrupt a merge is two call sites drifting apart. Keep every
     * engine-side split reading this val (the oracle SQL literals must
     * track it; IncrementalCcSuite pins the disjointness at sf0.001).
-    * (ADVICE r15 #2.) */
-  private[graft] def isNewDoc = col("doc_id") % 8 === 0
+    * (ADVICE r15 #2.)
+    *
+    * The modulus lives in ONE constant interpolated into BOTH the Column
+    * predicate and every incremental oracle's SQL fragment (ADVICE r16
+    * #2): an edit here moves engine and oracle together, instead of
+    * desyncing them until the gate's hash-compare catches it. */
+  private[graft] val NewDocModulus = 8
+  /** Engine-side new-batch predicate for an arbitrary id column (the
+    * media/vector seams batch on media_id/vec_id). */
+  private[graft] def isNewId(idCol: String) = col(idCol) % NewDocModulus === 0
+  /** SQL twin of [[isNewId]] for oracle strings; `not = true` is the
+    * historical-side complement. */
+  private[graft] def newIdSql(idCol: String, not: Boolean = false): String =
+    s"$idCol % $NewDocModulus ${if (not) "<>" else "="} 0"
+  private[graft] def isNewDoc = isNewId("doc_id")
 
   /** Distinct (doc_id, shingle-hash) relation, cached — it feeds
     * self-joins and per-doc counts multiple times per query; without the
@@ -385,7 +398,20 @@ object DedupOps {
     * id (the ledger-label and new-id domains are disjoint — see
     * [[isNewDoc]]). Factored so the multi-batch lifecycle
     * (SnapshotLifecycleSuite) drives the SAME algebra the
-    * single-refresh query runs. */
+    * single-refresh query runs.
+    *
+    * ORDERING CONTRACT — pre-merge labels (r16 verdict #4): `histLabels`,
+    * `ledger`, and `stats` must all read the SAME stored snapshot
+    * version; in particular `histLabels` is the PRE-merge label state
+    * the ledger/manifest were written under. Callers advancing a
+    * timeline run this kernel FIRST, then advance labels with
+    * [[mergeIncrementalLabels]] for the same batch. Feeding post-merge
+    * labels breaks the split both ways: `miniComponents` keys touched
+    * groups by the stored label ids, but the ledger still carries
+    * pre-merge cluster ids, so touched historical members miss the
+    * relabel join and pass through as "untouched" with stale clusters —
+    * silently, since the shapes all still line up. The lifecycle suite
+    * pins this ordering end-to-end (SnapshotLifecycleSuite). */
   private[graft] def refreshKeeperState(histLabels: DataFrame,
       ledger: DataFrame, stats: DataFrame, newPairs: DataFrame,
       newDocs: DataFrame, newMembers: DataFrame): (DataFrame, DataFrame) = {
@@ -769,7 +795,7 @@ object DedupOps {
         |  CAST(shared AS DOUBLE) / (da.n + db.n - shared) AS jaccard
         |FROM p JOIN d da ON p.doc_a = da.doc_id JOIN d db ON p.doc_b = db.doc_id
         |WHERE CAST(shared AS DOUBLE) / (da.n + db.n - shared) >= 0.8
-        |  AND (doc_a % 8 = 0 OR doc_b % 8 = 0)
+        |  AND (${newIdSql("doc_a")} OR ${newIdSql("doc_b")})
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       incrementalVerifiedPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
     },

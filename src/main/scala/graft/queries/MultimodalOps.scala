@@ -223,7 +223,7 @@ object MultimodalOps {
     // red. Plan-asserted: the historical side is an artifact scan and
     // exactly one documents scan (the new batch's) exists (PlanSuite).
     Q("q_incremental_media_dedup",
-      """WITH ch AS (
+      s"""WITH ch AS (
         |  SELECT doc_id, CAST((i - 1) // 8 AS INT) AS blk,
         |         ascii(substr(text, CAST(i AS INT), 1)) AS byte
         |  FROM documents,
@@ -241,7 +241,7 @@ object MultimodalOps {
         |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
-        |  AND (a.doc_id % 8 = 0 OR b.doc_id % 8 = 0)
+        |  AND (${DedupOps.newIdSql("a.doc_id")} OR ${DedupOps.newIdSql("b.doc_id")})
         |ORDER BY media_a, media_b""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val isNew = DedupOps.isNewDoc

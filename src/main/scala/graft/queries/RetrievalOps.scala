@@ -221,14 +221,14 @@ object RetrievalOps {
          |      FROM documents),
          |ww AS (SELECT doc_id, word FROM w WHERE word <> ''),
          |dlh AS (SELECT doc_id, COUNT(*) AS dl FROM ww
-         |        WHERE doc_id % 8 <> 0 GROUP BY doc_id),
+         |        WHERE ${DedupOps.newIdSql("doc_id", not = true)} GROUP BY doc_id),
          |stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
          |                 COUNT(*) AS n FROM dlh),
          |dla AS (SELECT doc_id, COUNT(*) AS dl FROM ww GROUP BY doc_id),
          |tf AS (SELECT ww.doc_id, ww.word, COUNT(*) AS tf
          |       FROM ww JOIN qt USING (word) GROUP BY ww.doc_id, ww.word),
          |df AS (SELECT word, COUNT(*) AS df FROM tf
-         |       WHERE doc_id % 8 <> 0 GROUP BY word),
+         |       WHERE ${DedupOps.newIdSql("doc_id", not = true)} GROUP BY word),
          |sc AS (SELECT tf.doc_id,
          |         round(CAST(SUM(CAST(round(
          |           ln((n - df + 0.5) / (df + 0.5) + 1.0) *

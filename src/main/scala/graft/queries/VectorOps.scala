@@ -218,7 +218,7 @@ object VectorOps {
   private lazy val incSemdedupSql: String =
     s"""WITH RECURSIVE
        |eh AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-       |       FROM embeddings WHERE vec_id % 8 <> 0),
+       |       FROM embeddings WHERE ${DedupOps.newIdSql("vec_id", not = true)}),
        |kk AS (SELECT GREATEST(COUNT(*) // 32, 1) AS kc FROM eh),
        |c AS (SELECT vec_id AS cid, v AS cv FROM eh, kk WHERE vec_id < kc),
        |asg AS (
@@ -258,7 +258,7 @@ object VectorOps {
        |ccell AS (SELECT DISTINCT l.cluster, a.cid
        |          FROM lab l JOIN asg a ON a.vec_id = l.vec_id),
        |en AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-       |       FROM embeddings WHERE vec_id % 8 = 0),
+       |       FROM embeddings WHERE ${DedupOps.newIdSql("vec_id")}),
        |nasg AS (
        |  SELECT vec_id, v, cid FROM (
        |    SELECT en.vec_id, en.v, c.cid,
@@ -785,7 +785,7 @@ object VectorOps {
     // idempotence, single derivation, and keeper displacement.
     Q("q_incremental_semdedup", incSemdedupSql) { (s, d) =>
       val e = embedRel(s, d)
-      val isNew = col("vec_id") % 8 === 0
+      val isNew = DedupOps.isNewId("vec_id")
       val hist = e.filter(!isNew).persist()
       // shared snapshot derivation, built AT MOST ONCE and only if some
       // artifact is missing (first snapshot run); on a refresh all three
@@ -1296,6 +1296,60 @@ object VectorOps {
           s.createDataFrame(verdict.collectAsList(), verdict.schema)
         }
       } finally e.unpersist()
+    },
+
+    // ---- DRIFT-MONITORED quantizer rebuild — the missing maintenance
+    // verdict for every frozen-quantizer serving path above (r16 verdict
+    // #3). The refresh-run shape: bootstrap quantizer + postings are
+    // stored artifacts; the new batch is embed-scanned once and assigned;
+    // then (1) a MONITOR probes served recall on a bounded query sample
+    // drawn from the new batch against the exact best over the
+    // accumulated index, emitting `rebuild_due` as the recall floor is
+    // approached, and (2) the REBUILD path retrains centroids in vbn
+    // space and re-assigns — reading only stored postings + the batch,
+    // never re-embedding history (plan-asserted zero embeddings scans in
+    // the rebuilt-index plan, PlanSuite). Both paths run and both floors
+    // are oracled every gate run, so the rebuild machinery cannot rot
+    // behind a false `rebuild_due`; AnnDriftSuite's crafted drifted
+    // batch flips the verdict both ways (collapsed bootstrap quantizer →
+    // rebuild_due=true and a rebuilt index that restores the floor).
+    // Counts are exact SQL; booleans decide by integer
+    // cross-multiplication, never float division.
+    Q("q_ann_drift_rebuild",
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         |  CAST(SUM(CASE WHEN ${DedupOps.newIdSql("vec_id")} THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         |  CAST(LEAST(SUM(CASE WHEN ${DedupOps.newIdSql("vec_id")} THEN 1 ELSE 0 END), 100) AS BIGINT) AS n_queries,
+         |  false AS rebuild_due,
+         |  true AS recall_ok_frozen,
+         |  true AS recall_ok_rebuilt
+         |FROM embeddings""".stripMargin) { (s, d) =>
+      val (cent0, histPost, index0, queries) = annDriftState(s, d)
+      // cached: feeds the monitor join, the exact reference, the retrain
+      // passes and the rebuilt assignment — 6+ scans otherwise
+      val index = index0.cache()
+      try {
+        val nHist = histPost.count()
+        val nNew = index.count() - nHist
+        val nQ = queries.count()
+        val frozenHits = probedHits(index, cent0, queries, 6).head().getLong(0)
+        val vecs = index.select(col("nbr"), col("vbn"))
+        val cent1 = retrainFromIndex(vecs)
+        // cached: the monitor's served join and exact reference both scan
+        // the rebuilt assignment (NearestCells over the full index twice
+        // otherwise)
+        val rebuilt = indexRows(vecs, "nbr", "vbn", cent1, normalize = false).cache()
+        val qVbn = queries.select(col("src"), col("qvn").as("pv"), col("qvn"))
+        val rebuiltHits =
+          try probedHits(rebuilt, cent1, qVbn, 6).head().getLong(0)
+          finally { rebuilt.unpersist(); () }
+        import s.implicits._
+        Seq((nHist + nNew, nNew, nQ,
+          frozenHits * 100 < nQ * 61,   // rebuild_due: floor 0.6 approached
+          frozenHits * 10 >= nQ * 6,    // frozen serving still above floor
+          rebuiltHits * 10 >= nQ * 6))  // rebuilt index restores/holds it
+          .toDF("n_vectors", "n_new", "n_queries", "rebuild_due",
+            "recall_ok_frozen", "recall_ok_rebuilt")
+      } finally { index.unpersist(); () }
     }
   )
 
@@ -1308,7 +1362,7 @@ object VectorOps {
     * dwarfs the last-ulp difference between the two formulas — while the
     * exact-oracle embed queries keep the cosine form whose 6-dp rounding
     * the DuckDB twin reproduces bit-for-bit. */
-  private def unitNorm(v: Column): Column = {
+  private[graft] def unitNorm(v: Column): Column = {
     val n = sqrt(VectorFunctions.dot(v, v))
     // NOT transform(v, x => x / n): a lambda body re-evaluates every
     // expression it closes over PER ELEMENT (HOF lambdas are excluded
@@ -1325,7 +1379,7 @@ object VectorOps {
     * data collect; legitimate at any corpus scale. Shared by the batch
     * listing ([[annIvfNeighbors]]) and the streamed serving path
     * (q_stream_ann), so both search the same index. */
-  private def ivfCentroids(e: DataFrame): IndexedSeq[IndexedSeq[Double]] = {
+  private[graft] def ivfCentroids(e: DataFrame): IndexedSeq[IndexedSeq[Double]] = {
     val n = e.count()
     val stride = math.max(1L, n / 16L)
     val sampled = e.filter(col("vec_id") % stride === 0 && col("vec_id") < stride * 16)
@@ -1338,6 +1392,132 @@ object VectorOps {
     // (floors 0.65 @ sf0.001 / 0.6 @ sf0.1, FunctionsSuite), because the
     // stride-sampled seeds already match the data distribution.
     graft.functions.KMeans.lloydSteps(e, "v", sampled, iters = 2)
+  }
+
+  // ---- Quantizer-drift monitor + rebuild kernels (r16 verdict #3).
+  //
+  // The serving indexes above freeze their coarse quantizer at bootstrap
+  // (train once, index forever — the right default, centroid training is
+  // a corpus pass). At 100 TB with distribution drift that freeze decays
+  // recall SILENTLY: new batches concentrate where the bootstrap saw no
+  // mass, cell assignment degenerates, and the probe set stops covering
+  // true neighbors. These kernels close the loop: a per-refresh recall
+  // probe on a bounded query sample emits a `rebuild_due` verdict as the
+  // floor is approached, and the rebuild path retrains + re-assigns from
+  // the STORED postings (which carry the unit-normed vectors) plus the
+  // new batch — never a historical re-embed, which at 100 TB is the cost
+  // that matters (re-running the embedding model over the corpus).
+
+  /** `(cell, nbr, vbn)` index rows for an id+vector relation under
+    * `cents` — the serving-index row shape every ANN path here stores.
+    * `normalize=false` when `vCol` is ALREADY unit-normed (the rebuild
+    * path re-assigns stored vbn); assignment must run in the same vector
+    * space the quantizer was trained in, so callers pair raw-v
+    * assignment with raw-v-trained centroids and vbn with vbn. */
+  private[graft] def indexRows(vecs: DataFrame, idCol: String, vCol: String,
+      cents: IndexedSeq[IndexedSeq[Double]],
+      normalize: Boolean = true): DataFrame =
+    vecs.select(
+      element_at(graft.functions.VectorExpressions.nearestCells(
+        col(vCol), cents, 1), 1).as("cell"),
+      col(idCol).as("nbr"),
+      (if (normalize) unitNorm(col(vCol)) else col(vCol)).as("vbn"))
+
+  /** Hit count of a probed index against its own exact reference: for
+    * each query row `(src, pv, qvn)` (pv = probe vector in the
+    * quantizer's training space, qvn = unit-normed scoring vector) the
+    * served best-candidate cosine over `nprobe` probe cells is compared
+    * to the exact best over the whole index (one linear broadcast pass —
+    * bounded queries keep this O(|queries|·n), the same contract as
+    * [[recallVerdict]]). Returns one row `(n_hits)`; the caller owns the
+    * denominator (a query with zero served candidates is simply not a
+    * hit). */
+  private[graft] def probedHits(index: DataFrame,
+      cents: IndexedSeq[IndexedSeq[Double]], queries: DataFrame,
+      nprobe: Int): DataFrame = {
+    val probed = queries.withColumn("probe_cells",
+      graft.functions.VectorExpressions.nearestCells(col("pv"), cents, nprobe))
+    val served = broadcast(probed)
+      .select(col("src"), col("qvn"), explode(col("probe_cells")).as("cell"))
+      .join(index, Seq("cell"))
+      .filter(col("src") =!= col("nbr"))
+      .select(col("src"), VectorFunctions.dot(col("qvn"), col("vbn")).as("sim"))
+      .groupBy(col("src")).agg(max(col("sim")).as("sim"))
+    val exact = broadcast(queries.select(col("src"), col("qvn")))
+      .crossJoin(index.select(col("nbr"), col("vbn")))
+      .filter(col("src") =!= col("nbr"))
+      .groupBy(col("src"))
+      .agg(max(VectorFunctions.dot(col("qvn"), col("vbn"))).as("best_sim"))
+    served.join(exact, "src")
+      .agg(coalesce(sum(when(col("sim") >= col("best_sim") - 1e-5, 1L)
+        .otherwise(0L)), lit(0L)).as("n_hits"))
+  }
+
+  /** Quantizer retrain from a stored index's `(nbr, vbn)` rows:
+    * stride-sampled seeds + two Lloyd steps, all in vbn space. Reads
+    * ONLY the stored postings — the whole point of carrying vbn in the
+    * index row is that a rebuild never re-embeds (or even re-reads) the
+    * historical raw corpus; the three passes here are columnar scans of
+    * the float vectors the index already stores. */
+  private[graft] def retrainFromIndex(idx: DataFrame): IndexedSeq[IndexedSeq[Double]] = {
+    val n = idx.count()
+    val stride = math.max(1L, n / 16L)
+    val sampled = idx
+      .filter(col("nbr") % stride === 0 && col("nbr") < stride * 16)
+      .orderBy(col("nbr"))
+      .select(col("vbn")).collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    graft.functions.KMeans.lloydSteps(idx, "vbn", sampled, iters = 2)
+  }
+
+  /** The 16-row centroid matrix as a `(cid, cv)` relation — the form the
+    * quantizer persists as an artifact (the serving state a refresh
+    * reads back instead of retraining). */
+  private[graft] def centroidDf(s: SparkSession,
+      cents: IndexedSeq[IndexedSeq[Double]]): DataFrame = {
+    import s.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cid", "cv")
+  }
+
+  private[graft] def centroidsOf(df: DataFrame): IndexedSeq[IndexedSeq[Double]] =
+    df.orderBy(col("cid")).select(col("cv")).collect()
+      .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+
+  /** The drift-monitor serving state for `(s, d)`: the frozen bootstrap
+    * quantizer (stored as the centroid artifact), the accumulated index
+    * (stored historical postings ∪ the new batch's assignment — the
+    * batch is embed-scanned ONCE, eagerly, at its localCheckpoint), and
+    * the bounded query sample drawn from the new batch (drift shows up
+    * in new queries first). */
+  private[graft] def annDriftState(s: SparkSession, d: String)
+      : (IndexedSeq[IndexedSeq[Double]], DataFrame, DataFrame, DataFrame) = {
+    Tables.ensureConf(s)
+    val cent0Df = Artifacts.parquet(s, d, "ann_drift_centroids") {
+      val h = embedRel(s, d).filter(!DedupOps.isNewId("vec_id")).cache()
+      try centroidDf(s, ivfCentroids(h)) finally h.unpersist()
+    }
+    val cent0 = centroidsOf(cent0Df)
+    val histPost = Artifacts.parquet(s, d, "ann_drift_postings") {
+      indexRows(embedRel(s, d).filter(!DedupOps.isNewId("vec_id")),
+        "vec_id", "v", cent0)
+    }
+    val newB = embedRel(s, d).filter(DedupOps.isNewId("vec_id"))
+      .select(col("vec_id"), col("v")).localCheckpoint()
+    val index = histPost.union(indexRows(newB, "vec_id", "v", cent0))
+    // contiguous ids ⇒ the first min(100, |new|) new ids sit below 8·100
+    val queries = newB.filter(col("vec_id") < DedupOps.NewDocModulus * 100)
+      .select(col("vec_id").as("src"), col("v").as("pv"),
+        unitNorm(col("v")).as("qvn"))
+    (cent0, histPost, index, queries)
+  }
+
+  /** The rebuilt index for `(s, d)` — retrain in vbn space over the
+    * accumulated index rows, re-assign the SAME rows. Plan-asserted
+    * (PlanSuite) to contain zero embeddings scans: everything reads the
+    * postings artifact + the checkpointed batch. */
+  private[graft] def annDriftRebuiltIndex(s: SparkSession, d: String): DataFrame = {
+    val (_, _, index, _) = annDriftState(s, d)
+    val vecs = index.select(col("nbr"), col("vbn"))
+    indexRows(vecs, "nbr", "vbn", retrainFromIndex(vecs), normalize = false)
   }
 
   /** IVF ANN full neighbor listing `(src, cell, nbr, sim)` — the operator

@@ -81,10 +81,40 @@ class FunctionsSuite extends SparkSpec {
     val pairs = SimHash.nearPairs(SimHash.signatures(docs, "doc_id", "text"), "doc_id", 3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 1L)))
-    // the banding is candidate-complete only for Hamming <= 3 — a wider
-    // radius must be refused, not silently recall-incomplete
+    // wider radii band into maxDist+1 chunks (pigeonhole-complete for
+    // that radius) — recall must equal the brute-force pair set, and a
+    // radius past the selectivity cap is still refused
     intercept[IllegalArgumentException] {
-      SimHash.nearPairs(SimHash.signatures(docs, "doc_id", "text"), "doc_id", 6)
+      SimHash.nearPairs(SimHash.signatures(docs, "doc_id", "text"), "doc_id", 16)
+    }
+  }
+
+  test("simhash nearPairs: wide radii are pigeonhole-complete vs brute force") {
+    // crafted signatures exercising every banding regime: planted pairs
+    // at exact Hamming distances 0..9 (bits spread so that for the
+    // larger distances EVERY 4x15 chunk is touched — the old banding
+    // would have missed them), plus far-apart fillers
+    val sigs: Seq[(Long, Long)] = Seq(
+      0L -> 0x0L,
+      1L -> 0x0L,                              // d(0,1)=0
+      2L -> ((1L << 2) | (1L << 17)),          // d(0,2)=2, spans 2 chunks
+      3L -> ((1L << 1) | (1L << 16) | (1L << 31) | (1L << 46)), // d=4, all 4 chunks
+      4L -> ((1L << 3) | (1L << 12) | (1L << 22) | (1L << 33) |
+             (1L << 44) | (1L << 55)),         // d(0,4)=6
+      5L -> ((1L << 0) | (1L << 7) | (1L << 14) | (1L << 21) | (1L << 28) |
+             (1L << 35) | (1L << 42) | (1L << 49) | (1L << 56)), // d(0,5)=9
+      6L -> 0x0FFFFFFFFFFFFFFFL,               // far from everything sparse
+      7L -> 0x0AAAAAAAAAAAAAAAL)
+    val df = sigs.toDF("doc_id", "simhash")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (k <- Seq(0, 3, 4, 6, 9, 15)) {
+      val expect = (for {
+        (ia, sa) <- sigs; (ib, sb) <- sigs
+        if ia < ib && ham(sa, sb) <= k
+      } yield (ia, ib)).toSet
+      val got = SimHash.nearPairs(df, "doc_id", k)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(got == expect, s"maxDist=$k")
     }
   }
 

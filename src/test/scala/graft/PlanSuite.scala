@@ -811,6 +811,31 @@ class PlanSuite extends SparkSpec {
     assert(!str.contains("CartesianProduct"))
   }
 
+  test("ann drift rebuild: rebuilt index reads stored postings, zero embeddings scans") {
+    // first call stages the bootstrap quantizer + postings artifacts;
+    // the plan under test is the REBUILD path — retrain + re-assignment
+    // must ride the stored postings (which carry vbn) and the
+    // checkpointed batch, never a historical re-embed: an embeddings
+    // scan here is exactly the 100 TB cost the rebuild seam exists to
+    // avoid (re-reading/re-embedding the raw corpus)
+    queries.VectorOps.annDriftRebuiltIndex(spark, sf).collect()
+    val df = queries.VectorOps.annDriftRebuiltIndex(spark, sf)
+    val str = df.queryExecution.executedPlan.toString()
+    assert(str.contains("graft_art_ann_drift_postings"),
+      s"historical postings not read from the parquet artifact:\n${str.take(2000)}")
+    val embScans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if (r.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.exists(_.toString.contains("embeddings.parquet"))
+            case _ => false
+          }) => r
+    }
+    assert(embScans.isEmpty,
+      s"expected no embeddings scan in the rebuilt-index plan, got ${embScans.length}")
+    assert(!str.contains("CartesianProduct"))
+  }
+
   test("media dedup: banded candidates via equi-join, never a signature cross join") {
     val plan = physical("q_media_dedup")
     assert(!plan.contains("CartesianProduct") &&

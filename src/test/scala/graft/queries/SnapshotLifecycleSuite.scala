@@ -268,4 +268,74 @@ class SnapshotLifecycleSuite extends SparkSpec {
       assert(gotQ.nonEmpty && gotQ == wantQ, "quality feature state diverged")
     } finally spark.conf.unset("graft.artifacts.root")
   }
+
+  test("at-ingest index maintenance survives kill/restart mid-lifecycle (r16 verdict #5)") {
+    // The batch seams above cover artifact timelines; the at-ingest
+    // maintainers had checkpoint-restart tests only in ISOLATION. This
+    // drives the q_stream_index_update maintenance loop — per-trigger
+    // cell assignment appended through the idempotent per-batch write —
+    // across a 6-trigger timeline with TWO kills at different artifact
+    // states (after ~2 and ~4 committed triggers), each restart resuming
+    // from the SAME checkpoint over the SAME postings tree. The
+    // checkpoint/artifact interplay under test: a replayed trigger
+    // rewrites its batch dir in place (no doubles), a skipped trigger
+    // would leave a posting gap (no losses), and the accumulated index
+    // after the final drain must equal the one-shot batch build of the
+    // same assignment — bit-for-bit on (cell, nbr), count == corpus.
+    val e = VectorOps.embedRel(spark, d).cache()
+    try {
+      val n = e.count()
+      val centroids = VectorOps.ivfCentroids(e.filter(col("vec_id") < n / 2))
+      def assigned(df: DataFrame): DataFrame = df.select(
+        element_at(graft.functions.VectorExpressions.nearestCells(
+          col("v"), centroids, 1), 1).as("cell"),
+        col("vec_id").as("nbr"))
+      val outRoot = tmpDir("lc_stream_idx").toString
+      Staging.withStagedInput(e.select(col("vec_id"), col("v")),
+        "vec_id", nFiles = 6, prefix = "lc_stream_idx_in") { in =>
+        val schema = spark.read.parquet(in).schema
+        def run(stopAfterBatches: Option[Int]): Unit = {
+          val q = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(in)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", s"$outRoot/ck")
+            .foreachBatch { (batch: DataFrame, id: Long) =>
+              Staging.writeBatch(assigned(batch), s"$outRoot/postings", id)
+              ()
+            }
+            .start()
+          try stopAfterBatches match {
+            case Some(k) =>
+              val deadline = System.nanoTime + 60L * 1000 * 1000 * 1000
+              while (Option(q.lastProgress).forall(_.batchId < k - 1) &&
+                System.nanoTime < deadline) Thread.sleep(50)
+            case None => q.processAllAvailable()
+          } finally q.stop()
+        }
+        run(stopAfterBatches = Some(2)) // first kill
+        // mid-lifecycle observation: the partial artifact is a CONSISTENT
+        // prefix — whole batch dirs, no fractional batch, every posting a
+        // correct assignment (the artifact is serveable while the
+        // maintainer is down; committed count can exceed the last
+        // OBSERVED progress since the poll races the final commit)
+        val partial = spark.read.option("recursiveFileLookup", "true")
+          .parquet(s"$outRoot/postings")
+        val nPartial = partial.count()
+        assert(nPartial > 0 && nPartial < n,
+          s"expected a mid-lifecycle prefix, got $nPartial of $n")
+        assert(partial.join(assigned(e), Seq("cell", "nbr"), "left_anti").count() == 0,
+          "partial postings contain a wrong assignment")
+        run(stopAfterBatches = Some(4)) // second kill, later artifact state
+        run(stopAfterBatches = None)    // final restart, drain to the end
+        val got = spark.read.option("recursiveFileLookup", "true")
+          .parquet(s"$outRoot/postings")
+        assert(got.count() == n,
+          s"accumulated index count ${got.count()} != corpus $n (lost or doubled batch)")
+        val diffA = got.join(assigned(e), Seq("cell", "nbr"), "left_anti").count()
+        val diffB = assigned(e).join(got, Seq("cell", "nbr"), "left_anti").count()
+        assert(diffA == 0 && diffB == 0,
+          s"accumulated index diverged from the one-shot build: extra=$diffA missing=$diffB")
+      }
+    } finally { e.unpersist(); () }
+  }
 }
