@@ -64,6 +64,20 @@ object ScaleLadder {
       (cpuNs.get, shufR.get, shufW.get, input.get, peakMem.get)
   }
 
+  /** Task-metrics window for a block: returns (shuffleWriteBytes,
+    * executorCpuNs) attributed to `body`'s jobs. Public-ish so the
+    * growth regression guard (ScaleGrowthSuite) measures through the
+    * same listener the ladder uses. */
+  private[graft] def measure(s: SparkSession)(body: => Unit): (Long, Long) = {
+    val agg = new MetricsAgg
+    s.sparkContext.addSparkListener(agg)
+    try {
+      body
+      settle(agg)
+      (agg.shufW.get, agg.cpuNs.get)
+    } finally s.sparkContext.removeSparkListener(agg)
+  }
+
   /** The listener bus is async — wait until the counters stop moving
     * before snapshotting (two consecutive equal reads 200 ms apart). */
   private def settle(agg: MetricsAgg): Unit = {
@@ -97,12 +111,18 @@ object ScaleLadder {
         else docs.select(
           (col("doc_id") + lit(r * dOff)).as("doc_id"),
           // planted cross-copy duplicates keep their text verbatim in
-          // every replica; everything else gets a replica token injected
-          // every 4th word (interior shingles break → Jaccard ≈ 0.14 ≪
-          // any near-dup threshold)
+          // every replica; every OTHER doc gets a replica suffix on EVERY
+          // word, so replicas share zero shingles with the base or each
+          // other — duplicate/shared-shingle DENSITY stays constant as
+          // rows grow 10× (each replica carries the base corpus's own
+          // internal near-dup structure under its own vocabulary). The
+          // first ladder build tagged only every 4th word: the ~25%
+          // surviving shingles made every shingle group 10× denser and
+          // candidate pair counts grew ~quadratically BY CORPUS
+          // CONSTRUCTION, swamping the engine growth being measured.
           when(col("doc_id") % 100 === 0, col("text"))
             .otherwise(regexp_replace(col("text"),
-              "(\\S+ \\S+ \\S+) ", s"$$1 x$r ")).as("text"),
+              "(\\S+)", s"$$1x$r")).as("text"),
           col("lang"), col("source"), col("n_chars"))
       perturbed.withColumn("n_chars", length(col("text")).cast("long"))
     }
@@ -196,8 +216,15 @@ object ScaleLadder {
     }
 
     val rows = names.map { n =>
-      val r1 = try Some(best(n, base)) catch { case _: Throwable => None }
-      val rN = try Some(best(n, ladderDir)) catch { case _: Throwable => None }
+      def attempt(dir: String): Option[Run] =
+        try Some(best(n, dir))
+        catch { case e: Throwable =>
+          println(s"LADDER_FAIL $n @ $dir: ${e.getClass.getSimpleName}: " +
+            s"${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}")
+          None
+        }
+      val r1 = attempt(base)
+      val rN = attempt(ladderDir)
       println(f"LADDER $n%-24s " + ((r1, rN) match {
         case (Some(a), Some(b)) =>
           f"wall ${a.wall}%7.2f -> ${b.wall}%7.2f (${b.wall / a.wall}%4.1fx)  " +

@@ -72,13 +72,22 @@ object DedupOps {
     * data-dependent (on a 30-50%-near-duplicate web corpus the verified
     * pair set grows linearly with the corpus — billions of rows at
     * 100 TB), so a forced broadcast() would bypass AQE's size check and
-    * OOM the driver. AQE still converts these to broadcast joins at
-    * bench scale (PlanSuite pins this) and degrades to shuffled joins
-    * on doc_a/doc_b when the pair set outgrows the threshold. */
+    * OOM the driver. The SHINGLE sides carry a `shuffle_hash` hint: past
+    * the broadcast threshold the default fallback is a sort-merge join,
+    * which SORTS the expanded candidate×shingle relation — the r17
+    * scale ladder measured that transition at ~5× the join cost at ×10
+    * rows (54.7 s → 11.4 s for the same 261 M-row verify when hinted),
+    * while at bench scale the hint is neutral (hash either way; a
+    * per-partition hash build of the shingle relation replaces the
+    * broadcast, same cost at 2.8 vs 3.4 s). Shuffled-hash spills per
+    * partition at scale where a broadcast would OOM the driver — the
+    * right fallback everywhere on this shape, because the probe side
+    * (pairs × shingles-per-doc) is always the bigger one and never
+    * needs sorting. */
   private def exactJaccard(sh: DataFrame, cands: DataFrame): DataFrame = {
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("s"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("s"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("s")).hint("shuffle_hash")
+    val b = sh.select(col("doc_id").as("doc_b"), col("s")).hint("shuffle_hash")
     val shared = cands.join(a, "doc_a").join(b, Seq("doc_b", "s"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
     val jac = col("shared").cast("double") /
@@ -1249,12 +1258,14 @@ object DedupOps {
           .select(explode(graft.functions.OrderedPairs(col("ds"))).as("p"))
           .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
           .distinct()
-        val a = sh.select(col("doc_id").as("doc_a"), col("s"))
-        val b = sh.select(col("doc_id").as("doc_b"), col("s"))
         // candidates are near-dup-pair-scale — data-dependent, so
-        // un-hinted: AQE broadcasts at bench scale (PlanSuite pins it)
-        // and falls back to a shuffled join on doc_a when a duplicate-
-        // heavy corpus pushes the pair set past the threshold
+        // un-hinted; the SHINGLE sides hint shuffle_hash so the
+        // past-threshold fallback is a per-partition hash build instead
+        // of sorting the expanded relation (the exactJaccard rationale —
+        // the r17 ladder measured the sort fallback at ~5× on this very
+        // query at ×10 rows)
+        val a = sh.select(col("doc_id").as("doc_a"), col("s")).hint("shuffle_hash")
+        val b = sh.select(col("doc_id").as("doc_b"), col("s")).hint("shuffle_hash")
         val inter = cands.join(a, "doc_a")
           .join(b, Seq("doc_b", "s"))
           .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
@@ -1348,10 +1359,14 @@ object DedupOps {
           .agg(count(lit(1)).as("nsh"))
           .filter(col("nsh") >= 4)
           .select(col("doc_a"), col("doc_b"))
-        val a = w.select(col("doc_id").as("doc_a"), col("s"), col("w").as("wa"))
-        val b = w.select(col("doc_id").as("doc_b"), col("s"), col("w").as("wb"))
         // cands is candidate-pair-scale (data-dependent) — un-hinted;
-        // AQE broadcasts at bench scale, shuffles past the threshold
+        // the weight sides hint shuffle_hash so the past-threshold
+        // fallback hash-builds per partition instead of sorting the
+        // expanded relation (exactJaccard rationale, r17 ladder)
+        val a = w.select(col("doc_id").as("doc_a"), col("s"), col("w").as("wa"))
+          .hint("shuffle_hash")
+        val b = w.select(col("doc_id").as("doc_b"), col("s"), col("w").as("wb"))
+          .hint("shuffle_hash")
         val dot = cands.join(a, "doc_a").join(b, Seq("doc_b", "s"))
           .groupBy(col("doc_a"), col("doc_b"))
           .agg(sum(col("wa") * col("wb")).as("dot"))

@@ -388,18 +388,20 @@ class PlanSuite extends SparkSpec {
     assert(!plan.contains("Window"), "per-doc score regressed to a window")
   }
 
-  test("containment dedup: verify joins run on broadcast candidates, no cartesian") {
+  test("containment dedup: hash-join verify (never a sorted expansion), no cartesian") {
     // candidate generation is the rare-shingle (df ∈ [2,10]) inverted
     // index — per-group pair emission via OrderedPairs, never a doc×doc
     // join; the candidate relation is UN-hinted (data-dependent size —
-    // a forced broadcast would OOM on a duplicate-heavy corpus), so the
-    // broadcast must come from AQE's runtime size check: execute first,
-    // assert on the FINAL plan
+    // a forced broadcast would OOM on a duplicate-heavy corpus). The
+    // shingle sides hint shuffle_hash (r17 ladder: the sort-merge
+    // fallback sorts the expanded candidate×shingle relation at ~5× the
+    // cost at ×10 rows), so the verify must be a HASH join at every
+    // scale — shuffled here, and never a SortMergeJoin on the expansion
     val df = SparkEntry.queries("q_containment_dedup")(spark, sf)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString()
-    assert(plan.contains("BroadcastHashJoin"),
-      s"candidate verify lost its runtime broadcast:\n${plan.take(2000)}")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin"),
+      s"candidate verify lost its hash-join strategy:\n${plan.take(2000)}")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"))
     assert(plan.contains("ordered_pairs"),
@@ -442,17 +444,18 @@ class PlanSuite extends SparkSpec {
   test("allpairs-sim: inverted-index candidates, no quadratic join, no window") {
     // the exact kernel must only ever run on candidates — a doc×doc
     // cross/nested-loop shape is what the df-gated index avoids; the
-    // candidate relation is UN-hinted (its size is data-dependent), so
-    // the bench-scale broadcast is AQE's runtime call: execute, then
-    // assert on the final plan
+    // candidate relation is UN-hinted (its size is data-dependent); the
+    // weight sides hint shuffle_hash so the dot-product expansion is
+    // hash-joined at every scale (r17 ladder: the sort-merge fallback
+    // costs ~5× on this shape at ×10 rows)
     val df = SparkEntry.queries("q_allpairs_sim")(spark, sf)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString()
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"all-pairs went quadratic:\n${plan.take(2000)}")
-    assert(plan.contains("BroadcastHashJoin"),
-      "candidate set lost its runtime broadcast onto the weight relation")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin"),
+      "candidate verify lost its hash-join strategy onto the weight relation")
     assert(!plan.contains("Window"))
   }
 
