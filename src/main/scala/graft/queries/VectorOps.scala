@@ -1437,17 +1437,21 @@ object VectorOps {
     val acc = s.read.option("recursiveFileLookup", "true")
       .parquet(s"$out/postings")
     // micro-batch-scale sample; checkpointed so the served/exact passes
-    // don't re-sort the batch
+    // don't re-sort the batch — and released before the tick returns (a
+    // production stream runs this every N triggers; un-released
+    // checkpoint blocks would accumulate for the query's lifetime)
     val sample = batch.orderBy(col("vec_id")).limit(12)
       .select(col("vec_id").as("src"), col("v").as("pv"),
         unitNorm(col("v")).as("qvn")).localCheckpoint()
-    val nb = sample.count()
-    val hits = probedHits(acc, cents, sample, 6).head().getLong(0)
-    import s.implicits._
-    Staging.writeBatch(
-      Seq((id, hits, nb, hits * 100 < nb * 61))
-        .toDF("trigger", "n_hits", "n_probes", "rebuild_due"),
-      s"$out/verdicts", id)
+    try {
+      val nb = sample.count()
+      val hits = probedHits(acc, cents, sample, 6).head().getLong(0)
+      import s.implicits._
+      Staging.writeBatch(
+        Seq((id, hits, nb, hits * 100 < nb * 61))
+          .toDF("trigger", "n_hits", "n_probes", "rebuild_due"),
+        s"$out/verdicts", id)
+    } finally { sample.unpersist(); () }
   }
 
   /** `v` scaled to unit L2 norm (zero vectors pass through), computed
