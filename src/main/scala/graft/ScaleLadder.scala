@@ -42,7 +42,12 @@ object ScaleLadder {
     "q_winnow_dedup", "q_allpairs_sim", "q_containment_dedup",
     "q_minhash_lsh", "q_ngram_jaccard", "q_bm25",
     "q_ann_ivf", "q_stream_ann", "q_stream_index_update",
-    "q_incremental_dedup", "q_incremental_dsir", "q_ann_drift_rebuild")
+    "q_incremental_dedup", "q_incremental_dsir", "q_ann_drift_rebuild",
+    // the cross-batch STATEFUL streaming family (r17 verdict #4): their
+    // state-scaling claims were suite-asserted at toy scale only — the
+    // ladder measures state-store rows/bytes (via the streaming-progress
+    // listener below) alongside cpu as keys grow 10×
+    "q_stream_neardup", "q_stream_sessions", "q_stream_span_dedup")
 
   private class MetricsAgg extends SparkListener {
     val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -62,6 +67,28 @@ object ScaleLadder {
     }
     def snap(): (Long, Long, Long, Long, Long) =
       (cpuNs.get, shufR.get, shufW.get, input.get, peakMem.get)
+  }
+
+  /** Streaming state-store window: max total state rows / bytes observed
+    * across any trigger's progress while armed. The stateful ladder rows
+    * (neardup / sessions / span-dedup) carry cross-batch state whose
+    * growth-in-keys is the 100 TB claim — task metrics can't see it, the
+    * progress events can. Max (not last): a query's terminal progress can
+    * report an already-evicted store. */
+  private class StateAgg extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val rows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val mem = new java.util.concurrent.atomic.AtomicLong(0L)
+    def reset(): Unit = { rows.set(0L); mem.set(0L) }
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val ops = e.progress.stateOperators
+      if (ops.nonEmpty) {
+        rows.accumulateAndGet(ops.map(_.numRowsTotal).sum, math.max(_, _))
+        mem.accumulateAndGet(ops.map(_.memoryUsedBytes).sum, math.max(_, _))
+      }
+    }
   }
 
   /** Task-metrics window for a block: returns (shuffleWriteBytes,
@@ -167,10 +194,15 @@ object ScaleLadder {
     val ladderDir = sys.env.getOrElse("SPARK_GRAFT_LADDER_DIR", "/tmp/graft_scale_x10")
     val factor = sys.env.getOrElse("SPARK_GRAFT_LADDER_FACTOR", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // the partition-scaling variant (r17 verdict #5): production scales
+    // shuffle partitions with data; this knob measures that flattening
+    // instead of stating it (default = cpus, the fixed-32 regime the
+    // ×10→×30 segment exponents of 1.15–1.21 were measured under)
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val nameFilter = args.lift(0).map(_.r)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "10000")
@@ -182,6 +214,8 @@ object ScaleLadder {
 
     val agg = new MetricsAgg
     spark.sparkContext.addSparkListener(agg)
+    val stateAgg = new StateAgg
+    spark.streams.addListener(stateAgg)
     def sweep(): Unit = spark.sharedState.cacheManager.clearCache()
 
     val names = LadderQueries
@@ -196,18 +230,19 @@ object ScaleLadder {
     System.gc()
 
     case class Run(wall: Double, cpu: Double, shufR: Long, shufW: Long,
-                   input: Long, peakMem: Long)
+                   input: Long, peakMem: Long, stateRows: Long, stateMem: Long)
     def timed(name: String, dir: String): Run = {
       settle(agg)
+      stateAgg.reset()
       val s0 = agg.snap()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
       val wall = (System.nanoTime() - t0) / 1e9
-      settle(agg)
+      settle(agg) // also long enough for in-flight progress events
       val s1 = agg.snap()
       sweep(); System.gc()
       Run(wall, (s1._1 - s0._1) / 1e9, s1._2 - s0._2, s1._3 - s0._3,
-        s1._4 - s0._4, s1._5)
+        s1._4 - s0._4, s1._5, stateAgg.rows.get, stateAgg.mem.get)
     }
     def best(name: String, dir: String): Run = {
       timed(name, dir) // warm pass (parquet footers, codegen) — untimed
@@ -229,14 +264,18 @@ object ScaleLadder {
         case (Some(a), Some(b)) =>
           f"wall ${a.wall}%7.2f -> ${b.wall}%7.2f (${b.wall / a.wall}%4.1fx)  " +
           f"cpu ${a.cpu}%7.1f -> ${b.cpu}%7.1f (${b.cpu / math.max(a.cpu, 1e-9)}%4.1fx)  " +
-          f"shufW ${a.shufW / 1e6}%8.1f -> ${b.shufW / 1e6}%8.1fMB (${b.shufW.toDouble / math.max(a.shufW, 1)}%4.1fx)"
+          f"shufW ${a.shufW / 1e6}%8.1f -> ${b.shufW / 1e6}%8.1fMB (${b.shufW.toDouble / math.max(a.shufW, 1)}%4.1fx)" +
+          (if (a.stateRows > 0 || b.stateRows > 0)
+            f"  state ${a.stateRows}%d -> ${b.stateRows}%d rows " +
+            f"(${a.stateMem / 1e6}%.1f -> ${b.stateMem / 1e6}%.1fMB)"
+          else "")
         case _ => "FAILED"
       }))
       n -> (r1, rN)
     }
 
     def j(r: Option[Run]): String = r match {
-      case Some(x) => f"""{"wall":${x.wall}%.3f,"cpu":${x.cpu}%.3f,"shuffle_read":${x.shufR},"shuffle_write":${x.shufW},"input":${x.input},"peak_mem":${x.peakMem}}"""
+      case Some(x) => f"""{"wall":${x.wall}%.3f,"cpu":${x.cpu}%.3f,"shuffle_read":${x.shufR},"shuffle_write":${x.shufW},"input":${x.input},"peak_mem":${x.peakMem},"state_rows":${x.stateRows},"state_mem":${x.stateMem}}"""
       case None => "null"
     }
     val json = rows.map { case (n, (a, b)) =>

@@ -79,11 +79,15 @@ object DedupOps {
     * rows (54.7 s → 11.4 s for the same 261 M-row verify when hinted),
     * while at bench scale the hint is neutral (hash either way; a
     * per-partition hash build of the shingle relation replaces the
-    * broadcast, same cost at 2.8 vs 3.4 s). Shuffled-hash spills per
-    * partition at scale where a broadcast would OOM the driver — the
-    * right fallback everywhere on this shape, because the probe side
-    * (pairs × shingles-per-doc) is always the bigger one and never
-    * needs sorting. */
+    * broadcast, same cost at 2.8 vs 3.4 s). The trade is explicit: SHJ's
+    * hash BUILD cannot spill (only the probe side streams), so the hint
+    * gives up the spill-safe sort-merge fallback in exchange for never
+    * sorting the expanded probe. That is safe here ONLY because the
+    * build side is the per-doc distinct-shingle relation — bounded per
+    * partition when `spark.sql.shuffle.partitions` scales with corpus
+    * size (the production discipline; SCALE.md §3). Never hint a
+    * pair-scale relation this way: both sides unbounded ⇒ use merge
+    * (the measured ×30 winnow lesson, commit 27454cb). */
   private def exactJaccard(sh: DataFrame, cands: DataFrame): DataFrame = {
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("doc_a"), col("s")).hint("shuffle_hash")
@@ -1008,16 +1012,24 @@ object DedupOps {
       // (= count of emitted rows per pair) already counts DISTINCT shared
       // grams — a pre-distinct would only add a second full shuffle of
       // the largest intermediate for the same answer
-      // candDocs/cands are candidate-pair-scale — data-dependent, so
-      // un-hinted (a forced broadcast OOMs on a duplicate-heavy corpus
-      // where pairs grow with the corpus); AQE broadcasts at bench
-      // scale (PlanSuite) and shuffles on the doc keys beyond the cap
-      val grams = docs.join(candDocs, Seq("doc_id"), "left_semi")
+      // Join-strategy doctrine (the ×30 ladder lesson, SCALE.md §3):
+      // AQE left alone broadcast-converts both tails off the candidate
+      // relation's COMPRESSED shuffle size — a few MB on disk is ~GB as
+      // in-memory rows at 150 k docs, and the build OOMs the driver
+      // (measured: SCALE_LADDER_x30.json r17 recorded x30:null here).
+      // candDocs is the one COMPACT relation (distinct long ids, one row
+      // per candidate doc) → shuffle_hash: a bounded per-partition hash
+      // build, no sort of the gram-exploded probe. The pair⋈pair tail
+      // has NO compact side (both are pair-scale and SHJ hash builds
+      // cannot spill — shuffle_hash there just moved the OOM to "not
+      // enough memory to build hash map") → merge: sort-merge spills
+      // and completes ×30 at 23.1 s / 549.8 cpu, exponent 1.04.
+      val grams = docs.join(candDocs.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
         .select(col("doc_id"),
           explode(TextFunctions.charGramHashes(col("norm"), L)).as("g"))
       pairsByKey(grams, "g")
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
-        .join(cands, Seq("doc_a", "doc_b"))
+        .join(cands.hint("merge"), Seq("doc_a", "doc_b"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
 

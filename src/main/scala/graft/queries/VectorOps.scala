@@ -5,6 +5,7 @@ import graft.functions.{SignLsh, VectorFunctions}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import scala.jdk.CollectionConverters._
 
 /** Similarity search over the `embeddings` table (`array<float>` vectors).
   * Brute-force cosine is the correctness baseline; the LSH-bucketed query
@@ -1318,7 +1319,7 @@ object VectorOps {
     Q("q_ann_drift_rebuild",
       s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
          |  CAST(SUM(CASE WHEN ${DedupOps.newIdSql("vec_id")} THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
-         |  CAST(LEAST(SUM(CASE WHEN ${DedupOps.newIdSql("vec_id")} THEN 1 ELSE 0 END), 100) AS BIGINT) AS n_queries,
+         |  CAST(LEAST(SUM(CASE WHEN ${DedupOps.newIdSql("vec_id")} THEN 1 ELSE 0 END), 1000) AS BIGINT) AS n_queries,
          |  false AS rebuild_due,
          |  true AS recall_ok_frozen,
          |  true AS recall_ok_rebuilt
@@ -1331,6 +1332,16 @@ object VectorOps {
         val nHist = histPost.count()
         val nNew = index.count() - nHist
         val nQ = queries.count()
+        // the sample window [0, 8·1000) equals "first min(n_new, 1000)
+        // new ids" ONLY for a ~0-based contiguous id space — refuse
+        // loudly on an offset/sparse one (the retrainFromIndex empty-seed
+        // posture) instead of silently probing a truncated sample and
+        // hash-mismatching the oracle's LEAST(n_new, 1000) count
+        require(nQ == math.min(nNew, 1000L),
+          s"q_ann_drift_rebuild assumes ~0-based contiguous vec_ids: the " +
+          s"query-sample window [0, ${DedupOps.NewDocModulus * 1000}) " +
+          s"caught $nQ new-batch vectors, expected min($nNew, 1000) — " +
+          "offset or sparse id spaces are unsupported")
         val frozenHits = probedHits(index, cent0, queries, 6).head().getLong(0)
         val vecs = index.select(col("nbr"), col("vbn"))
         val cent1 = retrainFromIndex(vecs)
@@ -1361,7 +1372,7 @@ object VectorOps {
     // to it: a drifted newcomer is near-orthogonal to old probes, so
     // their exact NNs never change). The exact reference rides the
     // postings' own vbn — the monitor never re-reads raw history — and
-    // one verdict row lands per trigger via [[driftMonitorTick]] (the
+    // one verdict row lands per trigger via [[DriftMonitorState]] (the
     // kernel StreamDriftSuite flips both ways with crafted batches). At
     // production cadence the probe runs per-N-batches (its reference
     // pass is linear in the accumulated index). The verdict rows are
@@ -1383,17 +1394,27 @@ object VectorOps {
       val e = embedRel(s, d).cache()
       try {
         val n = e.count()
+        // the monitoring contract is 4 triggers × 12-probe samples; a
+        // corpus that cannot fill it fails HERE with a diagnostic, not
+        // downstream as a confusing oracle count mismatch
+        require(n >= 48,
+          s"q_stream_drift_monitor needs ≥48 embeddings (4 triggers × " +
+          s"12-probe per-batch samples); got $n — corpus too small for " +
+          "the pooled-verdict contract")
         val centroids = ivfCentroids(e.filter(col("vec_id") < n / 2))
         Staging.withTempDir("graft_stream_drift_out") { out =>
           Staging.withStagedInput(e.select(col("vec_id"), col("v")),
             "vec_id", nFiles = 4, prefix = "graft_stream_drift") { in =>
             val schema = s.read.parquet(in).schema
+            // one maintainer state per query run: the accumulated-index
+            // cursor lives here, not in per-tick filesystem walks
+            val mon = new DriftMonitorState(s, centroids, out.toString)
             val q = s.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1).parquet(in)
               .writeStream.outputMode("append")
               .option("checkpointLocation", s"$out/ck")
               .foreachBatch { (batch: DataFrame, id: Long) =>
-                driftMonitorTick(s, batch, centroids, out.toString, id)
+                mon.tick(batch, id)
                 ()
               }
               .start()
@@ -1419,39 +1440,118 @@ object VectorOps {
               (col("hits") * 100 < col("n_probes") * 61).as("rebuild_due"))
           // the temp tree dies with the scope — copy the one-row verdict
           // out as a LOCAL relation
-          s.createDataFrame(row.collectAsList(), row.schema)
+          val out0 = s.createDataFrame(row.collectAsList(), row.schema)
+          val h = out0.head()
+          // post-run contract check: a skewed range split can stage a
+          // file under 12 vectors even when n ≥ 48 — refuse loudly
+          // (diagnostic names the under-filled sampling) instead of
+          // letting the 4×12 pooled counts drift into a hash mismatch
+          if (h.getLong(0) != 4L || h.getLong(2) != 48L)
+            throw new IllegalStateException(
+              s"q_stream_drift_monitor pooled-verdict contract broken: " +
+              s"${h.getLong(0)} triggers / ${h.getLong(2)} probes, " +
+              "expected 4 × 12 — a staged batch under-filled its " +
+              "12-probe sample (skewed id range?)")
+          out0
         }
       } finally { e.unpersist(); () }
     }
   )
 
-  /** One maintenance-plus-monitor trigger: append `batch`'s postings
-    * under `cents` (idempotent per-batch write), probe the ACCUMULATED
-    * index with the batch's own lowest-12 sample, write the trigger's
-    * verdict row. Factored so StreamDriftSuite drives crafted batch
-    * sequences through the exact code the streaming query runs. */
-  private[graft] def driftMonitorTick(s: SparkSession, batch: DataFrame,
-      cents: IndexedSeq[IndexedSeq[Double]], out: String, id: Long): Unit = {
-    Staging.writeBatch(indexRows(batch, "vec_id", "v", cents),
-      s"$out/postings", id)
-    val acc = s.read.option("recursiveFileLookup", "true")
-      .parquet(s"$out/postings")
-    // micro-batch-scale sample; checkpointed so the served/exact passes
-    // don't re-sort the batch — and released before the tick returns (a
-    // production stream runs this every N triggers; un-released
-    // checkpoint blocks would accumulate for the query's lifetime)
-    val sample = batch.orderBy(col("vec_id")).limit(12)
-      .select(col("vec_id").as("src"), col("v").as("pv"),
-        unitNorm(col("v")).as("qvn")).localCheckpoint()
-    try {
-      val nb = sample.count()
-      val hits = probedHits(acc, cents, sample, 6).head().getLong(0)
-      import s.implicits._
-      Staging.writeBatch(
-        Seq((id, hits, nb, hits * 100 < nb * 61))
-          .toDF("trigger", "n_hits", "n_probes", "rebuild_due"),
-        s"$out/verdicts", id)
-    } finally { sample.unpersist(); () }
+  /** Driver-side maintainer state for the streaming drift monitor: one
+    * instance lives for the query run and holds the accumulated-postings
+    * relation under the channel-source cursor discipline
+    * ([[graft.sources.ChannelSource]]) — each tick lists ONLY the batch
+    * dir it just wrote, plus a one-time recovery enumeration on the
+    * first tick after a (re)start. The r17 shape re-walked the whole
+    * postings tree every trigger (`recursiveFileLookup`): O(#batch-dirs)
+    * listing per tick, quadratic over the stream's lifetime, against
+    * LIST calls a cloud store rate-limits. Now listing work per tick is
+    * O(1) in stream lifetime — [[dirsListedLastTick]] is the
+    * observability hook DriftTickListingSuite pins that claim with.
+    *
+    * Replay safety: a restart reruns the last uncommitted batch, whose
+    * `b$id` dir is re-WRITTEN (overwrite) — the tick therefore always
+    * rebuilds exactly its own batch's relation (a retained one would
+    * point at deleted part files). Older batches never re-run, so their
+    * resolved relations are reused without touching the filesystem.
+    * Every `CompactEvery` batches the union plan is truncated through a
+    * localCheckpoint (per-tick ANALYSIS stays bounded instead of growing
+    * one scan node per trigger); the superseded base's blocks are
+    * reclaimed by the ContextCleaner once unreferenced, like the repo's
+    * other localCheckpoint sites. */
+  private[graft] final class DriftMonitorState(s: SparkSession,
+      cents: IndexedSeq[IndexedSeq[Double]], out: String) {
+    private val CompactEvery = 64
+    private val perBatch = scala.collection.mutable.LinkedHashMap[Long, DataFrame]()
+    private var base: Option[DataFrame] = None
+    @volatile private[graft] var dirsListedLastTick = 0
+
+    // a DataFrameReader resolves schema + file list eagerly at creation:
+    // exactly one listing of exactly this batch's dir
+    private def relationFor(id: Long): DataFrame =
+      s.read.parquet(s"$out/postings/b$id")
+
+    /** Restart path: enumerate committed batch dirs ONCE (one LIST of
+      * the root + one per-dir resolution), then the cursor takes over. */
+    private var recovered = false
+    private def recover(): Int = {
+      val root = java.nio.file.Paths.get(out, "postings")
+      recovered = true
+      if (!java.nio.file.Files.isDirectory(root)) return 0
+      val ids = {
+        val st = java.nio.file.Files.list(root)
+        try st.iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(_.startsWith("b"))
+          .flatMap(n => scala.util.Try(n.drop(1).toLong).toOption)
+          .toVector.sorted
+        finally st.close()
+      }
+      ids.foreach(id => perBatch(id) = relationFor(id))
+      ids.size
+    }
+
+    /** One maintenance-plus-monitor trigger: append `batch`'s postings
+      * (idempotent per-batch write), probe the ACCUMULATED index with
+      * the batch's own lowest-12 sample, write the trigger's verdict
+      * row. Factored so StreamDriftSuite drives crafted batch sequences
+      * through the exact code the streaming query runs. */
+    def tick(batch: DataFrame, id: Long): Unit = {
+      var listed = 0
+      // recover BEFORE writing: the enumeration must see only batches
+      // committed by prior runs, not this tick's own dir (a replayed
+      // id's stale pre-overwrite relation is superseded just below)
+      if (!recovered) listed += recover()
+      Staging.writeBatch(indexRows(batch, "vec_id", "v", cents),
+        s"$out/postings", id)
+      perBatch(id) = relationFor(id) // always: this tick re-wrote b$id
+      listed += 1
+      dirsListedLastTick = listed
+      if (perBatch.size >= CompactEvery) {
+        base = Some((base.toSeq ++ perBatch.values).reduce(_.union(_))
+          .localCheckpoint())
+        perBatch.clear()
+      }
+      val acc = (base.toSeq ++ perBatch.values).reduce(_.union(_))
+      // micro-batch-scale sample; cached so the served/exact passes
+      // don't re-sort the batch. cache (not localCheckpoint): unpersist
+      // actually releases CacheManager entries, whereas localCheckpoint
+      // blocks outlive Dataset.unpersist until the RDD is GC'd — the
+      // per-tick leak a long-lived stream cannot afford.
+      val sample = batch.orderBy(col("vec_id")).limit(12)
+        .select(col("vec_id").as("src"), col("v").as("pv"),
+          unitNorm(col("v")).as("qvn")).cache()
+      try {
+        val nb = sample.count()
+        val hits = probedHits(acc, cents, sample, 6).head().getLong(0)
+        import s.implicits._
+        Staging.writeBatch(
+          Seq((id, hits, nb, hits * 100 < nb * 61))
+            .toDF("trigger", "n_hits", "n_probes", "rebuild_due"),
+          s"$out/verdicts", id)
+      } finally { sample.unpersist(); () }
+    }
   }
 
   /** `v` scaled to unit L2 norm (zero vectors pass through), computed
@@ -1611,8 +1711,12 @@ object VectorOps {
     val newB = embedRel(s, d).filter(DedupOps.isNewId("vec_id"))
       .select(col("vec_id"), col("v")).localCheckpoint()
     val index = histPost.union(indexRows(newB, "vec_id", "v", cent0))
-    // contiguous ids ⇒ the first min(100, |new|) new ids sit below 8·100
-    val queries = newB.filter(col("vec_id") < DedupOps.NewDocModulus * 100)
+    // contiguous ids ⇒ the first min(1000, |new|) new ids sit below
+    // 8·1000. Cap 1000 (was 100): every gate SF's new batch now probes
+    // in FULL (63/63/250), so the 0.61 trip sits on the widest sample
+    // the corpus offers rather than a 100-vector slice — while the
+    // monitor stays bounded at 100 TB (1000 probes, not |batch|)
+    val queries = newB.filter(col("vec_id") < DedupOps.NewDocModulus * 1000)
       .select(col("vec_id").as("src"), col("v").as("pv"),
         unitNorm(col("v")).as("qvn"))
     (cent0, histPost, index, queries)

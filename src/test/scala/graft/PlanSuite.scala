@@ -408,6 +408,36 @@ class PlanSuite extends SparkSpec {
       s"pair emission lost the native kernel:\n${plan.take(2000)}")
   }
 
+  test("winnow dedup: pair⋈pair tail is sort-merge, never a broadcast build") {
+    // The ×30 failure axis (SCALE_LADDER_x30.json r17, fix validated in
+    // commit 27454cb): AQE broadcast-converts the pair⋈pair tail off the
+    // candidate relation's COMPRESSED shuffle size (a few MB on disk is
+    // ~GB as rows at 150 k docs) and the build OOMs the driver. The
+    // shuffle-bytes guard in ScaleGrowthSuite is structurally blind to a
+    // join-strategy reversion (sorted runs compress ~20× better), so the
+    // FINAL adaptive plan is pinned here: the joins keyed on
+    // (doc_a, doc_b) must be SortMergeJoin — at bench scale the unhinted
+    // plan DOES broadcast-convert, so removing the merge hint fails this
+    // immediately. The candDocs left_semi must stay a hash build (its
+    // build side is the compact distinct-id relation).
+    val df = SparkEntry.queries("q_winnow_dedup")(spark, sf)
+    df.collect() // materialize so AQE's FINAL plan is inspected
+    val plan = df.queryExecution.executedPlan.toString()
+    val pairKeyed = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[doc_a#\\d+".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(pairKeyed.nonEmpty, s"no pair-keyed join found:\n${plan.take(2000)}")
+    assert(pairKeyed.forall(_ == "SortMergeJoin"),
+      s"pair⋈pair tail reverted to a hash/broadcast build ($pairKeyed) — " +
+      s"the ×30 driver-OOM axis:\n${plan.take(2000)}")
+    assert(plan.contains("LeftSemi"),
+      s"candDocs semi-join shape lost:\n${plan.take(2000)}")
+    val semiStrategies = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[doc_id#\\d+[^\\n]*LeftSemi".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(semiStrategies.nonEmpty &&
+      semiStrategies.forall(s => s == "ShuffledHashJoin" || s == "BroadcastHashJoin"),
+      s"candDocs semi lost its hash build ($semiStrategies):\n${plan.take(2000)}")
+  }
+
   test("source overlap: pair counts key on the shingle hash, sketch via bounded heap") {
     // the exact matrix's only corpus-scale shuffle is the equi-join on
     // the 8-byte shingle hash (per-key groups ≤ |sources|); a cartesian

@@ -110,4 +110,26 @@ class AnnDriftSuite extends SparkSpec {
       assert(okRebuilt, "a rebuild from in-distribution state must also hold it")
     } finally spark.conf.unset("graft.artifacts.root")
   }
+
+  test("an offset/sparse id space is refused loudly, not hash-mismatched") {
+    val dir = tmpDir("anndrift_offset").toString
+    // contiguous 0..199 (so centroid seed sampling works) PLUS 25 new
+    // ids planted at 8000+8k — OUTSIDE the [0, 8000) query-sample
+    // window. The "first min(n_new, 1000) new ids" assumption breaks:
+    // the window catches 25 of 50 new vectors, and the registered query
+    // must refuse with a diagnostic instead of probing a silently
+    // truncated sample and hash-mismatching the oracle's count
+    writeEmbeddings(dir,
+      (0L until 200L).map(id => id -> ladder(id)) ++
+      (0L until 25L).map(k => (8000L + 8L * k) -> ladder(k)))
+    val root = tmpDir("anndrift_offset_art")
+    spark.conf.set("graft.artifacts.root", root.toString)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        runQuery(dir)
+      }
+      assert(e.getMessage.contains("contiguous"),
+        s"refusal lost its diagnostic: ${e.getMessage}")
+    } finally spark.conf.unset("graft.artifacts.root")
+  }
 }

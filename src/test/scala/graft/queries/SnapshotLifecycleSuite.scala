@@ -294,6 +294,25 @@ class SnapshotLifecycleSuite extends SparkSpec {
       Staging.withStagedInput(e.select(col("vec_id"), col("v")),
         "vec_id", nFiles = 6, prefix = "lc_stream_idx_in") { in =>
         val schema = spark.read.parquet(in).schema
+        // deterministic mid-lifecycle cut: hold the later range files
+        // OUT of the source dir so even a host fast enough to drain
+        // everything between the progress observation and q.stop()
+        // cannot commit more than the released prefix (the poll-based
+        // kill still exercises a genuine in-flight stop when it lands
+        // mid-batch; the holdback just bounds what a full drain can see).
+        // Files.move on one filesystem preserves the pinned mod-times,
+        // and the file source picks up late-appearing UNSEEN files
+        // regardless of their older timestamps.
+        val inP = java.nio.file.Paths.get(in)
+        val held = inP.resolveSibling("held")
+        java.nio.file.Files.createDirectory(held)
+        val parts = new java.io.File(in).listFiles()
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).toSeq
+        def hold(fs: Seq[java.io.File]): Unit = fs.foreach(f =>
+          java.nio.file.Files.move(f.toPath, held.resolve(f.getName)))
+        def release(names: Seq[java.io.File]): Unit = names.foreach(f =>
+          java.nio.file.Files.move(held.resolve(f.getName), f.toPath))
+        hold(parts.drop(3))
         def run(stopAfterBatches: Option[Int]): Unit = {
           val q = spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1).parquet(in)
@@ -312,12 +331,12 @@ class SnapshotLifecycleSuite extends SparkSpec {
             case None => q.processAllAvailable()
           } finally q.stop()
         }
-        run(stopAfterBatches = Some(2)) // first kill
+        run(stopAfterBatches = Some(2)) // first kill — ≤ 3 files visible
         // mid-lifecycle observation: the partial artifact is a CONSISTENT
         // prefix — whole batch dirs, no fractional batch, every posting a
         // correct assignment (the artifact is serveable while the
-        // maintainer is down; committed count can exceed the last
-        // OBSERVED progress since the poll races the final commit)
+        // maintainer is down). nPartial < n is now guaranteed by the
+        // holdback, not by winning a race against the final commit.
         val partial = spark.read.option("recursiveFileLookup", "true")
           .parquet(s"$outRoot/postings")
         val nPartial = partial.count()
@@ -325,7 +344,9 @@ class SnapshotLifecycleSuite extends SparkSpec {
           s"expected a mid-lifecycle prefix, got $nPartial of $n")
         assert(partial.join(assigned(e), Seq("cell", "nbr"), "left_anti").count() == 0,
           "partial postings contain a wrong assignment")
+        release(parts.slice(3, 4))      // one more range enters the source
         run(stopAfterBatches = Some(4)) // second kill, later artifact state
+        release(parts.drop(4))          // the rest arrive for the final run
         run(stopAfterBatches = None)    // final restart, drain to the end
         val got = spark.read.option("recursiveFileLookup", "true")
           .parquet(s"$outRoot/postings")

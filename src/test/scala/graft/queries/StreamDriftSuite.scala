@@ -45,8 +45,9 @@ class StreamDriftSuite extends SparkSpec {
       Seq((200L + 2 * k, pairMember(k, 2.0)), (201L + 2 * k, pairMember(k, 16.0)))
     }.toDF("vec_id", "v")
     val out = tmpDir("stream_drift").toString
-    VectorOps.driftMonitorTick(spark, hist, centroids, out, 0L)
-    VectorOps.driftMonitorTick(spark, drifted, centroids, out, 1L)
+    val mon = new VectorOps.DriftMonitorState(spark, centroids, out)
+    mon.tick(hist, 0L)
+    mon.tick(drifted, 1L)
     val verdicts = spark.read.option("recursiveFileLookup", "true")
       .parquet(s"$out/verdicts").orderBy(col("trigger")).collect()
       .map { case Row(t: Long, h: Long, n: Long, due: Boolean) => (t, h, n, due) }
@@ -63,5 +64,22 @@ class StreamDriftSuite extends SparkSpec {
       .parquet(s"$out/postings")
     assert(postings.count() == 140, "postings lost or doubled a batch")
     hist.unpersist()
+  }
+
+  test("a corpus under 48 embeddings is refused loudly, not hash-mismatched") {
+    import spark.implicits._
+    // 20 vectors cannot fill the 4-trigger × 12-probe pooled-verdict
+    // contract — the registered query must fail with a diagnostic BEFORE
+    // staging anything (r17 verdict #3: previously this surfaced as a
+    // confusing oracle count mismatch)
+    val dir = tmpDir("drift_tiny").toString
+    (0L until 20L).map(id => (id, ladder(id).map(_.toFloat), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      graft.SparkEntry.queries("q_stream_drift_monitor")(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("48") && e.getMessage.contains("got 20"),
+      s"refusal lost its diagnostic: ${e.getMessage}")
   }
 }
