@@ -250,9 +250,12 @@ class PlanSuite extends SparkSpec {
     // shuffled join instead of failing at the broadcast cap — but at
     // bench scale AQE must keep picking broadcast, or the gate pays
     // sort-merge costs on tiny tables. Execute first: AQE decides in
-    // the FINAL plan.
-    for (name <- Seq("q_above_avg", "q_ngram_jaccard", "q_tfidf_top",
-                     "q_winnow_dedup")) {
+    // the FINAL plan. (q_winnow_dedup left this list when its joins
+    // became deliberately hinted — merge on the pair⋈pair tail,
+    // shuffle_hash on the compact candDocs semi build — to close the
+    // ×30 driver-broadcast-OOM; its strategies are pinned by the
+    // dedicated "winnow dedup: pair⋈pair tail" test below.)
+    for (name <- Seq("q_above_avg", "q_ngram_jaccard", "q_tfidf_top")) {
       val df = SparkEntry.queries(name)(spark, sf)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString()
