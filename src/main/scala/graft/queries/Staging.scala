@@ -69,13 +69,30 @@ private[queries] object Staging {
     * to `parts` for the duration of the start call — stateful operators
     * freeze their state-partition count into the checkpoint at first
     * start, and 32 mostly-idle state-store tasks per trigger dominate
-    * small-batch wall time. The session conf is restored afterwards. */
+    * small-batch wall time. Also pins
+    * `spark.sql.streaming.noDataMicroBatches.enabled=false`: the staged
+    * replays drive every watermark-gated emission with trailing DATA
+    * sentinels ([[withOrderedReplay]] — append-mode emission lags the
+    * watermark by one batch, hence TWO sentinels, the second emitting
+    * everything the first unlocked), so the zero-row batch Spark would
+    * append after the last file only re-commits every state store
+    * (~0.5–1 s/query) to emit sentinel-keyed rows the drains filter out.
+    * Scoped HERE, not session-wide: library streams (graft.streaming.*)
+    * keep the default — their event-time TTLs legitimately sweep state
+    * in no-data batches (EngineSuite pins that semantic). Streaming
+    * queries clone the session conf at `start`, so pinning around the
+    * start call is airtight; the session conf is restored afterwards. */
   def sizedStart(s: SparkSession, parts: Int)(
       start: => org.apache.spark.sql.streaming.StreamingQuery)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     s.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    try start finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try start finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
   }
 
   /** Stage `df` as an event-time-ordered replay: `nFiles` range-partitioned
