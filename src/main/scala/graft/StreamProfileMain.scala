@@ -33,6 +33,11 @@ object StreamProfileMain {
         val d = p.durationMs.asScala.toSeq.sortBy(-_._2.longValue)
           .map { case (k, v) => s"$k=$v" }.mkString(" ")
         rows.add(f"BATCH ${p.name} id=${p.batchId} rows=${p.numInputRows} $d")
+        p.stateOperators.foreach { so =>
+          rows.add(s"  STATE ${so.operatorName} rows=${so.numRowsTotal} " +
+            s"upd=${so.allUpdatesTimeMs} rm=${so.allRemovalsTimeMs} " +
+            s"commit=${so.commitTimeMs} mem=${so.memoryUsedBytes}")
+        }
       }
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
         rows.add(s"END")

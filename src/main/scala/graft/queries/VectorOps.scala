@@ -1543,8 +1543,13 @@ object VectorOps {
         .select(col("vec_id").as("src"), col("v").as("pv"),
           unitNorm(col("v")).as("qvn")).cache()
       try {
-        val nb = sample.count()
-        val hits = probedHits(acc, cents, sample, 6).head().getLong(0)
+        // hits AND the probe count ride the one probedHits job — the
+        // old separate sample.count() cost a scheduling round trip per
+        // trigger for a 12-row count (r18; every gate batch has ≥12
+        // rows and acc ≥ batch, so the exact pass's per-query rows
+        // equal the sample size, the contract check still guards)
+        val r = probedHits(acc, cents, sample, 6).head()
+        val (hits, nb) = (r.getLong(0), r.getLong(1))
         import s.implicits._
         Staging.writeBatch(
           Seq((id, hits, nb, hits * 100 < nb * 61))
@@ -1630,28 +1635,40 @@ object VectorOps {
     * served best-candidate cosine over `nprobe` probe cells is compared
     * to the exact best over the whole index (one linear broadcast pass —
     * bounded queries keep this O(|queries|·n), the same contract as
-    * [[recallVerdict]]). Returns one row `(n_hits)`; the caller owns the
-    * denominator (a query with zero served candidates is simply not a
-    * hit). */
+    * [[recallVerdict]]). Returns one row `(n_hits, n_queries)` — the
+    * query count rides the exact pass's group-by (one row per query with
+    * ≥1 non-self index row) so a caller that needs the denominator does
+    * not pay a separate counting job per call (the streaming monitor's
+    * tick paid one per trigger). A query with zero served candidates
+    * joins as a null sim and counts in n_queries but never as a hit —
+    * the same accounting as the old inner-join + separate count. */
   private[graft] def probedHits(index: DataFrame,
       cents: IndexedSeq[IndexedSeq[Double]], queries: DataFrame,
       nprobe: Int): DataFrame = {
+    // ONE pass over query × index (r18, guide §1.2 "fewer passes"): the
+    // exact reference already evaluates every (query, index-row) pair, so
+    // the served-side best is the SAME max restricted to pairs whose
+    // index cell is among the query's probe cells — an array_contains
+    // flag on rows the cross join already produces, instead of a second
+    // scan of the index through a cell equi-join (the r17 shape paid two
+    // scans, two groupBys and computed the probe-cell pairs' dot twice).
+    // Semantics are identical: same self-exclusion, same max, a query
+    // with no probe-cell candidate has an all-null served column (max
+    // ignores nulls) and counts in n_queries but never as a hit.
     val probed = queries.withColumn("probe_cells",
       graft.functions.VectorExpressions.nearestCells(col("pv"), cents, nprobe))
-    val served = broadcast(probed)
-      .select(col("src"), col("qvn"), explode(col("probe_cells")).as("cell"))
-      .join(index, Seq("cell"))
+    broadcast(probed.select(col("src"), col("qvn"), col("probe_cells")))
+      .crossJoin(index)
       .filter(col("src") =!= col("nbr"))
-      .select(col("src"), VectorFunctions.dot(col("qvn"), col("vbn")).as("sim"))
-      .groupBy(col("src")).agg(max(col("sim")).as("sim"))
-    val exact = broadcast(queries.select(col("src"), col("qvn")))
-      .crossJoin(index.select(col("nbr"), col("vbn")))
-      .filter(col("src") =!= col("nbr"))
+      .select(col("src"),
+        array_contains(col("probe_cells"), col("cell")).as("in_probe"),
+        VectorFunctions.dot(col("qvn"), col("vbn")).as("sim"))
       .groupBy(col("src"))
-      .agg(max(VectorFunctions.dot(col("qvn"), col("vbn"))).as("best_sim"))
-    served.join(exact, "src")
-      .agg(coalesce(sum(when(col("sim") >= col("best_sim") - 1e-5, 1L)
-        .otherwise(0L)), lit(0L)).as("n_hits"))
+      .agg(max(col("sim")).as("best_sim"),
+        max(when(col("in_probe"), col("sim"))).as("served"))
+      .agg(coalesce(sum(when(col("served") >= col("best_sim") - 1e-5, 1L)
+        .otherwise(0L)), lit(0L)).as("n_hits"),
+        count(lit(1)).as("n_queries"))
   }
 
   /** Quantizer retrain from a stored index's `(nbr, vbn)` rows:
