@@ -111,6 +111,38 @@ class AnnDriftSuite extends SparkSpec {
     } finally spark.conf.unset("graft.artifacts.root")
   }
 
+  test("probedHits one-pass kernel: hit / probed-miss / empty-probe / self-exclusion accounting") {
+    // Pins the r18 one-pass rewrite's semantics on a hand-computable
+    // geometry: 4 axis centroids, 4 index vectors, nprobe=1.
+    //  - src 100 (pv=qvn=e0): probe cell 0 holds the global best → HIT
+    //  - src 101 (pv=e1, qvn=e2): probe cell 1 has candidates but the
+    //    exact best lives in cell 2 → counted, NOT a hit (the drift case)
+    //  - src 102 (pv=qvn=e3): probe cell 3 is EMPTY → served is all-null
+    //    under max; counted in n_queries, never a hit
+    //  - src 0 (pv=qvn=e0): the index row with nbr=0 is self-excluded on
+    //    BOTH sides, so nbr=1 is served AND exact best → HIT
+    import spark.implicits._
+    def e(j: Int): Seq[Double] = (0 until Dim).map(i => if (i == j) 1.0 else 0.0)
+    val mix = {
+      val raw = (0 until Dim).map(i => if (i == 0) 0.9 else if (i == 1) 0.1 else 0.0)
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / n)
+    }
+    val cents = IndexedSeq(e(0), e(1), e(2), e(3)).map(_.toIndexedSeq)
+    val vecs = Seq((0L, e(0)), (1L, mix), (2L, e(1)), (3L, e(2)))
+      .toDF("nbr", "vbn")
+    val index = VectorOps.indexRows(vecs, "nbr", "vbn", cents, normalize = false)
+    val queries = Seq(
+      (100L, e(0), e(0)),
+      (101L, e(1), e(2)),
+      (102L, e(3), e(3)),
+      (0L, e(0), e(0))
+    ).toDF("src", "pv", "qvn")
+    val r = VectorOps.probedHits(index, cents, queries, 1).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 4L,
+      s"(n_hits, n_queries) = (${r.getLong(0)}, ${r.getLong(1)}), expected (2, 4)")
+  }
+
   test("an offset/sparse id space is refused loudly, not hash-mismatched") {
     val dir = tmpDir("anndrift_offset").toString
     // contiguous 0..199 (so centroid seed sampling works) PLUS 25 new
