@@ -197,17 +197,30 @@ object Bench {
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val cpuTotal = results.map(_._2._2).filter(_ >= 0).sum
     val gcTotal = results.map(_._2._3).filter(_ >= 0).sum
-    val cores = Runtime.getRuntime.availableProcessors()
+    // cores = the parallelism the run ACTUALLY used (local[$cpus]), not
+    // availableProcessors(): the driver re-runs the bench at a lower
+    // SPARK_GRAFT_CPUS to measure scaling, and an 8-core artifact that
+    // says "cores":32 poisons that analysis (r18 verdict finding #3).
+    val cores = cpus
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     def render(qs: Seq[(String, (Double, Double, Double))]): String = {
-      // per-query rows are [wall, cpu, gc] — busy-ratio + gc-debt notes above
+      // per-query rows are [wall, cpu, gc] — busy-ratio + gc-debt notes
+      // above. SELF-CONSISTENT line (r18 verdict finding #2): n_queries
+      // counts the rows CARRIED ON THIS LINE (the driver's comparator
+      // rejected lines whose n_queries disagreed with the map it parsed,
+      // zeroing PERF per_query/geomean/scaling for two rounds);
+      // n_total/value keep the full-surface count and wall total, and the
+      // complete per-query table stays on BENCH_DETAIL + bench_queries.json.
       val m = qs.map { case (k, (w, c, g)) =>
         "\"" + k + "\":[" + r3(w) + "," + r3(c) + "," + r3(g) + "]" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpu_total":${r3(cpuTotal)},"gc_total":${r3(gcTotal)},"cores":$cores,"load_avg":${r3(loadAvg)},"n_queries":${results.size},"queries":$m,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpu_total":${r3(cpuTotal)},"gc_total":${r3(gcTotal)},"cores":$cores,"load_avg":${r3(loadAvg)},"n_total":${results.size},"n_queries":${qs.size},"queries":$m,"sf":"$sfDir"}"""
     }
-    val budget = 1400
+    // The driver parses the final JSON line out of a ~2000-char tail
+    // capture; 1900 keeps the whole line inside that window (with newline
+    // margin) while carrying ~40+ of the slowest queries instead of 29.
+    val budget = 1900
     var line = render(results)
     if (line.length > budget) {
       val bySlowest = results.sortBy(-_._2._1)
