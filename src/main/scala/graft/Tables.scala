@@ -27,9 +27,27 @@ object Tables {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  /** Footer-inferred schema per table path, computed once per JVM: every
+    * `spark.read.parquet(path)` without an explicit schema runs parquet
+    * footer inference at plan time, and a 233-query bench session makes
+    * ~1200 `t()` calls (queries × tables × warmup + 2 passes) — each one
+    * re-reading the footer of an immutable file (r18 verdict task #6, the
+    * batch-tail planning floor). METADATA cache only (a StructType per
+    * path), never data or results: every query still computes from the
+    * parquet bytes. Keyed on the full path, so different SF dirs (and any
+    * test fixture at its own temp path) each infer once; the gate's
+    * testdata is immutable for a session's lifetime, which is what makes
+    * the cache sound. `ts` physical-form variance (nanos-as-long vs µs
+    * timestamp) is per-file and therefore per-path — captured correctly. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     ensureConf(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
   }
 
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")

@@ -1141,12 +1141,18 @@ object DedupOps {
         |  TRUE AS sketch_ok
         |FROM p JOIN n na ON p.src_a = na.source JOIN n nb ON p.src_b = nb.source
         |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+      // localCheckpoint, not persist/unpersist (r19): the construct-time
+      // unpersist ran before the caller's terminal action, so only the
+      // sketch collect below was ever served from cache — the RETURNED
+      // plan re-derived the scan→explode→distinct subtree for each of
+      // its three uses (n + both join legs). Materialized once; blocks
+      // reclaimed with the result (guide §3.3/§5).
       val sh = Tables.spread(Tables.documents(s, d), col("doc_id"))
         .select(col("source"),
           explode(TextFunctions.shingleHashes(col("text"), 3)).as("s"))
         .distinct()
-        .persist()
-      try {
+        .localCheckpoint()
+      locally {
         val n = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
         val a = sh.select(col("source").as("src_a"), col("s"))
         val b = sh.select(col("source").as("src_b"), col("s"))
@@ -1191,7 +1197,7 @@ object DedupOps {
               col("shared").cast("double") /
                 (col("n_a") + col("n_b") - col("shared"))) <= 0.2).as("sketch_ok"))
           .orderBy(col("src_a"), col("src_b"))
-      } finally { sh.unpersist(false); () }
+      }
     },
 
     // ---- CONTAINMENT dedup — the near-dup class Jaccard-LSH structurally
@@ -1254,45 +1260,72 @@ object DedupOps {
           array_join(slice(TextFunctions.tokens(col("text")), lit(1),
             greatest(lit(3), expr("size(split(text, ' ')) div 2"))), " ")
             .as("text"))
+      // localCheckpoint, not persist/unpersist (r19): the construct-time
+      // unpersist ran before the caller's terminal action, so the shared
+      // shingle relation was never actually served from cache — the
+      // executed plan carried FOUR copies of the scan→union→explode→
+      // distinct subtree (plans/r19/containment_dedup_before.txt: 8
+      // parquet scans). An eager localCheckpoint materializes it once
+      // inside the query (guide §3.3/§5: truncate and share a reused
+      // subtree); blocks are reclaimed by the ContextCleaner when the
+      // result is dropped, the repo's standing localCheckpoint posture.
       val sh = base.union(quotes)
         .select(col("doc_id"),
           explode(TextFunctions.shingleHashes(col("text"), 3)).as("s"))
         .distinct()
-        .persist()
-      try {
-        val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        // rare-shingle candidate pairs, emitted per shingle GROUP in
-        // place (the q_ngram_jaccard kernel) — the df gate both caps the
-        // fan-out and IS the index: common shingles never group-emit
-        val cands = sh.groupBy(col("s"))
-          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-          .filter(size(col("ds")).between(2, 10))
-          .select(explode(graft.functions.OrderedPairs(col("ds"))).as("p"))
-          .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-          .distinct()
-        // candidates are near-dup-pair-scale — data-dependent, so
-        // un-hinted; the SHINGLE sides hint shuffle_hash so the
-        // past-threshold fallback is a per-partition hash build instead
-        // of sorting the expanded relation (the exactJaccard rationale —
-        // the r17 ladder measured the sort fallback at ~5× on this very
-        // query at ×10 rows)
-        val a = sh.select(col("doc_id").as("doc_a"), col("s")).hint("shuffle_hash")
-        val b = sh.select(col("doc_id").as("doc_b"), col("s")).hint("shuffle_hash")
-        val inter = cands.join(a, "doc_a")
-          .join(b, Seq("doc_b", "s"))
-          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
-        inter
-          .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
-          .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
-          .filter(col("shared").cast("double") / least(col("n_a"), col("n_b")) >= 0.9)
-          .select(col("doc_a"), col("doc_b"), col("shared"),
-            col("n_a"), col("n_b"),
-            round(col("shared").cast("double") /
-              least(col("n_a"), col("n_b")), 6).as("containment"),
-            round(col("shared").cast("double") /
-              (col("n_a") + col("n_b") - col("shared")), 6).as("jaccard"))
-          .orderBy(col("doc_a"), col("doc_b"))
-      } finally { sh.unpersist(false); () }
+        .localCheckpoint()
+      // rare-shingle candidate pairs, emitted per shingle GROUP in
+      // place (the q_ngram_jaccard kernel) — the df gate both caps the
+      // fan-out and IS the index: common shingles never group-emit.
+      // Deliberately NOT checkpointed: it is one groupBy over the
+      // checkpointed shingle relation, recomputing it for its two uses
+      // is cheap, and the pair-emission kernel stays visible in the
+      // returned plan (PlanSuite pins ordered_pairs there).
+      val cands = sh.groupBy(col("s"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")).between(2, 10))
+        .select(explode(graft.functions.OrderedPairs(col("ds"))).as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .distinct()
+      // Verify on PER-DOC SHINGLE SETS of CANDIDATE DOCS ONLY (r19,
+      // guide §2.3/§2.4/§8 "decide with small rows"): the r18 shape
+      // expanded every candidate pair by all of doc_a's shingles and
+      // re-shuffled that blow-up by (doc_b, s) into a second hash join
+      // plus a pair groupBy — the bench's top batch-cpu row (32.7 cpu-s
+      // at sf0.1). |A∩B| needs only the two DISTINCT shingle sets side
+      // by side: restrict the shingle relation to docs that appear in
+      // some candidate pair (left_semi — near-dup scale, AQE broadcasts
+      // it), collect each doc's set ONCE (the same groupBy also yields
+      // n, replacing the old per-doc counts pass over ALL docs), and
+      // let the pair relation pick both sets up by doc id;
+      // shared = size(array_intersect(sa, sb)) — exact on distinct
+      // sets, codegen-native, no exploded intermediate and no pair
+      // groupBy. Set size is bounded by document length (the bound
+      // collect_list already rides in candidate generation), so the row
+      // width holds at 100 TB; candidates stay un-hinted (data-dependent
+      // size — AQE picks broadcast at bench scale, hash beyond).
+      val candDocs = cands.select(col("doc_a").as("doc_id"))
+        .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+      val docSets = sh.join(candDocs, Seq("doc_id"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(collect_list(col("s")).as("ss"), count(lit(1)).as("n"))
+        .localCheckpoint()
+      cands
+        .join(docSets.select(col("doc_id").as("doc_a"),
+          col("ss").as("sa"), col("n").as("n_a")), "doc_a")
+        .join(docSets.select(col("doc_id").as("doc_b"),
+          col("ss").as("sb"), col("n").as("n_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("sa"), col("sb"))).cast("long").as("shared"),
+          col("n_a"), col("n_b"))
+        .filter(col("shared").cast("double") / least(col("n_a"), col("n_b")) >= 0.9)
+        .select(col("doc_a"), col("doc_b"), col("shared"),
+          col("n_a"), col("n_b"),
+          round(col("shared").cast("double") /
+            least(col("n_a"), col("n_b")), 6).as("containment"),
+          round(col("shared").cast("double") /
+            (col("n_a") + col("n_b") - col("shared")), 6).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
     },
 
     // ---- All-pairs TF-IDF cosine similarity (Bayardo/WHIRL family) —
@@ -1344,55 +1377,76 @@ object DedupOps {
         |  JOIN nm nb ON nb.doc_id = dot.doc_b
         |WHERE round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      // localCheckpoint, not persist/unpersist (r19): the construct-time
+      // unpersist ran before the caller's terminal action, so neither
+      // "cached" relation was ever served from cache — the executed plan
+      // re-derived the tf and weight subtrees per use
+      // (plans/r19/allpairs_sim_before.txt). Materialize each shared
+      // subtree once (guide §3.3/§5), blocks reclaimed by the
+      // ContextCleaner with the result.
       val sh = Tables.spread(Tables.documents(s, d), col("doc_id"))
         .select(col("doc_id"),
           explode(TextFunctions.shingleHashes(col("text"), 3)).as("s"))
         .groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("tf"))
-        .persist()
+        .localCheckpoint()
       val nDocs = Tables.documents(s, d).count().toDouble
+      // dfc is vocab-scale — un-hinted (AQE broadcasts at bench scale);
+      // checkpointed: read twice (weights + candidate gate), and the df
+      // GATE must see the FULL corpus's document frequencies
       val dfc = sh.groupBy(col("s")).agg(count(lit(1)).as("dfd"))
-      // dfc is vocab-scale — un-hinted (AQE broadcasts at bench scale)
-      val w = sh.join(dfc, "s")
+        .localCheckpoint()
+      // rare-shingle candidates, emitted per shingle group in place
+      // (the q_ngram_jaccard kernel), then pruned to ≥4 shared
+      val cands = sh.join(dfc, "s").filter(col("dfd").between(2, 10))
+        .groupBy(col("s"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")) >= 2)
+        .select(explode(graft.functions.OrderedPairs(col("ds"))).as("p"))
+        .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .agg(count(lit(1)).as("nsh"))
+        .filter(col("nsh") >= 4)
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+      // Weights for CANDIDATE DOCS ONLY (r19, guide §3.2/§8 "decide with
+      // small rows, then move only what survives"): every downstream use
+      // of the weight relation — norms, both dot-product sides — is
+      // inner-joined to the candidate pairs, so weights of docs in no
+      // candidate pair are computed and shuffled only to be dropped.
+      // The left_semi against the candidate-doc ids (near-dup scale, AQE
+      // broadcasts it) prunes the big side BEFORE the exchanges; the tf
+      // and df inputs stay corpus-wide, so surviving weight VALUES are
+      // bit-identical to the unfiltered form.
+      val candDocs = cands.select(col("doc_a").as("doc_id"))
+        .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+      val w = sh.join(candDocs, Seq("doc_id"), "left_semi")
+        .join(dfc, "s")
         .select(col("doc_id"), col("s"),
           round(col("tf").cast("double") * log(lit(nDocs) / col("dfd")), 6)
             .cast("decimal(18,6)").as("w"))
-        .persist()
-      try {
-        val nm = w.groupBy(col("doc_id"))
-          .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
-        // rare-shingle candidates, emitted per shingle group in place
-        // (the q_ngram_jaccard kernel), then pruned to ≥4 shared
-        val cands = sh.join(dfc, "s").filter(col("dfd").between(2, 10))
-          .groupBy(col("s"))
-          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-          .filter(size(col("ds")) >= 2)
-          .select(explode(graft.functions.OrderedPairs(col("ds"))).as("p"))
-          .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-          .agg(count(lit(1)).as("nsh"))
-          .filter(col("nsh") >= 4)
-          .select(col("doc_a"), col("doc_b"))
-        // cands is candidate-pair-scale (data-dependent) — un-hinted;
-        // the weight sides hint shuffle_hash so the past-threshold
-        // fallback hash-builds per partition instead of sorting the
-        // expanded relation (exactJaccard rationale, r17 ladder)
-        val a = w.select(col("doc_id").as("doc_a"), col("s"), col("w").as("wa"))
-          .hint("shuffle_hash")
-        val b = w.select(col("doc_id").as("doc_b"), col("s"), col("w").as("wb"))
-          .hint("shuffle_hash")
-        val dot = cands.join(a, "doc_a").join(b, Seq("doc_b", "s"))
-          .groupBy(col("doc_a"), col("doc_b"))
-          .agg(sum(col("wa") * col("wb")).as("dot"))
-        dot
-          .join(nm.withColumnRenamed("doc_id", "doc_a")
-            .withColumnRenamed("nrm", "na"), "doc_a")
-          .join(nm.withColumnRenamed("doc_id", "doc_b")
-            .withColumnRenamed("nrm", "nb"), "doc_b")
-          .select(col("doc_a"), col("doc_b"),
-            round(col("dot").cast("double") / (col("na") * col("nb")), 6)
-              .as("cosine"))
-          .filter(col("cosine") >= 0.5)
-          .orderBy(col("doc_a"), col("doc_b"))
-      } finally { sh.unpersist(false); w.unpersist(false); () }
+        .localCheckpoint()
+      val nm = w.groupBy(col("doc_id"))
+        .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
+      // cands is candidate-pair-scale (data-dependent) — un-hinted;
+      // the weight sides hint shuffle_hash so the past-threshold
+      // fallback hash-builds per partition instead of sorting the
+      // expanded relation (exactJaccard rationale, r17 ladder)
+      val a = w.select(col("doc_id").as("doc_a"), col("s"), col("w").as("wa"))
+        .hint("shuffle_hash")
+      val b = w.select(col("doc_id").as("doc_b"), col("s"), col("w").as("wb"))
+        .hint("shuffle_hash")
+      val dot = cands.join(a, "doc_a").join(b, Seq("doc_b", "s"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(sum(col("wa") * col("wb")).as("dot"))
+      dot
+        .join(nm.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("nrm", "na"), "doc_a")
+        .join(nm.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("nrm", "nb"), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          round(col("dot").cast("double") / (col("na") * col("nb")), 6)
+            .as("cosine"))
+        .filter(col("cosine") >= 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
     }
   )
 }

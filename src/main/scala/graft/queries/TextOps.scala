@@ -821,12 +821,17 @@ object TextOps {
         |  round((n*sxy - sx*sy) * (n*sxy - sx*sy)
         |    / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
         |FROM sums CROSS JOIN v""".stripMargin) { (s, d) =>
+      // localCheckpoint, not cache/unpersist (r19): the construct-time
+      // unpersist ran before the caller's terminal action, so the
+      // returned plan re-ran the corpus token groupBy after nVocab's
+      // count already had. Materialized once; blocks reclaimed with the
+      // result (guide §3.3/§5).
       val tf = Tables.documents(s, d)
         .select(explode(TextFunctions.tokens(col("text"))).as("word"))
         .filter(col("word") =!= "")
         .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-        .cache()
-      try {
+        .localCheckpoint()
+      locally {
         val nVocab = tf.count()
         val top = tf.orderBy(col("freq").desc, col("word")).limit(1000)
           .withColumn("rnk", row_number().over(
@@ -850,7 +855,7 @@ object TextOps {
             (col("n") * col("sxy") - col("sx") * col("sy")) /
             ((col("n") * col("sxx") - col("sx") * col("sx")) *
              (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
-      } finally { tf.unpersist(false); () }
+      }
     },
 
     // ---- TF-IDF top-3 terms per document, selected by the native

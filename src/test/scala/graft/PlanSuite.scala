@@ -395,11 +395,12 @@ class PlanSuite extends SparkSpec {
     // candidate generation is the rare-shingle (df ∈ [2,10]) inverted
     // index — per-group pair emission via OrderedPairs, never a doc×doc
     // join; the candidate relation is UN-hinted (data-dependent size —
-    // a forced broadcast would OOM on a duplicate-heavy corpus). The
-    // shingle sides hint shuffle_hash (r17 ladder: the sort-merge
-    // fallback sorts the expanded candidate×shingle relation at ~5× the
-    // cost at ×10 rows), so the verify must be a HASH join at every
-    // scale — shuffled here, and never a SortMergeJoin on the expansion
+    // a forced broadcast would OOM on a duplicate-heavy corpus). Since
+    // r19 the verify is per-doc set intersection: the candidate pairs
+    // pick up both docs' shingle sets (collected once, candidate docs
+    // only) by plain equi-joins — those must stay hash joins (broadcast
+    // at bench scale via AQE), and the pair×shingle expansion must never
+    // reappear as a cartesian/nested-loop shape
     val df = SparkEntry.queries("q_containment_dedup")(spark, sf)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString()
@@ -478,9 +479,10 @@ class PlanSuite extends SparkSpec {
     // the exact kernel must only ever run on candidates — a doc×doc
     // cross/nested-loop shape is what the df-gated index avoids; the
     // candidate relation is UN-hinted (its size is data-dependent); the
-    // weight sides hint shuffle_hash so the dot-product expansion is
-    // hash-joined at every scale (r17 ladder: the sort-merge fallback
-    // costs ~5× on this shape at ×10 rows)
+    // weight sides (semi-filtered to candidate docs since r19) hint
+    // shuffle_hash so the dot-product expansion is hash-joined at every
+    // scale (r17 ladder: the sort-merge fallback costs ~5× on this
+    // shape at ×10 rows)
     val df = SparkEntry.queries("q_allpairs_sim")(spark, sf)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString()
