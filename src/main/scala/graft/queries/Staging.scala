@@ -94,6 +94,15 @@ private[queries] object Staging {
       s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
     }
   }
+  // Measured and rejected here (r19, verdict task #1): pinning the RocksDB
+  // state-store provider (+ changelog checkpointing) around `start` the
+  // same way. Per-trigger profile on q_stream_right_join/q_stream_sessions
+  // (StreamProfileMain, quiet host): wall 7.16→7.35 s / 4.20→4.05 s —
+  // sentinel batches ~10% faster (addBatch 716→641 ms), data batches
+  // slower (summed store update 1081→1745 ms), summed commit flat
+  // (~2.0-2.4 s over 32 instances either way), per-store memory 3.3→33 MB.
+  // The trigger floor is task scheduling + incremental planning + commit
+  // bookkeeping, not the store backend; HDFSBacked stays.
 
   /** Stage `df` as an event-time-ordered replay: `nFiles` range-partitioned
     * parquet files on `rangeCols` (batch k+1 never carries a key below

@@ -1475,16 +1475,24 @@ object VectorOps {
     * rebuilds exactly its own batch's relation (a retained one would
     * point at deleted part files). Older batches never re-run, so their
     * resolved relations are reused without touching the filesystem.
-    * Every `CompactEvery` batches the union plan is truncated through a
-    * localCheckpoint (per-tick ANALYSIS stays bounded instead of growing
-    * one scan node per trigger); the superseded base's blocks are
-    * reclaimed by the ContextCleaner once unreferenced, like the repo's
-    * other localCheckpoint sites. */
+    * Every `compactEvery` batches the union plan is truncated by
+    * RE-STAGING the accumulated postings to ONE parquet dir (per-tick
+    * ANALYSIS stays bounded instead of growing one scan node per
+    * trigger). Storage-backed, not a localCheckpoint (r19, r18 verdict
+    * finding #4): at 100 TB postings a block-manager-resident compacted
+    * base competes with execution memory for the stream's whole
+    * lifetime, while a staged parquet base is exactly the posture the
+    * per-batch postings already have — the superseded compact dir is
+    * deleted once its successor is committed, so the live compacted
+    * footprint is one copy. `compactEvery` is a constructor dial only so
+    * the suite can drive compactions without 64 ticks; production keeps
+    * the default. */
   private[graft] final class DriftMonitorState(s: SparkSession,
-      cents: IndexedSeq[IndexedSeq[Double]], out: String) {
-    private val CompactEvery = 64
+      cents: IndexedSeq[IndexedSeq[Double]], out: String,
+      compactEvery: Int = 64) {
     private val perBatch = scala.collection.mutable.LinkedHashMap[Long, DataFrame]()
     private var base: Option[DataFrame] = None
+    private var baseDir: Option[java.nio.file.Path] = None
     @volatile private[graft] var dirsListedLastTick = 0
 
     // a DataFrameReader resolves schema + file list eagerly at creation:
@@ -1498,6 +1506,11 @@ object VectorOps {
     private def recover(): Int = {
       val root = java.nio.file.Paths.get(out, "postings")
       recovered = true
+      // a prior run's compacted base is a pure cache over the per-batch
+      // dirs — drop any stale copy and rebuild the union from the
+      // authoritative b$id dirs (compaction re-fires as ticks accumulate)
+      val staleBase = java.nio.file.Paths.get(out, "postings_base")
+      if (java.nio.file.Files.isDirectory(staleBase)) Staging.deleteTree(staleBase)
       if (!java.nio.file.Files.isDirectory(root)) return 0
       val ids = {
         val st = java.nio.file.Files.list(root)
@@ -1527,12 +1540,21 @@ object VectorOps {
         s"$out/postings", id)
       perBatch(id) = relationFor(id) // always: this tick re-wrote b$id
       listed += 1
-      dirsListedLastTick = listed
-      if (perBatch.size >= CompactEvery) {
-        base = Some((base.toSeq ++ perBatch.values).reduce(_.union(_))
-          .localCheckpoint())
+      if (perBatch.size >= compactEvery) {
+        // re-stage the accumulated union as ONE parquet dir (class doc);
+        // idempotent under replay — a re-run tick overwrites c$id — and
+        // the superseded compact dir is deleted only after the new one
+        // is fully written
+        val next = java.nio.file.Paths.get(out, "postings_base", s"c$id")
+        (base.toSeq ++ perBatch.values).reduce(_.union(_))
+          .write.mode("overwrite").parquet(next.toString)
+        base = Some(s.read.parquet(next.toString))
+        listed += 1 // the re-read of the fresh compact dir (1/compactEvery ticks)
+        baseDir.filter(_ != next).foreach(Staging.deleteTree)
+        baseDir = Some(next)
         perBatch.clear()
       }
+      dirsListedLastTick = listed
       val acc = (base.toSeq ++ perBatch.values).reduce(_.union(_))
       // micro-batch-scale sample; cached so the served/exact passes
       // don't re-sort the batch. cache (not localCheckpoint): unpersist
@@ -1545,9 +1567,14 @@ object VectorOps {
       try {
         // hits AND the probe count ride the one probedHits job — the
         // old separate sample.count() cost a scheduling round trip per
-        // trigger for a 12-row count (r18; every gate batch has ≥12
-        // rows and acc ≥ batch, so the exact pass's per-query rows
-        // equal the sample size, the contract check still guards)
+        // trigger for a 12-row count (r18). Denominator contract (r19,
+        // ADVICE): every sample id is in acc (this tick just wrote the
+        // batch) and probedHits counts self-only queries too, so nb ==
+        // sample row count whenever the batch's vec_ids are distinct —
+        // which the range-staged replay guarantees; a corpus violating
+        // it (duplicate ids collapse the groupBy) under-fills nb and
+        // trips the caller's loud 4×12 pooled-probe refusal instead of
+        // silently skewing rebuild_due.
         val r = probedHits(acc, cents, sample, 6).head()
         val (hits, nb) = (r.getLong(0), r.getLong(1))
         import s.implicits._
@@ -1636,12 +1663,17 @@ object VectorOps {
     * to the exact best over the whole index (one linear broadcast pass —
     * bounded queries keep this O(|queries|·n), the same contract as
     * [[recallVerdict]]). Returns one row `(n_hits, n_queries)` — the
-    * query count rides the exact pass's group-by (one row per query with
-    * ≥1 non-self index row) so a caller that needs the denominator does
-    * not pay a separate counting job per call (the streaming monitor's
-    * tick paid one per trigger). A query with zero served candidates
-    * joins as a null sim and counts in n_queries but never as a hit —
-    * the same accounting as the old inner-join + separate count. */
+    * query count rides the exact pass's group-by (one row per query that
+    * pairs with ≥1 index row, self included) so a caller that needs the
+    * denominator does not pay a separate counting job per call (the
+    * streaming monitor's tick paid one per trigger). A query with zero
+    * served candidates has an all-null served column and counts in
+    * n_queries but never as a hit. Self-pairs are NULLED, not
+    * row-filtered (r19, ADVICE): a query whose only index row is itself
+    * still groups — so when every query id is in the index (always true
+    * for the tick: it probes the batch it just wrote), n_queries equals
+    * the full sample size even on a degenerate 1-row first batch, the
+    * same denominator as the pre-r18 separate sample.count(). */
   private[graft] def probedHits(index: DataFrame,
       cents: IndexedSeq[IndexedSeq[Double]], queries: DataFrame,
       nprobe: Int): DataFrame = {
@@ -1652,17 +1684,20 @@ object VectorOps {
     // flag on rows the cross join already produces, instead of a second
     // scan of the index through a cell equi-join (the r17 shape paid two
     // scans, two groupBys and computed the probe-cell pairs' dot twice).
-    // Semantics are identical: same self-exclusion, same max, a query
-    // with no probe-cell candidate has an all-null served column (max
-    // ignores nulls) and counts in n_queries but never as a hit.
+    // Semantics: same self-exclusion (self-pairs null BOTH columns, and
+    // max ignores nulls), same max; a query with no probe-cell candidate
+    // has an all-null served column and counts in n_queries but never as
+    // a hit; an all-null row (only-self query) is never a hit either
+    // (CASE over a null comparison takes the ELSE 0 branch).
     val probed = queries.withColumn("probe_cells",
       graft.functions.VectorExpressions.nearestCells(col("pv"), cents, nprobe))
     broadcast(probed.select(col("src"), col("qvn"), col("probe_cells")))
       .crossJoin(index)
-      .filter(col("src") =!= col("nbr"))
       .select(col("src"),
-        array_contains(col("probe_cells"), col("cell")).as("in_probe"),
-        VectorFunctions.dot(col("qvn"), col("vbn")).as("sim"))
+        (col("src") =!= col("nbr") &&
+          array_contains(col("probe_cells"), col("cell"))).as("in_probe"),
+        when(col("src") =!= col("nbr"),
+          VectorFunctions.dot(col("qvn"), col("vbn"))).as("sim"))
       .groupBy(col("src"))
       .agg(max(col("sim")).as("best_sim"),
         max(when(col("in_probe"), col("sim"))).as("served"))

@@ -73,4 +73,43 @@ class DriftTickListingSuite extends SparkSpec {
         "replayed batch double-counted or new batch lost")
     } finally { hist.unpersist(); () }
   }
+
+  test("compaction re-stages the base to ONE parquet dir and stays O(1)") {
+    // r19 (r18 verdict finding #4): every compactEvery ticks the
+    // accumulated union is re-staged to parquet under postings_base —
+    // storage-backed, not block-manager-resident — the superseded
+    // compact dir is deleted, and per-tick listing stays O(1): 1 dir on
+    // plain ticks, 2 on a compaction tick (own batch + fresh base).
+    val hist = batchDf(0 until 64)
+    val centroids = VectorOps.ivfCentroids(hist.cache())
+    try {
+      val out = tmpDir("drift_tick_compact").toString
+      val mon = new VectorOps.DriftMonitorState(spark, centroids, out,
+        compactEvery = 3)
+      val listedPerTick = (0 until 7).map { t =>
+        mon.tick(batchDf(t * 16 until (t + 1) * 16), t.toLong)
+        mon.dirsListedLastTick
+      }
+      // ticks 2 and 5 compact (perBatch reaches 3); tick 0 additionally
+      // pays the empty recovery enumeration (0 dirs found)
+      assert(listedPerTick == Seq(1, 1, 2, 1, 1, 2, 1),
+        s"listing per tick: $listedPerTick — compaction broke the O(1) cursor")
+      val baseRoot = new java.io.File(s"$out/postings_base")
+      val baseDirs = baseRoot.listFiles().map(_.getName).sorted.toSeq
+      assert(baseDirs == Seq("c5"),
+        s"superseded compact dirs not reclaimed: $baseDirs")
+      // the compacted base + cursor still hold the FULL accumulated
+      // index: the compact dir carries ticks 0..5, perBatch tick 6, and
+      // every tick's verdict row probed a complete accumulation (12
+      // probes per trigger — the denominator rides the probe job)
+      val baseRows = spark.read.parquet(s"$out/postings_base/c5").count()
+      assert(baseRows == 6 * 16, s"compacted base carries $baseRows rows")
+      val verdicts = spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$out/verdicts")
+      assert(verdicts.count() == 7, "a tick failed to land its verdict row")
+      assert(verdicts.agg(org.apache.spark.sql.functions.sum(col("n_probes")))
+        .head().getLong(0) == 7 * 12,
+        "a tick's probe denominator under-filled")
+    } finally { hist.unpersist(); () }
+  }
 }
