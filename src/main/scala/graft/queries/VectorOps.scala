@@ -23,9 +23,18 @@ object VectorOps {
   /** Embeddings as array<double> vectors, keyed-spread (the test parquet
     * is one row group → one partition otherwise; Tables.spread no-ops
     * once the scan has real splits). */
+  /** NOT spread to session width (r19): the vector kernels' per-row work
+    * is ~1k flops (a 64-dim dot against ≤16 centroids) — even a 10⁶-row
+    * single-split file is sub-second on one core, and a corpus big
+    * enough to need parallelism arrives as many splits that already
+    * parallelize. The r18 spread bought no compute win and taxed every
+    * downstream stage of 23 vector queries with session-width task
+    * floors (jstack: per-task codegen/classlink dominates these stages
+    * at gate scale, ~0.2-0.3 cpu-s per near-empty task). Text paths keep
+    * their spread — their explode factor is 30-100× input bytes. */
   private[graft] def embedRel(s: SparkSession, d: String): DataFrame =
-    Tables.spread(Tables.embeddings(s, d)
-      .withColumn("v", col("embedding").cast("array<double>")), col("vec_id"))
+    Tables.embeddings(s, d)
+      .withColumn("v", col("embedding").cast("array<double>"))
 
   /** Shared oracle CTE body for the SemDeDup component labels: first-K
     * quantizer, within-cell ≥0.4-cosine edges, recursive min-label walk.
