@@ -101,7 +101,11 @@ object VectorOps {
     * probes new vectors into their cell's clusters only). */
   private[graft] def componentsCells(e: DataFrame,
       cents: IndexedSeq[IndexedSeq[Double]]): DataFrame = {
-    val asg = e.withColumn("cell",
+    // spread kept here (unlike the plain embedRel consumers): the
+    // quantizer is corpus-proportional (k = n/32), so assignment is
+    // O(n·k·dim) — quadratic posture — and the within-cell pair join
+    // fans out quadratically per cell downstream
+    val asg = Tables.spread(e, col("vec_id")).withColumn("cell",
       element_at(graft.functions.VectorExpressions.nearestCells(col("v"), cents, 1), 1))
     val a = asg.select(col("cell"), col("vec_id").as("va"), col("v").as("xa"))
     val b = asg.select(col("cell"), col("vec_id").as("vb"), col("v").as("xb"))
@@ -202,7 +206,13 @@ object VectorOps {
   private[graft] def semdedupAbsorb(newE: DataFrame,
       cents: IndexedSeq[IndexedSeq[Double]], cm: DataFrame,
       clCell: DataFrame): DataFrame = {
-    val xn = newE
+    // spread BEFORE the fan-out (r19): each new vector meets every
+    // cluster of its cell × 64 dims — a ~cellClusters×64 row expansion
+    // per input row. embedRel no longer session-spreads (the plain
+    // kernels never needed it), but THIS map side does: on a single
+    // input split the expansion ran serial (q_incremental_semdedup
+    // 1.15 → 4.41 s wall at flat cpu when the spread was dropped).
+    val xn = Tables.spread(newE, col("vec_id"))
       .withColumn("cell", element_at(
         graft.functions.VectorExpressions.nearestCells(col("v"), cents, 1), 1))
       .join(clCell, Seq("cell"))
@@ -973,7 +983,10 @@ object VectorOps {
         |ORDER BY vec_id""".stripMargin) { (s, d) =>
       val e = embedRel(s, d)
       val bench = e.filter(col("label") === 0).select(col("v").as("bv"))
-      e.filter(col("label") =!= 0)
+      // the streamed side keeps its spread (unlike the plain embedRel
+      // consumers): per-row work here is |benchmark set| × dim — the
+      // corpus × bounded-set quadratic posture of q_embed_dedup
+      Tables.spread(e.filter(col("label") =!= 0), col("vec_id"))
         .crossJoin(broadcast(bench))
         .select(col("vec_id"),
           round(VectorFunctions.cosine(col("v"), col("bv")), 6).as("sim"))
@@ -1019,7 +1032,10 @@ object VectorOps {
       val e = embedRel(s, d)
       val lab = e.filter(col("vec_id") % 5 === 0)
         .select(col("vec_id").as("lid"), col("v").as("lv"), col("label").as("nl"))
-      val sims = e.filter(col("vec_id") % 5 =!= 0)
+      // spread kept on the streamed side: per-row work is |labeled pool|
+      // × dim and the pool is corpus-proportional (vec_id % 5) — the
+      // quadratic posture, not the plain ~1k-flop kernels
+      val sims = Tables.spread(e.filter(col("vec_id") % 5 =!= 0), col("vec_id"))
         .crossJoin(broadcast(lab))
         .select(col("vec_id"), col("nl"), col("lid"),
           round(VectorFunctions.cosine(col("v"), col("lv")), 6).as("sim"))
